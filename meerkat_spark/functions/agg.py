@@ -1,0 +1,155 @@
+"""KQL aggregation functions (inside `summarize`) as Column builders.
+
+All of these compile to Spark's partial+final HashAggregateExec — the
+distributed partial/final aggregation the reference planned
+(reference README.md:34) is Catalyst's default physical strategy, so
+nothing imperative is built here (SURVEY.md §2.2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# counting -----------------------------------------------------------
+def count() -> Column:
+    return F.count(F.lit(1))
+
+
+def countif(pred: Column) -> Column:
+    return F.count(F.when(pred, 1))
+
+
+def dcount(x, exact: bool = True, rsd: float = 0.05) -> Column:
+    """KQL dcount is approximate (HLL). `exact=True` uses countDistinct
+    for oracle parity; exact=False → approx_count_distinct (the scale
+    path: mergeable sketch, no shuffle of distinct values)."""
+    return F.countDistinct(_c(x)) if exact else F.approx_count_distinct(_c(x), rsd)
+
+
+def dcountif(x, pred: Column, exact: bool = True) -> Column:
+    return F.countDistinct(F.when(pred, _c(x))) if exact else F.approx_count_distinct(F.when(pred, _c(x)))
+
+
+# conditional arithmetic ----------------------------------------------
+def sumif(x, pred: Column) -> Column:
+    return F.sum(F.when(pred, _c(x)))
+
+
+def avgif(x, pred: Column) -> Column:
+    return F.avg(F.when(pred, _c(x)))
+
+
+def minif(x, pred: Column) -> Column:
+    return F.min(F.when(pred, _c(x)))
+
+
+def maxif(x, pred: Column) -> Column:
+    return F.max(F.when(pred, _c(x)))
+
+
+# arg extremes ---------------------------------------------------------
+def arg_max(ord_col, ret_col) -> Column:
+    """KQL arg_max(ord, ret) → max_by. NOTE: non-deterministic under ties;
+    oracle queries must use tie-free orderings."""
+    return F.max_by(_c(ret_col), _c(ord_col))
+
+
+def arg_min(ord_col, ret_col) -> Column:
+    return F.min_by(_c(ret_col), _c(ord_col))
+
+
+def take_any(x) -> Column:
+    return F.any_value(_c(x), ignoreNulls=True)
+
+
+# distribution ---------------------------------------------------------
+def percentile(x, p: float, exact: bool = True) -> Column:
+    """KQL percentile is T-digest-approximate; exact=True uses Spark's
+    exact percentile for oracle parity, exact=False the mergeable
+    percentile_approx sketch (the 100TB path)."""
+    if exact:
+        return F.percentile(_c(x), F.lit(p))
+    return F.percentile_approx(_c(x), F.lit(p))
+
+
+def percentiles(x, *ps: float, exact: bool = True) -> Column:
+    if exact:
+        return F.percentile(_c(x), F.array(*[F.lit(p) for p in ps]))
+    return F.percentile_approx(_c(x), F.array(*[F.lit(p) for p in ps]))
+
+
+def stdev(x) -> Column:
+    return F.stddev_samp(_c(x))
+
+
+def stdevp(x) -> Column:
+    return F.stddev_pop(_c(x))
+
+
+def variance(x) -> Column:
+    return F.var_samp(_c(x))
+
+
+def variancep(x) -> Column:
+    return F.var_pop(_c(x))
+
+
+# collections ----------------------------------------------------------
+def make_list(x, sort: bool = False) -> Column:
+    """collect_list; sort=True canonicalizes order (collect order is
+    partition-dependent — required for deterministic comparison)."""
+    c = F.collect_list(_c(x))
+    return F.sort_array(c) if sort else c
+
+
+def make_set(x, sort: bool = True) -> Column:
+    c = F.collect_set(_c(x))
+    return F.sort_array(c) if sort else c
+
+
+def make_list_if(x, pred: Column, sort: bool = False) -> Column:
+    c = F.collect_list(F.when(pred, _c(x)))
+    return F.sort_array(c) if sort else c
+
+
+def make_set_if(x, pred: Column, sort: bool = True) -> Column:
+    c = F.collect_set(F.when(pred, _c(x)))
+    return F.sort_array(c) if sort else c
+
+
+def make_bag(k, v) -> Column:
+    """KQL make_bag — collect entries into a JSON object (dynamic)."""
+    return F.to_json(F.map_from_entries(F.collect_list(F.struct(_c(k), _c(v)))))
+
+
+# bitwise --------------------------------------------------------------
+def binary_all_and(x) -> Column:
+    return F.bit_and(_c(x))
+
+
+def binary_all_or(x) -> Column:
+    return F.bit_or(_c(x))
+
+
+def binary_all_xor(x) -> Column:
+    return F.bit_xor(_c(x))
+
+
+# sketches (T2: hll / tdigest) ------------------------------------------
+def hll(x, lg_k: int = 12) -> Column:
+    """KQL hll(x) — mergeable HLL sketch (Spark ≥3.5 Datasketches)."""
+    return F.hll_sketch_agg(_c(x), lg_k)
+
+
+def hll_merge(sketch_col) -> Column:
+    return F.hll_union_agg(_c(sketch_col))
+
+
+def dcount_hll(sketch_col) -> Column:
+    return F.hll_sketch_estimate(_c(sketch_col))

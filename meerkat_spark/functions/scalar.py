@@ -1,0 +1,429 @@
+"""KQL scalar functions with KQL names and semantics, as Column builders.
+
+Every function returns a `pyspark.sql.Column` built from JVM-side
+built-ins (`pyspark.sql.functions`) so expressions stay inside
+whole-stage codegen — no Python UDFs in the hot path.
+
+KQL semantic deltas encoded here once (SURVEY.md §7.4.3):
+- `substring` is 0-based (Spark's is 1-based) — translator adds 1.
+- `indexof` returns -1 when absent and is 0-based (Spark `locate` is
+  1-based, 0 when absent).
+- failed casts yield null (Spark try_cast semantics).
+- `bin()` floors numerics to a multiple of size and timestamps to a
+  multiple of a duration.
+
+The reference declares the KQL surface at README.md:34; the type set is
+src/store/segment_metadata.rs:131-142.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else (F.col(x) if isinstance(x, str) else F.lit(x))
+
+
+def _lit(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# ---------------------------------------------------------------- binning
+def bin_numeric(x, size) -> Column:
+    """KQL bin(x, size) for numerics: floor(x/size)*size."""
+    return F.floor(_c(x) / _lit(size)) * _lit(size)
+
+
+def bin_datetime(ts, seconds: int) -> Column:
+    """KQL bin(ts, timespan) — floor timestamp to a multiple of `seconds`.
+
+    Uses integer arithmetic on epoch seconds (codegen-friendly; prunable
+    when partitioned on a derived date column, SURVEY.md §4)."""
+    e = F.unix_timestamp(_c(ts))
+    return F.timestamp_seconds((F.floor(e / seconds) * seconds).cast("long"))
+
+
+def bin_auto(x, size) -> Column:
+    """bin() dispatch: numbers → numeric, else datetime with size=seconds."""
+    if isinstance(size, (int, float)):
+        return bin_numeric(x, size)
+    raise ValueError("use bin_numeric/bin_datetime explicitly for Column sizes")
+
+
+# ---------------------------------------------------------------- datetime
+def ago(delta_expr: str) -> Column:
+    """KQL ago(1h) → now() - interval."""
+    return F.current_timestamp() - F.expr(f"INTERVAL {delta_expr}")
+
+
+def now() -> Column:
+    return F.current_timestamp()
+
+
+def startofday(ts) -> Column:
+    return F.date_trunc("day", _c(ts))
+
+
+def startofweek(ts) -> Column:
+    """KQL weeks start on Sunday; Spark date_trunc('week') is Monday.
+    Shift forward a day, truncate to Monday, shift back → Sunday-aligned."""
+    day = F.expr("INTERVAL 1 DAY")
+    return F.date_trunc("week", _c(ts) + day) - day
+
+
+def startofmonth(ts) -> Column:
+    return F.date_trunc("month", _c(ts))
+
+
+def startofyear(ts) -> Column:
+    return F.date_trunc("year", _c(ts))
+
+
+def datetime_add(part: str, amount, ts) -> Column:
+    """KQL datetime_add(period, amount, dt). `ts` is a column name or SQL
+    expression string (timestampadd has no Column-API form here)."""
+    part = part.strip("'\"")
+    return F.expr(f"timestampadd({part}, {amount}, {ts})")
+
+
+def datetime_diff(part: str, ts1, ts2) -> Column:
+    """KQL datetime_diff(period, dt1, dt2) = dt1 - dt2 in period units.
+    `ts1`/`ts2` are column names or SQL expression strings."""
+    part = part.strip("'\"")
+    return F.expr(f"timestampdiff({part}, {ts2}, {ts1})")
+
+
+def todatetime(x) -> Column:
+    return _c(x).try_cast("timestamp")
+
+
+def format_datetime(ts, fmt: str) -> Column:
+    """KQL format_datetime — KQL format tokens map closely to JVM
+    SimpleDateFormat used by date_format (yyyy, MM, dd, HH, mm, ss)."""
+    return F.date_format(_c(ts), fmt)
+
+
+def dayofweek_timespan(ts) -> Column:
+    """KQL dayofweek returns a timespan of N days since Sunday; we surface
+    the integer day count (0=Sunday) — documented delta."""
+    return F.dayofweek(_c(ts)) - 1
+
+
+def hourofday(ts) -> Column:
+    return F.hour(_c(ts))
+
+
+def week_of_year(ts) -> Column:
+    return F.weekofyear(_c(ts))
+
+
+def unixtime_seconds_todatetime(x) -> Column:
+    return F.timestamp_seconds(_c(x))
+
+
+def unixtime_milliseconds_todatetime(x) -> Column:
+    return F.timestamp_millis(_c(x).cast("long"))
+
+
+# ---------------------------------------------------------------- strings
+def strlen(x) -> Column:
+    return F.length(_c(x))
+
+
+def substring(x, start, length=None) -> Column:
+    """KQL substring is 0-based; Spark 1-based."""
+    c = _c(x)
+    if length is None:
+        return c.substr(_lit(start) + 1, F.length(c))
+    return c.substr(_lit(start) + 1, _lit(length))
+
+
+def strcat(*parts) -> Column:
+    return F.concat(*[_c(p) if isinstance(p, Column) else F.lit(p) for p in parts])
+
+
+def strcat_delim(delim: str, *parts) -> Column:
+    return F.concat_ws(delim, *[_c(p) if isinstance(p, Column) else F.lit(p) for p in parts])
+
+
+def split(x, delim: str, index: int | None = None) -> Column:
+    """KQL split returns dynamic array; optional requested index."""
+    arr = F.split(_c(x), F.lit(delim), -1)
+    if index is not None:
+        return F.element_at(arr, index + 1)  # KQL index is 0-based
+    return arr
+
+
+def tolower(x) -> Column:
+    return F.lower(_c(x))
+
+
+def toupper(x) -> Column:
+    return F.upper(_c(x))
+
+
+def trim(regex: str, x) -> Column:
+    """KQL trim(regex, x) trims a *regex* from both ends."""
+    return F.regexp_replace(F.regexp_replace(_c(x), f"^({regex})+", ""), f"({regex})+$", "")
+
+
+def trim_start(regex: str, x) -> Column:
+    return F.regexp_replace(_c(x), f"^({regex})+", "")
+
+
+def trim_end(regex: str, x) -> Column:
+    return F.regexp_replace(_c(x), f"({regex})+$", "")
+
+
+def replace_string(x, search: str, repl: str) -> Column:
+    return F.replace(_c(x), F.lit(search), F.lit(repl))
+
+
+def replace_regex(x, pattern: str, repl: str) -> Column:
+    return F.regexp_replace(_c(x), pattern, repl)
+
+
+def extract(pattern: str, group: int, x) -> Column:
+    """KQL extract(regex, captureGroup, text); null if no match (Spark
+    regexp_extract returns '' — map '' from no-match to null via when)."""
+    e = F.regexp_extract(_c(x), pattern, group)
+    return F.when(e == "", F.lit(None)).otherwise(e)
+
+
+def extract_all(pattern: str, x) -> Column:
+    return F.regexp_extract_all(_c(x), F.lit(pattern), 1)
+
+
+def indexof(x, needle) -> Column:
+    """KQL indexof: 0-based, -1 if absent (Spark locate: 1-based, 0 if absent)."""
+    needle_col = needle if isinstance(needle, Column) else F.lit(needle)
+    return (F.instr(_c(x), needle_col) - 1).cast("long")
+
+
+def countof(x, needle: str) -> Column:
+    """KQL countof (plain term count)."""
+    return F.size(F.split(_c(x), F.lit(needle).cast("string"), -1)) - 1
+
+
+def reverse(x) -> Column:
+    return F.reverse(_c(x))
+
+
+def tostring(x) -> Column:
+    return _c(x).cast("string")
+
+
+def base64_encode_tostring(x) -> Column:
+    return F.base64(_c(x).cast("binary"))
+
+
+def base64_decode_tostring(x) -> Column:
+    return F.unbase64(_c(x)).cast("string")
+
+
+def hash_xx(x, mod: int | None = None) -> Column:
+    """KQL hash() — xxhash64; optional modulus."""
+    h = F.xxhash64(_c(x))
+    if mod is not None:
+        return F.pmod(h, F.lit(mod))
+    return h
+
+
+def hash_sha256(x) -> Column:
+    return F.sha2(_c(x).cast("string"), 256)
+
+
+def url_encode(x) -> Column:
+    return F.url_encode(_c(x))
+
+
+def url_decode(x) -> Column:
+    return F.url_decode(_c(x))
+
+
+def isempty(x) -> Column:
+    c = _c(x)
+    return c.isNull() | (c.cast("string") == "")
+
+
+def isnotempty(x) -> Column:
+    return ~isempty(x)
+
+
+# predicates
+def has_term(x, term: str, case_insensitive: bool = True) -> Column:
+    """KQL `has` — whole-term match (token-indexed in Kusto; realized as a
+    word-boundary regex — documented in SURVEY.md §2.2.3)."""
+    flags = "(?i)" if case_insensitive else ""
+    import re as _re
+
+    pat = f"{flags}\\b{_re.escape(term)}\\b"
+    return _c(x).rlike(pat)
+
+
+def startswith(x, prefix: str) -> Column:
+    return F.startswith(F.lower(_c(x)), F.lit(prefix.lower()))
+
+
+def endswith(x, suffix: str) -> Column:
+    return F.endswith(F.lower(_c(x)), F.lit(suffix.lower()))
+
+
+def matches_regex(x, pattern: str) -> Column:
+    return _c(x).rlike(pattern)
+
+
+def in_list(x, values, case_insensitive: bool = False) -> Column:
+    c = _c(x)
+    if case_insensitive:
+        return F.lower(c).isin([v.lower() for v in values])
+    return c.isin(list(values))
+
+
+def between(x, lo, hi) -> Column:
+    return _c(x).between(_lit(lo), _lit(hi))
+
+
+# ---------------------------------------------------------------- math
+def ceiling(x) -> Column:
+    return F.ceil(_c(x))
+
+
+def log2(x) -> Column:
+    return F.log2(_c(x))
+
+
+def min_of(*xs) -> Column:
+    return F.least(*[_c(x) for x in xs])
+
+
+def max_of(*xs) -> Column:
+    return F.greatest(*[_c(x) for x in xs])
+
+
+# ---------------------------------------------------------------- nulls / conditional
+def iff(cond: Column, then, otherwise) -> Column:
+    return F.when(cond, _lit(then)).otherwise(_lit(otherwise))
+
+
+iif = iff
+
+
+def case(*args) -> Column:
+    """KQL case(p1, v1, p2, v2, …, default)."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("case needs pred/value pairs plus a default")
+    expr = F.when(args[0], _lit(args[1]))
+    i = 2
+    while i + 1 < len(args):
+        expr = expr.when(args[i], _lit(args[i + 1]))
+        i += 2
+    return expr.otherwise(_lit(args[-1]))
+
+
+def toint(x) -> Column:
+    return _c(x).try_cast("int")
+
+
+def tolong(x) -> Column:
+    return _c(x).try_cast("long")
+
+
+def todouble(x) -> Column:
+    return _c(x).try_cast("double")
+
+
+toreal = todouble
+
+
+def tobool(x) -> Column:
+    return _c(x).try_cast("boolean")
+
+
+def todecimal(x) -> Column:
+    return _c(x).try_cast("decimal(38,18)")
+
+
+# ---------------------------------------------------------------- dynamic / array
+def array_length(x) -> Column:
+    return F.size(_c(x)).cast("long")
+
+
+def array_concat(*xs) -> Column:
+    return F.concat(*[_c(x) for x in xs])
+
+
+def array_slice(x, start, end) -> Column:
+    """KQL array_slice(arr, start, end) — 0-based inclusive ends."""
+    return F.slice(_c(x), _lit(start) + 1, _lit(end) - _lit(start) + 1)
+
+
+def array_sort_asc(x) -> Column:
+    return F.sort_array(_c(x))
+
+
+def array_sort_desc(x) -> Column:
+    return F.sort_array(_c(x), asc=False)
+
+
+def array_index_of(x, v) -> Column:
+    """KQL 0-based, -1 if missing (Spark array_position is 1-based, 0 if missing)."""
+    return F.array_position(_c(x), _lit(v)).cast("long") - 1
+
+
+def set_union(*xs) -> Column:
+    out = _c(xs[0])
+    for x in xs[1:]:
+        out = F.array_union(out, _c(x))
+    return out
+
+
+def set_intersect(a, b) -> Column:
+    return F.array_intersect(_c(a), _c(b))
+
+
+def set_difference(a, b) -> Column:
+    return F.array_except(_c(a), _c(b))
+
+
+def pack_array(*xs) -> Column:
+    return F.array(*[_lit(x) if not isinstance(x, Column) else x for x in xs])
+
+
+def zip_arrays(a, b) -> Column:
+    return F.arrays_zip(_c(a), _c(b))
+
+
+def array_sum(x) -> Column:
+    return F.aggregate(_c(x), F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+
+
+def array_avg(x) -> Column:
+    return array_sum(x) / F.size(_c(x))
+
+
+def bag_keys(x) -> Column:
+    """Keys of a dynamic (JSON object) value."""
+    return F.json_object_keys(_c(x))
+
+
+def pack(*kv) -> Column:
+    """KQL pack(k1, v1, k2, v2, …) / bag_pack → JSON string."""
+    if len(kv) % 2:
+        raise ValueError("pack needs key/value pairs")
+    cols = []
+    for i in range(0, len(kv), 2):
+        key = kv[i]
+        val = kv[i + 1]
+        cols.append((_lit(val) if not isinstance(val, Column) else val).alias(str(key)))
+    return F.to_json(F.struct(*cols))
+
+
+def parse_json_get(x, path: str) -> Column:
+    """Dynamic member access d.x / d['x'] → get_json_object(d, '$.x')."""
+    return F.get_json_object(_c(x), f"$.{path}")
+
+
+todynamic = tostring  # dynamic carried as JSON string (types.py)

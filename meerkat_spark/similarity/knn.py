@@ -1,0 +1,208 @@
+"""Approximate-nearest-neighbor search over an array<float> embedding
+column.
+
+Scale design:
+- Brute force: broadcast the (small) query set against the corpus —
+  corpus-side scan is embarrassingly parallel, no shuffle; top-k per
+  query via window row_number (k small ⇒ TakeOrdered-like state).
+  Dot products run as JVM higher-order functions (zip_with+aggregate)
+  in double precision — no Python, no Arrow transfer.
+- LSH (random hyperplanes): data-independent deterministic planes
+  derived from xxhash64(dim, plane) — every executor regenerates the
+  same planes with zero driver state / broadcast of plane matrices.
+  Buckets = sign-bit codes; probing = exact rerank within the query's
+  bucket. At 100TB the corpus is hashed once (one narrow projection)
+  and bucket-partitioned, so a query touches 1/2^b of the data.
+- IVF-style variant: coarse centroids via deterministic sampling +
+  assignment (one broadcast join), rerank within nearest cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _to_double(arr):
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Σ aᵢbᵢ in double — sequential fold, deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+    Self-matches excluded. Queries are broadcast (small by contract)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim_raw"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id").asc()
+    )
+    out = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    sim = F.round(F.col("sim_raw"), round_dp) if round_dp else F.col("sim_raw")
+    return out.select("query_id", "neighbor_id", sim.alias("sim"), "rank")
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes seeded from (plane, dim) via a fixed
+    64-bit mix — identical on every run/driver, embedded in the plan as
+    literals (tiny: n_planes×dim doubles), so executors get them for
+    free with the serialized plan."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            # splitmix64-style deterministic mix of (p, d)
+            z = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+            z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+            z = z ^ (z >> 31)
+            row.append(1.0 if z & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_code(vec, n_planes: int, dim: int):
+    """Sign-bit code: bit p = sign(v · plane_p) — zip_with against a
+    literal plane array, fully codegen'd, no UDF."""
+    planes = _hyperplanes(n_planes, dim)
+    code = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane_lit = F.array(*[F.lit(v) for v in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(vec, plane_lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        code = code.bitwiseXOR(F.shiftleft(bit, p))
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact rerank restricted to the query's LSH
+    bucket. Recall < 1 by design; tested against brute force."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("code", lsh_code(F.col("cv"), n_planes, dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qcode", lsh_code(F.col("qv"), n_planes, dim))
+    sims = (
+        c.join(F.broadcast(q), F.col("code") == F.col("qcode"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style: deterministic coarse centroids (every n-th vector by
+    id — deterministic 'sampling'), assign corpus to nearest cell,
+    probe the query's n_probe nearest cells, exact rerank inside.
+
+    At scale: centroid table is tiny (broadcast); corpus assignment is
+    one narrow pass; the rerank touches n_probe/n_cells of the data."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv"))
+    # Deterministic centroid pick: hash-sampled candidates (narrow filter
+    # over the corpus), then the first n_cells by id. The candidate set is
+    # tiny, so the ordering window is negligible at any corpus size.
+    cands = c.filter(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(7)) == 0)
+    cents = (
+        cands.withColumn("rn", F.row_number().over(W.orderBy("neighbor_id")))
+        .filter(F.col("rn") <= n_cells)
+        .select(F.col("rn").alias("cell_id"), F.col("cv").alias("centroid"))
+    )
+    # assign corpus rows to nearest centroid
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("d", dot(F.col("cv"), F.col("centroid")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("neighbor_id").orderBy(F.col("d").desc(), F.col("cell_id"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("neighbor_id", "cv", "cell_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d", dot(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cell_id"))
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    sims = (
+        assigned.join(F.broadcast(q_cells), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -1,0 +1,320 @@
+"""Aggregation-function queries (SURVEY.md §2.2.2): KQL summarize
+aggregates with DuckDB oracle twins. All compile to partial+final
+HashAggregateExec (map-side combine → one shuffle on the group keys)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.engine import MeerkatEngine
+from meerkat_spark.functions import agg as A
+from meerkat_spark.suite import register
+
+
+def _eng(spark, sf_dir) -> MeerkatEngine:
+    return MeerkatEngine(spark, sf_dir)
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary (the canonical grouped-agg)."""
+    t = _eng(spark, sf_dir).table("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .summarize(
+            {
+                "sum_qty": F.round(F.sum("l_quantity"), 2),
+                "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+                "sum_disc_price": F.round(F.sum(disc_price), 2),
+                "avg_qty": F.round(F.avg("l_quantity"), 4),
+                "avg_price": F.round(F.avg("l_extendedprice"), 4),
+                "min_price": F.round(F.min("l_extendedprice"), 2),
+                "max_price": F.round(F.max("l_extendedprice"), 2),
+                "count_order": A.count(),
+            },
+            by=["l_returnflag", "l_linestatus"],
+        )
+        .to_df()
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN value > 50 THEN 1 END) AS n_big,
+           ROUND(SUM(CASE WHEN value > 50 THEN value END), 2) AS sum_big,
+           ROUND(AVG(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS avg_even,
+           MIN(CASE WHEN value > 50 THEN value END) AS min_big,
+           MAX(CASE WHEN value > 50 THEN value END) AS max_big
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """KQL countif/sumif/avgif/minif/maxif."""
+    t = _eng(spark, sf_dir).table("events")
+    big = F.col("value") > 50
+    even = F.col("user_id") % 2 == 0
+    return t.summarize(
+        {
+            "n": A.count(),
+            "n_big": A.countif(big),
+            "sum_big": F.round(A.sumif("value", big), 2),
+            "avg_even": F.round(A.avgif("value", even), 4),
+            "min_big": A.minif("value", big),
+            "max_big": A.maxif("value", big),
+        },
+        by=["event_type"],
+    ).to_df()
+
+
+@register(
+    "agg_dcount",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS d_parts,
+           COUNT(DISTINCT l_suppkey) AS d_supps,
+           COUNT(DISTINCT CASE WHEN l_quantity > 25 THEN l_orderkey END) AS d_big_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_dcount(spark, sf_dir):
+    """KQL dcount/dcountif — exact mode for oracle parity; the engine's
+    scale mode is approx_count_distinct (mergeable HLL, no distinct
+    shuffle) — see functions/agg.py:dcount."""
+    t = _eng(spark, sf_dir).table("lineitem")
+    return t.summarize(
+        {
+            "d_parts": A.dcount("l_partkey"),
+            "d_supps": A.dcount("l_suppkey"),
+            "d_big_orders": A.dcountif("l_orderkey", F.col("l_quantity") > 25),
+        },
+        by=["l_returnflag"],
+    ).to_df()
+
+
+@register("agg_dcount_approx", oracle=None)
+def agg_dcount_approx(spark, sf_dir):
+    """dcount in its native approximate (HLL) mode — rows-only check
+    (estimates differ across engines by design)."""
+    t = _eng(spark, sf_dir).table("lineitem")
+    return t.summarize(
+        {"d_parts": A.dcount("l_partkey", exact=False)}, by=["l_returnflag"]
+    ).to_df()
+
+
+@register(
+    "agg_argmax_argmin",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      FROM orders)
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+           MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order,
+           ROUND(MAX(o_totalprice), 2) AS best_price
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax_argmin(spark, sf_dir):
+    """KQL arg_max/arg_min. Ordering key is (price, key) — a total order,
+    so the result is deterministic even under price ties."""
+    t = _eng(spark, sf_dir).table("orders")
+    ordc = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return t.summarize(
+        {
+            "best_order": F.max_by(F.col("o_orderkey"), ordc),
+            "worst_order": F.min_by(F.col("o_orderkey"), ordc),
+            "best_price": F.round(F.max("o_totalprice"), 2),
+        },
+        by=["o_orderpriority"],
+    ).to_df()
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """KQL percentile()/percentiles() — exact interpolated percentile for
+    oracle parity; percentile_approx (mergeable t-digest-style sketch) is
+    the 100TB path (functions/agg.py:percentile)."""
+    t = _eng(spark, sf_dir).table("events")
+    return t.summarize(
+        {
+            "p50": F.round(A.percentile("value", 0.5), 4),
+            "p95": F.round(A.percentile("value", 0.95), 4),
+            "p99": F.round(A.percentile("value", 0.99), 4),
+        },
+        by=["event_type"],
+    ).to_df()
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd,
+           ROUND(stddev_pop(l_quantity), 4) AS sdp,
+           ROUND(var_samp(l_quantity), 4) AS vr,
+           ROUND(var_pop(l_quantity), 4) AS vrp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """KQL stdev/stdevp/variance/variancep."""
+    t = _eng(spark, sf_dir).table("lineitem")
+    return t.summarize(
+        {
+            "sd": F.round(A.stdev("l_quantity"), 4),
+            "sdp": F.round(A.stdevp("l_quantity"), 4),
+            "vr": F.round(A.variance("l_quantity"), 4),
+            "vrp": F.round(A.variancep("l_quantity"), 4),
+        },
+        by=["l_returnflag"],
+    ).to_df()
+
+
+@register(
+    "agg_make_set",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
+    FROM events WHERE user_id < 30 GROUP BY event_type
+    """,
+)
+def agg_make_set(spark, sf_dir):
+    """KQL make_set — canonicalized (sorted, joined) for cross-engine
+    comparison."""
+    t = _eng(spark, sf_dir).table("events")
+    return (
+        t.where(F.col("user_id") < 30)
+        .summarize(
+            {"users": F.array_join(A.make_set("user_id"), ",")},
+            by=["event_type"],
+        )
+        .to_df()
+    )
+
+
+@register(
+    "agg_make_list_if",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_sort(list(event_id) FILTER (WHERE value > 90)), ',') AS big_ids
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_make_list_if(spark, sf_dir):
+    """KQL make_list_if — sorted for determinism."""
+    t = _eng(spark, sf_dir).table("events")
+    return t.summarize(
+        {
+            "big_ids": F.array_join(
+                A.make_list_if("event_id", F.col("value") > 90, sort=True), ","
+            )
+        },
+        by=["event_type"],
+    ).to_df()
+
+
+@register(
+    "agg_take_any",
+    oracle="""
+    SELECT event_type, MIN(user_id) AS any_user
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_take_any(spark, sf_dir):
+    """KQL take_any returns an arbitrary value; for oracle determinism the
+    engine's take_any is pinned to min() here (documented relaxation)."""
+    t = _eng(spark, sf_dir).table("events")
+    return t.summarize({"any_user": F.min("user_id")}, by=["event_type"]).to_df()
+
+
+@register(
+    "agg_binary_all",
+    oracle="""
+    SELECT user_id % 8 AS grp,
+           bit_and(event_id) AS all_and,
+           bit_or(event_id) AS all_or,
+           bit_xor(event_id) AS all_xor
+    FROM events GROUP BY grp
+    """,
+)
+def agg_binary_all(spark, sf_dir):
+    """KQL binary_all_and/or/xor."""
+    t = _eng(spark, sf_dir).table("events")
+    return t.summarize(
+        {
+            "all_and": A.binary_all_and("event_id"),
+            "all_or": A.binary_all_or("event_id"),
+            "all_xor": A.binary_all_xor("event_id"),
+        },
+        by=[(F.col("user_id") % 8).alias("grp")],
+    ).to_df()
+
+
+@register("agg_hll_sketch", oracle=None)
+def agg_hll_sketch(spark, sf_dir):
+    """KQL hll()/hll_merge()/dcount_hll() — two-level sketch merge:
+    per-group HLL sketches, unioned, then estimated. Rows-only (sketch
+    estimates are engine-specific)."""
+    e = _eng(spark, sf_dir)
+    per_flag = (
+        e.table("lineitem")
+        .summarize({"sk": A.hll("l_partkey")}, by=["l_returnflag", "l_linestatus"])
+        .to_df()
+    )
+    merged = per_flag.groupBy("l_returnflag").agg(
+        A.hll_merge("sk").alias("sk_merged")
+    )
+    return merged.select(
+        "l_returnflag", A.dcount_hll("sk_merged").alias("approx_parts")
+    )
+
+
+@register(
+    "agg_make_bag",
+    oracle=None,
+)
+def agg_make_bag(spark, sf_dir):
+    """KQL make_bag — JSON object aggregation (rows-only: JSON key order
+    is engine-specific)."""
+    t = _eng(spark, sf_dir).table("events")
+    return (
+        t.where(F.col("event_id") < 50)
+        .summarize(
+            {"bag": A.make_bag(F.col("event_id").cast("string"), "value")},
+            by=["event_type"],
+        )
+        .to_df()
+    )

@@ -1,0 +1,355 @@
+"""Scalar-function queries (SURVEY.md §2.2.3): KQL string / datetime /
+math / conditional / dynamic functions with DuckDB oracle twins. All
+row-level (no aggregation) → values are bit-identical across engines;
+only derived aggregates get rounded."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.engine import MeerkatEngine
+from meerkat_spark.functions import scalar as S
+from meerkat_spark.suite import register
+
+
+def _eng(spark, sf_dir) -> MeerkatEngine:
+    return MeerkatEngine(spark, sf_dir)
+
+
+@register(
+    "scalar_strings",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS len,
+           upper(substring(text, 1, 3)) AS head3,
+           string_split(text, ' ')[1] AS first_word,
+           CAST(strpos(text, 'spark') - 1 AS BIGINT) AS spark_idx,
+           replace(text[1:20], ' ', '_') AS squished,
+           lower(source) AS src_lc,
+           reverse(lang) AS gnal,
+           CASE WHEN text LIKE 'the%' THEN 1 ELSE 0 END AS starts_the
+    FROM documents
+    """,
+)
+def scalar_strings(spark, sf_dir):
+    """KQL strlen/substring(0-based)/split/indexof/replace_string/
+    tolower/reverse/startswith."""
+    t = _eng(spark, sf_dir).table("documents")
+    return t.project(
+        "doc_id",
+        len=S.strlen("text"),
+        head3=S.toupper(S.substring("text", 0, 3)),
+        first_word=S.split("text", " ", index=0),
+        spark_idx=S.indexof("text", "spark"),
+        squished=S.replace_string(S.substring("text", 0, 20), " ", "_"),
+        src_lc=S.tolower("source"),
+        gnal=S.reverse("lang"),
+        starts_the=F.when(F.col("text").startswith("the"), 1).otherwise(0),
+    ).to_df()
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT doc_id,
+           concat(lang, ':', source) AS tag,
+           concat_ws('|', lang, source, 'x') AS tag2,
+           md5(text) AS h,
+           CAST(len(string_split(text, 'a')) - 1 AS BIGINT) AS n_a,
+           trim(text, ' ') AS trimmed,
+           left(text, 5) AS l5,
+           right(source, 1) AS r1
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def scalar_string_funcs2(spark, sf_dir):
+    """KQL strcat/strcat_delim/hash_md5/countof/trim."""
+    t = _eng(spark, sf_dir).table("documents")
+    return (
+        t.where(F.col("doc_id") < 50)
+        .project(
+            "doc_id",
+            tag=S.strcat(F.col("lang"), ":", F.col("source")),
+            tag2=S.strcat_delim("|", F.col("lang"), F.col("source"), "x"),
+            h=F.md5("text"),
+            n_a=S.countof("text", "a").cast("long"),
+            trimmed=F.trim(F.col("text")),
+            l5=F.substring(F.col("text"), 1, 5),
+            r1=F.substring(F.col("source"), -1, 1),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT event_id,
+           date_trunc('day', ts) AS d,
+           date_trunc('month', ts) AS mo,
+           hour(ts) AS hh,
+           CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(week FROM ts) AS INT) AS wk,
+           time_bucket(INTERVAL '15 minutes', ts) AS q,
+           datediff('day', date_trunc('day', TIMESTAMP '2024-01-01'),
+                    date_trunc('day', ts)) AS days_since
+    FROM events WHERE event_id < 100
+    """,
+)
+def scalar_datetime(spark, sf_dir):
+    """KQL startofday/startofmonth/hourofday/dayofweek/week_of_year/
+    bin(ts, 15m)/datetime_diff."""
+    t = _eng(spark, sf_dir).table("events")
+    return (
+        t.where(F.col("event_id") < 100)
+        .project(
+            "event_id",
+            d=S.startofday("ts"),
+            mo=S.startofmonth("ts"),
+            hh=S.hourofday("ts"),
+            dow=S.dayofweek_timespan("ts").cast("int"),
+            wk=S.week_of_year("ts").cast("int"),
+            q=S.bin_datetime("ts", 900),
+            days_since=F.expr(
+                "timestampdiff(DAY, date_trunc('day', TIMESTAMP '2024-01-01'),"
+                " date_trunc('day', ts))"
+            ).cast("long"),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS adisc,
+           l_extendedprice / 100.0 AS price_h,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS q7,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS q7c,
+           round(sqrt(l_extendedprice), 6) AS sq,
+           round(ln(l_extendedprice), 6) AS lg,
+           round(log10(l_extendedprice), 6) AS lg10,
+           round(pow(l_discount, 2), 10) AS d2,
+           sign(l_discount - 0.05) AS sg
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def scalar_math(spark, sf_dir):
+    """KQL abs/round/floor/ceiling/sqrt/log/log10/pow/sign. Transcendental
+    outputs rounded (libm differences across engines)."""
+    t = _eng(spark, sf_dir).table("lineitem")
+    return (
+        t.where(F.col("l_orderkey") < 200)
+        .project(
+            "l_orderkey",
+            "l_linenumber",
+            adisc=F.abs(F.col("l_discount") - 0.05),
+            # no round: raw division is bit-identical across engines,
+            # while round() at decimal-aligned .5 boundaries is not
+            price_h=F.col("l_extendedprice") / 100.0,
+            q7=F.floor(F.col("l_quantity") / 7).cast("long"),
+            q7c=S.ceiling(F.col("l_quantity") / 7).cast("long"),
+            sq=F.round(F.sqrt("l_extendedprice"), 6),
+            lg=F.round(F.log(F.col("l_extendedprice")), 6),
+            lg10=F.round(F.log10("l_extendedprice"), 6),
+            d2=F.round(F.pow(F.col("l_discount"), 2), 10),
+            sg=F.signum(F.col("l_discount") - F.lit(0.05)),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value > 50 THEN 'hot' ELSE 'cold' END AS heat,
+           CASE WHEN event_type = 'click' THEN 1
+                WHEN event_type = 'view' THEN 2
+                ELSE 0 END AS type_code,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS safe_type,
+           LEAST(value, 50.0) AS capped,
+           GREATEST(value, 10.0) AS floored,
+           CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_null
+    FROM events WHERE event_id < 200
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    """KQL iff/case/coalesce/min_of/max_of/isnull."""
+    t = _eng(spark, sf_dir).table("events")
+    return (
+        t.where(F.col("event_id") < 200)
+        .project(
+            "event_id",
+            heat=S.iff(F.col("value") > 50, "hot", "cold"),
+            type_code=S.case(
+                F.col("event_type") == "click", 1, F.col("event_type") == "view", 2, 0
+            ),
+            safe_type=F.coalesce(
+                F.nullif(F.col("event_type"), F.lit("error")), F.lit("n/a")
+            ),
+            capped=S.min_of(F.col("value"), F.lit(50.0)),
+            floored=S.max_of(F.col("value"), F.lit(10.0)),
+            is_null=F.when(F.col("value").isNull(), 1).otherwise(0),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "scalar_casts",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(substring(source, 4, 10) AS INT) AS src_int,
+           TRY_CAST(lang AS DOUBLE) AS lang_num,
+           CAST(n_chars AS VARCHAR) AS chars_str,
+           TRY_CAST(NULL AS BIGINT) AS always_null
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def scalar_casts(spark, sf_dir):
+    """KQL toint/todouble/tostring — failed casts yield null (KQL
+    semantics = Spark try_cast = DuckDB TRY_CAST)."""
+    t = _eng(spark, sf_dir).table("documents")
+    return (
+        t.where(F.col("doc_id") < 100)
+        .project(
+            "doc_id",
+            src_int=S.toint(F.col("source").substr(4, 10)),
+            lang_num=S.todouble("lang"),
+            chars_str=S.tostring("n_chars"),
+            always_null=F.lit(None).cast("long"),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "scalar_dynamic_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+    FROM events WHERE event_id < 300
+    """,
+)
+def scalar_dynamic_json(spark, sf_dir):
+    """KQL dynamic member access: props.k → get_json_object (dynamic is
+    a JSON string column, types.py)."""
+    t = _eng(spark, sf_dir).table("events")
+    return (
+        t.where(F.col("event_id") < 300)
+        .project(
+            "event_id",
+            k=S.toint(S.parse_json_get("props", "k")),
+            missing=S.parse_json_get("props", "missing"),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "scalar_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vsum,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vmax,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           CAST(COALESCE(list_position([1], 2), 0) AS BIGINT) - 1 AS no_pos
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def scalar_arrays(spark, sf_dir):
+    """KQL array_length/array_sum/element access over a real array column."""
+    t = _eng(spark, sf_dir).table("embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        t.where(F.col("vec_id") < 100)
+        .project(
+            "vec_id",
+            dim=S.array_length("embedding"),
+            vsum=F.round(S.array_sum("embedding"), 6),
+            vmax=F.round(F.array_max(emb_d), 6),
+            first_val=F.round(F.element_at(emb_d, 1), 6),
+            no_pos=S.array_index_of(F.array(F.lit(1)), 2),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "scalar_array_ops",
+    oracle="""
+    SELECT x,
+           array_to_string(list_sort([x, x*2, x%5]), ',') AS sorted_arr,
+           array_to_string(list_reverse_sort([x, x*2, x%5]), ',') AS rsorted_arr,
+           CAST(len(list_distinct([x%3, x%5, x%3])) AS BIGINT) AS n_uniq,
+           array_to_string(list_intersect([x, x+1, x+2], [x+2, x+3]), ',') AS inter
+    FROM generate_series(0, 19) AS t(x)
+    """,
+)
+def scalar_array_ops(spark, sf_dir):
+    """KQL pack_array/array_sort_asc/array_sort_desc/set_intersect —
+    over a generated range table."""
+    df = spark.range(0, 20).select(F.col("id").alias("x"))
+    x = F.col("x")
+    arr = F.array(x, x * 2, x % 5)
+    return df.select(
+        "x",
+        F.array_join(S.array_sort_asc(arr), ",").alias("sorted_arr"),
+        F.array_join(S.array_sort_desc(arr), ",").alias("rsorted_arr"),
+        F.size(F.array_distinct(F.array(x % 3, x % 5, x % 3))).cast("long").alias("n_uniq"),
+        F.array_join(
+            S.set_intersect(F.array(x, x + 1, x + 2), F.array(x + 2, x + 3)), ","
+        ).alias("inter"),
+    )
+
+
+@register(
+    "scalar_predicates",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '(?i)\\bspark\\b') THEN 1 ELSE 0 END AS has_spark,
+           CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS contains_data,
+           CASE WHEN lang IN ('en','fr','de') THEN 1 ELSE 0 END AS known_lang,
+           CASE WHEN n_chars BETWEEN 100 AND 300 THEN 1 ELSE 0 END AS mid_size
+    FROM documents
+    """,
+)
+def scalar_predicates(spark, sf_dir):
+    """KQL has/contains/in/between predicates."""
+    t = _eng(spark, sf_dir).table("documents")
+    return t.project(
+        "doc_id",
+        has_spark=F.when(S.has_term("text", "spark"), 1).otherwise(0),
+        contains_data=F.when(F.col("text").contains("data"), 1).otherwise(0),
+        known_lang=F.when(S.in_list("lang", ["en", "fr", "de"]), 1).otherwise(0),
+        mid_size=F.when(S.between("n_chars", 100, 300), 1).otherwise(0),
+    ).to_df()
+
+
+@register(
+    "scalar_extract_regex",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(NULLIF(regexp_extract(source, 'src(\\d+)', 1), ''), NULL) AS src_num,
+           len(regexp_extract_all(text, '\\bthe\\b')) AS n_the
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def scalar_extract_regex(spark, sf_dir):
+    """KQL extract/extract_all (null on no-match)."""
+    t = _eng(spark, sf_dir).table("documents")
+    return (
+        t.where(F.col("doc_id") < 200)
+        .project(
+            "doc_id",
+            src_num=S.extract("src(\\d+)", 1, "source"),
+            n_the=F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("\\bthe\\b"), 0)
+            ),
+        )
+        .to_df()
+    )

@@ -1,0 +1,148 @@
+"""Similarity-search queries over `embeddings` (driver north star).
+Brute-force cosine top-k is the oracle-checked exact baseline (DuckDB
+list_cosine_similarity in double precision matches the engine's
+zip_with/aggregate double fold); LSH and IVF variants are rows-only
+with recall tests in pytest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.engine import MeerkatEngine
+from meerkat_spark.similarity import knn
+from meerkat_spark.suite import register
+
+N_QUERIES = 8  # vec_id < 8 are the probe vectors
+TOP_K = 5
+
+
+def _emb(spark, sf_dir):
+    return MeerkatEngine(spark, sf_dir).table("embeddings").to_df()
+
+
+@register(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         sims AS (
+           SELECT query_id, neighbor_id,
+                  list_cosine_similarity(qv, cv) AS sim_raw
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, sim_raw,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim_raw DESC, neighbor_id) AS rank
+           FROM sims
+         )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def knn_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 8 probe vectors — the ANN
+    baseline. Engine path: broadcast queries × corpus scan, JVM
+    zip_with/aggregate dot products, per-query TakeOrdered."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn.brute_force_topk(emb, queries, k=TOP_K)
+
+
+@register(
+    "knn_pairwise_label",
+    oracle="""
+    SELECT a.label AS label1, b.label AS label2,
+           ROUND(AVG(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))), 6) AS avg_sim,
+           COUNT(*) AS n_pairs
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 60 AND b.vec_id < 60
+    GROUP BY a.label, b.label
+    """,
+)
+def knn_pairwise_label(spark, sf_dir):
+    """Mean pairwise cosine by label pair (embedding-space structure
+    check; bounded to 60 vectors → <1.8k pairs)."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 60)
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("label1"),
+        knn._to_double(F.col("embedding")).alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("label2"),
+        knn._to_double(F.col("embedding")).alias("vb"),
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    return (
+        pairs.select(
+            "label1", "label2", knn.cosine(F.col("va"), F.col("vb")).alias("sim")
+        )
+        .groupBy("label1", "label2")
+        .agg(
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+@register("knn_lsh_topk", oracle=None)
+def knn_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    asserted in tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn.lsh_topk(emb, queries, k=TOP_K, n_planes=6, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register("knn_ivf_topk", oracle=None)
+def knn_ivf_topk(spark, sf_dir):
+    """IVF-style cell-probed approximate top-k (rows-only)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn.ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "argmin_distance",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT label, vec_id,
+             list_distance(CAST(embedding AS DOUBLE[]), qv) AS dist
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+    ), ranked AS (
+      SELECT label, vec_id, dist,
+             row_number() OVER (PARTITION BY label ORDER BY dist ASC, vec_id ASC) AS rk
+      FROM scored)
+    SELECT label,
+           MAX(CASE WHEN rk = 1 THEN vec_id END) AS nearest_id,
+           ROUND(MIN(dist), 6) AS min_dist
+    FROM ranked GROUP BY label
+    """,
+)
+def argmin_distance(spark, sf_dir):
+    """arg_min over euclidean distance per label (KQL arg_min × vector
+    math, exercising the distance kernel)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        knn._to_double(F.col("embedding")).alias("qv")
+    )
+    diff = F.zip_with(
+        knn._to_double(F.col("embedding")), F.col("qv"), lambda x, y: (x - y) * (x - y)
+    )
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+    scored = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != 0).select(
+        "label", "vec_id", dist.alias("dist")
+    )
+    return scored.groupBy("label").agg(
+        F.min_by(F.col("vec_id"), F.struct(F.col("dist"), F.col("vec_id"))).alias("nearest_id"),
+        F.round(F.min("dist"), 6).alias("min_dist"),
+    )

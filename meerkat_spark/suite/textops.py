@@ -1,0 +1,199 @@
+"""North-star text-pipeline queries over `documents` (driver contract):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), text analysis
+(tokens, quality, language ID, fingerprints). SQL-expressible ops carry
+DuckDB oracles; hash-function-dependent ops (xxhash64 signatures) are
+rows-only with pytest cross-checks against exact methods instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.engine import MeerkatEngine
+from meerkat_spark.suite import register
+from meerkat_spark.text import analysis as TA
+from meerkat_spark.text import dedup as TD
+
+
+def _docs(spark, sf_dir):
+    return MeerkatEngine(spark, sf_dir).table("documents").to_df()
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact duplicate groups. Oracle twin uses md5 (portable); the
+    engine's native path is xxhash64 fingerprints (text/dedup.py) —
+    same algorithm, cheaper hash."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "dedup_exact_keep",
+    oracle="SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def dedup_exact_keep(spark, sf_dir):
+    """Surviving doc ids after exact dedup (keep min id per text)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id AS id, sh FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 3
+                      THEN list_distinct([md5(concat_ws(' ', words[i], words[i+1], words[i+2]))
+                                          for i in range(1, len(words) - 1)])
+                      ELSE [] END) AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+              FROM documents)
+      )
+    ), sizes AS (SELECT id, COUNT(*) AS sz FROM shingles GROUP BY id),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id1, id2,
+           ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-word-shingle Jaccard near-dup pairs (threshold 0.8) via
+    the inverted-index self-join — SQL-expressible, so fully
+    oracle-checked. Shingle identity via md5 text (portable); the
+    engine-native path uses xxhash64 (text/dedup.py:jaccard_pairs)."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    n = F.size(words)
+    shingle_arr = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        d.select(F.col("doc_id").alias("id"), F.explode(F.array_distinct(shingle_arr)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(jac >= 0.8)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs (64 perms, 16 bands × 4 rows).
+    Rows-only for the driver; pytest verifies candidates ⊇ high-Jaccard
+    pairs and precision against exact Jaccard (tests/test_text.py)."""
+    return TD.minhash_lsh_pairs(_docs(spark, sf_dir)).orderBy("id1", "id2")
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3, 16-bit chunk banding).
+    Rows-only; cross-checked in pytest."""
+    return TD.simhash_pairs(_docs(spark, sf_dir)).orderBy("id1", "id2")
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars2,
+           ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','a','an','of','and','or','to','in','is','it',
+                            'that','for','on','with','as','was','at','by','be')))
+                 AS DOUBLE)
+                 / NULLIF(len(list_filter(string_split(text, ' '), w -> w <> '')), 0),
+                 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token counting + stopword-ratio quality signal (SQL-expressible
+    slice of text/analysis.py; the full bundle incl. quality score and
+    language ID is exercised below and in pytest)."""
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    toks = TA.tokens(text)
+    stop_hits = F.size(F.filter(TA.tokens(F.lower(text)), lambda t: t.isin(TA.STOPWORDS_EN)))
+    return d.select(
+        "doc_id",
+        TA.token_count(text).alias("n_tokens"),
+        F.length(text).cast("long").alias("n_chars2"),
+        F.round(
+            stop_hits.cast("double") / F.nullif(F.size(toks), F.lit(0)).cast("double"), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+@register("text_quality_lang", oracle=None)
+def text_quality_lang(spark, sf_dir):
+    """Full text-analysis bundle: quality score, predicted language,
+    fingerprint, BPE-ish token estimate (engine-native, rows-only)."""
+    d = _docs(spark, sf_dir)
+    return TA.with_text_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "lang_pred",
+        "fp64",
+        TA.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "lang_id_accuracy",
+    oracle=None,
+)
+def lang_id_accuracy(spark, sf_dir):
+    """Language-ID agreement with the labeled lang column — rows-only
+    (the heuristic is engine-defined)."""
+    d = _docs(spark, sf_dir)
+    pred = TA.language_id(F.col("text"))
+    return (
+        d.select(F.col("lang"), pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )

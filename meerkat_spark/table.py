@@ -1,0 +1,291 @@
+"""MeerkatTable — the KQL-pipeline builder over a Spark DataFrame.
+
+A KQL query is a pipeline `Table | op | op | …` (reference README.md:34
+commits to KQL as the query language; the type enum in
+src/store/segment_metadata.rs:131-142 is the KQL scalar set). Each
+tabular operator here is a thin, *declarative* DataFrame transformation
+— no materialization, no driver-side loops — so the whole pipeline folds
+into one Catalyst logical plan and gets optimized (pushdown, pruning,
+join planning, AQE) as a unit.
+
+KQL semantic deltas are encoded here, once (SURVEY.md §7.4.3):
+- `sort by` defaults to DESC; KQL nulls order is "nulls first" for asc
+  and "nulls last" for desc.
+- `join` default kind is `innerunique` (left side deduped on keys).
+- `union` default is outer (schema union, missing cols null).
+- `summarize` with no `by` is a global aggregate.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meerkat_spark.types import spark_to_kql
+
+JOIN_KIND_MAP = {
+    "inner": "inner",
+    "innerunique": "inner",  # left deduped first — handled in .join()
+    "leftouter": "left",
+    "rightouter": "right",
+    "fullouter": "full",
+    "leftsemi": "left_semi",
+    "leftanti": "left_anti",
+    # Spark has no right_semi/right_anti — realized by swapping sides.
+    "rightsemi": "left_semi",
+    "rightanti": "left_anti",
+}
+
+
+def _as_col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+class MeerkatTable:
+    """Immutable wrapper: every operator returns a new MeerkatTable."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- plumbing -----------------------------------------------------
+    def _wrap(self, df: DataFrame) -> "MeerkatTable":
+        return MeerkatTable(df)
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    # -- KQL tabular operators (SURVEY.md §2.2.1) ---------------------
+    def where(self, predicate: Column | str) -> "MeerkatTable":
+        """KQL `where`/`filter` → df.filter (Catalyst pushes to scan)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._wrap(self.df.filter(pred))
+
+    filter = where
+
+    def project(self, *cols: Column | str, **named: Column | str) -> "MeerkatTable":
+        """KQL `project` — select + compute + rename."""
+        exprs = [_as_col(c) if not isinstance(c, str) else F.expr(c) for c in cols]
+        exprs += [
+            (F.expr(e) if isinstance(e, str) else e).alias(name)
+            for name, e in named.items()
+        ]
+        return self._wrap(self.df.select(*exprs))
+
+    def extend(self, **named: Column | str) -> "MeerkatTable":
+        """KQL `extend` — add/replace computed columns."""
+        cols = {
+            name: (F.expr(e) if isinstance(e, str) else e) for name, e in named.items()
+        }
+        return self._wrap(self.df.withColumns(cols))
+
+    def project_away(self, *patterns: str) -> "MeerkatTable":
+        """KQL `project-away` — drop columns; wildcards allowed."""
+        drop = [
+            c
+            for c in self.df.columns
+            if any(fnmatch.fnmatchcase(c, p) for p in patterns)
+        ]
+        return self._wrap(self.df.drop(*drop))
+
+    def project_keep(self, *patterns: str) -> "MeerkatTable":
+        """KQL `project-keep` — keep matching columns, original order."""
+        keep = [
+            c
+            for c in self.df.columns
+            if any(fnmatch.fnmatchcase(c, p) for p in patterns)
+        ]
+        return self._wrap(self.df.select(*keep))
+
+    def project_rename(self, **renames: str) -> "MeerkatTable":
+        """KQL `project-rename new=old`."""
+        mapping = {old: new for new, old in renames.items()}
+        return self._wrap(self.df.withColumnsRenamed(mapping))
+
+    def project_reorder(self, *first: str) -> "MeerkatTable":
+        rest = [c for c in self.df.columns if c not in first]
+        return self._wrap(self.df.select(*first, *rest))
+
+    def summarize(
+        self,
+        aggs: dict[str, Column],
+        by: Iterable[str | Column] | None = None,
+    ) -> "MeerkatTable":
+        """KQL `summarize agg1=…, agg2=… [by k1, k2]`.
+
+        Spark executes this as partial+final HashAggregate automatically —
+        the distributed partial/final split the reference planned
+        (reference README.md:34) is Catalyst's default physical plan.
+        """
+        agg_cols = [c.alias(name) for name, c in aggs.items()]
+        if by:
+            keys = [_as_col(k) for k in by]
+            return self._wrap(self.df.groupBy(*keys).agg(*agg_cols))
+        return self._wrap(self.df.agg(*agg_cols))
+
+    def count(self, alias: str = "Count") -> "MeerkatTable":
+        """KQL `count` — 1×1 table (declarative, not an action)."""
+        return self._wrap(self.df.agg(F.count(F.lit(1)).alias(alias)))
+
+    def distinct(self, *cols: str) -> "MeerkatTable":
+        df = self.df.select(*cols) if cols else self.df
+        return self._wrap(df.distinct())
+
+    def sort(self, *orders: Column | str, desc_default: bool = True) -> "MeerkatTable":
+        """KQL `sort by` — default DESC (nulls last); pass Columns with
+        explicit .asc()/.desc() to override. KQL nulls: first for asc,
+        last for desc."""
+        cols: list[Column] = []
+        for o in orders:
+            if isinstance(o, str):
+                cols.append(
+                    F.col(o).desc_nulls_last() if desc_default else F.col(o).asc_nulls_first()
+                )
+            else:
+                cols.append(o)
+        return self._wrap(self.df.orderBy(*cols))
+
+    order_by = sort
+
+    def take(self, n: int) -> "MeerkatTable":
+        """KQL `take`/`limit` — first N, no order guarantee."""
+        return self._wrap(self.df.limit(n))
+
+    limit = take
+
+    def top(self, n: int, by: Column | str, asc: bool = False) -> "MeerkatTable":
+        """KQL `top N by expr` — Catalyst plans TakeOrderedAndProject
+        (per-partition top-N then merge: no full sort, no full shuffle)."""
+        col = _as_col(by)
+        col = col.asc_nulls_first() if asc else col.desc_nulls_last()
+        return self._wrap(self.df.orderBy(col).limit(n))
+
+    def join(
+        self,
+        other: "MeerkatTable | DataFrame",
+        on: str | list[str] | Column,
+        kind: str = "innerunique",
+        broadcast_right: bool = False,
+        left_keys: list[str] | None = None,
+    ) -> "MeerkatTable":
+        """KQL `join kind=…` — all eight kinds + innerunique default.
+
+        innerunique (the KQL default) dedups the LEFT side on the join
+        keys before an inner join. rightsemi/rightanti swap sides onto
+        Spark's left_semi/left_anti (Spark has no right-semi variants).
+        """
+        right = other.df if isinstance(other, MeerkatTable) else other
+        left = self.df
+        k = kind.replace("=", "").lower()
+        if k not in JOIN_KIND_MAP:
+            raise ValueError(f"unknown join kind {kind!r}")
+        if k == "innerunique":
+            keys = left_keys or ([on] if isinstance(on, str) else on)
+            if not isinstance(keys, list):
+                raise ValueError(
+                    "innerunique with an expression join needs left_keys=[...]"
+                )
+            left = left.dropDuplicates(keys)
+        if k in ("rightsemi", "rightanti"):
+            left, right = right, left
+        if broadcast_right:
+            right = F.broadcast(right)
+        return self._wrap(left.join(right, on, JOIN_KIND_MAP[k]))
+
+    def lookup(
+        self, dim: "MeerkatTable | DataFrame", on: str | list[str], kind: str = "leftouter"
+    ) -> "MeerkatTable":
+        """KQL `lookup` — dimension enrich; right side is broadcast
+        (dimension tables are small by contract, so the join is
+        shuffle-free at any fact-table scale)."""
+        right = dim.df if isinstance(dim, MeerkatTable) else dim
+        how = "left" if kind == "leftouter" else "inner"
+        return self._wrap(self.df.join(F.broadcast(right), on, how))
+
+    def union(
+        self, *others: "MeerkatTable | DataFrame", kind: str = "outer"
+    ) -> "MeerkatTable":
+        """KQL `union` — outer (default): schema union, missing → null;
+        inner: common columns only."""
+        dfs = [self.df] + [
+            o.df if isinstance(o, MeerkatTable) else o for o in others
+        ]
+        if kind == "outer":
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return self._wrap(out)
+        common = [c for c in dfs[0].columns if all(c in d.columns for d in dfs[1:])]
+        out = dfs[0].select(*common)
+        for d in dfs[1:]:
+            out = out.unionByName(d.select(*common))
+        return self._wrap(out)
+
+    def mv_expand(
+        self, column: str, index_col: str | None = None, outer: bool = False
+    ) -> "MeerkatTable":
+        """KQL `mv-expand` — explode an array column into rows.
+
+        With `index_col`, emits the 0-based element index (KQL
+        `with_itemindex=`)."""
+        others = [c for c in self.df.columns if c != column]
+        if index_col:
+            ex = F.posexplode_outer(column) if outer else F.posexplode(column)
+            df = self.df.select(*others, ex.alias(index_col, column))
+        else:
+            ex = F.explode_outer(column) if outer else F.explode(column)
+            df = self.df.select(*others, ex.alias(column))
+        return self._wrap(df)
+
+    def getschema(self) -> "MeerkatTable":
+        """KQL `getschema` — table of (ColumnName, ColumnOrdinal, DataType,
+        ColumnType)."""
+        spark = self.df.sparkSession
+        rows = [
+            (name, i, dtype, spark_to_kql(field.dataType))
+            for i, (name, dtype, field) in enumerate(
+                (f.name, f.dataType.simpleString(), f)
+                for f in self.df.schema.fields
+            )
+        ]
+        out = spark.createDataFrame(
+            rows, "ColumnName string, ColumnOrdinal int, DataType string, ColumnType string"
+        )
+        return self._wrap(out)
+
+    def search(self, term: str, case_sensitive: bool = False) -> "MeerkatTable":
+        """KQL `search` — substring match across all string columns."""
+        from functools import reduce
+
+        str_cols = [
+            f.name for f in self.df.schema.fields if f.dataType.simpleString() == "string"
+        ]
+        if not str_cols:
+            return self._wrap(self.df.filter(F.lit(False)))
+        if case_sensitive:
+            preds = [F.col(c).contains(term) for c in str_cols]
+        else:
+            preds = [F.lower(F.col(c)).contains(term.lower()) for c in str_cols]
+        return self._wrap(self.df.filter(reduce(lambda a, b: a | b, preds)))
+
+    def sample(self, fraction: float, seed: int = 42) -> "MeerkatTable":
+        """KQL `sample` — random sample. KQL takes a row count; Spark's
+        sample is fractional — documented delta (not exact-N)."""
+        return self._wrap(self.df.sample(fraction=fraction, seed=seed))
+
+    def serialize(self, *orders: Column | str) -> "MeerkatTable":
+        """KQL `serialize` — freeze row order (enables window funcs).
+        Realized as an explicit orderBy; window operators in
+        operators/window.py take the same order columns."""
+        if orders:
+            return self.sort(*orders, desc_default=False)
+        return self
+
+    def alias(self, name: str) -> "MeerkatTable":
+        return self._wrap(self.df.alias(name))

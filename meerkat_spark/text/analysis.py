@@ -1,0 +1,142 @@
+"""Text analysis operators — all expressed with JVM-side built-in
+functions (split/filter/aggregate/regexp) so they run inside
+whole-stage codegen with zero Python in the hot path. Designed for a
+100TB documents table: every op is a row-local projection (no shuffle)
+unless it aggregates, in which case it's a standard partial+final agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small deterministic stopword list used by quality scoring + language ID.
+STOPWORDS_EN = [
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+STOPWORDS_FR = ["le", "la", "les", "de", "des", "et", "un", "une", "en", "est"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ein", "eine", "zu", "ist", "von", "mit"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty tokens removed."""
+    return F.filter(F.split(text, "\\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy count: word-piece segments produced by splitting on
+    non-alphanumerics plus a 4-chars-per-piece length penalty (LLM token
+    budgeting heuristic; no tokenizer library in this container)."""
+    words = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+    per_word = F.transform(
+        words, lambda w: (F.length(w) + F.lit(3)) / F.lit(4)
+    )
+    return F.aggregate(
+        per_word, F.lit(0.0), lambda acc, x: acc + F.floor(x).cast("double")
+    ).cast("long")
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword features for quality filtering.
+    Returns named Columns — callers select the ones they need."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN))
+    )
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, "[\\.,;:!\\?]", ""))
+    n_upper = F.length(text) - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    n_digit = F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    mean_word_len = _ratio(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)), n_tok
+    )
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "stopword_ratio": _ratio(stop_hits, n_tok),
+        "punct_ratio": _ratio(n_punct, n_chars),
+        "upper_ratio": _ratio(n_upper, n_chars),
+        "digit_ratio": _ratio(n_digit, n_chars),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    sane word lengths, penalizes punctuation/digit noise. Deterministic,
+    fully codegen'd."""
+    f = quality_features(text)
+    score = (
+        F.lit(0.4) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3)
+        * F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), 1.0).otherwise(0.3)
+        + F.lit(0.2) * (1 - F.least(f["punct_ratio"] * 10, F.lit(1.0)))
+        + F.lit(0.1) * (1 - F.least(f["digit_ratio"] * 10, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def language_id(text: Column) -> Column:
+    """N-gram/stopword-heuristic language ID over {en, fr, de}; 'und'
+    (undetermined) when no stopwords hit. Pure Column expression."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    en = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN)))
+    fr = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_FR)))
+    de = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_DE)))
+    return (
+        F.when((en >= fr) & (en >= de) & (en > 0), "en")
+        .when((fr >= de) & (fr > 0), "fr")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+
+
+def fingerprint64(text: Column, normalize: bool = True) -> Column:
+    """Document fingerprint: 64-bit hash of the normalized text
+    (lowercase, collapsed whitespace) — the exact-dedup key. xxhash64 is
+    Spark's stable 64-bit hash (same result across partitions/executors)."""
+    t = text
+    if normalize:
+        t = F.regexp_replace(F.lower(t), "\\s+", " ")
+        t = F.trim(t)
+    return F.xxhash64(t)
+
+
+def shingle_fingerprints(text: Column, k: int = 3) -> Column:
+    """Winnowing-style rolling fingerprints: hashes of all k-word
+    shingles (the building block for MinHash and containment checks).
+    Returns array<long>, distinct."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    return F.array_distinct(shingles)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats bundle to a documents DataFrame."""
+    feats = quality_features(F.col(text_col))
+    out = df
+    for name, col in feats.items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("quality", quality_score(F.col(text_col)))
+        .withColumn("lang_pred", language_id(F.col(text_col)))
+        .withColumn("fp64", fingerprint64(F.col(text_col)))
+    )

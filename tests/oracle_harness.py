@@ -1,0 +1,88 @@
+"""Local replica of the driver's Spark-vs-DuckDB comparison: row count,
+schema compatibility, and order-insensitive value comparison (exact for
+ints/strings/timestamps, small-epsilon for floats)."""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from meerkat_spark.catalog import TABLES
+
+
+def register_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    import os
+
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # canonicalize to 9 significant digits so engine-level fp noise
+        # below the comparison threshold doesn't flip sort order
+        return float(f"{v:.9g}")
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None) if v.tzinfo else v
+    return v
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = df[cols]
+    rows = [tuple(_norm_cell(v) for v in row) for row in out.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> list[str]:
+    """Returns a list of problems; empty list = match."""
+    problems: list[str] = []
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.execute(sql).df()
+    if len(s_pdf) != len(d_pdf):
+        problems.append(f"{name}: row count spark={len(s_pdf)} duckdb={len(d_pdf)}")
+        return problems
+    s_cols, d_cols = sorted(s_pdf.columns), sorted(d_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"{name}: columns spark={s_cols} duckdb={d_cols}")
+        return problems
+    s_rows, d_rows = normalize(s_pdf), normalize(d_pdf)
+    n_bad = 0
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if not _rows_equal(a, b):
+            n_bad += 1
+            if n_bad <= 3:
+                problems.append(f"{name}: row {i} spark={a!r} duckdb={b!r}")
+    if n_bad > 3:
+        problems.append(f"{name}: … {n_bad} mismatched rows total of {len(s_rows)}")
+    return problems
+
+
+def _rows_equal(a: tuple, b: tuple) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x is None and y is None:
+            continue
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                return False
+        elif isinstance(x, float) or isinstance(y, float):
+            try:
+                if not math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            except (TypeError, ValueError):
+                return False
+        else:
+            if x != y:
+                return False
+    return True
