@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced through the noop sink (full materialization of
+every output column — a bare count() would let Catalyst prune the
+expensive expressions away and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per workload family (scan+agg, time binning, join,
+# top-k, window, explode, text dedup, text stats, vector search).
+HEADLINE = [
+    "agg_pricing_summary",
+    "summarize_bin_1h",
+    "join_inner_agg",
+    "top_orders",
+    "window_cumsum",
+    "mv_expand_words",
+    "agg_dcount",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "knn_cosine_topk",
+]
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from meerkat_spark import suite
+    from meerkat_spark.session import get_spark
+
+    spark = get_spark("meerkat_bench")
+    qs = suite.queries()
+
+    # JVM/codegen warmup on the smallest SF (not timed)
+    qs["agg_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

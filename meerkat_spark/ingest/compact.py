@@ -1,0 +1,64 @@
+"""Compaction + merge-time dedup.
+
+Reference: segments are "merged regularly" LSM-style (README.md:27) and
+duplicate rows are removed at merge time by the `_dedup` column within a
+time bucket (README.md:15,22,31 — replica sync hashes time buckets).
+
+Spark realization: per-day-partition rewrite —
+read partition → dropDuplicates([_ts, _dedup]) → coalesce to target
+file count → atomic swap (write to tmp dir, move over). Each partition
+compacts independently (parallelizable, bounded memory at any table
+size); partitions untouched by new data are skipped by the caller.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from meerkat_spark.ingest.batch import DAY_COL, DEDUP_COL, TS_COL
+
+
+def list_day_partitions(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith(f"{DAY_COL}=")
+    )
+
+
+def compact_partition(
+    spark: SparkSession, path: str, day: str, target_files: int = 1
+) -> tuple[int, int]:
+    """Dedup+rewrite one day partition atomically. Returns (rows_before,
+    rows_after)."""
+    part_dir = os.path.join(path, f"{DAY_COL}={day}")
+    df = spark.read.parquet(part_dir)
+    before = df.count()
+    deduped = df.dropDuplicates([TS_COL, DEDUP_COL]).coalesce(target_files)
+    tmp_dir = part_dir + f".compact-{uuid.uuid4().hex[:8]}"
+    deduped.write.mode("overwrite").parquet(tmp_dir)
+    after = spark.read.parquet(tmp_dir).count()
+    # atomic-ish swap (single filesystem rename pair; object stores would
+    # use a manifest commit instead — documented architectural delta)
+    old_dir = part_dir + ".old"
+    os.rename(part_dir, old_dir)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
+    return before, after
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> dict[str, tuple[int, int]]:
+    """Compact every day partition. Caller may restrict to recent days."""
+    results: dict[str, tuple[int, int]] = {}
+    for day in list_day_partitions(path):
+        results[day] = compact_partition(spark, path, day, target_files)
+    return results

@@ -121,9 +121,13 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact rerank restricted to the query's LSH
-    bucket. Recall < 1 by design; tested against brute force."""
+    bucket plus multi-probe neighbors (all codes within `probe_bits`
+    bit flips — near-miss sign bits are the dominant recall loss).
+    Probing multiplies only the tiny query side (n_planes+1 codes per
+    query at probe_bits=1); the corpus is still hashed once."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
@@ -131,10 +135,18 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     ).withColumn("qcode", lsh_code(F.col("qv"), n_planes, dim))
+    if probe_bits >= 1:
+        # expand each query code with its 1-bit-flip neighborhood
+        flips = F.array(
+            F.col("qcode"),
+            *[F.col("qcode").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.select("query_id", "qv", F.explode(flips).alias("qcode"))
     sims = (
         c.join(F.broadcast(q), F.col("code") == F.col("qcode"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

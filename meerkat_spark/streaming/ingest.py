@@ -1,0 +1,80 @@
+"""Streaming ingestion path.
+
+Reference semantics → Spark realization (SURVEY.md §2.2.6):
+- buffered rows flushed on size/time thresholds (README.md:20-22)
+  → micro-batch trigger (processingTime / availableNow); the buffer IS
+  the micro-batch.
+- merge-time dedup by `_dedup` within a time bucket (README.md:15,22,31)
+  → `withWatermark(_ts, gap).dropDuplicatesWithinWatermark([_dedup])`:
+  state is bounded by the watermark (no unbounded dedup state — the
+  100TB-stream concern in SURVEY.md §7.4.4).
+- time-partitioned segments (README.md:27) → foreachBatch append
+  partitioned by `_ts_day` (same layout as batch ingest — batch and
+  streaming land in one table).
+- `bin()`/session windows on live data → window()/session_window()
+  aggregations with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from meerkat_spark.ingest.batch import DAY_COL, DEDUP_COL, TS_COL, _ensure_system_columns
+
+
+def start_stream_ingest(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """readStream source → system-column enforcement → watermark-bounded
+    dedup → time-partitioned Parquet append via foreachBatch."""
+    prepared = _ensure_system_columns(stream_df)
+    deduped = (
+        prepared.withWatermark(TS_COL, watermark)
+        .dropDuplicatesWithinWatermark([DEDUP_COL])
+    )
+
+    def _write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn(DAY_COL, F.date_format(F.col(TS_COL), "yyyy-MM-dd"))
+            .write.mode("append")
+            .partitionBy(DAY_COL)
+            .parquet(out_path)
+        )
+
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_write_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
+def streaming_window_counts(
+    stream_df: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = TS_COL,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts with late-data handling — the streaming
+    realization of `summarize count() by bin(_ts, 1h), key`."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n",
+        )
+    )

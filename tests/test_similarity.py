@@ -1,0 +1,80 @@
+"""ANN validation: LSH/IVF approximate search measured against the
+exact brute-force baseline (recall), plus kernel sanity checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_spark.similarity import knn
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_cosine_kernel_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0]), (3, [1.0, 0.0], [-1.0, 0.0])],
+        "id int, a array<double>, b array<double>",
+    )
+    rows = {r.id: r.c for r in df.select("id", knn.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert abs(rows[1] - 0.0) < 1e-12
+    assert abs(rows[2] - 1.0) < 1e-12
+    assert abs(rows[3] + 1.0) < 1e-12
+
+
+def test_brute_force_topk_shape(spark, emb):
+    q = emb.filter(F.col("vec_id") < 4)
+    out = knn.brute_force_topk(emb, q, k=3)
+    rows = out.collect()
+    assert len(rows) == 4 * 3
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.sim <= 1.0
+    # ranks are 1..3 per query and sims non-increasing
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.sim)
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(knn.brute_force_topk(emb, q, k=5))
+    approx = _topk_sets(knn.lsh_topk(emb, q, k=5, n_planes=4, dim=64))
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / 5 for qid in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 4 planes → 16 buckets over 100 vectors; nearby vectors likely share
+    # sign bits. Loose bound: well above chance (~6 per bucket / 99).
+    assert mean_recall >= 0.3, f"LSH recall too low: {recalls}"
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(knn.brute_force_topk(emb, q, k=5))
+    approx = _topk_sets(knn.ivf_topk(emb, q, k=5, n_cells=8, n_probe=4))
+    recalls = [len(exact[qid] & approx.get(qid, set())) / 5 for qid in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"IVF recall too low: {recalls}"
+
+
+def test_lsh_code_deterministic(spark, emb):
+    a = emb.select(knn.lsh_code(knn._to_double(F.col("embedding")), 6, 64).alias("c")).collect()
+    b = emb.select(knn.lsh_code(knn._to_double(F.col("embedding")), 6, 64).alias("c")).collect()
+    assert [r.c for r in a] == [r.c for r in b]

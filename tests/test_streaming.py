@@ -1,0 +1,87 @@
+"""Streaming ingestion tests: parquet-source replay drives the stream
+to completion synchronously (availableNow + awaitTermination)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_spark.ingest.batch import DEDUP_COL, TS_COL
+from meerkat_spark.streaming import start_stream_ingest, streaming_window_counts
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path):
+    # the streaming file source requires a directory — stage the single
+    # fixture file into one
+    src = "/root/testdata/sf0.001/events.parquet"
+    stage = tmp_path / "events_src"
+    stage.mkdir()
+    os.symlink(src, stage / "events.parquet")
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(str(stage))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def test_stream_ingest_dedup_and_partition(spark, tmp_path, events_stream):
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    src = events_stream.select(
+        F.col("ts").alias(TS_COL),
+        F.col("event_id").cast("int").alias(DEDUP_COL),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    q = start_stream_ingest(src, out, ck, watermark="1 hour", trigger_once=True)
+    q.awaitTermination(120)
+    batch = spark.read.parquet(out)
+    n_src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert batch.count() == n_src  # no dups in source → all rows land
+    assert "_ts_day" in batch.columns
+    n_days = batch.select("_ts_day").distinct().count()
+    assert n_days >= 28  # January of events split into day partitions
+
+
+def test_stream_ingest_drops_duplicates(spark, tmp_path):
+    """Same _dedup key within the watermark → single survivor."""
+    src_dir = str(tmp_path / "src")
+    rows = [(i % 3, "2024-01-01 00:%02d:00" % (i % 3), float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "k int, ts_str string, v double").select(
+        F.col("k").alias(DEDUP_COL),
+        F.col("ts_str").cast("timestamp").alias(TS_COL),
+        "v",
+    )
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_ingest(stream, out, ck, watermark="1 hour")
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 3  # one per _dedup key
+    assert sorted(r[DEDUP_COL] for r in back.collect()) == [0, 1, 2]
+
+
+def test_streaming_window_counts(spark, events_stream):
+    agg = streaming_window_counts(
+        events_stream, window_size="1 day", watermark="1 hour",
+        ts_col="ts", key_col="event_type",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM win_counts")
+    # append mode emits only windows closed by the watermark: 30 days of
+    # data with a 1h watermark closes all but the final day
+    assert out.count() >= 5 * 28
+    assert set(out.columns) == {"window_start", "event_type", "n"}

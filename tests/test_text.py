@@ -1,0 +1,93 @@
+"""Cross-checks for the hash-based dedup operators that can't have SQL
+oracles: MinHash-LSH and SimHash are validated against exact methods."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_spark.text import analysis as TA
+from meerkat_spark.text import dedup as TD
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Documents plus exact copies and near-copies with shifted ids."""
+    base = docs.limit(30)
+    exact = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    groups = TD.exact_duplicates(docs_with_dups).collect()
+    assert len(groups) == 30  # each base doc has exactly one exact copy
+    assert all(g.n_dups == 2 for g in groups)
+    kept = TD.dedup_exact(docs_with_dups)
+    assert kept.count() == 60  # 30 uniques survive + 30 near-copies
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_with_dups):
+    pairs = {
+        (r.id1, r.id2) for r in TD.minhash_lsh_pairs(docs_with_dups).collect()
+    }
+    # every exact copy pair must collide in every band
+    for i in range(30):
+        assert any(p == (i, i + 100000) for p in pairs), f"missing exact pair {i}"
+    # near-dups (tiny suffix added) should mostly be caught
+    near_hits = sum(1 for i in range(30) if (i, i + 200000) in pairs)
+    assert near_hits >= 25
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, docs_with_dups):
+    exact = {
+        (r.id1, r.id2)
+        for r in TD.jaccard_pairs(docs_with_dups, threshold=0.9).collect()
+    }
+    cand = {
+        (r.id1, r.id2) for r in TD.minhash_lsh_pairs(docs_with_dups).collect()
+    }
+    missed = exact - cand
+    # 16 bands × 4 rows: P(miss | J≥0.9) = (1-J^4)^16 ≤ (1-0.65)^16 ≈ 1e-7
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    pairs = TD.simhash_pairs(docs_with_dups, max_hamming=6).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+    for i in range(30):
+        assert (i, i + 100000) in got  # identical text → hamming 0
+    assert all(r.hamming == 0 for r in pairs if (r.id1, r.id2) == (0, 100000))
+
+
+def test_quality_and_langid(spark, docs):
+    out = TA.with_text_stats(docs).select("doc_id", "quality", "lang_pred", "n_tokens")
+    rows = out.collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+    langs = {r.lang_pred for r in rows}
+    assert langs <= {"en", "fr", "de", "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "id int, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", TA.fingerprint64(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # case + whitespace normalized
+    assert fps[1] != fps[3]
