@@ -1,0 +1,596 @@
+"""KQL pipeline parser → AST.
+
+Grammar (the KQL subset committed to by the reference, README.md:34;
+operator semantics per SURVEY.md §2.2):
+
+    query     := let_stmt* pipeline
+    let_stmt  := 'let' IDENT '=' (expr | pipeline) ';'
+    pipeline  := source ('|' op)*
+    source    := IDENT | 'range' IDENT 'from' expr 'to' expr 'step' expr
+               | 'print' name_exprs
+    op        := where | project | extend | project-away | project-rename
+               | project-keep | summarize | count | distinct | sort | top
+               | take | limit | join | union | mv-expand | parse | search
+               | getschema | sample | serialize | range | print
+
+Expressions: standard precedence climbing; comparison layer includes the
+KQL string predicates (has / contains / startswith / in / between /
+matches regex).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from meerkat_spark.kql.lexer import KqlSyntaxError, Token, tokenize
+
+
+# ------------------------------------------------------------------ AST
+@dataclass
+class Lit:
+    value: Any  # float | str | bool | None
+
+
+@dataclass
+class Timespan:
+    seconds: float
+
+
+@dataclass
+class Ident:
+    name: str
+
+
+@dataclass
+class Member:
+    base: Any
+    name: str  # dynamic access d.x
+
+
+@dataclass
+class Index:
+    base: Any
+    index: Any  # d[0]
+
+
+@dataclass
+class Call:
+    func: str
+    args: list[Any]
+
+
+@dataclass
+class Unary:
+    op: str
+    operand: Any
+
+
+@dataclass
+class Binary:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass
+class InList:
+    expr: Any
+    values: list[Any]
+    negated: bool = False
+    case_insensitive: bool = False
+
+
+@dataclass
+class Between:
+    expr: Any
+    low: Any
+    high: Any
+
+
+# pipeline ops
+@dataclass
+class OpNode:
+    name: str
+    args: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class Pipeline:
+    source: OpNode
+    ops: list[OpNode]
+
+
+@dataclass
+class Query:
+    lets: dict[str, Any]
+    pipeline: Pipeline
+
+
+# ------------------------------------------------------------------ parser
+class Parser:
+    def __init__(self, text: str):
+        self.tokens = tokenize(text)
+        self.i = 0
+
+    # -- token helpers
+    def peek(self) -> Token:
+        return self.tokens[self.i]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+    def at(self, kind: str, value=None) -> bool:
+        t = self.peek()
+        return t.kind == kind and (value is None or t.value == value)
+
+    def at_ident(self, *names: str) -> bool:
+        t = self.peek()
+        return t.kind == "IDENT" and str(t.value).lower() in names
+
+    def expect(self, kind: str, value=None) -> Token:
+        if not self.at(kind, value):
+            raise KqlSyntaxError(
+                f"expected {value or kind}, got {self.peek()!r} at {self.peek().pos}"
+            )
+        return self.next()
+
+    def expect_ident(self, *names: str) -> str:
+        if not self.at_ident(*names):
+            raise KqlSyntaxError(f"expected {names}, got {self.peek()!r}")
+        return str(self.next().value).lower()
+
+    # -- entry
+    def parse(self) -> Query:
+        lets: dict[str, Any] = {}
+        while self.at_ident("let"):
+            self.next()
+            name = str(self.expect("IDENT").value)
+            self.expect("OP", "=")
+            lets[name] = self.parse_let_value()
+            self.expect("PUNCT", ";")
+        pipe = self.parse_pipeline()
+        self.expect("EOF")
+        return Query(lets, pipe)
+
+    def parse_let_value(self):
+        # table pipeline if it starts with IDENT followed by '|' or ';'
+        save = self.i
+        if self.at("IDENT"):
+            self.next()
+            if self.at("PUNCT", "|") or self.at("PUNCT", ";"):
+                self.i = save
+                return self.parse_pipeline()
+            self.i = save
+        return self.parse_expr()
+
+    def parse_pipeline(self) -> Pipeline:
+        source = self.parse_source()
+        ops = []
+        while self.at("PUNCT", "|"):
+            self.next()
+            ops.append(self.parse_op())
+        return Pipeline(source, ops)
+
+    def parse_source(self) -> OpNode:
+        if self.at_ident("range"):
+            self.next()
+            var = str(self.expect("IDENT").value)
+            self.expect_ident("from")
+            lo = self.parse_expr()
+            self.expect_ident("to")
+            hi = self.parse_expr()
+            self.expect_ident("step")
+            step = self.parse_expr()
+            return OpNode("range", {"var": var, "from": lo, "to": hi, "step": step})
+        if self.at_ident("print"):
+            self.next()
+            return OpNode("print", {"cols": self.parse_named_exprs()})
+        name = str(self.expect("IDENT").value)
+        return OpNode("table", {"name": name})
+
+    # -- operators
+    def parse_op(self) -> OpNode:
+        t = self.peek()
+        if t.kind != "IDENT":
+            raise KqlSyntaxError(f"expected operator, got {t!r}")
+        name = str(t.value).lower()
+        self.next()
+        method = getattr(self, f"op_{name.replace('-', '_')}", None)
+        if method is None:
+            raise KqlSyntaxError(f"unsupported operator {name!r}")
+        return method()
+
+    def op_where(self) -> OpNode:
+        return OpNode("where", {"pred": self.parse_expr()})
+
+    op_filter = op_where
+
+    def parse_named_exprs(self) -> list[tuple[str | None, Any]]:
+        """name = expr, ... (name optional)."""
+        cols = []
+        while True:
+            save = self.i
+            name = None
+            if self.at("IDENT"):
+                n = str(self.next().value)
+                if self.at("OP", "="):
+                    self.next()
+                    name = n
+                else:
+                    self.i = save
+            cols.append((name, self.parse_expr()))
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        return cols
+
+    def op_project(self) -> OpNode:
+        return OpNode("project", {"cols": self.parse_named_exprs()})
+
+    def op_extend(self) -> OpNode:
+        return OpNode("extend", {"cols": self.parse_named_exprs()})
+
+    def op_project_away(self) -> OpNode:
+        return OpNode("project-away", {"patterns": self.parse_name_list()})
+
+    def op_project_keep(self) -> OpNode:
+        return OpNode("project-keep", {"patterns": self.parse_name_list()})
+
+    def parse_name_list(self) -> list[str]:
+        names = []
+        while True:
+            tok = self.peek()
+            if tok.kind == "IDENT":
+                names.append(str(self.next().value))
+            elif tok.kind == "OP" and tok.value == "*":
+                self.next()
+                names.append("*")
+            else:
+                raise KqlSyntaxError(f"expected column name, got {tok!r}")
+            # wildcard suffix: name*
+            if self.at("OP", "*"):
+                self.next()
+                names[-1] = names[-1] + "*"
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        return names
+
+    def op_project_rename(self) -> OpNode:
+        renames = {}
+        while True:
+            new = str(self.expect("IDENT").value)
+            self.expect("OP", "=")
+            old = str(self.expect("IDENT").value)
+            renames[new] = old
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        return OpNode("project-rename", {"renames": renames})
+
+    def op_summarize(self) -> OpNode:
+        aggs = []
+        by = []
+        if not self.at_ident("by"):
+            aggs = self.parse_named_exprs()
+        if self.at_ident("by"):
+            self.next()
+            by = self.parse_named_exprs()
+        return OpNode("summarize", {"aggs": aggs, "by": by})
+
+    def op_count(self) -> OpNode:
+        return OpNode("count", {})
+
+    def op_distinct(self) -> OpNode:
+        if self.at("OP", "*"):
+            self.next()
+            return OpNode("distinct", {"cols": []})
+        return OpNode("distinct", {"cols": self.parse_name_list()})
+
+    def op_sort(self) -> OpNode:
+        self.expect_ident("by")
+        orders = []
+        while True:
+            e = self.parse_expr()
+            direction = "desc"  # KQL default
+            if self.at_ident("asc", "desc"):
+                direction = self.expect_ident("asc", "desc")
+            if self.at_ident("nulls"):
+                self.next()
+                self.expect_ident("first", "last")
+            orders.append((e, direction))
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        return OpNode("sort", {"orders": orders})
+
+    op_order = op_sort
+
+    def op_take(self) -> OpNode:
+        n = self.expect("NUMBER").value
+        return OpNode("take", {"n": int(n)})
+
+    op_limit = op_take
+
+    def op_top(self) -> OpNode:
+        n = int(self.expect("NUMBER").value)
+        self.expect_ident("by")
+        e = self.parse_expr()
+        direction = "desc"
+        if self.at_ident("asc", "desc"):
+            direction = self.expect_ident("asc", "desc")
+        return OpNode("top", {"n": n, "by": e, "dir": direction})
+
+    def op_join(self) -> OpNode:
+        kind = "innerunique"
+        hint_broadcast = False
+        while self.at_ident("kind") or self.at_ident("hint"):
+            word = self.expect_ident("kind", "hint")
+            if word == "kind":
+                self.expect("OP", "=")
+                kind = str(self.expect("IDENT").value).lower()
+            else:
+                self.expect("PUNCT", ".")
+                self.expect("IDENT")  # strategy
+                self.expect("OP", "=")
+                hint_broadcast = str(self.expect("IDENT").value).lower() == "broadcast"
+        self.expect("PUNCT", "(")
+        right = self.parse_pipeline()
+        self.expect("PUNCT", ")")
+        self.expect_ident("on")
+        on = self.parse_join_keys()
+        return OpNode(
+            "join", {"kind": kind, "right": right, "on": on, "broadcast": hint_broadcast}
+        )
+
+    op_lookup = None  # assigned below
+
+    def parse_join_keys(self) -> list[Any]:
+        keys = []
+        while True:
+            if self.at("PUNCT", "$"):
+                keys.append(self.parse_expr())  # $left.x == $right.y
+            else:
+                keys.append(str(self.expect("IDENT").value))
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        return keys
+
+    def op_union(self) -> OpNode:
+        kind = "outer"
+        if self.at_ident("kind"):
+            self.next()
+            self.expect("OP", "=")
+            kind = self.expect_ident("outer", "inner")
+        tables = []
+        while True:
+            if self.at("PUNCT", "("):
+                self.next()
+                tables.append(self.parse_pipeline())
+                self.expect("PUNCT", ")")
+            else:
+                tables.append(str(self.expect("IDENT").value))
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        return OpNode("union", {"kind": kind, "tables": tables})
+
+    def op_mv_expand(self) -> OpNode:
+        col = self.parse_named_exprs()
+        return OpNode("mv-expand", {"cols": col})
+
+    def op_parse(self) -> OpNode:
+        src = self.parse_expr()
+        self.expect_ident("with")
+        # pattern: STRING IDENT[:type] STRING IDENT[:type] ...
+        parts: list[tuple[str, Any]] = []
+        while True:
+            if self.at("STRING"):
+                parts.append(("lit", str(self.next().value)))
+            elif self.at("IDENT"):
+                name = str(self.next().value)
+                typ = "string"
+                if self.at("PUNCT", ":"):
+                    self.next()
+                    typ = str(self.expect("IDENT").value)
+                parts.append(("capture", (name, typ)))
+            else:
+                break
+        return OpNode("parse", {"src": src, "parts": parts})
+
+    def op_search(self) -> OpNode:
+        term = self.expect("STRING").value
+        return OpNode("search", {"term": str(term)})
+
+    def op_getschema(self) -> OpNode:
+        return OpNode("getschema", {})
+
+    def op_sample(self) -> OpNode:
+        n = self.expect("NUMBER").value
+        return OpNode("sample", {"n": float(n)})
+
+    def op_serialize(self) -> OpNode:
+        return OpNode("serialize", {})
+
+    # ---------------------------------------------------------- expressions
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.at_ident("or"):
+            self.next()
+            left = Binary("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.at_ident("and"):
+            self.next()
+            left = Binary("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.at_ident("not"):
+            self.next()
+            return Unary("not", self.parse_not())
+        return self.parse_comparison()
+
+    _STR_PREDS = {
+        "has", "has_cs", "contains", "contains_cs", "startswith",
+        "endswith", "startswith_cs", "endswith_cs",
+    }
+
+    def parse_comparison(self):
+        left = self.parse_additive()
+        t = self.peek()
+        if t.kind == "OP" and t.value in ("==", "!=", "<", "<=", ">", ">=", "=~", "!~"):
+            self.next()
+            return Binary(str(t.value), left, self.parse_additive())
+        if t.kind == "OP" and t.value == "!in":
+            self.next()
+            return self._parse_in(left, negated=True)
+        if t.kind == "IDENT":
+            word = str(t.value).lower()
+            if word in self._STR_PREDS:
+                self.next()
+                return Binary(word, left, self.parse_additive())
+            if word == "in":
+                self.next()
+                ci = False
+                if self.at("OP", "=~"):  # in~
+                    self.next()
+                    ci = True
+                return self._parse_in(left, negated=False, ci=ci)
+            if word == "between":
+                self.next()
+                self.expect("PUNCT", "(")
+                low = self.parse_expr()
+                self.expect("OP", "..")
+                high = self.parse_expr()
+                self.expect("PUNCT", ")")
+                return Between(left, low, high)
+            if word == "matches":
+                self.next()
+                self.expect_ident("regex")
+                return Binary("matches", left, self.parse_additive())
+        return left
+
+    def _parse_in(self, left, negated: bool, ci: bool = False):
+        self.expect("PUNCT", "(")
+        values = [self.parse_expr()]
+        while self.at("PUNCT", ","):
+            self.next()
+            values.append(self.parse_expr())
+        self.expect("PUNCT", ")")
+        return InList(left, values, negated=negated, case_insensitive=ci)
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while self.at("OP", "+") or self.at("OP", "-"):
+            op = str(self.next().value)
+            left = Binary(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while self.at("OP", "*") or self.at("OP", "/") or self.at("OP", "%"):
+            op = str(self.next().value)
+            left = Binary(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.at("OP", "-"):
+            self.next()
+            return Unary("-", self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_primary()
+        while True:
+            if self.at("PUNCT", "."):
+                # member access only when base is not an Ident used as $left.x
+                self.next()
+                name = str(self.expect("IDENT").value)
+                e = Member(e, name)
+                continue
+            if self.at("PUNCT", "["):
+                self.next()
+                idx = self.parse_expr()
+                self.expect("PUNCT", "]")
+                e = Index(e, idx)
+                continue
+            break
+        return e
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "NUMBER":
+            self.next()
+            v = t.value
+            return Lit(int(v) if float(v).is_integer() else float(v))
+        if t.kind == "STRING":
+            self.next()
+            return Lit(str(t.value))
+        if t.kind == "TIMESPAN":
+            self.next()
+            return Timespan(float(t.value))
+        if t.kind == "PUNCT" and t.value == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("PUNCT", ")")
+            return e
+        if t.kind == "PUNCT" and t.value == "$":
+            self.next()
+            side = self.expect_ident("left", "right")
+            self.expect("PUNCT", ".")
+            name = str(self.expect("IDENT").value)
+            return Ident(f"${side}.{name}")
+        if t.kind == "OP" and t.value == "*":
+            self.next()
+            return Ident("*")
+        if t.kind == "IDENT":
+            word = str(t.value)
+            self.next()
+            low = word.lower()
+            if low == "true":
+                return Lit(True)
+            if low == "false":
+                return Lit(False)
+            if low == "null":
+                return Lit(None)
+            if self.at("PUNCT", "("):
+                self.next()
+                args = []
+                if not self.at("PUNCT", ")"):
+                    args.append(self.parse_expr())
+                    while self.at("PUNCT", ","):
+                        self.next()
+                        args.append(self.parse_expr())
+                self.expect("PUNCT", ")")
+                return Call(low, args)
+            return Ident(word)
+        raise KqlSyntaxError(f"unexpected token {t!r}")
+
+
+def op_lookup(self) -> OpNode:
+    node = self.op_join()
+    node.args["kind"] = "lookup"
+    return node
+
+
+Parser.op_lookup = op_lookup
+
+
+def parse_kql(text: str) -> Query:
+    return Parser(text).parse()

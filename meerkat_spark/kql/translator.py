@@ -1,0 +1,537 @@
+"""KQL AST → DataFrame translation.
+
+Folds the parsed pipeline onto MeerkatTable / DataFrame builder calls —
+the result is ONE Catalyst logical plan per KQL query (the reference's
+parse→plan→optimize→execute lifecycle, README.md:34, with Catalyst and
+AQE as the optimizer stages — SURVEY.md §3.3).
+
+KQL semantic deltas live in the function registry below (0-based
+substring/indexof, desc-default sort, null-on-failed-cast, term `has`),
+sourced from meerkat_spark.functions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meerkat_spark.functions import agg as A
+from meerkat_spark.functions import scalar as S
+from meerkat_spark.kql import parser as P
+from meerkat_spark.kql.lexer import KqlSyntaxError
+from meerkat_spark.table import MeerkatTable
+
+
+# ---------------------------------------------------------------- scalars
+def _fn_bin(args: list[Any]) -> Column:
+    x, size = args
+    if isinstance(size, _Span):
+        return S.bin_datetime(x, int(size.seconds))
+    return S.bin_numeric(x, size)
+
+
+class _Span:
+    """Marker for timespan values flowing through translation."""
+
+    def __init__(self, seconds: float):
+        self.seconds = seconds
+
+
+def _interval(seconds: float) -> Column:
+    return F.expr(f"INTERVAL {seconds} SECOND")
+
+
+_SCALARS: dict[str, Any] = {
+    # datetime
+    "bin": _fn_bin,
+    "floor": lambda a: _fn_bin(a) if len(a) == 2 else F.floor(a[0]),
+    "ago": lambda a: F.current_timestamp() - _interval(a[0].seconds if isinstance(a[0], _Span) else float(a[0])),
+    "now": lambda a: F.current_timestamp(),
+    "startofday": lambda a: S.startofday(a[0]),
+    "startofweek": lambda a: S.startofweek(a[0]),
+    "startofmonth": lambda a: S.startofmonth(a[0]),
+    "startofyear": lambda a: S.startofyear(a[0]),
+    "dayofweek": lambda a: S.dayofweek_timespan(a[0]),
+    "hourofday": lambda a: S.hourofday(a[0]),
+    "week_of_year": lambda a: S.week_of_year(a[0]),
+    "getmonth": lambda a: F.month(a[0]),
+    "getyear": lambda a: F.year(a[0]),
+    "dayofmonth": lambda a: F.dayofmonth(a[0]),
+    "format_datetime": lambda a: S.format_datetime(a[0], a[1]),
+    "todatetime": lambda a: S.todatetime(a[0]),
+    "unixtime_seconds_todatetime": lambda a: S.unixtime_seconds_todatetime(a[0]),
+    # strings
+    "strlen": lambda a: S.strlen(a[0]),
+    "substring": lambda a: S.substring(*a),
+    "strcat": lambda a: S.strcat(*a),
+    "strcat_delim": lambda a: S.strcat_delim(a[0], *a[1:]),
+    "split": lambda a: S.split(a[0], a[1], int(a[2]) if len(a) > 2 else None),
+    "tolower": lambda a: S.tolower(a[0]),
+    "toupper": lambda a: S.toupper(a[0]),
+    "trim": lambda a: S.trim(a[0], a[1]),
+    "trim_start": lambda a: S.trim_start(a[0], a[1]),
+    "trim_end": lambda a: S.trim_end(a[0], a[1]),
+    "replace_string": lambda a: S.replace_string(a[0], a[1], a[2]),
+    "replace_regex": lambda a: S.replace_regex(a[0], a[1], a[2]),
+    "extract": lambda a: S.extract(a[0], int(a[1]), a[2]),
+    "extract_all": lambda a: S.extract_all(a[0], a[1]),
+    "indexof": lambda a: S.indexof(a[0], a[1]),
+    "countof": lambda a: S.countof(a[0], a[1]),
+    "reverse": lambda a: S.reverse(a[0]),
+    "tostring": lambda a: S.tostring(a[0]),
+    "base64_encode_tostring": lambda a: S.base64_encode_tostring(a[0]),
+    "base64_decode_tostring": lambda a: S.base64_decode_tostring(a[0]),
+    "hash": lambda a: S.hash_xx(a[0], int(a[1]) if len(a) > 1 else None),
+    "hash_sha256": lambda a: S.hash_sha256(a[0]),
+    "hash_md5": lambda a: F.md5(_c(a[0])),
+    "url_encode": lambda a: S.url_encode(a[0]),
+    "url_decode": lambda a: S.url_decode(a[0]),
+    "isempty": lambda a: S.isempty(a[0]),
+    "isnotempty": lambda a: S.isnotempty(a[0]),
+    "isnull": lambda a: _c(a[0]).isNull(),
+    "isnotnull": lambda a: _c(a[0]).isNotNull(),
+    # math
+    "abs": lambda a: F.abs(_c(a[0])),
+    "round": lambda a: F.round(_c(a[0]), int(a[1]) if len(a) > 1 else 0),
+    "ceiling": lambda a: S.ceiling(a[0]),
+    "exp": lambda a: F.exp(_c(a[0])),
+    "log": lambda a: F.log(_c(a[0])),
+    "log2": lambda a: S.log2(a[0]),
+    "log10": lambda a: F.log10(_c(a[0])),
+    "pow": lambda a: F.pow(_c(a[0]), _c(a[1])),
+    "sqrt": lambda a: F.sqrt(_c(a[0])),
+    "sign": lambda a: F.signum(_c(a[0])),
+    "sin": lambda a: F.sin(_c(a[0])),
+    "cos": lambda a: F.cos(_c(a[0])),
+    "tan": lambda a: F.tan(_c(a[0])),
+    "rand": lambda a: F.rand(),
+    "isnan": lambda a: F.isnan(_c(a[0])),
+    # conditional
+    "iff": lambda a: F.when(a[0], _c(a[1])).otherwise(_c(a[2])),
+    "iif": lambda a: F.when(a[0], _c(a[1])).otherwise(_c(a[2])),
+    "case": lambda a: S.case(*a),
+    "coalesce": lambda a: F.coalesce(*[_c(x) for x in a]),
+    "min_of": lambda a: S.min_of(*a),
+    "max_of": lambda a: S.max_of(*a),
+    # casts
+    "toint": lambda a: S.toint(a[0]),
+    "tolong": lambda a: S.tolong(a[0]),
+    "todouble": lambda a: S.todouble(a[0]),
+    "toreal": lambda a: S.todouble(a[0]),
+    "tobool": lambda a: S.tobool(a[0]),
+    "todecimal": lambda a: S.todecimal(a[0]),
+    # dynamic / array
+    "array_length": lambda a: S.array_length(a[0]),
+    "array_concat": lambda a: S.array_concat(*a),
+    "array_slice": lambda a: S.array_slice(a[0], a[1], a[2]),
+    "array_sort_asc": lambda a: S.array_sort_asc(a[0]),
+    "array_sort_desc": lambda a: S.array_sort_desc(a[0]),
+    "array_index_of": lambda a: S.array_index_of(a[0], a[1]),
+    "set_union": lambda a: S.set_union(*a),
+    "set_intersect": lambda a: S.set_intersect(a[0], a[1]),
+    "set_difference": lambda a: S.set_difference(a[0], a[1]),
+    "pack_array": lambda a: S.pack_array(*a),
+    "pack": lambda a: S.pack(*a),
+    "bag_pack": lambda a: S.pack(*a),
+    "bag_keys": lambda a: S.bag_keys(a[0]),
+    "zip": lambda a: S.zip_arrays(a[0], a[1]),
+    "array_sum": lambda a: S.array_sum(a[0]),
+    "array_avg": lambda a: S.array_avg(a[0]),
+    "parse_json": lambda a: _c(a[0]),  # dynamic is a JSON string (types.py)
+    "todynamic": lambda a: _c(a[0]),
+    "tolist": lambda a: _c(a[0]),
+}
+
+_AGGS: dict[str, Any] = {
+    "count": lambda a: A.count(),
+    "countif": lambda a: A.countif(a[0]),
+    "dcount": lambda a: A.dcount(a[0]),
+    "dcountif": lambda a: A.dcountif(a[0], a[1]),
+    "sum": lambda a: F.sum(_c(a[0])),
+    "sumif": lambda a: A.sumif(a[0], a[1]),
+    "avg": lambda a: F.avg(_c(a[0])),
+    "avgif": lambda a: A.avgif(a[0], a[1]),
+    "min": lambda a: F.min(_c(a[0])),
+    "minif": lambda a: A.minif(a[0], a[1]),
+    "max": lambda a: F.max(_c(a[0])),
+    "maxif": lambda a: A.maxif(a[0], a[1]),
+    "arg_max": lambda a: A.arg_max(a[0], a[1]),
+    "arg_min": lambda a: A.arg_min(a[0], a[1]),
+    "take_any": lambda a: A.take_any(a[0]),
+    "any": lambda a: A.take_any(a[0]),
+    "percentile": lambda a: A.percentile(a[0], float(_raw(a[1]))),
+    "stdev": lambda a: A.stdev(a[0]),
+    "stdevp": lambda a: A.stdevp(a[0]),
+    "variance": lambda a: A.variance(a[0]),
+    "variancep": lambda a: A.variancep(a[0]),
+    "make_list": lambda a: A.make_list(a[0]),
+    "make_set": lambda a: A.make_set(a[0]),
+    "make_list_if": lambda a: A.make_list_if(a[0], a[1]),
+    "make_set_if": lambda a: A.make_set_if(a[0], a[1]),
+    "make_bag": lambda a: A.make_bag(a[0], a[1]),
+    "binary_all_and": lambda a: A.binary_all_and(a[0]),
+    "binary_all_or": lambda a: A.binary_all_or(a[0]),
+    "binary_all_xor": lambda a: A.binary_all_xor(a[0]),
+    "hll": lambda a: A.hll(a[0]),
+    "hll_merge": lambda a: A.hll_merge(a[0]),
+}
+
+
+def _c(x: Any) -> Column:
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, _Span):
+        return _interval(x.seconds)
+    return F.lit(x)
+
+
+def _raw(x: Any):
+    """Literal python value out of a translated arg (for e.g. percentile p)."""
+    if isinstance(x, Column):
+        raise KqlSyntaxError("expected a literal argument")
+    return x
+
+
+class Translator:
+    def __init__(self, engine, lets: dict[str, Any] | None = None):
+        self.engine = engine
+        self.lets = lets or {}
+        self.let_tables: dict[str, DataFrame] = {}
+
+    # ---------------------------------------------------------- expressions
+    def expr(self, node: Any, agg: bool = False) -> Any:
+        if isinstance(node, P.Lit):
+            return node.value
+        if isinstance(node, P.Timespan):
+            return _Span(node.seconds)
+        if isinstance(node, P.Ident):
+            name = node.name
+            if name in self.lets and not isinstance(self.lets[name], P.Pipeline):
+                return self.expr(self.lets[name], agg=agg)
+            if name.startswith("$left.") or name.startswith("$right."):
+                return F.col(name.split(".", 1)[1])
+            if name == "*":
+                return F.col("*")
+            return F.col(name)
+        if isinstance(node, P.Member):
+            base = _c(self.expr(node.base))
+            return F.get_json_object(base, f"$.{node.name}")
+        if isinstance(node, P.Index):
+            base = self.expr(node.base)
+            idx = self.expr(node.index)
+            return F.get_json_object(_c(base), f"$[{int(idx)}]")
+        if isinstance(node, P.Unary):
+            v = self.expr(node.operand, agg=agg)
+            if node.op == "-":
+                return -_c(v) if isinstance(v, Column) else -v
+            if node.op == "not":
+                return ~_c(v)
+        if isinstance(node, P.Binary):
+            return self.binary(node, agg=agg)
+        if isinstance(node, P.InList):
+            col = _c(self.expr(node.expr))
+            vals = [self.expr(v) for v in node.values]
+            if node.case_insensitive:
+                res = F.lower(col).isin([str(v).lower() for v in vals])
+            else:
+                res = col.isin(vals)
+            return ~res if node.negated else res
+        if isinstance(node, P.Between):
+            col = _c(self.expr(node.expr))
+            lo, hi = self.expr(node.low), self.expr(node.high)
+            return col.between(_c(lo), _c(hi))
+        if isinstance(node, P.Call):
+            return self.call(node, agg=agg)
+        raise KqlSyntaxError(f"cannot translate {node!r}")
+
+    def binary(self, node: P.Binary, agg: bool) -> Column:
+        op = node.op
+        le = self.expr(node.left, agg=agg)
+        re = self.expr(node.right, agg=agg)
+        l, r = _c(le), _c(re)
+        if op == "and":
+            return l & r
+        if op == "or":
+            return l | r
+        if op == "==":
+            return l == r
+        if op == "!=":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        if op == "=~":  # case-insensitive equality
+            return F.lower(l) == F.lower(r)
+        if op == "!~":
+            return F.lower(l) != F.lower(r)
+        if op == "+":
+            if isinstance(re, _Span):
+                return l + _interval(re.seconds)
+            return l + r
+        if op == "-":
+            if isinstance(re, _Span):
+                return l - _interval(re.seconds)
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return l % r
+        if op in ("has", "has_cs"):
+            return S.has_term(l, str(_raw(re)), case_insensitive=(op == "has"))
+        if op in ("contains", "contains_cs"):
+            if op == "contains":
+                return F.lower(l).contains(str(_raw(re)).lower())
+            return l.contains(str(_raw(re)))
+        if op in ("startswith", "startswith_cs"):
+            if op == "startswith":
+                return S.startswith(l, str(_raw(re)))
+            return l.startswith(str(_raw(re)))
+        if op in ("endswith", "endswith_cs"):
+            if op == "endswith":
+                return S.endswith(l, str(_raw(re)))
+            return l.endswith(str(_raw(re)))
+        if op == "matches":
+            return S.matches_regex(l, str(_raw(re)))
+        raise KqlSyntaxError(f"unsupported operator {op!r}")
+
+    def call(self, node: P.Call, agg: bool) -> Column:
+        name = node.func
+        args = [self.expr(a, agg=False) for a in node.args]
+        if agg and name in _AGGS:
+            # predicate args arrive as Columns already; scalar args may be py values
+            return _AGGS[name]([_colify_pred(a) for a in args])
+        if name in _SCALARS:
+            return _SCALARS[name](args)
+        if name in _AGGS:
+            return _AGGS[name]([_colify_pred(a) for a in args])
+        raise KqlSyntaxError(f"unknown function {name!r}")
+
+    # ---------------------------------------------------------- pipeline
+    def table(self, name: str) -> MeerkatTable:
+        if name in self.let_tables:
+            return MeerkatTable(self.let_tables[name])
+        if name in self.lets and isinstance(self.lets[name], P.Pipeline):
+            df = self.pipeline(self.lets[name])
+            self.let_tables[name] = df
+            return MeerkatTable(df)
+        return self.engine.table(name)
+
+    def pipeline(self, pipe: P.Pipeline) -> DataFrame:
+        t = self.source(pipe.source)
+        for op in pipe.ops:
+            t = self.apply(t, op)
+        return t.to_df()
+
+    def source(self, node: P.OpNode) -> MeerkatTable:
+        if node.name == "table":
+            return self.table(node.args["name"])
+        if node.name == "range":
+            lo = int(_raw(self.expr(node.args["from"])))
+            hi = int(_raw(self.expr(node.args["to"])))
+            step = int(_raw(self.expr(node.args["step"])))
+            df = self.engine.spark.range(lo, hi + 1, step).select(
+                F.col("id").alias(node.args["var"])
+            )
+            return MeerkatTable(df)
+        if node.name == "print":
+            cols = [
+                _c(self.expr(e)).alias(name or f"print_{i}")
+                for i, (name, e) in enumerate(node.args["cols"])
+            ]
+            return MeerkatTable(self.engine.spark.range(1).select(*cols))
+        raise KqlSyntaxError(f"unsupported source {node.name!r}")
+
+    def apply(self, t: MeerkatTable, op: P.OpNode) -> MeerkatTable:
+        method = getattr(self, f"ap_{op.name.replace('-', '_')}")
+        return method(t, op.args)
+
+    # -- per-operator translation
+    def ap_where(self, t, a):
+        return t.where(_c(self.expr(a["pred"])))
+
+    def ap_project(self, t, a):
+        cols = []
+        for i, (name, e) in enumerate(a["cols"]):
+            c = self.expr(e)
+            if name:
+                cols.append(_c(c).alias(name))
+            elif isinstance(e, P.Ident):
+                cols.append(F.col(e.name))
+            else:
+                cols.append(_c(c).alias(f"Column{i+1}"))
+        return MeerkatTable(t.df.select(*cols))
+
+    def ap_extend(self, t, a):
+        named = {}
+        for i, (name, e) in enumerate(a["cols"]):
+            named[name or f"Column{i+1}"] = _c(self.expr(e))
+        return t.extend(**named)
+
+    def ap_project_away(self, t, a):
+        return t.project_away(*a["patterns"])
+
+    def ap_project_keep(self, t, a):
+        return t.project_keep(*a["patterns"])
+
+    def ap_project_rename(self, t, a):
+        return t.project_rename(**a["renames"])
+
+    def ap_summarize(self, t, a):
+        aggs: dict[str, Column] = {}
+        for i, (name, e) in enumerate(a["aggs"]):
+            col = _c(self.expr(e, agg=True))
+            aggs[name or _default_agg_name(e, i)] = col
+        by = []
+        for i, (name, e) in enumerate(a["by"]):
+            c = self.expr(e)
+            by.append(_c(c).alias(name or _default_key_name(e, i)))
+        if not aggs and by:
+            # `summarize by k` == distinct k
+            return MeerkatTable(t.df.select(*by).distinct())
+        return t.summarize(aggs, by=by or None)
+
+    def ap_count(self, t, a):
+        return t.count()
+
+    def ap_distinct(self, t, a):
+        return t.distinct(*a["cols"])
+
+    def ap_sort(self, t, a):
+        orders = []
+        for e, direction in a["orders"]:
+            c = _c(self.expr(e))
+            orders.append(
+                c.desc_nulls_last() if direction == "desc" else c.asc_nulls_first()
+            )
+        return t.sort(*orders)
+
+    def ap_take(self, t, a):
+        return t.take(a["n"])
+
+    def ap_top(self, t, a):
+        c = _c(self.expr(a["by"]))
+        return t.top(a["n"], c, asc=(a["dir"] == "asc"))
+
+    def ap_join(self, t, a):
+        right_df = self.pipeline(a["right"])
+        kind = a["kind"]
+        on = a["on"]
+        if all(isinstance(k, str) for k in on):
+            cond = on
+            left_keys = list(on)
+        else:
+            conds = []
+            left_keys = []
+            for k in on:
+                if isinstance(k, str):
+                    conds.append(t.df[k] == right_df[k])
+                    left_keys.append(k)
+                else:  # Binary($left.x == $right.y)
+                    lcol = k.left.name.split(".", 1)[1]
+                    rcol = k.right.name.split(".", 1)[1]
+                    conds.append(t.df[lcol] == right_df[rcol])
+                    left_keys.append(lcol)
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
+        if kind == "lookup":
+            return t.lookup(right_df, on=cond)
+        return t.join(
+            right_df,
+            on=cond,
+            kind=kind,
+            broadcast_right=a.get("broadcast", False),
+            left_keys=left_keys,
+        )
+
+    def ap_union(self, t, a):
+        others = []
+        for tab in a["tables"]:
+            if isinstance(tab, P.Pipeline):
+                others.append(self.pipeline(tab))
+            else:
+                others.append(self.table(tab).df)
+        return t.union(*others, kind=a["kind"])
+
+    def ap_mv_expand(self, t, a):
+        (name, e) = a["cols"][0]
+        if name is None and isinstance(e, P.Ident):
+            return t.mv_expand(e.name)
+        col_name = name or "Column1"
+        t2 = t.extend(**{col_name: _c(self.expr(e))})
+        return t2.mv_expand(col_name)
+
+    def ap_parse(self, t, a):
+        src = _c(self.expr(a["src"]))
+        regex_parts = []
+        captures: list[tuple[str, str]] = []
+        import re as _re
+
+        for kind, val in a["parts"]:
+            if kind == "lit":
+                regex_parts.append(_re.escape(val))
+            else:
+                name, typ = val
+                pat = "(\\d+)" if typ in ("int", "long") else "(.*?)"
+                regex_parts.append(pat)
+                captures.append((name, typ))
+        pattern = "".join(regex_parts)
+        out = t
+        for gi, (name, typ) in enumerate(captures, start=1):
+            col = F.regexp_extract(src, pattern, gi)
+            if typ in ("int", "long", "real", "double"):
+                spark_t = {"int": "int", "long": "long", "real": "double", "double": "double"}[typ]
+                col = col.try_cast(spark_t)
+            out = out.extend(**{name: col})
+        return out
+
+    def ap_search(self, t, a):
+        return t.search(a["term"])
+
+    def ap_getschema(self, t, a):
+        return t.getschema()
+
+    def ap_sample(self, t, a):
+        # KQL sample N is a row count; approximate via fraction of total
+        # is not derivable lazily — use a tiny deterministic fraction+limit
+        n = int(a["n"])
+        return MeerkatTable(t.df.orderBy(F.rand(seed=42)).limit(n))
+
+    def ap_serialize(self, t, a):
+        return t
+
+
+def _colify_pred(x: Any) -> Any:
+    return x
+
+
+def _default_agg_name(e: Any, i: int) -> str:
+    if isinstance(e, P.Call):
+        if e.args and isinstance(e.args[0], P.Ident):
+            return f"{e.func}_{e.args[0].name}"
+        return f"{e.func}_"
+    return f"agg{i}"
+
+
+def _default_key_name(e: Any, i: int) -> str:
+    if isinstance(e, P.Ident):
+        return e.name
+    if isinstance(e, P.Call) and e.args and isinstance(e.args[0], P.Ident):
+        return e.args[0].name
+    return f"key{i}"
+
+
+def execute_kql(engine, text: str) -> DataFrame:
+    q = P.parse_kql(text)
+    tr = Translator(engine, q.lets)
+    return tr.pipeline(q.pipeline)

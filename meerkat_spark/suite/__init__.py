@@ -45,6 +45,8 @@ def load_all() -> None:
         windows,
         textops,
         similarity,
+        kqlqueries,
+        multimodal,
     )
 
 

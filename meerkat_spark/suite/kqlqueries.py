@@ -1,0 +1,83 @@
+"""Driver-graded queries routed through the KQL FRONT-END (parser +
+translator), proving the reference's declared query language end to end
+(reference README.md:33-34). Each query here is a KQL string — not
+hand-built DataFrame calls."""
+
+from __future__ import annotations
+
+from meerkat_spark.engine import MeerkatEngine
+from meerkat_spark.suite import register
+
+
+def _kql(kql: str):
+    def run(spark, sf_dir):
+        return MeerkatEngine(spark, sf_dir).kql(kql).to_df()
+
+    return run
+
+
+def _register_kql(name: str, kql: str, oracle: str) -> None:
+    register(name, oracle)(_kql(kql))
+
+
+_register_kql(
+    "kql_flagship",
+    """events | where event_type == 'click'
+       | summarize n=count(), v=round(avg(value), 4) by user_id, h=bin(ts, 1h)""",
+    """
+    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+           COUNT(*) AS n, ROUND(AVG(value), 4) AS v
+    FROM events WHERE event_type = 'click' GROUP BY user_id, h
+    """,
+)
+
+_register_kql(
+    "kql_join_summarize",
+    """orders | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+       | summarize revenue=round(sum(o_totalprice), 2), n=count() by c_mktsegment""",
+    """
+    SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+    """,
+)
+
+_register_kql(
+    "kql_string_pipeline",
+    """documents | where text has 'spark' and doc_id < 400
+       | project doc_id, head = toupper(substring(text, 0, 6)),
+                 n_words = array_length(split(text, ' '))""",
+    """
+    SELECT doc_id, upper(substring(text, 1, 6)) AS head,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents WHERE regexp_matches(text, '(?i)\\bspark\\b') AND doc_id < 400
+    """,
+)
+
+_register_kql(
+    "kql_let_topk",
+    """let pricey = orders | where o_totalprice > 300000;
+       pricey | join kind=leftsemi (customer | where c_acctbal > 0)
+                on $left.o_custkey == $right.c_custkey
+       | project o_orderkey, o_totalprice
+       | sort by o_totalprice desc, o_orderkey asc | take 15""",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 300000
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+    """,
+)
+
+_register_kql(
+    "kql_dynamic_union",
+    """events | where event_id < 200 | project id = event_id, k = tolong(props.k)
+       | union kind=outer (events | where event_id >= 9800 | project id = event_id, v2 = value)""",
+    """
+    SELECT event_id AS id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           NULL::DOUBLE AS v2
+    FROM events WHERE event_id < 200
+    UNION ALL BY NAME
+    SELECT event_id AS id, NULL::BIGINT AS k, value AS v2
+    FROM events WHERE event_id >= 9800
+    """,
+)

@@ -1,0 +1,45 @@
+"""Multimodal suite queries (rows-only: payload decode is stubbed —
+engine-defined outputs; the Spark plumbing is the thing under test,
+plus pytest coverage in tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.multimodal import (
+    extract_features,
+    frame_sample,
+    synthesize_media_table,
+)
+from meerkat_spark.suite import register
+
+
+@register("media_features", oracle=None)
+def media_features(spark, sf_dir):
+    """Histogram features over decoded (stubbed) media payloads via
+    mapInPandas; metadata-only columns survive, payload pruned."""
+    media = synthesize_media_table(spark, n=64)
+    return extract_features(media).orderBy("media_id")
+
+
+@register("media_frame_sample", oracle=None)
+def media_frame_sample(spark, sf_dir):
+    """Video frame sampling: rows expand per sampled frame."""
+    media = synthesize_media_table(spark, n=64)
+    return frame_sample(media, every_ms=5000).orderBy("media_id", "frame_idx")
+
+
+@register("media_metadata_agg", oracle=None)
+def media_metadata_agg(spark, sf_dir):
+    """Metadata-only aggregation — never touches payload bytes (column
+    pruning; the scan reads the typed metadata columns only)."""
+    media = synthesize_media_table(spark, n=64)
+    return (
+        media.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
+            F.max("duration_ms").alias("max_duration_ms"),
+        )
+        .orderBy("mime")
+    )

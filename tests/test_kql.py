@@ -1,0 +1,157 @@
+"""KQL front-end tests: each KQL query is checked against a DuckDB SQL
+oracle through the same differential harness the driver uses."""
+
+from __future__ import annotations
+
+import pytest
+
+from meerkat_spark.engine import MeerkatEngine
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import compare, register_views
+
+CASES: dict[str, tuple[str, str]] = {
+    "where_project": (
+        """events | where event_type == 'click' and value > 10
+           | project event_id, user_id, vat = value * 1.21""",
+        "SELECT event_id, user_id, value*1.21 AS vat FROM events "
+        "WHERE event_type='click' AND value > 10",
+    ),
+    "summarize_bin": (
+        """events | where event_type == 'click'
+           | summarize n=count(), v=round(avg(value), 4) by user_id, h=bin(ts, 1h)""",
+        "SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h, COUNT(*) AS n, "
+        "ROUND(AVG(value),4) AS v FROM events WHERE event_type='click' GROUP BY 1,2",
+    ),
+    "top_tiebreak": (
+        "orders | project o_orderkey, o_totalprice | sort by o_totalprice desc, o_orderkey asc | take 10",
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    ),
+    "join_inner": (
+        """orders | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+           | summarize revenue=round(sum(o_totalprice), 2) by c_mktsegment""",
+        "SELECT c_mktsegment, ROUND(SUM(o_totalprice),2) AS revenue FROM orders "
+        "JOIN customer ON o_custkey=c_custkey GROUP BY c_mktsegment",
+    ),
+    "join_leftanti": (
+        "customer | join kind=leftanti (orders) on $left.c_custkey == $right.o_custkey | project c_custkey",
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    ),
+    "distinct": (
+        "events | distinct event_type",
+        "SELECT DISTINCT event_type FROM events",
+    ),
+    "count": ("events | count", "SELECT COUNT(*) AS Count FROM events"),
+    "extend_case_funcs": (
+        """lineitem | extend disc = l_extendedprice * (1 - l_discount)
+           | extend band = iff(l_quantity < 25, 'small', 'big')
+           | project l_orderkey, l_linenumber, disc, band""",
+        "SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS disc, "
+        "CASE WHEN l_quantity < 25 THEN 'small' ELSE 'big' END AS band FROM lineitem",
+    ),
+    "string_funcs": (
+        """documents | where doc_id < 50
+           | project doc_id, up = toupper(substring(text, 0, 4)),
+                     n = strlen(text), first = split(text, ' ', 0)""",
+        "SELECT doc_id, upper(substring(text,1,4)) AS up, length(text) AS n, "
+        "string_split(text,' ')[1] AS first FROM documents WHERE doc_id < 50",
+    ),
+    "has_predicate": (
+        "documents | where text has 'spark' | project doc_id",
+        "SELECT doc_id FROM documents WHERE regexp_matches(text, '(?i)\\bspark\\b')",
+    ),
+    "in_and_between": (
+        """events | where event_type in ('click', 'view') and value between (10 .. 20)
+           | project event_id, value""",
+        "SELECT event_id, value FROM events WHERE event_type IN ('click','view') "
+        "AND value BETWEEN 10 AND 20",
+    ),
+    "datetime_funcs": (
+        """events | where event_id < 100
+           | project event_id, d = startofday(ts), hh = hourofday(ts), q = bin(ts, 15m)""",
+        "SELECT event_id, date_trunc('day', ts) AS d, hour(ts) AS hh, "
+        "time_bucket(INTERVAL '15 minutes', ts) AS q FROM events WHERE event_id < 100",
+    ),
+    "dynamic_member": (
+        "events | where event_id < 100 | project event_id, k = toint(props.k)",
+        "SELECT event_id, CAST(json_extract_string(props,'$.k') AS INT) AS k "
+        "FROM events WHERE event_id < 100",
+    ),
+    "union_kql": (
+        """customer | project key = c_custkey, bal = c_acctbal
+           | union kind=inner (supplier | project key = s_suppkey, bal = s_acctbal)""",
+        "SELECT c_custkey AS key, c_acctbal AS bal FROM customer "
+        "UNION ALL SELECT s_suppkey, s_acctbal FROM supplier",
+    ),
+    "range_source": (
+        "range x from 1 to 100 step 3 | extend x2 = x * x",
+        "SELECT x, x*x AS x2 FROM generate_series(1, 100, 3) t(x)",
+    ),
+    "print_source": (
+        "print a = 1 + 2, s = strcat('ab', '-', 'cd')",
+        "SELECT CAST(3 AS BIGINT) AS a, 'ab-cd' AS s",
+    ),
+    "let_scalar": (
+        """let threshold = 90;
+           events | where value > threshold | summarize n = count() by event_type""",
+        "SELECT event_type, COUNT(*) AS n FROM events WHERE value > 90 GROUP BY event_type",
+    ),
+    "let_table": (
+        """let big = events | where value > 90;
+           big | summarize n = count() by event_type""",
+        "SELECT event_type, COUNT(*) AS n FROM events WHERE value > 90 GROUP BY event_type",
+    ),
+    "mv_expand_kql": (
+        """documents | where doc_id < 5 | project doc_id, w = split(text, ' ')
+           | mv-expand w | summarize n = count() by w""",
+        "SELECT w, COUNT(*) AS n FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w "
+        "FROM documents WHERE doc_id < 5) GROUP BY w",
+    ),
+    "parse_op": (
+        "documents | parse source with 'src' src_num:int | project doc_id, src_num",
+        "SELECT doc_id, TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS src_num "
+        "FROM documents",
+    ),
+    "summarize_agg_funcs": (
+        """lineitem | summarize s = round(sum(l_quantity), 2),
+                     d = dcount(l_partkey),
+                     m = max(l_extendedprice),
+                     cif = countif(l_quantity > 25) by l_returnflag""",
+        "SELECT l_returnflag, ROUND(SUM(l_quantity),2) AS s, COUNT(DISTINCT l_partkey) AS d, "
+        "MAX(l_extendedprice) AS m, COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS cif "
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    "ago_now_sanity": (
+        "events | where ts < now() | count",
+        "SELECT COUNT(*) AS Count FROM events WHERE ts < now()",
+    ),
+    "search_kql": (
+        "documents | search 'vector' | project doc_id",
+        "SELECT doc_id FROM documents WHERE lower(text) LIKE '%vector%' "
+        "OR lower(lang) LIKE '%vector%' OR lower(source) LIKE '%vector%'",
+    ),
+    "timespan_arith": (
+        "events | where event_id < 50 | project event_id, later = ts + 1h, earlier = ts - 30m",
+        "SELECT event_id, ts + INTERVAL '1 hour' AS later, ts - INTERVAL '30 minutes' AS earlier "
+        "FROM events WHERE event_id < 50",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_kql_vs_sql(spark, duck, name):
+    kql, sql = CASES[name]
+    register_views(duck, SF_ORACLE)
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql(kql).to_df()
+    problems = compare(df, duck, sql, name)
+    assert not problems, "\n".join(problems)
+
+
+def test_kql_syntax_error(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    from meerkat_spark.kql import KqlSyntaxError
+
+    with pytest.raises(KqlSyntaxError):
+        eng.kql("events | frobnicate x")
+    with pytest.raises(KqlSyntaxError):
+        eng.kql("events | where (value > ")

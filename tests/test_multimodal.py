@@ -1,0 +1,57 @@
+"""Multimodal plumbing tests: schema contracts, Arrow batching,
+determinism, and the stub-decode error path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_spark.multimodal import (
+    decode_stub,
+    extract_features,
+    frame_sample,
+    synthesize_media_table,
+)
+
+
+def test_feature_extraction_schema_and_determinism(spark):
+    media = synthesize_media_table(spark, n=32)
+    feats = extract_features(media, n_bins=16)
+    rows = {r.media_id: r.feat for r in feats.collect()}
+    assert len(rows) == 32
+    assert all(len(v) == 16 for v in rows.values())
+    assert all(abs(sum(v) - 1.0) < 1e-5 for v in rows.values())  # normalized
+    rows2 = {r.media_id: r.feat for r in extract_features(media, n_bins=16).collect()}
+    assert rows == rows2  # deterministic across runs
+
+
+def test_frame_sample_expansion(spark):
+    media = synthesize_media_table(spark, n=32)
+    frames = frame_sample(media, every_ms=5000)
+    pdf = frames.toPandas()
+    per_media = pdf.groupby("media_id").size()
+    videos = {r.media_id: r.duration_ms for r in media.collect() if r.mime == "video/mp4"}
+    for mid, dur in videos.items():
+        assert per_media[mid] == dur // 5000 + 1
+    non_videos = [r.media_id for r in media.collect() if r.mime != "video/mp4"]
+    assert all(per_media[m] == 1 for m in non_videos)
+
+
+def test_decode_stub_contract():
+    img = decode_stub(b"\x01\x02\x03\x04\x05\x06\x07\x08", 8, 4)
+    assert img.shape == (4, 8)
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"", 8, 8)
+
+
+def test_metadata_agg_prunes_payload(spark, tmp_path):
+    """Metadata aggregation over a parquet media table must not read the
+    payload column (column pruning at the scan)."""
+    p = str(tmp_path / "media")
+    synthesize_media_table(spark, n=32).write.parquet(p)
+    agg = spark.read.parquet(p).groupBy("mime").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "payload" not in read_schema
+    assert "mime" in read_schema
