@@ -47,6 +47,7 @@ def load_all() -> None:
         similarity,
         kqlqueries,
         multimodal,
+        extras,
     )
 
 

@@ -1,0 +1,292 @@
+"""Extended T2 surface (SURVEY.md §2.2.1-2.2.4): mv-apply, make-series
+as dense arrays, series_stats, facet/fork, top-nested `with others`,
+datetime range tables, array percentiles, dedup-by-key."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meerkat_spark.engine import MeerkatEngine
+from meerkat_spark.functions import agg as A
+from meerkat_spark.suite import register
+
+
+def _eng(spark, sf_dir) -> MeerkatEngine:
+    return MeerkatEngine(spark, sf_dir)
+
+
+@register(
+    "mv_apply_topwords",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 100
+    ), ranked AS (
+      SELECT doc_id, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY length(w) DESC, w ASC) AS rk
+      FROM words WHERE w <> ''
+    )
+    SELECT doc_id, array_to_string(list(w ORDER BY rk), ',') AS top_words
+    FROM ranked WHERE rk <= 2 GROUP BY doc_id
+    """,
+)
+def mv_apply_topwords(spark, sf_dir):
+    """KQL mv-apply: per-row subquery over the exploded array — here
+    'top 2 longest words per document', realized as posexplode + window
+    + re-aggregate (the composition SURVEY.md §2.2.1 prescribes)."""
+    e = _eng(spark, sf_dir)
+    words = (
+        e.table("documents")
+        .where(F.col("doc_id") < 100)
+        .project("doc_id", w=F.explode(F.split(F.col("text"), " ")))
+        .where(F.col("w") != "")
+        .to_df()
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.length("w").desc(), F.col("w").asc())
+    )
+    top2 = words.withColumn("rk", rk).filter(F.col("rk") <= 2)
+    return top2.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "w"))), lambda s: s.w
+            ),
+            ",",
+        ).alias("top_words")
+    )
+
+
+@register(
+    "make_series_arrays",
+    oracle="""
+    WITH days AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-30', INTERVAL '1 day')) AS day
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+      FROM types t CROSS JOIN days d
+      LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day
+    )
+    SELECT event_type, array_to_string(list(n ORDER BY day), ',') AS series
+    FROM grid GROUP BY event_type
+    """,
+)
+def make_series_arrays(spark, sf_dir):
+    """KQL make-series PROPER output shape: one dense ordered array per
+    group (zero-filled). Heavy input is pre-aggregated before the tiny
+    grid join; the final collect is group × steps only."""
+    e = _eng(spark, sf_dir)
+    counts = (
+        e.table("events")
+        .extend(day=F.date_trunc("day", F.col("ts")))
+        .summarize({"n": F.count(F.lit(1))}, by=["event_type", "day"])
+        .to_df()
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = e.table("events").distinct("event_type").to_df()
+    grid = (
+        types.crossJoin(days)
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    return grid.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "n"))), lambda s: s.n
+            ),
+            ",",
+        ).alias("series")
+    )
+
+
+@register(
+    "series_stats_daily",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           MIN(n) AS s_min, MAX(n) AS s_max,
+           ROUND(AVG(n), 4) AS s_avg,
+           ROUND(stddev_samp(n), 4) AS s_std,
+           COUNT(*) AS s_len
+    FROM counts GROUP BY event_type
+    """,
+)
+def series_stats_daily(spark, sf_dir):
+    """KQL series_stats over the make-series values (min/max/avg/stdev/
+    len per series)."""
+    e = _eng(spark, sf_dir)
+    counts = (
+        e.table("events")
+        .extend(day=F.date_trunc("day", F.col("ts")))
+        .summarize({"n": F.count(F.lit(1))}, by=["event_type", "day"])
+        .to_df()
+    )
+    return counts.groupBy("event_type").agg(
+        F.min("n").alias("s_min"),
+        F.max("n").alias("s_max"),
+        F.round(F.avg("n"), 4).alias("s_avg"),
+        F.round(F.stddev_samp("n"), 4).alias("s_std"),
+        F.count(F.lit(1)).alias("s_len"),
+    )
+
+
+@register(
+    "dedup_events_by_key",
+    oracle="SELECT DISTINCT ts, event_id FROM events WHERE user_id < 10",
+)
+def dedup_events_by_key(spark, sf_dir):
+    """The reference's (_ts, _dedup) dedup as a query op (merge-time
+    dedup semantics, reference README.md:15,22) — projected to the key
+    columns so results are deterministic."""
+    e = _eng(spark, sf_dir)
+    return (
+        e.table("events")
+        .where(F.col("user_id") < 10)
+        .to_df()
+        .dropDuplicates(["ts", "event_id"])
+        .select("ts", "event_id")
+    )
+
+
+@register(
+    "fork_legs",
+    oracle="""
+    SELECT 'counts' AS leg, event_type, CAST(COUNT(*) AS DOUBLE) AS metric
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'avg_value' AS leg, event_type, ROUND(AVG(value), 4) AS metric
+    FROM events GROUP BY event_type
+    """,
+)
+def fork_legs(spark, sf_dir):
+    """KQL fork/facet: two output legs off one cached parent — the
+    parent scan is shared (persist) instead of re-read per leg."""
+    e = _eng(spark, sf_dir)
+    parent = e.table("events").to_df()
+    leg1 = parent.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("metric")
+    ).select(F.lit("counts").alias("leg"), "event_type", "metric")
+    leg2 = parent.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("metric")
+    ).select(F.lit("avg_value").alias("leg"), "event_type", "metric")
+    return leg1.unionByName(leg2)
+
+
+@register(
+    "top_nested_with_others",
+    oracle="""
+    WITH nation_counts AS (
+      SELECT r_name, n_name, COUNT(*) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY r_name
+                                   ORDER BY n_cust DESC, n_name) AS rk
+      FROM nation_counts
+    )
+    SELECT r_name, n_name, n_cust FROM ranked WHERE rk <= 2
+    UNION ALL
+    SELECT r_name, 'Other' AS n_name, SUM(n_cust) AS n_cust
+    FROM ranked WHERE rk > 2 GROUP BY r_name
+    """,
+)
+def top_nested_with_others(spark, sf_dir):
+    """KQL `top-nested ... with others = 'Other'`: per-region top-2
+    nations plus a rollup row aggregating the rest."""
+    e = _eng(spark, sf_dir)
+    base = (
+        e.table("customer")
+        .lookup(e.table("nation"), on=F.col("c_nationkey") == F.col("n_nationkey"))
+        .lookup(e.table("region"), on=F.col("n_regionkey") == F.col("r_regionkey"))
+        .to_df()
+    )
+    counts = base.groupBy("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
+    ranked = counts.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("r_name").orderBy(F.col("n_cust").desc(), F.col("n_name"))
+        ),
+    )
+    top = ranked.filter(F.col("rk") <= 2).select("r_name", "n_name", "n_cust")
+    others = (
+        ranked.filter(F.col("rk") > 2)
+        .groupBy("r_name")
+        .agg(F.sum("n_cust").alias("n_cust"))
+        .select("r_name", F.lit("Other").alias("n_name"), "n_cust")
+    )
+    return top.unionByName(others)
+
+
+@register(
+    "range_datetime_table",
+    oracle="""
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                  TIMESTAMP '2024-01-02',
+                                  INTERVAL '1 hour')) AS h
+    """,
+)
+def range_datetime_table(spark, sf_dir):
+    """KQL `range h from datetime(...) to datetime(...) step 1h`."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-02").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+
+
+@register(
+    "agg_percentiles_array",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_transform(quantile_cont(value, [0.25, 0.5, 0.95]),
+                                          x -> CAST(ROUND(x, 4) AS VARCHAR)), ',') AS ps
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles_array(spark, sf_dir):
+    """KQL percentiles(x, 25, 50, 95) — the multi-percentile array form."""
+    e = _eng(spark, sf_dir)
+    ps = A.percentiles("value", 0.25, 0.5, 0.95)
+    return (
+        e.table("events")
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(ps, lambda x: F.round(x, 4).cast("string")), ","
+            ).alias("ps")
+        )
+    )
+
+
+@register("sample_distinct_op", oracle=None)
+def sample_distinct_op(spark, sf_dir):
+    """KQL sample-distinct: random distinct values (nondeterministic
+    across engines → rows-only)."""
+    e = _eng(spark, sf_dir)
+    return (
+        e.table("events").distinct("user_id").sample(0.3, seed=42).to_df()
+    )

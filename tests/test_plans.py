@@ -1,0 +1,114 @@
+"""Physical-plan shape tests: the 100TB-scale properties are asserted on
+`.explain` output, not hoped for — filter pushdown reaches the parquet
+scan, projections prune columns, dimension joins broadcast, top-k plans
+TakeOrderedAndProject (no global sort), aggregations run partial+final.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_spark.engine import MeerkatEngine
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def eng(spark):
+    return MeerkatEngine(spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(eng):
+    df = (
+        eng.table("lineitem")
+        .where(F.col("l_quantity") > 30)
+        .project("l_orderkey", "l_quantity")
+        .to_df()
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_quantity,30", plan)
+
+
+def test_column_pruning_reaches_scan(eng):
+    df = eng.table("lineitem").project("l_orderkey", "l_quantity").to_df()
+    read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # untouched columns not read
+
+
+def test_lookup_is_broadcast(eng):
+    df = eng.table("customer").lookup(
+        eng.table("nation"), on=F.col("c_nationkey") == F.col("n_nationkey")
+    ).to_df()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_uses_take_ordered(eng):
+    df = eng.table("orders").top(10, F.col("o_totalprice")).to_df()
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_agg_is_partial_final(eng):
+    df = (
+        eng.table("lineitem")
+        .summarize({"s": F.sum("l_quantity")}, by=["l_returnflag"])
+        .to_df()
+    )
+    plan = plan_of(df)
+    # two HashAggregate nodes (partial then final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_kql_pipeline_single_codegen_stage(eng):
+    df = eng.kql(
+        "lineitem | where l_quantity > 30 | project l_orderkey, x = l_quantity * 2"
+    ).to_df()
+    plan = plan_of(df)
+    # filter+project fuse into one codegen stage (plan shows `*(n)` ids)
+    stage_ids = set(re.findall(r"\*\((\d+)\)", plan))
+    assert stage_ids == {"1"}, plan
+
+
+def test_kql_timestamp_bin_prunable(eng):
+    """bin(ts, 1h) on a filtered time range: the ts filter itself must
+    push to the scan (partition pruning applies when tables are written
+    partitioned by _ts_day — ingest path)."""
+    df = eng.kql(
+        "events | where ts > datetime_cut and event_type == 'click' | count"
+        .replace("datetime_cut", "now() - 365d")
+    ).to_df()
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+
+
+def test_knn_brute_force_no_shuffle_before_topk(eng):
+    """Query side broadcast: the corpus scan must not shuffle before the
+    per-query top-k window."""
+    from meerkat_spark.similarity import knn
+
+    emb = eng.table("embeddings").to_df()
+    q = emb.filter(F.col("vec_id") < 4)
+    plan = plan_of(knn.brute_force_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_union_schema_alignment(eng):
+    t1 = eng.table("customer").project(key=F.col("c_custkey"))
+    t2 = eng.table("supplier").project(key=F.col("s_suppkey"), extra=F.lit(1))
+    out = t1.union(t2, kind="outer").to_df()
+    assert set(out.columns) == {"key", "extra"}
+    plan = plan_of(out)
+    assert "Union" in plan
