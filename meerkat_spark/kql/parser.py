@@ -38,6 +38,11 @@ class Timespan:
 
 
 @dataclass
+class DateTimeLit:
+    text: str  # raw content of datetime(...)
+
+
+@dataclass
 class Ident:
     name: str
 
@@ -110,6 +115,7 @@ class Query:
 # ------------------------------------------------------------------ parser
 class Parser:
     def __init__(self, text: str):
+        self.text = text
         self.tokens = tokenize(text)
         self.i = 0
 
@@ -408,6 +414,64 @@ class Parser:
                 break
         return OpNode("parse", {"src": src, "parts": parts})
 
+    def op_evaluate(self) -> OpNode:
+        """`evaluate plugin(args)` — bag_unpack, pivot."""
+        plugin = str(self.expect("IDENT").value).lower()
+        self.expect("PUNCT", "(")
+        args = []
+        if not self.at("PUNCT", ")"):
+            args.append(self.parse_expr())
+            while self.at("PUNCT", ","):
+                self.next()
+                args.append(self.parse_expr())
+        self.expect("PUNCT", ")")
+        return OpNode("evaluate", {"plugin": plugin, "args": args})
+
+    def op_make_series(self) -> OpNode:
+        """make-series name=agg(...) [default=lit] on ts
+        [from expr to expr] step 1d [by keys]"""
+        aggs = []
+        default = P_DEFAULT_SENTINEL
+        while True:
+            name = None
+            save = self.i
+            if self.at("IDENT"):
+                n = str(self.next().value)
+                if self.at("OP", "="):
+                    self.next()
+                    name = n
+                else:
+                    self.i = save
+            aggs.append((name, self.parse_expr()))
+            # `default = lit` binds after an agg WITHOUT a comma
+            if self.at_ident("default"):
+                self.next()
+                self.expect("OP", "=")
+                default = self.parse_expr()
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        self.expect_ident("on")
+        ts = self.parse_expr()
+        lo = hi = None
+        if self.at_ident("from"):
+            self.next()
+            lo = self.parse_expr()
+            self.expect_ident("to")
+            hi = self.parse_expr()
+        self.expect_ident("step")
+        step = self.parse_expr()
+        by = []
+        if self.at_ident("by"):
+            self.next()
+            by = self.parse_named_exprs()
+        return OpNode(
+            "make-series",
+            {"aggs": aggs, "default": default, "on": ts, "from": lo, "to": hi,
+             "step": step, "by": by},
+        )
+
     def op_search(self) -> OpNode:
         term = self.expect("STRING").value
         return OpNode("search", {"term": str(term)})
@@ -569,6 +633,8 @@ class Parser:
                 return Lit(False)
             if low == "null":
                 return Lit(None)
+            if low == "datetime" and self.at("PUNCT", "("):
+                return DateTimeLit(self._raw_parens())
             if self.at("PUNCT", "("):
                 self.next()
                 args = []
@@ -582,6 +648,23 @@ class Parser:
             return Ident(word)
         raise KqlSyntaxError(f"unexpected token {t!r}")
 
+    def _raw_parens(self) -> str:
+        """Consume a parenthesized region and return its RAW source text
+        (for datetime(2024-01-01 00:00:00)-style literals whose content
+        does not tokenize as an expression)."""
+        open_tok = self.expect("PUNCT", "(")
+        depth = 1
+        t = open_tok
+        while depth:
+            t = self.next()
+            if t.kind == "EOF":
+                raise KqlSyntaxError("unterminated datetime(...) literal")
+            if t.kind == "PUNCT" and t.value == "(":
+                depth += 1
+            elif t.kind == "PUNCT" and t.value == ")":
+                depth -= 1
+        return self.text[open_tok.pos + 1 : t.pos].strip()
+
 
 def op_lookup(self) -> OpNode:
     node = self.op_join()
@@ -590,6 +673,9 @@ def op_lookup(self) -> OpNode:
 
 
 Parser.op_lookup = op_lookup
+
+
+P_DEFAULT_SENTINEL = Lit(0)
 
 
 def parse_kql(text: str) -> Query:

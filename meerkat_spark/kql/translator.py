@@ -207,6 +207,8 @@ class Translator:
             return node.value
         if isinstance(node, P.Timespan):
             return _Span(node.seconds)
+        if isinstance(node, P.DateTimeLit):
+            return F.lit(node.text).cast("timestamp")
         if isinstance(node, P.Ident):
             name = node.name
             if name in self.lets and not isinstance(self.lets[name], P.Pipeline):
@@ -494,6 +496,110 @@ class Translator:
                 col = col.try_cast(spark_t)
             out = out.extend(**{name: col})
         return out
+
+    def ap_evaluate(self, t, a):
+        plugin = a["plugin"]
+        if plugin == "bag_unpack":
+            col_node = a["args"][0]
+            if not isinstance(col_node, P.Ident):
+                raise KqlSyntaxError("bag_unpack expects a column name")
+            col = col_node.name
+            # discover bag keys from a sample, then extract each as a column
+            # (schema inference is a metadata action — one small job)
+            sample = t.df.select(col).filter(F.col(col).isNotNull()).limit(1000)
+            keys: set[str] = set()
+            for r in sample.select(
+                F.json_object_keys(F.col(col)).alias("ks")
+            ).collect():
+                if r.ks:
+                    keys.update(r.ks)
+            out = t.df
+            for k in sorted(keys):
+                out = out.withColumn(k, F.get_json_object(F.col(col), f"$.{k}"))
+            return MeerkatTable(out.drop(col))
+        if plugin == "pivot":
+            col_node = a["args"][0]
+            if not isinstance(col_node, P.Ident):
+                raise KqlSyntaxError("pivot expects a column name")
+            pivot_col = col_node.name
+            agg = (
+                _c(self.expr(a["args"][1], agg=True))
+                if len(a["args"]) > 1
+                else F.count(F.lit(1))
+            )
+            others = [c for c in t.df.columns if c != pivot_col]
+            return MeerkatTable(
+                t.df.groupBy(*others[:1]).pivot(pivot_col).agg(agg.alias("v"))
+            )
+        raise KqlSyntaxError(f"unknown evaluate plugin {plugin!r}")
+
+    def ap_make_series(self, t, a):
+        step = self.expr(a["step"])
+        if not isinstance(step, _Span):
+            raise KqlSyntaxError("make-series step must be a timespan")
+        step_s = int(step.seconds)
+        ts_node = a["on"]
+        if not isinstance(ts_node, P.Ident):
+            raise KqlSyntaxError("make-series on-clause must be a column")
+        ts = ts_node.name
+        default = _c(self.expr(a["default"]))
+
+        binned = S.bin_datetime(F.col(ts), step_s).alias("__bin")
+        by_cols, by_names = [], []
+        for i, (name, e) in enumerate(a["by"]):
+            out_name = name or _default_key_name(e, i)
+            by_cols.append(_c(self.expr(e)).alias(out_name))
+            by_names.append(out_name)
+
+        aggs: dict[str, Column] = {}
+        for i, (name, e) in enumerate(a["aggs"]):
+            aggs[name or _default_agg_name(e, i)] = _c(self.expr(e, agg=True))
+        grouped = t.df.groupBy(*by_cols, binned).agg(
+            *[c.alias(n) for n, c in aggs.items()]
+        )
+
+        # bounds: explicit or derived from the data (single-row agg join)
+        if a["from"] is not None:
+            lo = _c(self.expr(a["from"]))
+            hi = _c(self.expr(a["to"]))
+            bounds = t.df.sparkSession.range(1).select(
+                S.bin_datetime(lo, step_s).alias("__lo"),
+                S.bin_datetime(hi, step_s).alias("__hi"),
+            )
+        else:
+            bounds = grouped.agg(
+                F.min("__bin").alias("__lo"), F.max("__bin").alias("__hi")
+            )
+        spine = bounds.select(
+            F.explode(
+                F.sequence(
+                    F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step_s} SECOND")
+                )
+            ).alias("__bin")
+        )
+        groups = grouped.select(*by_names).distinct() if by_names else None
+        grid = groups.crossJoin(spine) if groups is not None else spine
+        joined = grid.join(grouped, [*by_names, "__bin"], "left")
+        filled = joined.select(
+            *by_names,
+            F.col("__bin"),
+            *[F.coalesce(F.col(n), default).alias(n) for n in aggs],
+        )
+        # dense ordered arrays per group (the KQL make-series output shape)
+        collect = filled.groupBy(*by_names) if by_names else filled.groupBy()
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col("__bin"), *[F.col(n) for n in aggs]))
+        )
+        def _field_getter(field_name):
+            # NB: the lambda must be unary — pandas/pyspark transform()
+            # passes (element, index) to binary lambdas
+            return lambda s: s.getField(field_name)
+
+        out = collect.agg(
+            F.transform(pairs, _field_getter("__bin")).alias(ts),
+            *[F.transform(pairs, _field_getter(n)).alias(n) for n in aggs],
+        )
+        return MeerkatTable(out)
 
     def ap_search(self, t, a):
         return t.search(a["term"])

@@ -48,6 +48,7 @@ def load_all() -> None:
         kqlqueries,
         multimodal,
         extras,
+        temporal,
     )
 
 

@@ -68,6 +68,45 @@ _register_kql(
     """,
 )
 
+def _kql_make_series(spark, sf_dir):
+    """KQL make-series through the parser, arrays joined to strings for
+    the cross-engine hash."""
+    from pyspark.sql import functions as F
+
+    eng = MeerkatEngine(spark, sf_dir)
+    df = eng.kql(
+        """events | make-series n = count() default = 0 on ts
+           from datetime(2024-01-01) to datetime(2024-01-30) step 1d by event_type"""
+    ).to_df()
+    return df.select(
+        "event_type",
+        F.array_join(F.transform(F.col("n"), lambda x: x.cast("string")), ",").alias(
+            "series"
+        ),
+    )
+
+
+register(
+    "kql_make_series",
+    oracle="""
+    WITH days AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-30', INTERVAL '1 day')) AS day
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+      FROM types t CROSS JOIN days d
+      LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day
+    )
+    SELECT event_type, array_to_string(list(n ORDER BY day), ',') AS series
+    FROM grid GROUP BY event_type
+    """,
+)(_kql_make_series)
+
+
 _register_kql(
     "kql_dynamic_union",
     """events | where event_id < 200 | project id = event_id, k = tolong(props.k)

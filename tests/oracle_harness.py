@@ -23,11 +23,12 @@ def register_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
 
 
 def _norm_cell(v: Any) -> Any:
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # NULL doubles surface as NaN via toPandas/duckdb.df alike
+            return None
         # canonicalize to 9 significant digits so engine-level fp noise
         # below the comparison threshold doesn't flip sort order
         return float(f"{v:.9g}")

@@ -4,6 +4,7 @@ oracle through the same differential harness the driver uses."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from meerkat_spark.engine import MeerkatEngine
 from tests.conftest import SF_ORACLE
@@ -145,6 +146,47 @@ def test_kql_vs_sql(spark, duck, name):
     df = eng.kql(kql).to_df()
     problems = compare(df, duck, sql, name)
     assert not problems, "\n".join(problems)
+
+
+def test_kql_make_series(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql(
+        """events | make-series n = count() default = 0 on ts
+           from datetime(2024-01-01) to datetime(2024-01-30) step 1d by event_type"""
+    ).to_df()
+    rows = df.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r.ts) == 30 and len(r.n) == 30
+        assert r.ts[0].isoformat().startswith("2024-01-01")
+    # derived bounds (no from/to): same shape
+    df2 = eng.kql(
+        "events | make-series n = count() default = 0 on ts step 1d by event_type"
+    ).to_df()
+    assert all(len(r.n) == 30 for r in df2.collect())
+
+
+def test_kql_evaluate_bag_unpack(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql(
+        "events | where event_id < 20 | project event_id, props | evaluate bag_unpack(props)"
+    ).to_df()
+    assert set(df.columns) == {"event_id", "k"}
+    assert df.filter(F.col("k").isNull()).count() == 0
+
+
+def test_kql_evaluate_pivot(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql(
+        "events | project user_id, event_type | evaluate pivot(event_type)"
+    ).to_df()
+    assert "click" in df.columns and "user_id" in df.columns
 
 
 def test_kql_syntax_error(spark):

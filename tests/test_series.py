@@ -1,0 +1,88 @@
+"""Series-function tests with known-answer inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_spark.functions import series as SR
+
+
+@pytest.fixture()
+def series_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0, 4.0, 5.0]),
+            (2, [10.0, 10.0, 10.0, 100.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0]),
+            (3, []),
+        ],
+        "id int, s array<double>",
+    )
+
+
+def test_series_fir_moving_average(spark, series_df):
+    out = {
+        r.id: r.f
+        for r in series_df.select(
+            "id", SR.series_fir(F.col("s"), [1, 1, 1]).alias("f")
+        ).collect()
+    }
+    # centered 3-MA of [1..5]: edges use partial windows under 'same'
+    assert out[1][1] == pytest.approx(2.0)
+    assert out[1][2] == pytest.approx(3.0)
+    assert out[1][3] == pytest.approx(4.0)
+    assert out[3] == []
+
+
+def test_series_outliers_flags_spike(spark, series_df):
+    out = {
+        r.id: r.o
+        for r in series_df.select(
+            "id", SR.series_outliers(F.col("s")).alias("o")
+        ).collect()
+    }
+    assert out[2][3] == 1  # the 100.0 spike
+    assert sum(map(abs, out[2])) == 1  # only the spike flagged
+    assert out[3] == []
+
+
+def test_series_fit_line(spark, series_df):
+    row = (
+        series_df.filter(F.col("id") == 1)
+        .select(SR.series_fit_line(F.col("s")).alias("fit"))
+        .select("fit.*")
+        .first()
+    )
+    assert row.slope == pytest.approx(1.0, abs=1e-6)
+    assert row.intercept == pytest.approx(1.0, abs=1e-6)
+    assert row.rsquare == pytest.approx(1.0, abs=1e-6)
+
+
+def test_series_over_make_series(spark):
+    """End to end: make-series daily counts → smooth → outliers."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    e = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    counts = (
+        e.table("events")
+        .extend(day=F.date_trunc("day", F.col("ts")))
+        .summarize({"n": F.count(F.lit(1))}, by=["event_type", "day"])
+        .to_df()
+    )
+    series = counts.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s.n.cast("double"),
+        ).alias("s")
+    )
+    out = series.select(
+        "event_type",
+        SR.series_fir(F.col("s"), [1, 1, 1]).alias("smooth"),
+        SR.series_outliers(F.col("s")).alias("outliers"),
+        SR.series_fit_line(F.col("s")).alias("fit"),
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r.smooth) == len(r.outliers)
+        assert r.fit.rsquare is not None
