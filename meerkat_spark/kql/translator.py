@@ -527,9 +527,10 @@ class Translator:
                 if len(a["args"]) > 1
                 else F.count(F.lit(1))
             )
+            # KQL pivot groups by every remaining column
             others = [c for c in t.df.columns if c != pivot_col]
             return MeerkatTable(
-                t.df.groupBy(*others[:1]).pivot(pivot_col).agg(agg.alias("v"))
+                t.df.groupBy(*others).pivot(pivot_col).agg(agg.alias("v"))
             )
         raise KqlSyntaxError(f"unknown evaluate plugin {plugin!r}")
 

@@ -331,6 +331,45 @@ def scalar_predicates(spark, sf_dir):
 
 
 @register(
+    "scalar_misc",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN lang < source THEN -1 WHEN lang = source THEN 0 ELSE 1 END AS cmp,
+           array_to_string(json_keys(json('{"a":1,"b":2}')), ',') AS bkeys,
+           CAST(CAST(n_chars AS DECIMAL(38,6)) * 1.25 AS DOUBLE) AS dec_mul,
+           to_base64(encode('x' || lang)) AS b64,
+           CASE WHEN n_chars % 2 = 0 THEN NULL ELSE n_chars END AS odd_or_null
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def scalar_misc(spark, sf_dir):
+    """Leftover scalars: strcmp, bag_keys, decimal arithmetic,
+    base64_encode, nullif-style conditionals."""
+    t = _eng(spark, sf_dir).table("documents")
+    cmp = (
+        F.when(F.col("lang") < F.col("source"), -1)
+        .when(F.col("lang") == F.col("source"), 0)
+        .otherwise(1)
+    )
+    return (
+        t.where(F.col("doc_id") < 60)
+        .project(
+            "doc_id",
+            cmp=cmp,
+            bkeys=F.array_join(S.bag_keys(F.lit('{"a":1,"b":2}')), ","),
+            # decimal DIVISION result scale differs across engines; exact
+            # multiplication does not
+            dec_mul=(F.col("n_chars").cast("decimal(38,6)") * 1.25).cast("double"),
+            b64=S.base64_encode_tostring(S.strcat("x", F.col("lang"))),
+            odd_or_null=F.when(F.col("n_chars") % 2 == 0, F.lit(None)).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .to_df()
+    )
+
+
+@register(
     "scalar_extract_regex",
     oracle="""
     SELECT doc_id,

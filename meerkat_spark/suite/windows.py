@@ -163,6 +163,46 @@ def window_session(spark, sf_dir):
 
 
 @register(
+    "window_session_native",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def window_session_native(spark, sf_dir):
+    """Spark's NATIVE session_window (gap-merge sessionization, the
+    batch form of streaming session windows) — oracled against the
+    first-principles lag/cumsum SQL. Verified at the boundary: events
+    exactly `gap` apart MERGE (inclusive), so the oracle's new-session
+    flag is strict `>`."""
+    t = _eng(spark, sf_dir).table("events")
+    return (
+        t.where(F.col("user_id") < 20)
+        .to_df()
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "top_nested",
     oracle="""
     WITH region_counts AS (
