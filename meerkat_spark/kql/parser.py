@@ -267,6 +267,13 @@ class Parser:
             break
         return names
 
+    def op_project_reorder(self) -> OpNode:
+        return OpNode("project-reorder", {"first": self.parse_name_list()})
+
+    def op_parse_where(self) -> OpNode:
+        node = self.op_parse()
+        return OpNode("parse-where", node.args)
+
     def op_project_rename(self) -> OpNode:
         renames = {}
         while True:

@@ -605,6 +605,20 @@ class Translator:
     def ap_search(self, t, a):
         return t.search(a["term"])
 
+    def ap_project_reorder(self, t, a):
+        return t.project_reorder(*a["first"])
+
+    def ap_parse_where(self, t, a):
+        import re as _re
+
+        out = self.ap_parse(t, a)
+        src = _c(self.expr(a["src"]))
+        pattern = "".join(
+            _re.escape(val) if kind == "lit" else ("(\\d+)" if val[1] in ("int", "long") else "(.*?)")
+            for kind, val in a["parts"]
+        )
+        return out.where(src.rlike(pattern))
+
     def ap_getschema(self, t, a):
         return t.getschema()
 

@@ -5,5 +5,6 @@ policy): as-of join (union+window, one shuffle), bucketed range join
 
 from meerkat_spark.operators.asof import asof_join
 from meerkat_spark.operators.rangejoin import range_join
+from meerkat_spark.operators.skew import salted_join
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "salted_join"]

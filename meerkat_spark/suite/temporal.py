@@ -41,6 +41,30 @@ def asof_join_events(spark, sf_dir):
 
 
 @register(
+    "salted_join_skew",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_join_skew(spark, sf_dir):
+    """Salted skew-resistant join (operators/skew.py) — semantically
+    identical to the plain equi-join (the oracle), with the fact side
+    spread over 8 salt buckets per key."""
+    from meerkat_spark.operators import salted_join
+
+    e = MeerkatEngine(spark, sf_dir)
+    cust = e.table("customer").to_df().withColumnRenamed("c_nationkey", "nk")
+    nat = e.table("nation").to_df().withColumnRenamed("n_nationkey", "nk")
+    joined = salted_join(cust, nat, on="nk", salt_buckets=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"),
+    )
+
+
+@register(
     "range_join_price_bands",
     oracle="""
     WITH bands AS (

@@ -150,19 +150,19 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def text_stats(spark, sf_dir):
-    """Token counting + stopword-ratio quality signal (SQL-expressible
-    slice of text/analysis.py; the full bundle incl. quality score and
-    language ID is exercised below and in pytest)."""
+    """Token counting + stopword-ratio quality signal via the vectorized
+    kernel (exact-equivalent to the declarative Column forms in
+    text/analysis.py — this oracle is the equivalence check)."""
     d = _docs(spark, sf_dir)
-    text = F.col("text")
-    toks = TA.tokens(text)
-    stop_hits = F.size(F.filter(TA.tokens(F.lower(text)), lambda t: t.isin(TA.STOPWORDS_EN)))
-    return d.select(
+    stats = TA.token_stats_udf()(F.col("text")).alias("_st")
+    return d.select("doc_id", F.length("text").cast("long").alias("n_chars2"), stats).select(
         "doc_id",
-        TA.token_count(text).alias("n_tokens"),
-        F.length(text).cast("long").alias("n_chars2"),
+        F.col("_st.n_tokens").alias("n_tokens"),
+        "n_chars2",
         F.round(
-            stop_hits.cast("double") / F.nullif(F.size(toks), F.lit(0)).cast("double"), 6
+            F.col("_st.stop_hits").cast("double")
+            / F.nullif(F.col("_st.n_tokens"), F.lit(0)).cast("double"),
+            6,
         ).alias("stopword_ratio"),
     )
 

@@ -107,6 +107,11 @@ CASES: dict[str, tuple[str, str]] = {
         "SELECT w, COUNT(*) AS n FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w "
         "FROM documents WHERE doc_id < 5) GROUP BY w",
     ),
+    "parse_where_op": (
+        "documents | parse-where source with 'src' src_num:int | project doc_id, src_num",
+        "SELECT doc_id, TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS src_num "
+        "FROM documents WHERE regexp_matches(source, 'src(\\d+)')",
+    ),
     "parse_op": (
         "documents | parse source with 'src' src_num:int | project doc_id, src_num",
         "SELECT doc_id, TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS src_num "
