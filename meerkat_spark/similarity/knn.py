@@ -113,6 +113,63 @@ def lsh_code(vec, n_planes: int, dim: int):
     return code
 
 
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100TB form of brute-force top-k: queries collected to a small
+    numpy matrix (driver-side, bounded), scored against the corpus with
+    ONE Arrow-batched matrix multiply per partition batch —
+    per-partition top-k, then global merge via TakeOrdered.
+
+    `queries_pdf` is a pandas DataFrame [query_id, qv(list)] — small by
+    contract. ~100× less per-element overhead than the interpreted
+    zip_with/aggregate fold; results may differ from the exact fold in
+    the last float ulp (BLAS pairwise summation), hence rows-only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    qids = queries_pdf["query_id"].to_numpy()
+    Q = np.stack(queries_pdf["qv"].to_numpy()).astype(np.float64)  # (nq, d)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Cn @ Qn.T  # (nc, nq)
+            rows = {"query_id": [], "neighbor_id": [], "sim": []}
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], col[mask]
+                if len(cand_ids) > k:
+                    part = np.argpartition(-cand_sims, k)[:k]
+                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                rows["query_id"].extend([qid] * len(cand_ids))
+                rows["neighbor_id"].extend(cand_ids.tolist())
+                rows["sim"].extend(cand_sims.tolist())
+            yield pd.DataFrame(rows)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -283,6 +283,29 @@ def agg_binary_all(spark, sf_dir):
     ).to_df()
 
 
+@register(
+    "agg_distinct_variants",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(DISTINCT l_quantity), 2) AS sum_d,
+           COUNT(DISTINCT CASE WHEN l_discount > 0.05 THEN l_partkey END) AS cd_if
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_distinct_variants(spark, sf_dir):
+    """KQL sum_distinct / count_distinctif (§2.2.2 T2)."""
+    t = _eng(spark, sf_dir).table("lineitem")
+    return t.summarize(
+        {
+            "sum_d": F.round(F.sum_distinct(F.col("l_quantity")), 2),
+            "cd_if": F.countDistinct(
+                F.when(F.col("l_discount") > 0.05, F.col("l_partkey"))
+            ),
+        },
+        by=["l_linestatus"],
+    ).to_df()
+
+
 @register("agg_hll_sketch", oracle=None)
 def agg_hll_sketch(spark, sf_dir):
     """KQL hll()/hll_merge()/dcount_hll() — two-level sketch merge:

@@ -89,6 +89,26 @@ def knn_pairwise_label(spark, sf_dir):
     )
 
 
+@register("knn_cosine_topk_fast", oracle=None)
+def knn_cosine_topk_fast(spark, sf_dir):
+    """Vectorized brute-force top-k (numpy matmul per Arrow batch) —
+    the 100TB scan path. Rows-only (BLAS summation differs in the last
+    ulp from the sequential fold); equivalence to the exact oracle
+    variant asserted in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    q_pdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            knn._to_double(F.col("embedding")).alias("qv"),
+        )
+        .toPandas()
+    )
+    return knn.brute_force_topk_vectorized(emb, q_pdf, k=TOP_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register("knn_lsh_topk", oracle=None)
 def knn_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (rows-only; recall vs brute force

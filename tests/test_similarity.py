@@ -74,6 +74,22 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     assert mean_recall >= 0.3, f"IVF recall too low: {recalls}"
 
 
+def test_vectorized_equals_exact_topk(spark, emb):
+    """The numpy-matmul scan must produce the same neighbor sets (and
+    ranks) as the exact fold."""
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = knn.brute_force_topk(emb, q, k=5).collect()
+    q_pdf = q.select(
+        F.col("vec_id").alias("query_id"),
+        knn._to_double(F.col("embedding")).alias("qv"),
+    ).toPandas()
+    fast = knn.brute_force_topk_vectorized(emb, q_pdf, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    e = {key(r): (r.neighbor_id, round(r.sim, 5)) for r in exact}
+    f = {key(r): (r.neighbor_id, round(r.sim, 5)) for r in fast}
+    assert e == f
+
+
 def test_lsh_code_deterministic(spark, emb):
     a = emb.select(knn.lsh_code(knn._to_double(F.col("embedding")), 6, 64).alias("c")).collect()
     b = emb.select(knn.lsh_code(knn._to_double(F.col("embedding")), 6, 64).alias("c")).collect()
