@@ -200,6 +200,10 @@ class Translator:
         self.engine = engine
         self.lets = lets or {}
         self.let_tables: dict[str, DataFrame] = {}
+        # KQL window functions operate over SERIALIZED tables: `sort`/
+        # `serialize` record the frozen order here; row_number()/prev()/
+        # next()/row_cumsum()/row_rank_* then window over it.
+        self.serialize_order: list[Column] | None = None
 
     # ---------------------------------------------------------- expressions
     def expr(self, node: Any, agg: bool = False) -> Any:
@@ -306,8 +310,14 @@ class Translator:
             return S.matches_regex(l, str(_raw(re)))
         raise KqlSyntaxError(f"unsupported operator {op!r}")
 
+    _WINDOW_FUNCS = {
+        "row_number", "prev", "next", "row_cumsum", "row_rank_min", "row_rank_dense",
+    }
+
     def call(self, node: P.Call, agg: bool) -> Column:
         name = node.func
+        if name in self._WINDOW_FUNCS:
+            return self._window_call(node)
         args = [self.expr(a, agg=False) for a in node.args]
         if agg and name in _AGGS:
             # predicate args arrive as Columns already; scalar args may be py values
@@ -317,6 +327,45 @@ class Translator:
         if name in _AGGS:
             return _AGGS[name]([_colify_pred(a) for a in args])
         raise KqlSyntaxError(f"unknown function {name!r}")
+
+    def _window_call(self, node: P.Call) -> Column:
+        """KQL serialized-table window functions (SURVEY.md §2.2.4).
+
+        The window is the serialize order with NO partition — exactly
+        KQL's semantics (a serialized table is one ordered stream).
+        Scale caveat: a global window is a single-task sort; users
+        partition with `partition by`/summarize shapes for parallel
+        variants (the windows.py suite queries show the per-key forms).
+        """
+        from pyspark.sql import Window as W
+
+        if not self.serialize_order:
+            raise KqlSyntaxError(
+                f"{node.func}() requires a serialized table — add `| serialize` "
+                "or `| sort by …` first"
+            )
+        w = W.orderBy(*self.serialize_order)
+        name = node.func
+        if name == "row_number":
+            start = int(_raw(self.expr(node.args[0]))) if node.args else 1
+            rn = F.row_number().over(w)
+            return rn + F.lit(start - 1)
+        if name == "prev":
+            col = _c(self.expr(node.args[0]))
+            off = int(_raw(self.expr(node.args[1]))) if len(node.args) > 1 else 1
+            return F.lag(col, off).over(w)
+        if name == "next":
+            col = _c(self.expr(node.args[0]))
+            off = int(_raw(self.expr(node.args[1]))) if len(node.args) > 1 else 1
+            return F.lead(col, off).over(w)
+        if name == "row_cumsum":
+            col = _c(self.expr(node.args[0]))
+            return F.sum(col).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        if name == "row_rank_min":
+            return F.rank().over(w)
+        if name == "row_rank_dense":
+            return F.dense_rank().over(w)
+        raise KqlSyntaxError(f"unsupported window function {name!r}")
 
     # ---------------------------------------------------------- pipeline
     def table(self, name: str) -> MeerkatTable:
@@ -332,7 +381,10 @@ class Translator:
         t = self.source(pipe.source)
         for op in pipe.ops:
             t = self.apply(t, op)
-        return t.to_df()
+        df = t.to_df()
+        if "__serial" in df.columns:  # internal serialize row id
+            df = df.drop("__serial")
+        return df
 
     def source(self, node: P.OpNode) -> MeerkatTable:
         if node.name == "table":
@@ -415,6 +467,7 @@ class Translator:
             orders.append(
                 c.desc_nulls_last() if direction == "desc" else c.asc_nulls_first()
             )
+        self.serialize_order = orders  # sort serializes the table (KQL)
         return t.sort(*orders)
 
     def ap_take(self, t, a):
@@ -629,6 +682,11 @@ class Translator:
         return MeerkatTable(t.df.orderBy(F.rand(seed=42)).limit(n))
 
     def ap_serialize(self, t, a):
+        if self.serialize_order is None:
+            # freeze the current (arbitrary) order: materialize a row id
+            df = t.df.withColumn("__serial", F.monotonically_increasing_id())
+            self.serialize_order = [F.col("__serial").asc()]
+            return MeerkatTable(df)
         return t
 
 

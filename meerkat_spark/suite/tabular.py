@@ -564,6 +564,37 @@ def parse_pattern(spark, sf_dir):
     )
 
 
+@register(
+    "find_in_tables",
+    oracle="""
+    SELECT 'documents' AS source_table, CAST(doc_id AS BIGINT) AS id
+    FROM documents WHERE lower(text) LIKE '%shuffle%'
+       OR lower(lang) LIKE '%shuffle%' OR lower(source) LIKE '%shuffle%'
+    UNION ALL
+    SELECT 'events' AS source_table, event_id AS id
+    FROM events WHERE lower(event_type) LIKE '%shuffle%'
+       OR lower(props) LIKE '%shuffle%'
+    """,
+)
+def find_in_tables(spark, sf_dir):
+    """KQL `find in (documents, events) 'shuffle'` — per-table search
+    legs unioned with a source column (SURVEY.md §2.2.1)."""
+    e = _eng(spark, sf_dir)
+    docs = (
+        e.table("documents")
+        .search("shuffle")
+        .project(source_table=F.lit("documents"), id=F.col("doc_id"))
+    )
+    # events leg: search over its string columns only (event_type, props)
+    ev_leg = (
+        e.table("events")
+        .project("event_id", "event_type", "props")
+        .search("shuffle")
+        .project(source_table=F.lit("events"), id=F.col("event_id"))
+    )
+    return docs.union(ev_leg).to_df()
+
+
 @register("getschema_op", oracle=None)
 def getschema_op(spark, sf_dir):
     """KQL getschema over events (rows-only check: engine-specific type

@@ -126,6 +126,21 @@ CASES: dict[str, tuple[str, str]] = {
         "MAX(l_extendedprice) AS m, COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS cif "
         "FROM lineitem GROUP BY l_returnflag",
     ),
+    "window_funcs_serialized": (
+        """events | where user_id == 5 | sort by ts asc, event_id asc
+           | extend rn = row_number(), pv = prev(value),
+                    cum = round(row_cumsum(value), 4)
+           | project event_id, rn, pv, cum""",
+        """
+        SELECT event_id,
+               CAST(row_number() OVER w AS INT) AS rn,
+               lag(value) OVER w AS pv,
+               ROUND(SUM(value) OVER (ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum
+        FROM events WHERE user_id = 5
+        WINDOW w AS (ORDER BY ts, event_id)
+        """,
+    ),
     "ago_now_sanity": (
         "events | where ts < now() | count",
         "SELECT COUNT(*) AS Count FROM events WHERE ts < now()",
