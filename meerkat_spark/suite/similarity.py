@@ -89,6 +89,78 @@ def knn_pairwise_label(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form, the
+    oracle baseline; threshold 0.4 fits the synthetic fixture whose max
+    pairwise cosine is ~0.51). The corpus-scale path is the LSH-bucketed
+    variant below."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id1"), knn._to_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("id2"), knn._to_double(F.col("embedding")).alias("vb"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    sim = knn.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id1", "id2", sim.alias("sim_raw"))
+        .filter(F.col("sim_raw") >= 0.4)
+        .select("id1", "id2", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@register("embedding_neardup_lsh", oracle=None)
+def embedding_neardup_lsh(spark, sf_dir, bands: int = 4, rows_per_band: int = 2):
+    """Scale path for embedding near-dup: OR-amplified sign-LSH banding
+    (like MinHash bands — candidates share ANY of `bands` codes of
+    `rows_per_band` hyperplanes; P(candidate | sim) = 1-(1-p^r)^B), then
+    exact cosine verify inside buckets. Rows-only; no false positives by
+    construction, recall asserted in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").alias("id"), knn._to_double(F.col("embedding")).alias("v")
+    )
+    # one wide code over bands*rows planes, sliced into per-band codes
+    wide = knn.lsh_code(F.col("v"), bands * rows_per_band, 64)
+    mask = (1 << rows_per_band) - 1
+    band_codes = F.array(
+        *[
+            F.shiftright(wide, b * rows_per_band).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = base.withColumn("codes", band_codes).select(
+        "id", "v", F.posexplode("codes").alias("band", "code")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    sim = knn.cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.select("id1", "id2", sim.alias("sim_raw"))
+        .filter(F.col("sim_raw") >= 0.4)
+        .select("id1", "id2", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("id1", "id2")
+    )
+
+
 @register("knn_cosine_topk_fast", oracle=None)
 def knn_cosine_topk_fast(spark, sf_dir):
     """Vectorized brute-force top-k (numpy matmul per Arrow batch) —

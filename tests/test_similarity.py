@@ -90,6 +90,23 @@ def test_vectorized_equals_exact_topk(spark, emb):
     assert e == f
 
 
+def test_embedding_neardup_lsh_recall(spark, emb):
+    """LSH-bucketed near-dup candidates vs exact all-pairs at τ=0.4."""
+    from meerkat_spark.suite.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.id1, r.id2) for r in embedding_neardup_pairs(spark, sf).collect()}
+    approx = {(r.id1, r.id2) for r in embedding_neardup_lsh(spark, sf).collect()}
+    assert approx <= exact  # candidates are verified exactly → no false positives
+    if exact:
+        # 4 bands × 2 planes: P(candidate | cos=0.4) = 1-(1-0.63²)⁴ ≈ 0.87
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.6, f"recall {recall}: {exact - approx}"
+
+
 def test_lsh_code_deterministic(spark, emb):
     a = emb.select(knn.lsh_code(knn._to_double(F.col("embedding")), 6, 64).alias("c")).collect()
     b = emb.select(knn.lsh_code(knn._to_double(F.col("embedding")), 6, 64).alias("c")).collect()
