@@ -50,6 +50,7 @@ _SCALARS: dict[str, Any] = {
     "floor": lambda a: _fn_bin(a) if len(a) == 2 else F.floor(a[0]),
     "ago": lambda a: F.current_timestamp() - _interval(a[0].seconds if isinstance(a[0], _Span) else float(a[0])),
     "now": lambda a: F.current_timestamp(),
+    "ingestion_time": lambda a: F.current_timestamp(),  # stamped at ingest (§2.2.5)
     "startofday": lambda a: S.startofday(a[0]),
     "startofweek": lambda a: S.startofweek(a[0]),
     "startofmonth": lambda a: S.startofmonth(a[0]),
