@@ -1,0 +1,56 @@
+"""applyInPandasWithState: state must persist across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.streaming.stateful import running_user_stats
+
+
+def test_state_accumulates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+
+    def write_batch(idx: int, rows):
+        spark.createDataFrame(rows, "user_id long, value double").write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1 on disk before the stream starts
+    write_batch(0, [(1, 10.0), (1, 5.0), (2, 1.0)])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(src)
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch arrives later → state must carry over
+        write_batch(1, [(1, 7.0), (3, 2.0)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM user_stats"
+        ).collect()
+    finally:
+        q.stop()
+    # last emitted row per user reflects accumulated state
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[1] == (3, 22.0)  # 10+5 from batch1, +7 from batch2
+    assert latest[2] == (1, 1.0)
+    assert latest[3] == (1, 2.0)
