@@ -354,9 +354,12 @@ class Parser:
                 self.expect("IDENT")  # strategy
                 self.expect("OP", "=")
                 hint_broadcast = str(self.expect("IDENT").value).lower() == "broadcast"
-        self.expect("PUNCT", "(")
-        right = self.parse_pipeline()
-        self.expect("PUNCT", ")")
+        if self.at("PUNCT", "("):
+            self.next()
+            right = self.parse_pipeline()
+            self.expect("PUNCT", ")")
+        else:  # bare table name operand: `join customer on …`
+            right = Pipeline(OpNode("table", {"name": str(self.expect("IDENT").value)}), [])
         self.expect_ident("on")
         on = self.parse_join_keys()
         return OpNode(
@@ -420,6 +423,54 @@ class Parser:
             else:
                 break
         return OpNode("parse", {"src": src, "parts": parts})
+
+    def op_top_nested(self) -> OpNode:
+        """top-nested N of key by [name =] agg [with others = 'label']
+        (chained with `, top-nested …` — the chain arrives as ONE token
+        stream here because parse_op dispatched on the first)."""
+        levels = []
+        while True:
+            n = None
+            if self.at("NUMBER"):
+                n = int(self.next().value)
+            self.expect_ident("of")
+            key_name = None
+            save = self.i
+            if self.at("IDENT"):
+                kn = str(self.next().value)
+                if self.at("OP", "="):
+                    self.next()
+                    key_name = kn
+                else:
+                    self.i = save
+            key = self.parse_expr()
+            self.expect_ident("by")
+            agg_name = None
+            save = self.i
+            if self.at("IDENT"):
+                an = str(self.next().value)
+                if self.at("OP", "="):
+                    self.next()
+                    agg_name = an
+                else:
+                    self.i = save
+            agg = self.parse_expr()
+            others = None
+            if self.at_ident("with"):
+                self.next()
+                self.expect_ident("others")
+                self.expect("OP", "=")
+                others = str(self.expect("STRING").value)
+            levels.append(
+                {"n": n, "key": key, "key_name": key_name, "agg": agg,
+                 "agg_name": agg_name, "others": others}
+            )
+            if self.at("PUNCT", ","):
+                self.next()
+                self.expect_ident("top-nested")
+                continue
+            break
+        return OpNode("top-nested", {"levels": levels})
 
     def op_evaluate(self) -> OpNode:
         """`evaluate plugin(args)` — bag_unpack, pivot."""

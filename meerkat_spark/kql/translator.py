@@ -551,6 +551,58 @@ class Translator:
             out = out.extend(**{name: col})
         return out
 
+    def ap_top_nested(self, t, a):
+        """Hierarchical top-k: per level, aggregate by the key prefix,
+        rank within the parent, keep top-N (+ optional 'others' rollup),
+        then join levels on the parent keys (SURVEY.md §2.2.1)."""
+        from pyspark.sql import Window as W
+
+        base = t.df
+        level_frames = []
+        key_names: list[str] = []
+        agg_names: list[str] = []
+        for i, lvl in enumerate(a["levels"]):
+            key_col = _c(self.expr(lvl["key"]))
+            key_name = lvl["key_name"] or _default_key_name(lvl["key"], i)
+            agg_col = _c(self.expr(lvl["agg"], agg=True))
+            agg_name = lvl["agg_name"] or f"aggregated_{key_name}"
+            grouped = base.groupBy(
+                *key_names, key_col.alias(key_name)
+            ).agg(agg_col.alias(agg_name))
+            parent = key_names[:]
+            w = (
+                W.partitionBy(*parent) if parent else W.partitionBy(F.lit(1))
+            ).orderBy(F.col(agg_name).desc(), F.col(key_name).asc())
+            ranked = grouped.withColumn("__rk", F.row_number().over(w))
+            n = lvl["n"]
+            kept = ranked.filter(F.col("__rk") <= n) if n else ranked
+            kept = kept.drop("__rk")
+            if lvl["others"] is not None and n:
+                rest = ranked.filter(F.col("__rk") > n).drop("__rk")
+                rollup = (
+                    rest.groupBy(*parent)
+                    .agg(F.sum(agg_name).alias(agg_name))
+                    .withColumn(key_name, F.lit(lvl["others"]))
+                    .select(*parent, key_name, agg_name)
+                    if parent
+                    else rest.agg(F.sum(agg_name).alias(agg_name)).select(
+                        F.lit(lvl["others"]).alias(key_name), agg_name
+                    )
+                )
+                kept = kept.unionByName(rollup)
+            level_frames.append((kept, parent))
+            key_names.append(key_name)
+            agg_names.append(agg_name)
+        out, _ = level_frames[0]
+        for i in range(1, len(level_frames)):
+            frame, parent = level_frames[i]
+            # 'Other' rollup rows only exist at their own level — inner
+            # join on real parent keys drops deeper levels for them, so
+            # join left-outer when the parent level has an others row
+            how = "left" if a["levels"][i - 1]["others"] is not None else "inner"
+            out = out.join(frame, parent, how) if parent else out.crossJoin(frame)
+        return MeerkatTable(out)
+
     def ap_evaluate(self, t, a):
         plugin = a["plugin"]
         if plugin == "bag_unpack":

@@ -141,6 +141,32 @@ CASES: dict[str, tuple[str, str]] = {
         WINDOW w AS (ORDER BY ts, event_id)
         """,
     ),
+    "top_nested_two_levels": (
+        """customer
+           | join kind=inner nation on $left.c_nationkey == $right.n_nationkey
+           | join kind=inner region on $left.n_regionkey == $right.r_regionkey
+           | top-nested 3 of r_name by n_cust = count(),
+             top-nested 2 of n_name by n_cust_nation = count()""",
+        """
+        WITH base AS (
+          SELECT r_name, n_name FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        ), l1 AS (
+          SELECT r_name, COUNT(*) AS n_cust,
+                 row_number() OVER (ORDER BY COUNT(*) DESC, r_name) AS rk
+          FROM base GROUP BY r_name
+        ), l2 AS (
+          SELECT r_name, n_name, COUNT(*) AS n_cust_nation,
+                 row_number() OVER (PARTITION BY r_name
+                                    ORDER BY COUNT(*) DESC, n_name) AS rk
+          FROM base GROUP BY r_name, n_name
+        )
+        SELECT l1.r_name, l1.n_cust, l2.n_name, l2.n_cust_nation
+        FROM l1 JOIN l2 ON l1.r_name = l2.r_name
+        WHERE l1.rk <= 3 AND l2.rk <= 2
+        """,
+    ),
     "ago_now_sanity": (
         "events | where ts < now() | count",
         "SELECT COUNT(*) AS Count FROM events WHERE ts < now()",
