@@ -405,6 +405,25 @@ class Parser:
         col = self.parse_named_exprs()
         return OpNode("mv-expand", {"cols": col})
 
+    def op_mv_apply(self) -> OpNode:
+        """mv-apply elem = arrayExpr on ( op | op … ) — per-row subquery
+        over the exploded array (supported sub-ops: where, extend,
+        summarize, top)."""
+        name = str(self.expect("IDENT").value)
+        self.expect("OP", "=")
+        arr = self.parse_expr()
+        self.expect_ident("on")
+        self.expect("PUNCT", "(")
+        ops = []
+        while True:
+            ops.append(self.parse_op())
+            if self.at("PUNCT", "|"):
+                self.next()
+                continue
+            break
+        self.expect("PUNCT", ")")
+        return OpNode("mv-apply", {"name": name, "expr": arr, "ops": ops})
+
     def op_parse(self) -> OpNode:
         src = self.parse_expr()
         self.expect_ident("with")

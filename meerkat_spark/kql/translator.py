@@ -527,6 +527,49 @@ class Translator:
         t2 = t.extend(**{col_name: _c(self.expr(e))})
         return t2.mv_expand(col_name)
 
+    def ap_mv_apply(self, t, a):
+        """Per-row subquery over an exploded array (SURVEY.md §2.2.1):
+        explode with a row id, run the scoped sub-ops (aggregations and
+        top-k scoped to the row), keep parent columns. One explode + at
+        most one per-row-window/aggregation — no driver-side loops."""
+        from pyspark.sql import Window as W
+
+        elem = a["name"]
+        arr = _c(self.expr(a["expr"]))
+        parent_cols = list(t.df.columns)
+        df = t.df.withColumn("__row", F.monotonically_increasing_id())
+        exploded = df.select("*", F.explode(arr).alias(elem))
+        cur = MeerkatTable(exploded)
+        for op in a["ops"]:
+            if op.name == "where":
+                cur = cur.where(_c(self.expr(op.args["pred"])))
+            elif op.name == "extend":
+                cur = self.ap_extend(cur, op.args)
+            elif op.name == "top":
+                c = _c(self.expr(op.args["by"]))
+                order = c.asc_nulls_first() if op.args["dir"] == "asc" else c.desc_nulls_last()
+                w = W.partitionBy("__row").orderBy(order)
+                cur = MeerkatTable(
+                    cur.df.withColumn("__rk", F.row_number().over(w))
+                    .filter(F.col("__rk") <= op.args["n"])
+                    .drop("__rk")
+                )
+            elif op.name == "summarize":
+                aggs = {}
+                for i, (nm, e) in enumerate(op.args["aggs"]):
+                    aggs[nm or _default_agg_name(e, i)] = _c(self.expr(e, agg=True))
+                keys = ["__row"] + parent_cols
+                cur = MeerkatTable(
+                    cur.df.groupBy(*keys).agg(
+                        *[c.alias(n) for n, c in aggs.items()]
+                    )
+                )
+            else:
+                raise KqlSyntaxError(
+                    f"mv-apply subquery does not support {op.name!r}"
+                )
+        return MeerkatTable(cur.df.drop("__row"))
+
     def ap_parse(self, t, a):
         src = _c(self.expr(a["src"]))
         regex_parts = []

@@ -10,6 +10,7 @@ from meerkat_spark.multimodal.binaryops import (
     decode_stub,
     extract_features,
     frame_sample,
+    resize,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "decode_stub",
     "extract_features",
     "frame_sample",
+    "resize",
 ]

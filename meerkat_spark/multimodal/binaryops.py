@@ -87,6 +87,44 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     return df.mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, mime string, out_width int, out_height int, pixel_checksum long"
+)
+
+
+def resize(df: DataFrame, out_width: int = 32, out_height: int = 32) -> DataFrame:
+    """Resize decoded (stubbed) images via block-mean downsampling —
+    the numpy body is real resize math over the stub decode's pixels;
+    a production build swaps decode_stub for a codec and keeps the rest.
+    Output carries a checksum of the resized pixels (deterministic,
+    testable) instead of the bytes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            checksums = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                img = decode_stub(bytes(payload), int(w), int(h))
+                # block-mean resize: crop to a multiple of the output
+                # grid, then average each block
+                bh, bw = max(h // out_height, 1), max(w // out_width, 1)
+                cropped = img[: bh * out_height, : bw * out_width]
+                resized = cropped.reshape(
+                    cropped.shape[0] // bh, bh, cropped.shape[1] // bw, bw
+                ).mean(axis=(1, 3)).astype(np.uint8)
+                checksums.append(int(resized.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "pixel_checksum": checksums,
+                }
+            )
+
+    return df.mapInPandas(op, RESIZE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 5000) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
     index (duration/every_ms), frame content stubbed as a hash of

@@ -205,7 +205,7 @@ def fork_legs(spark, sf_dir):
     )
     SELECT r_name, n_name, n_cust FROM ranked WHERE rk <= 2
     UNION ALL
-    SELECT r_name, 'Other' AS n_name, SUM(n_cust) AS n_cust
+    SELECT r_name, 'Other' AS n_name, CAST(SUM(n_cust) AS BIGINT) AS n_cust
     FROM ranked WHERE rk > 2 GROUP BY r_name
     """,
 )

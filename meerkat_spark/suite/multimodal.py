@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from meerkat_spark.multimodal import (
     extract_features,
     frame_sample,
+    resize,
     synthesize_media_table,
 )
 from meerkat_spark.suite import register
@@ -27,6 +28,13 @@ def media_frame_sample(spark, sf_dir):
     """Video frame sampling: rows expand per sampled frame."""
     media = synthesize_media_table(spark, n=64)
     return frame_sample(media, every_ms=5000).orderBy("media_id", "frame_idx")
+
+
+@register("media_resize", oracle=None)
+def media_resize(spark, sf_dir):
+    """Block-mean resize to 32x32 over stub-decoded pixels."""
+    media = synthesize_media_table(spark, n=64)
+    return resize(media, 32, 32).orderBy("media_id")
 
 
 @register("media_metadata_agg", oracle=None)

@@ -20,7 +20,7 @@ def _eng(spark, sf_dir) -> MeerkatEngine:
     "scalar_strings",
     oracle="""
     SELECT doc_id,
-           length(text) AS len,
+           CAST(length(text) AS INT) AS len,
            upper(substring(text, 1, 3)) AS head3,
            string_split(text, ' ')[1] AS first_word,
            CAST(strpos(text, 'spark') - 1 AS BIGINT) AS spark_idx,
@@ -87,7 +87,7 @@ def scalar_string_funcs2(spark, sf_dir):
     SELECT event_id,
            date_trunc('day', ts) AS d,
            date_trunc('month', ts) AS mo,
-           hour(ts) AS hh,
+           CAST(hour(ts) AS INT) AS hh,
            CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
            CAST(EXTRACT(week FROM ts) AS INT) AS wk,
            time_bucket(INTERVAL '15 minutes', ts) AS q,
@@ -131,7 +131,7 @@ def scalar_datetime(spark, sf_dir):
            round(ln(l_extendedprice), 6) AS lg,
            round(log10(l_extendedprice), 6) AS lg10,
            round(pow(l_discount, 2), 10) AS d2,
-           sign(l_discount - 0.05) AS sg
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
     FROM lineitem WHERE l_orderkey < 200
     """,
 )
@@ -374,7 +374,7 @@ def scalar_misc(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            COALESCE(NULLIF(regexp_extract(source, 'src(\\d+)', 1), ''), NULL) AS src_num,
-           len(regexp_extract_all(text, '\\bthe\\b')) AS n_the
+           CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS INT) AS n_the
     FROM documents WHERE doc_id < 200
     """,
 )

@@ -26,7 +26,7 @@ def _ORDER():
     "window_row_number",
     oracle="""
     SELECT event_id, user_id,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
     FROM events WHERE user_id < 20
     """,
 )
@@ -97,8 +97,8 @@ def window_cumsum(spark, sf_dir):
     "window_rank",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS rk,
-           dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS drk
+           CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS INT) AS rk,
+           CAST(dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS INT) AS drk
     FROM lineitem WHERE l_orderkey < 500
     """,
 )

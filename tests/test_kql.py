@@ -141,6 +141,23 @@ CASES: dict[str, tuple[str, str]] = {
         WINDOW w AS (ORDER BY ts, event_id)
         """,
     ),
+    "mv_apply_subquery": (
+        """documents | where doc_id < 40
+           | extend words = split(text, ' ')
+           | mv-apply w = words on (
+               where strlen(w) > 3
+               | summarize n_long = count(), longest = max(strlen(w)) )
+           | project doc_id, n_long, longest""",
+        """
+        SELECT doc_id,
+               COUNT(*) AS n_long,
+               CAST(MAX(length(w)) AS BIGINT) AS longest
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 40)
+        WHERE length(w) > 3
+        GROUP BY doc_id
+        """,
+    ),
     "top_nested_two_levels": (
         """customer
            | join kind=inner nation on $left.c_nationkey == $right.n_nationkey

@@ -37,6 +37,21 @@ def test_frame_sample_expansion(spark):
     assert all(per_media[m] == 1 for m in non_videos)
 
 
+def test_resize_block_mean(spark):
+    from meerkat_spark.multimodal import resize
+
+    media = synthesize_media_table(spark, n=16)
+    out = resize(media, 32, 32).collect()
+    assert len(out) == 16
+    assert all(r.out_width == 32 and r.out_height == 32 for r in out)
+    # checksum of a 32x32 uint8 mean image is bounded
+    assert all(0 <= r.pixel_checksum <= 255 * 32 * 32 for r in out)
+    out2 = resize(media, 32, 32).collect()
+    assert {r.media_id: r.pixel_checksum for r in out} == {
+        r.media_id: r.pixel_checksum for r in out2
+    }
+
+
 def test_decode_stub_contract():
     img = decode_stub(b"\x01\x02\x03\x04\x05\x06\x07\x08", 8, 4)
     assert img.shape == (4, 8)
