@@ -31,6 +31,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_stats",
     "knn_cosine_topk",
+    "window_session_native",
+    "asof_join_events",
+    "embedding_neardup_lsh",
+    "kql_flagship",
 ]
 
 

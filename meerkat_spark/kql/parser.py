@@ -491,6 +491,22 @@ class Parser:
             break
         return OpNode("top-nested", {"levels": levels})
 
+    def op_partition(self) -> OpNode:
+        """partition by col ( op | op … ) — run the subquery per value
+        of `col` (supported sub-ops: where, extend, summarize, top)."""
+        self.expect_ident("by")
+        col = str(self.expect("IDENT").value)
+        self.expect("PUNCT", "(")
+        ops = []
+        while True:
+            ops.append(self.parse_op())
+            if self.at("PUNCT", "|"):
+                self.next()
+                continue
+            break
+        self.expect("PUNCT", ")")
+        return OpNode("partition", {"col": col, "ops": ops})
+
     def op_evaluate(self) -> OpNode:
         """`evaluate plugin(args)` — bag_unpack, pivot."""
         plugin = str(self.expect("IDENT").value).lower()

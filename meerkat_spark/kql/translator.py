@@ -527,6 +527,44 @@ class Translator:
         t2 = t.extend(**{col_name: _c(self.expr(e))})
         return t2.mv_expand(col_name)
 
+    def ap_partition(self, t, a):
+        """KQL `partition by col ( subquery )` — windowable sub-ops run
+        per partition of the column: top-k → per-partition window,
+        summarize → groupBy including the partition column, where/extend
+        → row-local (partitioning is a no-op for them). One shuffle on
+        the partition column at most."""
+        from pyspark.sql import Window as W
+
+        col = a["col"]
+        cur = t
+        for op in a["ops"]:
+            if op.name == "where":
+                cur = cur.where(_c(self.expr(op.args["pred"])))
+            elif op.name == "extend":
+                cur = self.ap_extend(cur, op.args)
+            elif op.name == "top":
+                c = _c(self.expr(op.args["by"]))
+                order = c.asc_nulls_first() if op.args["dir"] == "asc" else c.desc_nulls_last()
+                w = W.partitionBy(col).orderBy(order)
+                cur = MeerkatTable(
+                    cur.df.withColumn("__rk", F.row_number().over(w))
+                    .filter(F.col("__rk") <= op.args["n"])
+                    .drop("__rk")
+                )
+            elif op.name == "summarize":
+                aggs = {}
+                for i, (nm, e) in enumerate(op.args["aggs"]):
+                    aggs[nm or _default_agg_name(e, i)] = _c(self.expr(e, agg=True))
+                by = [F.col(col)]
+                for i, (nm, e) in enumerate(op.args["by"]):
+                    by.append(_c(self.expr(e)).alias(nm or _default_key_name(e, i)))
+                cur = cur.summarize(aggs, by=by)
+            else:
+                raise KqlSyntaxError(
+                    f"partition subquery does not support {op.name!r}"
+                )
+        return cur
+
     def ap_mv_apply(self, t, a):
         """Per-row subquery over an exploded array (SURVEY.md §2.2.1):
         explode with a row id, run the scoped sub-ops (aggregations and

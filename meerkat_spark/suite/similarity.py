@@ -140,25 +140,34 @@ def embedding_neardup_lsh(spark, sf_dir, bands: int = 4, rows_per_band: int = 2)
     banded = base.withColumn("codes", band_codes).select(
         "id", "v", F.posexplode("codes").alias("band", "code")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.id") < F.col("b.id")),
+
+    # Per-bucket pairwise scoring via applyInPandas: only the bucket
+    # grouping shuffles (bands × corpus rows); the pairwise matrix is a
+    # local numpy matmul per bucket and only pairs ≥ τ are emitted. A
+    # pair self-join instead shuffles O(candidate pairs) rows carrying
+    # two vectors each — measured 233-514s vs ~10s at sf0.1.
+    import numpy as np
+    import pandas as pd
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "sim": []})
+        ids = pdf["id"].to_numpy()
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= 0.4
+        i1, i2 = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
+        return pd.DataFrame(
+            {"id1": lo, "id2": hi, "sim": np.round(S[iu, ju][keep], 6)}
         )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-        .dropDuplicates(["id1", "id2"])
+
+    pairs = banded.groupBy("band", "code").applyInPandas(
+        bucket_pairs, "id1 long, id2 long, sim double"
     )
-    sim = knn.cosine(F.col("va"), F.col("vb"))
-    return (
-        cand.select("id1", "id2", sim.alias("sim_raw"))
-        .filter(F.col("sim_raw") >= 0.4)
-        .select("id1", "id2", F.round("sim_raw", 6).alias("sim"))
-        .orderBy("id1", "id2")
-    )
+    return pairs.dropDuplicates(["id1", "id2"]).orderBy("id1", "id2")
 
 
 @register("knn_cosine_topk_fast", oracle=None)

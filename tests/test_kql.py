@@ -141,6 +141,18 @@ CASES: dict[str, tuple[str, str]] = {
         WINDOW w AS (ORDER BY ts, event_id)
         """,
     ),
+    "partition_by_topk": (
+        # order key is unique (event_id) so the top-k set is deterministic
+        """events | partition by event_type ( top 3 by event_id )
+           | project event_type, event_id, value""",
+        """
+        SELECT event_type, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY event_id DESC) AS rk
+          FROM events) WHERE rk <= 3
+        """,
+    ),
     "mv_apply_subquery": (
         """documents | where doc_id < 40
            | extend words = split(text, ' ')
