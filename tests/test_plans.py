@@ -16,8 +16,25 @@ from meerkat_spark.engine import MeerkatEngine
 SF = "/root/testdata/sf0.001"
 
 
+from meerkat_spark.plans import audit, executed_plan, pushed_filters, read_schema_columns
+
+
 def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(df)
+
+
+def test_plans_helpers(eng):
+    df = (
+        eng.table("lineitem")
+        .where(F.col("l_quantity") > 30)
+        .project("l_orderkey", "l_quantity")
+        .to_df()
+    )
+    a = audit(df)
+    assert any("l_quantity" in p for p in a.pushed_filters)
+    assert set(read_schema_columns(df)) == {"l_orderkey", "l_quantity"}
+    assert a.exchanges == 0
+    assert "exchanges=0" in a.summary()
 
 
 @pytest.fixture()
