@@ -25,7 +25,7 @@ _OPS = [
     "==", "!=", "<=", ">=", "=~", "!~", "!in", "..", "<", ">", "+", "-",
     "*", "/", "%", "=",
 ]
-_PUNCT = ["|", "(", ")", "[", "]", ",", ";", ".", ":", "$"]
+_PUNCT = ["|", "(", ")", "[", "]", "{", "}", ",", ";", ".", ":", "$"]
 
 # operator families that legitimately contain hyphens
 _HYPHEN_OPS = {"project", "top", "mv", "sample", "parse", "make", "top-nested"}

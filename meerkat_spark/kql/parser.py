@@ -107,6 +107,12 @@ class Pipeline:
 
 
 @dataclass
+class Lambda:
+    params: list[str]
+    body: Any
+
+
+@dataclass
 class Query:
     lets: dict[str, Any]
     pipeline: Pipeline
@@ -162,6 +168,13 @@ class Parser:
         return Query(lets, pipe)
 
     def parse_let_value(self):
+        # lambda: (param[: type], …) { expr }
+        if self.at("PUNCT", "("):
+            save = self.i
+            try:
+                return self._parse_lambda()
+            except KqlSyntaxError:
+                self.i = save
         # table pipeline if it starts with IDENT followed by '|' or ';'
         save = self.i
         if self.at("IDENT"):
@@ -171,6 +184,24 @@ class Parser:
                 return self.parse_pipeline()
             self.i = save
         return self.parse_expr()
+
+    def _parse_lambda(self) -> Lambda:
+        self.expect("PUNCT", "(")
+        params = []
+        while not self.at("PUNCT", ")"):
+            params.append(str(self.expect("IDENT").value))
+            if self.at("PUNCT", ":"):  # optional type annotation
+                self.next()
+                self.expect("IDENT")
+            if self.at("PUNCT", ","):
+                self.next()
+        self.expect("PUNCT", ")")
+        if not self.at("PUNCT", "{"):
+            raise KqlSyntaxError("not a lambda")
+        self.expect("PUNCT", "{")
+        body = self.parse_expr()
+        self.expect("PUNCT", "}")
+        return Lambda(params, body)
 
     def parse_pipeline(self) -> Pipeline:
         source = self.parse_source()
@@ -568,6 +599,10 @@ class Parser:
     def op_search(self) -> OpNode:
         term = self.expect("STRING").value
         return OpNode("search", {"term": str(term)})
+
+    def op_as(self) -> OpNode:
+        """`T | as name` — bind the current table mid-pipeline."""
+        return OpNode("as", {"name": str(self.expect("IDENT").value)})
 
     def op_getschema(self) -> OpNode:
         return OpNode("getschema", {})

@@ -217,7 +217,14 @@ class Translator:
         if isinstance(node, P.Ident):
             name = node.name
             if name in self.lets and not isinstance(self.lets[name], P.Pipeline):
-                return self.expr(self.lets[name], agg=agg)
+                bound = self.lets[name]
+                # already-evaluated binding (lambda arg) → return as-is;
+                # AST binding (let) → translate
+                if isinstance(bound, (Column, _Span)) or not hasattr(
+                    bound, "__dataclass_fields__"
+                ):
+                    return bound
+                return self.expr(bound, agg=agg)
             if name.startswith("$left.") or name.startswith("$right."):
                 return F.col(name.split(".", 1)[1])
             if name == "*":
@@ -319,6 +326,30 @@ class Translator:
         name = node.func
         if name in self._WINDOW_FUNCS:
             return self._window_call(node)
+        # let-bound lambda: substitute args into the body (KQL `invoke`
+        # semantics for scalar functions — pure front-end inlining)
+        lam = self.lets.get(name)
+        if isinstance(lam, P.Lambda):
+            if len(node.args) != len(lam.params):
+                raise KqlSyntaxError(
+                    f"{name}() expects {len(lam.params)} args, got {len(node.args)}"
+                )
+            # EAGERLY evaluate args, then bind the VALUES — binding raw
+            # AST nodes into the shared namespace self-captures when an
+            # argument mentions a name equal to a parameter
+            arg_vals = [self.expr(a, agg=agg) for a in node.args]
+            sentinel = object()
+            saved = {p: self.lets.get(p, sentinel) for p in lam.params}
+            try:
+                for p, val in zip(lam.params, arg_vals):
+                    self.lets[p] = val
+                return _c(self.expr(lam.body, agg=agg))
+            finally:
+                for p, v in saved.items():
+                    if v is sentinel:
+                        self.lets.pop(p, None)
+                    else:
+                        self.lets[p] = v
         args = [self.expr(a, agg=False) for a in node.args]
         if agg and name in _AGGS:
             # predicate args arrive as Columns already; scalar args may be py values
@@ -794,6 +825,12 @@ class Translator:
 
     def ap_project_reorder(self, t, a):
         return t.project_reorder(*a["first"])
+
+    def ap_as(self, t, a):
+        """Bind the current table to a name usable later in the query
+        (e.g. as a join operand)."""
+        self.let_tables[a["name"]] = t.df
+        return t
 
     def ap_parse_where(self, t, a):
         import re as _re

@@ -91,6 +91,27 @@ CASES: dict[str, tuple[str, str]] = {
         "print a = 1 + 2, s = strcat('ab', '-', 'cd')",
         "SELECT CAST(3 AS BIGINT) AS a, 'ab-cd' AS s",
     ),
+    "let_lambda_invoke": (
+        """let vat = (p: real) { p * 1.21 };
+           let big = (p: real, cutoff: long) { iff(p > cutoff, 'big', 'small') };
+           orders | where o_orderkey < 500
+           | project o_orderkey, taxed = vat(o_totalprice),
+                     size_band = big(o_totalprice, 250000)""",
+        """
+        SELECT o_orderkey, o_totalprice * 1.21 AS taxed,
+               CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS size_band
+        FROM orders WHERE o_orderkey < 500
+        """,
+    ),
+    "as_operator": (
+        """events | where value > 95 | as hot
+           | join kind=leftsemi hot on $left.event_id == $right.event_id
+           | summarize n = count() by event_type""",
+        """
+        SELECT event_type, COUNT(*) AS n FROM events WHERE value > 95
+        GROUP BY event_type
+        """,
+    ),
     "let_scalar": (
         """let threshold = 90;
            events | where value > threshold | summarize n = count() by event_type""",
