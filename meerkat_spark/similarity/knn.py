@@ -249,13 +249,16 @@ def ivf_topk(
     At scale: centroid table is tiny (broadcast); corpus assignment is
     one narrow pass; the rerank touches n_probe/n_cells of the data."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv"))
-    # Deterministic centroid pick: hash-sampled candidates (narrow filter
-    # over the corpus), then the first n_cells by id. The candidate set is
-    # tiny, so the ordering window is negligible at any corpus size.
-    cands = c.filter(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(7)) == 0)
+    # Deterministic centroid pick: order the corpus by a 64-bit hash of
+    # the id (a fixed pseudo-random permutation) and take the first
+    # n_cells. orderBy+limit compiles to TakeOrderedAndProject —
+    # per-partition top-n_cells then a tiny driver-side merge — so no
+    # partition-less window ever sees O(N) rows. The row_number() below
+    # runs AFTER the limit, over exactly n_cells rows.
+    cands = c.withColumn("hk", F.xxhash64(F.col("neighbor_id")))
     cents = (
-        cands.withColumn("rn", F.row_number().over(W.orderBy("neighbor_id")))
-        .filter(F.col("rn") <= n_cells)
+        cands.orderBy("hk").limit(n_cells)
+        .withColumn("rn", F.row_number().over(W.orderBy("hk")))
         .select(F.col("rn").alias("cell_id"), F.col("cv").alias("centroid"))
     )
     # assign corpus rows to nearest centroid
