@@ -30,7 +30,10 @@ HEADLINE = [
     "agg_dcount",
     "dedup_minhash_lsh",
     "text_stats",
-    "knn_cosine_topk",
+    # vectorized Arrow-matmul scan path — the 100TB form; the exact
+    # zip_with/aggregate fold (knn_cosine_topk) stays registered as the
+    # oracle twin, equivalence-tested in tests/test_similarity.py
+    "knn_cosine_topk_fast",
     "window_session_native",
     "asof_join_events",
     "embedding_neardup_lsh",

@@ -194,17 +194,28 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_bits: int = 1,
+    target_bucket: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k: exact rerank restricted to the query's LSH
     bucket plus multi-probe neighbors (all codes within `probe_bits`
     bit flips — near-miss sign bits are the dominant recall loss).
     Probing multiplies only the tiny query side (n_planes+1 codes per
-    query at probe_bits=1); the corpus is still hashed once."""
+    query at probe_bits=1); the corpus is still hashed once.
+
+    n_planes=None derives the plane count from the corpus count (one
+    count() action, index-build cost): the expected bucket n/2^b must
+    stay ≤ target_bucket, so the bit count GROWS with the corpus —
+    fixed small n_planes at 100TB would mean billion-row buckets."""
+    if n_planes is None:
+        import math
+
+        n = corpus.count()
+        n_planes = max(4, math.ceil(math.log2(max(2.0, n / target_bucket))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),

@@ -118,56 +118,19 @@ def embedding_neardup_pairs(spark, sf_dir):
 
 
 @register("embedding_neardup_lsh", oracle=None)
-def embedding_neardup_lsh(spark, sf_dir, bands: int = 4, rows_per_band: int = 2):
+def embedding_neardup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: OR-amplified sign-LSH banding
-    (like MinHash bands — candidates share ANY of `bands` codes of
-    `rows_per_band` hyperplanes; P(candidate | sim) = 1-(1-p^r)^B), then
-    exact cosine verify inside buckets. Rows-only; no false positives by
-    construction, recall asserted in tests/test_similarity.py."""
+    with corpus-derived (bands, rows_per_band) — expected bucket size is
+    bounded, and the in-bucket exact-cosine verify is a tiled triangular
+    matmul (see meerkat_spark/similarity/neardup.py). Rows-only; no
+    false positives by construction, recall asserted in
+    tests/test_similarity.py. A pair self-join instead shuffles
+    O(candidate pairs) rows carrying two vectors each — measured
+    233-514s vs ~10s at sf0.1."""
+    from meerkat_spark.similarity import neardup
+
     emb = _emb(spark, sf_dir)
-    base = emb.select(
-        F.col("vec_id").alias("id"), knn._to_double(F.col("embedding")).alias("v")
-    )
-    # one wide code over bands*rows planes, sliced into per-band codes
-    wide = knn.lsh_code(F.col("v"), bands * rows_per_band, 64)
-    mask = (1 << rows_per_band) - 1
-    band_codes = F.array(
-        *[
-            F.shiftright(wide, b * rows_per_band).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
-    )
-    banded = base.withColumn("codes", band_codes).select(
-        "id", "v", F.posexplode("codes").alias("band", "code")
-    )
-
-    # Per-bucket pairwise scoring via applyInPandas: only the bucket
-    # grouping shuffles (bands × corpus rows); the pairwise matrix is a
-    # local numpy matmul per bucket and only pairs ≥ τ are emitted. A
-    # pair self-join instead shuffles O(candidate pairs) rows carrying
-    # two vectors each — measured 233-514s vs ~10s at sf0.1.
-    import numpy as np
-    import pandas as pd
-
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id1": [], "id2": [], "sim": []})
-        ids = pdf["id"].to_numpy()
-        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        S = M @ M.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = S[iu, ju] >= 0.4
-        i1, i2 = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
-        return pd.DataFrame(
-            {"id1": lo, "id2": hi, "sim": np.round(S[iu, ju][keep], 6)}
-        )
-
-    pairs = banded.groupBy("band", "code").applyInPandas(
-        bucket_pairs, "id1 long, id2 long, sim double"
-    )
-    return pairs.dropDuplicates(["id1", "id2"]).orderBy("id1", "id2")
+    return neardup.neardup_pairs_lsh(emb, threshold=0.4).orderBy("id1", "id2")
 
 
 @register("knn_cosine_topk_fast", oracle=None)
@@ -196,7 +159,7 @@ def knn_lsh_topk(spark, sf_dir):
     asserted in tests/test_similarity.py)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return knn.lsh_topk(emb, queries, k=TOP_K, n_planes=6, dim=64).orderBy(
+    return knn.lsh_topk(emb, queries, k=TOP_K, n_planes=None, dim=64).orderBy(
         "query_id", "rank"
     )
 

@@ -111,3 +111,60 @@ def test_lsh_code_deterministic(spark, emb):
     a = emb.select(knn.lsh_code(knn._to_double(F.col("embedding")), 6, 64).alias("c")).collect()
     b = emb.select(knn.lsh_code(knn._to_double(F.col("embedding")), 6, 64).alias("c")).collect()
     assert [r.c for r in a] == [r.c for r in b]
+
+
+def test_neardup_derive_params_bounds():
+    """Corpus-derived LSH parameters: expected bucket ≤ target, band
+    count grows to hold recall, capped at MAX_BANDS."""
+    from meerkat_spark.similarity import neardup
+
+    for n in [100, 10_000, 1_000_000, 10_000_000_000]:
+        bands, r = neardup.derive_params(n, threshold=0.9, target_bucket=10_000)
+        assert n / 2**r <= 10_000 or r >= 2
+        assert 1 <= bands <= neardup.MAX_BANDS
+    # bigger corpus ⇒ more sign bits per band (smaller buckets)
+    _, r_small = neardup.derive_params(10_000, 0.9)
+    _, r_big = neardup.derive_params(10_000_000_000, 0.9)
+    assert r_big > r_small
+
+
+def test_neardup_tiled_kernel_matches_untiled():
+    """Tiling must not change the emitted pair set (edge: pairs that
+    straddle tile boundaries, diagonal tiles' upper triangle)."""
+    import numpy as np
+    import pandas as pd
+
+    from meerkat_spark.similarity.neardup import _bucket_pairs_fn
+
+    rng = np.random.default_rng(7)
+    n, d = 57, 16
+    base = rng.normal(size=(n, d))
+    base[40] = base[3] + 0.01 * rng.normal(size=d)  # planted near-dup
+    pdf = pd.DataFrame({"id": np.arange(n) * 3 + 1, "v": list(base)})
+    big = _bucket_pairs_fn(0.3, tile=1024)(pdf)
+    small = _bucket_pairs_fn(0.3, tile=8)(pdf)  # forces 8×8 tiling
+    key = lambda f: sorted(zip(f.id1, f.id2, np.round(f.sim, 6)))
+    assert key(big) == key(small)
+    assert len(big) > 0
+
+
+def test_neardup_bucket_sizes_bounded(spark, emb):
+    """With derived params the realized (band, code) bucket sizes stay
+    within a small factor of the expected n/2^r."""
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.similarity import knn, neardup
+
+    n = emb.count()
+    bands, r = neardup.derive_params(n, threshold=0.4, target_bucket=64)
+    base = emb.select(
+        F.col("vec_id").alias("id"), knn._to_double(F.col("embedding")).alias("v")
+    )
+    banded = base.withColumn(
+        "codes", neardup.band_codes(F.col("v"), bands, r, 64)
+    ).select("id", F.posexplode("codes").alias("band", "code"))
+    sizes = banded.groupBy("band", "code").count().agg(F.max("count")).collect()[0][0]
+    # correlated sign bits make buckets skewed vs the uniform ideal;
+    # the bound here is structural: no bucket holds a constant fraction
+    # of the whole corpus
+    assert sizes <= n * 0.5, f"max bucket {sizes} of {n}"
