@@ -22,8 +22,8 @@ _NUMBER_RE = re.compile(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 # multi-char operators first
 _OPS = [
-    "==", "!=", "<=", ">=", "=~", "!~", "!in", "..", "<", ">", "+", "-",
-    "*", "/", "%", "=",
+    "==", "!=", "<=", ">=", "=~", "!~", "!in~", "!in", "..", "<", ">",
+    "+", "-", "*", "/", "%", "=",
 ]
 _PUNCT = ["|", "(", ")", "[", "]", "{", "}", ",", ";", ".", ":", "$"]
 
@@ -107,6 +107,12 @@ def tokenize(text: str) -> list[Token]:
                 m2 = _IDENT_RE.match(text, m.end() + 1)
                 word = f"{word}-{m2.group()}"
                 m = m2
+            # case-insensitive membership operator `in~` (the `~` is not
+            # an operator character on its own)
+            if word == "in" and text[m.end() : m.end() + 1] == "~":
+                tokens.append(Token("OP", "in~", i))
+                i = m.end() + 1
+                continue
             tokens.append(Token("IDENT", word, i))
             i = m.end()
             continue

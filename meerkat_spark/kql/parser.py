@@ -345,10 +345,11 @@ class Parser:
             direction = "desc"  # KQL default
             if self.at_ident("asc", "desc"):
                 direction = self.expect_ident("asc", "desc")
+            nulls = None  # default: first for asc, last for desc (KQL)
             if self.at_ident("nulls"):
                 self.next()
-                self.expect_ident("first", "last")
-            orders.append((e, direction))
+                nulls = self.expect_ident("first", "last")
+            orders.append((e, direction, nulls))
             if self.at("PUNCT", ","):
                 self.next()
                 continue
@@ -649,9 +650,12 @@ class Parser:
         if t.kind == "OP" and t.value in ("==", "!=", "<", "<=", ">", ">=", "=~", "!~"):
             self.next()
             return Binary(str(t.value), left, self.parse_additive())
-        if t.kind == "OP" and t.value == "!in":
+        if t.kind == "OP" and t.value in ("!in", "!in~"):
             self.next()
-            return self._parse_in(left, negated=True)
+            return self._parse_in(left, negated=True, ci=str(t.value).endswith("~"))
+        if t.kind == "OP" and t.value == "in~":
+            self.next()
+            return self._parse_in(left, negated=False, ci=True)
         if t.kind == "IDENT":
             word = str(t.value).lower()
             if word in self._STR_PREDS:
@@ -772,7 +776,9 @@ class Parser:
                         self.next()
                         args.append(self.parse_expr())
                 self.expect("PUNCT", ")")
-                return Call(low, args)
+                # preserve source case: let-bound lambda names are
+                # case-sensitive; builtins are lowered at dispatch
+                return Call(word, args)
             return Ident(word)
         raise KqlSyntaxError(f"unexpected token {t!r}")
 

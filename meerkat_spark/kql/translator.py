@@ -323,12 +323,14 @@ class Translator:
     }
 
     def call(self, node: P.Call, agg: bool) -> Column:
-        name = node.func
+        # builtins dispatch case-insensitively (lowered); let-bound
+        # lambda names stay case-sensitive (KQL identifier semantics)
+        name = node.func.lower()
         if name in self._WINDOW_FUNCS:
             return self._window_call(node)
         # let-bound lambda: substitute args into the body (KQL `invoke`
         # semantics for scalar functions — pure front-end inlining)
-        lam = self.lets.get(name)
+        lam = self.lets.get(node.func)
         if isinstance(lam, P.Lambda):
             if len(node.args) != len(lam.params):
                 raise KqlSyntaxError(
@@ -377,7 +379,7 @@ class Translator:
                 "or `| sort by …` first"
             )
         w = W.orderBy(*self.serialize_order)
-        name = node.func
+        name = node.func.lower()
         if name == "row_number":
             start = int(_raw(self.expr(node.args[0]))) if node.args else 1
             rn = F.row_number().over(w)
@@ -494,11 +496,15 @@ class Translator:
 
     def ap_sort(self, t, a):
         orders = []
-        for e, direction in a["orders"]:
+        for e, direction, nulls in a["orders"]:
             c = _c(self.expr(e))
-            orders.append(
-                c.desc_nulls_last() if direction == "desc" else c.asc_nulls_first()
-            )
+            # KQL defaults: asc → nulls first, desc → nulls last;
+            # an explicit `nulls first|last` modifier overrides
+            if direction == "desc":
+                c = c.desc_nulls_first() if nulls == "first" else c.desc_nulls_last()
+            else:
+                c = c.asc_nulls_last() if nulls == "last" else c.asc_nulls_first()
+            orders.append(c)
         self.serialize_order = orders  # sort serializes the table (KQL)
         return t.sort(*orders)
 
@@ -722,15 +728,18 @@ class Translator:
             if not isinstance(col_node, P.Ident):
                 raise KqlSyntaxError("bag_unpack expects a column name")
             col = col_node.name
-            # discover bag keys from a sample, then extract each as a column
-            # (schema inference is a metadata action — one small job)
-            sample = t.df.select(col).filter(F.col(col).isNotNull()).limit(1000)
-            keys: set[str] = set()
-            for r in sample.select(
-                F.json_object_keys(F.col(col)).alias("ks")
-            ).collect():
-                if r.ks:
-                    keys.update(r.ks)
+            # discover bag keys over the FULL column with one distributed
+            # distinct-key aggregation (explode → partial-dedup per
+            # partition → tiny final set). A row-sample here silently
+            # drops keys that first appear late in the table.
+            row = (
+                t.df.select(
+                    F.explode_outer(F.json_object_keys(F.col(col))).alias("k")
+                )
+                .agg(F.collect_set("k").alias("ks"))
+                .collect()[0]
+            )
+            keys: set[str] = set(row.ks or [])
             out = t.df
             for k in sorted(keys):
                 out = out.withColumn(k, F.get_json_object(F.col(col), f"$.{k}"))

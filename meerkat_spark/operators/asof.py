@@ -39,12 +39,18 @@ def asof_join(
 
     # tag: right rows sort BEFORE left rows at equal ts (<= semantics)
     l_tagged = left.withColumn("__tag", F.lit(1))
+    # All matched values ride in ONE struct so they come from the SAME
+    # (latest) right row — per-column last(ignorenulls) would skip over
+    # a legitimately-NULL value in the latest row and resurrect an older
+    # row's value (and could mix columns from different rows).
     r_tagged = right.select(
         *keys,
         F.col(ts_col),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        ).alias("__rvals"),
     ).withColumn("__tag", F.lit(0))
-    r_tagged = r_tagged.withColumn(f"{ts_col}{suffix}", F.col(ts_col))
 
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
@@ -52,7 +58,10 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = unioned
-    for c in [f"{v}{suffix}" for v in value_cols] + [f"{ts_col}{suffix}"]:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return carried.filter(F.col("__tag") == 1).drop("__tag")
+    carried = unioned.withColumn(
+        "__rvals", F.last("__rvals", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__rvals.{v}{suffix}").alias(f"{v}{suffix}") for v in value_cols
+    ] + [F.col(f"__rvals.{ts_col}{suffix}").alias(f"{ts_col}{suffix}")]
+    return carried.filter(F.col("__tag") == 1).select(*out_cols)

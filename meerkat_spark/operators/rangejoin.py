@@ -31,18 +31,33 @@ def range_join(
     degrades the equi-join into a near-cross within buckets.
     """
     p = points.withColumn(
-        "__bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
-    )
+        "__pb", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    ).withColumn("__pmark", F.lit(1))
+    first_bucket = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long")
     i = intervals.withColumn(
-        "__bucket",
-        F.explode(
+        "__ib",
+        F.explode_outer(  # outer: null-bounded intervals survive for right/full
             F.sequence(
-                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                first_bucket,
                 F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
             )
         ),
+    ).withColumn("__imark", F.lit(1))
+    # The exact range predicate must live IN the join condition — a
+    # post-join filter would drop the null-extended rows of outer kinds
+    # (silently degrading left/right/full to inner). Catalyst still
+    # hash-joins on the bucket equality; the range check is the join's
+    # residual condition.
+    cond = (F.col("__pb") == F.col("__ib")) & F.col(point_col).between(
+        F.col(lo_col), F.col(hi_col)
     )
-    joined = p.join(i, "__bucket", how).filter(
-        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
-    )
-    return joined.drop("__bucket")
+    joined = p.join(i, cond, how)
+    if how in ("right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer"):
+        # an unmatched interval appears once per exploded bucket replica;
+        # keep only its first-bucket replica (or its single null-bucket
+        # row when the bounds are null)
+        unmatched_right = F.col("__pmark").isNull() & F.col("__imark").isNotNull()
+        joined = joined.filter(
+            ~unmatched_right | F.col("__ib").isNull() | (F.col("__ib") == first_bucket)
+        )
+    return joined.drop("__pb", "__ib", "__pmark", "__imark")

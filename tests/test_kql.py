@@ -293,3 +293,21 @@ def test_kql_syntax_error(spark):
         eng.kql("events | frobnicate x")
     with pytest.raises(KqlSyntaxError):
         eng.kql("events | where (value > ")
+
+
+def test_kql_bag_unpack_finds_late_keys(spark):
+    """Key discovery must cover the FULL column: a key first appearing
+    past row 1000 (beyond the old sampling cutoff) still becomes a
+    column."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.range(1500).selectExpr(
+        "id",
+        "CASE WHEN id < 1200 THEN concat('{\"early\": ', id, '}') "
+        "ELSE concat('{\"late_key\": ', id, '}') END AS props",
+    )
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    eng.catalog._cache["bags"] = df
+    out = eng.kql("bags | evaluate bag_unpack(props)").to_df()
+    assert set(out.columns) == {"id", "early", "late_key"}
+    assert out.filter(F.col("late_key").isNotNull()).count() == 300

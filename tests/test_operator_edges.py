@@ -1,0 +1,111 @@
+"""Focused regression tests for the round-1 ADVICE defects: KQL
+nulls-placement modifier, case-sensitive let-bound lambda names,
+`in~`/`!in~` tokenization, range-join outer kinds, and as-of join
+carry-forward on nullable value columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.engine import MeerkatEngine
+from tests.conftest import SF_ORACLE
+
+
+def _eng_with(spark, name, df):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    eng.catalog._cache[name] = df
+    return eng
+
+
+def test_kql_sort_nulls_modifier(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id long, v double"
+    )
+    eng = _eng_with(spark, "t", df)
+    # explicit override: desc ordinarily puts nulls last
+    first = eng.kql("t | sort by v desc nulls first").to_df().collect()
+    assert [r.id for r in first] == [2, 1, 3]
+    last = eng.kql("t | sort by v desc nulls last").to_df().collect()
+    assert [r.id for r in last] == [1, 3, 2]
+    # defaults unchanged: asc → nulls first
+    asc = eng.kql("t | sort by v asc").to_df().collect()
+    assert [r.id for r in asc] == [2, 3, 1]
+
+
+def test_kql_case_sensitive_let_lambda(spark):
+    df = spark.createDataFrame([(1, 4.0)], "id long, v double")
+    eng = _eng_with(spark, "t", df)
+    out = eng.kql(
+        "let DoubleIt = (x: real) { x * 2 }; t | extend w = DoubleIt(v)"
+    ).to_df().collect()
+    assert out[0].w == 8.0
+    # builtins still dispatch case-insensitively after the change
+    out2 = eng.kql("t | extend s = SQRT(v)").to_df().collect()
+    assert out2[0].s == 2.0
+
+
+def test_kql_in_ci_operators(spark):
+    df = spark.createDataFrame(
+        [(1, "Click"), (2, "view"), (3, "PURCHASE")], "id long, et string"
+    )
+    eng = _eng_with(spark, "t", df)
+    ci = eng.kql("t | where et in~ ('click', 'purchase')").to_df().collect()
+    assert sorted(r.id for r in ci) == [1, 3]
+    nci = eng.kql("t | where et !in~ ('click', 'purchase')").to_df().collect()
+    assert [r.id for r in nci] == [2]
+    cs = eng.kql("t | where et in ('Click', 'purchase')").to_df().collect()
+    assert [r.id for r in cs] == [1]
+
+
+def test_range_join_outer_kinds(spark):
+    from meerkat_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([(1, 5.0), (2, 50.0)], "pid long, x double")
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 100.0, 130.0)], "iid long, lo double, hi double"
+    )
+    inner = range_join(points, intervals, "x", "lo", "hi", 10.0, how="inner")
+    assert [(r.pid, r.iid) for r in inner.collect()] == [(1, 10)]
+
+    left = range_join(points, intervals, "x", "lo", "hi", 10.0, how="left")
+    got = sorted((r.pid, r.iid) for r in left.collect())
+    assert got == [(1, 10), (2, None)]  # unmatched point survives
+
+    right = range_join(points, intervals, "x", "lo", "hi", 10.0, how="right")
+    got = sorted(
+        ((r.pid if r.pid is not None else -1), r.iid) for r in right.collect()
+    )
+    # unmatched interval appears EXACTLY once despite spanning 4 buckets
+    assert got == [(-1, 20), (1, 10)]
+
+    full = range_join(points, intervals, "x", "lo", "hi", 10.0, how="full")
+    got = sorted(
+        ((r.pid if r.pid is not None else -1), (r.iid if r.iid is not None else -1))
+        for r in full.collect()
+    )
+    assert got == [(-1, 20), (1, 10), (2, -1)]
+
+
+def test_asof_join_null_value_not_resurrected(spark):
+    from meerkat_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 30)], "user_id string, ts long")
+    right = spark.createDataFrame(
+        [("u", 10, 5.0, "a"), ("u", 20, None, "b")],
+        "user_id string, ts long, v double, s string",
+    )
+    out = asof_join(left, right, ts_col="ts", by="user_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    # latest right row (ts=20) has v=NULL — must NOT resurrect ts=10's 5.0
+    assert r.v_asof is None
+    assert r.s_asof == "b"
+    assert r.ts_asof == 20
+    # all matched values come from the SAME row
+    left2 = spark.createDataFrame([("w", 30)], "user_id string, ts long")
+    right2 = spark.createDataFrame(
+        [("w", 10, 1.0, None), ("w", 20, None, "late")],
+        "user_id string, ts long, v double, s string",
+    )
+    r2 = asof_join(left2, right2, ts_col="ts", by="user_id").collect()[0]
+    assert (r2.v_asof, r2.s_asof) == (None, "late")  # not a (1.0,'late') mix
