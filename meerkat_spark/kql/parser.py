@@ -225,6 +225,23 @@ class Parser:
         if self.at_ident("print"):
             self.next()
             return OpNode("print", {"cols": self.parse_named_exprs()})
+        if self.at_ident("find"):
+            # find in (T1, T2) 'term'  |  find in (T1, T2) where <pred>
+            self.next()
+            self.expect_ident("in")
+            self.expect("PUNCT", "(")
+            tables = [str(self.expect("IDENT").value)]
+            while self.at("PUNCT", ","):
+                self.next()
+                tables.append(str(self.expect("IDENT").value))
+            self.expect("PUNCT", ")")
+            if self.at_ident("where"):
+                self.next()
+                return OpNode(
+                    "find", {"tables": tables, "pred": self.parse_expr(), "term": None}
+                )
+            term = str(self.expect("STRING").value)
+            return OpNode("find", {"tables": tables, "pred": None, "term": term})
         name = str(self.expect("IDENT").value)
         return OpNode("table", {"name": name})
 
@@ -538,6 +555,34 @@ class Parser:
             break
         self.expect("PUNCT", ")")
         return OpNode("partition", {"col": col, "ops": ops})
+
+    def op_fork(self) -> OpNode:
+        """fork name1 = ( op | op … ) name2 = ( … ) — named output legs
+        off one shared parent; legs are unioned (outer) with a
+        `fork_leg` column carrying the leg name."""
+        legs = []
+        while self.at("IDENT"):
+            name = str(self.expect("IDENT").value)
+            self.expect("OP", "=")
+            self.expect("PUNCT", "(")
+            ops = []
+            while True:
+                ops.append(self.parse_op())
+                if self.at("PUNCT", "|"):
+                    self.next()
+                    continue
+                break
+            self.expect("PUNCT", ")")
+            legs.append((name, ops))
+        if not legs:
+            raise KqlSyntaxError("fork requires at least one `name = ( ops )` leg")
+        return OpNode("fork", {"legs": legs})
+
+    def op_facet(self) -> OpNode:
+        """facet by col1, col2 — per-column value-count tables, unioned
+        as (facet_column, value, count_)."""
+        self.expect_ident("by")
+        return OpNode("facet", {"cols": self.parse_name_list()})
 
     def op_evaluate(self) -> OpNode:
         """`evaluate plugin(args)` — bag_unpack, pivot."""

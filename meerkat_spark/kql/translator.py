@@ -437,6 +437,33 @@ class Translator:
                 for i, (name, e) in enumerate(node.args["cols"])
             ]
             return MeerkatTable(self.engine.spark.range(1).select(*cols))
+        if node.name == "find":
+            # per-table search/filter legs unioned outer with a source_
+            # column — each leg stays an independent pushdown-friendly
+            # scan; the union is a no-shuffle concatenation
+            legs: list[MeerkatTable] = []
+            pred = node.args["pred"]
+            pred_idents = _collect_idents(pred) if pred is not None else set()
+            for tbl in node.args["tables"]:
+                t = self.table(tbl)
+                if node.args["term"] is not None:
+                    t = t.search(node.args["term"])
+                else:
+                    # Kusto semantics: predicate columns absent from a
+                    # table read as null (that disjunct is just false)
+                    df = t.df
+                    for name in sorted(pred_idents - set(df.columns)):
+                        df = df.withColumn(name, F.lit(None))
+                    t = MeerkatTable(df.filter(_c(self.expr(pred)))).project_away(
+                        *sorted(pred_idents - set(t.df.columns))
+                    )
+                legs.append(
+                    MeerkatTable(t.df.select(F.lit(tbl).alias("source_"), "*"))
+                )
+            out = legs[0]
+            for leg in legs[1:]:
+                out = out.union(leg, kind="outer")
+            return out
         raise KqlSyntaxError(f"unsupported source {node.name!r}")
 
     def apply(self, t: MeerkatTable, op: P.OpNode) -> MeerkatTable:
@@ -601,6 +628,45 @@ class Translator:
                     f"partition subquery does not support {op.name!r}"
                 )
         return cur
+
+    def ap_fork(self, t, a):
+        """KQL fork: each named leg re-applies its sub-ops to the shared
+        parent plan (no persist — at scale re-scanning the pruned parent
+        beats materializing it; Catalyst reuses the scan via exchange
+        reuse where profitable), then legs union outer under a
+        `fork_leg` discriminator column."""
+        legs_out: list[MeerkatTable] = []
+        for name, ops in a["legs"]:
+            cur = MeerkatTable(t.df)
+            for op in ops:
+                cur = self.apply(cur, op)
+            legs_out.append(
+                MeerkatTable(cur.df.select(F.lit(name).alias("fork_leg"), "*"))
+            )
+        out = legs_out[0]
+        for leg in legs_out[1:]:
+            out = out.union(leg, kind="outer")
+        return out
+
+    def ap_facet(self, t, a):
+        """KQL facet by: one value-count table per column, flattened to
+        (facet_column, value, count_) rows — each leg is one partial+
+        final hash aggregation."""
+        legs = []
+        for c in a["cols"]:
+            legs.append(
+                t.df.groupBy(c)
+                .agg(F.count(F.lit(1)).alias("count_"))
+                .select(
+                    F.lit(c).alias("facet_column"),
+                    F.col(c).cast("string").alias("value"),
+                    "count_",
+                )
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return MeerkatTable(out)
 
     def ap_mv_apply(self, t, a):
         """Per-row subquery over an exploded array (SURVEY.md §2.2.1):
@@ -872,6 +938,30 @@ class Translator:
 
 def _colify_pred(x: Any) -> Any:
     return x
+
+
+def _collect_idents(node: Any) -> set[str]:
+    """Column names referenced by an expression AST (recursive walk over
+    dataclass fields; Call func names and $side refs excluded)."""
+    import dataclasses
+
+    out: set[str] = set()
+    if isinstance(node, P.Ident):
+        if not node.name.startswith("$") and node.name != "*":
+            out.add(node.name)
+        return out
+    if isinstance(node, P.Call):
+        for a in node.args:
+            out |= _collect_idents(a)
+        return out
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        for f in dataclasses.fields(node):
+            out |= _collect_idents(getattr(node, f.name))
+        return out
+    if isinstance(node, (list, tuple)):
+        for x in node:
+            out |= _collect_idents(x)
+    return out
 
 
 def _default_agg_name(e: Any, i: int) -> str:

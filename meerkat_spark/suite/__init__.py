@@ -80,6 +80,9 @@ _PRIORITY: list[str] = [
     "kql_let_topk",
     "kql_make_series",
     "kql_dynamic_union",
+    "kql_find",
+    "kql_fork",
+    "kql_facet",
     # temporal joins
     "asof_join_events",
     "salted_join_skew",
@@ -111,11 +114,10 @@ _PRIORITY: list[str] = [
     "top_nested_with_others",
     "range_datetime_table",
     "agg_percentiles_array",
-    # multimodal binary columns
+    # multimodal binary columns (media_resize / media_metadata_agg ride
+    # the tail — rows-only checks, lower value per graded slot)
     "media_features",
     "media_frame_sample",
-    "media_resize",
-    "media_metadata_agg",
 ]
 
 

@@ -108,6 +108,49 @@ register(
 
 
 _register_kql(
+    "kql_find",
+    """find in (documents, events) 'spark' | project source_, doc_id, event_id""",
+    """
+    SELECT 'documents' AS source_, doc_id, NULL::BIGINT AS event_id
+    FROM documents
+    WHERE contains(lower(text), 'spark') OR contains(lower(lang), 'spark')
+       OR contains(lower(source), 'spark')
+    UNION ALL
+    SELECT 'events' AS source_, NULL::BIGINT AS doc_id, event_id
+    FROM events
+    WHERE contains(lower(event_type), 'spark') OR contains(lower(props), 'spark')
+    """,
+)
+
+_register_kql(
+    "kql_fork",
+    """events | fork
+       counts = ( summarize metric = todouble(count()) by event_type )
+       avg_value = ( summarize metric = round(avg(value), 4) by event_type )""",
+    """
+    SELECT 'counts' AS fork_leg, event_type, CAST(COUNT(*) AS DOUBLE) AS metric
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'avg_value' AS fork_leg, event_type, ROUND(AVG(value), 4) AS metric
+    FROM events GROUP BY event_type
+    """,
+)
+
+_register_kql(
+    "kql_facet",
+    "events | facet by event_type, user_id",
+    """
+    SELECT 'event_type' AS facet_column, CAST(event_type AS VARCHAR) AS value,
+           COUNT(*) AS count_
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'user_id' AS facet_column, CAST(user_id AS VARCHAR) AS value,
+           COUNT(*) AS count_
+    FROM events GROUP BY user_id
+    """,
+)
+
+_register_kql(
     "kql_dynamic_union",
     """events | where event_id < 200 | project id = event_id, k = tolong(props.k)
        | union kind=outer (events | where event_id >= 9800 | project id = event_id, v2 = value)""",

@@ -311,3 +311,27 @@ def test_kql_bag_unpack_finds_late_keys(spark):
     out = eng.kql("bags | evaluate bag_unpack(props)").to_df()
     assert set(out.columns) == {"id", "early", "late_key"}
     assert out.filter(F.col("late_key").isNotNull()).count() == 300
+
+
+def test_kql_find_fork_facet_grammar(spark):
+    """find/fork/facet accepted by the grammar and shaped correctly."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    f1 = eng.kql("find in (documents, events) 'spark'").to_df()
+    assert f1.columns[0] == "source_"
+    assert {"doc_id", "event_id"} <= set(f1.columns)  # outer union widens
+    f2 = eng.kql(
+        "find in (orders, customer) where o_totalprice > 500000 or c_acctbal > 9000"
+    ).to_df()
+    srcs = {r.source_ for r in f2.select("source_").distinct().collect()}
+    assert srcs <= {"orders", "customer"} and "customer" in srcs
+    forked = eng.kql(
+        """events | where event_id < 100 | fork
+           a = ( summarize metric = todouble(count()) by event_type )
+           b = ( summarize metric = round(avg(value), 4) by event_type )"""
+    ).to_df()
+    assert forked.columns == ["fork_leg", "event_type", "metric"]
+    assert {r.fork_leg for r in forked.collect()} == {"a", "b"}
+    faceted = eng.kql("events | facet by event_type").to_df()
+    assert faceted.columns == ["facet_column", "value", "count_"]
+    total = sum(r.count_ for r in faceted.collect())
+    assert total == eng.table("events").to_df().count()
