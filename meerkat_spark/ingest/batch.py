@@ -25,7 +25,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from meerkat_spark.types import kql_to_spark
 
@@ -51,8 +50,6 @@ def _ensure_system_columns(df: DataFrame) -> DataFrame:
         df = df.withColumn(TS_COL, F.current_timestamp())
     else:
         df = df.withColumn(TS_COL, F.col(TS_COL).cast("timestamp"))
-        if not df.schema[TS_COL].dataType == T.TimestampType():
-            df = df.withColumn(TS_COL, F.col(TS_COL).cast("timestamp"))
     if DEDUP_COL not in df.columns:
         content = [c for c in df.columns if c not in (TS_COL, DEDUP_COL)]
         # reduce the 64-bit content hash into int32 range with pmod —

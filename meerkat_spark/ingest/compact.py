@@ -33,6 +33,17 @@ def list_day_partitions(path: str) -> list[str]:
     )
 
 
+def _footer_row_count(d: str) -> int:
+    """Sum of num_rows across the directory's parquet footers."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return total
+
+
 def compact_partition(
     spark: SparkSession, path: str, day: str, target_files: int = 1
 ) -> tuple[int, int]:
@@ -40,11 +51,13 @@ def compact_partition(
     rows_after)."""
     part_dir = os.path.join(path, f"{DAY_COL}={day}")
     df = spark.read.parquet(part_dir)
-    before = df.count()
     deduped = df.dropDuplicates([TS_COL, DEDUP_COL]).coalesce(target_files)
     tmp_dir = part_dir + f".compact-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(tmp_dir)
-    after = spark.read.parquet(tmp_dir).count()
+    # row counts from parquet footers (metadata only) — no extra Spark
+    # jobs; the write above is the single action of a compaction
+    before = _footer_row_count(part_dir)
+    after = _footer_row_count(tmp_dir)
     # atomic-ish swap (single filesystem rename pair; object stores would
     # use a manifest commit instead — documented architectural delta)
     old_dir = part_dir + ".old"

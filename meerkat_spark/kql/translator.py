@@ -922,10 +922,9 @@ class Translator:
         return t.getschema()
 
     def ap_sample(self, t, a):
-        # KQL sample N is a row count; approximate via fraction of total
-        # is not derivable lazily — use a tiny deterministic fraction+limit
-        n = int(a["n"])
-        return MeerkatTable(t.df.orderBy(F.rand(seed=42)).limit(n))
+        # KQL sample N is a row count — exact-N via the builder's
+        # TakeOrdered-on-rand path
+        return t.sample(int(a["n"]))
 
     def ap_serialize(self, t, a):
         if self.serialize_order is None:

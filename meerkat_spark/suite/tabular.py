@@ -604,5 +604,6 @@ def getschema_op(spark, sf_dir):
 
 @register("sample_op", oracle=None)
 def sample_op(spark, sf_dir):
-    """KQL sample — inherently nondeterministic across engines → rows-only."""
-    return _eng(spark, sf_dir).table("events").sample(0.1, seed=42).to_df()
+    """KQL sample N — exact-N random rows (values nondeterministic
+    across engines → rows-only; the row COUNT itself is exact)."""
+    return _eng(spark, sf_dir).table("events").sample(500, seed=42).to_df()

@@ -274,10 +274,17 @@ class MeerkatTable:
             preds = [F.lower(F.col(c)).contains(term.lower()) for c in str_cols]
         return self._wrap(self.df.filter(reduce(lambda a, b: a | b, preds)))
 
-    def sample(self, fraction: float, seed: int = 42) -> "MeerkatTable":
-        """KQL `sample` — random sample. KQL takes a row count; Spark's
-        sample is fractional — documented delta (not exact-N)."""
-        return self._wrap(self.df.sample(fraction=fraction, seed=seed))
+    def sample(self, n_or_fraction: float, seed: int = 42) -> "MeerkatTable":
+        """KQL `sample N` — N random rows. Exact-N and count-free:
+        orderBy(rand).limit(N) compiles to TakeOrderedAndProject
+        (per-partition top-N on the random key, tiny driver merge — no
+        global sort, no pre-count). A float < 1 selects Spark's native
+        Bernoulli fractional mode instead."""
+        if n_or_fraction >= 1:
+            return self._wrap(
+                self.df.orderBy(F.rand(seed=seed)).limit(int(n_or_fraction))
+            )
+        return self._wrap(self.df.sample(fraction=n_or_fraction, seed=seed))
 
     def serialize(self, *orders: Column | str) -> "MeerkatTable":
         """KQL `serialize` — freeze row order (enables window funcs).

@@ -109,3 +109,22 @@ def test_asof_join_null_value_not_resurrected(spark):
     )
     r2 = asof_join(left2, right2, ts_col="ts", by="user_id").collect()[0]
     assert (r2.v_asof, r2.s_asof) == (None, "late")  # not a (1.0,'late') mix
+
+
+def test_sample_exact_n(spark):
+    """sample N returns exactly N rows via TakeOrdered-on-rand (no
+    pre-count job, no global sort exchange)."""
+    from meerkat_spark.plans import executed_plan
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.table("events").sample(500, seed=7)
+    assert out.to_df().count() == 500
+    plan = executed_plan(out.to_df())
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # KQL surface takes a row count too
+    kql_out = eng.kql("events | sample 250").to_df()
+    assert kql_out.count() == 250
+    # fractional mode still available
+    frac = eng.table("events").sample(0.1, seed=7).to_df().count()
+    assert 0 < frac < 10_000

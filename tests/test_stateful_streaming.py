@@ -54,3 +54,47 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     assert latest[1] == (3, 22.0)  # 10+5 from batch1, +7 from batch2
     assert latest[2] == (1, 1.0)
     assert latest[3] == (1, 2.0)
+
+
+def test_state_ttl_restarts_session(spark, tmp_path):
+    """evict_after_ms: state older than the TTL restarts accumulation
+    when the key reappears (in-state TTL — the native
+    ProcessingTimeTimeout is gated off on this pyspark line, where it
+    crashes the Python worker)."""
+    from meerkat_spark.streaming.stateful import (
+        STATE_TIMEOUT_BROKEN,
+        running_user_stats,
+    )
+
+    assert STATE_TIMEOUT_BROKEN  # this container runs the broken 4.1.x line
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id long, value double").write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, 10.0)])
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = running_user_stats(stream, evict_after_ms=1000)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttl_stats")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(1.5)  # exceed the 1s TTL
+        write_batch([(1, 7.0), (1, 3.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ttl_stats").collect()
+    finally:
+        q.stop()
+    emitted = {(r.n_events, r.total_value) for r in rows}
+    assert (2, 10.0) in emitted  # fresh session: only batch-2 rows
+    assert (3, 20.0) not in emitted  # stale state did NOT carry over
