@@ -1,0 +1,166 @@
+"""Mergeable t-digest quantile sketch (SURVEY.md §2.2.2 T2 — the
+reference's reusable percentile sketch, re-expressed Spark-side).
+
+Algorithm: the merging t-digest (Dunning & Ertl, "Computing Extremely
+Accurate Quantiles Using t-Digests") with the k1 scale function
+k(q) = (δ/2π)·asin(2q−1): centroid sizes shrink toward the tails, so
+extreme quantiles stay accurate while the sketch stays O(δ) in size.
+
+Scale shape (the part Spark built-ins don't give you — a digest you can
+STORE and re-merge later, unlike percentile_approx which is query-time
+only):
+  1. map-side combine: mapInPandas folds each Arrow batch into one
+     digest per key — shuffle volume is #partitions × #keys × O(δ),
+     independent of row count;
+  2. reduce: groupBy(key).applyInPandas concatenates centroid sets and
+     re-compresses — the t-digest merge is exactly its build, so stored
+     digests from different days/tables merge the same way.
+
+Digest wire format: struct<means array<double>, weights array<double>>
+— plain Spark types, storable in parquet next to the data.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIGEST_SCHEMA = "means array<double>, weights array<double>"
+
+
+# ---------------------------------------------------------------- kernel
+def _k(q: float, compression: float) -> float:
+    return compression / (2.0 * math.pi) * math.asin(2.0 * min(1.0, max(0.0, q)) - 1.0)
+
+
+def _k_inv(k: float, compression: float) -> float:
+    return (math.sin(k * 2.0 * math.pi / compression) + 1.0) / 2.0
+
+
+def compress(
+    means: np.ndarray, weights: np.ndarray, compression: float = 100.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (means, weights) centroid multiset into ≤ O(compression)
+    centroids obeying the k1 size bound. Building and merging are the
+    same operation on concatenated centroid sets."""
+    if len(means) == 0:
+        return np.array([]), np.array([])
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order].astype(float), weights[order].astype(float)
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    q0 = 0.0
+    q_limit = _k_inv(_k(q0, compression) + 1.0, compression)
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    for m, w in zip(means[1:], weights[1:]):
+        q = q0 + (cur_w + w) / total
+        if q <= q_limit:
+            cur_m += (m - cur_m) * w / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / total
+            q_limit = _k_inv(_k(q0, compression) + 1.0, compression)
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Estimate the q-quantile from a digest (linear interpolation
+    between centroid midpoints; exact at the min/max centroids)."""
+    n = len(means)
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return float(means[0])
+    total = float(weights.sum())
+    target = q * total
+    # cumulative weight at each centroid's midpoint
+    cum = np.cumsum(weights) - weights / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, target)) - 1
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+# ---------------------------------------------------------------- spark
+def tdigest_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    compression: float = 100.0,
+) -> DataFrame:
+    """(by…, digest) — one mergeable t-digest per key group."""
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*by).schema.fields
+    )
+    partial_schema = f"{key_fields}, means array<double>, weights array<double>"
+
+    def partial(batches):
+        # one digest per key per Arrow batch stream (map-side combine)
+        acc: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(by, dropna=False, sort=False):
+                k = key if isinstance(key, tuple) else (key,)
+                v = grp[value_col].dropna().to_numpy(dtype=float)
+                if not len(v):
+                    continue
+                m, w = acc.get(k, (np.array([]), np.array([])))
+                m2, w2 = compress(
+                    np.concatenate([m, v]),
+                    np.concatenate([w, np.ones(len(v))]),
+                    compression,
+                )
+                acc[k] = (m2, w2)
+        rows = {c: [] for c in by} | {"means": [], "weights": []}
+        for k, (m, w) in acc.items():
+            for c, kv in zip(by, k):
+                rows[c].append(kv)
+            rows["means"].append(m.tolist())
+            rows["weights"].append(w.tolist())
+        yield pd.DataFrame(rows)
+
+    def merge(pdf):
+        m = np.concatenate([np.asarray(x, dtype=float) for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x, dtype=float) for x in pdf["weights"]])
+        mm, mw = compress(m, w, compression)
+        out = {c: [pdf[c].iloc[0]] for c in by}
+        out["digest"] = [{"means": mm.tolist(), "weights": mw.tolist()}]
+        return pd.DataFrame(out)
+
+    out_schema = f"{key_fields}, digest struct<{DIGEST_SCHEMA}>"
+    partials = df.select(*by, value_col).mapInPandas(partial, partial_schema)
+    return partials.groupBy(*by).applyInPandas(merge, out_schema)
+
+
+def digest_percentiles(df: DataFrame, qs: list[float], digest_col: str = "digest") -> DataFrame:
+    """Extend a digest table with one `p<q>` column per requested
+    quantile (Arrow-batched extraction, no shuffle)."""
+
+    # struct args arrive as a pandas DataFrame (one column per field)
+    @F.pandas_udf("array<double>")
+    def extract(dig: pd.DataFrame) -> pd.Series:
+        out = []
+        for m_list, w_list in zip(dig["means"], dig["weights"]):
+            m = np.asarray(m_list, dtype=float)
+            w = np.asarray(w_list, dtype=float)
+            out.append([quantile(m, w, q) for q in qs])
+        return pd.Series(out)
+
+    tmp = df.withColumn("__qs", extract(F.col(digest_col)))
+    for i, q in enumerate(qs):
+        name = f"p{str(q).replace('0.', '')}"
+        tmp = tmp.withColumn(name, F.col("__qs")[i])
+    return tmp.drop("__qs")

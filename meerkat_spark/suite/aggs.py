@@ -341,3 +341,27 @@ def agg_make_bag(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register("agg_tdigest", oracle=None)
+def agg_tdigest(spark, sf_dir):
+    """Mergeable t-digest percentile sketch (SURVEY.md §2.2.2 T2): one
+    stored digest per l_returnflag — map-side pre-digest per partition,
+    one merge shuffle of O(compression) centroids per key — then p50/
+    p95/p99 extracted from the sketch. Rows-only (sketch estimates are
+    approximate by design); rank-error ≤0.5% vs exact asserted in
+    tests/test_tdigest.py."""
+    from meerkat_spark.functions import tdigest as td
+
+    df = _eng(spark, sf_dir).table("lineitem").to_df()
+    sk = td.tdigest_sketch(df, "l_extendedprice", by=["l_returnflag"])
+    return (
+        td.digest_percentiles(sk, [0.5, 0.95, 0.99])
+        .select(
+            "l_returnflag",
+            F.round("p5", 2).alias("p50_est"),
+            F.round("p95", 2).alias("p95_est"),
+            F.round("p99", 2).alias("p99_est"),
+        )
+        .orderBy("l_returnflag")
+    )

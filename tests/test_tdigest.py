@@ -1,0 +1,69 @@
+"""t-digest sketch: accuracy vs exact quantiles, mergeability (digest of
+union ≈ merge of digests), bounded size."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from meerkat_spark.functions import tdigest as td
+
+
+@pytest.fixture(scope="module")
+def values():
+    rng = np.random.default_rng(11)
+    return np.concatenate(
+        [rng.normal(100, 15, 20_000), rng.exponential(50, 10_000)]
+    )
+
+
+def test_kernel_accuracy(values):
+    """t-digest quality is a RANK-error guarantee: the estimated
+    q-quantile must sit at data rank q ± ε (value error at heavy tails
+    is unbounded for any fixed-size sketch)."""
+    m, w = td.compress(values, np.ones(len(values)), compression=100.0)
+    assert len(m) <= 200  # O(compression) centroids
+    for q in [0.01, 0.25, 0.5, 0.75, 0.95, 0.99, 0.999]:
+        est = td.quantile(m, w, q)
+        rank = float((values <= est).mean())
+        assert abs(rank - q) < 0.005, (q, est, rank)
+
+
+def test_kernel_mergeable(values):
+    """Digest(merge of halves) ≈ digest(whole) — the property that lets
+    stored per-day sketches roll up."""
+    half = len(values) // 2
+    m1, w1 = td.compress(values[:half], np.ones(half), 100.0)
+    m2, w2 = td.compress(values[half:], np.ones(len(values) - half), 100.0)
+    mm, mw = td.compress(
+        np.concatenate([m1, m2]), np.concatenate([w1, w2]), 100.0
+    )
+    assert abs(mw.sum() - len(values)) < 1e-6  # no mass lost
+    for q in [0.05, 0.5, 0.95]:
+        est = td.quantile(mm, mw, q)
+        rank = float((values <= est).mean())
+        assert abs(rank - q) < 0.01, (q, est, rank)
+
+
+def test_spark_sketch_matches_exact(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sk = td.tdigest_sketch(df, "l_extendedprice", by=["l_returnflag"])
+    out = td.digest_percentiles(sk, [0.5, 0.95]).collect()
+    exact = {
+        r.l_returnflag: (r.p5, r.p95)
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            *[
+                __import__("pyspark.sql.functions", fromlist=["F"]).percentile(
+                    "l_extendedprice", p
+                ).alias(n)
+                for p, n in [(0.5, "p5"), (0.95, "p95")]
+            ]
+        )
+        .collect()
+    }
+    assert len(out) == 3
+    for r in out:
+        e50, e95 = exact[r.l_returnflag]
+        assert abs(r.p5 - e50) / e50 < 0.02
+        assert abs(r.p95 - e95) / e95 < 0.02
