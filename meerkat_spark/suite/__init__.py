@@ -94,7 +94,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats",
-    "text_quality_lang",
+    "text_has_indexed",
     "lang_id_accuracy",
     # similarity / ANN
     "knn_cosine_topk",

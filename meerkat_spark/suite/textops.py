@@ -197,3 +197,23 @@ def lang_id_accuracy(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
     )
+
+
+@register(
+    "text_has_indexed",
+    oracle=r"""
+    SELECT doc_id FROM documents WHERE regexp_matches(text, '(?i)\bspark\b')
+    """,
+)
+def text_has_indexed(spark, sf_dir):
+    """Indexed full-text `has`: stored token-bloom mask probed first
+    (codegen bitwiseAND, constant-folded literal hash), regex
+    word-boundary verify only on survivors — the reference's
+    IndexType::FullText re-expressed Spark-side (text/index.py).
+    Result set identical to plain `has` (pytest parity test), so the
+    oracle is the exact predicate."""
+    from meerkat_spark.text import index as ix
+
+    docs = _docs(spark, sf_dir)
+    indexed = ix.with_text_index(docs, "text")
+    return ix.has_indexed(indexed, "text", "spark").select("doc_id")
