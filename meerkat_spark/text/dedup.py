@@ -31,7 +31,8 @@ from meerkat_spark.text.analysis import fingerprint64
 # shingle) are evaluated INTERPRETED per element — measured 23s just to
 # shingle 5k docs at sf0.1 — while the numpy kernel is row-local,
 # shuffle-free, and deterministic across executors (fixed seeds,
-# blake2b shingle hashes; no salted Python hash()).
+# pandas-siphash shingle hashes with the library's fixed key; no salted
+# Python hash()).
 
 _MERSENNE61 = (1 << 61) - 1
 
@@ -47,15 +48,25 @@ def _hash64(s: str) -> int:
     return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+def _hash_strings(strings: list[str]) -> np.ndarray:
+    """Vectorized deterministic 64-bit string hashing: pandas
+    hash_array (C siphash with pandas' fixed default key — identical
+    across processes/executors). ~20× the throughput of per-gram
+    hashlib calls, which dominated the signature kernel."""
+    if not strings:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(strings, dtype=object))
+
+
 def _shingle_hash_array(text: str, k: int) -> np.ndarray:
     words = [w for w in text.lower().split() if w]
     if not words:
         return np.zeros(0, dtype=np.uint64)
     if len(words) < k:
-        grams: set[str] = {" ".join(words)}
+        grams = [" ".join(words)]
     else:
-        grams = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-    return np.fromiter((_hash64(g) for g in grams), dtype=np.uint64, count=len(grams))
+        grams = list({" ".join(words[i : i + k]) for i in range(len(words) - k + 1)})
+    return _hash_strings(grams)
 
 
 def _make_minhash_udf(n_perm: int, shingle_k: int):
@@ -102,9 +113,7 @@ def _make_simhash_udf():
             if not words:
                 out.append(0)
                 continue
-            th = np.fromiter(
-                (_hash64(w) for w in words), dtype=np.uint64, count=len(words)
-            )
+            th = _hash_strings(words)
             bits = (th[:, None] >> bitpos[None, :]) & np.uint64(1)
             ones = bits.sum(axis=0)
             fp = 0
@@ -184,17 +193,31 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_hash")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-            "inner",
+    # Bucket-local pair expansion instead of a self-join: a self-join
+    # re-evaluates the signature UDF once PER SIDE (no ReusedExchange
+    # across the join inputs — measured 2× kernel cost), while one
+    # groupBy computes signatures once and shuffles (band, hash, id)
+    # triples once. Pairs are generated JVM-side from each bucket's
+    # sorted id list (nested transform/slice — arrays, not Python).
+    # Bucket lists are small by LSH construction (empty docs already
+    # excluded); a giant exact-dup class costs O(c²) pairs under either
+    # formulation.
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids"), F.lit(1))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2"))
+    )
+    pairs = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id1"), F.col("p.id2"))
         .distinct()
     )
     return pairs
