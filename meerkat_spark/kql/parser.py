@@ -225,6 +225,31 @@ class Parser:
         if self.at_ident("print"):
             self.next()
             return OpNode("print", {"cols": self.parse_named_exprs()})
+        if self.at_ident("datatable"):
+            # datatable(col: type, …) [ v1, v2, … ] — literal inline table
+            self.next()
+            self.expect("PUNCT", "(")
+            schema = []
+            while not self.at("PUNCT", ")"):
+                cname = str(self.expect("IDENT").value)
+                self.expect("PUNCT", ":")
+                ctype = str(self.expect("IDENT").value).lower()
+                schema.append((cname, ctype))
+                if self.at("PUNCT", ","):
+                    self.next()
+            self.expect("PUNCT", ")")
+            self.expect("PUNCT", "[")
+            values = []
+            while not self.at("PUNCT", "]"):
+                values.append(self.parse_expr())
+                if self.at("PUNCT", ","):
+                    self.next()
+            self.expect("PUNCT", "]")
+            if not schema or len(values) % len(schema) != 0:
+                raise KqlSyntaxError(
+                    "datatable value count must be a multiple of the column count"
+                )
+            return OpNode("datatable", {"schema": schema, "values": values})
         if self.at_ident("find"):
             # find in (T1, T2) 'term'  |  find in (T1, T2) where <pred>
             self.next()
@@ -555,6 +580,18 @@ class Parser:
             break
         self.expect("PUNCT", ")")
         return OpNode("partition", {"col": col, "ops": ops})
+
+    def op_top_hitters(self) -> OpNode:
+        """top-hitters N of col [by sum_col] — heaviest values of a
+        column by count (or by summed measure)."""
+        n = int(self.expect("NUMBER").value)
+        self.expect_ident("of")
+        col = str(self.expect("IDENT").value)
+        by = None
+        if self.at_ident("by"):
+            self.next()
+            by = str(self.expect("IDENT").value)
+        return OpNode("top-hitters", {"n": n, "col": col, "by": by})
 
     def op_fork(self) -> OpNode:
         """fork name1 = ( op | op … ) name2 = ( … ) — named output legs

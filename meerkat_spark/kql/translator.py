@@ -437,6 +437,22 @@ class Translator:
                 for i, (name, e) in enumerate(node.args["cols"])
             ]
             return MeerkatTable(self.engine.spark.range(1).select(*cols))
+        if node.name == "datatable":
+            # literal inline table: values evaluated driver-side (they
+            # are literals by construction), one createDataFrame
+            from meerkat_spark.types import kql_to_spark
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField(n, kql_to_spark(t), True)
+                    for n, t in node.args["schema"]
+                ]
+            )
+            ncols = len(node.args["schema"])
+            vals = [self._lit_value(v) for v in node.args["values"]]
+            rows = [tuple(vals[i : i + ncols]) for i in range(0, len(vals), ncols)]
+            return MeerkatTable(self.engine.spark.createDataFrame(rows, schema))
         if node.name == "find":
             # per-table search/filter legs unioned outer with a source_
             # column — each leg stays an independent pushdown-friendly
@@ -628,6 +644,41 @@ class Translator:
                     f"partition subquery does not support {op.name!r}"
                 )
         return cur
+
+    def _lit_value(self, node):
+        """Driver-side value of a literal AST node (datatable cells)."""
+        import datetime as _dt
+
+        if isinstance(node, P.Lit):
+            return node.value
+        if isinstance(node, P.Unary) and node.op == "-" and isinstance(node.operand, P.Lit):
+            return -node.operand.value
+        if isinstance(node, P.DateTimeLit):
+            txt = node.text.replace("T", " ")
+            for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+                try:
+                    return _dt.datetime.strptime(txt, fmt)
+                except ValueError:
+                    continue
+            raise KqlSyntaxError(f"unparseable datetime literal {node.text!r}")
+        if isinstance(node, P.Timespan):
+            return _dt.timedelta(seconds=node.seconds)
+        raise KqlSyntaxError("datatable cells must be literals")
+
+    def ap_top_hitters(self, t, a):
+        """top-hitters N of col [by measure] — heaviest-hitters by count
+        or summed measure: one partial+final hash aggregation, then
+        TakeOrderedAndProject (exact; Kusto's is approximate)."""
+        col, by = a["col"], a["by"]
+        if by is None:
+            agg = F.count(F.lit(1)).alias("approximate_count_" + col)
+        else:
+            agg = F.sum(by).alias("approximate_sum_" + by)
+        out = t.df.groupBy(col).agg(agg)
+        measure = out.columns[-1]
+        return MeerkatTable(
+            out.orderBy(F.col(measure).desc(), F.col(col).asc()).limit(a["n"])
+        )
 
     def ap_fork(self, t, a):
         """KQL fork: each named leg re-applies its sub-ops to the shared

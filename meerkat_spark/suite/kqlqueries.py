@@ -163,3 +163,24 @@ _register_kql(
     FROM events WHERE event_id >= 9800
     """,
 )
+
+
+_register_kql(
+    "kql_datatable",
+    """datatable(k: string, v: long) ['a', 1, 'b', 2, 'c', 3]
+       | where v >= 2 | extend w = v * 10""",
+    """
+    SELECT k, CAST(v AS BIGINT) AS v, CAST(w AS BIGINT) AS w
+    FROM (VALUES ('b', 2, 20), ('c', 3, 30)) AS t(k, v, w)
+    """,
+)
+
+_register_kql(
+    "kql_top_hitters",
+    "events | top-hitters 3 of event_type",
+    """
+    SELECT event_type, COUNT(*) AS approximate_count_event_type
+    FROM events GROUP BY event_type
+    ORDER BY 2 DESC, 1 ASC LIMIT 3
+    """,
+)

@@ -335,3 +335,19 @@ def test_kql_find_fork_facet_grammar(spark):
     assert faceted.columns == ["facet_column", "value", "count_"]
     total = sum(r.count_ for r in faceted.collect())
     assert total == eng.table("events").to_df().count()
+
+
+def test_kql_datatable_top_hitters(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    dt = eng.kql(
+        """datatable(name: string, x: long, d: datetime)
+           [ 'a', 1, datetime(2024-01-02), 'b', -2, datetime(2024-01-03 12:30:00) ]"""
+    ).to_df()
+    assert dt.count() == 2
+    assert [f.dataType.simpleString() for f in dt.schema.fields] == [
+        "string", "bigint", "timestamp",
+    ]
+    assert {r.x for r in dt.collect()} == {1, -2}
+    th = eng.kql("events | top-hitters 2 of event_type").to_df().collect()
+    assert len(th) == 2
+    assert th[0].approximate_count_event_type >= th[1].approximate_count_event_type
