@@ -145,3 +145,28 @@ def test_union_schema_alignment(eng):
     assert set(out.columns) == {"key", "extra"}
     plan = plan_of(out)
     assert "Union" in plan
+
+
+def test_facet_partial_final_agg(eng):
+    df = eng.kql("events | facet by event_type, user_id").to_df()
+    plan = plan_of(df)
+    # each facet leg is a partial+final hash aggregation
+    assert plan.count("HashAggregate") >= 4
+    assert "partial_count" in plan
+
+
+def test_find_pushes_search_to_each_leg(eng):
+    """find-where pushes the (shared-column) predicate to each table's
+    scan independently."""
+    df = eng.kql(
+        "find in (orders, customer) where o_totalprice > 500000 or c_acctbal > 9000"
+    ).to_df()
+    plan = plan_of(df)
+    assert "Union" in plan
+
+
+def test_top_hitters_take_ordered(eng):
+    df = eng.kql("events | top-hitters 3 of event_type").to_df()
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
