@@ -427,3 +427,124 @@ def parse_json_get(x, path: str) -> Column:
 
 
 todynamic = tostring  # dynamic carried as JSON string (types.py)
+
+
+# ---- round-3 surface widening (common Kusto functions) -----------------
+def datetime_add_col(part: str, amount, ts) -> Column:
+    """Column-native datetime_add (KQL part names map to Spark units)."""
+    return F.timestamp_add(part.strip("'\""), _c(amount), _c(ts))
+
+
+def datetime_diff_col(part: str, ts1, ts2) -> Column:
+    """KQL datetime_diff(period, dt1, dt2) = dt1 − dt2 in period units."""
+    return F.timestamp_diff(part.strip("'\""), _c(ts2), _c(ts1))
+
+
+def datetime_part(part: str, ts) -> Column:
+    return F.date_part(F.lit(part.strip("'\"")), _c(ts))
+
+
+def make_datetime(y, mo, d, h=None, mi=None, s=None) -> Column:
+    zero = F.lit(0)
+    return F.make_timestamp(
+        _c(y), _c(mo), _c(d),
+        _c(h) if h is not None else zero,
+        _c(mi) if mi is not None else zero,
+        _c(s) if s is not None else zero,
+    )
+
+
+def _end_of(ts, unit: str) -> Column:
+    """Last representable tick (µs here) of the period containing ts."""
+    start = F.date_trunc(unit, _c(ts))
+    return start + F.expr(f"INTERVAL 1 {unit}") - F.expr("INTERVAL 1 MICROSECOND")
+
+
+def endofday(ts) -> Column:
+    return _end_of(ts, "day")
+
+
+def endofweek(ts) -> Column:
+    return _end_of(ts, "week")
+
+
+def endofmonth(ts) -> Column:
+    return _end_of(ts, "month")
+
+
+def endofyear(ts) -> Column:
+    return _end_of(ts, "year")
+
+
+def bin_at_numeric(v, size, fixed) -> Column:
+    return _c(fixed) + F.floor((_c(v) - _c(fixed)) / F.lit(size)) * F.lit(size)
+
+
+def bin_at_datetime(ts, step_s: float, fixed) -> Column:
+    """bin_at for timestamps: bins aligned to `fixed` instead of epoch."""
+    step_us = int(step_s * 1_000_000)
+    delta = F.unix_micros(_c(ts)) - F.unix_micros(_c(fixed))
+    binned = F.floor(delta / step_us).cast("long") * step_us + F.unix_micros(_c(fixed))
+    return F.timestamp_micros(binned.cast("long"))
+
+
+def strcat_array(arr, delim) -> Column:
+    return F.array_join(_c(arr), delim if isinstance(delim, str) else _c(delim))
+
+
+def strrep(value, multiplier, delimiter="") -> Column:
+    d = delimiter if isinstance(delimiter, str) else _c(delimiter)
+    return F.array_join(
+        F.array_repeat(_c(value).cast("string"), _c(multiplier).cast("int")), d
+    )
+
+
+def translate_kql(search, replace, text) -> Column:
+    """KQL arg order (searchList, replacementList, text)."""
+    return F.translate(_c(text), str(search), str(replace))
+
+
+def extract_json(path: str, source) -> Column:
+    return F.get_json_object(_c(source), str(path))
+
+
+def array_rotate_left(arr, n) -> Column:
+    a = _c(arr)
+    return F.transform(
+        a, lambda x, i: F.element_at(a, (F.pmod(i + _c(n), F.size(a)) + 1).cast("int"))
+    )
+
+
+def array_rotate_right(arr, n) -> Column:
+    a = _c(arr)
+    return F.transform(
+        a,
+        lambda x, i: F.element_at(
+            a, (F.pmod(i - _c(n), F.size(a)) + 1).cast("int")
+        ),
+    )
+
+
+def _shift_pick(a: Column, idx: Column) -> Column:
+    """a[idx] (1-based) or null — guards idx ≤ 0 (element_at(…, 0) throws
+    even in the try_ variant)."""
+    return F.when(idx >= 1, F.try_element_at(a, idx.cast("int")))
+
+
+def array_shift_left(arr, n) -> Column:
+    """Shift elements left by n; vacated slots become null (KQL default).
+    Negative n shifts right."""
+    a = _c(arr)
+    return F.transform(a, lambda x, i: _shift_pick(a, i + _c(n) + 1))
+
+
+def array_shift_right(arr, n) -> Column:
+    a = _c(arr)
+    return F.transform(a, lambda x, i: _shift_pick(a, i - _c(n) + 1))
+
+
+def jaccard_index(a, b) -> Column:
+    """|A∩B| / |A∪B| over array-as-set columns."""
+    inter = F.size(F.array_intersect(_c(a), _c(b)))
+    union = F.size(F.array_union(_c(a), _c(b)))
+    return inter / union

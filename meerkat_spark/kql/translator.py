@@ -51,56 +51,76 @@ _SCALARS: dict[str, Any] = {
     "ago": lambda a: F.current_timestamp() - _interval(a[0].seconds if isinstance(a[0], _Span) else float(a[0])),
     "now": lambda a: F.current_timestamp(),
     "ingestion_time": lambda a: F.current_timestamp(),  # stamped at ingest (§2.2.5)
-    "startofday": lambda a: S.startofday(a[0]),
-    "startofweek": lambda a: S.startofweek(a[0]),
-    "startofmonth": lambda a: S.startofmonth(a[0]),
-    "startofyear": lambda a: S.startofyear(a[0]),
-    "dayofweek": lambda a: S.dayofweek_timespan(a[0]),
-    "hourofday": lambda a: S.hourofday(a[0]),
-    "week_of_year": lambda a: S.week_of_year(a[0]),
+    "startofday": lambda a: S.startofday(_c(a[0])),
+    "startofweek": lambda a: S.startofweek(_c(a[0])),
+    "startofmonth": lambda a: S.startofmonth(_c(a[0])),
+    "startofyear": lambda a: S.startofyear(_c(a[0])),
+    "dayofweek": lambda a: S.dayofweek_timespan(_c(a[0])),
+    "hourofday": lambda a: S.hourofday(_c(a[0])),
+    "week_of_year": lambda a: S.week_of_year(_c(a[0])),
     "getmonth": lambda a: F.month(a[0]),
     "getyear": lambda a: F.year(a[0]),
     "dayofmonth": lambda a: F.dayofmonth(a[0]),
-    "format_datetime": lambda a: S.format_datetime(a[0], a[1]),
-    "todatetime": lambda a: S.todatetime(a[0]),
-    "unixtime_seconds_todatetime": lambda a: S.unixtime_seconds_todatetime(a[0]),
+    "format_datetime": lambda a: S.format_datetime(_c(a[0]), str(a[1])),
+    "todatetime": lambda a: S.todatetime(_c(a[0])),
+    "unixtime_seconds_todatetime": lambda a: S.unixtime_seconds_todatetime(_c(a[0])),
+    "datetime_add": lambda a: S.datetime_add_col(str(a[0]), _c(a[1]), _c(a[2])),
+    "datetime_diff": lambda a: S.datetime_diff_col(str(a[0]), _c(a[1]), _c(a[2])),
+    "datetime_part": lambda a: S.datetime_part(str(a[0]), _c(a[1])),
+    "make_datetime": lambda a: S.make_datetime(*[_c(x) for x in a]),
+    "dayofyear": lambda a: F.dayofyear(_c(a[0])),
+    "monthofyear": lambda a: F.month(_c(a[0])),
+    "endofday": lambda a: S.endofday(a[0]),
+    "endofweek": lambda a: S.endofweek(a[0]),
+    "endofmonth": lambda a: S.endofmonth(a[0]),
+    "endofyear": lambda a: S.endofyear(a[0]),
+    "bin_at": lambda a: (
+        S.bin_at_datetime(a[0], a[1].seconds, a[2])
+        if isinstance(a[1], _Span)
+        else S.bin_at_numeric(a[0], a[1], a[2])
+    ),
+    "totimespan": lambda a: a[0] if isinstance(a[0], _Span) else _Span(float(a[0])),
     # strings
-    "strlen": lambda a: S.strlen(a[0]),
-    "substring": lambda a: S.substring(*a),
+    "strlen": lambda a: S.strlen(_c(a[0])),
+    "substring": lambda a: S.substring(_c(a[0]), *a[1:]),
     "strcat": lambda a: S.strcat(*a),
     "strcat_delim": lambda a: S.strcat_delim(a[0], *a[1:]),
-    "split": lambda a: S.split(a[0], a[1], int(a[2]) if len(a) > 2 else None),
-    "tolower": lambda a: S.tolower(a[0]),
-    "toupper": lambda a: S.toupper(a[0]),
-    "trim": lambda a: S.trim(a[0], a[1]),
-    "trim_start": lambda a: S.trim_start(a[0], a[1]),
-    "trim_end": lambda a: S.trim_end(a[0], a[1]),
-    "replace_string": lambda a: S.replace_string(a[0], a[1], a[2]),
-    "replace_regex": lambda a: S.replace_regex(a[0], a[1], a[2]),
-    "extract": lambda a: S.extract(a[0], int(a[1]), a[2]),
-    "extract_all": lambda a: S.extract_all(a[0], a[1]),
-    "indexof": lambda a: S.indexof(a[0], a[1]),
-    "countof": lambda a: S.countof(a[0], a[1]),
-    "reverse": lambda a: S.reverse(a[0]),
-    "tostring": lambda a: S.tostring(a[0]),
-    "base64_encode_tostring": lambda a: S.base64_encode_tostring(a[0]),
-    "base64_decode_tostring": lambda a: S.base64_decode_tostring(a[0]),
-    "hash": lambda a: S.hash_xx(a[0], int(a[1]) if len(a) > 1 else None),
-    "hash_sha256": lambda a: S.hash_sha256(a[0]),
+    "split": lambda a: S.split(_c(a[0]), a[1], int(a[2]) if len(a) > 2 else None),
+    "tolower": lambda a: S.tolower(_c(a[0])),
+    "toupper": lambda a: S.toupper(_c(a[0])),
+    "trim": lambda a: S.trim(a[0], _c(a[1])),
+    "trim_start": lambda a: S.trim_start(a[0], _c(a[1])),
+    "trim_end": lambda a: S.trim_end(a[0], _c(a[1])),
+    "replace_string": lambda a: S.replace_string(_c(a[0]), a[1], a[2]),
+    "replace_regex": lambda a: S.replace_regex(_c(a[0]), a[1], a[2]),
+    "extract": lambda a: S.extract(a[0], int(a[1]), _c(a[2])),
+    "extract_all": lambda a: S.extract_all(a[0], _c(a[1])),
+    "indexof": lambda a: S.indexof(_c(a[0]), a[1]),
+    "countof": lambda a: S.countof(_c(a[0]), a[1]),
+    "reverse": lambda a: S.reverse(_c(a[0])),
+    "tostring": lambda a: S.tostring(_c(a[0])),
+    "base64_encode_tostring": lambda a: S.base64_encode_tostring(_c(a[0])),
+    "base64_decode_tostring": lambda a: S.base64_decode_tostring(_c(a[0])),
+    "hash": lambda a: S.hash_xx(_c(a[0]), int(a[1]) if len(a) > 1 else None),
+    "hash_sha256": lambda a: S.hash_sha256(_c(a[0])),
     "hash_md5": lambda a: F.md5(_c(a[0])),
-    "url_encode": lambda a: S.url_encode(a[0]),
-    "url_decode": lambda a: S.url_decode(a[0]),
-    "isempty": lambda a: S.isempty(a[0]),
-    "isnotempty": lambda a: S.isnotempty(a[0]),
+    "url_encode": lambda a: S.url_encode(_c(a[0])),
+    "url_decode": lambda a: S.url_decode(_c(a[0])),
+    "strcat_array": lambda a: S.strcat_array(_c(a[0]), a[1] if isinstance(a[1], str) else _c(a[1])),
+    "strrep": lambda a: S.strrep(_c(a[0]), _c(a[1]), a[2] if len(a) > 2 else ""),
+    "translate": lambda a: S.translate_kql(str(a[0]), str(a[1]), _c(a[2])),
+    "extract_json": lambda a: S.extract_json(str(a[0]), _c(a[1])),
+    "isempty": lambda a: S.isempty(_c(a[0])),
+    "isnotempty": lambda a: S.isnotempty(_c(a[0])),
     "isnull": lambda a: _c(a[0]).isNull(),
     "isnotnull": lambda a: _c(a[0]).isNotNull(),
     # math
     "abs": lambda a: F.abs(_c(a[0])),
     "round": lambda a: F.round(_c(a[0]), int(a[1]) if len(a) > 1 else 0),
-    "ceiling": lambda a: S.ceiling(a[0]),
+    "ceiling": lambda a: S.ceiling(_c(a[0])),
     "exp": lambda a: F.exp(_c(a[0])),
     "log": lambda a: F.log(_c(a[0])),
-    "log2": lambda a: S.log2(a[0]),
+    "log2": lambda a: S.log2(_c(a[0])),
     "log10": lambda a: F.log10(_c(a[0])),
     "pow": lambda a: F.pow(_c(a[0]), _c(a[1])),
     "sqrt": lambda a: F.sqrt(_c(a[0])),
@@ -108,8 +128,20 @@ _SCALARS: dict[str, Any] = {
     "sin": lambda a: F.sin(_c(a[0])),
     "cos": lambda a: F.cos(_c(a[0])),
     "tan": lambda a: F.tan(_c(a[0])),
+    "asin": lambda a: F.asin(_c(a[0])),
+    "acos": lambda a: F.acos(_c(a[0])),
+    "atan": lambda a: F.atan(_c(a[0])),
+    "atan2": lambda a: F.atan2(_c(a[0]), _c(a[1])),
+    "degrees": lambda a: F.degrees(_c(a[0])),
+    "radians": lambda a: F.radians(_c(a[0])),
+    "pi": lambda a: F.lit(math.pi),
+    "exp2": lambda a: F.pow(F.lit(2.0), _c(a[0])),
+    "exp10": lambda a: F.pow(F.lit(10.0), _c(a[0])),
+    "isfinite": lambda a: ~(F.isnan(_c(a[0])) | _c(a[0]).isin(float("inf"), float("-inf"))),
+    "isinf": lambda a: _c(a[0]).isin(float("inf"), float("-inf")),
     "rand": lambda a: F.rand(),
     "isnan": lambda a: F.isnan(_c(a[0])),
+    "not": lambda a: ~_c(a[0]),
     # conditional
     "iff": lambda a: F.when(a[0], _c(a[1])).otherwise(_c(a[2])),
     "iif": lambda a: F.when(a[0], _c(a[1])).otherwise(_c(a[2])),
@@ -118,12 +150,12 @@ _SCALARS: dict[str, Any] = {
     "min_of": lambda a: S.min_of(*a),
     "max_of": lambda a: S.max_of(*a),
     # casts
-    "toint": lambda a: S.toint(a[0]),
-    "tolong": lambda a: S.tolong(a[0]),
-    "todouble": lambda a: S.todouble(a[0]),
-    "toreal": lambda a: S.todouble(a[0]),
-    "tobool": lambda a: S.tobool(a[0]),
-    "todecimal": lambda a: S.todecimal(a[0]),
+    "toint": lambda a: S.toint(_c(a[0])),
+    "tolong": lambda a: S.tolong(_c(a[0])),
+    "todouble": lambda a: S.todouble(_c(a[0])),
+    "toreal": lambda a: S.todouble(_c(a[0])),
+    "tobool": lambda a: S.tobool(_c(a[0])),
+    "todecimal": lambda a: S.todecimal(_c(a[0])),
     # dynamic / array
     "array_length": lambda a: S.array_length(a[0]),
     "array_concat": lambda a: S.array_concat(*a),
@@ -131,6 +163,13 @@ _SCALARS: dict[str, Any] = {
     "array_sort_asc": lambda a: S.array_sort_asc(a[0]),
     "array_sort_desc": lambda a: S.array_sort_desc(a[0]),
     "array_index_of": lambda a: S.array_index_of(a[0], a[1]),
+    "array_reverse": lambda a: F.reverse(_c(a[0])),
+    "array_rotate_left": lambda a: S.array_rotate_left(a[0], _c(a[1])),
+    "array_rotate_right": lambda a: S.array_rotate_right(a[0], _c(a[1])),
+    "array_shift_left": lambda a: S.array_shift_left(a[0], _c(a[1])),
+    "array_shift_right": lambda a: S.array_shift_right(a[0], _c(a[1])),
+    "set_has_element": lambda a: F.array_contains(_c(a[0]), _c(a[1])),
+    "jaccard_index": lambda a: S.jaccard_index(a[0], a[1]),
     "set_union": lambda a: S.set_union(*a),
     "set_intersect": lambda a: S.set_intersect(a[0], a[1]),
     "set_difference": lambda a: S.set_difference(a[0], a[1]),

@@ -392,3 +392,57 @@ def scalar_extract_regex(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "scalar_datetime_extended",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 2 DAY AS da,
+           CAST(epoch(date_trunc('day', ts) - TIMESTAMP '2024-01-01') AS BIGINT) AS dd,
+           CAST(date_part('hour', ts) AS BIGINT) AS dp,
+           date_trunc('day', ts) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND AS eod,
+           CAST(date_part('doy', ts) AS BIGINT) AS doy,
+           TIMESTAMP '2024-01-01 06:00:00'
+             + INTERVAL 1 DAY * CAST(floor(epoch(ts - TIMESTAMP '2024-01-01 06:00:00') / 86400) AS BIGINT) AS ba
+    FROM events WHERE event_id < 100
+    """,
+)
+def scalar_datetime_extended(spark, sf_dir):
+    """Round-3 datetime surface: datetime_add/diff/part, endofday,
+    dayofyear, bin_at — all through the KQL front-end."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """events | where event_id < 100
+           | project event_id,
+             da = datetime_add('day', 2, ts),
+             dd = datetime_diff('second', startofday(ts), datetime(2024-01-01)),
+             dp = tolong(datetime_part('hour', ts)),
+             eod = endofday(ts),
+             doy = tolong(dayofyear(ts)),
+             ba = bin_at(ts, 1d, datetime(2024-01-01 06:00:00))"""
+    ).to_df()
+
+
+@register(
+    "scalar_strings_extended",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS ej,
+           concat(event_type, '|', event_type) AS sr,
+           replace(replace(event_type, 'c', 'C'), 'v', 'V') AS tr
+    FROM events WHERE event_id < 100
+    """,
+)
+def scalar_strings_extended(spark, sf_dir):
+    """Round-3 string surface: extract_json, strrep, translate."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """events | where event_id < 100
+           | project event_id,
+             ej = extract_json('$.k', props),
+             sr = strrep(event_type, 2, '|'),
+             tr = translate('cv', 'CV', event_type)"""
+    ).to_df()

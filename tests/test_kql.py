@@ -351,3 +351,38 @@ def test_kql_datatable_top_hitters(spark):
     th = eng.kql("events | top-hitters 2 of event_type").to_df().collect()
     assert len(th) == 2
     assert th[0].approximate_count_event_type >= th[1].approximate_count_event_type
+
+
+def test_kql_round3_scalar_functions(spark):
+    """New scalar surface: literal args must compile as literals (the
+    dispatch wraps value positions), arrays/math behave per KQL."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        """print
+           g = strcat_array(pack_array('x','y','z'), '-'),
+           h = strrep('ab', 3, ','),
+           i = translate('abc', 'xyz', 'cabbage'),
+           j = extract_json('$.k', '{"k": 42}'),
+           k = round(degrees(pi()), 2),
+           m = array_rotate_left(pack_array(1,2,3,4), 1),
+           n = array_shift_right(pack_array(1,2,3), 1),
+           o = set_has_element(pack_array(1,2), 2),
+           p = round(jaccard_index(pack_array(1,2,3), pack_array(2,3,4)), 3),
+           q = not(2 > 3),
+           r = exp2(10),
+           s = isfinite(todouble('Infinity')),
+           u = toupper('abc')"""
+    ).to_df().collect()[0]
+    assert row.g == "x-y-z"
+    assert row.h == "ab,ab,ab"
+    assert row.i == "zxyyxge"
+    assert row.j == "42"
+    assert row.k == 180.0
+    assert row.m == [2, 3, 4, 1]
+    assert row.n == [None, 1, 2]
+    assert row.o is True
+    assert row.p == 0.5
+    assert row.q is True
+    assert row.r == 1024.0
+    assert row.s is False
+    assert row.u == "ABC"
