@@ -202,7 +202,11 @@ _AGGS: dict[str, Any] = {
     "arg_min": lambda a: A.arg_min(a[0], a[1]),
     "take_any": lambda a: A.take_any(a[0]),
     "any": lambda a: A.take_any(a[0]),
-    "percentile": lambda a: A.percentile(a[0], float(_raw(a[1]))),
+    "take_anyif": lambda a: A.take_any(F.when(_colify_pred(a[1]), _c(a[0]))),
+    "anyif": lambda a: A.take_any(F.when(_colify_pred(a[1]), _c(a[0]))),
+    # KQL percentiles are 0–100 percentages; the builder API is 0–1
+    "percentile": lambda a: A.percentile(a[0], float(_raw(a[1])) / 100.0),
+    "percentiles": lambda a: A.percentiles(a[0], *[float(_raw(p)) / 100.0 for p in a[1:]]),
     "stdev": lambda a: A.stdev(a[0]),
     "stdevp": lambda a: A.stdevp(a[0]),
     "variance": lambda a: A.variance(a[0]),
@@ -217,6 +221,22 @@ _AGGS: dict[str, Any] = {
     "binary_all_xor": lambda a: A.binary_all_xor(a[0]),
     "hll": lambda a: A.hll(a[0]),
     "hll_merge": lambda a: A.hll_merge(a[0]),
+    "make_bag_if": lambda a: A.make_bag(
+        F.when(_colify_pred(a[2]), _c(a[0])), F.when(_colify_pred(a[2]), _c(a[1]))
+    ),
+    # collect_list drops nulls; boxing values in a struct keeps them
+    # (a struct with a null field is itself non-null). Sorted for the
+    # suite's deterministic-collection convention.
+    "make_list_with_nulls": lambda a: F.sort_array(
+        F.collect_list(
+            F.struct(_c(a[0]).isNull().alias("isnull"), _c(a[0]).alias("v"))
+        )
+    ).getField("v"),
+    "count_distinct": lambda a: F.countDistinct(_c(a[0])),
+    "count_distinctif": lambda a: F.countDistinct(F.when(_colify_pred(a[1]), _c(a[0]))),
+    "sum_distinct": lambda a: F.sum_distinct(_c(a[0])),
+    "covariance": lambda a: F.covar_samp(_c(a[0]), _c(a[1])),
+    "covariancep": lambda a: F.covar_pop(_c(a[0]), _c(a[1])),
 }
 
 

@@ -365,3 +365,29 @@ def agg_tdigest(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_round3_variants",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cd,
+           CAST(COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END) AS BIGINT) AS cdi,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cv
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_round3_variants(spark, sf_dir):
+    """Round-3 aggregate surface through the KQL front-end:
+    count_distinct(if), 0-100 percentile args, covariance."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """events | summarize
+           cd = count_distinct(user_id),
+           cdi = count_distinctif(user_id, value > 50),
+           p50 = round(percentile(value, 50), 4),
+           cv = round(covariance(value, todouble(user_id)), 4)
+           by event_type"""
+    ).to_df()

@@ -386,3 +386,26 @@ def test_kql_round3_scalar_functions(spark):
     assert row.r == 1024.0
     assert row.s is False
     assert row.u == "ABC"
+
+
+def test_kql_round3_aggregates(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (1, None, "y"), (1, 4.5, None), (2, 5.0, "z")],
+        "g long, v double, s string",
+    )
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        """t | summarize
+           lwn = make_list_with_nulls(v), cd = count_distinct(s),
+           cdi = count_distinctif(s, v > 1), sd = sum_distinct(v),
+           p50 = percentile(v, 50), ps = percentiles(v, 50, 95),
+           cv = round(covariance(v, v), 4)
+           by g | sort by g asc"""
+    ).to_df().collect()
+    r1, r2 = out
+    assert r1.lwn == [2.0, 4.5, None]  # null RETAINED (collect_list drops it)
+    assert (r1.cd, r1.cdi, r1.sd) == (2, 1, 6.5)
+    assert r1.p50 == 3.25  # KQL percentile arg is 0-100
+    assert r1.ps == [3.25, 4.375]
+    assert r2.cv is None  # single-row sample covariance
