@@ -43,6 +43,11 @@ class DateTimeLit:
 
 
 @dataclass
+class DynamicLit:
+    items: list  # element AST nodes of dynamic([...])
+
+
+@dataclass
 class Ident:
     name: str
 
@@ -849,6 +854,22 @@ class Parser:
                 return Lit(None)
             if low == "datetime" and self.at("PUNCT", "("):
                 return DateTimeLit(self._raw_parens())
+            if low == "dynamic" and self.at("PUNCT", "("):
+                # dynamic([v1, v2, …]) literal array | dynamic(scalar)
+                self.next()
+                if self.at("PUNCT", "["):
+                    self.next()
+                    items = []
+                    while not self.at("PUNCT", "]"):
+                        items.append(self.parse_expr())
+                        if self.at("PUNCT", ","):
+                            self.next()
+                    self.expect("PUNCT", "]")
+                    self.expect("PUNCT", ")")
+                    return DynamicLit(items)
+                e = self.parse_expr()
+                self.expect("PUNCT", ")")
+                return e
             if self.at("PUNCT", "("):
                 self.next()
                 args = []

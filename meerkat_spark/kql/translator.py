@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from meerkat_spark.functions import agg as A
 from meerkat_spark.functions import scalar as S
+from meerkat_spark.functions import series as SER
 from meerkat_spark.kql import parser as P
 from meerkat_spark.kql.lexer import KqlSyntaxError
 from meerkat_spark.table import MeerkatTable
@@ -156,6 +157,16 @@ _SCALARS: dict[str, Any] = {
     "toreal": lambda a: S.todouble(_c(a[0])),
     "tobool": lambda a: S.tobool(_c(a[0])),
     "todecimal": lambda a: S.todecimal(_c(a[0])),
+    # series (dense arrays from make-series)
+    "series_fir": lambda a: SER.series_fir(
+        _c(a[0]),
+        [float(x) for x in _raw(a[1])],
+        center=bool(a[2]) if len(a) > 2 else True,
+    ),
+    "series_outliers": lambda a: SER.series_outliers(
+        _c(a[0]), float(_raw(a[1])) if len(a) > 1 else 2.5
+    ),
+    "series_fit_line": lambda a: SER.series_fit_line(_c(a[0])),
     # dynamic / array
     "array_length": lambda a: S.array_length(a[0]),
     "array_concat": lambda a: S.array_concat(*a),
@@ -273,6 +284,14 @@ class Translator:
             return _Span(node.seconds)
         if isinstance(node, P.DateTimeLit):
             return F.lit(node.text).cast("timestamp")
+        if isinstance(node, P.DynamicLit):
+            vals = [self.expr(i) for i in node.items]
+            if all(not isinstance(v, Column) for v in vals):
+                # all-literal dynamic([...]) stays a python list so
+                # functions needing literal weights (series_fir) can
+                # consume it; _c() turns it into an array literal
+                return [v.seconds if isinstance(v, _Span) else v for v in vals]
+            return F.array(*[_c(v) for v in vals])
         if isinstance(node, P.Ident):
             name = node.name
             if name in self.lets and not isinstance(self.lets[name], P.Pipeline):

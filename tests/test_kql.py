@@ -409,3 +409,26 @@ def test_kql_round3_aggregates(spark):
     assert r1.p50 == 3.25  # KQL percentile arg is 0-100
     assert r1.ps == [3.25, 4.375]
     assert r2.cv is None  # single-row sample covariance
+
+
+def test_kql_dynamic_literal_and_series_functions(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        """print a = dynamic([1, 2, 3]),
+                 s = array_sum(dynamic([1.0, 2.5])),
+                 m = mv = array_length(dynamic(['x','y']))"""
+        .replace("m = mv =", "m =")
+    ).to_df().collect()[0]
+    assert row.a == [1, 2, 3]
+    assert row.s == 3.5
+    assert row.m == 2
+    out = eng.kql(
+        """events | make-series n = count() default = 0 on ts step 1d by event_type
+           | extend ma = series_fir(n, dynamic([1, 1, 1])),
+                    ol = series_outliers(n)
+           | project event_type, ma, ol"""
+    ).to_df().collect()
+    assert all(len(r.ma) == len(r.ol) for r in out)
+    # a normalized FIR is a smoothing: output stays within the input range
+    for r in out[:2]:
+        assert min(r.ma) >= 0 and len(r.ma) == 30
