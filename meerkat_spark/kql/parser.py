@@ -481,8 +481,38 @@ class Parser:
         return OpNode("union", {"kind": kind, "tables": tables})
 
     def op_mv_expand(self) -> OpNode:
-        col = self.parse_named_exprs()
-        return OpNode("mv-expand", {"cols": col})
+        """mv-expand [with_itemindex=ix] [name =] arrayExpr
+        [to typeof(type)]"""
+        index_name = None
+        if self.at_ident("with_itemindex"):
+            self.next()
+            self.expect("OP", "=")
+            index_name = str(self.expect("IDENT").value)
+        cols = []
+        while True:
+            save = self.i
+            name = None
+            if self.at("IDENT"):
+                n = str(self.next().value)
+                if self.at("OP", "="):
+                    self.next()
+                    name = n
+                else:
+                    self.i = save
+            e = self.parse_expr()
+            ty = None
+            if self.at_ident("to"):
+                self.next()
+                self.expect_ident("typeof")
+                self.expect("PUNCT", "(")
+                ty = str(self.expect("IDENT").value).lower()
+                self.expect("PUNCT", ")")
+            cols.append((name, e, ty))
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        return OpNode("mv-expand", {"cols": cols, "index": index_name})
 
     def op_mv_apply(self) -> OpNode:
         """mv-apply elem = arrayExpr on ( op | op … ) — per-row subquery

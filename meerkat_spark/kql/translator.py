@@ -678,12 +678,24 @@ class Translator:
         return t.union(*others, kind=a["kind"])
 
     def ap_mv_expand(self, t, a):
-        (name, e) = a["cols"][0]
+        (name, e, ty) = a["cols"][0]
+        index = a.get("index")
         if name is None and isinstance(e, P.Ident):
-            return t.mv_expand(e.name)
-        col_name = name or "Column1"
-        t2 = t.extend(**{col_name: _c(self.expr(e))})
-        return t2.mv_expand(col_name)
+            out = t.mv_expand(e.name, index_col=index)
+            col_name = e.name
+        else:
+            col_name = name or "Column1"
+            out = t.extend(**{col_name: _c(self.expr(e))}).mv_expand(
+                col_name, index_col=index
+            )
+        if ty is not None:
+            # `to typeof(T)`: cast each exploded element (null-on-misfit)
+            from meerkat_spark.types import kql_to_spark
+
+            out = out.extend(
+                **{col_name: F.col(col_name).try_cast(kql_to_spark(ty))}
+            )
+        return out
 
     def ap_partition(self, t, a):
         """KQL `partition by col ( subquery )` — windowable sub-ops run

@@ -432,3 +432,13 @@ def test_kql_dynamic_literal_and_series_functions(spark):
     # a normalized FIR is a smoothing: output stays within the input range
     for r in out[:2]:
         assert min(r.ma) >= 0 and len(r.ma) == 30
+
+
+def test_kql_mv_expand_typed_and_indexed(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = spark.createDataFrame([(1, ["10", "x", "30"])], "id long, arr array<string>")
+    eng.catalog._cache["t"] = df
+    out = eng.kql("t | mv-expand arr to typeof(long)").to_df().collect()
+    assert [r.arr for r in out] == [10, None, 30]  # misfit 'x' → null
+    out2 = eng.kql("t | mv-expand with_itemindex=ix arr").to_df().collect()
+    assert [(r.ix, r.arr) for r in out2] == [(0, "10"), (1, "x"), (2, "30")]
