@@ -418,11 +418,26 @@ class Parser:
         direction = "desc"
         if self.at_ident("asc", "desc"):
             direction = self.expect_ident("asc", "desc")
-        return OpNode("top", {"n": n, "by": e, "dir": direction})
+        nulls = None  # default: first for asc, last for desc (KQL)
+        if self.at_ident("nulls"):
+            self.next()
+            nulls = self.expect_ident("first", "last")
+        return OpNode("top", {"n": n, "by": e, "dir": direction, "nulls": nulls})
+
+    def op_render(self) -> OpNode:
+        """`| render timechart [with (...)]` — a presentation directive,
+        not a data transform: consumed and passed through so real-world
+        Kusto queries run unmodified."""
+        self.expect("IDENT")  # chart kind
+        if self.at_ident("with"):
+            self.next()
+            self._raw_parens()
+        return OpNode("render", {})
 
     def op_join(self) -> OpNode:
         kind = "innerunique"
         hint_broadcast = False
+        shuffle_keys: list[str] = []
         while self.at_ident("kind") or self.at_ident("hint"):
             word = self.expect_ident("kind", "hint")
             if word == "kind":
@@ -430,9 +445,13 @@ class Parser:
                 kind = str(self.expect("IDENT").value).lower()
             else:
                 self.expect("PUNCT", ".")
-                self.expect("IDENT")  # strategy
+                hname = str(self.expect("IDENT").value).lower()
                 self.expect("OP", "=")
-                hint_broadcast = str(self.expect("IDENT").value).lower() == "broadcast"
+                hval = str(self.expect("IDENT").value)
+                if hname == "strategy":
+                    hint_broadcast = hval.lower() == "broadcast"
+                elif hname == "shufflekey":
+                    shuffle_keys.append(hval)
         if self.at("PUNCT", "("):
             self.next()
             right = self.parse_pipeline()
@@ -442,7 +461,14 @@ class Parser:
         self.expect_ident("on")
         on = self.parse_join_keys()
         return OpNode(
-            "join", {"kind": kind, "right": right, "on": on, "broadcast": hint_broadcast}
+            "join",
+            {
+                "kind": kind,
+                "right": right,
+                "on": on,
+                "broadcast": hint_broadcast,
+                "shufflekey": shuffle_keys,
+            },
         )
 
     op_lookup = None  # assigned below

@@ -634,7 +634,17 @@ class Translator:
 
     def ap_top(self, t, a):
         c = _c(self.expr(a["by"]))
-        return t.top(a["n"], c, asc=(a["dir"] == "asc"))
+        nulls = a.get("nulls")
+        if nulls is None:
+            return t.top(a["n"], c, asc=(a["dir"] == "asc"))
+        if a["dir"] == "asc":
+            c = c.asc_nulls_last() if nulls == "last" else c.asc_nulls_first()
+        else:
+            c = c.desc_nulls_first() if nulls == "first" else c.desc_nulls_last()
+        return MeerkatTable(t.df.orderBy(c).limit(a["n"]))
+
+    def ap_render(self, t, a):
+        return t  # presentation-only directive
 
     def ap_join(self, t, a):
         right_df = self.pipeline(a["right"])
@@ -660,6 +670,17 @@ class Translator:
                 cond = cond & c
         if kind == "lookup":
             return t.lookup(right_df, on=cond)
+        if a.get("shufflekey"):
+            # hint.shufflekey=col — explicit co-partitioning of both
+            # sides on the declared key (the Kusto skew/colocation hint);
+            # Catalyst then plans the join without a further exchange
+            keys = a["shufflekey"]
+            lkeys = [k for k in keys if k in t.df.columns]
+            if lkeys:
+                t = MeerkatTable(t.df.repartition(*[F.col(k) for k in lkeys]))
+            rkeys = [k for k in keys if k in right_df.columns]
+            if rkeys:
+                right_df = right_df.repartition(*[F.col(k) for k in rkeys])
         return t.join(
             right_df,
             on=cond,

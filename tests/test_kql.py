@@ -442,3 +442,31 @@ def test_kql_mv_expand_typed_and_indexed(spark):
     assert [r.arr for r in out] == [10, None, 30]  # misfit 'x' → null
     out2 = eng.kql("t | mv-expand with_itemindex=ix arr").to_df().collect()
     assert [(r.ix, r.arr) for r in out2] == [(0, "10"), (1, "x"), (2, "30")]
+
+
+def test_kql_render_top_nulls_shufflekey(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    # render is a presentation no-op
+    r = eng.kql(
+        "events | summarize n = count() by event_type | render barchart"
+    ).to_df()
+    assert set(r.columns) == {"event_type", "n"}
+    # top with explicit nulls placement
+    df = spark.createDataFrame([(1, 5.0), (2, None), (3, 1.0)], "id long, v double")
+    eng.catalog._cache["t"] = df
+    top = eng.kql("t | top 2 by v desc nulls first").to_df().collect()
+    assert [r2.id for r2 in top] == [2, 1]
+    # shufflekey hint keeps results identical and plans a repartition
+    out = eng.kql(
+        """orders | join kind=inner hint.shufflekey=o_custkey (customer)
+           on $left.o_custkey == $right.c_custkey
+           | summarize n = count() by c_mktsegment"""
+    ).to_df()
+    base = eng.kql(
+        """orders | join kind=inner (customer)
+           on $left.o_custkey == $right.c_custkey
+           | summarize n = count() by c_mktsegment"""
+    ).to_df()
+    assert sorted((r3.c_mktsegment, r3.n) for r3 in out.collect()) == sorted(
+        (r3.c_mktsegment, r3.n) for r3 in base.collect()
+    )
