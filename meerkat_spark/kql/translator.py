@@ -798,13 +798,18 @@ class Translator:
         reuse where profitable), then legs union outer under a
         `fork_leg` discriminator column."""
         legs_out: list[MeerkatTable] = []
+        saved_order = self.serialize_order
         for name, ops in a["legs"]:
+            # each leg gets the parent's serialization state — a sort
+            # inside one leg must not leak into its siblings' windows
+            self.serialize_order = saved_order
             cur = MeerkatTable(t.df)
             for op in ops:
                 cur = self.apply(cur, op)
             legs_out.append(
                 MeerkatTable(cur.df.select(F.lit(name).alias("fork_leg"), "*"))
             )
+        self.serialize_order = saved_order
         out = legs_out[0]
         for leg in legs_out[1:]:
             out = out.union(leg, kind="outer")

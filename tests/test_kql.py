@@ -470,3 +470,18 @@ def test_kql_render_top_nulls_shufflekey(spark):
     assert sorted((r3.c_mktsegment, r3.n) for r3 in out.collect()) == sorted(
         (r3.c_mktsegment, r3.n) for r3 in base.collect()
     )
+
+
+def test_kql_fork_leg_sort_state_isolated(spark):
+    """A sort inside one fork leg must not feed its siblings' window
+    functions: a window call in a later unsorted leg raises the same
+    serialize error it would outside a fork."""
+    from meerkat_spark.kql import KqlSyntaxError
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    with pytest.raises(KqlSyntaxError, match="serialized"):
+        eng.kql(
+            """events | where event_id < 50 | fork
+               a = ( sort by ts asc | extend rn = row_number() | project rn )
+               b = ( extend rn = row_number() | project rn )"""
+        ).to_df()
