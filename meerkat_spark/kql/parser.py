@@ -255,6 +255,10 @@ class Parser:
                     "datatable value count must be a multiple of the column count"
                 )
             return OpNode("datatable", {"schema": schema, "values": values})
+        if self.at_ident("union"):
+            # union [kind=...] T1, T2, (pipeline) …  as a pipeline SOURCE
+            self.next()
+            return self.op_union()
         if self.at_ident("find"):
             # find in (T1, T2) 'term'  |  find in (T1, T2) where <pred>
             self.next()

@@ -515,6 +515,17 @@ class Translator:
                 for i, (name, e) in enumerate(node.args["cols"])
             ]
             return MeerkatTable(self.engine.spark.range(1).select(*cols))
+        if node.name == "union":
+            # source-form `union T1, T2, …`: first operand is the base
+            tabs = node.args["tables"]
+            first = tabs[0]
+            base = (
+                MeerkatTable(self.pipeline(first))
+                if isinstance(first, P.Pipeline)
+                else self.table(first)
+            )
+            rest = {"kind": node.args["kind"], "tables": tabs[1:]}
+            return self.ap_union(base, rest) if tabs[1:] else base
         if node.name == "datatable":
             # literal inline table: values evaluated driver-side (they
             # are literals by construction), one createDataFrame

@@ -485,3 +485,20 @@ def test_kql_fork_leg_sort_state_isolated(spark):
                a = ( sort by ts asc | extend rn = row_number() | project rn )
                b = ( extend rn = row_number() | project rn )"""
         ).to_df()
+
+
+def test_kql_union_as_source(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """union (customer | project key = c_custkey),
+                 (supplier | project key = s_suppkey)
+           | count"""
+    ).to_df().collect()[0]
+    base = (
+        eng.table("customer").to_df().count()
+        + eng.table("supplier").to_df().count()
+    )
+    assert out.Count == base
+    # bare-table source union with schema widening
+    wide = eng.kql("union customer, supplier | count").to_df().collect()[0]
+    assert wide.Count == base
