@@ -217,3 +217,41 @@ def text_has_indexed(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     indexed = ix.with_text_index(docs, "text")
     return ix.has_indexed(indexed, "text", "spark").select("doc_id")
+
+
+@register(
+    "text_remove_boilerplate",
+    oracle="""
+    WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    segs AS (
+      SELECT doc_id, arr[i] AS segment, i AS pos
+      FROM arrs, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) t
+    ),
+    boiler AS (
+      SELECT segment FROM (
+        SELECT segment, COUNT(DISTINCT doc_id) AS nd FROM segs
+        WHERE trim(segment) != '' GROUP BY segment
+      ) WHERE nd >= 300
+    ),
+    kept AS (
+      SELECT s.doc_id, s.segment, s.pos FROM segs s
+      ANTI JOIN boiler b ON s.segment = b.segment
+    ),
+    rebuilt AS (
+      SELECT doc_id, array_to_string(list(segment ORDER BY pos), ' ') AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def text_remove_boilerplate(spark, sf_dir):
+    """C4-style boilerplate removal (text/clean.py): drop segments
+    occurring in ≥300 distinct docs, preserving segment order. The
+    fixture has no newlines, so segments are words here; real corpora
+    use the '\\n' default. Planted-boilerplate semantics in
+    tests/test_text_clean.py."""
+    from meerkat_spark.text import clean
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return clean.remove_boilerplate(docs, sep=" ", min_docs=300)
