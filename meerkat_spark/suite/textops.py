@@ -255,3 +255,40 @@ def text_remove_boilerplate(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return clean.remove_boilerplate(docs, sep=" ", min_docs=300)
+
+
+@register(
+    "text_decontaminate_pairs",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
+                    FROM documents WHERE doc_id >= 50),
+    bench AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
+              FROM documents WHERE doc_id < 50),
+    cg AS (
+      SELECT DISTINCT doc_id AS corpus_id, array_to_string(arr[i:i+2], ' ') AS g
+      FROM corpus, LATERAL (SELECT unnest(range(1, greatest(len(arr) - 2, 1) + 1)) AS i) t
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id AS bench_id, array_to_string(arr[i:i+2], ' ') AS g
+      FROM bench, LATERAL (SELECT unnest(range(1, greatest(len(arr) - 2, 1) + 1)) AS i) t
+    )
+    SELECT corpus_id, bench_id, COUNT(DISTINCT g) AS n_shared
+    FROM cg JOIN bg USING (g)
+    GROUP BY corpus_id, bench_id HAVING COUNT(DISTINCT g) >= 5
+    """,
+)
+def text_decontaminate_pairs(spark, sf_dir):
+    """Benchmark decontamination (text/decontaminate.py): corpus docs
+    (doc_id ≥ 50) sharing ≥5 distinct word 3-grams with any 'benchmark'
+    doc (doc_id < 50). String-gram variant for oracle parity; the scale
+    path joins on 64-bit shingle hashes (equivalence pytest)."""
+    from meerkat_spark.text import decontaminate as DC
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return DC.contamination_pairs(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        k=3,
+        min_shared=5,
+        hashed=False,
+    )
