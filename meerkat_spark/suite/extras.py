@@ -290,3 +290,34 @@ def sample_distinct_op(spark, sf_dir):
     return (
         e.table("events").distinct("user_id").sample(0.3, seed=42).to_df()
     )
+
+
+@register(
+    "train_holdout_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents
+    """,
+)
+def train_holdout_split(spark, sf_dir):
+    """Deterministic engine-independent train/holdout assignment
+    (operators/sampling.py): salted-md5 bucket — bit-exact across
+    engines/runs, row-local (no shuffle)."""
+    from meerkat_spark.operators.sampling import hash_split
+
+    docs = _eng(spark, sf_dir).table("documents").to_df().select("doc_id")
+    return hash_split(docs, "doc_id", train_pct=90, salt="v1")
+
+
+@register("stratified_sample_op", oracle=None)
+def stratified_sample_op(spark, sf_dir):
+    """Per-stratum exact-N sampling (training-mixture control):
+    50 random events per event_type — keyed window, never global."""
+    from meerkat_spark.operators.sampling import exact_n_per_group
+
+    e = _eng(spark, sf_dir).table("events").to_df()
+    return exact_n_per_group(e, "event_type", 50, seed=7).select(
+        "event_id", "event_type"
+    )

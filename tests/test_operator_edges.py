@@ -128,3 +128,28 @@ def test_sample_exact_n(spark):
     # fractional mode still available
     frac = eng.table("events").sample(0.1, seed=7).to_df().count()
     assert 0 < frac < 10_000
+
+
+def test_sampling_operators(spark):
+    from meerkat_spark.operators import sampling
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    split = sampling.hash_split(df, "doc_id", train_pct=90, salt="v1")
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 850 < counts["train"] < 950  # ~90% within binomial noise
+    # deterministic: same assignment on recompute
+    a = {r.doc_id: r.split for r in split.collect()}
+    b = {r.doc_id: r.split for r in sampling.hash_split(df, "doc_id", 90, "v1").collect()}
+    assert a == b
+    # different salt reshuffles
+    c = {r.doc_id: r.split for r in sampling.hash_split(df, "doc_id", 90, "v2").collect()}
+    assert a != c
+
+    ev = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(200)], "id long, g string"
+    )
+    n_per = sampling.exact_n_per_group(ev, "g", 30).groupBy("g").count().collect()
+    assert all(r["count"] == 30 for r in n_per)
+    frac = sampling.stratified_sample(ev, "g", {"a": 0.5, "b": 0.1}, seed=1)
+    got = {r.g: r.n for r in frac.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert got.get("a", 0) > got.get("b", 0)
