@@ -95,10 +95,10 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "text_stats",
     "text_has_indexed",
-    "lang_id_accuracy",
+    "text_remove_boilerplate",
+    "text_decontaminate_pairs",
     # similarity / ANN
     "knn_cosine_topk",
-    "knn_cosine_topk_fast",
     "knn_pairwise_label",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
@@ -114,10 +114,12 @@ _PRIORITY: list[str] = [
     "top_nested_with_others",
     "range_datetime_table",
     "agg_percentiles_array",
-    # multimodal binary columns (media_resize / media_metadata_agg ride
-    # the tail — rows-only checks, lower value per graded slot)
+    "train_holdout_split",
+    # multimodal binary columns (media_resize / media_metadata_agg /
+    # media_frame_sample ride the tail — rows-only checks, lower value
+    # per graded slot; knn_cosine_topk_fast and lang_id_accuracy are
+    # covered by equivalence/known-answer pytest and also ride the tail)
     "media_features",
-    "media_frame_sample",
 ]
 
 
