@@ -292,3 +292,103 @@ def text_decontaminate_pairs(spark, sf_dir):
         min_shared=5,
         hashed=False,
     )
+
+
+@register(
+    "pii_redact",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             concat('contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com or call 555-',
+                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                    '-0199 from 10.', CAST(doc_id % 256 AS VARCHAR),
+                    '.0.1 ssn 123-45-6789 ', text) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        '\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS text,
+      len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+      len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ip,
+      len(regexp_extract_all(text,
+        '\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phone,
+      len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn
+    FROM planted
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrub (text/pii.py): emails/IPs/phones/SSNs planted
+    deterministically from doc_id, then redacted + counted. Pure
+    regexp codegen, row-local, shuffle-free; patterns restricted to
+    the Java-regex ∩ RE2 subset so the oracle is exact."""
+    from meerkat_spark.text import pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199 from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 ssn 123-45-6789 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii.redact(docs, with_counts=True)
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(arr) AS word FROM t),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    wm AS (SELECT doc_id, MAX(c) AS topw, SUM(c) - COUNT(*) AS dupw
+           FROM wc GROUP BY 1),
+    g AS (
+      SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS gram
+      FROM t, LATERAL (SELECT unnest(range(1, len(arr))) AS i) x
+      WHERE len(arr) >= 2
+    ),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    gm AS (SELECT doc_id, MAX(c) AS topg, SUM(c) - COUNT(*) AS dupg,
+                  SUM(c) AS ng
+           FROM gc GROUP BY 1)
+    SELECT t.doc_id,
+      len(arr)::BIGINT AS n_words,
+      round(COALESCE(wm.dupw / len(arr), 0), 6) AS dup_word_frac,
+      round(COALESCE(wm.topw / len(arr), 0), 6) AS top_word_frac,
+      round(COALESCE(gm.dupg / gm.ng, 0), 6) AS dup_bigram_frac,
+      round(COALESCE(gm.topg / gm.ng, 0), 6) AS top_bigram_frac
+    FROM t
+    LEFT JOIN wm ON t.doc_id = wm.doc_id
+    LEFT JOIN gm ON t.doc_id = gm.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (text/analysis.py
+    repetition_features): duplicate/top word + bigram fractions, all
+    row-local codegen folds (the oracle computes the same via
+    explode+groupBy — relational twin of the array-fold)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    f = TA.repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        F.round(f["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(f["top_word_frac"], 6).alias("top_word_frac"),
+        F.round(f["dup_bigram_frac"], 6).alias("dup_bigram_frac"),
+        F.round(f["top_bigram_frac"], 6).alias("top_bigram_frac"),
+    )

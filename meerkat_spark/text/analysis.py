@@ -134,6 +134,70 @@ def shingle_fingerprints(text: Column, k: int = 3) -> Column:
     return F.array_distinct(shingles)
 
 
+def _run_length_max(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e.
+    the count of the most frequent element — via a single codegen'd
+    aggregate fold (no explode, no shuffle)."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, w):
+        run = F.when(w == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda acc: acc.getField("best"))
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals: duplicate-word
+    fraction, most-frequent-word share, and the same over word bigrams.
+    Row-local Column expressions — at 100 TB this is a shuffle-free
+    projection; the per-row cost is one sort of the (small) token array.
+    """
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    return {
+        "n_words": n.cast("long"),
+        "dup_word_frac": _ratio(n - F.size(F.array_distinct(toks)), n),
+        "top_word_frac": _ratio(_run_length_max(F.sort_array(toks)), n),
+        "dup_bigram_frac": _ratio(n_g - F.size(F.array_distinct(grams)), n_g),
+        "top_bigram_frac": _ratio(_run_length_max(F.sort_array(grams)), n_g),
+    }
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.9,
+    max_top_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Drop documents dominated by repeated words/bigrams (Gopher rule
+    shape; thresholds are per-corpus knobs)."""
+    f = repetition_features(F.col(text_col))
+    keep = (
+        (f["dup_word_frac"] <= max_dup_word_frac)
+        & (f["top_word_frac"] <= max_top_word_frac)
+        & (f["top_bigram_frac"] <= max_top_bigram_frac)
+    )
+    return df.filter(keep)
+
+
 _WS = _re.compile(r"\s+")
 
 
