@@ -392,3 +392,35 @@ def text_repetition(spark, sf_dir):
         F.round(f["dup_bigram_frac"], 6).alias("dup_bigram_frac"),
         F.round(f["top_bigram_frac"], 6).alias("top_bigram_frac"),
     )
+
+
+@register(
+    "chunk_documents_op",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, arr, i
+      FROM t, LATERAL (SELECT unnest(range(1, len(arr) + 1, 48)) AS i) x
+      WHERE len(arr) > 0
+    )
+    SELECT doc_id,
+           ((i - 1) // 48)::BIGINT AS chunk_id,
+           array_to_string(arr[i : least(i + 63, len(arr))], ' ') AS chunk_text,
+           len(arr[i : least(i + 63, len(arr))])::BIGINT AS n_chunk_tokens
+    FROM s
+    """,
+)
+def chunk_documents_op(spark, sf_dir):
+    """Overlapping token-window chunking (text/chunk.py): 64-token
+    windows, 16-token overlap (stride 48) — row-local generator
+    projection, no shuffle; the oracle reproduces the start grid with
+    range(1, n+1, stride)."""
+    from meerkat_spark.text.chunk import chunk_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)

@@ -91,3 +91,36 @@ def test_fingerprint_normalization(spark):
     fps = {r.id: r.fp for r in df.select("id", TA.fingerprint64(F.col("text")).alias("fp")).collect()}
     assert fps[1] == fps[2]  # case + whitespace normalized
     assert fps[1] != fps[3]
+
+
+def test_chunk_documents_windows(spark):
+    """64/16 grid: starts every stride tokens, short tail, empty doc
+    dropped, overlap preserved between adjacent chunks."""
+    from meerkat_spark.text.chunk import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    got = [(r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in rows]
+    assert got == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (1, 3, "w9", 1),
+        (2, 0, "a b", 2),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from meerkat_spark.text.chunk import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
