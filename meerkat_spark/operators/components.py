@@ -1,0 +1,82 @@
+"""Connected components over an edge list — the clustering step that
+turns near-duplicate PAIRS (MinHash-LSH / SimHash / Jaccard output)
+into dedup GROUPS with one canonical survivor per group.
+
+Algorithm: iterative min-label propagation. Each round is one keyed
+shuffle (join labels to the symmetric edge list + min-aggregate); the
+label of every node monotonically decreases toward the component's
+minimum id, converging in O(component diameter) rounds. Near-dup
+graphs are unions of small dense clusters (diameter ≲ 3-4), so a
+handful of rounds suffices at any corpus size; `localCheckpoint`
+truncates lineage so plans don't grow with iterations. For adversarial
+long-chain graphs the large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce") halves round count — documented
+upgrade path, not needed for dedup workloads.
+
+Convergence detection is O(1) driver-side: labels only decrease, so
+`sum(label)` strictly decreases until the fixpoint — one cheap
+aggregate action per round, no driver-side row iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in `edges`; component = min node
+    id reachable. Nodes not mentioned in any edge are absent (callers
+    union singletons back if needed)."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["u"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_label", labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_assign_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_left: str = "id1",
+    pair_right: str = "id2",
+) -> DataFrame:
+    """All doc rows plus a `canonical_id` column: min doc id of the
+    near-dup component, or the doc's own id for singletons. Filtering
+    to `doc_id == canonical_id` keeps exactly one survivor per group."""
+    comp = connected_components(pairs, src=pair_left, dst=pair_right)
+    out = docs.join(comp, docs[id_col] == comp["id"], "left")
+    return out.select(
+        *[docs[c] for c in docs.columns],
+        F.coalesce("component", docs[id_col]).cast("long").alias("canonical_id"),
+    )

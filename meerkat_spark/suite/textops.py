@@ -424,3 +424,55 @@ def chunk_documents_op(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE shingles AS (
+      SELECT DISTINCT doc_id AS id, sh FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 3
+                      THEN list_distinct([md5(concat_ws(' ', words[i], words[i+1], words[i+2]))
+                                          for i in range(1, len(words) - 1)])
+                      ELSE [] END) AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+              FROM documents)
+      )
+    ), sizes AS (SELECT id, COUNT(*) AS sz FROM shingles GROUP BY id),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON s1.id = id1
+      JOIN sizes s2 ON s2.id = id2
+      WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+    ),
+    sym AS (SELECT id1 AS u, id2 AS v FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+    walk(id, label) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.u, w.label FROM sym s JOIN walk w ON s.v = w.id
+    ),
+    comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id)::BIGINT AS canonical_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup clustering end-to-end (operators/components.py): exact
+    Jaccard≥0.8 pairs → min-label connected components → canonical id
+    per doc (own id for singletons). The oracle closes the same edge
+    set with a recursive CTE. Keep-filter `doc_id == canonical_id`
+    dedups the corpus."""
+    from meerkat_spark.operators.components import dedup_assign_canonical
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id1", "id2")
+    return dedup_assign_canonical(docs, pairs)

@@ -1,0 +1,42 @@
+"""Connected components: known graphs (chain forces multi-round
+propagation), canonical assignment incl. singletons."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.operators.components import (
+    connected_components,
+    dedup_assign_canonical,
+)
+
+
+def test_chain_triangle_and_isolated(spark):
+    # chain 1-2-3-4-5 (diameter 4 → needs >1 round), triangle 10-11-12,
+    # pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    comp = {
+        r.id: r.component for r in connected_components(edges).collect()
+    }
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[i] for i in (10, 11, 12)} == {10}
+    assert {comp[i] for i in (20, 21)} == {20}
+
+
+def test_canonical_assignment_with_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 4), (4, 6)], "id1 long, id2 long"
+    )
+    out = {
+        r.doc_id: r.canonical_id
+        for r in dedup_assign_canonical(docs, pairs).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5, 6: 2}
+    survivors = [d for d, c in out.items() if d == c]
+    assert sorted(survivors) == [1, 2, 3, 5]
