@@ -476,3 +476,49 @@ def dedup_components(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("id1", "id2")
     return dedup_assign_canonical(docs, pairs)
+
+
+@register(
+    "pack_chunks_op",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, arr, i
+      FROM t, LATERAL (SELECT unnest(range(1, len(arr) + 1, 48)) AS i) x
+      WHERE len(arr) > 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             ((i - 1) // 48)::BIGINT AS chunk_id,
+             len(arr[i : least(i + 63, len(arr))])::BIGINT AS n_chunk_tokens
+      FROM s
+    ),
+    packed AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             (doc_id % 8)::INT AS shard,
+             SUM(n_chunk_tokens) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_chunk_tokens AS start
+      FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens, shard,
+           (start // 256)::BIGINT AS pack_id,
+           (start - (start // 256) * 256)::BIGINT AS pack_offset
+    FROM packed
+    """,
+)
+def pack_chunks_op(spark, sf_dir):
+    """Chunk (64/16) then pack into 256-token sequences across 8
+    shards (text/chunk.py pack_chunks): shard-partitioned running-sum
+    window — never partition-less; parallelism scales with n_shards."""
+    from meerkat_spark.text.chunk import chunk_documents, pack_chunks
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).drop("chunk_text")
+    return pack_chunks(chunks, budget=256, n_shards=8)

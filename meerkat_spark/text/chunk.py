@@ -10,7 +10,7 @@ only its own chunk text, never the full document.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from meerkat_spark.text.analysis import tokens
@@ -47,4 +47,43 @@ def chunk_documents(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.concat_ws(" ", "__toks").alias("chunk_text"),
         F.size("__toks").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    token_col: str = "n_chunk_tokens",
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    budget: int = 4096,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Streaming sequence packing: assign each chunk to a fixed
+    token-budget pack. Chunks are sharded (`id % n_shards`), ordered
+    within the shard, and a chunk joins the pack its running token
+    offset falls into — so each pack holds ≤ budget + max_chunk tokens
+    and packing never needs a global order.
+
+    Scale shape: ONE window per shard partition (never partition-less);
+    shards are independent, so parallelism = n_shards regardless of
+    corpus size — raise n_shards with the corpus. Deterministic modulus
+    sharding keeps the op oracle-checkable; a production variant can
+    shard on xxhash64(id) to break id-locality skew.
+
+    Output adds (shard, pack_id, pack_offset): pack_offset is the
+    chunk's token start within its (shard, pack_id) pack.
+    """
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col), F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = chunks.withColumn("shard", shard)
+    cum = F.sum(token_col).over(w)
+    start = cum - F.col(token_col)
+    return out.select(
+        "*",
+        F.floor(start / budget).cast("long").alias("pack_id"),
+        (start - F.floor(start / budget) * budget).cast("long").alias("pack_offset"),
     )

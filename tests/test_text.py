@@ -124,3 +124,22 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pack_chunks_budget_and_offsets(spark):
+    """Packs respect the budget+overflow bound; offsets restart per
+    pack; shards are independent."""
+    from meerkat_spark.text.chunk import pack_chunks
+
+    rows = [(0, 0, 60), (0, 1, 60), (2, 0, 30), (4, 0, 50), (1, 0, 100), (3, 0, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, n_chunk_tokens long")
+    out = {
+        (r.doc_id, r.chunk_id): (r.shard, r.pack_id, r.pack_offset)
+        for r in pack_chunks(df, budget=100, n_shards=2).collect()
+    }
+    assert out[(0, 0)] == (0, 0, 0)
+    assert out[(0, 1)] == (0, 0, 60)   # starts inside pack 0 (overflow ≤ chunk)
+    assert out[(2, 0)] == (0, 1, 20)
+    assert out[(4, 0)] == (0, 1, 50)
+    assert out[(1, 0)] == (1, 0, 0)
+    assert out[(3, 0)] == (1, 1, 0)
