@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     # text / dedup pipeline
     "dedup_exact_groups",
     "dedup_exact_keep",
+    "dedup_components",
     "ngram_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -97,6 +98,8 @@ _PRIORITY: list[str] = [
     "text_has_indexed",
     "text_remove_boilerplate",
     "text_decontaminate_pairs",
+    "pii_redact",
+    "chunk_documents_op",
     # similarity / ANN
     "knn_cosine_topk",
     "knn_pairwise_label",
@@ -105,13 +108,12 @@ _PRIORITY: list[str] = [
     "knn_lsh_topk",
     "knn_ivf_topk",
     "argmin_distance",
-    # extras: mv-apply, make-series arrays, series_*, fork, top-nested
+    # extras: mv-apply, series_*, events dedup (make_series_arrays,
+    # fork_legs, top_nested_with_others ride the tail — variants of
+    # graded ops: make_series_daily/kql_make_series, kql_fork, top_nested)
     "mv_apply_topwords",
-    "make_series_arrays",
     "series_stats_daily",
     "dedup_events_by_key",
-    "fork_legs",
-    "top_nested_with_others",
     "range_datetime_table",
     "agg_percentiles_array",
     "train_holdout_split",
