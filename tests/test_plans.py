@@ -170,3 +170,51 @@ def test_top_hitters_take_ordered(eng):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pack_chunks_window_is_partitioned(eng):
+    """Sequence packing must never plan a partition-less window — the
+    running sum is per-shard."""
+    from meerkat_spark.text.chunk import chunk_documents, pack_chunks
+
+    docs = eng.table("documents").to_df().select("doc_id", "text")
+    df = pack_chunks(
+        chunk_documents(docs, chunk_tokens=64, overlap=16).drop("chunk_text"),
+        budget=256,
+        n_shards=8,
+    )
+    plan = plan_of(df)
+    # a partition-less window plans Exchange SinglePartition — the
+    # single-reducer shape that dies at corpus scale
+    assert "SinglePartition" not in plan, plan
+
+
+def test_chunking_is_shuffle_free(eng):
+    """Chunk generation is a row-local projection: zero exchanges."""
+    from meerkat_spark.plans import audit
+    from meerkat_spark.text.chunk import chunk_documents
+
+    docs = eng.table("documents").to_df().select("doc_id", "text")
+    assert audit(chunk_documents(docs)).exchanges == 0
+
+
+def test_pii_and_repetition_shuffle_free(eng):
+    from meerkat_spark.plans import audit
+    from meerkat_spark.text.analysis import repetition_features
+    from meerkat_spark.text.pii import redact
+
+    docs = eng.table("documents").to_df().select("doc_id", "text")
+    assert audit(redact(docs, with_counts=True)).exchanges == 0
+    f = repetition_features(F.col("text"))
+    proj = docs.select("doc_id", *[v.alias(k) for k, v in f.items()])
+    assert audit(proj).exchanges == 0
+
+
+def test_pii_reads_only_needed_columns(eng):
+    """Redaction of (doc_id, text) must not drag the other document
+    columns through the scan."""
+    from meerkat_spark.plans import read_schema_columns
+    from meerkat_spark.text.pii import redact
+
+    docs = eng.table("documents").to_df().select("doc_id", "text")
+    assert set(read_schema_columns(redact(docs))) == {"doc_id", "text"}
