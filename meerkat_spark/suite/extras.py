@@ -321,3 +321,27 @@ def stratified_sample_op(spark, sf_dir):
     return exact_n_per_group(e, "event_type", 50, seed=7).select(
         "event_id", "event_type"
     )
+
+
+@register("scan_funnel", oracle=None)
+def scan_funnel(spark, sf_dir):
+    """KQL `scan` subset (operators/scan.py): greedy non-overlapping
+    view→click→purchase funnels per user in event-time order. Sequence
+    matching is inherently ordered/stateful → no SQL oracle; semantics
+    pinned by known-answer pytest (tests/test_scan.py). Predicates are
+    evaluated JVM-side; only packed booleans reach the per-user state
+    machine."""
+    from meerkat_spark.operators.scan import scan_steps
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    out = scan_steps(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+    )
+    return out.orderBy("user_id", "match_id", "step_index")

@@ -1,0 +1,78 @@
+"""KQL scan subset: greedy non-overlapping step sequences — known
+answers incl. skipped non-advancing rows, multiple matches per key,
+incomplete tails, null predicates, single-step scans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_spark.operators.scan import scan_steps
+
+
+def _funnel(spark, rows):
+    df = spark.createDataFrame(rows, "user string, ts long, ev string")
+    return scan_steps(
+        df,
+        steps=[F.col("ev") == "login", F.col("ev") == "browse", F.col("ev") == "buy"],
+        order_by=["ts"],
+        partition_by=["user"],
+    )
+
+
+def test_greedy_non_overlapping_funnel(spark):
+    rows = [
+        ("a", 1, "login"), ("a", 2, "browse"), ("a", 3, "buy"), ("a", 4, "login"),
+        ("b", 1, "browse"), ("b", 2, "login"), ("b", 3, "buy"), ("b", 4, "browse"),
+        ("b", 5, "buy"),
+        ("c", 1, "login"), ("c", 2, "browse"), ("c", 3, "buy"),
+        ("c", 4, "login"), ("c", 5, "browse"), ("c", 6, "buy"),
+    ]
+    got = sorted(
+        (r.user, r.ts, r.match_id, r.step_index)
+        for r in _funnel(spark, rows).collect()
+    )
+    assert got == [
+        ("a", 1, 0, 0), ("a", 2, 0, 1), ("a", 3, 0, 2),
+        # b: early buy at ts=3 must NOT complete the match
+        ("b", 2, 0, 0), ("b", 4, 0, 1), ("b", 5, 0, 2),
+        ("c", 1, 0, 0), ("c", 2, 0, 1), ("c", 3, 0, 2),
+        ("c", 4, 1, 0), ("c", 5, 1, 1), ("c", 6, 1, 2),
+    ]
+
+
+def test_incomplete_sequences_emit_nothing(spark):
+    rows = [("a", 1, "login"), ("a", 2, "browse"), ("b", 1, "login")]
+    assert _funnel(spark, rows).count() == 0
+
+
+def test_null_predicate_is_false(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, "login"), ("a", 3, "browse"), ("a", 4, "buy")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "login", F.col("ev") == "browse", F.col("ev") == "buy"],
+        order_by=["ts"],
+        partition_by=["user"],
+    )
+    assert [r.ts for r in sorted(out.collect(), key=lambda r: r.step_index)] == [2, 3, 4]
+
+
+def test_single_step_scan_tags_each_hit(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "hit"), ("a", 3, "hit")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df, steps=[F.col("ev") == "hit"], order_by=["ts"], partition_by=["user"]
+    )
+    got = sorted((r.ts, r.match_id) for r in out.collect())
+    assert got == [(2, 0), (3, 1)]
+
+
+def test_no_steps_raises(spark):
+    df = spark.createDataFrame([("a", 1, "x")], "user string, ts long, ev string")
+    with pytest.raises(ValueError):
+        scan_steps(df, steps=[], order_by=["ts"])
