@@ -356,6 +356,28 @@ class Parser:
         node = self.op_parse()
         return OpNode("parse-where", node.args)
 
+    def op_scan(self) -> OpNode:
+        # scan [with_match_id = name] with (step s1: pred; step s2: pred; …)
+        match_id = "match_id"
+        if self.at_ident("with_match_id"):
+            self.next()
+            self.expect("OP", "=")
+            match_id = str(self.expect("IDENT").value)
+        self.expect_ident("with")
+        self.expect("PUNCT", "(")
+        steps: list[tuple[str, Any]] = []
+        while not self.at("PUNCT", ")"):
+            self.expect_ident("step")
+            sname = str(self.expect("IDENT").value)
+            self.expect("PUNCT", ":")
+            steps.append((sname, self.parse_expr()))
+            if self.at("PUNCT", ";"):
+                self.next()
+        self.expect("PUNCT", ")")
+        if not steps:
+            raise KqlSyntaxError("scan needs at least one step")
+        return OpNode("scan", {"match_id": match_id, "steps": steps})
+
     def op_project_rename(self) -> OpNode:
         renames = {}
         while True:

@@ -1104,6 +1104,34 @@ class Translator:
         # TakeOrdered-on-rand path
         return t.sample(int(a["n"]))
 
+    def ap_scan(self, t, a):
+        """KQL `scan` (greedy non-overlapping subset, operators/scan.py):
+        steps advance over the serialized order; completed sequences
+        emit their rows with a match id + step_index. Like the row_*
+        window functions, grammar-level scan runs over ONE ordered
+        stream (KQL semantics) — the per-key parallel form is
+        scan_steps(partition_by=…), exercised by suite scan_funnel."""
+        from pyspark.sql import Window as W
+
+        from meerkat_spark.operators.scan import scan_steps
+
+        if not self.serialize_order:
+            raise KqlSyntaxError(
+                "scan requires a serialized table — add `| serialize` "
+                "or `| sort by …` first"
+            )
+        df = t.to_df().withColumn(
+            "__scan_ord", F.row_number().over(W.orderBy(*self.serialize_order))
+        )
+        preds = [_c(self.expr(p)) for (_name, p) in a["steps"]]
+        out = scan_steps(
+            df,
+            steps=preds,
+            order_by=["__scan_ord"],
+            match_id_col=a["match_id"],
+        ).drop("__scan_ord")
+        return MeerkatTable(out)
+
     def ap_serialize(self, t, a):
         if self.serialize_order is None:
             # freeze the current (arbitrary) order: materialize a row id

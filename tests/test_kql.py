@@ -502,3 +502,47 @@ def test_kql_union_as_source(spark):
     # bare-table source union with schema widening
     wide = eng.kql("union customer, supplier | count").to_df().collect()[0]
     assert wide.Count == base
+
+
+def test_kql_scan_matches_builder(spark):
+    """Grammar scan ≡ operators.scan.scan_steps over the same order."""
+    from meerkat_spark.operators.scan import scan_steps
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    kql_out = eng.kql(
+        """events
+           | where user_id < 20
+           | sort by ts asc, event_id asc
+           | scan with (step s1: event_type == "view";
+                        step s2: event_type == "click";
+                        step s3: event_type == "purchase";)
+           | project event_id, match_id, step_index"""
+    ).to_df()
+    ev = MeerkatEngine(spark, SF_ORACLE).table("events").to_df()
+    direct = scan_steps(
+        ev.filter(F.col("user_id") < 20).select("event_id", "ts", "event_type"),
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        order_by=["ts", "event_id"],
+    ).select("event_id", "match_id", "step_index")
+    assert sorted(map(tuple, kql_out.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kql_scan_with_match_id_and_requires_sort(spark):
+    from meerkat_spark.kql import KqlSyntaxError
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """events | where user_id == 3 | sort by ts asc
+           | scan with_match_id = funnel_id with (step a: event_type == "view";)"""
+    ).to_df()
+    assert "funnel_id" in out.columns
+    with pytest.raises(KqlSyntaxError, match="serialized"):
+        eng.kql(
+            'events | scan with (step a: event_type == "view";)'
+        ).to_df()
