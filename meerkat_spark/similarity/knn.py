@@ -13,8 +13,10 @@ Scale design:
   Buckets = sign-bit codes; probing = exact rerank within the query's
   bucket. At 100TB the corpus is hashed once (one narrow projection)
   and bucket-partitioned, so a query touches 1/2^b of the data.
-- IVF-style variant: coarse centroids via deterministic sampling +
-  assignment (one broadcast join), rerank within nearest cells.
+- IVF variant: coarse centroids trained by spherical k-means on a
+  bounded deterministic sample (driver-side numpy, FAISS-style);
+  corpus assignment is one shuffle-free Arrow matmul pass; rerank
+  within the query's n_probe nearest cells.
 """
 
 from __future__ import annotations
@@ -244,6 +246,36 @@ def lsh_topk(
     )
 
 
+def _train_centroids_sample(
+    c: "DataFrame", n_cells: int, train_factor: int, n_iter: int
+) -> "np.ndarray":
+    """FAISS-style coarse-quantizer training: spherical k-means on a
+    BOUNDED deterministic sample (n_cells * train_factor rows picked by
+    hash order — TakeOrderedAndProject, never a full sort), run
+    driver-side in numpy. The sample size is independent of corpus
+    size, so the collect is O(n_cells * train_factor * dim) at any
+    scale; the full corpus is never touched by training."""
+    train_n = n_cells * train_factor
+    sample = (
+        c.withColumn("hk", F.xxhash64(F.col("neighbor_id")))
+        .orderBy("hk")
+        .limit(train_n)
+        .select("cv")
+        .collect()
+    )
+    X = np.stack([np.asarray(r.cv, dtype=np.float64) for r in sample])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = Xn[:n_cells].copy()  # hash order ⇒ pseudo-random init
+    for _ in range(n_iter):
+        assign = (Xn @ cents.T).argmax(axis=1)
+        for j in range(n_cells):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[j] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -252,51 +284,53 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_factor: int = 64,
+    n_iter: int = 5,
 ) -> DataFrame:
-    """IVF-style: deterministic coarse centroids (every n-th vector by
-    id — deterministic 'sampling'), assign corpus to nearest cell,
-    probe the query's n_probe nearest cells, exact rerank inside.
+    """IVF: coarse centroids trained by spherical k-means on a bounded
+    deterministic sample (driver-side numpy — the FAISS coarse-quantizer
+    recipe), corpus assigned to its nearest cell with ONE shuffle-free
+    Arrow matmul pass (centroid matrix ships in the UDF closure, ~KB),
+    queries probe their n_probe nearest cells, exact cosine rerank
+    inside the probed cells.
 
-    At scale: centroid table is tiny (broadcast); corpus assignment is
-    one narrow pass; the rerank touches n_probe/n_cells of the data."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv"))
-    # Deterministic centroid pick: order the corpus by a 64-bit hash of
-    # the id (a fixed pseudo-random permutation) and take the first
-    # n_cells. orderBy+limit compiles to TakeOrderedAndProject —
-    # per-partition top-n_cells then a tiny driver-side merge — so no
-    # partition-less window ever sees O(N) rows. The row_number() below
-    # runs AFTER the limit, over exactly n_cells rows.
-    cands = c.withColumn("hk", F.xxhash64(F.col("neighbor_id")))
-    cents = (
-        cands.orderBy("hk").limit(n_cells)
-        .withColumn("rn", F.row_number().over(W.orderBy("hk")))
-        .select(F.col("rn").alias("cell_id"), F.col("cv").alias("centroid"))
+    At 100 TB: training cost is constant (sample-bounded); assignment
+    is a narrow row-local projection (no crossJoin, no per-row window —
+    the old formulation shuffled N*n_cells rows); the rerank join
+    broadcasts the query-cell table and touches ~n_probe/n_cells of the
+    corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
     )
-    # assign corpus rows to nearest centroid
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("d", dot(F.col("cv"), F.col("centroid")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("neighbor_id").orderBy(F.col("d").desc(), F.col("cell_id"))
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("neighbor_id", "cv", "cell_id")
+    cents = _train_centroids_sample(c, n_cells, train_factor, n_iter)
+
+    def assign_cells(batches):
+        for pdf in batches:
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            pdf = pdf[["neighbor_id", "cv"]].copy()
+            pdf["cell_id"] = (Cn @ cents.T).argmax(axis=1).astype("int64")
+            yield pdf
+
+    assigned = c.mapInPandas(
+        assign_cells, "neighbor_id long, cv array<double>, cell_id long"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv"))
-    q_cells = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("d", dot(F.col("qv"), F.col("centroid")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cell_id"))
-            ),
-        )
-        .filter(F.col("rk") <= n_probe)
-        .select("query_id", "qv", "cell_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+
+    def probe_cells(batches):
+        for pdf in batches:
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            top = np.argsort(-(Qn @ cents.T), axis=1)[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe), ["query_id", "qv"]].copy()
+            out["cell_id"] = top.reshape(-1).astype("int64")
+            yield out
+
+    q_cells = q.mapInPandas(
+        probe_cells, "query_id long, qv array<double>, cell_id long"
     )
     sims = (
         assigned.join(F.broadcast(q_cells), "cell_id")

@@ -122,20 +122,19 @@ def test_knn_brute_force_no_shuffle_before_topk(eng):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_ivf_centroid_pick_bounded(eng):
-    """IVF centroid selection must ride TakeOrderedAndProject
-    (per-partition top-n + tiny merge), never a partition-less window
-    over the corpus lineage — the O(N) single-reducer sort flagged in
-    round 1/2."""
+def test_ivf_query_plan_has_no_global_bottleneck(eng):
+    """IVF after the sample-trained k-means rewrite: centroid training
+    is a bounded driver-side sample (not part of the query lineage), so
+    the returned plan must contain NO partition-less exchange at all —
+    assignment is a row-local Arrow pass, the rerank join broadcasts
+    the query-cell side."""
     from meerkat_spark.similarity import knn
 
     emb = eng.table("embeddings").to_df()
     q = emb.filter(F.col("vec_id") < 4)
     plan = plan_of(knn.ivf_topk(emb, q, k=3, n_cells=8, n_probe=2))
-    assert "TakeOrderedAndProject" in plan
-    # the only single-partition exchange allowed is the one feeding the
-    # post-limit centroid-numbering window (input bounded to n_cells)
-    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_union_schema_alignment(eng):
