@@ -173,6 +173,16 @@ class Parser:
         return Query(lets, pipe)
 
     def parse_let_value(self):
+        # materialize(pipeline): cache the bound subquery's result
+        if self.at_ident("materialize"):
+            save = self.i
+            self.next()
+            if self.at("PUNCT", "("):
+                self.next()
+                pipe = self.parse_pipeline()
+                self.expect("PUNCT", ")")
+                return OpNode("materialize", {"pipeline": pipe})
+            self.i = save
         # lambda: (param[: type], …) { expr }
         if self.at("PUNCT", "("):
             save = self.i

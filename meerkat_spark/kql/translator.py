@@ -487,6 +487,18 @@ class Translator:
             df = self.pipeline(self.lets[name])
             self.let_tables[name] = df
             return MeerkatTable(df)
+        if (
+            name in self.lets
+            and isinstance(self.lets[name], P.OpNode)
+            and self.lets[name].name == "materialize"
+        ):
+            # KQL materialize(): persist the subquery so every pipeline
+            # reference reuses one computed (cached) result instead of
+            # re-running the lineage — Spark's persist() is the exact
+            # engine analogue.
+            df = self.pipeline(self.lets[name].args["pipeline"]).persist()
+            self.let_tables[name] = df
+            return MeerkatTable(df)
         return self.engine.table(name)
 
     def pipeline(self, pipe: P.Pipeline) -> DataFrame:

@@ -546,3 +546,22 @@ def test_kql_scan_with_match_id_and_requires_sort(spark):
         eng.kql(
             'events | scan with (step a: event_type == "view";)'
         ).to_df()
+
+
+def test_kql_materialize_let(spark):
+    """materialize(pipeline) binds a cached table usable like any let
+    table; result matches the uncached form and the plan reuses the
+    persisted result (InMemoryTableScan)."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """let big = materialize(lineitem | where l_quantity > 45
+                                 | summarize n = count() by l_returnflag);
+           big | sort by l_returnflag asc | project l_returnflag, n"""
+    ).to_df()
+    plain = eng.kql(
+        """lineitem | where l_quantity > 45
+           | summarize n = count() by l_returnflag
+           | sort by l_returnflag asc | project l_returnflag, n"""
+    ).to_df()
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in plain.collect()]
+    assert "InMemoryTableScan" in out._jdf.queryExecution().executedPlan().toString()
