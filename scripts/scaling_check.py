@@ -77,12 +77,32 @@ def main() -> None:
         neardup.neardup_pairs_lsh(emb, threshold=0.4).count()
         t_nd = time.time() - t0
 
+        from meerkat_spark.text import pii
+        from meerkat_spark.text.chunk import chunk_documents, pack_chunks
+
+        t0 = time.time()
+        pii.redact(docs.select("doc_id", "text"), with_counts=True).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_pii = time.time() - t0
+
+        t0 = time.time()
+        packed = pack_chunks(
+            chunk_documents(docs.select("doc_id", "text")).drop("chunk_text"),
+            budget=4096,
+            n_shards=64,
+        )
+        n_chunks = packed.count()
+        t_pack = time.time() - t0
+
         print(
             f"x{n}: docs={n_docs} vecs={n_vecs} | "
             f"minhash_lsh {t_lsh:.1f}s ({n_docs/t_lsh:,.0f} docs/s) | "
             f"text_stats {t_stats:.1f}s ({n_docs/t_stats:,.0f} docs/s) | "
             f"knn_vec {t_knn:.1f}s ({n_vecs/t_knn:,.0f} vecs/s) | "
-            f"neardup_lsh {t_nd:.1f}s ({n_vecs/t_nd:,.0f} vecs/s)",
+            f"neardup_lsh {t_nd:.1f}s ({n_vecs/t_nd:,.0f} vecs/s) | "
+            f"pii {t_pii:.1f}s ({n_docs/t_pii:,.0f} docs/s) | "
+            f"chunk+pack {t_pack:.1f}s ({n_chunks} chunks, {n_docs/t_pack:,.0f} docs/s)",
             flush=True,
         )
         docs.unpersist()
