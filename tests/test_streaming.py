@@ -85,3 +85,39 @@ def test_streaming_window_counts(spark, events_stream):
     # data with a 1h watermark closes all but the final day
     assert out.count() >= 5 * 28
     assert set(out.columns) == {"window_start", "event_type", "n"}
+
+
+def test_streaming_text_pipeline(spark, tmp_path):
+    """Streaming clean chain: PII scrubbed, degenerate docs dropped,
+    exact dups removed within the watermark — driven to completion via
+    availableNow against a staged parquet doc source."""
+    import pandas as pd
+
+    from meerkat_spark.streaming.textpipe import clean_document_stream
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "a normal sentence with the mail bob@x.io inside and enough words to pass the quality and the bar"),
+        (2, "2024-01-01 10:01:00", "a normal sentence with the mail bob@x.io inside and enough words to pass the quality and the bar"),  # dup of 1 post-redaction
+        (3, "2024-01-01 10:02:00", "buy buy buy buy buy buy buy buy"),  # repetition-degenerate
+        (4, "2024-01-01 10:03:00", "the quick brown fox jumps over the lazy dog and it is a fine day for walking in the park"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(src / "part"))
+    schema = spark.read.parquet(str(src / "part")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "part"))
+
+    out = clean_document_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cleaned_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.text for r in spark.sql("select * from cleaned_docs").collect()}
+    assert set(got) == {1, 4}  # dup 2 and degenerate 3 dropped
+    assert "<EMAIL>" in got[1]
