@@ -376,17 +376,26 @@ class Parser:
         self.expect_ident("with")
         self.expect("PUNCT", "(")
         steps: list[tuple[str, Any]] = []
+        outputs: list[str] = []
         while not self.at("PUNCT", ")"):
             self.expect_ident("step")
             sname = str(self.expect("IDENT").value)
+            mode = "all"
+            if self.at_ident("output"):
+                self.next()
+                self.expect("OP", "=")
+                mode = self.expect_ident("all", "last", "none")
             self.expect("PUNCT", ":")
             steps.append((sname, self.parse_expr()))
+            outputs.append(mode)
             if self.at("PUNCT", ";"):
                 self.next()
         self.expect("PUNCT", ")")
         if not steps:
             raise KqlSyntaxError("scan needs at least one step")
-        return OpNode("scan", {"match_id": match_id, "steps": steps})
+        return OpNode(
+            "scan", {"match_id": match_id, "steps": steps, "outputs": outputs}
+        )
 
     def op_project_rename(self) -> OpNode:
         renames = {}

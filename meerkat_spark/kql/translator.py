@@ -1141,6 +1141,7 @@ class Translator:
             steps=preds,
             order_by=["__scan_ord"],
             match_id_col=a["match_id"],
+            step_output=a.get("outputs"),
         ).drop("__scan_ord")
         return MeerkatTable(out)
 

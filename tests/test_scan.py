@@ -76,3 +76,53 @@ def test_no_steps_raises(spark):
     df = spark.createDataFrame([("a", 1, "x")], "user string, ts long, ev string")
     with pytest.raises(ValueError):
         scan_steps(df, steps=[], order_by=["ts"])
+
+
+def test_hold_extends_current_step(spark):
+    """Kusto step hold: rows re-matching the current step join its run;
+    output=all emits the whole run."""
+    df = spark.createDataFrame(
+        [("a", 1, "login"), ("a", 2, "browse"), ("a", 3, "browse"),
+         ("a", 4, "browse"), ("a", 5, "buy")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "login", F.col("ev") == "browse", F.col("ev") == "buy"],
+        order_by=["ts"],
+        partition_by=["user"],
+    )
+    got = sorted((r.ts, r.step_index) for r in out.collect())
+    assert got == [(1, 0), (2, 1), (3, 1), (4, 1), (5, 2)]
+
+
+def test_step_output_last_and_none(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "login"), ("a", 2, "browse"), ("a", 3, "browse"), ("a", 4, "buy")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "login", F.col("ev") == "browse", F.col("ev") == "buy"],
+        order_by=["ts"],
+        partition_by=["user"],
+        step_output=["none", "last", "all"],
+    )
+    got = sorted((r.ts, r.step_index) for r in out.collect())
+    assert got == [(3, 1), (4, 2)]  # login suppressed, last browse only
+
+
+def test_advance_beats_hold(spark):
+    """A row satisfying both the current and next step advances."""
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "x", F.col("ev").isin("x", "y")],
+        order_by=["ts"],
+        partition_by=["user"],
+    )
+    got = sorted((r.ts, r.match_id, r.step_index) for r in out.collect())
+    assert got == [(1, 0, 0), (2, 0, 1)]  # ts=2 advances (doesn't hold)
