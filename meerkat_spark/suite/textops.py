@@ -522,3 +522,15 @@ def pack_chunks_op(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).drop("chunk_text")
     return pack_chunks(chunks, budget=256, n_shards=8)
+
+
+@register("text_compression_ratio", oracle=None)
+def text_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (rows-only: no SQL
+    analogue; determinism + known answers pinned in tests/test_pii.py).
+    Row-local Arrow kernel — shuffle-free at corpus scale."""
+    from meerkat_spark.text.analysis import compression_ratio_udf
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cr = compression_ratio_udf()
+    return docs.select("doc_id", F.round(cr("text"), 6).alias("compression_ratio"))

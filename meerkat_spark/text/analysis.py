@@ -222,6 +222,26 @@ def token_stats_udf():
     return kern
 
 
+def compression_ratio_udf():
+    """Arrow-vectorized zlib compression ratio (len(deflate)/len(utf8))
+    — the classic redundancy signal (low ratio ⇒ highly repetitive or
+    templated text; near/above 1 ⇒ high-entropy noise). Deterministic
+    (zlib level 6 is stable across platforms), row-local, shuffle-free;
+    no SQL analogue, so suite coverage is rows-only + known-answer
+    pytest."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def kern(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            out.append(len(zlib.compress(raw, 6)) / len(raw) if raw else 0.0)
+        return pd.Series(out)
+
+    return kern
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats bundle to a documents DataFrame."""
     feats = quality_features(F.col(text_col))

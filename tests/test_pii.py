@@ -105,3 +105,24 @@ def test_repetition_filter_drops_degenerate(spark):
     )
     kept = [r.id for r in repetition_filter(df).collect()]
     assert kept == [1]
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far better than varied text; empty
+    text yields 0 without dividing by zero."""
+    import zlib
+
+    from meerkat_spark.text.analysis import compression_ratio_udf
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over the lazy dog in a very fine park today"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    cr = compression_ratio_udf()
+    got = {r.id: r.cr for r in df.select("id", cr("text").alias("cr")).collect()}
+    assert got[1] < 0.1 < got[2]
+    assert got[3] == 0.0
+    raw = rows[1][1].encode()
+    assert got[2] == pytest.approx(len(zlib.compress(raw, 6)) / len(raw))
