@@ -119,5 +119,9 @@ def test_streaming_text_pipeline(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {r.doc_id: r.text for r in spark.sql("select * from cleaned_docs").collect()}
-    assert set(got) == {1, 4}  # dup 2 and degenerate 3 dropped
-    assert "<EMAIL>" in got[1]
+    # exactly ONE of the dup pair {1,2} survives (dropDuplicatesWithin-
+    # Watermark keeps the first seen in the batch — not order-guaranteed),
+    # the degenerate doc 3 is dropped, doc 4 passes
+    dup_survivors = set(got) & {1, 2}
+    assert len(dup_survivors) == 1 and 3 not in got and 4 in got
+    assert "<EMAIL>" in got[dup_survivors.pop()]
