@@ -58,15 +58,54 @@ def _hash_strings(strings: list[str]) -> np.ndarray:
     return pd.util.hash_array(np.asarray(strings, dtype=object))
 
 
+# Odd multiplier for position-dependent polynomial combination of word
+# hashes into shingle hashes (uint64 wraparound arithmetic).
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _poly_shingles(wh: np.ndarray, k: int) -> np.ndarray:
+    """Distinct k-gram hashes from a word-hash array via a
+    position-weighted polynomial (numpy slicing, no string grams)."""
+    n = len(wh)
+    if n == 0:
+        return wh
+    if n < k:
+        k = n
+    with np.errstate(over="ignore"):
+        h = wh[k - 1 : n].copy()
+        for j in range(k - 1):
+            # weight = C^(k-1-j), position-dependent so order matters
+            h += wh[j : n - k + 1 + j] * (_POLY_C ** np.uint64(k - 1 - j))
+    return np.unique(h)
+
+
+def _batch_shingle_hashes(texts, k: int) -> list[np.ndarray]:
+    """Per-document shingle-hash arrays for a whole Arrow batch with ONE
+    hash_array call: pd.util.hash_array has large per-call fixed cost
+    (Index/dtype setup — profiled at ~80% of the per-doc kernel), so all
+    words in the batch are hashed together and sliced back by offset."""
+    word_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return [np.zeros(0, dtype=np.uint64) for _ in word_lists]
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in word_lists:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    wh_all = pd.util.hash_array(flat)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    return [
+        _poly_shingles(wh_all[offsets[i] : offsets[i + 1]], k)
+        for i in range(len(word_lists))
+    ]
+
+
 def _shingle_hash_array(text: str, k: int) -> np.ndarray:
-    words = [w for w in text.lower().split() if w]
-    if not words:
-        return np.zeros(0, dtype=np.uint64)
-    if len(words) < k:
-        grams = [" ".join(words)]
-    else:
-        grams = list({" ".join(words[i : i + k]) for i in range(len(words) - k + 1)})
-    return _hash_strings(grams)
+    """Single-doc form (kept for composability/tests); the batch form
+    above is the hot path."""
+    return _batch_shingle_hashes([text], k)[0]
 
 
 def _make_minhash_udf(n_perm: int, shingle_k: int):
@@ -76,13 +115,13 @@ def _make_minhash_udf(n_perm: int, shingle_k: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
         out = []
-        for text in texts:
-            sh = _shingle_hash_array(text or "", shingle_k)
+        for sh in _batch_shingle_hashes(texts, shingle_k):
             if sh.size == 0:
                 out.append(empty.tolist())
                 continue
             # 64-bit wrap-around affine hash family; min per permutation
-            vals = a[:, None] * sh[None, :] + b[:, None]
+            with np.errstate(over="ignore"):
+                vals = a[:, None] * sh[None, :] + b[:, None]
             out.append(vals.min(axis=1).view(np.int64).tolist())
         return pd.Series(out)
 
@@ -94,8 +133,8 @@ def _make_shingles_udf(shingle_k: int):
     def shingles_udf(texts: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                _shingle_hash_array(t or "", shingle_k).view(np.int64).tolist()
-                for t in texts
+                sh.view(np.int64).tolist()
+                for sh in _batch_shingle_hashes(texts, shingle_k)
             ]
         )
 
