@@ -364,6 +364,33 @@ def array_sort_asc(x) -> Column:
     return F.sort_array(_c(x))
 
 
+def repeat_value(value, count) -> Column:
+    """KQL repeat(value, count) — array of `count` copies; negative
+    count yields an empty array (Kusto returns null; empty keeps the
+    expression null-safe for downstream mv-expand)."""
+    n = _lit(count)
+    return F.array_repeat(_c(value), F.greatest(n, F.lit(0)).cast("int"))
+
+
+def array_split(x, index) -> Column:
+    """KQL array_split(arr, index) — [prefix, suffix] split at the
+    0-based index (single-index form; Kusto also accepts an index
+    array). Negative index counts from the end, Kusto-style."""
+    a = _c(x)
+    i = _lit(index)
+    pos = F.when(i < 0, F.greatest(F.size(a) + i, F.lit(0))).otherwise(
+        F.least(i, F.size(a))
+    )
+    return F.array(
+        F.slice(a, 1, pos.cast("int")),
+        F.slice(
+            a,
+            (pos + 1).cast("int"),
+            F.greatest(F.size(a) - pos, F.lit(0)).cast("int"),
+        ),
+    )
+
+
 def array_sort_desc(x) -> Column:
     return F.sort_array(_c(x), asc=False)
 

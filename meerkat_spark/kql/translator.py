@@ -171,6 +171,8 @@ _SCALARS: dict[str, Any] = {
     "array_length": lambda a: S.array_length(a[0]),
     "array_concat": lambda a: S.array_concat(*a),
     "array_slice": lambda a: S.array_slice(a[0], a[1], a[2]),
+    "array_split": lambda a: S.array_split(a[0], a[1]),
+    "repeat": lambda a: S.repeat_value(_c(a[0]), a[1]),
     "array_sort_asc": lambda a: S.array_sort_asc(a[0]),
     "array_sort_desc": lambda a: S.array_sort_desc(a[0]),
     "array_index_of": lambda a: S.array_index_of(a[0], a[1]),

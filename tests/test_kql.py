@@ -565,3 +565,18 @@ def test_kql_materialize_let(spark):
     ).to_df()
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in plain.collect()]
     assert "InMemoryTableScan" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kql_repeat_and_array_split(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """print r = repeat(7, 3), rneg = repeat(1, -2),
+                 s = array_split(dynamic([1,2,3,4,5]), 2),
+                 sneg = array_split(dynamic([1,2,3,4,5]), -2),
+                 sbig = array_split(dynamic([1,2]), 9)"""
+    ).to_df().collect()[0]
+    assert out.r == [7, 7, 7]
+    assert out.rneg == []
+    assert out.s == [[1, 2], [3, 4, 5]]
+    assert out.sneg == [[1, 2, 3], [4, 5]]
+    assert out.sbig == [[1, 2], []]
