@@ -856,6 +856,21 @@ class Parser:
                     self.next()
                     ci = True
                 return self._parse_in(left, negated=False, ci=ci)
+            if word in ("has_any", "has_all"):
+                # desugar to an or/and chain of `has` terms at parse
+                # time — each term keeps the token-bloom prefilter path
+                self.next()
+                self.expect("PUNCT", "(")
+                values = [self.parse_expr()]
+                while self.at("PUNCT", ","):
+                    self.next()
+                    values.append(self.parse_expr())
+                self.expect("PUNCT", ")")
+                joiner = "and" if word == "has_all" else "or"
+                node = Binary("has", left, values[0])
+                for v in values[1:]:
+                    node = Binary(joiner, node, Binary("has", left, v))
+                return node
             if word == "between":
                 self.next()
                 self.expect("PUNCT", "(")

@@ -580,3 +580,16 @@ def test_kql_repeat_and_array_split(spark):
     assert out.s == [[1, 2], [3, 4, 5]]
     assert out.sneg == [[1, 2, 3], [4, 5]]
     assert out.sbig == [[1, 2], []]
+
+
+def test_kql_has_any_has_all(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    base = "documents | where doc_id < 100 "
+    any_n = eng.kql(base + '| where text has_any ("spark", "window") | count').to_df().collect()[0][0]
+    all_n = eng.kql(base + '| where text has_all ("spark", "window") | count').to_df().collect()[0][0]
+    spark_n = eng.kql(base + '| where text has "spark" | count').to_df().collect()[0][0]
+    window_n = eng.kql(base + '| where text has "window" | count').to_df().collect()[0][0]
+    both = eng.kql(base + '| where text has "spark" and text has "window" | count').to_df().collect()[0][0]
+    assert all_n == both and all_n <= min(spark_n, window_n)
+    assert any_n == spark_n + window_n - both and any_n >= max(spark_n, window_n)
+    assert any_n > 0
