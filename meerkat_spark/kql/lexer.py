@@ -22,7 +22,7 @@ _NUMBER_RE = re.compile(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 # multi-char operators first
 _OPS = [
-    "==", "!=", "<=", ">=", "=~", "!~", "!in~", "!in", "..", "<", ">",
+    "==", "!=", "<=", ">=", "=~", "!~", "!in~", "!in", "..", "=>", "<", ">",
     "+", "-", "*", "/", "%", "=",
 ]
 _PUNCT = ["|", "(", ")", "[", "]", "{", "}", ",", ";", ".", ":", "$"]

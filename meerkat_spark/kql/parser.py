@@ -373,10 +373,23 @@ class Parser:
             self.next()
             self.expect("OP", "=")
             match_id = str(self.expect("IDENT").value)
+        declare: list[tuple[str, str]] = []
+        if self.at_ident("declare"):
+            self.next()
+            self.expect("PUNCT", "(")
+            while not self.at("PUNCT", ")"):
+                vname = str(self.expect("IDENT").value)
+                self.expect("PUNCT", ":")
+                vtype = str(self.expect("IDENT").value)
+                declare.append((vname, vtype))
+                if self.at("PUNCT", ","):
+                    self.next()
+            self.expect("PUNCT", ")")
         self.expect_ident("with")
         self.expect("PUNCT", "(")
         steps: list[tuple[str, Any]] = []
         outputs: list[str] = []
+        assigns: list[list[tuple[str, Any]]] = []
         while not self.at("PUNCT", ")"):
             self.expect_ident("step")
             sname = str(self.expect("IDENT").value)
@@ -388,13 +401,32 @@ class Parser:
             self.expect("PUNCT", ":")
             steps.append((sname, self.parse_expr()))
             outputs.append(mode)
+            step_assigns: list[tuple[str, Any]] = []
+            if self.at("OP", "=>"):
+                self.next()
+                while True:
+                    vname = str(self.expect("IDENT").value)
+                    self.expect("OP", "=")
+                    step_assigns.append((vname, self.parse_expr()))
+                    if self.at("PUNCT", ","):
+                        self.next()
+                        continue
+                    break
+            assigns.append(step_assigns)
             if self.at("PUNCT", ";"):
                 self.next()
         self.expect("PUNCT", ")")
         if not steps:
             raise KqlSyntaxError("scan needs at least one step")
         return OpNode(
-            "scan", {"match_id": match_id, "steps": steps, "outputs": outputs}
+            "scan",
+            {
+                "match_id": match_id,
+                "steps": steps,
+                "outputs": outputs,
+                "declare": declare,
+                "assigns": assigns,
+            },
         )
 
     def op_project_rename(self) -> OpNode:

@@ -1138,12 +1138,23 @@ class Translator:
             "__scan_ord", F.row_number().over(W.orderBy(*self.serialize_order))
         )
         preds = [_c(self.expr(p)) for (_name, p) in a["steps"]]
+        from meerkat_spark.types import kql_to_spark
+
+        decl = {
+            v: kql_to_spark(t).simpleString() for v, t in a.get("declare", [])
+        }
+        step_assign = [
+            {v: _c(self.expr(e)) for v, e in step_a}
+            for step_a in (a.get("assigns") or [[] for _ in preds])
+        ]
         out = scan_steps(
             df,
             steps=preds,
             order_by=["__scan_ord"],
             match_id_col=a["match_id"],
             step_output=a.get("outputs"),
+            declare=decl or None,
+            step_assign=step_assign if any(step_assign) else None,
         ).drop("__scan_ord")
         return MeerkatTable(out)
 

@@ -6,18 +6,22 @@ re-matches (extends) the current step — Kusto's step hold — or is
 skipped; the sequence completes at the last step and the machine
 resets (greedy, non-overlapping — the single-active-sequence subset of
 Kusto's scan, which can track concurrent partial matches). Per-step
-`output` modes mirror Kusto: 'all' (every row of the step's run,
-default), 'last' (the run's final row), 'none'.
+`output` modes mirror Kusto ('all' | 'last' | 'none'), and `declare`d
+variables with per-step assignments carry state across the sequence
+(e.g. t0 = first step's timestamp ⇒ funnel latency on the last row).
 
-Scale shape: step predicates are evaluated JVM-side as ordinary
-boolean columns BEFORE the sequential pass — codegen, pushdown-
-friendly, and the Python state machine only ever sees packed boolean
-arrays. The sequential pass itself runs per `partition_by` group via
-applyInPandas (one shuffle on the key). Sequence matching is
-inherently ordered; without partition keys the scan degrades to a
-single sequential partition — callers at corpus scale MUST partition
-(per user, per session, per device), matching how Kusto scans are
-written in practice.
+Scale shape: step predicates AND assignment values are evaluated
+JVM-side as ordinary columns BEFORE the sequential pass — codegen,
+pushdown-friendly; the Python state machine only sees packed booleans
+plus precomputed assignment values, and merely snapshots them per
+matched row (declared variables therefore cannot appear inside step
+predicates — that would need per-row Python evaluation; Kusto's full
+scan allows it, this subset rejects it by construction). The
+sequential pass runs per `partition_by` group via applyInPandas (one
+shuffle on the key). Sequence matching is inherently ordered; without
+partition keys the scan degrades to a single sequential partition —
+callers at corpus scale MUST partition (per user, per session, per
+device), matching how Kusto scans are written in practice.
 """
 
 from __future__ import annotations
@@ -34,6 +38,8 @@ def scan_steps(
     partition_by: list[str] | None = None,
     match_id_col: str = "match_id",
     step_output: list[str] | None = None,
+    declare: dict[str, str] | None = None,
+    step_assign: list[dict[str, Column]] | None = None,
 ) -> DataFrame:
     """Rows participating in completed step sequences, with
     (`match_id_col`, `step_index`) appended. A row advances the machine
@@ -41,43 +47,86 @@ def scan_steps(
     satisfies the CURRENT step's predicate, it extends that step's run
     (hold); otherwise it is skipped. Incomplete sequences at
     end-of-partition emit nothing. match_id numbers completed matches
-    per partition group from 0. `step_output[i]` ∈ {'all','last','none'}
-    controls which of step i's run rows are emitted (default 'all')."""
+    per partition group from 0.
+
+    `step_output[i]` ∈ {'all','last','none'} controls which of step i's
+    run rows are emitted (default 'all'). `declare` maps variable name →
+    Spark type string; `step_assign[i]` maps variable → Column evaluated
+    on each row that matches step i (advance or hold) — emitted rows
+    carry each variable's value as of their own match, null before first
+    assignment."""
     n_steps = len(steps)
     if n_steps == 0:
         raise ValueError("scan needs at least one step")
     outs = list(step_output or ["all"] * n_steps)
     if len(outs) != n_steps or any(o not in ("all", "last", "none") for o in outs):
         raise ValueError("step_output must be one of all/last/none per step")
+    decl = dict(declare or {})
+    assigns = list(step_assign or [{} for _ in range(n_steps)])
+    if len(assigns) != n_steps:
+        raise ValueError("step_assign needs one (possibly empty) dict per step")
+    bad = {v for a in assigns for v in a} - set(decl)
+    if bad:
+        raise ValueError(f"assignments to undeclared variables: {sorted(bad)}")
+    clash = set(decl) & set(df.columns)
+    if clash:
+        raise ValueError(f"declared variables collide with columns: {sorted(clash)}")
+
     keys = list(partition_by or [])
     flag_cols = [f"__step{i}" for i in range(n_steps)]
+    assign_cols: dict[tuple[int, str], str] = {
+        (s, v): f"__as{s}__{v}" for s, a in enumerate(assigns) for v in a
+    }
     work = df.select(
         "*",
         F.lit(0).alias("__grp"),
         *[s.cast("boolean").alias(c) for c, s in zip(flag_cols, steps)],
+        *[
+            assigns[s][v].cast(decl[v]).alias(name)
+            for (s, v), name in assign_cols.items()
+        ],
     )
     group_keys = keys or ["__grp"]
 
-    out_fields = [f for f in work.schema.fields if f.name not in flag_cols]
+    helper = set(flag_cols) | set(assign_cols.values())
+    out_fields = [f for f in work.schema.fields if f.name not in helper]
     out_schema = (
         ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + "".join(f", `{v}` {t}" for v, t in decl.items())
         + f", `{match_id_col}` long, `step_index` long"
     )
     order_cols = list(order_by)
     data_cols = [f.name for f in out_fields]
+    var_names = list(decl)
+    # the machine must close over NAMES only — Column objects hold JVM
+    # references and don't pickle into the worker
+    step_var_names = [list(a) for a in assigns]
 
     def machine(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = pdf[flag_cols].fillna(False).to_numpy(dtype=bool)
-        state = 0                        # next step to satisfy
+
+        def apply_assigns(s: int, i: int, var_vals: dict) -> dict:
+            step_vars = step_var_names[s]
+            if step_vars:
+                var_vals = dict(var_vals)
+                for v in step_vars:
+                    var_vals[v] = pdf.at[i, assign_cols[(s, v)]]
+            return var_vals
+
+        state = 0
         match_id = 0
-        runs: list[list[int]] = []       # row indices per completed-so-far step
+        # per completed-so-far step: [(row_idx, var snapshot), ...]
+        runs: list[list[tuple[int, dict]]] = []
+        var_vals: dict = {v: None for v in var_names}
         keep_rows: list[int] = []
         keep_mid: list[int] = []
         keep_step: list[int] = []
+        keep_vars: list[dict] = []
         for i in range(len(pdf)):
             if flags[i, state]:          # advance beats hold (Kusto order)
-                runs.append([i])
+                var_vals = apply_assigns(state, i, var_vals)
+                runs.append([(i, var_vals)])
                 state += 1
                 if state == n_steps:
                     for s, run in enumerate(runs):
@@ -86,15 +135,23 @@ def scan_steps(
                             if outs[s] == "all"
                             else run[-1:] if outs[s] == "last" else []
                         )
-                        keep_rows.extend(emit)
-                        keep_mid.extend([match_id] * len(emit))
-                        keep_step.extend([s] * len(emit))
+                        for row_idx, snap in emit:
+                            keep_rows.append(row_idx)
+                            keep_mid.append(match_id)
+                            keep_step.append(s)
+                            keep_vars.append(snap)
                     match_id += 1
                     state = 0
                     runs = []
+                    var_vals = {v: None for v in var_names}
             elif state > 0 and flags[i, state - 1]:
-                runs[state - 1].append(i)   # hold: extend the current step
+                var_vals = apply_assigns(state - 1, i, var_vals)
+                runs[state - 1].append((i, var_vals))  # hold: extend the run
         out = pdf.iloc[keep_rows][data_cols].copy()
+        for v in var_names:
+            out[v] = pd.Series(
+                [snap[v] for snap in keep_vars], index=out.index, dtype=object
+            )
         out[match_id_col] = pd.Series(keep_mid, index=out.index, dtype="int64")
         out["step_index"] = pd.Series(keep_step, index=out.index, dtype="int64")
         return out

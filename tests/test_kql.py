@@ -593,3 +593,20 @@ def test_kql_has_any_has_all(spark):
     assert all_n == both and all_n <= min(spark_n, window_n)
     assert any_n == spark_n + window_n - both and any_n >= max(spark_n, window_n)
     assert any_n > 0
+
+
+def test_kql_scan_declare_assign(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """events
+           | where user_id < 10
+           | sort by ts asc, event_id asc
+           | scan declare (t0: datetime) with (
+               step s1 output=none: event_type == "view" => t0 = ts;
+               step s2: event_type == "purchase";)
+           | extend latency_s = datetime_diff("second", ts, t0)
+           | project user_id, latency_s"""
+    ).to_df()
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.latency_s is not None and r.latency_s >= 0 for r in rows)

@@ -126,3 +126,38 @@ def test_advance_beats_hold(spark):
     )
     got = sorted((r.ts, r.match_id, r.step_index) for r in out.collect())
     assert got == [(1, 0, 0), (2, 0, 1)]  # ts=2 advances (doesn't hold)
+
+
+def test_declare_assign_funnel_latency(spark):
+    """Kusto's canonical scan use: carry the first step's timestamp and
+    compute funnel latency on the completing row."""
+    df = spark.createDataFrame(
+        [("a", 10, "login"), ("a", 25, "browse"), ("a", 31, "buy"),
+         ("b", 5, "login"), ("b", 6, "browse"), ("b", 9, "browse"), ("b", 20, "buy")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "login", F.col("ev") == "browse", F.col("ev") == "buy"],
+        order_by=["ts"],
+        partition_by=["user"],
+        declare={"t0": "bigint"},
+        step_assign=[{"t0": F.col("ts")}, {}, {}],
+        step_output=["none", "none", "all"],
+    )
+    got = {r.user: (r.ts - r.t0) for r in out.collect()}
+    assert got == {"a": 21, "b": 15}
+
+
+def test_declare_validation(spark):
+    df = spark.createDataFrame([("a", 1, "x")], "user string, ts long, ev string")
+    with pytest.raises(ValueError, match="undeclared"):
+        scan_steps(
+            df, steps=[F.col("ev") == "x"], order_by=["ts"],
+            step_assign=[{"t0": F.col("ts")}],
+        )
+    with pytest.raises(ValueError, match="collide"):
+        scan_steps(
+            df, steps=[F.col("ev") == "x"], order_by=["ts"],
+            declare={"ts": "bigint"}, step_assign=[{"ts": F.col("ts")}],
+        )
