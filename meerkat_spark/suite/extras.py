@@ -345,3 +345,37 @@ def scan_funnel(spark, sf_dir):
         partition_by=["user_id"],
     )
     return out.orderBy("user_id", "match_id", "step_index")
+
+
+@register("scan_funnel_latency", oracle=None)
+def scan_funnel_latency(spark, sf_dir):
+    """scan with declared state (operators/scan.py): carry the view
+    timestamp through the funnel and report view→purchase latency per
+    user (rows-only: stateful sequence op; semantics pinned in
+    tests/test_scan.py)."""
+    from meerkat_spark.operators.scan import scan_steps
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    out = scan_steps(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "purchase",
+        ],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        declare={"t0": "timestamp"},
+        step_assign=[{"t0": F.col("ts")}, {}],
+        step_output=["none", "all"],
+    )
+    return (
+        out.withColumn(
+            "latency_s", F.timestamp_diff("SECOND", F.col("t0"), F.col("ts"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_funnels"),
+            F.round(F.avg("latency_s"), 2).alias("avg_latency_s"),
+        )
+        .orderBy("user_id")
+    )
