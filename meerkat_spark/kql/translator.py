@@ -1017,6 +1017,32 @@ class Translator:
             return MeerkatTable(
                 t.df.groupBy(*others).pivot(pivot_col).agg(agg.alias("v"))
             )
+        if plugin == "narrow":
+            # Kusto narrow(): transpose to (Row, Column, Value) triples,
+            # values stringified. Row is the serialized row number —
+            # requires an explicit order (same contract as the row_*
+            # window functions) so the output is deterministic.
+            if not self.serialize_order:
+                raise KqlSyntaxError(
+                    "narrow() requires a serialized table — add `| serialize` "
+                    "or `| sort by …` first"
+                )
+            from pyspark.sql import Window as W
+
+            df = t.to_df().withColumn(
+                "Row",
+                F.row_number().over(W.orderBy(*self.serialize_order)) - 1,
+            )
+            cols = [c for c in df.columns if c not in ("Row", "__serial")]
+            stack = F.expr(
+                "stack({}, {})".format(
+                    len(cols),
+                    ", ".join(
+                        f"'{c}', cast(`{c}` as string)" for c in cols
+                    ),
+                )
+            ).alias("Column", "Value")
+            return MeerkatTable(df.select("Row", stack))
         raise KqlSyntaxError(f"unknown evaluate plugin {plugin!r}")
 
     def ap_make_series(self, t, a):

@@ -184,3 +184,23 @@ _register_kql(
     ORDER BY 2 DESC, 1 ASC LIMIT 3
     """,
 )
+
+
+@register(
+    "kql_narrow",
+    oracle="""
+    WITH t AS (SELECT n_nationkey, n_name FROM nation),
+    r AS (SELECT *, row_number() OVER (ORDER BY n_nationkey) - 1 AS "Row" FROM t)
+    SELECT "Row", 'n_nationkey' AS "Column", CAST(n_nationkey AS VARCHAR) AS "Value" FROM r
+    UNION ALL
+    SELECT "Row", 'n_name', n_name FROM r
+    """,
+)
+def kql_narrow(spark, sf_dir):
+    """evaluate narrow() — (Row, Column, Value) transpose over the
+    serialized order (stack(), stringified values)."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        """nation | project n_nationkey, n_name
+           | sort by n_nationkey asc
+           | evaluate narrow()"""
+    ).to_df()

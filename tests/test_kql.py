@@ -610,3 +610,21 @@ def test_kql_scan_declare_assign(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.latency_s is not None and r.latency_s >= 0 for r in rows)
+
+
+def test_kql_evaluate_narrow(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """nation | project n_nationkey, n_name
+           | sort by n_nationkey asc
+           | evaluate narrow()"""
+    ).to_df()
+    rows = out.collect()
+    n = eng.table("nation").to_df().count()
+    assert len(rows) == 2 * n
+    assert {r.Column for r in rows} == {"n_nationkey", "n_name"}
+    r0 = {(r.Column, r.Value) for r in rows if r.Row == 0}
+    assert ("n_nationkey", "0") in r0
+    from meerkat_spark.kql import KqlSyntaxError
+    with pytest.raises(KqlSyntaxError, match="serialized"):
+        eng.kql("nation | evaluate narrow()").to_df()
