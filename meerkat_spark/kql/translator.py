@@ -1017,6 +1017,40 @@ class Translator:
             return MeerkatTable(
                 t.df.groupBy(*others).pivot(pivot_col).agg(agg.alias("v"))
             )
+        if plugin == "autocluster":
+            # Kusto autocluster(): surface attribute combinations with
+            # high coverage. Kusto uses a proprietary heuristic; this
+            # variant is EXACT — cube over the (≤4, by column order)
+            # string columns, keep combos covering ≥ size_weight% of
+            # rows. null segment values mean "any" (cube wildcard);
+            # SegmentCount/Percent mirror Kusto's output shape. Exact ⇒
+            # deterministic ⇒ oracle-checkable; the cube is a single
+            # partial+final aggregate (2^k grouping sets, k ≤ 4).
+            min_pct = float(_raw(self.expr(a["args"][0]))) if a.get("args") else 5.0
+            df = t.to_df()
+            cats = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.simpleString() == "string"
+            ][:4]
+            if not cats:
+                raise KqlSyntaxError("autocluster needs at least one string column")
+            total = df.count()
+            cube = (
+                df.cube(*cats)
+                .agg(F.count(F.lit(1)).alias("SegmentCount"))
+                .withColumn(
+                    "Percent",
+                    F.round(F.col("SegmentCount") * 100.0 / F.lit(total), 2),
+                )
+                .filter(F.col("Percent") >= min_pct)
+            )
+            # drop the grand-total row (all wildcards) — Kusto omits it
+            not_all_null = None
+            for c in cats:
+                cond = F.col(c).isNotNull()
+                not_all_null = cond if not_all_null is None else (not_all_null | cond)
+            return MeerkatTable(cube.filter(not_all_null))
         if plugin == "narrow":
             # Kusto narrow(): transpose to (Row, Column, Value) triples,
             # values stringified. Row is the serialized row number —

@@ -204,3 +204,22 @@ def kql_narrow(spark, sf_dir):
            | sort by n_nationkey asc
            | evaluate narrow()"""
     ).to_df()
+
+
+@register(
+    "kql_autocluster",
+    oracle="""
+    SELECT lang, source, COUNT(*)::BIGINT AS SegmentCount,
+           round(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM documents), 2) AS Percent
+    FROM documents GROUP BY CUBE (lang, source)
+    HAVING round(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM documents), 2) >= 5.0
+       AND NOT (GROUPING(lang) = 1 AND GROUPING(source) = 1)
+    """,
+)
+def kql_autocluster(spark, sf_dir):
+    """evaluate autocluster(5.0) — exact cube variant of Kusto's
+    pattern-mining plugin (null = wildcard segment), oracle-checked
+    against GROUP BY CUBE."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        "documents | project lang, source | evaluate autocluster(5.0)"
+    ).to_df()

@@ -628,3 +628,16 @@ def test_kql_evaluate_narrow(spark):
     from meerkat_spark.kql import KqlSyntaxError
     with pytest.raises(KqlSyntaxError, match="serialized"):
         eng.kql("nation | evaluate narrow()").to_df()
+
+
+def test_kql_autocluster_segments(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        "documents | project lang, source | evaluate autocluster(5.0)"
+    ).to_df().collect()
+    assert len(out) > 0
+    total_pct_single = [r for r in out if r.source is None and r.lang is not None]
+    assert total_pct_single, "expected per-lang wildcard segments"
+    # no grand-total row, every segment covers >= 5%
+    assert all(not (r.lang is None and r.source is None) for r in out)
+    assert all(r.Percent >= 5.0 for r in out)
