@@ -87,3 +87,55 @@ def series_fit_line(col: Column) -> Column:
         return pd.DataFrame({"slope": slopes, "intercept": intercepts, "rsquare": r2s})
 
     return fit(col)
+
+
+def series_decompose(col: Column, period: int) -> Column:
+    """KQL series_decompose (moving-average STL-lite): per series →
+    struct (baseline, seasonal, trend, residual), each an array the
+    length of the input. trend = centered moving average over one
+    period; seasonal = per-phase mean of the detrended series (zero
+    when period <= 1 or the series is shorter than two periods);
+    residual = series - trend - seasonal; baseline = trend + seasonal.
+    Deterministic numpy per row — row-local, shuffle-free."""
+
+    @F.pandas_udf(
+        "baseline array<double>, seasonal array<double>, "
+        "trend array<double>, residual array<double>"
+    )
+    def decomp(series: pd.Series) -> pd.DataFrame:
+        bases, seas, trends, resids = [], [], [], []
+        for arr in series:
+            if arr is None or len(arr) == 0:
+                bases.append([]); seas.append([]); trends.append([]); resids.append([])
+                continue
+            x = np.asarray(arr, dtype=np.float64)
+            n = len(x)
+            w = max(int(period), 1)
+            # centered moving average with edge padding (window w)
+            pad = np.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
+            trend = np.convolve(pad, np.full(w, 1.0 / w), mode="valid")
+            if w > 1 and n >= 2 * w:
+                detr = x - trend
+                phase = np.arange(n) % w
+                smeans = np.array([detr[phase == p].mean() for p in range(w)])
+                smeans -= smeans.mean()  # seasonal sums to ~zero
+                seasonal = smeans[phase]
+            else:
+                seasonal = np.zeros(n)
+            resid = x - trend - seasonal
+            bases.append((trend + seasonal).round(6).tolist())
+            seas.append(seasonal.round(6).tolist())
+            trends.append(trend.round(6).tolist())
+            resids.append(resid.round(6).tolist())
+        return pd.DataFrame(
+            {"baseline": bases, "seasonal": seas, "trend": trends, "residual": resids}
+        )
+
+    return decomp(col)
+
+
+def series_decompose_anomalies(col: Column, period: int, threshold: float = 2.5) -> Column:
+    """KQL series_decompose_anomalies: z-score flags (±1) over the
+    decomposition residual — seasonal spikes don't false-positive."""
+    dec = series_decompose(col, period)
+    return series_outliers(dec.getField("residual"), threshold)

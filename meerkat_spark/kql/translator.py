@@ -167,6 +167,10 @@ _SCALARS: dict[str, Any] = {
         _c(a[0]), float(_raw(a[1])) if len(a) > 1 else 2.5
     ),
     "series_fit_line": lambda a: SER.series_fit_line(_c(a[0])),
+    "series_decompose": lambda a: SER.series_decompose(_c(a[0]), int(_raw(a[1]))),
+    "series_decompose_anomalies": lambda a: SER.series_decompose_anomalies(
+        _c(a[0]), int(_raw(a[1])), float(_raw(a[2])) if len(a) > 2 else 2.5
+    ),
     # dynamic / array
     "array_length": lambda a: S.array_length(a[0]),
     "array_concat": lambda a: S.array_concat(*a),
@@ -277,6 +281,10 @@ class Translator:
         # `serialize` record the frozen order here; row_number()/prev()/
         # next()/row_cumsum()/row_rank_* then window over it.
         self.serialize_order: list[Column] | None = None
+        # schema of the operator's input table while translating its
+        # args — lets Member access distinguish struct fields from
+        # dynamic-JSON paths
+        self._cur_schema = None
 
     # ---------------------------------------------------------- expressions
     def expr(self, node: Any, agg: bool = False) -> Any:
@@ -311,6 +319,32 @@ class Translator:
                 return F.col("*")
             return F.col(name)
         if isinstance(node, P.Member):
+            # struct member access when the chain resolves to struct
+            # fields of the current table (e.g. series_decompose output
+            # or as-struct extends); otherwise dynamic-JSON path access
+            chain: list[str] = [node.name]
+            b = node.base
+            while isinstance(b, P.Member):
+                chain.append(b.name)
+                b = b.base
+            if isinstance(b, P.Ident) and self._cur_schema is not None:
+                chain.append(b.name)
+                chain.reverse()
+                from pyspark.sql import types as ST
+
+                dt: ST.DataType | None = None
+                fields = {f.name: f.dataType for f in self._cur_schema.fields}
+                ok = chain[0] in fields
+                if ok:
+                    dt = fields[chain[0]]
+                    for name in chain[1:]:
+                        if isinstance(dt, ST.StructType) and name in dt.fieldNames():
+                            dt = dt[name].dataType
+                        else:
+                            ok = False
+                            break
+                if ok:
+                    return F.col(".".join(f"`{c}`" for c in chain))
             base = _c(self.expr(node.base))
             return F.get_json_object(base, f"$.{node.name}")
         if isinstance(node, P.Index):
@@ -587,7 +621,15 @@ class Translator:
 
     def apply(self, t: MeerkatTable, op: P.OpNode) -> MeerkatTable:
         method = getattr(self, f"ap_{op.name.replace('-', '_')}")
-        return method(t, op.args)
+        saved = self._cur_schema
+        try:
+            self._cur_schema = t.df.schema
+        except Exception:
+            self._cur_schema = None
+        try:
+            return method(t, op.args)
+        finally:
+            self._cur_schema = saved
 
     # -- per-operator translation
     def ap_where(self, t, a):

@@ -641,3 +641,21 @@ def test_kql_autocluster_segments(spark):
     # no grand-total row, every segment covers >= 5%
     assert all(not (r.lang is None and r.source is None) for r in out)
     assert all(r.Percent >= 5.0 for r in out)
+
+
+def test_kql_series_decompose_struct_member(spark):
+    """series_decompose returns a struct; member access resolves via
+    the schema (not the dynamic-JSON path), and anomalies ride the
+    residual."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """events
+           | make-series n = count() default = 0 on ts step 1d by event_type
+           | extend dec = series_decompose(n, 7)
+           | extend an = series_decompose_anomalies(n, 7)
+           | project event_type, trend = dec.trend, seasonal = dec.seasonal, an"""
+    ).to_df()
+    rows = out.collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert isinstance(r.trend, list) and len(r.trend) == len(r.seasonal) == len(r.an)

@@ -86,3 +86,34 @@ def test_series_over_make_series(spark):
     for r in rows:
         assert len(r.smooth) == len(r.outliers)
         assert r.fit.rsquare is not None
+
+
+def test_series_decompose_recovers_planted_seasonality(spark):
+    """trend+seasonal+residual == input exactly; the planted period-4
+    pattern lands in `seasonal`, the ramp in `trend`, and an injected
+    spike is flagged only by the anomaly path."""
+    import numpy as np
+
+    from meerkat_spark.functions.series import (
+        series_decompose,
+        series_decompose_anomalies,
+    )
+
+    period = 4
+    n = 32
+    ramp = np.linspace(0, 10, n)
+    season = np.tile([0.0, 5.0, 0.0, -5.0], n // period)
+    x = (ramp + season).round(6)
+    x[17] += 40.0  # spike
+    df = spark.createDataFrame([(1, x.tolist())], "id int, s array<double>")
+    row = df.select(
+        series_decompose(F.col("s"), period).alias("d"),
+        series_decompose_anomalies(F.col("s"), period).alias("an"),
+    ).collect()[0]
+    d = row.d
+    recon = np.array(d.trend) + np.array(d.seasonal) + np.array(d.residual)
+    assert np.allclose(recon, x, atol=1e-4)
+    # seasonal profile has the planted amplitude ordering
+    s = np.array(d.seasonal[:period])
+    assert s[1] == max(d.seasonal[:period]) and s[3] == min(d.seasonal[:period])
+    assert row.an[17] == 1 and sum(abs(v) for v in row.an) <= 3
