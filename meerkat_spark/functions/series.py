@@ -139,3 +139,45 @@ def series_decompose_anomalies(col: Column, period: int, threshold: float = 2.5)
     decomposition residual — seasonal spikes don't false-positive."""
     dec = series_decompose(col, period)
     return series_outliers(dec.getField("residual"), threshold)
+
+
+def series_periods_detect(col: Column, max_period: int = 0) -> Column:
+    """KQL series_periods_detect: dominant cycle length per series →
+    struct (period, score). Periodogram over the detrended series
+    (rfft power spectrum; score = candidate power / total power),
+    period rounded to the nearest integer lag, 0 when nothing beats
+    the flat spectrum. Deterministic numpy per row — row-local."""
+
+    @F.pandas_udf("period long, score double")
+    def detect(series: pd.Series) -> pd.DataFrame:
+        periods, scores = [], []
+        for arr in series:
+            if arr is None or len(arr) < 4:
+                periods.append(0)
+                scores.append(0.0)
+                continue
+            x = np.asarray(arr, dtype=np.float64)
+            n = len(x)
+            # detrend (least-squares line) so the ramp doesn't read as a cycle
+            t = np.arange(n, dtype=np.float64)
+            slope, intercept = np.polyfit(t, x, 1)
+            d = x - (slope * t + intercept)
+            power = np.abs(np.fft.rfft(d)) ** 2
+            power[0] = 0.0  # DC
+            total = power.sum()
+            if total <= 0:
+                periods.append(0)
+                scores.append(0.0)
+                continue
+            k = int(power.argmax())
+            period = int(round(n / k)) if k > 0 else 0
+            cap = max_period if max_period > 0 else n // 2
+            if period > cap or period < 2:
+                periods.append(0)
+                scores.append(0.0)
+                continue
+            periods.append(period)
+            scores.append(round(float(power[k] / total), 6))
+        return pd.DataFrame({"period": periods, "score": scores})
+
+    return detect(col)

@@ -168,6 +168,9 @@ _SCALARS: dict[str, Any] = {
     ),
     "series_fit_line": lambda a: SER.series_fit_line(_c(a[0])),
     "series_decompose": lambda a: SER.series_decompose(_c(a[0]), int(_raw(a[1]))),
+    "series_periods_detect": lambda a: SER.series_periods_detect(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
     "series_decompose_anomalies": lambda a: SER.series_decompose_anomalies(
         _c(a[0]), int(_raw(a[1])), float(_raw(a[2])) if len(a) > 2 else 2.5
     ),

@@ -117,3 +117,24 @@ def test_series_decompose_recovers_planted_seasonality(spark):
     s = np.array(d.seasonal[:period])
     assert s[1] == max(d.seasonal[:period]) and s[3] == min(d.seasonal[:period])
     assert row.an[17] == 1 and sum(abs(v) for v in row.an) <= 3
+
+
+def test_series_periods_detect_planted_cycle(spark):
+    import numpy as np
+
+    n = 64
+    cyc = 10.0 * np.sin(2 * np.pi * np.arange(n) / 8)       # period 8
+    ramp = np.linspace(0, 30, n)                              # must not fool it
+    flat = np.ones(n)
+    df = spark.createDataFrame(
+        [(1, (cyc + ramp).tolist()), (2, flat.tolist())],
+        "id int, s array<double>",
+    )
+    rows = {
+        r.id: r.d
+        for r in df.select(
+            "id", SR.series_periods_detect(F.col("s")).alias("d")
+        ).collect()
+    }
+    assert rows[1].period == 8 and rows[1].score > 0.5
+    assert rows[2].period == 0 and rows[2].score == 0.0
