@@ -57,3 +57,46 @@ def exact_n_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mix_bucket(id_col, salt: str = "", granularity: int = 10_000) -> "F.Column":
+    """0..granularity-1 bucket from the salted md5 of the id — finer
+    than split_bucket so mixture rates resolve to 0.01%."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % granularity
+
+
+def mix_datasets(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Weighted multi-source mixture (the training-mixture step):
+    given {name: (df, weight)}, down-sample each source with the
+    deterministic id-hash bucket so the OUTPUT proportions match the
+    normalized weights, keeping 100% of the binding source (the one
+    whose weight is largest relative to its size — no source is ever
+    up-sampled). Adds a `mix_source` column.
+
+    Deterministic and engine-independent (same salted-md5 bucketing as
+    hash_split): re-running the mix, growing a source, or changing an
+    unrelated source never flips a kept document to dropped except
+    through its own rate. One count() per source (bounded driver
+    actions), then a row-local filter — no shuffle."""
+    if not sources:
+        raise ValueError("mix_datasets needs at least one source")
+    weights = {k: float(w) for k, (_, w) in sources.items()}
+    if min(weights.values()) <= 0:
+        raise ValueError("weights must be positive")
+    counts = {k: df.count() for k, (df, _) in sources.items()}
+    # scale so the binding source keeps rate 1.0
+    scale = min(counts[k] / weights[k] for k in sources if counts[k] > 0)
+    out = None
+    for name, (df, _w) in sources.items():
+        n = counts[name]
+        rate = 1.0 if n == 0 else min(weights[name] * scale / n, 1.0)
+        keep = mix_bucket(id_col, salt, granularity) < int(round(rate * granularity))
+        leg = df.filter(keep).withColumn("mix_source", F.lit(name))
+        out = leg if out is None else out.unionByName(leg)
+    return out

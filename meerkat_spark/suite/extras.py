@@ -379,3 +379,32 @@ def scan_funnel_latency(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "mix_datasets_op",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT) % 10000 AS b
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT doc_id, source AS mix_source FROM m
+    WHERE source = 'src0'
+       OR (source = 'src1' AND b < 5000)
+       OR (source = 'src2' AND b < 5000)
+    """,
+)
+def mix_datasets_op(spark, sf_dir):
+    """Weighted dataset mixture (operators/sampling.py mix_datasets):
+    src0 weighted 2×, src1/src2 1× over equal-size sources ⇒ src0 kept
+    fully (binding source), others hash-down-sampled to rate 0.5. The
+    oracle reproduces the salted-md5 bucket bit-exactly."""
+    from meerkat_spark.operators.sampling import mix_datasets
+
+    docs = MeerkatEngine(spark, sf_dir).table("documents").to_df()
+    srcs = {
+        name: (docs.filter(F.col("source") == name).select("doc_id"), w)
+        for name, w in [("src0", 2.0), ("src1", 1.0), ("src2", 1.0)]
+    }
+    return mix_datasets(srcs)
