@@ -181,3 +181,52 @@ def series_periods_detect(col: Column, max_period: int = 0) -> Column:
         return pd.DataFrame({"period": periods, "score": scores})
 
     return detect(col)
+
+
+def _fill_kernel(mode: str, const: float | None = None):
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def fill(series: pd.Series) -> pd.Series:
+        out = []
+        for arr in series:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            x = np.asarray(
+                [np.nan if v is None else float(v) for v in arr], dtype=np.float64
+            )
+            s = pd.Series(x)
+            if mode == "forward":
+                s = s.ffill()
+            elif mode == "backward":
+                s = s.bfill()
+            elif mode == "const":
+                s = s.fillna(const)
+            elif mode == "linear":
+                s = s.interpolate(method="linear", limit_direction="both")
+            y = s.to_numpy()
+            out.append([None if np.isnan(v) else round(float(v), 6) for v in y])
+        return pd.Series(out)
+
+    return fill
+
+
+def series_fill_forward(col: Column) -> Column:
+    """KQL series_fill_forward: nulls take the previous non-null value
+    (leading nulls remain null)."""
+    return _fill_kernel("forward")(col)
+
+
+def series_fill_backward(col: Column) -> Column:
+    """KQL series_fill_backward: nulls take the next non-null value."""
+    return _fill_kernel("backward")(col)
+
+
+def series_fill_const(col: Column, value: float = 0.0) -> Column:
+    """KQL series_fill_const."""
+    return _fill_kernel("const", value)(col)
+
+
+def series_fill_linear(col: Column) -> Column:
+    """KQL series_fill_linear: linear interpolation across null gaps,
+    edges extended from the nearest non-null."""
+    return _fill_kernel("linear")(col)

@@ -171,6 +171,12 @@ _SCALARS: dict[str, Any] = {
     "series_periods_detect": lambda a: SER.series_periods_detect(
         _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
     ),
+    "series_fill_forward": lambda a: SER.series_fill_forward(_c(a[0])),
+    "series_fill_backward": lambda a: SER.series_fill_backward(_c(a[0])),
+    "series_fill_const": lambda a: SER.series_fill_const(
+        _c(a[0]), float(_raw(a[1])) if len(a) > 1 else 0.0
+    ),
+    "series_fill_linear": lambda a: SER.series_fill_linear(_c(a[0])),
     "series_decompose_anomalies": lambda a: SER.series_decompose_anomalies(
         _c(a[0]), int(_raw(a[1])), float(_raw(a[2])) if len(a) > 2 else 2.5
     ),

@@ -138,3 +138,20 @@ def test_series_periods_detect_planted_cycle(spark):
     }
     assert rows[1].period == 8 and rows[1].score > 0.5
     assert rows[2].period == 0 and rows[2].score == 0.0
+
+
+def test_series_fill_family(spark):
+    df = spark.createDataFrame(
+        [(1, [None, 2.0, None, None, 8.0, None])],
+        "id int, s array<double>",
+    )
+    row = df.select(
+        SR.series_fill_forward(F.col("s")).alias("f"),
+        SR.series_fill_backward(F.col("s")).alias("b"),
+        SR.series_fill_const(F.col("s"), 0.0).alias("c"),
+        SR.series_fill_linear(F.col("s")).alias("l"),
+    ).collect()[0]
+    assert row.f == [None, 2.0, 2.0, 2.0, 8.0, 8.0]
+    assert row.b == [2.0, 2.0, 8.0, 8.0, 8.0, None]
+    assert row.c == [0.0, 2.0, 0.0, 0.0, 8.0, 0.0]
+    assert row.l == [2.0, 2.0, 4.0, 6.0, 8.0, 8.0]
