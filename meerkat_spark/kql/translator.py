@@ -451,6 +451,21 @@ class Translator:
         name = node.func.lower()
         if name in self._WINDOW_FUNCS:
             return self._window_call(node)
+        if name == "gettype":
+            # static type name from the schema (KQL names); columns are
+            # statically typed here, so this is exact for column args
+            if (
+                len(node.args) == 1
+                and isinstance(node.args[0], P.Ident)
+                and self._cur_schema is not None
+            ):
+                from meerkat_spark.types import spark_to_kql
+
+                cname = node.args[0].name
+                fields = {f.name: f.dataType for f in self._cur_schema.fields}
+                if cname in fields:
+                    return F.lit(spark_to_kql(fields[cname]))
+            raise KqlSyntaxError("gettype() expects a single column name")
         # let-bound lambda: substitute args into the body (KQL `invoke`
         # semantics for scalar functions — pure front-end inlining)
         lam = self.lets.get(node.func)

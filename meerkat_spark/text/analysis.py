@@ -222,6 +222,43 @@ def token_stats_udf():
     return kern
 
 
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    max_dup_word_frac: float = 0.9,
+    max_top_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """The Gopher rule bundle in one call: length window, mean-word-
+    length window, symbol ratio, minimum stopword evidence, plus the
+    repetition caps — every signal a row-local codegen expression, so
+    the whole filter is one shuffle-free scan (predicates reach the
+    parquet reader where pushable). Thresholds are the published
+    defaults; tune per corpus."""
+    q = quality_features(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN)))
+    rep = repetition_features(F.col(text_col))
+    keep = (
+        (q["n_tokens"] >= min_words)
+        & (q["n_tokens"] <= max_words)
+        & (q["mean_word_len"] >= min_mean_word_len)
+        & (q["mean_word_len"] <= max_mean_word_len)
+        & (q["punct_ratio"] + q["digit_ratio"] <= max_symbol_ratio)
+        & (stop_hits >= min_stopword_hits)
+        & (rep["dup_word_frac"] <= max_dup_word_frac)
+        & (rep["top_word_frac"] <= max_top_word_frac)
+        & (rep["top_bigram_frac"] <= max_top_bigram_frac)
+    )
+    return df.filter(keep)
+
+
 def compression_ratio_udf():
     """Arrow-vectorized zlib compression ratio (len(deflate)/len(utf8))
     — the classic redundancy signal (low ratio ⇒ highly repetitive or

@@ -659,3 +659,12 @@ def test_kql_series_decompose_struct_member(spark):
     assert len(rows) > 0
     r = rows[0]
     assert isinstance(r.trend, list) and len(r.trend) == len(r.seasonal) == len(r.an)
+
+
+def test_kql_gettype(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        "events | extend t1 = gettype(ts), t2 = gettype(value), "
+        "t3 = gettype(event_type) | take 1 | project t1, t2, t3"
+    ).to_df().collect()[0]
+    assert (out.t1, out.t2, out.t3) == ("datetime", "real", "string")

@@ -126,3 +126,18 @@ def test_compression_ratio_signal(spark):
     assert got[3] == 0.0
     raw = rows[1][1].encode()
     assert got[2] == pytest.approx(len(zlib.compress(raw, 6)) / len(raw))
+
+
+def test_gopher_quality_filter_bundle(spark):
+    from meerkat_spark.text.analysis import gopher_quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog and then it runs back home across the wide green field while the sun sets slowly in the west and the birds sing their evening songs over the quiet hills again and again until night falls gently on the town below"
+    rows = [
+        (1, good),                                     # passes
+        (2, "short text"),                             # too few words
+        (3, "buy " * 80),                              # repetition degenerate
+        (4, ("x7# " * 80).strip()),                    # no stopwords + symbols
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    kept = [r.id for r in gopher_quality_filter(df).collect()]
+    assert kept == [1]
