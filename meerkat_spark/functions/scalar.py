@@ -575,3 +575,65 @@ def jaccard_index(a, b) -> Column:
     inter = F.size(F.array_intersect(_c(a), _c(b)))
     union = F.size(F.array_union(_c(a), _c(b)))
     return inter / union
+
+
+# ---------------------------------------------------------------- ipv4
+def _ipv4_octets(ip) -> Column:
+    return F.split(_c(ip), "\\.")
+
+
+def ipv4_to_long(ip) -> Column:
+    """Dotted-quad → 32-bit value (null for malformed input) — the
+    comparison key for every ipv4_* function; pure codegen fold."""
+    o = _ipv4_octets(ip)
+    valid = (F.size(o) == 4) & F.forall(
+        o, lambda x: x.rlike("^[0-9]{1,3}$") & (x.cast("long") <= 255)
+    )
+    val = F.aggregate(
+        o, F.lit(0).cast("long"), lambda acc, x: acc * 256 + x.cast("long")
+    )
+    return F.when(valid, val)
+
+
+def format_ipv4(value) -> Column:
+    """32-bit value → dotted quad."""
+    v = _c(value).cast("long")
+    return F.concat_ws(
+        ".",
+        (F.shiftright(v, 24) % 256).cast("string"),
+        (F.shiftright(v, 16) % 256).cast("string"),
+        (F.shiftright(v, 8) % 256).cast("string"),
+        (v % 256).cast("string"),
+    )
+
+
+def ipv4_compare(a, b) -> Column:
+    """-1/0/1 ordering of two IPv4 literals (null if either malformed)."""
+    la, lb = ipv4_to_long(a), ipv4_to_long(b)
+    return F.when(la < lb, -1).when(la > lb, 1).when(la == lb, 0)
+
+
+def ipv4_is_in_range(ip, cidr) -> Column:
+    """True when ip falls in 'a.b.c.d/prefix' (prefix omitted ⇒ /32)."""
+    c = _c(cidr)
+    base = F.when(c.contains("/"), F.substring_index(c, "/", 1)).otherwise(c)
+    bits = F.when(c.contains("/"), F.substring_index(c, "/", -1).cast("int")).otherwise(
+        F.lit(32)
+    )
+    mask_shift = F.lit(32) - bits
+    lip, lbase = ipv4_to_long(ip), ipv4_to_long(base)
+    # >> with column shift: divide by 2^shift (exact for non-negatives)
+    p = F.pow(F.lit(2.0), mask_shift.cast("double"))
+    return F.when(
+        lip.isNotNull() & lbase.isNotNull() & bits.between(0, 32),
+        F.floor(lip / p) == F.floor(lbase / p),
+    )
+
+
+def ipv4_is_private(ip) -> Column:
+    """RFC1918: 10/8, 172.16/12, 192.168/16."""
+    return (
+        ipv4_is_in_range(ip, F.lit("10.0.0.0/8"))
+        | ipv4_is_in_range(ip, F.lit("172.16.0.0/12"))
+        | ipv4_is_in_range(ip, F.lit("192.168.0.0/16"))
+    )

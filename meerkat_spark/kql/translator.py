@@ -185,6 +185,11 @@ _SCALARS: dict[str, Any] = {
     "array_concat": lambda a: S.array_concat(*a),
     "array_slice": lambda a: S.array_slice(a[0], a[1], a[2]),
     "array_split": lambda a: S.array_split(a[0], a[1]),
+    "ipv4_to_long": lambda a: S.ipv4_to_long(_c(a[0])),
+    "format_ipv4": lambda a: S.format_ipv4(_c(a[0])),
+    "ipv4_compare": lambda a: S.ipv4_compare(_c(a[0]), _c(a[1])),
+    "ipv4_is_in_range": lambda a: S.ipv4_is_in_range(_c(a[0]), _c(a[1])),
+    "ipv4_is_private": lambda a: S.ipv4_is_private(_c(a[0])),
     "repeat": lambda a: S.repeat_value(_c(a[0]), a[1]),
     "array_sort_asc": lambda a: S.array_sort_asc(a[0]),
     "array_sort_desc": lambda a: S.array_sort_desc(a[0]),

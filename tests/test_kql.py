@@ -668,3 +668,18 @@ def test_kql_gettype(spark):
         "t3 = gettype(event_type) | take 1 | project t1, t2, t3"
     ).to_df().collect()[0]
     assert (out.t1, out.t2, out.t3) == ("datetime", "real", "string")
+
+
+def test_kql_ipv4_functions(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """print a = ipv4_is_private("192.168.1.4"), b = ipv4_is_private("8.8.8.8"),
+                 c = ipv4_is_in_range("10.1.2.3", "10.0.0.0/8"),
+                 d = ipv4_is_in_range("11.0.0.1", "10.0.0.0/8"),
+                 e = ipv4_compare("1.2.3.4", "1.2.3.10"),
+                 f = format_ipv4(16909060),
+                 g = ipv4_to_long("999.1.1.1"),
+                 h = ipv4_is_in_range("172.31.255.255", "172.16.0.0/12")"""
+    ).to_df().collect()[0]
+    assert (out.a, out.b, out.c, out.d) == (True, False, True, False)
+    assert out.e == -1 and out.f == "1.2.3.4" and out.g is None and out.h is True
