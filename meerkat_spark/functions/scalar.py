@@ -637,3 +637,39 @@ def ipv4_is_private(ip) -> Column:
         | ipv4_is_in_range(ip, F.lit("172.16.0.0/12"))
         | ipv4_is_in_range(ip, F.lit("192.168.0.0/16"))
     )
+
+
+def parse_version(v) -> Column:
+    """KQL parse_version: 'a.b.c.d' → one sortable BIGINT
+    (a*10^12 + b*10^8 + c*10^4 + d; missing parts are 0, parts capped
+    at 4, null for malformed/oversized parts — Kusto's comparable-key
+    semantics)."""
+    parts = F.split(_c(v), "\\.")
+    ok = (
+        _c(v).rlike("^[0-9]+(\\.[0-9]+){0,3}$")
+        & F.forall(parts, lambda x: x.cast("long") <= 9999)
+    )
+    padded = F.concat(
+        F.transform(parts, lambda x: x.cast("long")),
+        F.array_repeat(F.lit(0).cast("long"), 4 - F.size(parts)),
+    )
+    val = F.aggregate(
+        F.slice(padded, 1, 4),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 10_000 + x,
+    )
+    return F.when(ok, val)
+
+
+def geo_distance_2points(lon1, lat1, lon2, lat2) -> Column:
+    """KQL geo_distance_2points: haversine great-circle distance in
+    meters (WGS84 mean radius) — codegen trigonometry, row-local."""
+    r = 6_371_008.8
+    la1, la2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    dla = F.radians(_c(lat2) - _c(lat1))
+    dlo = F.radians(_c(lon2) - _c(lon1))
+    a = (
+        F.sin(dla / 2) * F.sin(dla / 2)
+        + F.cos(la1) * F.cos(la2) * F.sin(dlo / 2) * F.sin(dlo / 2)
+    )
+    return F.lit(2.0 * r) * F.asin(F.sqrt(a))

@@ -190,6 +190,10 @@ _SCALARS: dict[str, Any] = {
     "ipv4_compare": lambda a: S.ipv4_compare(_c(a[0]), _c(a[1])),
     "ipv4_is_in_range": lambda a: S.ipv4_is_in_range(_c(a[0]), _c(a[1])),
     "ipv4_is_private": lambda a: S.ipv4_is_private(_c(a[0])),
+    "parse_version": lambda a: S.parse_version(_c(a[0])),
+    "geo_distance_2points": lambda a: S.geo_distance_2points(
+        _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3])
+    ),
     "repeat": lambda a: S.repeat_value(_c(a[0]), a[1]),
     "array_sort_asc": lambda a: S.array_sort_asc(a[0]),
     "array_sort_desc": lambda a: S.array_sort_desc(a[0]),

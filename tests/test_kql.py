@@ -683,3 +683,17 @@ def test_kql_ipv4_functions(spark):
     ).to_df().collect()[0]
     assert (out.a, out.b, out.c, out.d) == (True, False, True, False)
     assert out.e == -1 and out.f == "1.2.3.4" and out.g is None and out.h is True
+
+
+def test_kql_parse_version_and_geo_distance(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """print v1 = parse_version("1.2.3.4"), v2 = parse_version("10.0"),
+                 bad = parse_version("1.2.x"),
+                 cmp = parse_version("2.0") > parse_version("1.99.99"),
+                 d_km = round(geo_distance_2points(-122.407, 37.783, -73.985, 40.748) / 1000.0, 0),
+                 zero = geo_distance_2points(10.0, 50.0, 10.0, 50.0)"""
+    ).to_df().collect()[0]
+    assert out.v1 == 1_0002_0003_0004 and out.v2 == 10_0000_0000_0000
+    assert out.bad is None and out.cmp is True
+    assert out.d_km == 4129.0 and out.zero == 0.0
