@@ -673,3 +673,41 @@ def geo_distance_2points(lon1, lat1, lon2, lat2) -> Column:
         + F.cos(la1) * F.cos(la2) * F.sin(dlo / 2) * F.sin(dlo / 2)
     )
     return F.lit(2.0 * r) * F.asin(F.sqrt(a))
+
+
+def parse_url(u) -> Column:
+    """KQL parse_url → struct (Scheme, Host, Port, Path, Query,
+    Fragment) — Spark's JVM parse_url per component (null where
+    absent)."""
+    c = _c(u)
+    # Spark's parse_url(PORT) returns null on this build — extract the
+    # port with a regexp instead
+    port = F.regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+    return F.struct(
+        F.parse_url(c, F.lit("PROTOCOL")).alias("Scheme"),
+        F.parse_url(c, F.lit("HOST")).alias("Host"),
+        F.when(port != "", port.cast("long")).alias("Port"),
+        F.parse_url(c, F.lit("PATH")).alias("Path"),
+        F.parse_url(c, F.lit("QUERY")).alias("Query"),
+        F.parse_url(c, F.lit("REF")).alias("Fragment"),
+    )
+
+
+def parse_path(p) -> Column:
+    """KQL parse_path → struct (Scheme omitted — plain paths):
+    (DirectoryPath, Filename, Extension, AlternateDataStreamName
+    omitted). Separator-agnostic ('/' and '\\\\')."""
+    c = F.regexp_replace(_c(p), "\\\\", "/")
+    fname = F.substring_index(c, "/", -1)
+    dirp = F.when(
+        F.length(c) > F.length(fname),
+        F.substring(c, 1, F.length(c) - F.length(fname) - 1),
+    ).otherwise(F.lit(""))
+    ext = F.when(
+        fname.contains("."), F.substring_index(fname, ".", -1)
+    ).otherwise(F.lit(""))
+    return F.struct(
+        dirp.alias("DirectoryPath"),
+        fname.alias("Filename"),
+        ext.alias("Extension"),
+    )

@@ -191,6 +191,8 @@ _SCALARS: dict[str, Any] = {
     "ipv4_is_in_range": lambda a: S.ipv4_is_in_range(_c(a[0]), _c(a[1])),
     "ipv4_is_private": lambda a: S.ipv4_is_private(_c(a[0])),
     "parse_version": lambda a: S.parse_version(_c(a[0])),
+    "parse_url": lambda a: S.parse_url(_c(a[0])),
+    "parse_path": lambda a: S.parse_path(_c(a[0])),
     "geo_distance_2points": lambda a: S.geo_distance_2points(
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3])
     ),

@@ -697,3 +697,20 @@ def test_kql_parse_version_and_geo_distance(spark):
     assert out.v1 == 1_0002_0003_0004 and out.v2 == 10_0000_0000_0000
     assert out.bad is None and out.cmp is True
     assert out.d_km == 4129.0 and out.zero == 0.0
+
+
+def test_kql_parse_url_and_path(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """print u = parse_url("https://example.com:8443/a/b?q=1#top"),
+                 u2 = parse_url("http://plain.org/x"),
+                 p = parse_path("/var/log/app/errors.log")
+           | project scheme = u.Scheme, host = u.Host, port = u.Port,
+                     path = u.Path, q = u.Query, frag = u.Fragment,
+                     port2 = u2.Port,
+                     d = p.DirectoryPath, f = p.Filename, e = p.Extension"""
+    ).to_df().collect()[0]
+    assert (out.scheme, out.host, out.port) == ("https", "example.com", 8443)
+    assert (out.path, out.q, out.frag) == ("/a/b", "q=1", "top")
+    assert out.port2 is None
+    assert (out.d, out.f, out.e) == ("/var/log/app", "errors.log", "log")
