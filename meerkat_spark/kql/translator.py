@@ -193,6 +193,13 @@ _SCALARS: dict[str, Any] = {
     "parse_version": lambda a: S.parse_version(_c(a[0])),
     "parse_url": lambda a: S.parse_url(_c(a[0])),
     "parse_path": lambda a: S.parse_path(_c(a[0])),
+    # bitwise (Kusto binary_* scalars; shifts take literal counts)
+    "binary_and": lambda a: _c(a[0]).cast("long").bitwiseAND(_c(a[1]).cast("long")),
+    "binary_or": lambda a: _c(a[0]).cast("long").bitwiseOR(_c(a[1]).cast("long")),
+    "binary_xor": lambda a: _c(a[0]).cast("long").bitwiseXOR(_c(a[1]).cast("long")),
+    "binary_not": lambda a: F.bitwise_not(_c(a[0]).cast("long")),
+    "binary_shift_left": lambda a: F.shiftleft(_c(a[0]).cast("long"), int(_raw(a[1]))),
+    "binary_shift_right": lambda a: F.shiftright(_c(a[0]).cast("long"), int(_raw(a[1]))),
     "geo_distance_2points": lambda a: S.geo_distance_2points(
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3])
     ),

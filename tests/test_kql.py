@@ -714,3 +714,13 @@ def test_kql_parse_url_and_path(spark):
     assert (out.path, out.q, out.frag) == ("/a/b", "q=1", "top")
     assert out.port2 is None
     assert (out.d, out.f, out.e) == ("/var/log/app", "errors.log", "log")
+
+
+def test_kql_binary_scalar_functions(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        """print a = binary_and(12, 10), o = binary_or(12, 10),
+                 x = binary_xor(12, 10), n = binary_not(0),
+                 sl = binary_shift_left(1, 10), sr = binary_shift_right(1024, 3)"""
+    ).to_df().collect()[0]
+    assert (out.a, out.o, out.x, out.n, out.sl, out.sr) == (8, 14, 6, -1, 1024, 128)
