@@ -1,6 +1,9 @@
 """Connected components over an edge list — the clustering step that
 turns near-duplicate PAIRS (MinHash-LSH / SimHash / Jaccard output)
-into dedup GROUPS with one canonical survivor per group.
+into dedup GROUPS with one canonical survivor per group — completing
+the merge-time dedup story the reference promises at the storage layer
+(/root/reference/README.md:15,22: dedup on merge) for the content-
+level near-dup case the reference leaves to its planned query engine.
 
 Algorithm: iterative min-label propagation. Each round is one keyed
 shuffle (join labels to the symmetric edge list + min-aggregate); the

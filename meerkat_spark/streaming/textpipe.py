@@ -1,4 +1,6 @@
-"""Streaming training-data pipeline: the batch text-cleaning chain
+"""Streaming training-data pipeline (reference streaming semantics:
+buffered ingest + merge-dedup, /root/reference/README.md:15-27,
+realized as Structured Streaming): the batch text-cleaning chain
 (PII redaction → quality/repetition filter → exact dedup) applied to a
 live document stream.
 

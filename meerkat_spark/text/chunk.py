@@ -1,6 +1,8 @@
 """Document chunking for training-data pipelines: split each document
 into overlapping token windows (the standard pre-tokenization step
-before packing sequences for LLM training).
+before packing sequences for LLM training). Beyond the reference's
+declared surface (/root/reference/README.md:33-34 commits to KQL
+analytics only) — part of the T3 training-data pipeline layer.
 
 Scale shape: tokens → start-offset sequence → slice → posexplode, all
 row-local (a generator projection, no shuffle). Output cardinality is
