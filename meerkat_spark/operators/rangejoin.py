@@ -11,7 +11,7 @@ hint automates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,11 +30,21 @@ def range_join(
     length: too small explodes intervals into many buckets, too large
     degrades the equi-join into a near-cross within buckets.
     """
+    outer_right = how in (
+        "right", "rightouter", "right_outer",
+        "full", "fullouter", "full_outer", "outer",
+    )
     p = points.withColumn(
         "__pb", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     ).withColumn("__pmark", F.lit(1))
     first_bucket = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long")
-    i = intervals.withColumn(
+    i = intervals
+    if outer_right:
+        # interval identity, assigned BEFORE the explode so every bucket
+        # replica of one interval carries the same id (used below to
+        # decide "matched nowhere" globally, not per replica)
+        i = i.withColumn("__iid", F.monotonically_increasing_id())
+    i = i.withColumn(
         "__ib",
         F.explode_outer(  # outer: null-bounded intervals survive for right/full
             F.sequence(
@@ -42,7 +52,7 @@ def range_join(
                 F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
             )
         ),
-    ).withColumn("__imark", F.lit(1))
+    )
     # The exact range predicate must live IN the join condition — a
     # post-join filter would drop the null-extended rows of outer kinds
     # (silently degrading left/right/full to inner). Catalyst still
@@ -52,12 +62,27 @@ def range_join(
         F.col(lo_col), F.col(hi_col)
     )
     joined = p.join(i, cond, how)
-    if how in ("right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer"):
-        # an unmatched interval appears once per exploded bucket replica;
-        # keep only its first-bucket replica (or its single null-bucket
-        # row when the bounds are null)
-        unmatched_right = F.col("__pmark").isNull() & F.col("__imark").isNotNull()
-        joined = joined.filter(
-            ~unmatched_right | F.col("__ib").isNull() | (F.col("__ib") == first_bucket)
+    if outer_right:
+        # An interval spanning k buckets yields k replicas; replicas that
+        # find no point in THEIR bucket come back null-extended even when
+        # a sibling replica matched. Emitting "unmatched interval" per
+        # replica is therefore wrong (spurious null rows) — decide it
+        # globally: max the match mark over all replicas of the interval,
+        # and keep a null-extended row only for intervals matched NOWHERE
+        # (one row: the first-bucket replica, or the single null-bucket
+        # replica of null-bounded intervals). One extra shuffle on the
+        # interval id, proportional to the join output — the same
+        # magnitude the join itself already paid.
+        matched_any = F.max("__pmark").over(Window.partitionBy("__iid"))
+        joined = (
+            joined.withColumn("__ima", matched_any)
+            .filter(
+                F.col("__pmark").isNotNull()  # matched pairs + left-only rows
+                | (
+                    F.col("__ima").isNull()
+                    & (F.col("__ib").isNull() | (F.col("__ib") == first_bucket))
+                )
+            )
+            .drop("__iid", "__ima")
         )
-    return joined.drop("__pb", "__ib", "__pmark", "__imark")
+    return joined.drop("__pb", "__ib", "__pmark")

@@ -86,6 +86,40 @@ def test_range_join_outer_kinds(spark):
     assert got == [(-1, 20), (1, 10), (2, -1)]
 
 
+def test_range_join_outer_no_spurious_null_row(spark):
+    """An interval that spans several buckets and matches a point only
+    in a NON-first bucket must not also emit a null-extended row (its
+    unmatched first-bucket replica used to slip through the filter)."""
+    from meerkat_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([(1, 35.0)], "pid long, x double")
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 35.0)], "iid long, lo double, hi double"
+    )
+    for how in ("right", "full"):
+        got = sorted(
+            ((r.pid if r.pid is not None else -1), r.iid)
+            for r in range_join(
+                points, intervals, "x", "lo", "hi", 10.0, how=how
+            ).collect()
+        )
+        assert got == [(1, 10)], how
+
+    # mixed: one interval matched in a later bucket, one matched nowhere,
+    # one null-bounded — exactly one null-extended row for each unmatched
+    intervals2 = spark.createDataFrame(
+        [(10, 0.0, 35.0), (20, 100.0, 130.0), (30, None, None)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        ((r.pid if r.pid is not None else -1), r.iid)
+        for r in range_join(
+            points, intervals2, "x", "lo", "hi", 10.0, how="right"
+        ).collect()
+    )
+    assert got == [(-1, 20), (-1, 30), (1, 10)]
+
+
 def test_asof_join_null_value_not_resurrected(spark):
     from meerkat_spark.operators.asof import asof_join
 
