@@ -99,13 +99,14 @@ def brute_force_topk(
     return out.select("query_id", "neighbor_id", sim.alias("sim"), "rank")
 
 
-def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+def _hyperplanes(n_planes: int, dim: int, offset: int = 0) -> list[list[float]]:
     """Deterministic ±1 hyperplanes seeded from (plane, dim) via a fixed
     64-bit mix — identical on every run/driver, embedded in the plan as
     literals (tiny: n_planes×dim doubles), so executors get them for
-    free with the serialized plan."""
+    free with the serialized plan. `offset` shifts the plane indices so
+    independent codes (e.g. LSH bands) draw DISTINCT planes."""
     planes = []
-    for p in range(n_planes):
+    for p in range(offset, offset + n_planes):
         row = []
         for d in range(dim):
             # splitmix64-style deterministic mix of (p, d)
@@ -118,10 +119,20 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_code(vec, n_planes: int, dim: int):
-    """Sign-bit code: bit p = sign(v · plane_p) — zip_with against a
-    literal plane array, fully codegen'd, no UDF."""
-    planes = _hyperplanes(n_planes, dim)
+def lsh_code(vec, n_planes: int, dim: int, plane_offset: int = 0):
+    """Sign-bit code: bit p = sign(v · plane_{offset+p}) — zip_with
+    against a literal plane array, JVM-side, no UDF.
+
+    n_planes must be ≤ 63: Java long shifts mask the shift amount to 6
+    bits, so bit positions ≥ 64 silently alias into low bits (corrupted
+    codes). Callers needing more total bits (LSH banding) must compute
+    one code per band with a distinct `plane_offset`."""
+    if n_planes > 63:
+        raise ValueError(
+            f"lsh_code supports at most 63 planes per code (got {n_planes}); "
+            "use one code per band with plane_offset for wider signatures"
+        )
+    planes = _hyperplanes(n_planes, dim, offset=plane_offset)
     code = F.lit(0).cast("long")
     for p in range(n_planes):
         plane_lit = F.array(*[F.lit(v) for v in planes[p]])

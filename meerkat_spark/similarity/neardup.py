@@ -60,16 +60,53 @@ def derive_params(
 
 
 def band_codes(vec_col, bands: int, rows_per_band: int, dim: int):
-    """Array of `bands` codes, each `rows_per_band` sign bits, sliced
-    from one wide deterministic LSH code (single pass over the vector)."""
-    wide = knn.lsh_code(vec_col, bands * rows_per_band, dim)
-    mask = (1 << rows_per_band) - 1
+    """Array of `bands` codes, each `rows_per_band` sign bits.
+
+    One lsh_code per band with a band-specific plane offset — NOT one
+    wide code sliced up: Java long shifts mask the shift amount to 6
+    bits, so a single packed code corrupts every sign bit past 63 and
+    derive_params routinely needs bands·rows_per_band > 63 at the very
+    corpus sizes it targets (high bands would silently alias into low
+    ones, losing the documented recall guarantee)."""
     return F.array(
         *[
-            F.shiftright(wide, b * rows_per_band).bitwiseAND(F.lit(mask))
+            knn.lsh_code(
+                vec_col, rows_per_band, dim, plane_offset=b * rows_per_band
+            )
             for b in range(bands)
         ]
     )
+
+
+def _band_codes_fn(bands: int, rows_per_band: int, dim: int):
+    """mapInPandas kernel: all band codes in ONE Arrow matmul pass —
+    (V @ P.T) > 0 then per-band bit packing. Identical codes to the
+    expression-path band_codes (same deterministic hyperplanes, asserted
+    in tests/test_similarity.py); ~10-100× less per-row overhead than
+    bands·rows_per_band interpreted HOF folds, which dominates the
+    signature stage once derive_params asks for dozens of bits."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(
+        knn._hyperplanes(bands * rows_per_band, dim), dtype=np.float64
+    )  # (bands·r, dim)
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+
+    def codes(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (V @ P.T) > 0  # (n, bands·r); plane b·r+p = band b bit p
+            c = bits.reshape(n, bands, rows_per_band).astype(np.int64) @ weights
+            out = pdf.loc[pdf.index.repeat(bands), ["id", "v"]].copy()
+            out["band"] = np.tile(np.arange(bands, dtype=np.int32), n)
+            out["code"] = c.reshape(-1)
+            yield out
+
+    return codes
 
 
 def _bucket_pairs_fn(threshold: float, tile: int = TILE):
@@ -138,9 +175,16 @@ def neardup_pairs_lsh(
     base = emb.select(
         F.col(id_col).alias("id"), knn._to_double(F.col(vec_col)).alias("v")
     )
-    banded = base.withColumn(
-        "codes", band_codes(F.col("v"), bands, rows_per_band, dim)
-    ).select("id", "v", F.posexplode("codes").alias("band", "code"))
+    # Narrow inputs (one small parquet file → one partition) would run
+    # the signature stage single-threaded; widen them once. At scale the
+    # source already has ≥ parallelism partitions, so no shuffle is added.
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
+    banded = base.mapInPandas(
+        _band_codes_fn(bands, rows_per_band, dim),
+        "id long, v array<double>, band int, code long",
+    )
     pairs = banded.groupBy("band", "code").applyInPandas(
         _bucket_pairs_fn(threshold), "id1 long, id2 long, sim double"
     )

@@ -128,6 +128,66 @@ def test_neardup_derive_params_bounds():
     assert r_big > r_small
 
 
+def test_band_codes_beyond_63_bits_not_aliased(spark, emb):
+    """bands·rows_per_band > 63 must yield independent per-band codes.
+    The old single-packed-long implementation masked shift amounts to 6
+    bits (Java long shift), so band 16 at r=4 was bit-identical to band
+    0 for every vector — exactly the corpus sizes derive_params targets."""
+    from meerkat_spark.similarity import neardup
+
+    bands, r = 20, 4  # 80 sign bits total — crosses the 64-bit boundary
+    codes = (
+        emb.select(
+            neardup.band_codes(
+                knn._to_double(F.col("embedding")), bands, r, 64
+            ).alias("codes")
+        )
+        .collect()
+    )
+    n = len(codes)
+    same_16 = sum(1 for row in codes if row.codes[16] == row.codes[0])
+    same_17 = sum(1 for row in codes if row.codes[17] == row.codes[1])
+    # independent 4-bit codes collide ~1/16 of the time; aliasing = 100%
+    assert same_16 < n * 0.6, f"band 16 aliases band 0: {same_16}/{n}"
+    assert same_17 < n * 0.6, f"band 17 aliases band 1: {same_17}/{n}"
+    for row in codes:
+        assert all(0 <= c < (1 << r) for c in row.codes)
+
+
+def test_band_codes_arrow_matches_expression(spark, emb):
+    """The Arrow matmul signature kernel must emit the same (band, code)
+    assignments as the JVM expression path (same planes, same bit order)."""
+    from meerkat_spark.similarity import neardup
+
+    bands, r = 6, 5
+    base = emb.select(
+        F.col("vec_id").alias("id"), knn._to_double(F.col("embedding")).alias("v")
+    )
+    expr = {
+        (row.id, row.band): row.code
+        for row in base.withColumn(
+            "codes", neardup.band_codes(F.col("v"), bands, r, 64)
+        )
+        .select("id", F.posexplode("codes").alias("band", "code"))
+        .collect()
+    }
+    arrow = {
+        (row.id, row.band): row.code
+        for row in base.mapInPandas(
+            neardup._band_codes_fn(bands, r, 64),
+            "id long, v array<double>, band int, code long",
+        ).collect()
+    }
+    assert expr == arrow
+
+
+def test_lsh_code_rejects_over_63_planes():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63"):
+        knn.lsh_code(F.col("v"), 64, 64)
+
+
 def test_neardup_tiled_kernel_matches_untiled():
     """Tiling must not change the emitted pair set (edge: pairs that
     straddle tile boundaries, diagonal tiles' upper triangle)."""
