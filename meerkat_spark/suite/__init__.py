@@ -53,75 +53,68 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Emit one-representative-per-family FIRST so every operator family from
-# SURVEY.md §2 — windows, KQL front-end, temporal joins, dedup,
-# similarity, text, media, series — lands inside the graded window; the
-# long tail (join-kind ×8, agg variants, scalar families — all already
-# hash-green in CORRECTNESS_r01) follows in registration order.
+# Round-4 rotation: r1+r3 windows drove 87 distinct queries green, so
+# this window holds (a) the one r3 defect re-grade, (b) every
+# oracle-backed query never yet driver-graded, (c) every rows-only
+# query never yet driver-graded, (d) re-confirmations for queries whose
+# code changed in round 4, (e) flagship representatives. Union target:
+# every registered query driver-graded at least once across r1-r4.
 _PRIORITY: list[str] = [
-    # flagship tabular + agg representatives
-    "summarize_bin_1h",
-    "agg_pricing_summary",
-    # §2.2.4 windows / series / reshaping (previously ungraded)
-    "window_row_number",
-    "window_prev_next",
-    "window_cumsum",
-    "window_rank",
-    "window_session",
-    "window_session_native",
-    "top_nested",
-    "make_series_daily",
-    "pivot_event_types",
-    "bag_unpack",
-    # KQL front-end end-to-end
-    "kql_flagship",
-    "kql_join_summarize",
-    "kql_string_pipeline",
-    "kql_let_topk",
-    "kql_make_series",
-    "kql_dynamic_union",
-    "kql_find",
-    "kql_fork",
-    "kql_facet",
-    # temporal joins
-    "asof_join_events",
-    "salted_join_skew",
+    # (a) r3 red row: feature vector now projected to hashable scalars
+    "media_features",
+    # (b) oracle-backed, never driver-graded through r1-r3
+    "agg_round3_variants",
+    "scalar_dynamic_json",
+    "scalar_arrays",
+    "scalar_array_ops",
+    "scalar_predicates",
+    "scalar_misc",
+    "scalar_extract_regex",
+    "scalar_datetime_extended",
+    "scalar_strings_extended",
+    "text_repetition",
+    "pack_chunks_op",
+    "kql_datatable",
+    "kql_top_hitters",
+    "kql_narrow",
+    "kql_autocluster",
+    "make_series_arrays",
+    "fork_legs",
+    "top_nested_with_others",
+    "mix_datasets_op",
+    # (c) rows-only, never driver-graded (weaker rows-only record, but
+    # each deserves at least one driver artifact row)
+    "agg_tdigest",
+    "text_quality_lang",
+    "lang_id_accuracy",
+    "text_compression_ratio",
+    "knn_cosine_topk_fast",
+    "media_features_vec",
+    "media_frame_sample",
+    "media_resize",
+    "media_metadata_agg",
+    "sample_distinct_op",
+    "stratified_sample_op",
+    "scan_funnel",
+    "scan_funnel_latency",
+    # (d) code changed in round 4 — re-confirm green
     "range_join_price_bands",
-    # text / dedup pipeline
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_components",
-    "ngram_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_stats",
-    "text_has_indexed",
-    "text_remove_boilerplate",
-    "text_decontaminate_pairs",
-    "pii_redact",
-    "chunk_documents_op",
-    # similarity / ANN
-    "knn_cosine_topk",
-    "knn_pairwise_label",
+    "asof_join_events",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "knn_lsh_topk",
     "knn_ivf_topk",
-    "argmin_distance",
-    # extras: mv-apply, series_*, events dedup (make_series_arrays,
-    # fork_legs, top_nested_with_others ride the tail — variants of
-    # graded ops: make_series_daily/kql_make_series, kql_fork, top_nested)
-    "mv_apply_topwords",
-    "series_stats_daily",
-    "dedup_events_by_key",
-    "range_datetime_table",
-    "agg_percentiles_array",
+    "knn_cosine_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_decontaminate_pairs",
+    "dedup_components",
+    # (e) flagship representatives
+    "summarize_bin_1h",
+    "kql_flagship",
+    "agg_pricing_summary",
+    "window_session_native",
     "train_holdout_split",
-    # multimodal binary columns (media_resize / media_metadata_agg /
-    # media_frame_sample ride the tail — rows-only checks, lower value
-    # per graded slot; knn_cosine_topk_fast and lang_id_accuracy are
-    # covered by equivalence/known-answer pytest and also ride the tail)
-    "media_features",
 ]
 
 
