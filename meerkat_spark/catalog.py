@@ -89,11 +89,23 @@ class Catalog:
         """Read parquet; nanosecond-timestamp columns (illegal for Spark's
         reader) arrive as long via spark.sql.legacy.parquet.nanosAsLong
         and are converted here to µs TimestampType (integer `div` — a
-        double division would lose precision on ns epochs > 2^53)."""
+        double division would lose precision on ns epochs > 2^53).
+
+        TIMESTAMP_NTZ columns (µs parquet timestamps without UTC
+        adjustment — what the fixture generator emits since round 4) are
+        normalized to TimestampType too: the engine's DATETIME contract
+        is TimestampType (SURVEY.md §1.2), and functions like
+        unix_micros reject NTZ inputs. Under the UTC session timezone
+        the wall-clock values are unchanged, preserving oracle parity."""
+        from pyspark.sql import types as T
+
         df = self.spark.read.parquet(path)
         ns_cols = _nanos_timestamp_cols(path)
         for c in ns_cols:
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

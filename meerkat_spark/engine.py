@@ -20,6 +20,18 @@ class MeerkatEngine:
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self.spark = spark
         self.catalog = Catalog(spark, sf_dir)
+        # DataFrames persist()ed by KQL materialize() in the most recent
+        # query; released by the next kql() call or clear_materialized()
+        self._kql_persisted: list[DataFrame] = []
+
+    def clear_materialized(self) -> None:
+        """Unpersist materialize() caches from the last kql() query."""
+        for df in self._kql_persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+        self._kql_persisted = []
 
     def table(self, name: str) -> MeerkatTable:
         return MeerkatTable(self.catalog.table(name))

@@ -492,7 +492,16 @@ def endofday(ts) -> Column:
 
 
 def endofweek(ts) -> Column:
-    return _end_of(ts, "week")
+    """Last µs of the KQL (Sunday-based) week containing ts — defined
+    off startofweek so the [startofweek, endofweek] pair brackets ONE
+    week (Spark's Monday-truncated 'week' unit would bracket 8 days for
+    Monday timestamps and diverge from Kusto on every non-Sunday-aligned
+    day)."""
+    return (
+        startofweek(ts)
+        + F.expr("INTERVAL 7 DAY")
+        - F.expr("INTERVAL 1 MICROSECOND")
+    )
 
 
 def endofmonth(ts) -> Column:

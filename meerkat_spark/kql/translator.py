@@ -308,6 +308,11 @@ class Translator:
         # `serialize` record the frozen order here; row_number()/prev()/
         # next()/row_cumsum()/row_rank_* then window over it.
         self.serialize_order: list[Column] | None = None
+        # DataFrames persist()ed by materialize() during this query —
+        # surfaced to the engine so the NEXT query (or an explicit
+        # clear_materialized()) can unpersist them; otherwise every
+        # materialized let leaks cached blocks for the session lifetime.
+        self.persisted: list[DataFrame] = []
         # schema of the operator's input table while translating its
         # args — lets Member access distinguish struct fields from
         # dynamic-JSON paths
@@ -575,6 +580,7 @@ class Translator:
             # re-running the lineage — Spark's persist() is the exact
             # engine analogue.
             df = self.pipeline(self.lets[name].args["pipeline"]).persist()
+            self.persisted.append(df)
             self.let_tables[name] = df
             return MeerkatTable(df)
         return self.engine.table(name)
@@ -1356,6 +1362,14 @@ def _default_key_name(e: Any, i: int) -> str:
 
 
 def execute_kql(engine, text: str) -> DataFrame:
+    """Parse + translate one KQL pipeline. materialize() caches from the
+    PREVIOUS query are released here (the result DataFrame is lazy, so
+    this query's own caches must outlive the call — they are handed to
+    the engine and dropped on the next query or an explicit
+    engine.clear_materialized())."""
+    engine.clear_materialized()
     q = P.parse_kql(text)
     tr = Translator(engine, q.lets)
-    return tr.pipeline(q.pipeline)
+    out = tr.pipeline(q.pipeline)
+    engine._kql_persisted = tr.persisted
+    return out

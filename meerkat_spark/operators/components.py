@@ -32,13 +32,29 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every node in `edges`; component = min node
     id reachable. Nodes not mentioned in any edge are absent (callers
-    union singletons back if needed)."""
+    union singletons back if needed).
+
+    Lineage truncation per round defaults to `localCheckpoint` (executor
+    memory — fast, but a lost executor forfeits the whole iteration
+    chain). Pass `checkpoint_dir` (HDFS/S3 path on a cluster) to use
+    RELIABLE checkpoints instead: each round's labels are written to
+    fault-tolerant storage, so long multi-round jobs at 100TB survive
+    executor loss at the cost of one distributed write per round."""
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = _truncate(sym.distinct())
 
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
@@ -50,7 +66,7 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        labels = _truncate(
             labels.join(nbr, labels["id"] == nbr["u"], "left")
             .select(
                 labels["id"],
@@ -58,7 +74,6 @@ def connected_components(
                     labels["label"], F.coalesce("nbr_label", labels["label"])
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

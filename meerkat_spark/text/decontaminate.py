@@ -24,14 +24,23 @@ from pyspark.sql import functions as F
 
 
 def _gram_strings(text_col, k: int):
-    """Distinct word k-grams as strings (JVM HOFs — oracle-reproducible)."""
+    """Distinct word k-grams as strings (JVM HOFs — oracle-reproducible).
+
+    Zero-word documents yield an EMPTY gram array (not the '' gram —
+    that would make every empty corpus doc 'share' a gram with every
+    empty/short benchmark doc and be flagged as contaminated); docs with
+    0 < n < k words fall back to their single full-text gram, matching
+    the hashed path's shortened-shingle behavior."""
     words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
     )
-    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.array_join(words, " "))))
+    short = F.when(n > 0, F.array(F.array_join(words, " "))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(short))
 
 
 def _grams(df: DataFrame, text_col: str, id_col: str, k: int, hashed: bool):

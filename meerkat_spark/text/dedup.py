@@ -211,17 +211,44 @@ def minhash_lsh_pairs(
     n_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    route_exact: bool = True,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: (id1, id2) with
     id1 < id2 and at least one of `bands` band-hashes equal.
 
     Scale: docs appear `bands` times; join key is (band_id, band_hash)
-    — uniform unless data has huge duplicate classes, which AQE skew
-    join splits. Empty/whitespace-only docs are excluded up front: they
-    all share the degenerate empty signature and would form one giant
-    bucket (quadratic pair blowup at corpus scale)."""
+    — uniform unless data has huge duplicate classes. Two guards keep
+    the in-bucket pair expansion from going quadratic:
+
+    - `route_exact`: byte-identical docs (the dominant giant-class
+      cause) are routed AROUND MinHash — one representative (min id)
+      per fingerprint class enters the LSH, and each class contributes
+      STAR pairs (rep, member) instead of all-pairs: linear in class
+      size, and connected components reconstructs the full class.
+    - `max_bucket`: residual oversized buckets (an adversarial band
+      collision) are dropped rather than expanded — candidates only;
+      a dropped bucket loses recall for that band, never correctness.
+
+    Empty/whitespace-only docs are excluded up front: they all share
+    the degenerate empty signature and would form one giant bucket."""
     rows = n_perm // bands
     non_empty = df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+    exact_star = None
+    if route_exact:
+        fp = non_empty.select(
+            F.col(id_col), F.col(text_col), fingerprint64(F.col(text_col)).alias("__fp")
+        )
+        reps_ids = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+        non_empty = fp.join(reps_ids, ["__fp", id_col], "inner").drop("__fp")
+        # star pairs: rep (= min id) with every other class member
+        exact_star = (
+            fp.join(
+                reps_ids.withColumnRenamed(id_col, "__rep"), "__fp", "inner"
+            )
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("id1"), F.col(id_col).alias("id2"))
+        )
     sig = minhash_signatures(non_empty, text_col, id_col, n_perm, shingle_k)
     band_arr = F.array(
         *[
@@ -253,12 +280,18 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    keep_bucket = F.size("ids") >= 2
+    if max_bucket is not None:
+        keep_bucket = keep_bucket & (F.size("ids") <= max_bucket)
     pairs = (
-        buckets.filter(F.size("ids") >= 2)
+        buckets.filter(keep_bucket)
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id1"), F.col("p.id2"))
         .distinct()
     )
+    if exact_star is not None:
+        # disjoint by construction (star members never enter the LSH)
+        pairs = pairs.unionByName(exact_star)
     return pairs
 
 

@@ -26,6 +26,28 @@ def test_chain_triangle_and_isolated(spark):
     assert {comp[i] for i in (20, 21)} == {20}
 
 
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoints: same results, checkpoint files actually written."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (20, 21)], "src long, dst long"
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[i] for i in (20, 21)} == {20}
+    # reliable checkpoints hit the directory (one per truncation round)
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "no checkpoint files written to checkpoint_dir"
+
+
 def test_canonical_assignment_with_singletons(spark):
     docs = spark.createDataFrame(
         [(i,) for i in range(1, 7)], "doc_id long"

@@ -45,3 +45,27 @@ def test_min_shared_threshold(spark):
     corpus, bench = _tables(spark)
     pairs = DC.contamination_pairs(corpus, bench, k=3, min_shared=2).count()
     assert pairs == 0  # only one shared gram per pair
+
+
+def test_empty_docs_never_contaminate(spark):
+    """Zero-word docs must emit NO grams: the '' gram would make every
+    empty corpus doc 'share' a gram with every empty/short benchmark doc
+    and be dropped as contaminated."""
+    corpus = spark.createDataFrame(
+        [(200, ""), (201, "   "), (202, "real content words here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, ""), (2, "short"), (3, "benchmark only text")],
+        "doc_id long, text string",
+    )
+    for hashed in (True, False):
+        pairs = DC.contamination_pairs(
+            corpus, bench, k=3, min_shared=1, hashed=hashed
+        ).collect()
+        assert pairs == [], (hashed, pairs)
+        kept = {
+            r.doc_id
+            for r in DC.decontaminate(corpus, bench, k=3, hashed=hashed).collect()
+        }
+        assert kept == {200, 201, 202}, hashed

@@ -558,13 +558,21 @@ def test_kql_materialize_let(spark):
                                  | summarize n = count() by l_returnflag);
            big | sort by l_returnflag asc | project l_returnflag, n"""
     ).to_df()
+    got = [tuple(r) for r in out.collect()]
+    assert "InMemoryTableScan" in out._jdf.queryExecution().executedPlan().toString()
+    # the persisted subquery is tracked on the engine...
+    assert len(eng._kql_persisted) == 1
+    cached = eng._kql_persisted[0]
+    assert cached.storageLevel.useMemory
+    # ...and released when the next query runs (no session-lifetime leak)
     plain = eng.kql(
         """lineitem | where l_quantity > 45
            | summarize n = count() by l_returnflag
            | sort by l_returnflag asc | project l_returnflag, n"""
     ).to_df()
-    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in plain.collect()]
-    assert "InMemoryTableScan" in out._jdf.queryExecution().executedPlan().toString()
+    assert got == [tuple(r) for r in plain.collect()]
+    assert not cached.storageLevel.useMemory
+    assert eng._kql_persisted == []
 
 
 def test_kql_repeat_and_array_split(spark):

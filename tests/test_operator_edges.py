@@ -86,6 +86,36 @@ def test_range_join_outer_kinds(spark):
     assert got == [(-1, 20), (1, 10), (2, -1)]
 
 
+def test_endofweek_brackets_sunday_week(spark):
+    """startofweek/endofweek must bracket the SAME Sunday-based Kusto
+    week (endofweek previously used Spark's Monday-truncated week: an
+    8-day span for Monday timestamps)."""
+    from meerkat_spark.functions import scalar as S
+
+    df = spark.createDataFrame(
+        [
+            ("2026-08-09 05:00:00",),  # Sunday
+            ("2026-08-10 05:00:00",),  # Monday (the old 8-day case)
+            ("2026-08-12 23:59:59",),  # Wednesday
+            ("2026-08-15 00:00:00",),  # Saturday
+        ],
+        "s string",
+    ).select(F.to_timestamp("s").alias("ts"))
+    rows = df.select(
+        "ts",
+        S.startofweek(F.col("ts")).alias("sow"),
+        S.endofweek(F.col("ts")).alias("eow"),
+    ).collect()
+    for r in rows:
+        assert r.sow.weekday() == 6, r  # Sunday
+        assert r.sow <= r.ts <= r.eow, r
+        span_us = (r.eow - r.sow).total_seconds()
+        assert abs(span_us - (7 * 86400 - 1e-6)) < 1e-3, r
+        # all four timestamps are in the same week
+    assert len({r.sow for r in rows}) == 1
+    assert len({r.eow for r in rows}) == 1
+
+
 def test_range_join_outer_no_spurious_null_row(spark):
     """An interval that spans several buckets and matches a point only
     in a NON-first bucket must not also emit a null-extended row (its

@@ -21,11 +21,18 @@ def events_stream(spark, tmp_path):
     stage.mkdir()
     os.symlink(src, stage / "events.parquet")
     schema = spark.read.parquet(src).schema
-    return (
-        spark.readStream.schema(schema)
-        .parquet(str(stage))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = spark.readStream.schema(schema).parquet(str(stage))
+    # fixture generations vary: ns timestamps arrive as long (via
+    # nanosAsLong), µs ones as TIMESTAMP_NTZ — normalize either to
+    # TimestampType like the catalog does
+    from pyspark.sql import types as T
+
+    ts_type = {f.name: f.dataType for f in schema}["ts"]
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def test_stream_ingest_dedup_and_partition(spark, tmp_path, events_stream):

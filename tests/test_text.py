@@ -54,6 +54,10 @@ def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_with_dups):
 
 
 def test_minhash_candidates_superset_of_high_jaccard(spark, docs_with_dups):
+    """Candidate completeness is MODULO exact classes: byte-identical
+    docs are routed around the LSH as star pairs (rep, member), so a
+    high-jaccard pair is covered iff its exact-class representatives
+    are paired (or coincide)."""
     exact = {
         (r.id1, r.id2)
         for r in TD.jaccard_pairs(docs_with_dups, threshold=0.9).collect()
@@ -61,9 +65,51 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, docs_with_dups):
     cand = {
         (r.id1, r.id2) for r in TD.minhash_lsh_pairs(docs_with_dups).collect()
     }
-    missed = exact - cand
+    # rep = min id of each exact (fingerprint) class
+    fp = {
+        r.doc_id: r.fp64
+        for r in docs_with_dups.select(
+            "doc_id", TA.fingerprint64(F.col("text")).alias("fp64")
+        ).collect()
+    }
+    by_fp = {}
+    for did, f in fp.items():
+        by_fp.setdefault(f, []).append(did)
+    rep = {did: min(by_fp[f]) for did, f in fp.items()}
+    missed = set()
+    for a, b in exact:
+        ra, rb = rep[a], rep[b]
+        if ra == rb:
+            continue  # same exact class — covered by star pairs
+        if (min(ra, rb), max(ra, rb)) not in cand:
+            missed.add((a, b))
     # 16 bands × 4 rows: P(miss | J≥0.9) = (1-J^4)^16 ≤ (1-0.65)^16 ≈ 1e-7
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_minhash_giant_exact_class_bounded(spark):
+    """10k byte-identical docs must yield LINEAR star pairs (9,999), not
+    the ~50M all-pairs a naive bucket expansion would produce — the
+    round-3 'giant exact-dup class' scale hazard."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same text every time").alias("text")
+    )
+    pairs = TD.minhash_lsh_pairs(docs)
+    assert pairs.count() == n - 1
+    # every pair is (rep=0, member)
+    assert pairs.filter(F.col("id1") != 0).count() == 0
+
+
+def test_minhash_max_bucket_cap(spark, docs_with_dups):
+    """max_bucket drops oversize residual buckets instead of expanding
+    them quadratically (recall loss only, never wrong pairs)."""
+    uncapped = TD.minhash_lsh_pairs(docs_with_dups, max_bucket=None)
+    capped = TD.minhash_lsh_pairs(docs_with_dups, max_bucket=1)
+    # cap=1 kills every bucket (star pairs survive — they bypass LSH)
+    got = {(r.id1, r.id2) for r in capped.collect()}
+    assert got == {(i, i + 100000) for i in range(30)}
+    assert uncapped.count() > len(got)
 
 
 def test_simhash_near_dups(spark, docs_with_dups):
