@@ -832,6 +832,15 @@ class Parser:
         n = self.expect("NUMBER").value
         return OpNode("sample", {"n": float(n)})
 
+    def op_sample_distinct(self) -> OpNode:
+        # sample-distinct N of ColumnName
+        n = self.expect("NUMBER").value
+        if not self.at_ident("of"):
+            raise KqlSyntaxError("sample-distinct expects `N of Column`")
+        self.next()
+        col = str(self.expect("IDENT").value)
+        return OpNode("sample-distinct", {"n": float(n), "col": col})
+
     def op_serialize(self) -> OpNode:
         return OpNode("serialize", {})
 

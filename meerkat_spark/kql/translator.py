@@ -1268,6 +1268,10 @@ class Translator:
         # TakeOrdered-on-rand path
         return t.sample(int(a["n"]))
 
+    def ap_sample_distinct(self, t, a):
+        # exact-N distinct values of one column (Kusto sample-distinct)
+        return t.sample_distinct(int(a["n"]), a["col"])
+
     def ap_scan(self, t, a):
         """KQL `scan` (greedy non-overlapping subset, operators/scan.py):
         steps advance over the serialized order; completed sequences

@@ -40,6 +40,7 @@ def scan_steps(
     step_output: list[str] | None = None,
     declare: dict[str, str] | None = None,
     step_assign: list[dict[str, Column]] | None = None,
+    concurrent: bool = False,
 ) -> DataFrame:
     """Rows participating in completed step sequences, with
     (`match_id_col`, `step_index`) appended. A row advances the machine
@@ -54,7 +55,19 @@ def scan_steps(
     Spark type string; `step_assign[i]` maps variable → Column evaluated
     on each row that matches step i (advance or hold) — emitted rows
     carry each variable's value as of their own match, null before first
-    assignment."""
+    assignment.
+
+    `concurrent=True` lifts the greedy single-active-sequence subset to
+    Kusto's concurrent model: ONE partial match may be active PER STEP
+    (not one overall). Steps evaluate backwards per record (Kusto's
+    rule, so one match never advances twice on one record); a record
+    matching step k PROMOTES the step k-1 match to step k (moving it),
+    else HOLDs an existing step-k match; a record matching step 1 while
+    later steps hold other matches starts a new concurrent sequence. A
+    promotion replaces any older match already at that step
+    (newest-wins — the one-match-per-step simplification of Kusto's
+    full state tables, which accumulate every partial match and can go
+    quadratic on pathological inputs)."""
     n_steps = len(steps)
     if n_steps == 0:
         raise ValueError("scan needs at least one step")
@@ -114,32 +127,75 @@ def scan_steps(
                     var_vals[v] = pdf.at[i, assign_cols[(s, v)]]
             return var_vals
 
+        keep_rows: list[int] = []
+        keep_mid: list[int] = []
+        keep_step: list[int] = []
+        keep_vars: list[dict] = []
+
+        def emit(runs: list[list[tuple[int, dict]]], match_id: int) -> None:
+            for s, run in enumerate(runs):
+                picked = (
+                    run if outs[s] == "all" else run[-1:] if outs[s] == "last" else []
+                )
+                for row_idx, snap in picked:
+                    keep_rows.append(row_idx)
+                    keep_mid.append(match_id)
+                    keep_step.append(s)
+                    keep_vars.append(snap)
+
+        if concurrent:
+            # one partial match per step: (runs, var_vals) or None
+            states: list[tuple[list, dict] | None] = [None] * n_steps
+            match_id = 0
+            for i in range(len(pdf)):
+                for k in range(n_steps - 1, -1, -1):
+                    if not flags[i, k]:
+                        continue
+                    if k == 0:
+                        if states[0] is not None:  # hold at step 1
+                            runs, vv = states[0]
+                            vv = apply_assigns(0, i, vv)
+                            runs[0].append((i, vv))
+                            states[0] = (runs, vv)
+                        else:  # start a new concurrent sequence
+                            vv = apply_assigns(0, i, {v: None for v in var_names})
+                            states[0] = ([[(i, vv)]], vv)
+                    elif states[k - 1] is not None:  # promote (move) k-1 → k
+                        runs, vv = states[k - 1]
+                        states[k - 1] = None
+                        vv = apply_assigns(k, i, vv)
+                        runs = runs + [[(i, vv)]]
+                        if k == n_steps - 1:
+                            emit(runs, match_id)
+                            match_id += 1
+                        else:
+                            states[k] = (runs, vv)  # newest-wins at step k
+                    elif states[k] is not None:  # hold at step k+1
+                        runs, vv = states[k]
+                        vv = apply_assigns(k, i, vv)
+                        runs[k].append((i, vv))
+                        states[k] = (runs, vv)
+            out = pdf.iloc[keep_rows][data_cols].copy()
+            for v in var_names:
+                out[v] = pd.Series(
+                    [snap[v] for snap in keep_vars], index=out.index, dtype=object
+                )
+            out[match_id_col] = pd.Series(keep_mid, index=out.index, dtype="int64")
+            out["step_index"] = pd.Series(keep_step, index=out.index, dtype="int64")
+            return out
+
         state = 0
         match_id = 0
         # per completed-so-far step: [(row_idx, var snapshot), ...]
         runs: list[list[tuple[int, dict]]] = []
         var_vals: dict = {v: None for v in var_names}
-        keep_rows: list[int] = []
-        keep_mid: list[int] = []
-        keep_step: list[int] = []
-        keep_vars: list[dict] = []
         for i in range(len(pdf)):
             if flags[i, state]:          # advance beats hold (Kusto order)
                 var_vals = apply_assigns(state, i, var_vals)
                 runs.append([(i, var_vals)])
                 state += 1
                 if state == n_steps:
-                    for s, run in enumerate(runs):
-                        emit = (
-                            run
-                            if outs[s] == "all"
-                            else run[-1:] if outs[s] == "last" else []
-                        )
-                        for row_idx, snap in emit:
-                            keep_rows.append(row_idx)
-                            keep_mid.append(match_id)
-                            keep_step.append(s)
-                            keep_vars.append(snap)
+                    emit(runs, match_id)
                     match_id += 1
                     state = 0
                     runs = []

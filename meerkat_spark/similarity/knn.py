@@ -146,12 +146,43 @@ def lsh_code(vec, n_planes: int, dim: int, plane_offset: int = 0):
     return code
 
 
+MAX_QUERY_ROWS = 65_536
+
+
+def queries_to_pdf(
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = MAX_QUERY_ROWS,
+):
+    """Collect a query set to the driver as pandas [query_id, qv] with a
+    HARD bound: reads at most max_rows+1 rows (limit pushes into the
+    scan) and raises instead of collecting a corpus-sized DataFrame —
+    the guard that keeps 'broadcast the small query side' honest when a
+    caller misconfigures the query filter."""
+    pdf = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        )
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"query set exceeds max_rows={max_rows}; brute-force scoring "
+            "broadcasts queries to every task — pass a smaller query set "
+            "or raise max_rows explicitly"
+        )
+    return pdf
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries_pdf,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """The 100TB form of brute-force top-k: queries collected to a small
     numpy matrix (driver-side, bounded), scored against the corpus with
@@ -167,6 +198,11 @@ def brute_force_topk_vectorized(
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F811
 
+    if len(queries_pdf) > max_queries:
+        raise ValueError(
+            f"{len(queries_pdf)} query rows exceed max_queries={max_queries}; "
+            "the query matrix ships in every task closure"
+        )
     qids = queries_pdf["query_id"].to_numpy()
     Q = np.stack(queries_pdf["qv"].to_numpy()).astype(np.float64)  # (nq, d)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -26,10 +26,11 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, batches int"
 STATE_SCHEMA = "n long, total double, batches int, last_ms long"
 
 # GroupStateTimeout.ProcessingTimeTimeout crashes the Python worker on
-# pyspark 4.1.x (verified empirically this round: setTimeoutDuration →
-# worker EOF, the streaming query hangs in endless task retries).
-# Eviction therefore runs IN-STATE (TTL check on next key arrival)
-# until a fixed runtime flips this gate.
+# pyspark 4.1.x (re-verified on 4.1.2: setTimeoutDuration → worker EOF,
+# the streaming query hangs in endless task retries — standalone repro:
+# scripts/repro_processing_time_timeout.py). Eviction therefore runs
+# IN-STATE (TTL check on next key arrival) until the repro passes on a
+# newer runtime and this gate can be deleted.
 STATE_TIMEOUT_BROKEN = pyspark.__version__.startswith("4.1.")
 
 

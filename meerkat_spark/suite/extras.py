@@ -284,12 +284,11 @@ def agg_percentiles_array(spark, sf_dir):
 
 @register("sample_distinct_op", oracle=None)
 def sample_distinct_op(spark, sf_dir):
-    """KQL sample-distinct: random distinct values (nondeterministic
-    across engines → rows-only)."""
+    """KQL `sample-distinct 25 of user_id`: EXACTLY 25 random distinct
+    values (Kusto semantics — exact-N, like `sample`). Random pick is
+    engine-defined → rows-only; the exact-N contract is pytest-pinned."""
     e = _eng(spark, sf_dir)
-    return (
-        e.table("events").distinct("user_id").sample(0.3, seed=42).to_df()
-    )
+    return e.table("events").sample_distinct(25, "user_id", seed=42).to_df()
 
 
 @register(

@@ -140,14 +140,7 @@ def knn_cosine_topk_fast(spark, sf_dir):
     ulp from the sequential fold); equivalence to the exact oracle
     variant asserted in tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
-    q_pdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            knn._to_double(F.col("embedding")).alias("qv"),
-        )
-        .toPandas()
-    )
+    q_pdf = knn.queries_to_pdf(emb.filter(F.col("vec_id") < N_QUERIES))
     return knn.brute_force_topk_vectorized(emb, q_pdf, k=TOP_K).orderBy(
         "query_id", "rank"
     )

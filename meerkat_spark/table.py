@@ -286,6 +286,16 @@ class MeerkatTable:
             )
         return self._wrap(self.df.sample(fraction=n_or_fraction, seed=seed))
 
+    def sample_distinct(self, n: int, col: str, seed: int = 42) -> "MeerkatTable":
+        """KQL `sample-distinct N of Col` — exactly N (or all, if fewer
+        exist) random distinct values of one column. Same exact-N shape
+        as `sample`: distinct (one shuffle on the column) then
+        TakeOrderedAndProject on a random key — count-free, no global
+        sort."""
+        return self._wrap(
+            self.df.select(col).distinct().orderBy(F.rand(seed=seed)).limit(n)
+        )
+
     def serialize(self, *orders: Column | str) -> "MeerkatTable":
         """KQL `serialize` — freeze row order (enables window funcs).
         Realized as an explicit orderBy; window operators in

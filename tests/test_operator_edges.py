@@ -86,6 +86,25 @@ def test_range_join_outer_kinds(spark):
     assert got == [(-1, 20), (1, 10), (2, -1)]
 
 
+def test_sample_distinct_exact_n(spark):
+    """sample-distinct returns EXACTLY N distinct values (Kusto exact-N
+    semantics), or all values when fewer exist — builder and KQL paths."""
+    df = spark.createDataFrame(
+        [(i % 40, float(i)) for i in range(400)], "user_id long, v double"
+    )
+    eng = _eng_with(spark, "t", df)
+    out = eng.kql("t | sample-distinct 25 of user_id").to_df().collect()
+    vals = [r.user_id for r in out]
+    assert len(vals) == 25
+    assert len(set(vals)) == 25
+    # ask for more than exist → all 40, still distinct
+    out_all = eng.kql("t | sample-distinct 100 of user_id").to_df().collect()
+    assert sorted(r.user_id for r in out_all) == list(range(40))
+    # deterministic under the fixed seed
+    again = eng.kql("t | sample-distinct 25 of user_id").to_df().collect()
+    assert {r.user_id for r in again} == set(vals)
+
+
 def test_endofweek_brackets_sunday_week(spark):
     """startofweek/endofweek must bracket the SAME Sunday-based Kusto
     week (endofweek previously used Spark's Monday-truncated week: an

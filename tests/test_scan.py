@@ -161,3 +161,68 @@ def test_declare_validation(spark):
             df, steps=[F.col("ev") == "x"], order_by=["ts"],
             declare={"ts": "bigint"}, step_assign=[{"ts": F.col("ts")}],
         )
+
+
+def test_concurrent_overlapping_sequences(spark):
+    """concurrent=True tracks one partial match PER STEP: a new login
+    that arrives while an earlier sequence waits at a later step starts
+    a second, overlapping sequence (the greedy subset loses it)."""
+    rows = [
+        ("a", 1, "login"),   # match 0 starts
+        ("a", 2, "browse"),  # match 0 → step 2
+        ("a", 3, "login"),   # match 1 starts CONCURRENTLY
+        ("a", 4, "buy"),     # completes match 0 (login1, browse2, buy4)
+        ("a", 5, "browse"),  # match 1 → step 2
+        ("a", 6, "buy"),     # completes match 1 (login3, browse5, buy6)
+    ]
+    df = spark.createDataFrame(rows, "user string, ts long, ev string")
+    steps = [F.col("ev") == "login", F.col("ev") == "browse", F.col("ev") == "buy"]
+    greedy = scan_steps(df, steps, order_by=["ts"], partition_by=["user"])
+    conc = scan_steps(
+        df, steps, order_by=["ts"], partition_by=["user"], concurrent=True
+    )
+    got_greedy = sorted((r.ts, r.match_id, r.step_index) for r in greedy.collect())
+    got_conc = sorted((r.ts, r.match_id, r.step_index) for r in conc.collect())
+    # greedy: one match; the ts=3 login is lost while waiting for buy
+    assert got_greedy == [(1, 0, 0), (2, 0, 1), (4, 0, 2)]
+    # concurrent: both overlapping sequences complete
+    assert got_conc == [
+        (1, 0, 0), (2, 0, 1), (3, 1, 0), (4, 0, 2), (5, 1, 1), (6, 1, 2),
+    ]
+
+
+def test_concurrent_newest_wins_per_step(spark):
+    """Two logins before any browse: the second login REPLACES the
+    step-1 partial (one-match-per-step simplification), so the match
+    that completes carries the newer login."""
+    rows = [
+        ("a", 1, "login"), ("a", 2, "login"), ("a", 3, "browse"), ("a", 4, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts long, ev string")
+    steps = [F.col("ev") == "login", F.col("ev") == "browse", F.col("ev") == "buy"]
+    conc = scan_steps(
+        df, steps, order_by=["ts"], partition_by=["user"], concurrent=True
+    )
+    got = sorted((r.ts, r.match_id, r.step_index) for r in conc.collect())
+    # ts=2 holds/extends the step-1 run (same partial match), both rows emit
+    assert got == [(1, 0, 0), (2, 0, 0), (3, 0, 1), (4, 0, 2)]
+
+
+def test_concurrent_vars_follow_their_own_match(spark):
+    """Each concurrent partial match carries its OWN declared-variable
+    snapshot: overlapping funnels report their own t0."""
+    rows = [
+        ("a", 10, "login"), ("a", 20, "browse"), ("a", 30, "login"),
+        ("a", 40, "buy"), ("a", 50, "browse"), ("a", 60, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts long, ev string")
+    steps = [F.col("ev") == "login", F.col("ev") == "browse", F.col("ev") == "buy"]
+    out = scan_steps(
+        df, steps, order_by=["ts"], partition_by=["user"],
+        declare={"t0": "bigint"},
+        step_assign=[{"t0": F.col("ts")}, {}, {}],
+        step_output=["none", "none", "all"],
+        concurrent=True,
+    )
+    got = {r.match_id: (r.ts, r.t0) for r in out.collect()}
+    assert got == {0: (40, 10), 1: (60, 30)}

@@ -181,6 +181,17 @@ def test_band_codes_arrow_matches_expression(spark, emb):
     assert expr == arrow
 
 
+def test_query_collection_guard(spark, emb):
+    """queries_to_pdf refuses to collect more than max_rows query rows
+    (misconfigured caller would otherwise collect the corpus)."""
+    with pytest.raises(ValueError, match="max_rows"):
+        knn.queries_to_pdf(emb, max_rows=10)
+    pdf = knn.queries_to_pdf(emb.filter(F.col("vec_id") < 8), max_rows=10)
+    assert len(pdf) == 8
+    with pytest.raises(ValueError, match="max_queries"):
+        knn.brute_force_topk_vectorized(emb, pdf, k=3, max_queries=4)
+
+
 def test_lsh_code_rejects_over_63_planes():
     import pytest as _pytest
 
