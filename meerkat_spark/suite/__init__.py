@@ -109,6 +109,8 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "text_decontaminate_pairs",
     "dedup_components",
+    # new in round 4: z-order/Kdtree-slot query side
+    "geo_bbox_distance",
     # (e) flagship representatives
     "summarize_bin_1h",
     "kql_flagship",

@@ -407,3 +407,48 @@ def mix_datasets_op(spark, sf_dir):
         for name, w in [("src0", 2.0), ("src1", 1.0), ("src2", 1.0)]
     }
     return mix_datasets(srcs)
+
+
+@register(
+    "geo_bbox_distance",
+    oracle="""
+    WITH pts AS (
+      SELECT range AS point_id,
+             (range * 7919 % 18000) / 100.0 - 90.0  AS lat,
+             (range * 104729 % 36000) / 100.0 - 180.0 AS lon
+      FROM range(20000)
+    )
+    SELECT point_id, lat, lon,
+           ROUND(2.0 * 6371008.8 * asin(sqrt(
+             pow(sin(radians(lat - 45.0) / 2), 2)
+             + cos(radians(45.0)) * cos(radians(lat))
+               * pow(sin(radians(lon - 10.0) / 2), 2))), 3) AS dist_m
+    FROM pts
+    WHERE lat BETWEEN 40.0 AND 50.0 AND lon BETWEEN 0.0 AND 20.0
+    """,
+)
+def geo_bbox_distance(spark, sf_dir):
+    """Spatial bounding-box + haversine distance to a reference point
+    (geo_distance_2points scalar): the QUERY side of the z-order
+    clustering demo (operators/zorder.py — the reference's declared
+    IndexType::Kdtree slot). On a z-ordered layout the box predicate
+    prunes files via footer stats (tests/test_zorder.py); here the
+    deterministic point synthesis makes the result oracle-checkable."""
+    from meerkat_spark.functions.scalar import geo_distance_2points
+
+    pts = spark.range(20000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return pts.filter(
+        F.col("lat").between(40.0, 50.0) & F.col("lon").between(0.0, 20.0)
+    ).select(
+        "point_id",
+        "lat",
+        "lon",
+        F.round(
+            geo_distance_2points(F.col("lon"), F.col("lat"), F.lit(10.0), F.lit(45.0)),
+            3,
+        ).alias("dist_m"),
+    )
