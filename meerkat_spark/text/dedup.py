@@ -232,24 +232,36 @@ def minhash_lsh_pairs(
 
     Empty/whitespace-only docs are excluded up front: they all share
     the degenerate empty signature and would form one giant bucket."""
+    from pyspark.sql import Window
+
     rows = n_perm // bands
     non_empty = df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
     exact_star = None
     if route_exact:
-        fp = non_empty.select(
-            F.col(id_col), F.col(text_col), fingerprint64(F.col(text_col)).alias("__fp")
+        # Signatures AND fingerprints are computed row-local in the scan
+        # stage (one pass, big Arrow batches), then ONE narrow shuffle
+        # (window over the 64-bit fingerprint, carrying id+fp+sig — not
+        # text) tags every row with its class rep. Only reps enter the
+        # banding, so a giant byte-identical class can never flood a
+        # bucket; members become linear star pairs instead. Dup rows'
+        # signatures are computed and discarded — row-local compute is
+        # the cheap currency; bucket blowup and text shuffles are not.
+        udf = _make_minhash_udf(n_perm, shingle_k)
+        sig_fp = non_empty.select(
+            F.col(id_col),
+            fingerprint64(F.col(text_col)).alias("__fp"),
+            udf(F.col(text_col)).alias("sig"),
         )
-        reps_ids = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-        non_empty = fp.join(reps_ids, ["__fp", id_col], "inner").drop("__fp")
-        # star pairs: rep (= min id) with every other class member
-        exact_star = (
-            fp.join(
-                reps_ids.withColumnRenamed(id_col, "__rep"), "__fp", "inner"
-            )
-            .filter(F.col(id_col) != F.col("__rep"))
-            .select(F.col("__rep").alias("id1"), F.col(id_col).alias("id2"))
+        w = Window.partitionBy("__fp")
+        marked = sig_fp.withColumn("__rep", F.min(id_col).over(w))
+        # star pairs: rep (= min id) with every other class member —
+        # linear in class size; connected components restores the class
+        exact_star = marked.filter(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("id1"), F.col(id_col).alias("id2")
         )
-    sig = minhash_signatures(non_empty, text_col, id_col, n_perm, shingle_k)
+        sig = marked.filter(F.col(id_col) == F.col("__rep")).select(id_col, "sig")
+    else:
+        sig = minhash_signatures(non_empty, text_col, id_col, n_perm, shingle_k)
     band_arr = F.array(
         *[
             F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
