@@ -367,8 +367,14 @@ class Parser:
         return OpNode("parse-where", node.args)
 
     def op_scan(self) -> OpNode:
-        # scan [with_match_id = name] with (step s1: pred; step s2: pred; …)
+        # scan [kind=greedy|concurrent] [with_match_id = name]
+        #      with (step s1: pred; step s2: pred; …)
+        kind = "greedy"
         match_id = "match_id"
+        if self.at_ident("kind"):
+            self.next()
+            self.expect("OP", "=")
+            kind = self.expect_ident("greedy", "concurrent")
         if self.at_ident("with_match_id"):
             self.next()
             self.expect("OP", "=")
@@ -426,6 +432,7 @@ class Parser:
                 "outputs": outputs,
                 "declare": declare,
                 "assigns": assigns,
+                "kind": kind,
             },
         )
 

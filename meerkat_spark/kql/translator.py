@@ -1309,6 +1309,7 @@ class Translator:
             step_output=a.get("outputs"),
             declare=decl or None,
             step_assign=step_assign if any(step_assign) else None,
+            concurrent=a.get("kind") == "concurrent",
         ).drop("__scan_ord")
         return MeerkatTable(out)
 

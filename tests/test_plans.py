@@ -217,3 +217,59 @@ def test_pii_reads_only_needed_columns(eng):
 
     docs = eng.table("documents").to_df().select("doc_id", "text")
     assert set(read_schema_columns(redact(docs))) == {"doc_id", "text"}
+
+
+def test_range_join_outer_stays_equi_join(eng):
+    """The bucketed range join must hash-join on the bucket equality in
+    EVERY join kind — the round-4 matched-flag rework (window over the
+    interval id) must not push the plan back to BroadcastNestedLoopJoin
+    (the O(|L|*|R|) shape the bucketing exists to avoid)."""
+    from meerkat_spark.operators.rangejoin import range_join
+
+    spark = eng.spark
+    points = spark.range(100).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.0).alias("x")
+    )
+    intervals = spark.range(20).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 12.0).alias("hi"),
+    )
+    for how in ("inner", "left", "right", "full"):
+        plan = plan_of(range_join(points, intervals, "x", "lo", "hi", 10.0, how=how))
+        assert "NestedLoop" not in plan, (how, plan[:1500])
+        assert "CartesianProduct" not in plan, how
+
+
+def test_zorder_write_is_range_partitioned(eng):
+    """write_zordered plans a range repartition on the Morton code (the
+    clustering property), not a hash or round-robin shuffle."""
+    from meerkat_spark.operators.zorder import zorder_code
+
+    spark = eng.spark
+    pts = spark.range(1000).select(
+        ((F.col("id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    clustered = (
+        pts.withColumn("__z", zorder_code(F.col("lat"), F.col("lon")))
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+    )
+    plan = plan_of(clustered)
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+
+
+def test_minhash_routed_single_arrow_stage(eng):
+    """Exact-dup routing computes fingerprint AND signature row-local in
+    the scan stage: the plan shows the Arrow UDF evaluation BELOW the
+    fingerprint exchange (batches stay scan-sized), and no text column
+    survives past the window projection."""
+    from meerkat_spark.text.dedup import minhash_lsh_pairs
+
+    docs = eng.table("documents").to_df().select("doc_id", "text")
+    plan = plan_of(minhash_lsh_pairs(docs))
+    assert "ArrowEvalPython" in plan
+    # banding groups by (band_id, band_hash); bucket-pair expansion is
+    # JVM HOFs — no applyInPandas stage beyond the signature kernel
+    assert plan.count("FlatMapGroupsInPandas") == 0, plan[:2000]

@@ -208,6 +208,28 @@ def test_concurrent_newest_wins_per_step(spark):
     assert got == [(1, 0, 0), (2, 0, 0), (3, 0, 1), (4, 0, 2)]
 
 
+def test_kql_scan_kind_concurrent(spark):
+    """`scan kind=concurrent` through the KQL front-end finds both
+    overlapping funnels (kind=greedy / default finds one)."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(1, "login"), (2, "browse"), (3, "login"), (4, "buy"),
+         (5, "browse"), (6, "buy")],
+        "ts long, ev string",
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    body = ('with (step a: ev == "login"; step b: ev == "browse"; '
+            'step c: ev == "buy";)')
+    greedy = eng.kql(f"t | sort by ts asc | scan {body}").to_df()
+    conc = eng.kql(
+        f"t | sort by ts asc | scan kind=concurrent {body}"
+    ).to_df()
+    assert greedy.select("match_id").distinct().count() == 1
+    assert conc.select("match_id").distinct().count() == 2
+
+
 def test_concurrent_vars_follow_their_own_match(spark):
     """Each concurrent partial match carries its OWN declared-variable
     snapshot: overlapping funnels report their own t0."""
