@@ -1,0 +1,123 @@
+"""Persisted IVF index: build once, search many times.
+
+`ivf_topk` (knn.py) trains its coarse quantizer inline — right for
+one-shot queries, wrong at 100TB where the corpus assignment pass (the
+expensive part: one full scan) must be paid ONCE and reused. This
+module splits the lifecycle the way FAISS/Milvus deployments do:
+
+- build: train centroids on a bounded sample (driver numpy, cost
+  independent of corpus size), assign every vector to its cell with one
+  shuffle-free Arrow matmul pass, and write the assignment table
+  PARTITIONED BY cell_id. The partition layout IS the index: a probe
+  touches only its cells' directories (directory-level partition
+  pruning — no data skipped by luck, skipped by layout).
+- search: read centroids (tiny), pick n_probe cells per query
+  driver-side, scan ONLY those partitions, exact cosine rerank.
+
+Reference anchor: the reference's planned-but-unimplemented secondary
+index surface (src/store/segment_metadata.proto:38-43, IndexType) —
+this is the vector-search member of that family, realized as a Parquet
+layout instead of a per-segment tree.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from meerkat_spark.similarity import knn
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_factor: int = 64,
+    n_iter: int = 5,
+) -> None:
+    """Train centroids, assign the corpus, persist both under `path`:
+    centroids.parquet (n_cells rows) + assigned/ partitioned by cell_id."""
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), knn._to_double(F.col(vec_col)).alias("cv")
+    )
+    cents = knn._train_centroids_sample(c, n_cells, train_factor, n_iter)
+
+    def assign_cells(batches):
+        import pandas as pd  # noqa: F401 — worker-side
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            pdf = pdf[["neighbor_id", "cv"]].copy()
+            pdf["cell_id"] = (Cn @ cents.T).argmax(axis=1).astype("int64")
+            yield pdf
+
+    assigned = c.mapInPandas(
+        assign_cells, "neighbor_id long, cv array<double>, cell_id long"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(path, "assigned")
+    )
+    spark = emb.sparkSession
+    cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+    spark.createDataFrame(cent_rows, "cell_id long, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+
+
+def ivf_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted IVF index. The probed cell_ids land in the
+    scan as partition filters, so only n_probe/n_cells of the corpus is
+    read — the plan property tests/test_ivf_index.py asserts."""
+    cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    cents = np.zeros((len(cents_rows), len(cents_rows[0].centroid)))
+    for r in cents_rows:
+        cents[r.cell_id] = r.centroid
+
+    q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
+    Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    top_cells = np.argsort(-(Qn @ cents.T), axis=1)[:, :n_probe]
+    probed = sorted({int(c) for row in top_cells for c in row})
+
+    q_cells = spark.createDataFrame(
+        [
+            (int(q_pdf["query_id"][i]), [float(x) for x in q_pdf["qv"][i]], int(c))
+            for i in range(len(q_pdf))
+            for c in top_cells[i]
+        ],
+        "query_id long, qv array<double>, cell_id long",
+    )
+    assigned = spark.read.parquet(os.path.join(path, "assigned")).filter(
+        F.col("cell_id").isin(probed)  # -> partition pruning on the index layout
+    )
+    sims = (
+        assigned.join(F.broadcast(q_cells), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", knn.cosine(F.col("qv"), F.col("cv")).alias("sim")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -1,0 +1,56 @@
+"""Persisted IVF index: build-once/search-many lifecycle — recall vs
+brute force, search touches only probed partitions, repeat searches
+reuse the stored assignment (no retraining)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.similarity import knn
+from meerkat_spark.similarity.ivf_index import build_ivf_index, ivf_search
+
+SF = "/root/testdata/sf0.001"
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_build_search_recall_and_pruning(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=8)
+
+    q = emb.filter(F.col("vec_id") < 8)
+    out = ivf_search(spark, idx, q, k=5, n_probe=4)
+    exact = _topk_sets(knn.brute_force_topk(emb, q, k=5))
+    approx = _topk_sets(out)
+    recalls = [len(exact[qid] & approx.get(qid, set())) / 5 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+    # the probed cell ids reach the scan as PARTITION filters — the
+    # layout-level pruning that makes the persisted index worth building
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_id" in plan, plan[:2000]
+
+    # a second search (different queries) reuses the stored index
+    q2 = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    out2 = ivf_search(spark, idx, q2, k=3, n_probe=3)
+    assert out2.count() == 4 * 3
+
+
+def test_index_matches_inline_ivf_shape(spark, tmp_path):
+    """Persisted search returns the same schema/contract as the inline
+    ivf_topk operator (drop-in replacement on the query side)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=8)
+    q = emb.filter(F.col("vec_id") < 4)
+    persisted = ivf_search(spark, idx, q, k=3, n_probe=8)  # probe all cells
+    inline = knn.ivf_topk(emb, q, k=3, n_cells=8, n_probe=8)
+    assert persisted.columns == inline.columns
+    # probing ALL cells makes both exact: identical neighbor sets
+    assert _topk_sets(persisted) == _topk_sets(inline)
