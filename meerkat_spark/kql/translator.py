@@ -1375,6 +1375,16 @@ def execute_kql(engine, text: str) -> DataFrame:
     engine.clear_materialized()
     q = P.parse_kql(text)
     tr = Translator(engine, q.lets)
-    out = tr.pipeline(q.pipeline)
+    try:
+        out = tr.pipeline(q.pipeline)
+    except BaseException:
+        # a failed translation must not strand persist() registrations
+        # (nobody would hold a reference to unpersist them later)
+        for df in tr.persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        raise
     engine._kql_persisted = tr.persisted
     return out

@@ -11,7 +11,7 @@ hint automates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -67,22 +67,28 @@ def range_join(
         # find no point in THEIR bucket come back null-extended even when
         # a sibling replica matched. Emitting "unmatched interval" per
         # replica is therefore wrong (spurious null rows) — decide it
-        # globally: max the match mark over all replicas of the interval,
-        # and keep a null-extended row only for intervals matched NOWHERE
-        # (one row: the first-bucket replica, or the single null-bucket
-        # replica of null-bounded intervals). One extra shuffle on the
-        # interval id, proportional to the join output — the same
-        # magnitude the join itself already paid.
-        matched_any = F.max("__pmark").over(Window.partitionBy("__iid"))
-        joined = (
-            joined.withColumn("__ima", matched_any)
-            .filter(
-                F.col("__pmark").isNotNull()  # matched pairs + left-only rows
-                | (
-                    F.col("__ima").isNull()
-                    & (F.col("__ib").isNull() | (F.col("__ib") == first_bucket))
-                )
-            )
-            .drop("__iid", "__ima")
+        # globally: an interval gets its single null-extended row (the
+        # first-bucket replica, or the null-bucket replica of
+        # null-bounded intervals) only if NO replica matched anywhere.
+        # Shape chosen for scale: matched rows (and full-outer's
+        # left-only rows, whose interval id is null) pass through with
+        # no extra shuffle; only the ≤|intervals| candidate replicas go
+        # through an anti-join against the matched interval ids. A
+        # window over the interval id instead would hash every left-only
+        # row of a full join into one null-key partition — a
+        # single-task straggler at exactly the scale this module
+        # exists for.
+        matched_ids = (
+            joined.filter(F.col("__pmark").isNotNull() & F.col("__iid").isNotNull())
+            .select("__iid")
+            .distinct()
         )
+        unmatched_candidates = joined.filter(
+            F.col("__pmark").isNull()
+            & (F.col("__ib").isNull() | (F.col("__ib") == first_bucket))
+        )
+        joined = joined.filter(F.col("__pmark").isNotNull()).unionByName(
+            unmatched_candidates.join(matched_ids, "__iid", "left_anti")
+        )
+        joined = joined.drop("__iid")
     return joined.drop("__pb", "__ib", "__pmark")

@@ -152,7 +152,13 @@ def scan_steps(
                     if not flags[i, k]:
                         continue
                     if k == 0:
-                        if states[0] is not None:  # hold at step 1
+                        if n_steps == 1:
+                            # single-step scan: every matching record is
+                            # a complete match of its own (greedy parity)
+                            vv = apply_assigns(0, i, {v: None for v in var_names})
+                            emit([[(i, vv)]], match_id)
+                            match_id += 1
+                        elif states[0] is not None:  # hold at step 1
                             runs, vv = states[0]
                             vv = apply_assigns(0, i, vv)
                             runs[0].append((i, vv))

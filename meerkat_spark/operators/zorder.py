@@ -102,14 +102,23 @@ def candidate_files(
     n_hit = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue  # empty part file — trivially prunable
         schema_names = {name: i for i, name in enumerate(md.schema.names)}
         f_min: dict[str, float] = {}
         f_max: dict[str, float] = {}
+        missing_stats = False
         for rg in range(md.num_row_groups):
             for name in (lat_col, lon_col):
                 stats = md.row_group(rg).column(schema_names[name]).statistics
+                if stats is None or stats.min is None or stats.max is None:
+                    missing_stats = True  # all-null/statless column
+                    continue
                 f_min[name] = min(f_min.get(name, stats.min), stats.min)
                 f_max[name] = max(f_max.get(name, stats.max), stats.max)
+        if missing_stats and (lat_col not in f_min or lon_col not in f_min):
+            n_hit += 1  # no usable stats — a reader must scan it
+            continue
         overlaps = (
             f_min[lat_col] <= lat_range[1]
             and f_max[lat_col] >= lat_range[0]

@@ -85,12 +85,15 @@ def ivf_search(
     """Top-k over a persisted IVF index. The probed cell_ids land in the
     scan as partition filters, so only n_probe/n_cells of the corpus is
     read — the plan property tests/test_ivf_index.py asserts."""
+    out_schema = "query_id long, neighbor_id long, sim double, rank int"
     cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
+    if not cents_rows or not len(q_pdf):
+        # empty index or empty query set → empty result, not a crash
+        return spark.createDataFrame([], out_schema)
     cents = np.zeros((len(cents_rows), len(cents_rows[0].centroid)))
     for r in cents_rows:
         cents[r.cell_id] = r.centroid
-
-    q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     top_cells = np.argsort(-(Qn @ cents.T), axis=1)[:, :n_probe]

@@ -95,10 +95,11 @@ def incremental_dedup_pairs(
     bands: int = BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id1, id2, id2_is_new) for a new batch:
-    id1 always existing-corpus or earlier-new doc, id2 always a new doc.
-    New-batch ids must not collide with indexed ids (caller contract —
-    monotone doc ids, the append-only `_ts` discipline)."""
+    """Candidate near-dup pairs (id1, id2, id1_is_new) for a new batch:
+    id2 is always a new-batch doc; id1_is_new distinguishes new-vs-new
+    pairs (True) from new-vs-indexed-corpus pairs (False). New-batch ids
+    must not collide with indexed ids (caller contract — monotone doc
+    ids, the append-only `_ts` discipline)."""
     spark: SparkSession = new_docs.sparkSession
     new_posts = _band_postings(
         new_docs, text_col, id_col, n_perm, bands, shingle_k
@@ -110,7 +111,7 @@ def incremental_dedup_pairs(
         .select(
             F.col("doc_id").alias("id1"),
             F.col("new_id").alias("id2"),
-            F.lit(True).alias("id2_is_new"),
+            F.lit(False).alias("id1_is_new"),
         )
         .filter(F.col("id1") != F.col("id2"))
     )
@@ -125,7 +126,7 @@ def incremental_dedup_pairs(
         .select(
             F.col("l.new_id").alias("id1"),
             F.col("r.new_id").alias("id2"),
-            F.lit(True).alias("id2_is_new"),
+            F.lit(True).alias("id1_is_new"),
         )
     )
     return vs_old.unionByName(vs_new).distinct()

@@ -248,3 +248,19 @@ def test_concurrent_vars_follow_their_own_match(spark):
     )
     got = {r.match_id: (r.ts, r.t0) for r in out.collect()}
     assert got == {0: (40, 10), 1: (60, 30)}
+
+
+def test_concurrent_single_step_emits_every_match(spark):
+    """A one-step concurrent scan must emit one match per matching row
+    (greedy parity) — the promote-only emission path used to skip them."""
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("a", 3, "x")],
+        "user string, ts long, ev string",
+    )
+    for conc in (False, True):
+        out = scan_steps(
+            df, steps=[F.col("ev") == "x"], order_by=["ts"],
+            partition_by=["user"], concurrent=conc,
+        )
+        got = sorted((r.ts, r.match_id) for r in out.collect())
+        assert got == [(1, 0), (3, 1)], (conc, got)
