@@ -59,6 +59,29 @@ def exact_n_per_group(
     )
 
 
+def hash_sample(
+    df: DataFrame, n: int, id_col: str, salt: str = "s1"
+) -> DataFrame:
+    """Exact-N DETERMINISTIC pseudo-random sample: order by the salted
+    md5 of the id, take N. Same TakeOrdered shape as the rand() sample
+    (per-partition top-N, no global sort), but reproducible across
+    runs, engines, and partitionings — the property pipelines need to
+    re-derive a sample audit-identically (and the DuckDB oracle checks
+    bit-exactly). Changing the salt draws a fresh sample."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return df.orderBy(h, F.col(id_col)).limit(n)
+
+
+def hash_sample_distinct(
+    df: DataFrame, n: int, col: str, salt: str = "s1"
+) -> DataFrame:
+    """Exact-N deterministic sample of DISTINCT values of one column
+    (sample-distinct's reproducible sibling): distinct → order by
+    salted md5 of the value → take N."""
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(salt)))
+    return df.select(col).distinct().orderBy(h, F.col(col)).limit(n)
+
+
 def mix_bucket(id_col, salt: str = "", granularity: int = 10_000) -> "F.Column":
     """0..granularity-1 bucket from the salted md5 of the id — finer
     than split_bucket so mixture rates resolve to 0.01%."""

@@ -452,3 +452,43 @@ def geo_bbox_distance(spark, sf_dir):
             3,
         ).alias("dist_m"),
     )
+
+
+@register(
+    "sample_hash_op",
+    oracle="""
+    SELECT event_id, event_type, user_id
+    FROM events
+    ORDER BY md5(CAST(event_id AS VARCHAR) || 's1'), event_id
+    LIMIT 500
+    """,
+)
+def sample_hash_op(spark, sf_dir):
+    """Deterministic exact-N sample (operators/sampling.py hash_sample):
+    salted-md5 ordering makes the drawn rows reproducible across runs,
+    engines, and partitionings — unlike `sample`'s rand() draw (which
+    stays registered as the rows-only random path). Oracle-checked
+    bit-exactly."""
+    from meerkat_spark.operators.sampling import hash_sample
+
+    e = _eng(spark, sf_dir).table("events").to_df()
+    return hash_sample(e, 500, "event_id").select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+@register(
+    "sample_distinct_hash_op",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    ORDER BY md5(CAST(user_id AS VARCHAR) || 's1'), user_id
+    LIMIT 25
+    """,
+)
+def sample_distinct_hash_op(spark, sf_dir):
+    """Deterministic exact-N distinct-value sample (sample-distinct's
+    reproducible sibling) — oracle-checked."""
+    from meerkat_spark.operators.sampling import hash_sample_distinct
+
+    e = _eng(spark, sf_dir).table("events").to_df()
+    return hash_sample_distinct(e, 25, "user_id")
