@@ -82,6 +82,22 @@ def hash_sample_distinct(
     return df.select(col).distinct().orderBy(h, F.col(col)).limit(n)
 
 
+def hash_sample_per_group(
+    df: DataFrame, strata_col: str, n: int, id_col: str, salt: str = "s1"
+) -> DataFrame:
+    """exact_n_per_group's deterministic sibling: exactly min(N, group
+    size) rows per stratum, picked by salted-md5 order of the id — one
+    keyed shuffle (window partitioned by the stratum, never global),
+    reproducible across engines/runs/partitionings."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = W.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def mix_bucket(id_col, salt: str = "", granularity: int = 10_000) -> "F.Column":
     """0..granularity-1 bucket from the salted md5 of the id — finer
     than split_bucket so mixture rates resolve to 0.01%."""

@@ -492,3 +492,29 @@ def sample_distinct_hash_op(spark, sf_dir):
 
     e = _eng(spark, sf_dir).table("events").to_df()
     return hash_sample_distinct(e, 25, "user_id")
+
+
+@register(
+    "stratified_sample_hash_op",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR) || 's1'), event_id
+             ) AS rn
+      FROM events)
+    SELECT event_id, event_type FROM ranked WHERE rn <= 50
+    """,
+)
+def stratified_sample_hash_op(spark, sf_dir):
+    """Deterministic exact-N-per-stratum sampling (training-mixture
+    control, reproducible form): keyed window over salted-md5 order —
+    one shuffle on the stratum key, oracle-checked bit-exactly. The
+    rand()-ordered variant stays registered as stratified_sample_op."""
+    from meerkat_spark.operators.sampling import hash_sample_per_group
+
+    e = _eng(spark, sf_dir).table("events").to_df()
+    return hash_sample_per_group(e, "event_type", 50, "event_id").select(
+        "event_id", "event_type"
+    )
