@@ -109,14 +109,18 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "text_decontaminate_pairs",
     "dedup_components",
-    # new in round 4: z-order/Kdtree-slot query side
+    # new in round 4: z-order/Kdtree-slot query side + deterministic
+    # hash-sampling oracles (their random siblings hold rows-only slots
+    # above; agg_pricing_summary / window_session_native /
+    # train_holdout_split rotate OUT — each already driver-green in two
+    # prior rounds)
     "geo_bbox_distance",
+    "sample_hash_op",
+    "sample_distinct_hash_op",
+    "stratified_sample_hash_op",
     # (e) flagship representatives
     "summarize_bin_1h",
     "kql_flagship",
-    "agg_pricing_summary",
-    "window_session_native",
-    "train_holdout_split",
 ]
 
 
