@@ -720,3 +720,132 @@ def parse_path(p) -> Column:
         fname.alias("Filename"),
         ext.alias("Extension"),
     )
+
+
+# ------------------------------------------------- round-4 string/byte fns
+def tohex(x, min_length: int | None = None) -> Column:
+    """KQL tohex — lowercase hex string of an integer; optional zero-pad
+    to min_length digits."""
+    h = F.lower(F.hex(_c(x).cast("long")))
+    if min_length is not None:
+        h = F.lpad(h, int(min_length), "0")
+    return h
+
+
+def string_size(x) -> Column:
+    """KQL string_size — size in BYTES (UTF-8), not characters."""
+    return F.octet_length(_c(x)).cast("long")
+
+
+def isascii(x) -> Column:
+    """KQL isascii — true iff every character is 7-bit ASCII."""
+    c = _c(x)
+    return c.isNotNull() & (F.octet_length(c) == F.length(c)) & c.rlike(
+        "^[\\x00-\\x7F]*$"
+    )
+
+
+def indexof_regex(x, pattern: str) -> Column:
+    """KQL indexof_regex — 0-based index of the first regex match, -1
+    when absent (Spark regexp_instr is 1-based with 0-absent)."""
+    return (F.regexp_instr(_c(x), F.lit(pattern)) - 1).cast("long")
+
+
+def new_guid() -> Column:
+    """KQL new_guid — random v4 uuid per row (nondeterministic)."""
+    return F.uuid()
+
+
+def unicode_codepoints_from_string(x) -> Column:
+    """KQL unicode_codepoints_from_string — array of codepoints."""
+    chars = F.filter(F.split(_c(x), ""), lambda ch: ch != "")
+    return F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+
+
+def unicode_codepoints_to_string(arr) -> Column:
+    """KQL unicode_codepoints_to_string — string from codepoint array."""
+    return F.array_join(F.transform(_c(arr), lambda cp: F.char(cp)), "")
+
+
+def replace_strings(text, lookups, rewrites) -> Column:
+    """KQL replace_strings — apply each (lookup → rewrite) pair in order
+    (sequential fold, matching Kusto's left-to-right semantics)."""
+    lk, rw = _c(lookups), _c(rewrites)
+    idx = F.sequence(F.lit(1), F.size(lk))
+    return F.aggregate(
+        idx,
+        _c(text),
+        lambda acc, i: F.replace(acc, F.element_at(lk, i), F.element_at(rw, i)),
+    )
+
+
+def has_any_index(x, terms) -> Column:
+    """KQL has_any_index — 0-based index of the FIRST term in `terms`
+    that the text `has` (whole-token match), -1 if none. Token semantics
+    mirror has_term: split on non-word chars, case-insensitive."""
+    toks = F.filter(F.split(F.lower(_c(x)), "\\W+"), lambda t: t != "")
+    hits = F.filter(
+        F.transform(
+            _c(terms),
+            lambda t, i: F.struct(
+                i.cast("long").alias("i"),
+                F.array_contains(toks, F.lower(t.cast("string"))).alias("m"),
+            ),
+        ),
+        lambda s: s["m"],
+    )
+    return F.coalesce(F.try_element_at(hits, F.lit(1))["i"], F.lit(-1).cast("long"))
+
+
+def format_bytes(size, precision: int = 0, units: str | None = None) -> Column:
+    """KQL format_bytes — human-readable byte size ('1 KB', '2.5 GB').
+    Auto-picks the largest binary unit unless `units` pins one."""
+    s = _c(size).cast("double")
+    scale = {"Bytes": 0, "KB": 1, "MB": 2, "GB": 3, "TB": 4, "PB": 5, "EB": 6}
+
+    def fmt(unit: str) -> Column:
+        v = s / F.lit(float(1024 ** scale[unit]))
+        return F.concat(
+            F.format_number(v, precision).cast("string"), F.lit(" " + unit)
+        )
+
+    if units is not None:
+        if units not in scale:
+            raise ValueError(f"unknown unit {units!r}")
+        return fmt(units)
+    out = fmt("Bytes")
+    for unit, p in list(scale.items())[1:]:
+        out = F.when(s >= float(1024 ** p), fmt(unit)).otherwise(out)
+    return out
+
+
+def format_timespan(seconds, fmt: str = "hh:mm:ss") -> Column:
+    """KQL format_timespan over the engine's seconds-valued timespans —
+    the common patterns ('d.hh:mm:ss', 'hh:mm:ss', 'mm:ss'); fractional
+    '.fff' suffix supported."""
+    total = _c(seconds).cast("double")
+    days = F.floor(total / 86400).cast("long")
+    hh = F.floor((total % 86400) / 3600).cast("long")
+    mm = F.floor((total % 3600) / 60).cast("long")
+    ss = F.floor(total % 60).cast("long")
+    p2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    parts: list[Column] = []
+    base = fmt
+    frac = None
+    if "." in fmt.split(":")[-1] and fmt.rstrip("f") != fmt:
+        base, frac_pat = fmt.rsplit(".", 1)
+        frac = len(frac_pat)
+    if base.startswith("d."):
+        parts.append(F.concat(days.cast("string"), F.lit(".")))
+        base = base[2:]
+    fields = {"hh": p2(hh), "mm": p2(mm), "ss": p2(ss)}
+    comps = [fields[f] for f in base.split(":") if f in fields]
+    out = comps[0]
+    for c in comps[1:]:
+        out = F.concat(out, F.lit(":"), c)
+    if parts:
+        out = F.concat(parts[0], out)
+    if frac:
+        sub = F.floor((total % 1) * (10**frac)).cast("long")
+        out = F.concat(out, F.lit("."), F.lpad(sub.cast("string"), frac, "0"))
+    return out

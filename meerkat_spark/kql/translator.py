@@ -203,6 +203,25 @@ _SCALARS: dict[str, Any] = {
     "geo_distance_2points": lambda a: S.geo_distance_2points(
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3])
     ),
+    # round-4 string/byte surface
+    "tohex": lambda a: S.tohex(_c(a[0]), int(_raw(a[1])) if len(a) > 1 else None),
+    "string_size": lambda a: S.string_size(_c(a[0])),
+    "isascii": lambda a: S.isascii(_c(a[0])),
+    "indexof_regex": lambda a: S.indexof_regex(_c(a[0]), str(_raw(a[1]))),
+    "new_guid": lambda a: S.new_guid(),
+    "unicode_codepoints_from_string": lambda a: S.unicode_codepoints_from_string(_c(a[0])),
+    "unicode_codepoints_to_string": lambda a: S.unicode_codepoints_to_string(_c(a[0])),
+    "replace_strings": lambda a: S.replace_strings(_c(a[0]), _c(a[1]), _c(a[2])),
+    "has_any_index": lambda a: S.has_any_index(_c(a[0]), _c(a[1])),
+    "format_bytes": lambda a: S.format_bytes(
+        _c(a[0]),
+        int(_raw(a[1])) if len(a) > 1 else 0,
+        str(_raw(a[2])) if len(a) > 2 else None,
+    ),
+    "format_timespan": lambda a: S.format_timespan(
+        a[0].seconds if isinstance(a[0], _Span) else _c(a[0]),
+        str(_raw(a[1])) if len(a) > 1 else "hh:mm:ss",
+    ),
     "repeat": lambda a: S.repeat_value(_c(a[0]), a[1]),
     "array_sort_asc": lambda a: S.array_sort_asc(a[0]),
     "array_sort_desc": lambda a: S.array_sort_desc(a[0]),
@@ -489,6 +508,22 @@ class Translator:
                 if cname in fields:
                     return F.lit(spark_to_kql(fields[cname]))
             raise KqlSyntaxError("gettype() expects a single column name")
+        if name == "column_ifexists":
+            # schema-resolved: the column when it exists, else the
+            # default expression (Kusto's optional-column idiom)
+            if len(node.args) != 2 or not isinstance(node.args[0], P.Ident):
+                raise KqlSyntaxError(
+                    "column_ifexists(column, default) expects a column name"
+                )
+            cname = node.args[0].name
+            have = (
+                {f.name for f in self._cur_schema.fields}
+                if self._cur_schema is not None
+                else set()
+            )
+            if cname in have:
+                return F.col(cname)
+            return _c(self.expr(node.args[1], agg=agg))
         # let-bound lambda: substitute args into the body (KQL `invoke`
         # semantics for scalar functions — pure front-end inlining)
         lam = self.lets.get(node.func)

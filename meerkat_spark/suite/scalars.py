@@ -446,3 +446,37 @@ def scalar_strings_extended(spark, sf_dir):
              sr = strrep(event_type, 2, '|'),
              tr = translate('cv', 'CV', event_type)"""
     ).to_df()
+
+
+@register(
+    "scalar_string_bytes",
+    oracle="""
+    SELECT doc_id,
+           lower(to_hex(doc_id)) AS hx,
+           lpad(lower(to_hex(doc_id)), 8, '0') AS hx8,
+           CAST(strlen(text) AS BIGINT) AS bytes,
+           (strlen(text) = length(text)) AS ascii_only,
+           CASE WHEN regexp_matches(text, 'the\\s+\\w+')
+                THEN CAST(length(list_extract(regexp_split_to_array(text, 'the\\s+\\w+'), 1)) AS BIGINT)
+                ELSE -1 END AS ir,
+           replace(replace(text, 'the', 'THE'), 'and', 'AND') AS rs
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def scalar_string_bytes(spark, sf_dir):
+    """Round-4 string/byte surface through the KQL front-end: tohex
+    (with zero-pad), string_size (UTF-8 bytes), isascii, indexof_regex
+    (0-based, -1 absent), replace_strings (ordered pair fold) — each
+    reproduced exactly by the DuckDB oracle."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """documents | where doc_id < 200
+           | project doc_id,
+             hx = tohex(doc_id),
+             hx8 = tohex(doc_id, 8),
+             bytes = string_size(text),
+             ascii_only = isascii(text),
+             ir = indexof_regex(text, "the\\\\s+\\\\w+"),
+             rs = replace_strings(text, dynamic(["the","and"]), dynamic(["THE","AND"]))"""
+    ).to_df()

@@ -732,3 +732,47 @@ def test_kql_binary_scalar_functions(spark):
                  sl = binary_shift_left(1, 10), sr = binary_shift_right(1024, 3)"""
     ).to_df().collect()[0]
     assert (out.a, out.o, out.x, out.n, out.sl, out.sr) == (8, 14, 6, -1, 1024, 128)
+
+
+def test_kql_round4_string_byte_scalars(spark):
+    """Known answers for the round-4 scalar additions (tohex,
+    string_size, isascii, indexof_regex, unicode codepoints,
+    replace_strings, has_any_index, format_bytes, format_timespan,
+    new_guid)."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        'print h = tohex(255), h2 = tohex(10, 4), sz = string_size("héllo"),'
+        ' a1 = isascii("plain"), a2 = isascii("héllo"),'
+        ' ir = indexof_regex("abc def", "d.f"), ir2 = indexof_regex("abc", "zz"),'
+        ' cp = unicode_codepoints_from_string("AbC"),'
+        ' cs = unicode_codepoints_to_string(dynamic([72, 105])),'
+        ' rs = replace_strings("A BC A", dynamic(["A","BC"]), dynamic(["X","Y"])),'
+        ' hi = has_any_index("the quick brown fox", dynamic(["wolf","brown","fox"])),'
+        ' hi2 = has_any_index("abc", dynamic(["x"])),'
+        ' fb = format_bytes(1024), fb2 = format_bytes(4000000, 2),'
+        ' fb3 = format_bytes(100),'
+        ' ft = format_timespan(3725, "hh:mm:ss"),'
+        ' ft2 = format_timespan(90061.5, "d.hh:mm:ss"),'
+        ' g = strlen(tostring(new_guid()))'
+    ).to_df().collect()[0]
+    assert row.h == "ff" and row.h2 == "000a"
+    assert row.sz == 6  # bytes, not chars
+    assert row.a1 is True and row.a2 is False
+    assert row.ir == 4 and row.ir2 == -1
+    assert row.cp == [65, 98, 67] and row.cs == "Hi"
+    assert row.rs == "X Y X"  # ordered pair fold
+    assert row.hi == 1 and row.hi2 == -1
+    assert row.fb == "1 KB" and row.fb2 == "3.81 MB" and row.fb3 == "100 Bytes"
+    assert row.ft == "01:02:05" and row.ft2 == "1.01:01:01"
+    assert row.g == 36
+
+
+def test_kql_column_ifexists(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | extend a = column_ifexists(v, 'dflt'), "
+        "b = column_ifexists(missing_col, 'dflt')"
+    ).to_df().collect()[0]
+    assert out.a == "x" and out.b == "dflt"
