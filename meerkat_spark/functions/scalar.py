@@ -724,11 +724,12 @@ def parse_path(p) -> Column:
 
 # ------------------------------------------------- round-4 string/byte fns
 def tohex(x, min_length: int | None = None) -> Column:
-    """KQL tohex — lowercase hex string of an integer; optional zero-pad
-    to min_length digits."""
+    """KQL tohex — lowercase hex string of an integer; min_length
+    zero-pads but NEVER truncates (lpad alone would cut longer hex)."""
     h = F.lower(F.hex(_c(x).cast("long")))
     if min_length is not None:
-        h = F.lpad(h, int(min_length), "0")
+        n = int(min_length)
+        h = F.when(F.length(h) < n, F.lpad(h, n, "0")).otherwise(h)
     return h
 
 
@@ -738,11 +739,11 @@ def string_size(x) -> Column:
 
 
 def isascii(x) -> Column:
-    """KQL isascii — true iff every character is 7-bit ASCII."""
+    """KQL isascii — true iff every character is 7-bit ASCII. In UTF-8 a
+    character is single-byte iff its codepoint ≤ 0x7F, so byte length ==
+    char length is exactly the predicate (no regex scan needed)."""
     c = _c(x)
-    return c.isNotNull() & (F.octet_length(c) == F.length(c)) & c.rlike(
-        "^[\\x00-\\x7F]*$"
-    )
+    return c.isNotNull() & (F.octet_length(c) == F.length(c))
 
 
 def indexof_regex(x, pattern: str) -> Column:
@@ -763,20 +764,27 @@ def unicode_codepoints_from_string(x) -> Column:
 
 
 def unicode_codepoints_to_string(arr) -> Column:
-    """KQL unicode_codepoints_to_string — string from codepoint array."""
-    return F.array_join(F.transform(_c(arr), lambda cp: F.char(cp)), "")
+    """KQL unicode_codepoints_to_string — string from codepoint array.
+    format_string('%c') formats a true code point (incl. supplementary
+    planes); F.char would be mod-256 and corrupt anything non-Latin-1."""
+    return F.array_join(
+        F.transform(_c(arr), lambda cp: F.format_string("%c", cp.cast("int"))), ""
+    )
 
 
 def replace_strings(text, lookups, rewrites) -> Column:
     """KQL replace_strings — apply each (lookup → rewrite) pair in order
-    (sequential fold, matching Kusto's left-to-right semantics)."""
+    (sequential fold, matching Kusto's left-to-right semantics). Empty
+    lookup arrays return the text unchanged (sequence(1, 0) would
+    otherwise produce the DESCENDING [1, 0] and index out of bounds)."""
     lk, rw = _c(lookups), _c(rewrites)
     idx = F.sequence(F.lit(1), F.size(lk))
-    return F.aggregate(
+    folded = F.aggregate(
         idx,
         _c(text),
         lambda acc, i: F.replace(acc, F.element_at(lk, i), F.element_at(rw, i)),
     )
+    return F.when(F.size(lk) <= 0, _c(text)).otherwise(folded)
 
 
 def has_any_index(x, terms) -> Column:
@@ -805,9 +813,10 @@ def format_bytes(size, precision: int = 0, units: str | None = None) -> Column:
 
     def fmt(unit: str) -> Column:
         v = s / F.lit(float(1024 ** scale[unit]))
-        return F.concat(
-            F.format_number(v, precision).cast("string"), F.lit(" " + unit)
-        )
+        # format_number inserts thousands-separator commas ('3,906.25');
+        # Kusto emits plain digits — strip them after rounding
+        num = F.regexp_replace(F.format_number(v, precision), ",", "")
+        return F.concat(num, F.lit(" " + unit))
 
     if units is not None:
         if units not in scale:
@@ -840,6 +849,11 @@ def format_timespan(seconds, fmt: str = "hh:mm:ss") -> Column:
         base = base[2:]
     fields = {"hh": p2(hh), "mm": p2(mm), "ss": p2(ss)}
     comps = [fields[f] for f in base.split(":") if f in fields]
+    if not comps:
+        raise ValueError(
+            f"format_timespan: unsupported pattern {fmt!r} "
+            "(expected fields from d.hh:mm:ss[.fff])"
+        )
     out = comps[0]
     for c in comps[1:]:
         out = F.concat(out, F.lit(":"), c)

@@ -44,23 +44,24 @@ def connected_components(
     RELIABLE checkpoints instead: each round's labels are written to
     fault-tolerant storage, so long multi-round jobs at 100TB survive
     executor loss at the cost of one distributed write per round.
-    setCheckpointDir is SparkContext-global; the previous value is
-    restored before returning (safe here — every checkpoint is eager).
-    Checkpoint files are not auto-deleted: pass a job-scoped directory
-    and remove it after consuming the result (or enable
-    spark.cleaner.referenceTracking.cleanCheckpoints)."""
+
+    CAVEATS (both SparkContext-global, by Spark's design):
+    - setCheckpointDir stays in effect after this call — Spark exposes
+      no reliable way to restore a previous BASE dir (the getter
+      returns the UUID-resolved path; re-setting it would nest).
+      Callers sharing a session with other checkpoint users should pass
+      the same base dir everywhere.
+    - checkpoint files are not auto-deleted: pass a job-scoped
+      directory and remove it after consuming the result, or enable
+      spark.cleaner.referenceTracking.cleanCheckpoints."""
 
     def _truncate(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        sc = edges.sparkSession.sparkContext
-        prev = sc._jsc.sc().getCheckpointDir()
-        prev_ckpt_dir = prev.get() if prev.isDefined() else None
-        sc.setCheckpointDir(checkpoint_dir)
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = _truncate(sym.distinct())
@@ -88,8 +89,6 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    if checkpoint_dir is not None and prev_ckpt_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -11,7 +11,7 @@ hint automates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,25 +70,28 @@ def range_join(
         # globally: an interval gets its single null-extended row (the
         # first-bucket replica, or the null-bucket replica of
         # null-bounded intervals) only if NO replica matched anywhere.
-        # Shape chosen for scale: matched rows (and full-outer's
-        # left-only rows, whose interval id is null) pass through with
-        # no extra shuffle; only the ≤|intervals| candidate replicas go
-        # through an anti-join against the matched interval ids. A
-        # window over the interval id instead would hash every left-only
-        # row of a full join into one null-key partition — a
-        # single-task straggler at exactly the scale this module
-        # exists for.
-        matched_ids = (
-            joined.filter(F.col("__pmark").isNotNull() & F.col("__iid").isNotNull())
-            .select("__iid")
-            .distinct()
+        #
+        # The matched-anywhere flag is a window over the interval id —
+        # but ONLY over interval-side rows (__iid non-null), so a full
+        # join's left-only rows (all-null interval side) never funnel
+        # into one null-key window partition; they bypass via the second
+        # branch. Critically, __iid (monotonically_increasing_id, NOT
+        # stable across re-evaluations) is generated and consumed inside
+        # the single window branch — the bypass branch never reads it,
+        # so no cross-branch id consistency is required.
+        matched_any = F.max("__pmark").over(Window.partitionBy("__iid"))
+        interval_side = (
+            joined.filter(F.col("__iid").isNotNull())
+            .withColumn("__ima", matched_any)
+            .filter(
+                F.col("__pmark").isNotNull()
+                | (
+                    F.col("__ima").isNull()
+                    & (F.col("__ib").isNull() | (F.col("__ib") == first_bucket))
+                )
+            )
+            .drop("__ima")
         )
-        unmatched_candidates = joined.filter(
-            F.col("__pmark").isNull()
-            & (F.col("__ib").isNull() | (F.col("__ib") == first_bucket))
-        )
-        joined = joined.filter(F.col("__pmark").isNotNull()).unionByName(
-            unmatched_candidates.join(matched_ids, "__iid", "left_anti")
-        )
-        joined = joined.drop("__iid")
+        left_only = joined.filter(F.col("__iid").isNull())  # full joins only
+        joined = interval_side.unionByName(left_only).drop("__iid")
     return joined.drop("__pb", "__ib", "__pmark")

@@ -18,9 +18,17 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _salted_md5(id_col, salt: str) -> "F.Column":
+    """THE canonical salted hash every deterministic sampling/splitting
+    operator orders or buckets by — one definition so the bit-exact
+    DuckDB-oracle contract (md5(CAST(id AS VARCHAR) || salt)) can never
+    silently diverge between operators."""
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+
+
 def split_bucket(id_col, salt: str = "") -> "F.Column":
     """0-99 bucket from a salted md5 of the id (first 8 hex digits)."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    h = _salted_md5(id_col, salt)
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
 
 
@@ -68,7 +76,7 @@ def hash_sample(
     runs, engines, and partitionings — the property pipelines need to
     re-derive a sample audit-identically (and the DuckDB oracle checks
     bit-exactly). Changing the salt draws a fresh sample."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    h = _salted_md5(id_col, salt)
     return df.orderBy(h, F.col(id_col)).limit(n)
 
 
@@ -78,7 +86,7 @@ def hash_sample_distinct(
     """Exact-N deterministic sample of DISTINCT values of one column
     (sample-distinct's reproducible sibling): distinct → order by
     salted md5 of the value → take N."""
-    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(salt)))
+    h = _salted_md5(col, salt)
     return df.select(col).distinct().orderBy(h, F.col(col)).limit(n)
 
 
@@ -89,7 +97,7 @@ def hash_sample_per_group(
     size) rows per stratum, picked by salted-md5 order of the id — one
     keyed shuffle (window partitioned by the stratum, never global),
     reproducible across engines/runs/partitionings."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    h = _salted_md5(id_col, salt)
     w = W.partitionBy(strata_col).orderBy(h, F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -101,7 +109,7 @@ def hash_sample_per_group(
 def mix_bucket(id_col, salt: str = "", granularity: int = 10_000) -> "F.Column":
     """0..granularity-1 bucket from the salted md5 of the id — finer
     than split_bucket so mixture rates resolve to 0.01%."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    h = _salted_md5(id_col, salt)
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % granularity
 
 

@@ -116,8 +116,11 @@ def candidate_files(
                     continue
                 f_min[name] = min(f_min.get(name, stats.min), stats.min)
                 f_max[name] = max(f_max.get(name, stats.max), stats.max)
-        if missing_stats and (lat_col not in f_min or lon_col not in f_min):
-            n_hit += 1  # no usable stats — a reader must scan it
+        if missing_stats:
+            # ANY statless row group could hold matching rows a reader
+            # must scan — partial min/max from the other row groups must
+            # not prune the file
+            n_hit += 1
             continue
         overlaps = (
             f_min[lat_col] <= lat_range[1]

@@ -776,3 +776,29 @@ def test_kql_column_ifexists(spark):
         "b = column_ifexists(missing_col, 'dflt')"
     ).to_df().collect()[0]
     assert out.a == "x" and out.b == "dflt"
+
+
+def test_round4_scalar_edge_cases(spark):
+    """Edges the first cut got wrong: tohex min_length never truncates,
+    codepoints above Latin-1 survive the round trip, format_bytes emits
+    no thousands separators, empty replace_strings is a no-op."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        'print h = tohex(4096, 2),'
+        ' cs = unicode_codepoints_to_string(dynamic([955, 119070, 72])),'
+        ' rt = unicode_codepoints_to_string(unicode_codepoints_from_string("λx")),'
+        ' fb = format_bytes(4000000, 2, "KB"),'
+        ' fb2 = format_bytes(1048575),'
+        ' rs = replace_strings("keep", dynamic([]), dynamic([]))'
+    ).to_df().collect()[0]
+    assert row.h == "1000"  # pad-only, no truncation
+    assert row.cs == "λ\U0001d11eH"  # true codepoints, not mod-256
+    assert row.rt == "λx"
+    assert row.fb == "3906.25 KB"  # no comma
+    assert row.fb2 == "1024 KB"
+    assert row.rs == "keep"
+    import pytest as _pytest
+    from meerkat_spark.functions.scalar import format_timespan
+
+    with _pytest.raises(ValueError, match="unsupported pattern"):
+        format_timespan(F.lit(10), "HH:MM")
