@@ -784,20 +784,46 @@ def replace_strings(text, lookups, rewrites) -> Column:
         _c(text),
         lambda acc, i: F.replace(acc, F.element_at(lk, i), F.element_at(rw, i)),
     )
-    return F.when(F.size(lk) <= 0, _c(text)).otherwise(folded)
+    # Kusto errors on mismatched lookup/rewrite lengths; without this
+    # guard element_at past the shorter array would null the whole fold.
+    mismatch = F.raise_error(
+        F.concat(
+            F.lit("replace_strings: lookups/rewrites length mismatch ("),
+            F.size(lk).cast("string"),
+            F.lit(" vs "),
+            F.size(rw).cast("string"),
+            F.lit(")"),
+        )
+    ).cast("string")
+    return (
+        F.when(F.size(lk) != F.size(rw), mismatch)
+        .when(F.size(lk) <= 0, _c(text))
+        .otherwise(folded)
+    )
 
 
 def has_any_index(x, terms) -> Column:
     """KQL has_any_index — 0-based index of the FIRST term in `terms`
     that the text `has` (whole-token match), -1 if none. Token semantics
-    mirror has_term: split on non-word chars, case-insensitive."""
-    toks = F.filter(F.split(F.lower(_c(x)), "\\W+"), lambda t: t != "")
+    mirror has_term: split on non-word chars, case-insensitive.
+
+    Terms containing non-word characters (phrases, punctuation) can't
+    match any single token, so they fall back to case-insensitive
+    substring containment — mirroring Kusto's `has` treating a
+    multi-token term as a phrase match."""
+    lowered = F.lower(_c(x))
+    toks = F.filter(F.split(lowered, "\\W+"), lambda t: t != "")
     hits = F.filter(
         F.transform(
             _c(terms),
             lambda t, i: F.struct(
                 i.cast("long").alias("i"),
-                F.array_contains(toks, F.lower(t.cast("string"))).alias("m"),
+                F.when(
+                    F.lower(t.cast("string")).rlike("^\\w+$"),
+                    F.array_contains(toks, F.lower(t.cast("string"))),
+                )
+                .otherwise(F.contains(lowered, F.lower(t.cast("string"))))
+                .alias("m"),
             ),
         ),
         lambda s: s["m"],
@@ -832,7 +858,11 @@ def format_timespan(seconds, fmt: str = "hh:mm:ss") -> Column:
     """KQL format_timespan over the engine's seconds-valued timespans —
     the common patterns ('d.hh:mm:ss', 'hh:mm:ss', 'mm:ss'); fractional
     '.fff' suffix supported."""
-    total = _c(seconds).cast("double")
+    signed = _c(seconds).cast("double")
+    # Fields are computed on |total|; a single leading '-' is prepended
+    # for negative spans (Kusto renders -3661s as '-01:01:01', whereas
+    # per-field floor/% on a negative double yields '-2:-2:-1').
+    total = F.abs(signed)
     days = F.floor(total / 86400).cast("long")
     hh = F.floor((total % 86400) / 3600).cast("long")
     mm = F.floor((total % 3600) / 60).cast("long")
@@ -862,4 +892,4 @@ def format_timespan(seconds, fmt: str = "hh:mm:ss") -> Column:
     if frac:
         sub = F.floor((total % 1) * (10**frac)).cast("long")
         out = F.concat(out, F.lit("."), F.lpad(sub.cast("string"), frac, "0"))
-    return out
+    return F.when(signed < 0, F.concat(F.lit("-"), out)).otherwise(out)

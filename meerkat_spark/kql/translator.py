@@ -1326,12 +1326,37 @@ class Translator:
         df = t.to_df().withColumn(
             "__scan_ord", F.row_number().over(W.orderBy(*self.serialize_order))
         )
-        preds = [_c(self.expr(p)) for (_name, p) in a["steps"]]
         from meerkat_spark.types import kql_to_spark
 
         decl = {
             v: kql_to_spark(t).simpleString() for v, t in a.get("declare", [])
         }
+        # Split each step predicate: var-free conjuncts stay JVM-side
+        # (codegen gate), conjuncts referencing declared variables are
+        # compiled to python residuals evaluated inside the machine.
+        decl_names = set(decl)
+        in_cols = set(df.columns)
+        preds: list[Column] = []
+        py_preds: list = []
+        for _name, past in a["steps"]:
+            conjs = _scan_split_and(past)
+            free = [c for c in conjs if not _scan_refs_vars(c, decl_names)]
+            dep = [c for c in conjs if _scan_refs_vars(c, decl_names)]
+            gate = _c(self.expr(free[0])) if free else F.lit(True)
+            for c in free[1:]:
+                gate = gate & _c(self.expr(c))
+            preds.append(gate)
+            if dep:
+                fns = [
+                    _scan_compile_pypred(c, decl_names, in_cols) for c in dep
+                ]
+                py_preds.append(
+                    (lambda _fns: lambda row, vars: all(
+                        f(row, vars) for f in _fns
+                    ))(fns)
+                )
+            else:
+                py_preds.append(None)
         step_assign = [
             {v: _c(self.expr(e)) for v, e in step_a}
             for step_a in (a.get("assigns") or [[] for _ in preds])
@@ -1345,6 +1370,7 @@ class Translator:
             declare=decl or None,
             step_assign=step_assign if any(step_assign) else None,
             concurrent=a.get("kind") == "concurrent",
+            step_py_preds=py_preds if any(py_preds) else None,
         ).drop("__scan_ord")
         return MeerkatTable(out)
 
@@ -1423,3 +1449,182 @@ def execute_kql(engine, text: str) -> DataFrame:
         raise
     engine._kql_persisted = tr.persisted
     return out
+
+
+# --- scan: variable-dependent step predicates (python residual) -------------
+# Kusto's scan allows declared variables inside step conditions. The
+# JVM cannot evaluate those (variable values are sequence state, not
+# columns), so ap_scan splits each step predicate's top-level AND into
+# a var-free conjunct (precomputed JVM-side, the cheap gate) and a
+# var-dependent residual compiled here into a picklable
+# (row: dict, vars: dict) -> bool closure, run inside the (already
+# sequential) scan machine only on rows that passed the JVM gate.
+
+def _scan_split_and(node: Any) -> list:
+    if isinstance(node, P.Binary) and node.op == "and":
+        return _scan_split_and(node.left) + _scan_split_and(node.right)
+    return [node]
+
+
+def _scan_refs_vars(node: Any, names: set) -> bool:
+    import dataclasses as _dc
+
+    if isinstance(node, P.Ident):
+        return node.name in names
+    if _dc.is_dataclass(node) and not isinstance(node, type):
+        return any(
+            _scan_refs_vars(getattr(node, f.name), names) for f in _dc.fields(node)
+        )
+    if isinstance(node, (list, tuple)):
+        return any(_scan_refs_vars(x, names) for x in node)
+    return False
+
+
+def _pv_isnull(x: Any) -> bool:
+    if x is None:
+        return True
+    try:
+        import pandas as _pd
+
+        return bool(_pd.isna(x))
+    except (TypeError, ValueError):
+        return False
+
+
+def _pv_add(a: Any, b: Any) -> Any:
+    import datetime as _dt
+
+    if _pv_isnull(a) or _pv_isnull(b):
+        return None
+    # timespans are seconds-valued in this engine (SURVEY §2.2.3)
+    if isinstance(a, _dt.datetime) and isinstance(b, (int, float)):
+        return a + _dt.timedelta(seconds=float(b))
+    if isinstance(b, _dt.datetime) and isinstance(a, (int, float)):
+        return b + _dt.timedelta(seconds=float(a))
+    return a + b
+
+
+def _pv_sub(a: Any, b: Any) -> Any:
+    import datetime as _dt
+
+    if _pv_isnull(a) or _pv_isnull(b):
+        return None
+    if isinstance(a, _dt.datetime) and isinstance(b, _dt.datetime):
+        return (a - b).total_seconds()
+    if isinstance(a, _dt.datetime) and isinstance(b, (int, float)):
+        return a - _dt.timedelta(seconds=float(b))
+    return a - b
+
+
+def _pv_cmp(op: str, a: Any, b: Any) -> bool:
+    # KQL null tri-state collapses to 'no match' inside a predicate
+    if _pv_isnull(a) or _pv_isnull(b):
+        return False
+    if op == "=~":
+        return str(a).lower() == str(b).lower()
+    if op == "!~":
+        return str(a).lower() != str(b).lower()
+    import operator as _op
+
+    table = {
+        "==": _op.eq, "!=": _op.ne, "<": _op.lt,
+        "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    }
+    return bool(table[op](a, b))
+
+
+def _scan_compile_pypred(node: Any, var_names: set, columns: set):
+    """AST → (row, vars) -> bool. Supported: literals (incl. timespan/
+    datetime), column & declared-variable refs, unary -/not, and/or,
+    comparisons, + - * / % with datetime/timespan coercion, between,
+    in/!in. Anything wider (function calls, dynamic access) raises —
+    keep such subexpressions out of the var-dependent conjunct."""
+
+    def comp(n: Any):
+        if isinstance(n, P.Lit):
+            v = n.value
+            return lambda row, vars: v
+        if isinstance(n, P.Timespan):
+            s = n.seconds
+            return lambda row, vars: s
+        if isinstance(n, P.DateTimeLit):
+            import pandas as _pd
+
+            ts = _pd.Timestamp(n.text)
+            return lambda row, vars: ts
+        if isinstance(n, P.Ident):
+            name = n.name
+            if name in var_names:
+                return lambda row, vars: vars.get(name)
+            if name in columns:
+                return lambda row, vars: row.get(name)
+            raise KqlSyntaxError(
+                f"scan predicate references unknown name {name!r} "
+                "(not a declared variable or input column)"
+            )
+        if isinstance(n, P.Unary):
+            f = comp(n.operand)
+            if n.op == "-":
+                return lambda row, vars: (
+                    None if _pv_isnull(v := f(row, vars)) else -v
+                )
+            if n.op == "not":
+                return lambda row, vars: not f(row, vars)
+        if isinstance(n, P.Between):
+            e, lo, hi = comp(n.expr), comp(n.low), comp(n.high)
+            return lambda row, vars: (
+                _pv_cmp("<=", lo(row, vars), e(row, vars))
+                and _pv_cmp("<=", e(row, vars), hi(row, vars))
+            )
+        if isinstance(n, P.InList):
+            e = comp(n.expr)
+            vs = [comp(v) for v in n.values]
+            neg, ci = n.negated, n.case_insensitive
+
+            def _in(row, vars):
+                x = e(row, vars)
+                if _pv_isnull(x):
+                    return False
+                if ci:
+                    x = str(x).lower()
+                hit = any(
+                    (str(v(row, vars)).lower() if ci else v(row, vars)) == x
+                    for v in vs
+                )
+                return (not hit) if neg else hit
+
+            return _in
+        if isinstance(n, P.Binary):
+            op = n.op
+            lf, rf = comp(n.left), comp(n.right)
+            if op == "and":
+                return lambda row, vars: bool(lf(row, vars)) and bool(rf(row, vars))
+            if op == "or":
+                return lambda row, vars: bool(lf(row, vars)) or bool(rf(row, vars))
+            if op in ("==", "!=", "<", "<=", ">", ">=", "=~", "!~"):
+                return lambda row, vars: _pv_cmp(op, lf(row, vars), rf(row, vars))
+            if op == "+":
+                return lambda row, vars: _pv_add(lf(row, vars), rf(row, vars))
+            if op == "-":
+                return lambda row, vars: _pv_sub(lf(row, vars), rf(row, vars))
+            if op in ("*", "/", "%"):
+
+                def _ar(row, vars, _o=op, _l=lf, _r=rf):
+                    x, y = _l(row, vars), _r(row, vars)
+                    if _pv_isnull(x) or _pv_isnull(y):
+                        return None
+                    if _o == "*":
+                        return x * y
+                    if _o == "/":
+                        return x / y if y else None
+                    return x % y if y else None
+
+                return _ar
+        raise KqlSyntaxError(
+            "scan: variable-dependent step predicates support literals, "
+            "column/variable refs, comparisons, arithmetic, between and "
+            f"in — got {type(n).__name__}"
+        )
+
+    f = comp(node)
+    return lambda row, vars: bool(f(row, vars))

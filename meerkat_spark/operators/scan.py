@@ -14,9 +14,14 @@ Scale shape: step predicates AND assignment values are evaluated
 JVM-side as ordinary columns BEFORE the sequential pass — codegen,
 pushdown-friendly; the Python state machine only sees packed booleans
 plus precomputed assignment values, and merely snapshots them per
-matched row (declared variables therefore cannot appear inside step
-predicates — that would need per-row Python evaluation; Kusto's full
-scan allows it, this subset rejects it by construction). The
+matched row. Declared variables MAY appear inside step predicates
+(full Kusto parity): such predicates are split by the caller into a
+var-free conjunct (still precomputed JVM-side — the cheap gate) and a
+var-dependent residual passed as `step_py_preds[k]`, evaluated
+per-CANDIDATE-row inside the machine against the candidate sequence's
+current variable values. The residual only runs on rows that already
+passed the JVM gate, and the machine is an inherently-sequential
+per-row loop regardless, so this adds no new asymptotic cost. The
 sequential pass runs per `partition_by` group via applyInPandas (one
 shuffle on the key). Sequence matching is inherently ordered; without
 partition keys the scan degrades to a single sequential partition —
@@ -41,6 +46,7 @@ def scan_steps(
     declare: dict[str, str] | None = None,
     step_assign: list[dict[str, Column]] | None = None,
     concurrent: bool = False,
+    step_py_preds: list | None = None,
 ) -> DataFrame:
     """Rows participating in completed step sequences, with
     (`match_id_col`, `step_index`) appended. A row advances the machine
@@ -67,7 +73,18 @@ def scan_steps(
     promotion replaces any older match already at that step
     (newest-wins — the one-match-per-step simplification of Kusto's
     full state tables, which accumulate every partial match and can go
-    quadratic on pathological inputs)."""
+    quadratic on pathological inputs).
+
+    `step_py_preds[k]`, when given, is `None` or a callable
+    `(row: dict, vars: dict) -> bool` — the var-dependent residual of
+    step k's predicate. A row matches step k only when BOTH the
+    precomputed `steps[k]` flag is true AND the residual accepts the
+    row under the CANDIDATE sequence's current variable values (the
+    values before this row's own assignments). In concurrent mode the
+    residual is evaluated per candidate state: promote is checked
+    against the step-(k-1) match's variables, hold against the step-k
+    match's variables — the same record can therefore fail a promote
+    but still hold, exactly as variable-conditioned Kusto scans do."""
     n_steps = len(steps)
     if n_steps == 0:
         raise ValueError("scan needs at least one step")
@@ -114,10 +131,19 @@ def scan_steps(
     # the machine must close over NAMES only — Column objects hold JVM
     # references and don't pickle into the worker
     step_var_names = [list(a) for a in assigns]
+    py_preds = list(step_py_preds or [None] * n_steps)
+    if len(py_preds) != n_steps:
+        raise ValueError("step_py_preds needs one entry (or None) per step")
+    has_py = any(p is not None for p in py_preds)
 
     def machine(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = pdf[flag_cols].fillna(False).to_numpy(dtype=bool)
+        rows = pdf.to_dict("records") if has_py else None
+
+        def pyok(k: int, i: int, var_vals: dict) -> bool:
+            p = py_preds[k]
+            return True if p is None else bool(p(rows[i], var_vals))
 
         def apply_assigns(s: int, i: int, var_vals: dict) -> dict:
             step_vars = step_var_names[s]
@@ -152,22 +178,25 @@ def scan_steps(
                     if not flags[i, k]:
                         continue
                     if k == 0:
+                        fresh = {v: None for v in var_names}
                         if n_steps == 1:
                             # single-step scan: every matching record is
                             # a complete match of its own (greedy parity)
-                            vv = apply_assigns(0, i, {v: None for v in var_names})
-                            emit([[(i, vv)]], match_id)
-                            match_id += 1
-                        elif states[0] is not None:  # hold at step 1
-                            runs, vv = states[0]
+                            if pyok(0, i, fresh):
+                                vv = apply_assigns(0, i, fresh)
+                                emit([[(i, vv)]], match_id)
+                                match_id += 1
+                        elif states[0] is not None and pyok(0, i, states[0][1]):
+                            runs, vv = states[0]  # hold at step 1
                             vv = apply_assigns(0, i, vv)
                             runs[0].append((i, vv))
                             states[0] = (runs, vv)
-                        else:  # start a new concurrent sequence
-                            vv = apply_assigns(0, i, {v: None for v in var_names})
+                        elif states[0] is None and pyok(0, i, fresh):
+                            # start a new concurrent sequence
+                            vv = apply_assigns(0, i, fresh)
                             states[0] = ([[(i, vv)]], vv)
-                    elif states[k - 1] is not None:  # promote (move) k-1 → k
-                        runs, vv = states[k - 1]
+                    elif states[k - 1] is not None and pyok(k, i, states[k - 1][1]):
+                        runs, vv = states[k - 1]  # promote (move) k-1 → k
                         states[k - 1] = None
                         vv = apply_assigns(k, i, vv)
                         runs = runs + [[(i, vv)]]
@@ -176,8 +205,8 @@ def scan_steps(
                             match_id += 1
                         else:
                             states[k] = (runs, vv)  # newest-wins at step k
-                    elif states[k] is not None:  # hold at step k+1
-                        runs, vv = states[k]
+                    elif states[k] is not None and pyok(k, i, states[k][1]):
+                        runs, vv = states[k]  # hold at step k+1
                         vv = apply_assigns(k, i, vv)
                         runs[k].append((i, vv))
                         states[k] = (runs, vv)
@@ -196,7 +225,9 @@ def scan_steps(
         runs: list[list[tuple[int, dict]]] = []
         var_vals: dict = {v: None for v in var_names}
         for i in range(len(pdf)):
-            if flags[i, state]:          # advance beats hold (Kusto order)
+            # advance beats hold (Kusto order); the python residual sees
+            # the sequence's variables as of BEFORE this row
+            if flags[i, state] and pyok(state, i, var_vals):
                 var_vals = apply_assigns(state, i, var_vals)
                 runs.append([(i, var_vals)])
                 state += 1
@@ -206,7 +237,11 @@ def scan_steps(
                     state = 0
                     runs = []
                     var_vals = {v: None for v in var_names}
-            elif state > 0 and flags[i, state - 1]:
+            elif (
+                state > 0
+                and flags[i, state - 1]
+                and pyok(state - 1, i, var_vals)
+            ):
                 var_vals = apply_assigns(state - 1, i, var_vals)
                 runs[state - 1].append((i, var_vals))  # hold: extend the run
         out = pdf.iloc[keep_rows][data_cols].copy()

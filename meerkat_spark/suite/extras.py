@@ -518,3 +518,49 @@ def stratified_sample_hash_op(spark, sf_dir):
     return hash_sample_per_group(e, "event_type", 50, "event_id").select(
         "event_id", "event_type"
     )
+
+
+@register("scan_funnel_time_bound", oracle=None)
+def scan_funnel_time_bound(spark, sf_dir):
+    """Round-5: declared variable INSIDE a step predicate (full Kusto
+    scan parity) — view→purchase funnels where the purchase must land
+    within 6h of the sequence's own view timestamp. The time-bound
+    conjunct references t0, so it is compiled to the python residual
+    evaluated in the per-user machine against each candidate
+    sequence's state; the event-type conjunct stays a JVM gate
+    (kql/translator.py _scan_compile_pypred). Rows-only: stateful
+    sequence op, semantics pinned in tests/test_scan.py."""
+    from meerkat_spark.operators.scan import scan_steps
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    bound_s = 6 * 3600
+    out = scan_steps(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "purchase",
+        ],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        declare={"t0": "timestamp"},
+        step_assign=[{"t0": F.col("ts")}, {}],
+        step_py_preds=[
+            None,
+            lambda row, vars: (
+                vars["t0"] is not None
+                and (row["ts"] - vars["t0"]).total_seconds() <= bound_s
+            ),
+        ],
+        step_output=["none", "all"],
+    )
+    return (
+        out.withColumn(
+            "latency_s", F.timestamp_diff("SECOND", F.col("t0"), F.col("ts"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bounded_funnels"),
+            F.max("latency_s").alias("max_latency_s"),
+        )
+        .orderBy("user_id")
+    )

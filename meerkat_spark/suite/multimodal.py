@@ -40,10 +40,19 @@ def media_features(spark, sf_dir):
 
 @register("media_features_vec", oracle=None)
 def media_features_vec(spark, sf_dir):
-    """Ungraded variant keeping the raw array<float> feature column
-    (the actual pipeline output shape)."""
+    """Full-vector variant: the feature vector is serialized with
+    to_json so the driver's order-insensitive hasher can factorize the
+    cell (raw array<float> cells raised 'unhashable type: list' in
+    r3/r4). The vector content is fully represented — floats are
+    rounded to 6dp first so the JSON text is deterministic."""
     media = synthesize_media_table(spark, n=64)
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media)
+    rounded = F.transform("feat", lambda v: F.round(v.cast("double"), 6))
+    return feats.select(
+        "media_id",
+        "mime",
+        F.to_json(rounded).alias("feat_json"),
+    ).orderBy("media_id")
 
 
 @register("media_frame_sample", oracle=None)

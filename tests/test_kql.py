@@ -802,3 +802,32 @@ def test_round4_scalar_edge_cases(spark):
 
     with _pytest.raises(ValueError, match="unsupported pattern"):
         format_timespan(F.lit(10), "HH:MM")
+
+
+def test_round5_advice_scalar_fixes(spark):
+    """Round-5 advice fixes: format_timespan on negative spans renders
+    one leading '-' with abs-valued fields; has_any_index falls back to
+    phrase containment for terms with non-word chars; replace_strings
+    raises on mismatched lookup/rewrite lengths instead of nulling."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        'print ft = format_timespan(-3661, "hh:mm:ss"),'
+        ' ft2 = format_timespan(-90061.5, "d.hh:mm:ss"),'
+        ' ft3 = format_timespan(3661, "hh:mm:ss"),'
+        ' hi = has_any_index("the quick brown fox", dynamic(["lazy dog","quick brown"])),'
+        ' hi2 = has_any_index("a-b c", dynamic(["a-b"])),'
+        ' hi3 = has_any_index("xyz", dynamic(["no match"]))'
+    ).to_df().collect()[0]
+    assert row.ft == "-01:01:01"
+    assert row.ft2 == "-1.01:01:01"
+    assert row.ft3 == "01:01:01"
+    assert row.hi == 1  # phrase 'quick brown' matches by containment
+    assert row.hi2 == 0  # punctuation term matches as substring
+    assert row.hi3 == -1
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="length mismatch"):
+        eng.kql(
+            'print rs = replace_strings("x", dynamic(["a","b"]), dynamic(["y"]))'
+        ).to_df().collect()

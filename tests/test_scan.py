@@ -264,3 +264,68 @@ def test_concurrent_single_step_emits_every_match(spark):
         )
         got = sorted((r.ts, r.match_id) for r in out.collect())
         assert got == [(1, 0), (3, 1)], (conc, got)
+
+
+def test_scan_vars_in_predicate_greedy_kql(spark):
+    """Round-5: declared variables inside step predicates (full Kusto
+    parity). The time-bound conjunct is evaluated against the
+    sequence's own t0; a too-late buy does not complete the funnel,
+    and a later login re-arms t0 via the hold."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(1, "login"), (100, "buy"), (200, "login"), (220, "buy")],
+        "ts long, ev string",
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | sort by ts asc | scan declare (t0: long) with ("
+        ' step a: ev == "login" => t0 = ts;'
+        ' step b: ev == "buy" and ts - t0 < 50;)'
+    ).to_df()
+    got = sorted((r.ts, r.t0, r.match_id, r.step_index) for r in out.collect())
+    # buy@100 is 99s after t0=1 -> rejected; login@200 holds (t0=200);
+    # buy@220 completes. Both step-a rows emit with their own snapshots.
+    assert got == [(1, 1, 0, 0), (200, 200, 0, 0), (220, 200, 0, 1)]
+
+
+def test_scan_vars_in_predicate_concurrent(spark):
+    """Concurrent mode evaluates the var residual per candidate state:
+    promote is checked against the step-(k-1) match's variables, hold
+    against the step-k match's own variables."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(0, "s"), (5, "m"), (8, "s"), (15, "m"), (30, "m"), (50, "e")],
+        "ts long, ev string",
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | sort by ts asc | scan kind=concurrent declare (t0: long) with ("
+        ' step a: ev == "s" => t0 = ts;'
+        ' step b: ev == "m" and ts - t0 <= 10;'
+        ' step c: ev == "e" and ts - t0 <= 100;)'
+    ).to_df()
+    got = sorted((r.ts, r.t0, r.step_index) for r in out.collect())
+    # seq1 (t0=0) promotes to b at ts=5, then is evicted (newest-wins)
+    # by seq2 (t0=8) promoting at ts=15; m@30 fails BOTH the promote
+    # residual (30-8 > 10) and the hold residual (newest state t0=8,
+    # 30-8 > 10); e@50 completes seq2.
+    assert got == [(8, 8, 0), (15, 8, 1), (50, 8, 2)]
+
+
+def test_scan_var_pred_unsupported_construct_raises(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from meerkat_spark.kql.lexer import KqlSyntaxError
+
+    df = spark.createDataFrame([(1, "a")], "ts long, ev string")
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    with pytest.raises(KqlSyntaxError, match="variable-dependent"):
+        eng.kql(
+            "t | sort by ts asc | scan declare (t0: long) with ("
+            ' step a: ev == "a" => t0 = ts;'
+            " step b: strlen(ev) > t0;)"
+        ).to_df().collect()
