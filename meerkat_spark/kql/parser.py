@@ -766,6 +766,21 @@ class Parser:
         self.expect_ident("by")
         return OpNode("facet", {"cols": self.parse_name_list()})
 
+    def op_reduce(self) -> OpNode:
+        """`reduce by col [with threshold=0.x]` — pattern clustering.
+        threshold is parsed for grammar parity (Kusto tunes its
+        proprietary heuristic with it; the exact rewrite here has no
+        knob) and ignored."""
+        self.expect_ident("by")
+        col = str(self.expect("IDENT").value)
+        threshold = None
+        if self.at_ident("with"):
+            self.next()
+            self.expect_ident("threshold")
+            self.expect("OP", "=")
+            threshold = float(self.expect("NUMBER").value)
+        return OpNode("reduce", {"col": col, "threshold": threshold})
+
     def op_evaluate(self) -> OpNode:
         """`evaluate plugin(args)` — bag_unpack, pivot."""
         plugin = str(self.expect("IDENT").value).lower()

@@ -1176,6 +1176,113 @@ class Translator:
                 cond = F.col(c).isNotNull()
                 not_all_null = cond if not_all_null is None else (not_all_null | cond)
             return MeerkatTable(cube.filter(not_all_null))
+        if plugin == "basket":
+            # Kusto basket(): frequent itemsets of attribute values
+            # (Apriori). Kusto's plugin samples/heuristic-prunes; this
+            # variant is EXACT for the column-value itemset model: cube
+            # over the (≤4, by column order) string columns, keep
+            # combos with support ≥ threshold fraction (default 0.05).
+            # null segment values mean "any" (cube wildcard). One
+            # partial+final aggregate (2^k grouping sets, k ≤ 4) — no
+            # candidate-generation passes needed at this k.
+            frac = (
+                float(_raw(self.expr(a["args"][0]))) if a.get("args") else 0.05
+            )
+            df = t.to_df()
+            cats = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.simpleString() == "string"
+            ][:4]
+            if not cats:
+                raise KqlSyntaxError("basket needs at least one string column")
+            total = df.count()
+            out = (
+                df.cube(*cats)
+                .agg(F.count(F.lit(1)).alias("Count"))
+                .withColumn(
+                    "Percent",
+                    F.round(F.col("Count") * 100.0 / F.lit(total), 2),
+                )
+                .filter(F.col("Count") >= frac * total)
+            )
+            not_all_null = None
+            for c in cats:
+                cond = F.col(c).isNotNull()
+                not_all_null = (
+                    cond if not_all_null is None else (not_all_null | cond)
+                )
+            return MeerkatTable(out.filter(not_all_null))
+        if plugin == "diffpatterns":
+            # evaluate diffpatterns(SplitColumn, "valueA", "valueB"
+            #                       [, min_percent_diff])
+            # Patterns (attribute-value combos over the ≤4 remaining
+            # string columns) whose prevalence differs between the two
+            # row subsets. Kusto's plugin is heuristic; this variant is
+            # exact: one cube with two conditional counts, percent
+            # computed against each subset's own total (Kusto's
+            # definition), filtered on |PercentA − PercentB|.
+            if len(a.get("args") or []) < 3:
+                raise KqlSyntaxError(
+                    "diffpatterns(SplitColumn, valueA, valueB"
+                    "[, min_percent_diff])"
+                )
+            split_node = a["args"][0]
+            if not isinstance(split_node, P.Ident):
+                raise KqlSyntaxError("diffpatterns expects a split column name")
+            split = split_node.name
+            va = _raw(self.expr(a["args"][1]))
+            vb = _raw(self.expr(a["args"][2]))
+            min_diff = (
+                float(_raw(self.expr(a["args"][3])))
+                if len(a["args"]) > 3
+                else 1.0
+            )
+            df = t.to_df()
+            cats = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.simpleString() == "string" and f.name != split
+            ][:4]
+            if not cats:
+                raise KqlSyntaxError(
+                    "diffpatterns needs a string column besides the split"
+                )
+            both = df.filter(F.col(split).isin([va, vb]))
+            tot = both.groupBy().agg(
+                F.sum(F.when(F.col(split) == va, 1).otherwise(0)).alias("ta"),
+                F.sum(F.when(F.col(split) == vb, 1).otherwise(0)).alias("tb"),
+            ).collect()[0]
+            ta, tb = max(int(tot.ta or 0), 1), max(int(tot.tb or 0), 1)
+            out = (
+                both.cube(*cats)
+                .agg(
+                    F.sum(
+                        F.when(F.col(split) == va, 1).otherwise(0)
+                    ).alias("CountA"),
+                    F.sum(
+                        F.when(F.col(split) == vb, 1).otherwise(0)
+                    ).alias("CountB"),
+                )
+                .withColumn(
+                    "PercentA", F.round(F.col("CountA") * 100.0 / ta, 2)
+                )
+                .withColumn(
+                    "PercentB", F.round(F.col("CountB") * 100.0 / tb, 2)
+                )
+                .withColumn(
+                    "PercentDiff",
+                    F.round(F.abs(F.col("PercentA") - F.col("PercentB")), 2),
+                )
+                .filter(F.col("PercentDiff") >= min_diff)
+            )
+            not_all_null = None
+            for c in cats:
+                cond = F.col(c).isNotNull()
+                not_all_null = (
+                    cond if not_all_null is None else (not_all_null | cond)
+                )
+            return MeerkatTable(out.filter(not_all_null))
         if plugin == "narrow":
             # Kusto narrow(): transpose to (Row, Column, Value) triples,
             # values stringified. Row is the serialized row number —
@@ -1306,6 +1413,28 @@ class Translator:
     def ap_sample_distinct(self, t, a):
         # exact-N distinct values of one column (Kusto sample-distinct)
         return t.sample_distinct(int(a["n"]), a["col"])
+
+    def ap_reduce(self, t, a):
+        """KQL `reduce by` — cluster similar strings into patterns.
+        Kusto's algorithm is a proprietary heuristic; this variant is
+        EXACT and deterministic: the pattern replaces every digit run
+        and every ≥16-char word-token run (ids/hashes) with '*'.
+        Output mirrors Kusto's shape: (Pattern, Count, Representative).
+        Scale: one groupBy on the derived pattern — map-side combine,
+        pattern cardinality ≪ row count."""
+        col = a["col"]
+        pat = F.regexp_replace(F.col(col), r"\d+", "*")
+        pat = F.regexp_replace(pat, r"\w{16,}", "*")
+        out = (
+            t.to_df()
+            .withColumn("__pat", pat)
+            .groupBy(F.col("__pat").alias("Pattern"))
+            .agg(
+                F.count(F.lit(1)).alias("Count"),
+                F.min(col).alias("Representative"),
+            )
+        )
+        return MeerkatTable(out)
 
     def ap_scan(self, t, a):
         """KQL `scan` (greedy non-overlapping subset, operators/scan.py):

@@ -564,3 +564,61 @@ def scan_funnel_time_bound(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "series_fit_line_oracle",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS x
+      FROM events
+    ), fit AS (
+      SELECT user_id,
+             regr_slope(value, x) AS slope,
+             regr_intercept(value, x) AS intercept,
+             regr_r2(value, x) AS r2,
+             COUNT(*) AS n
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id,
+           round(round(slope, 6), 3) AS slope,
+           round(round(intercept, 6), 3) AS intercept,
+           round(round(r2, 6), 3) AS rsquare
+    FROM fit WHERE n >= 2
+    """,
+)
+def series_fit_line_oracle(spark, sf_dir):
+    """series_fit_line (functions/series.py) upgraded from rows-only to
+    a DuckDB oracle via regr_slope/intercept/r2 over the unrolled
+    series (x = 0..n-1, identical to the fit kernel). Rounded to 3dp —
+    numpy polyfit and DuckDB's closed-form regr_* agree to ~1e-12
+    relative, so only a pathological rounding-boundary value could
+    diverge. Arrays built with one groupBy(collect_list(struct)) —
+    map-side combine; the Arrow fit kernel sees one row per user."""
+    ev = _eng(spark, sf_dir).table("events").to_df()
+    from meerkat_spark.functions.series import series_fit_line
+
+    series = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("pts")
+        )
+        .filter(F.size("pts") >= 2)
+        .select(
+            "user_id",
+            F.transform("pts", lambda p: p["value"]).alias("vals"),
+        )
+    )
+    fit = series.select(
+        "user_id", series_fit_line(F.col("vals")).alias("fit")
+    )
+    return fit.select(
+        "user_id",
+        F.round(F.col("fit.slope"), 3).alias("slope"),
+        F.round(F.col("fit.intercept"), 3).alias("intercept"),
+        F.round(F.col("fit.rsquare"), 3).alias("rsquare"),
+    )

@@ -223,3 +223,86 @@ def kql_autocluster(spark, sf_dir):
     return MeerkatEngine(spark, sf_dir).kql(
         "documents | project lang, source | evaluate autocluster(5.0)"
     ).to_df()
+
+
+@register(
+    "kql_reduce_by",
+    oracle="""
+    SELECT regexp_replace(regexp_replace(text, '[0-9]+', '*', 'g'),
+                          '\\w{16,}', '*', 'g') AS Pattern,
+           COUNT(*)::BIGINT AS Count,
+           MIN(text) AS Representative
+    FROM documents WHERE doc_id < 2000
+    GROUP BY 1
+    """,
+)
+def kql_reduce_by(spark, sf_dir):
+    """`reduce by` — pattern clustering (round-5). Kusto's heuristic is
+    replaced by an exact rewrite (digit runs and ≥16-char tokens → '*'),
+    so the groups are fully oracle-checkable."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        "documents | where doc_id < 2000 | reduce by text"
+    ).to_df()
+
+
+@register(
+    "kql_basket",
+    oracle="""
+    SELECT lang, source, COUNT(*)::BIGINT AS Count,
+           round(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM documents), 2) AS Percent
+    FROM documents GROUP BY CUBE (lang, source)
+    HAVING COUNT(*) >= 0.05 * (SELECT COUNT(*) FROM documents)
+       AND NOT (GROUPING(lang) = 1 AND GROUPING(source) = 1)
+    """,
+)
+def kql_basket(spark, sf_dir):
+    """evaluate basket(0.05) — exact frequent-itemset mining over the
+    column-value model (cube + support threshold); null = wildcard."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        "documents | project lang, source | evaluate basket(0.05)"
+    ).to_df()
+
+
+@register(
+    "kql_diffpatterns",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS vband,
+             CAST(CAST(extract(hour FROM ts) AS BIGINT) % 4 AS VARCHAR) AS hband
+      FROM events WHERE event_type IN ('click', 'view')
+    ), tot AS (
+      SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS ta,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS tb
+      FROM base
+    )
+    SELECT vband, hband,
+           COUNT(*) FILTER (WHERE event_type = 'click')::BIGINT AS CountA,
+           COUNT(*) FILTER (WHERE event_type = 'view')::BIGINT AS CountB,
+           round(COUNT(*) FILTER (WHERE event_type = 'click') * 100.0
+                 / (SELECT ta FROM tot), 2) AS PercentA,
+           round(COUNT(*) FILTER (WHERE event_type = 'view') * 100.0
+                 / (SELECT tb FROM tot), 2) AS PercentB,
+           round(abs(round(COUNT(*) FILTER (WHERE event_type = 'click') * 100.0
+                           / (SELECT ta FROM tot), 2)
+                     - round(COUNT(*) FILTER (WHERE event_type = 'view') * 100.0
+                             / (SELECT tb FROM tot), 2)), 2) AS PercentDiff
+    FROM base GROUP BY CUBE (vband, hband)
+    HAVING NOT (GROUPING(vband) = 1 AND GROUPING(hband) = 1)
+       AND round(abs(round(COUNT(*) FILTER (WHERE event_type = 'click') * 100.0
+                           / (SELECT ta FROM tot), 2)
+                     - round(COUNT(*) FILTER (WHERE event_type = 'view') * 100.0
+                             / (SELECT tb FROM tot), 2)), 2) >= 0.05
+    """,
+)
+def kql_diffpatterns(spark, sf_dir):
+    """evaluate diffpatterns(event_type, 'click', 'view', 0.05) — exact
+    two-cohort pattern differ (one cube, two conditional counts, each
+    percent against its own cohort total)."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        """events | where event_type in ('click', 'view')
+           | extend vband = iff(value > 50, 'hi', 'lo'),
+                    hband = tostring(hourofday(ts) % 4)
+           | project event_type, vband, hband
+           | evaluate diffpatterns(event_type, 'click', 'view', 0.05)"""
+    ).to_df()

@@ -534,3 +534,82 @@ def text_compression_ratio(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     cr = compression_ratio_udf()
     return docs.select("doc_id", F.round(cr("text"), 6).alias("compression_ratio"))
+
+
+@register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             length(regexp_replace(text, '\\s+', '', 'g'))
+               * 1.0 / length(regexp_split_to_array(trim(text), '\\s+'))
+               AS mwl,
+             (length(text) - length(replace(text, '#', '')))
+               * 1.0 / length(text) AS hash_ratio,
+             (length(text) - length(replace(text, '...', '')))
+               / 3.0 / length(regexp_split_to_array(trim(text), '\\s+'))
+               AS ellipsis_ratio,
+             (text LIKE '% the %' OR text LIKE '% and %'
+              OR text LIKE '% to %' OR text LIKE '% of %') AS has_stopword
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, n_words::BIGINT AS n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(hash_ratio, 4) AS hash_ratio,
+           round(ellipsis_ratio, 4) AS ellipsis_ratio,
+           has_stopword
+    FROM m
+    WHERE n_words BETWEEN 50 AND 100000
+      AND mwl BETWEEN 3 AND 10
+      AND hash_ratio < 0.1
+      AND ellipsis_ratio < 0.3
+      AND has_stopword
+    """,
+)
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021, public) document quality gate as
+    one declarative filter: word count, mean word length, '#' symbol
+    ratio, ellipsis-per-word ratio, and stop-word presence — every
+    metric a built-in expression (no UDF), so the whole gate is
+    pushdown-friendly and bit-exactly oracle-checkable. At 100 TB this
+    is a single scan with WholeStageCodegen and zero shuffles."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    mwl = (
+        F.length(F.regexp_replace("text", r"\s+", "")) * F.lit(1.0) / n_words
+    )
+    hash_ratio = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        * F.lit(1.0)
+        / F.length("text")
+    )
+    ellipsis_ratio = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+        / F.lit(3.0)
+        / n_words
+    )
+    has_stopword = (
+        F.col("text").contains(" the ")
+        | F.col("text").contains(" and ")
+        | F.col("text").contains(" to ")
+        | F.col("text").contains(" of ")
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(hash_ratio, 4).alias("hash_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_ratio"),
+        has_stopword.alias("has_stopword"),
+        mwl.alias("__mwl"),
+        hash_ratio.alias("__hr"),
+        ellipsis_ratio.alias("__er"),
+    )
+    return m.filter(
+        F.col("n_words").between(50, 100000)
+        & F.col("__mwl").between(3, 10)
+        & (F.col("__hr") < 0.1)
+        & (F.col("__er") < 0.3)
+        & F.col("has_stopword")
+    ).drop("__mwl", "__hr", "__er")

@@ -831,3 +831,47 @@ def test_round5_advice_scalar_fixes(spark):
         eng.kql(
             'print rs = replace_strings("x", dynamic(["a","b"]), dynamic(["y"]))'
         ).to_df().collect()
+
+
+def test_reduce_by_patterns(spark):
+    df = spark.createDataFrame(
+        [("err 404 on node7",), ("err 500 on node12",), ("ok",),
+         ("deadbeefdeadbeefcafe token",)],
+        "msg string",
+    )
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    eng.catalog._cache["t"] = df
+    got = {
+        r.Pattern: (r.Count, r.Representative)
+        for r in eng.kql("t | reduce by msg").to_df().collect()
+    }
+    assert got["err * on node*"] == (2, "err 404 on node7")
+    assert got["ok"] == (1, "ok")
+    assert got["* token"] == (1, "deadbeefdeadbeefcafe token")
+
+
+def test_evaluate_basket_support(spark):
+    df = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 3 + [("b", "y")],
+        "c1 string, c2 string",
+    )
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    eng.catalog._cache["t"] = df
+    rows = eng.kql("t | evaluate basket(0.5)").to_df().collect()
+    got = {(r.c1, r.c2): r.Count for r in rows}
+    # support >= 5 of 10: {a}=9, {x}=6, {a,x}=6; grand total excluded
+    assert got == {("a", None): 9, (None, "x"): 6, ("a", "x"): 6}
+
+
+def test_evaluate_diffpatterns_cohorts(spark):
+    rows = [("A", "p")] * 8 + [("A", "q")] * 2 + [("B", "p")] * 2 + [("B", "q")] * 8
+    df = spark.createDataFrame(rows, "grp string, attr string")
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | evaluate diffpatterns(grp, 'A', 'B', 10.0)"
+    ).to_df().collect()
+    got = {r.attr: (r.CountA, r.CountB, r.PercentA, r.PercentB, r.PercentDiff)
+           for r in out}
+    assert got["p"] == (8, 2, 80.0, 20.0, 60.0)
+    assert got["q"] == (2, 8, 20.0, 80.0, 60.0)
