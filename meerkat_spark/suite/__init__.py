@@ -53,76 +53,71 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-4 rotation: r1+r3 windows drove 87 distinct queries green, so
-# this window holds (a) the one r3 defect re-grade, (b) every
-# oracle-backed query never yet driver-graded, (c) every rows-only
-# query never yet driver-graded, (d) re-confirmations for queries whose
-# code changed in round 4, (e) flagship representatives. Union target:
-# every registered query driver-graded at least once across r1-r4.
+# Round-5 rotation: after r1-r4, 110 distinct queries are driver-green
+# and every registered query except scalar_string_bytes has at least
+# one driver artifact row. This window holds (a) every never-graded
+# query — the r4 stragglers plus the eight new round-5 queries, (b)
+# re-grades for code changed in round 5 (the scan machine gained
+# variable-predicate residuals; media_features_vec switched to a
+# hashable to_json projection after its r4 red row), (c) refreshes for
+# the 39 oracle-backed queries whose newest green evidence is round 2
+# (oldest-first — every window keeps rotating so no query's record
+# goes stale).
 _PRIORITY: list[str] = [
-    # (a) r3 red row: feature vector now projected to hashable scalars
-    "media_features",
-    # (b) oracle-backed, never driver-graded through r1-r3
-    "agg_round3_variants",
-    "scalar_dynamic_json",
-    "scalar_arrays",
-    "scalar_array_ops",
-    "scalar_predicates",
-    "scalar_misc",
-    "scalar_extract_regex",
-    "scalar_datetime_extended",
-    "scalar_strings_extended",
-    "text_repetition",
-    "pack_chunks_op",
-    "kql_datatable",
-    "kql_top_hitters",
-    "kql_narrow",
-    "kql_autocluster",
-    "make_series_arrays",
-    "fork_legs",
-    "top_nested_with_others",
-    "mix_datasets_op",
-    # (c) rows-only, never driver-graded (weaker rows-only record, but
-    # each deserves at least one driver artifact row)
-    "agg_tdigest",
-    "text_quality_lang",
-    "lang_id_accuracy",
-    "text_compression_ratio",
-    "knn_cosine_topk_fast",
+    # (a) never driver-graded: the r4 straggler + round-5 additions
+    "scalar_string_bytes",
+    "scalar_format_fns",
+    "kql_reduce_by",
+    "kql_basket",
+    "kql_diffpatterns",
+    "series_fit_line_oracle",
+    "gopher_quality_filter",
+    "scan_funnel_time_bound",
+    # (b) round-5 code changes — re-grade
     "media_features_vec",
-    "media_frame_sample",
-    "media_resize",
-    "media_metadata_agg",
-    "sample_distinct_op",
-    "stratified_sample_op",
     "scan_funnel",
     "scan_funnel_latency",
-    # (d) code changed in round 4 — re-confirm green
-    "range_join_price_bands",
-    "asof_join_events",
-    "embedding_neardup_pairs",
-    "embedding_neardup_lsh",
-    "knn_lsh_topk",
-    "knn_ivf_topk",
-    "knn_cosine_topk",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_decontaminate_pairs",
-    "dedup_components",
-    # new in round 4: z-order/Kdtree-slot query side + deterministic
-    # hash-sampling oracles (their random siblings hold rows-only slots
-    # above; agg_pricing_summary / window_session_native /
-    # train_holdout_split rotate OUT — each already driver-green in two
-    # prior rounds)
-    "geo_bbox_distance",
-    "sample_hash_op",
-    "sample_distinct_hash_op",
-    "stratified_sample_hash_op",
-    # (e) flagship representatives
-    "summarize_bin_1h",
-    "kql_flagship",
+    # (c) oldest-evidence refreshes (last green in round 2)
+    "where_project",
+    "extend_compute",
+    "project_away_rename",
+    "project_keep_wildcard",
+    "count_op",
+    "distinct_op",
+    "top_orders",
+    "sort_take_asc",
+    "join_inner_agg",
+    "join_leftouter",
+    "join_rightouter",
+    "join_fullouter",
+    "join_leftsemi",
+    "join_leftanti",
+    "join_rightsemi",
+    "join_rightanti",
+    "join_innerunique",
+    "lookup_dim_chain",
+    "union_outer",
+    "union_inner_mismatched",
+    "mv_expand_words",
+    "mv_expand_indexed",
+    "range_table",
+    "print_scalars",
+    "search_term",
+    "parse_pattern",
+    "find_in_tables",
+    "agg_conditional",
+    "agg_dcount",
+    "agg_argmax_argmin",
+    "agg_percentiles",
+    "agg_stats",
+    "agg_make_set",
+    "agg_make_list_if",
+    "agg_take_any",
+    "agg_binary_all",
+    "agg_distinct_variants",
+    "scalar_strings",
+    "scalar_string_funcs2",
 ]
-
 
 def _ordered(mapping: dict) -> dict:
     head = {n: mapping[n] for n in _PRIORITY if n in mapping}

@@ -480,3 +480,51 @@ def scalar_string_bytes(spark, sf_dir):
              ir = indexof_regex(text, "the\\\\s+\\\\w+"),
              rs = replace_strings(text, dynamic(["the","and"]), dynamic(["THE","AND"]))"""
     ).to_df()
+
+
+@register(
+    "scalar_format_fns",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             CAST(n_chars - 300 AS DOUBLE) AS s1,
+             CAST((n_chars - 300) * 500 AS DOUBLE) AS s2
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CASE WHEN s1 < 0 THEN '-' ELSE '' END
+             || lpad(CAST(floor((abs(s1) % 86400) / 3600) AS BIGINT)::VARCHAR, 2, '0')
+             || ':' || lpad(CAST(floor((abs(s1) % 3600) / 60) AS BIGINT)::VARCHAR, 2, '0')
+             || ':' || lpad(CAST(floor(abs(s1) % 60) AS BIGINT)::VARCHAR, 2, '0')
+             AS ft,
+           CASE WHEN s2 < 0 THEN '-' ELSE '' END
+             || CAST(floor(abs(s2) / 86400) AS BIGINT)::VARCHAR || '.'
+             || lpad(CAST(floor((abs(s2) % 86400) / 3600) AS BIGINT)::VARCHAR, 2, '0')
+             || ':' || lpad(CAST(floor((abs(s2) % 3600) / 60) AS BIGINT)::VARCHAR, 2, '0')
+             || ':' || lpad(CAST(floor(abs(s2) % 60) AS BIGINT)::VARCHAR, 2, '0')
+             AS ftd,
+           CASE WHEN contains(lower(text), 'the quick') THEN 0
+                WHEN list_contains(regexp_split_to_array(lower(text), '\\W+'), 'and')
+                  THEN 1
+                ELSE -1 END AS hai,
+           CASE WHEN contains(lower(text), 'zz plural zz') THEN 0
+                ELSE -1 END AS hai2
+    FROM m
+    """,
+)
+def scalar_format_fns(spark, sf_dir):
+    """Round-5 fix pins, driver-graded: format_timespan renders
+    negative spans with one leading '-' over abs-valued fields (both
+    hh:mm:ss and d.hh:mm:ss shapes), and has_any_index falls back to
+    phrase containment for terms with non-word characters while plain
+    terms keep whole-token matching."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """documents | where doc_id < 300
+           | project doc_id,
+             ft = format_timespan(n_chars - 300, 'hh:mm:ss'),
+             ftd = format_timespan((n_chars - 300) * 500, 'd.hh:mm:ss'),
+             hai = has_any_index(text, dynamic(['the quick', 'and'])),
+             hai2 = has_any_index(text, dynamic(['zz plural zz']))"""
+    ).to_df()
