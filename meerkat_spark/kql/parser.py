@@ -240,6 +240,49 @@ class Parser:
         if self.at_ident("print"):
             self.next()
             return OpNode("print", {"cols": self.parse_named_exprs()})
+        if self.at_ident("externaldata"):
+            # externaldata (col:type, …) ['uri', …]
+            #   [with (format='csv', ignoreFirstRecord=true, …)]
+            self.next()
+            self.expect("PUNCT", "(")
+            schema = []
+            while not self.at("PUNCT", ")"):
+                cname = str(self.expect("IDENT").value)
+                self.expect("PUNCT", ":")
+                ctype = str(self.expect("IDENT").value).lower()
+                schema.append((cname, ctype))
+                if self.at("PUNCT", ","):
+                    self.next()
+            self.expect("PUNCT", ")")
+            self.expect("PUNCT", "[")
+            paths = [str(self.expect("STRING").value)]
+            while self.at("PUNCT", ","):
+                self.next()
+                paths.append(str(self.expect("STRING").value))
+            self.expect("PUNCT", "]")
+            props: dict[str, Any] = {}
+            if self.at_ident("with"):
+                self.next()
+                self.expect("PUNCT", "(")
+                while not self.at("PUNCT", ")"):
+                    k = str(self.expect("IDENT").value).lower()
+                    self.expect("OP", "=")
+                    tv = self.peek()
+                    if tv.kind in ("STRING", "IDENT", "NUMBER"):
+                        props[k] = str(self.next().value)
+                    else:
+                        raise KqlSyntaxError(
+                            f"externaldata option {k!r} needs a literal value"
+                        )
+                    if self.at("PUNCT", ","):
+                        self.next()
+                self.expect("PUNCT", ")")
+            if not schema:
+                raise KqlSyntaxError("externaldata needs a schema")
+            return OpNode(
+                "externaldata",
+                {"schema": schema, "paths": paths, "props": props},
+            )
         if self.at_ident("datatable"):
             # datatable(col: type, …) [ v1, v2, … ] — literal inline table
             self.next()

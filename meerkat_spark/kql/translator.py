@@ -657,6 +657,37 @@ class Translator:
             )
             rest = {"kind": node.args["kind"], "tables": tabs[1:]}
             return self.ap_union(base, rest) if tabs[1:] else base
+        if node.name == "externaldata":
+            # Kusto externaldata: ad-hoc external files with a declared
+            # schema → spark.read with the declared schema (columns
+            # pruned/pushed down by the source like any other scan).
+            # format: csv (default, ignoreFirstRecord → header), json,
+            # parquet, txt/raw → text.
+            from meerkat_spark.types import kql_to_spark
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField(n, kql_to_spark(ty), True)
+                    for n, ty in node.args["schema"]
+                ]
+            )
+            props = {k.lower(): v for k, v in node.args["props"].items()}
+            fmt = str(props.get("format", "csv")).lower()
+            if fmt in ("txt", "raw"):
+                fmt = "text"
+            if fmt == "multijson":
+                fmt = "json"
+            if fmt not in ("csv", "json", "parquet", "text"):
+                raise KqlSyntaxError(f"externaldata: unsupported format {fmt!r}")
+            reader = self.engine.spark.read.format(fmt)
+            if fmt != "parquet":
+                reader = reader.schema(schema)
+            if fmt == "csv":
+                header = str(props.get("ignorefirstrecord", "false")).lower()
+                reader = reader.option("header", header in ("true", "1"))
+            df = reader.load(node.args["paths"])
+            return MeerkatTable(df.select(*[f.name for f in schema]))
         if node.name == "datatable":
             # literal inline table: values evaluated driver-side (they
             # are literals by construction), one createDataFrame

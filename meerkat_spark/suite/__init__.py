@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "series_fit_line_oracle",
     "gopher_quality_filter",
     "scan_funnel_time_bound",
+    "kql_externaldata",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -116,7 +117,6 @@ _PRIORITY: list[str] = [
     "agg_binary_all",
     "agg_distinct_variants",
     "scalar_strings",
-    "scalar_string_funcs2",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -306,3 +306,25 @@ def kql_diffpatterns(spark, sf_dir):
            | project event_type, vband, hband
            | evaluate diffpatterns(event_type, 'click', 'view', 0.05)"""
     ).to_df()
+
+
+@register(
+    "kql_externaldata",
+    oracle="""
+    SELECT product, SUM(qty)::BIGINT AS n,
+           round(SUM(qty * price), 2) AS revenue
+    FROM read_csv('/root/repo/tests/data/ext_sales.csv', header=true,
+                  columns={'product':'VARCHAR','qty':'BIGINT','price':'DOUBLE'})
+    GROUP BY product
+    """,
+)
+def kql_externaldata(spark, sf_dir):
+    """externaldata source (round-5): ad-hoc CSV with declared schema
+    through the KQL front-end; DuckDB oracle reads the same file."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        "externaldata (product: string, qty: long, price: real)"
+        " ['/root/repo/tests/data/ext_sales.csv']"
+        " with (format='csv', ignoreFirstRecord=true)"
+        " | summarize n = sum(qty), revenue = round(sum(qty * price), 2)"
+        "   by product"
+    ).to_df()

@@ -875,3 +875,24 @@ def test_evaluate_diffpatterns_cohorts(spark):
            for r in out}
     assert got["p"] == (8, 2, 80.0, 20.0, 60.0)
     assert got["q"] == (2, 8, 20.0, 80.0, 60.0)
+
+
+def test_externaldata_csv(spark):
+    """`externaldata (schema) ['path'] with (format='csv',
+    ignoreFirstRecord=true)` reads ad-hoc files with the declared
+    schema, then behaves like any table source."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    out = eng.kql(
+        "externaldata (product: string, qty: long, price: real)"
+        " ['/root/repo/tests/data/ext_sales.csv']"
+        " with (format='csv', ignoreFirstRecord=true)"
+        " | summarize n = sum(qty), revenue = round(sum(qty * price), 2)"
+        "   by product"
+        " | sort by product asc"
+    ).to_df().collect()
+    got = [(r.product, r.n, r.revenue) for r in out]
+    assert got == [
+        ("doohickey", 5, 16.25),
+        ("gadget", 5, 122.50),
+        ("widget", 6, 59.94),
+    ]
