@@ -893,3 +893,85 @@ def format_timespan(seconds, fmt: str = "hh:mm:ss") -> Column:
         sub = F.floor((total % 1) * (10**frac)).cast("long")
         out = F.concat(out, F.lit("."), F.lpad(sub.cast("string"), frac, "0"))
     return F.when(signed < 0, F.concat(F.lit("-"), out)).otherwise(out)
+
+
+def series_dot_product(a, b) -> Column:
+    """KQL series_dot_product — Σ aᵢ·bᵢ over two numeric arrays. Pure
+    JVM HOFs (zip_with + aggregate), double accumulation left-to-right
+    (deterministic; matches a sequential SQL fold)."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def series_cosine_similarity(a, b) -> Column:
+    """KQL series_cosine_similarity — dot/(‖a‖·‖b‖); null when either
+    norm is zero (undefined angle)."""
+    dot = series_dot_product(a, b)
+    na = F.sqrt(series_dot_product(a, a))
+    nb = F.sqrt(series_dot_product(b, b))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))
+
+
+def array_iff(cond, when_true, when_false) -> Column:
+    """KQL array_iff — element-wise conditional over a bool array.
+    Branch arguments may be arrays (indexed per element) or scalars
+    (python literals, broadcast)."""
+    cnd = _c(cond)
+
+    def norm(branch):
+        # array (Column or literal list) → indexed per element;
+        # python scalar → broadcast
+        if isinstance(branch, Column):
+            return branch, True
+        if isinstance(branch, (list, tuple)):
+            return F.array(*[F.lit(v) for v in branch]), True
+        return F.lit(branch), False
+
+    tcol, t_arr = norm(when_true)
+    fcol, f_arr = norm(when_false)
+    return F.transform(
+        cnd,
+        lambda c, i: F.when(
+            c.cast("boolean"),
+            F.element_at(tcol, i + 1) if t_arr else tcol,
+        ).otherwise(F.element_at(fcol, i + 1) if f_arr else fcol),
+    )
+
+
+def regex_quote(x) -> Column:
+    """KQL regex_quote — escape regex metacharacters so the result
+    matches the input literally."""
+    return F.regexp_replace(_c(x), r"([\\.^$|?*+()\[\]{}])", r"\\$1")
+
+
+def bag_merge(b1, b2) -> Column:
+    """KQL bag_merge — merge two property bags (JSON objects); on key
+    conflict the FIRST bag wins (Kusto order). Values handled as JSON
+    strings (map<string,string> round-trip)."""
+    m1 = F.from_json(_c(b1), "map<string,string>")
+    m2 = F.from_json(_c(b2), "map<string,string>")
+    m2_new = F.map_filter(
+        m2, lambda k, v: ~F.array_contains(F.map_keys(m1), k)
+    )
+    return F.to_json(F.map_concat(m1, m2_new))
+
+
+def bag_remove_keys(bag, keys) -> Column:
+    """KQL bag_remove_keys — drop the listed keys from a property bag."""
+    m = F.from_json(_c(bag), "map<string,string>")
+    ks = _c(keys)
+    return F.to_json(
+        F.map_filter(m, lambda k, v: ~F.array_contains(ks, k))
+    )
+
+
+def geo_point_in_circle(lon, lat, center_lon, center_lat, radius_m) -> Column:
+    """KQL geo_point_in_circle — haversine distance ≤ radius (meters)."""
+    return geo_distance_2points(lon, lat, center_lon, center_lat) <= _c(
+        radius_m
+    ).cast("double")

@@ -1089,6 +1089,40 @@ class Parser:
                     self.expect("PUNCT", "]")
                     self.expect("PUNCT", ")")
                     return DynamicLit(items)
+                if self.at("PUNCT", "{"):
+                    # dynamic({"k": lit, …}) property-bag literal →
+                    # canonical JSON string (bags travel as JSON text)
+                    self.next()
+                    import json as _json
+
+                    bag: dict[str, Any] = {}
+                    while not self.at("PUNCT", "}"):
+                        kt = self.expect("STRING")
+                        self.expect("PUNCT", ":")
+                        vt = self.peek()
+                        if vt.kind in ("STRING", "NUMBER"):
+                            self.next()
+                            bag[str(kt.value)] = vt.value
+                        elif vt.kind == "IDENT" and str(vt.value) in (
+                            "true",
+                            "false",
+                            "null",
+                        ):
+                            self.next()
+                            bag[str(kt.value)] = {
+                                "true": True,
+                                "false": False,
+                                "null": None,
+                            }[str(vt.value)]
+                        else:
+                            raise KqlSyntaxError(
+                                "dynamic bag values must be literals"
+                            )
+                        if self.at("PUNCT", ","):
+                            self.next()
+                    self.expect("PUNCT", "}")
+                    self.expect("PUNCT", ")")
+                    return Lit(_json.dumps(bag, separators=(",", ":")))
                 e = self.parse_expr()
                 self.expect("PUNCT", ")")
                 return e

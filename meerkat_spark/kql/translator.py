@@ -203,6 +203,19 @@ _SCALARS: dict[str, Any] = {
     "geo_distance_2points": lambda a: S.geo_distance_2points(
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3])
     ),
+    "geo_point_in_circle": lambda a: S.geo_point_in_circle(
+        _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3]), _c(a[4])
+    ),
+    # round-5 additions
+    "series_dot_product": lambda a: S.series_dot_product(_c(a[0]), _c(a[1])),
+    "series_cosine_similarity": lambda a: S.series_cosine_similarity(
+        _c(a[0]), _c(a[1])
+    ),
+    "array_iff": lambda a: S.array_iff(a[0], a[1], a[2]),
+    "array_iif": lambda a: S.array_iff(a[0], a[1], a[2]),
+    "regex_quote": lambda a: S.regex_quote(_c(a[0])),
+    "bag_merge": lambda a: S.bag_merge(_c(a[0]), _c(a[1])),
+    "bag_remove_keys": lambda a: S.bag_remove_keys(_c(a[0]), _c(a[1])),
     # round-4 string/byte surface
     "tohex": lambda a: S.tohex(_c(a[0]), int(_raw(a[1])) if len(a) > 1 else None),
     "string_size": lambda a: S.string_size(_c(a[0])),

@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "gopher_quality_filter",
     "scan_funnel_time_bound",
     "kql_externaldata",
+    "scalar_series_similarity",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -116,7 +117,6 @@ _PRIORITY: list[str] = [
     "agg_take_any",
     "agg_binary_all",
     "agg_distinct_variants",
-    "scalar_strings",
 ]
 
 def _ordered(mapping: dict) -> dict:

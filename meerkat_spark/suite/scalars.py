@@ -528,3 +528,35 @@ def scalar_format_fns(spark, sf_dir):
              hai = has_any_index(text, dynamic(['the quick', 'and'])),
              hai2 = has_any_index(text, dynamic(['zz plural zz']))"""
     ).to_df()
+
+
+@register(
+    "scalar_series_similarity",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_append(embedding[2:]::DOUBLE[], embedding[1]::DOUBLE) AS rot
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           round(list_inner_product(e, e), 4) AS dp,
+           round(list_inner_product(e, rot)
+                 / (sqrt(list_inner_product(e, e))
+                    * sqrt(list_inner_product(rot, rot))), 4) AS cs
+    FROM v
+    """,
+)
+def scalar_series_similarity(spark, sf_dir):
+    """Round-5 series_dot_product / series_cosine_similarity through
+    the KQL front-end (JVM zip_with+aggregate fold, double
+    accumulation) against DuckDB's list_inner_product twin — the
+    second vector is the first rotated by one (array_rotate_left)."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """embeddings | where vec_id < 200
+           | project vec_id,
+             dp = round(series_dot_product(embedding, embedding), 4),
+             cs = round(series_cosine_similarity(
+                    embedding, array_rotate_left(embedding, 1)), 4)"""
+    ).to_df()

@@ -896,3 +896,32 @@ def test_externaldata_csv(spark):
         ("gadget", 5, 122.50),
         ("widget", 6, 59.94),
     ]
+
+
+def test_round5_scalar_additions(spark):
+    """series_dot_product / series_cosine_similarity, array_iff,
+    regex_quote, bag_merge (first-bag-wins), bag_remove_keys,
+    geo_point_in_circle."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        'print dp = series_dot_product(dynamic([1, 2, 3]), dynamic([4, 5, 6])),'
+        ' cs = round(series_cosine_similarity(dynamic([1, 0]), dynamic([0, 1])), 6),'
+        ' cs2 = round(series_cosine_similarity(dynamic([2, 0]), dynamic([4, 0])), 6),'
+        ' ai = array_iff(dynamic([true, false, true]), dynamic([1, 2, 3]), dynamic([9, 8, 7])),'
+        ' ai2 = array_iff(dynamic([true, false]), 1, 0),'
+        ' rq = regex_quote("a.b*c(d)"),'
+        ' bm = bag_merge(dynamic({"a": "1", "b": "2"}), dynamic({"b": "9", "c": "3"})),'
+        ' br = bag_remove_keys(dynamic({"a": "1", "b": "2"}), dynamic(["b"])),'
+        ' pic = geo_point_in_circle(0.01, 0.0, 0.0, 0.0, 2000),'
+        ' pic2 = geo_point_in_circle(1.0, 0.0, 0.0, 0.0, 2000)'
+    ).to_df().collect()[0]
+    assert row.dp == 32.0
+    assert row.cs == 0.0 and row.cs2 == 1.0
+    assert row.ai == [1, 8, 3]
+    assert row.ai2 == [1, 0]
+    assert row.rq == "a\\.b\\*c\\(d\\)"
+    import json as _json
+
+    assert _json.loads(row.bm) == {"a": "1", "b": "2", "c": "3"}
+    assert _json.loads(row.br) == {"a": "1"}
+    assert row.pic is True and row.pic2 is False

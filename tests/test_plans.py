@@ -273,3 +273,51 @@ def test_minhash_routed_single_arrow_stage(eng):
     # banding groups by (band_id, band_hash); bucket-pair expansion is
     # JVM HOFs — no applyInPandas stage beyond the signature kernel
     assert plan.count("FlatMapGroupsInPandas") == 0, plan[:2000]
+
+
+def test_gopher_filter_is_single_stage_no_python(eng, spark):
+    """The Gopher quality gate is one codegen scan: no exchange, no
+    Python eval in the plan."""
+    from meerkat_spark.suite.textops import gopher_quality_filter
+
+    df = gopher_quality_filter(spark, SF)
+    plan = plan_of(df)
+    a = audit(df)
+    assert a.exchanges == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' marks WholeStageCodegen spans in the simple plan string
+    assert re.search(r"\*\(\d+\)", plan)
+
+
+def test_basket_cube_is_one_aggregate(eng, spark):
+    """evaluate basket: cube = Expand + partial/final aggregate — one
+    shuffle, no join, no Python."""
+    from meerkat_spark.suite.kqlqueries import kql_basket
+
+    df = kql_basket(spark, SF)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # partial→final agg (+AQE read)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_reduce_by_single_groupby(eng, spark):
+    from meerkat_spark.suite.kqlqueries import kql_reduce_by
+
+    df = kql_reduce_by(spark, SF)
+    a = audit(df)
+    assert a.exchanges <= 1
+    assert "BatchEvalPython" not in plan_of(df)
+
+
+def test_externaldata_prunes_columns(eng):
+    df = (
+        eng.kql(
+            "externaldata (product: string, qty: long, price: real)"
+            " ['/root/repo/tests/data/ext_sales.csv']"
+            " with (format='csv', ignoreFirstRecord=true)"
+            " | project product"
+        ).to_df()
+    )
+    assert set(read_schema_columns(df)) == {"product"}
