@@ -975,3 +975,22 @@ def geo_point_in_circle(lon, lat, center_lon, center_lat, radius_m) -> Column:
     return geo_distance_2points(lon, lat, center_lon, center_lat) <= _c(
         radius_m
     ).cast("double")
+
+
+def parse_csv(x) -> Column:
+    """KQL parse_csv — split one CSV record into a string array,
+    honoring double-quoted fields with '""' escapes. Pure JVM regex
+    (one field per match: quoted run or bare run)."""
+    fields = F.regexp_extract_all(
+        _c(x), F.lit('(?:^|,)("(?:[^"]|"")*"|[^,]*)'), 1
+    )
+
+    def unquote(s):
+        inner = s.substr(F.lit(2), F.length(s) - 2)
+        return F.when(
+            F.startswith(s, F.lit('"')) & F.endswith(s, F.lit('"'))
+            & (F.length(s) >= 2),
+            F.replace(inner, F.lit('""'), F.lit('"')),
+        ).otherwise(s)
+
+    return F.transform(fields, unquote)

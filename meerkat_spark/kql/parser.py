@@ -615,10 +615,14 @@ class Parser:
 
     def op_union(self) -> OpNode:
         kind = "outer"
-        if self.at_ident("kind"):
-            self.next()
+        withsource = None
+        while self.at_ident("kind") or self.at_ident("withsource"):
+            w = self.expect_ident("kind", "withsource")
             self.expect("OP", "=")
-            kind = self.expect_ident("outer", "inner")
+            if w == "kind":
+                kind = self.expect_ident("outer", "inner")
+            else:
+                withsource = str(self.expect("IDENT").value)
         tables = []
         while True:
             if self.at("PUNCT", "("):
@@ -631,7 +635,10 @@ class Parser:
                 self.next()
                 continue
             break
-        return OpNode("union", {"kind": kind, "tables": tables})
+        return OpNode(
+            "union",
+            {"kind": kind, "tables": tables, "withsource": withsource},
+        )
 
     def op_mv_expand(self) -> OpNode:
         """mv-expand [with_itemindex=ix] [name =] arrayExpr
@@ -1126,6 +1133,24 @@ class Parser:
                 e = self.parse_expr()
                 self.expect("PUNCT", ")")
                 return e
+            if low == "toscalar" and self.at("PUNCT", "("):
+                # toscalar(T | …) — scalar subquery (first column of
+                # first row). Try the pipeline form; fall back to a
+                # plain expression argument.
+                self.next()
+                save = self.i
+                node: Any = None
+                try:
+                    pipe = self.parse_pipeline()
+                    if self.at("PUNCT", ")"):
+                        node = pipe
+                except KqlSyntaxError:
+                    pass
+                if node is None:
+                    self.i = save
+                    node = self.parse_expr()
+                self.expect("PUNCT", ")")
+                return Call("toscalar", [node])
             if self.at("PUNCT", "("):
                 self.next()
                 args = []

@@ -214,6 +214,7 @@ _SCALARS: dict[str, Any] = {
     "array_iff": lambda a: S.array_iff(a[0], a[1], a[2]),
     "array_iif": lambda a: S.array_iff(a[0], a[1], a[2]),
     "regex_quote": lambda a: S.regex_quote(_c(a[0])),
+    "parse_csv": lambda a: S.parse_csv(_c(a[0])),
     "bag_merge": lambda a: S.bag_merge(_c(a[0]), _c(a[1])),
     "bag_remove_keys": lambda a: S.bag_remove_keys(_c(a[0]), _c(a[1])),
     # round-4 string/byte surface
@@ -521,6 +522,25 @@ class Translator:
                 if cname in fields:
                     return F.lit(spark_to_kql(fields[cname]))
             raise KqlSyntaxError("gettype() expects a single column name")
+        if name == "toscalar":
+            # scalar subquery: first column of the first row, evaluated
+            # once driver-side (bounded: limit(1) collect — the Kusto
+            # contract expects a 1-row pipeline, e.g. summarize)
+            arg = node.args[0]
+            if isinstance(arg, P.Pipeline):
+                df = self.pipeline(arg)
+                rows = df.limit(1).collect()
+                if not rows or len(rows[0]) == 0:
+                    return F.lit(None)
+                return F.lit(rows[0][0])
+            return _c(self.expr(arg, agg=agg))
+        if name == "pack_all":
+            # property bag of the whole row (current schema)
+            if self._cur_schema is None:
+                raise KqlSyntaxError("pack_all() needs a table context")
+            return F.to_json(
+                F.struct(*[F.col(f.name) for f in self._cur_schema.fields])
+            )
         if name == "column_ifexists":
             # schema-resolved: the column when it exists, else the
             # default expression (Kusto's optional-column idiom)
@@ -668,8 +688,21 @@ class Translator:
                 if isinstance(first, P.Pipeline)
                 else self.table(first)
             )
-            rest = {"kind": node.args["kind"], "tables": tabs[1:]}
-            return self.ap_union(base, rest) if tabs[1:] else base
+            rest = {
+                "kind": node.args["kind"],
+                "tables": tabs[1:],
+                "withsource": node.args.get("withsource"),
+                "base_name": first if isinstance(first, str) else "union_arg_0",
+            }
+            if tabs[1:]:
+                return self.ap_union(base, rest)
+            if rest["withsource"]:
+                return MeerkatTable(
+                    base.df.select(
+                        F.lit(rest["base_name"]).alias(rest["withsource"]), "*"
+                    )
+                )
+            return base
         if node.name == "externaldata":
             # Kusto externaldata: ad-hoc external files with a declared
             # schema → spark.read with the declared schema (columns
@@ -885,11 +918,32 @@ class Translator:
 
     def ap_union(self, t, a):
         others = []
-        for tab in a["tables"]:
+        names: list[str] = []
+        for i, tab in enumerate(a["tables"]):
             if isinstance(tab, P.Pipeline):
+                nm = (
+                    str(tab.source.args.get("name"))
+                    if tab.source.name == "table"
+                    else f"union_arg_{i + 1}"
+                )
                 others.append(self.pipeline(tab))
             else:
+                nm = str(tab)
                 others.append(self.table(tab).df)
+            names.append(nm)
+        ws = a.get("withsource")
+        if ws:
+            # Kusto `union withsource=Col`: label every row with its
+            # originating table (base leg gets its source-form name, or
+            # '' in the operator form where the left side is unnamed)
+            base = t.df.select(
+                F.lit(a.get("base_name") or "").alias(ws), "*"
+            )
+            others = [
+                d.select(F.lit(nm).alias(ws), "*")
+                for d, nm in zip(others, names)
+            ]
+            t = MeerkatTable(base)
         return t.union(*others, kind=a["kind"])
 
     def ap_mv_expand(self, t, a):

@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "scan_funnel_time_bound",
     "kql_externaldata",
     "scalar_series_similarity",
+    "kql_union_withsource",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",

@@ -328,3 +328,19 @@ def kql_externaldata(spark, sf_dir):
         " | summarize n = sum(qty), revenue = round(sum(qty * price), 2)"
         "   by product"
     ).to_df()
+
+
+@register(
+    "kql_union_withsource",
+    oracle="""
+    SELECT 'region' AS Src, COUNT(*)::BIGINT AS n FROM region
+    UNION ALL
+    SELECT 'nation' AS Src, COUNT(*)::BIGINT AS n FROM nation
+    """,
+)
+def kql_union_withsource(spark, sf_dir):
+    """union withsource= (round-5): every row labeled with its
+    originating table."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        "union withsource=Src region, nation | summarize n = count() by Src"
+    ).to_df()

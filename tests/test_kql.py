@@ -925,3 +925,32 @@ def test_round5_scalar_additions(spark):
     assert _json.loads(row.bm) == {"a": "1", "b": "2", "c": "3"}
     assert _json.loads(row.br) == {"a": "1"}
     assert row.pic is True and row.pic2 is False
+
+
+def test_round5_toscalar_pack_all_parse_csv(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | extend mx = toscalar(t | summarize max(id))"
+        " | where id == mx | extend bag = pack_all()"
+    ).to_df().collect()
+    assert len(out) == 1 and out[0].id == 3 and out[0].mx == 3
+    import json as _json
+
+    assert _json.loads(out[0].bag) == {"id": 3, "v": "c", "mx": 3}
+    row = eng.kql(
+        'print c = parse_csv("a,\\"x,\\"\\"y\\"\\"\\",b"), c2 = parse_csv("1,2,3")'
+    ).to_df().collect()[0]
+    assert row.c == ["a", 'x,"y"', "b"]
+    assert row.c2 == ["1", "2", "3"]
+
+
+def test_round5_union_withsource(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(2,)], "x long")
+    eng.catalog._cache["ta"] = a
+    eng.catalog._cache["tb"] = b
+    out = eng.kql("union withsource=Src ta, tb | sort by x asc").to_df().collect()
+    assert [(r.Src, r.x) for r in out] == [("ta", 1), ("tb", 2)]
