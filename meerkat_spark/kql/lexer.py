@@ -28,7 +28,9 @@ _OPS = [
 _PUNCT = ["|", "(", ")", "[", "]", "{", "}", ",", ";", ".", ":", "$"]
 
 # operator families that legitimately contain hyphens
-_HYPHEN_OPS = {"project", "top", "mv", "sample", "parse", "make", "top-nested"}
+_HYPHEN_OPS = {
+    "project", "top", "mv", "sample", "parse", "make", "top-nested", "graph",
+}
 
 TIMESPAN_SECONDS = {
     "d": 86400.0,

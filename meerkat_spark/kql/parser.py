@@ -816,6 +816,57 @@ class Parser:
         self.expect_ident("by")
         return OpNode("facet", {"cols": self.parse_name_list()})
 
+    def op_make_graph(self) -> OpNode:
+        """`make-graph src --> dst [with NodesTable on id]` — the piped
+        table is the edge list."""
+        src = str(self.expect("IDENT").value)
+        self.expect("OP", "-")
+        self.expect("OP", "-")
+        self.expect("OP", ">")
+        dst = str(self.expect("IDENT").value)
+        nodes = node_id = None
+        if self.at_ident("with"):
+            self.next()
+            nodes = str(self.expect("IDENT").value)
+            self.expect_ident("on")
+            node_id = str(self.expect("IDENT").value)
+        return OpNode(
+            "make-graph",
+            {"src": src, "dst": dst, "nodes": nodes, "node_id": node_id},
+        )
+
+    def op_graph_match(self) -> OpNode:
+        """`graph-match (a)-[e1]->(b)[-[e2]->(c)…] [where pred]
+        project name = expr, …` — fixed-length directed path patterns
+        (no variable-length edges; named variables required)."""
+        nodes: list[str] = []
+        edges: list[str] = []
+        self.expect("PUNCT", "(")
+        nodes.append(str(self.expect("IDENT").value))
+        self.expect("PUNCT", ")")
+        while self.at("OP", "-"):
+            self.next()
+            self.expect("PUNCT", "[")
+            edges.append(str(self.expect("IDENT").value))
+            self.expect("PUNCT", "]")
+            self.expect("OP", "-")
+            self.expect("OP", ">")
+            self.expect("PUNCT", "(")
+            nodes.append(str(self.expect("IDENT").value))
+            self.expect("PUNCT", ")")
+        if not edges:
+            raise KqlSyntaxError("graph-match needs at least one edge")
+        pred = None
+        if self.at_ident("where"):
+            self.next()
+            pred = self.parse_expr()
+        self.expect_ident("project")
+        cols = self.parse_named_exprs()
+        return OpNode(
+            "graph-match",
+            {"nodes": nodes, "edges": edges, "pred": pred, "cols": cols},
+        )
+
     def op_reduce(self) -> OpNode:
         """`reduce by col [with threshold=0.x]` — pattern clustering.
         threshold is parsed for grammar parity (Kusto tunes its

@@ -1512,6 +1512,97 @@ class Translator:
         # exact-N distinct values of one column (Kusto sample-distinct)
         return t.sample_distinct(int(a["n"]), a["col"])
 
+    def ap_make_graph(self, t, a):
+        """KQL make-graph: the piped table becomes the edge list; the
+        graph context is held for the (required) following graph-match.
+        No materialization happens here — the 'graph' is a logical pair
+        of DataFrames; pattern matching compiles to joins."""
+        nodes_df = (
+            self.table(a["nodes"]).to_df() if a.get("nodes") else None
+        )
+        self._graph = {
+            "edges": t.to_df(),
+            "src": a["src"],
+            "dst": a["dst"],
+            "nodes": nodes_df,
+            "node_id": a.get("node_id"),
+        }
+        return t
+
+    def ap_graph_match(self, t, a):
+        """KQL graph-match (fixed-length directed path subset): an
+        L-edge pattern compiles to L−1 edge-chain equi-joins plus one
+        node-attribute join per distinct node variable — all ordinary
+        shuffles/broadcasts Catalyst can reorder; repeated node
+        variables become equality filters (cycles). Variable-length
+        edges (-[e*1..3]->) are not supported (documented subset).
+        Scale: identical join shape to the SQL a user would hand-write;
+        no driver-side state, no iteration."""
+        g = getattr(self, "_graph", None)
+        if g is None:
+            raise KqlSyntaxError("graph-match must follow make-graph")
+        edges, src, dst = g["edges"], g["src"], g["dst"]
+        nodes, nid = g["nodes"], g["node_id"]
+        if nodes is None:
+            # implied node set: distinct endpoints, single field `id`
+            nid = "id"
+            nodes = (
+                edges.select(F.col(src).alias("id"))
+                .unionByName(edges.select(F.col(dst).alias("id")))
+                .distinct()
+            )
+        nvars, evars = a["nodes"], a["edges"]
+        if len(set(evars)) != len(evars):
+            raise KqlSyntaxError("graph-match edge variables must be distinct")
+        if set(evars) & set(nvars):
+            raise KqlSyntaxError("edge and node variables must not overlap")
+        df = None
+        for k, ev in enumerate(evars):
+            leg = edges.select(
+                F.struct(*[F.col(c) for c in edges.columns]).alias(ev)
+            )
+            if df is None:
+                df = leg
+            else:
+                df = df.join(
+                    leg,
+                    F.col(f"{evars[k - 1]}.{dst}") == F.col(f"{ev}.{src}"),
+                    "inner",
+                )
+
+        def endpoint(pos: int):
+            if pos == 0:
+                return F.col(f"{evars[0]}.{src}")
+            return F.col(f"{evars[pos - 1]}.{dst}")
+
+        seen: set[str] = set()
+        for pos, nv in enumerate(nvars):
+            if nv in seen:
+                # repeated node variable = cycle constraint
+                df = df.filter(endpoint(pos) == F.col(f"{nv}.{nid}"))
+            else:
+                leg = nodes.select(
+                    F.struct(*[F.col(c) for c in nodes.columns]).alias(nv)
+                )
+                df = df.join(
+                    leg, endpoint(pos) == F.col(f"{nv}.{nid}"), "inner"
+                )
+                seen.add(nv)
+        saved = self._cur_schema
+        self._cur_schema = df.schema
+        try:
+            if a.get("pred") is not None:
+                df = df.filter(_c(self.expr(a["pred"])))
+            cols = [
+                _c(self.expr(e)).alias(name or f"Column{i + 1}")
+                for i, (name, e) in enumerate(a["cols"])
+            ]
+            out = df.select(*cols)
+        finally:
+            self._cur_schema = saved
+        self._graph = None
+        return MeerkatTable(out)
+
     def ap_reduce(self, t, a):
         """KQL `reduce by` — cluster similar strings into patterns.
         Kusto's algorithm is a proprietary heuristic; this variant is

@@ -344,3 +344,34 @@ def kql_union_withsource(spark, sf_dir):
     return MeerkatEngine(spark, sf_dir).kql(
         "union withsource=Src region, nation | summarize n = count() by Src"
     ).to_df()
+
+
+@register(
+    "kql_graph_match",
+    oracle="""
+    WITH edges AS (
+      SELECT c_custkey + 1000000 AS src, CAST(c_nationkey AS BIGINT) AS dst
+      FROM customer
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT), n_regionkey + 2000000 FROM nation
+    )
+    SELECT e1.src AS cust, e1.dst AS nat, e2.dst AS reg
+    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    WHERE e1.src > 1000100
+    """,
+)
+def kql_graph_match(spark, sf_dir):
+    """make-graph / graph-match (round-5): customer→nation→region as a
+    2-edge directed path pattern — compiles to the same join chain the
+    SQL oracle hand-writes (id spaces offset to keep the union-edge
+    graph well-formed)."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        """union (customer | project src = c_custkey + 1000000,
+                             dst = tolong(c_nationkey)),
+                 (nation | project src = tolong(n_nationkey),
+                           dst = n_regionkey + 2000000)
+           | make-graph src --> dst
+           | graph-match (c)-[e1]->(n)-[e2]->(r)
+             where c.id > 1000100
+             project cust = c.id, nat = n.id, reg = r.id"""
+    ).to_df()

@@ -954,3 +954,45 @@ def test_round5_union_withsource(spark):
     eng.catalog._cache["tb"] = b
     out = eng.kql("union withsource=Src ta, tb | sort by x asc").to_df().collect()
     assert [(r.Src, r.x) for r in out] == [("ta", 1), ("tb", 2)]
+
+
+def test_graph_match_two_hop(spark):
+    """make-graph + graph-match: 2-edge path pattern compiles to joins;
+    node attributes come from the `with` table."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (5, 2)], "s long, d long"
+    )
+    people = spark.createDataFrame(
+        [(1, "ann"), (2, "bob"), (3, "cat"), (4, "dan"), (5, "eve")],
+        "pid long, name string",
+    )
+    eng.catalog._cache["edges"] = edges
+    eng.catalog._cache["people"] = people
+    out = eng.kql(
+        "edges | make-graph s --> d with people on pid"
+        " | graph-match (a)-[e1]->(b)-[e2]->(c)"
+        "   where a.name != 'eve'"
+        "   project src = a.name, mid = b.name, dst = c.name"
+        " | sort by src asc, dst asc"
+    ).to_df().collect()
+    assert [(r.src, r.mid, r.dst) for r in out] == [
+        ("ann", "bob", "cat"), ("ann", "bob", "dan"),
+    ]
+
+
+def test_graph_match_cycle_and_implied_nodes(spark):
+    """Repeated node variable = cycle constraint; without a nodes table
+    the node set is the implied endpoints (field `id`)."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "s long, d long"
+    )
+    eng.catalog._cache["edges"] = edges
+    out = eng.kql(
+        "edges | make-graph s --> d"
+        " | graph-match (a)-[e1]->(b)-[e2]->(a)"
+        "   project x = a.id, y = b.id"
+        " | sort by x asc"
+    ).to_df().collect()
+    assert [(r.x, r.y) for r in out] == [(1, 2), (2, 1)]
