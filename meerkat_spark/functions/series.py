@@ -230,3 +230,71 @@ def series_fill_linear(col: Column) -> Column:
     """KQL series_fill_linear: linear interpolation across null gaps,
     edges extended from the nearest non-null."""
     return _fill_kernel("linear")(col)
+
+
+def series_fit_2lines(col: Column) -> Column:
+    """KQL series_fit_2lines: best two-segment least-squares fit per
+    series → struct (rsquare, split_idx, left/right slope+intercept).
+    All splits evaluated at once from prefix sums (O(n) per series,
+    vectorized over split points); x is the global 0..n−1 index for
+    both segments, matching series_fit_line's axis."""
+
+    @F.pandas_udf(
+        "rsquare double, split_idx long, left_slope double,"
+        " left_intercept double, right_slope double, right_intercept double"
+    )
+    def fit2(series: pd.Series) -> pd.DataFrame:
+        rows = []
+        for arr in series:
+            if arr is None or len(arr) < 4:
+                rows.append((None, None, None, None, None, None))
+                continue
+            y = np.asarray(arr, dtype=np.float64)
+            n = len(y)
+            x = np.arange(n, dtype=np.float64)
+            cx, cxx = np.cumsum(x), np.cumsum(x * x)
+            cy, cxy, cyy = np.cumsum(y), np.cumsum(x * y), np.cumsum(y * y)
+            ks = np.arange(2, n - 1)  # left = [0,k), right = [k,n)
+            m_l = ks.astype(np.float64)
+            Sx_l, Sxx_l = cx[ks - 1], cxx[ks - 1]
+            Sy_l, Sxy_l, Syy_l = cy[ks - 1], cxy[ks - 1], cyy[ks - 1]
+            m_r = n - m_l
+            Sx_r, Sxx_r = cx[-1] - Sx_l, cxx[-1] - Sxx_l
+            Sy_r, Sxy_r, Syy_r = cy[-1] - Sy_l, cxy[-1] - Sxy_l, cyy[-1] - Syy_l
+
+            def seg_fit(m, Sx, Sxx, Sy, Sxy, Syy):
+                den = m * Sxx - Sx * Sx
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    a = np.where(den != 0, (m * Sxy - Sx * Sy) / den, 0.0)
+                    b = (Sy - a * Sx) / m
+                rss = (
+                    Syy + a * a * Sxx + b * b * m
+                    - 2 * a * Sxy - 2 * b * Sy + 2 * a * b * Sx
+                )
+                return a, b, np.maximum(rss, 0.0)
+
+            a_l, b_l, rss_l = seg_fit(m_l, Sx_l, Sxx_l, Sy_l, Sxy_l, Syy_l)
+            a_r, b_r, rss_r = seg_fit(m_r, Sx_r, Sxx_r, Sy_r, Sxy_r, Syy_r)
+            total = rss_l + rss_r
+            best = int(np.argmin(total))
+            ss_tot = float(((y - y.mean()) ** 2).sum())
+            r2 = 1.0 - float(total[best]) / ss_tot if ss_tot > 0 else 1.0
+            rows.append(
+                (
+                    round(r2, 6),
+                    int(ks[best]),
+                    round(float(a_l[best]), 6),
+                    round(float(b_l[best]), 6),
+                    round(float(a_r[best]), 6),
+                    round(float(b_r[best]), 6),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "rsquare", "split_idx", "left_slope",
+                "left_intercept", "right_slope", "right_intercept",
+            ],
+        )
+
+    return fit2(col)

@@ -167,6 +167,7 @@ _SCALARS: dict[str, Any] = {
         _c(a[0]), float(_raw(a[1])) if len(a) > 1 else 2.5
     ),
     "series_fit_line": lambda a: SER.series_fit_line(_c(a[0])),
+    "series_fit_2lines": lambda a: SER.series_fit_2lines(_c(a[0])),
     "series_decompose": lambda a: SER.series_decompose(_c(a[0]), int(_raw(a[1]))),
     "series_periods_detect": lambda a: SER.series_periods_detect(
         _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0

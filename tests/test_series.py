@@ -155,3 +155,28 @@ def test_series_fill_family(spark):
     assert row.b == [2.0, 2.0, 8.0, 8.0, 8.0, None]
     assert row.c == [0.0, 2.0, 0.0, 0.0, 8.0, 0.0]
     assert row.l == [2.0, 2.0, 4.0, 6.0, 8.0, 8.0]
+
+
+def test_series_fit_2lines_changepoint(spark):
+    """Piecewise series with a level jump: the split lands at the jump,
+    both segments recover slope 1, and the two-line fit is near-exact
+    while the single line is not."""
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.functions.series import series_fit_2lines, series_fit_line
+
+    df = spark.createDataFrame(
+        [([0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0],)], "s array<double>"
+    )
+    row = df.select(
+        series_fit_2lines(F.col("s")).alias("f2"),
+        series_fit_line(F.col("s")).alias("f1"),
+    ).collect()[0]
+    assert row.f2.split_idx == 4
+    assert abs(row.f2.left_slope - 1.0) < 1e-9
+    assert abs(row.f2.right_slope - 1.0) < 1e-9
+    assert abs(row.f2.left_intercept - 0.0) < 1e-9
+    assert abs(row.f2.right_intercept - 6.0) < 1e-9
+    assert row.f2.rsquare > 0.999 and row.f2.rsquare > row.f1.rsquare
+    short = spark.createDataFrame([([1.0, 2.0],)], "s array<double>")
+    assert short.select(series_fit_2lines("s").alias("f")).collect()[0].f.rsquare is None
