@@ -994,3 +994,12 @@ def parse_csv(x) -> Column:
         ).otherwise(s)
 
     return F.transform(fields, unquote)
+
+
+def parse_kv(x, pair_delim: str = ";", kv_delim: str = "=") -> Column:
+    """KQL parse_kv (simplified signature: text, pair_delim, kv_delim
+    instead of Kusto's keys-projection form) — key=value runs → JSON
+    property bag via str_to_map (single JVM expression)."""
+    return F.to_json(
+        F.str_to_map(_c(x), F.lit(pair_delim), F.lit(kv_delim))
+    )

@@ -847,7 +847,19 @@ class Parser:
         while self.at("OP", "-"):
             self.next()
             self.expect("PUNCT", "[")
-            edges.append(str(self.expect("IDENT").value))
+            ev = str(self.expect("IDENT").value)
+            lo = hi = None
+            if self.at("OP", "*"):
+                # variable-length edge e*lo..hi (bounded expansion)
+                self.next()
+                lo = int(float(self.expect("NUMBER").value))
+                self.expect("OP", "..")
+                hi = int(float(self.expect("NUMBER").value))
+                if lo < 1 or hi < lo:
+                    raise KqlSyntaxError(
+                        "graph-match edge range needs 1 <= lo <= hi"
+                    )
+            edges.append({"var": ev, "min": lo, "max": hi})
             self.expect("PUNCT", "]")
             self.expect("OP", "-")
             self.expect("OP", ">")

@@ -216,6 +216,11 @@ _SCALARS: dict[str, Any] = {
     "array_iif": lambda a: S.array_iff(a[0], a[1], a[2]),
     "regex_quote": lambda a: S.regex_quote(_c(a[0])),
     "parse_csv": lambda a: S.parse_csv(_c(a[0])),
+    "parse_kv": lambda a: S.parse_kv(
+        _c(a[0]),
+        str(_raw(a[1])) if len(a) > 1 else ";",
+        str(_raw(a[2])) if len(a) > 2 else "=",
+    ),
     "bag_merge": lambda a: S.bag_merge(_c(a[0]), _c(a[1])),
     "bag_remove_keys": lambda a: S.bag_remove_keys(_c(a[0]), _c(a[1])),
     # round-4 string/byte surface
@@ -1542,9 +1547,59 @@ class Translator:
         g = getattr(self, "_graph", None)
         if g is None:
             raise KqlSyntaxError("graph-match must follow make-graph")
+        espec = a["edges"]
+        ranged = [
+            (i, e) for i, e in enumerate(espec) if e.get("min") is not None
+        ]
+        if len(ranged) > 1:
+            raise KqlSyntaxError(
+                "graph-match supports at most one variable-length edge"
+            )
+        if not ranged:
+            out = self._graph_match_fixed(
+                g, a["nodes"], [e["var"] for e in espec], a["pred"], a["cols"]
+            )
+        else:
+            # bounded expansion: union of fixed-length patterns; the
+            # starred variable itself is not referenceable (each length
+            # binds fresh hop variables)
+            idx, star = ranged[0]
+            bad = {star["var"]}
+            if _scan_refs_vars(a.get("pred"), bad) or _scan_refs_vars(
+                [e for _n, e in a["cols"]], bad
+            ):
+                raise KqlSyntaxError(
+                    "variable-length edge variable "
+                    f"{star['var']!r} cannot be referenced in where/project"
+                )
+            outs = []
+            for L in range(star["min"], star["max"] + 1):
+                evars = (
+                    [e["var"] for e in espec[:idx]]
+                    + [f"{star['var']}__{j}" for j in range(L)]
+                    + [e["var"] for e in espec[idx + 1 :]]
+                )
+                nvars = (
+                    a["nodes"][: idx + 1]
+                    + [f"__hop{j}" for j in range(L - 1)]
+                    + a["nodes"][idx + 1 :]
+                )
+                outs.append(
+                    self._graph_match_fixed(
+                        g, nvars, evars, a["pred"], a["cols"]
+                    )
+                )
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o)
+        self._graph = None
+        return MeerkatTable(out)
+
+    def _graph_match_fixed(self, g, nvars, evars, pred, cols) -> DataFrame:
         edges, src, dst = g["edges"], g["src"], g["dst"]
         nodes, nid = g["nodes"], g["node_id"]
-        if nodes is None:
+        implied = nodes is None
+        if implied:
             # implied node set: distinct endpoints, single field `id`
             nid = "id"
             nodes = (
@@ -1552,7 +1607,6 @@ class Translator:
                 .unionByName(edges.select(F.col(dst).alias("id")))
                 .distinct()
             )
-        nvars, evars = a["nodes"], a["edges"]
         if len(set(evars)) != len(evars):
             raise KqlSyntaxError("graph-match edge variables must be distinct")
         if set(evars) & set(nvars):
@@ -1578,6 +1632,10 @@ class Translator:
 
         seen: set[str] = set()
         for pos, nv in enumerate(nvars):
+            if nv.startswith("__hop") and implied:
+                # anonymous expansion hop over the implied node set:
+                # membership is a tautology — skip the join
+                continue
             if nv in seen:
                 # repeated node variable = cycle constraint
                 df = df.filter(endpoint(pos) == F.col(f"{nv}.{nid}"))
@@ -1592,17 +1650,15 @@ class Translator:
         saved = self._cur_schema
         self._cur_schema = df.schema
         try:
-            if a.get("pred") is not None:
-                df = df.filter(_c(self.expr(a["pred"])))
-            cols = [
+            if pred is not None:
+                df = df.filter(_c(self.expr(pred)))
+            out_cols = [
                 _c(self.expr(e)).alias(name or f"Column{i + 1}")
-                for i, (name, e) in enumerate(a["cols"])
+                for i, (name, e) in enumerate(cols)
             ]
-            out = df.select(*cols)
+            return df.select(*out_cols)
         finally:
             self._cur_schema = saved
-        self._graph = None
-        return MeerkatTable(out)
 
     def ap_reduce(self, t, a):
         """KQL `reduce by` — cluster similar strings into patterns.

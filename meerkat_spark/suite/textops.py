@@ -613,3 +613,44 @@ def gopher_quality_filter(spark, sf_dir):
         & (F.col("__er") < 0.3)
         & F.col("has_stopword")
     ).drop("__mwl", "__hr", "__er")
+
+
+@register("training_pipeline_end_to_end", oracle=None)
+def training_pipeline_end_to_end(spark, sf_dir):
+    """Composite LLM-data pipeline as ONE lazy plan: Gopher quality
+    gate → exact dedup (min doc_id per fingerprint) → chunk → pack to
+    a token budget → deterministic hash split. Rows-only (the MinHash
+    and decontamination legs are covered by their own queries); the
+    point under test is that the stages COMPOSE into a single Catalyst
+    plan — no materialization between stages, shuffles only at the
+    dedup groupBy and the pack window."""
+    from pyspark.sql import Window
+
+    from meerkat_spark.suite.textops import gopher_quality_filter
+    from meerkat_spark.text.chunk import chunk_documents, pack_chunks
+    from meerkat_spark.text.dedup import fingerprint64
+
+    docs = _docs(spark, sf_dir)
+    kept = gopher_quality_filter(spark, sf_dir).select("doc_id")
+    docs = docs.join(kept, "doc_id")
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    deduped = (
+        docs.withColumn("__fp", fingerprint64(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+    chunks = chunk_documents(deduped, "text", "doc_id", chunk_tokens=128, overlap=16)
+    packed = pack_chunks(chunks, budget=512)
+    split = F.when(
+        F.pmod(F.xxhash64("shard", "pack_id"), F.lit(100)) < 95, "train"
+    ).otherwise("holdout")
+    return (
+        packed.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count_distinct("shard", "pack_id").alias("n_packs"),
+            F.sum("n_chunk_tokens").alias("tokens"),
+        )
+        .orderBy("split")
+    )

@@ -996,3 +996,37 @@ def test_graph_match_cycle_and_implied_nodes(spark):
         " | sort by x asc"
     ).to_df().collect()
     assert [(r.x, r.y) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_graph_match_variable_length_edge(spark):
+    """-[e*1..2]-> expands to the union of fixed-length patterns."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "s long, d long")
+    eng.catalog._cache["edges"] = edges
+    out = eng.kql(
+        "edges | make-graph s --> d"
+        " | graph-match (a)-[e*1..2]->(b) project x = a.id, y = b.id"
+        " | sort by x asc, y asc"
+    ).to_df().collect()
+    assert [(r.x, r.y) for r in out] == [
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4),
+    ]
+    from meerkat_spark.kql.lexer import KqlSyntaxError
+
+    with pytest.raises(KqlSyntaxError, match="cannot be referenced"):
+        eng.kql(
+            "edges | make-graph s --> d"
+            " | graph-match (a)-[e*1..2]->(b) project x = e.s"
+        ).to_df()
+
+
+def test_parse_kv(spark):
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        'print b = parse_kv("k1=v1;k2=v2", ";", "="),'
+        ' b2 = parse_kv("x:1,y:2", ",", ":")'
+    ).to_df().collect()[0]
+    import json as _json
+
+    assert _json.loads(row.b) == {"k1": "v1", "k2": "v2"}
+    assert _json.loads(row.b2) == {"x": "1", "y": "2"}
