@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "scalar_series_similarity",
     "kql_union_withsource",
     "kql_graph_match",
+    "text_quality_score_oracle",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -116,7 +117,6 @@ _PRIORITY: list[str] = [
     "agg_stats",
     "agg_make_set",
     "agg_make_list_if",
-    "agg_take_any",
     "agg_distinct_variants",
 ]
 

@@ -654,3 +654,44 @@ def training_pipeline_end_to_end(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@register(
+    "text_quality_score_oracle",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks,
+        length(text) AS n_chars,
+        length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents WHERE doc_id < 400
+    ), f AS (
+      SELECT doc_id, len(toks) AS n_tok, n_chars,
+        len(list_filter(toks, t -> list_contains(
+          ['the','a','an','of','and','or','to','in','is','it',
+           'that','for','on','with','as','was','at','by','be'], lower(t)))) AS stop_hits,
+        n_punct, n_digit,
+        CASE WHEN len(toks) > 0 THEN
+          list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+        ELSE 0.0 END AS mwl
+      FROM m
+    )
+    SELECT doc_id,
+      round(
+        0.4 * least(CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END * 4, 1.0)
+        + 0.3 * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.3 END)
+        + 0.2 * (1 - least(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END * 10, 1.0))
+        + 0.1 * (1 - least(CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END * 10, 1.0)),
+      6) AS quality
+    FROM f
+    """,
+)
+def text_quality_score_oracle(spark, sf_dir):
+    """quality_score (text/analysis.py) upgraded from rows-only to an
+    exact DuckDB oracle — the composite is pure codegen expressions, so
+    the SQL twin reproduces it term by term."""
+    from meerkat_spark.text.analysis import quality_score
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))

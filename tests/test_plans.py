@@ -321,3 +321,13 @@ def test_externaldata_prunes_columns(eng):
         ).to_df()
     )
     assert set(read_schema_columns(df)) == {"product"}
+
+
+def test_graph_match_is_equi_joins_no_cartesian(eng, spark):
+    """graph-match compiles to equi-joins only — a pattern must never
+    produce a cartesian product."""
+    from meerkat_spark.suite.kqlqueries import kql_graph_match
+
+    plan = plan_of(kql_graph_match(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" in plan
