@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "kql_union_withsource",
     "kql_graph_match",
     "text_quality_score_oracle",
+    "text_language_id_oracle",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -116,7 +117,6 @@ _PRIORITY: list[str] = [
     "agg_percentiles",
     "agg_stats",
     "agg_make_set",
-    "agg_make_list_if",
     "agg_distinct_variants",
 ]
 

@@ -695,3 +695,42 @@ def text_quality_score_oracle(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_language_id_oracle",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+        list_transform(
+          list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+          t -> lower(t)) AS toks
+      FROM documents WHERE doc_id < 400
+    ), c AS (
+      SELECT doc_id,
+        len(list_filter(toks, t -> list_contains(
+          ['the','a','an','of','and','or','to','in','is','it',
+           'that','for','on','with','as','was','at','by','be'], t))) AS en,
+        len(list_filter(toks, t -> list_contains(
+          ['le','la','les','de','des','et','un','une','en','est'], t))) AS fr,
+        len(list_filter(toks, t -> list_contains(
+          ['der','die','das','und','ein','eine','zu','ist','von','mit'], t))) AS de
+      FROM m
+    )
+    SELECT doc_id,
+      CASE WHEN en >= fr AND en >= de AND en > 0 THEN 'en'
+           WHEN fr >= de AND fr > 0 THEN 'fr'
+           WHEN de > 0 THEN 'de'
+           ELSE 'und' END AS lang_pred
+    FROM c
+    """,
+)
+def text_language_id_oracle(spark, sf_dir):
+    """language_id (text/analysis.py) — stopword-vote heuristic as pure
+    expressions, reproduced term-by-term by the DuckDB twin (upgrades
+    the lang-id family from rows-only+accuracy-pytest to exact
+    driver-gradeable)."""
+    from meerkat_spark.text.analysis import language_id
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
