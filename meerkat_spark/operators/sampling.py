@@ -147,3 +147,36 @@ def mix_datasets(
         leg = df.filter(keep).withColumn("mix_source", F.lit(name))
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+def percentilew_exact(
+    df,
+    by: list[str],
+    value_col: str,
+    weight_col: str,
+    p: float,
+):
+    """Exact weighted percentile per group (Kusto percentilew, lower-
+    bound definition: the smallest value whose cumulative weight
+    reaches p × total weight; no interpolation — documented delta from
+    Kusto's interpolating estimator, which is itself approximate).
+
+    Scale: one keyed window (cumulative weight in value order) + one
+    aggregate — no collect, no explode-by-weight blowup."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w_ord = (
+        Window.partitionBy(*by)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    cum = F.sum(weight_col).over(w_ord)
+    tot = F.sum(weight_col).over(w_all)
+    hit = df.withColumn("__cum", cum).withColumn("__tot", tot).filter(
+        F.col("__cum") >= F.lit(p) * F.col("__tot")
+    )
+    return hit.groupBy(*by).agg(
+        F.min(value_col).alias(f"p{int(round(p * 100))}_weighted")
+    )

@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "kql_graph_match",
     "text_quality_score_oracle",
     "text_language_id_oracle",
+    "agg_percentilew",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -116,7 +117,6 @@ _PRIORITY: list[str] = [
     "agg_argmax_argmin",
     "agg_percentiles",
     "agg_stats",
-    "agg_make_set",
     "agg_distinct_variants",
 ]
 

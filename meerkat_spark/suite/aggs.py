@@ -391,3 +391,31 @@ def agg_round3_variants(spark, sf_dir):
            cv = round(covariance(value, todouble(user_id)), 4)
            by event_type"""
     ).to_df()
+
+
+@register(
+    "agg_percentilew",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS t
+      FROM lineitem
+    )
+    SELECT l_returnflag, MIN(l_extendedprice) AS p50_weighted
+    FROM cum WHERE c >= 0.5 * t GROUP BY l_returnflag
+    """,
+)
+def agg_percentilew(spark, sf_dir):
+    """Kusto percentilew (weighted percentile), exact lower-bound
+    variant (operators/sampling.py:percentilew_exact): quantity-weighted
+    median price per return flag — one keyed cumulative-weight window +
+    one aggregate, mirrored exactly by the SQL twin."""
+    from meerkat_spark.operators.sampling import percentilew_exact
+
+    li = MeerkatEngine(spark, sf_dir).table("lineitem").to_df()
+    return percentilew_exact(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5
+    )
