@@ -1003,3 +1003,24 @@ def parse_kv(x, pair_delim: str = ";", kv_delim: str = "=") -> Column:
     return F.to_json(
         F.str_to_map(_c(x), F.lit(pair_delim), F.lit(kv_delim))
     )
+
+
+def totimespan_str(x) -> Column:
+    """KQL totimespan over strings: '[-][d.]hh:mm:ss[.fff]' → seconds
+    double (the engine's timespan representation); null on misparse —
+    the roundtrip partner of format_timespan."""
+    s = F.trim(_c(x).cast("string"))
+    sign = F.when(F.startswith(s, F.lit("-")), -1.0).otherwise(1.0)
+    b = F.regexp_replace(s, "^-", "")
+    pat = r"^(?:(\d+)\.)?(\d{1,2}):(\d{1,2}):(\d{1,2}(?:\.\d+)?)$"
+    d = F.regexp_extract(b, pat, 1)
+    hh = F.regexp_extract(b, pat, 2)
+    mm = F.regexp_extract(b, pat, 3)
+    ss = F.regexp_extract(b, pat, 4)
+    total = (
+        F.when(d == "", 0.0).otherwise(d.cast("double")) * 86400
+        + hh.cast("double") * 3600
+        + mm.cast("double") * 60
+        + ss.cast("double")
+    )
+    return F.when(b.rlike(pat), sign * total)

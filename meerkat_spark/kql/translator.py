@@ -80,7 +80,13 @@ _SCALARS: dict[str, Any] = {
         if isinstance(a[1], _Span)
         else S.bin_at_numeric(a[0], a[1], a[2])
     ),
-    "totimespan": lambda a: a[0] if isinstance(a[0], _Span) else _Span(float(a[0])),
+    "totimespan": lambda a: (
+        a[0]
+        if isinstance(a[0], _Span)
+        else S.totimespan_str(_c(a[0]))
+        if isinstance(a[0], (Column, str))
+        else _Span(float(a[0]))
+    ),
     # strings
     "strlen": lambda a: S.strlen(_c(a[0])),
     "substring": lambda a: S.substring(_c(a[0]), *a[1:]),

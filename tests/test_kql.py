@@ -1030,3 +1030,23 @@ def test_parse_kv(spark):
 
     assert _json.loads(row.b) == {"k1": "v1", "k2": "v2"}
     assert _json.loads(row.b2) == {"x": "1", "y": "2"}
+
+
+def test_totimespan_string_roundtrip(spark):
+    """totimespan parses '[-][d.]hh:mm:ss[.fff]' strings and round-trips
+    with format_timespan."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        'print a = totimespan("01:02:03"),'
+        ' b = totimespan("2.01:00:00"),'
+        ' c = totimespan("-01:01:01"),'
+        ' d = totimespan("00:00:01.5"),'
+        ' bad = totimespan("nope"),'
+        ' rt = totimespan(format_timespan(-90061, "d.hh:mm:ss"))'
+    ).to_df().collect()[0]
+    assert row.a == 3723.0
+    assert row.b == 2 * 86400 + 3600.0
+    assert row.c == -3661.0
+    assert row.d == 1.5
+    assert row.bad is None
+    assert row.rt == -90061.0
