@@ -132,3 +132,61 @@ def test_streaming_text_pipeline(spark, tmp_path):
     dup_survivors = set(got) & {1, 2}
     assert len(dup_survivors) == 1 and 3 not in got and 4 in got
     assert "<EMAIL>" in got[dup_survivors.pop()]
+
+
+def test_streaming_session_window_watermark(spark, tmp_path):
+    """Session windows across RESTARTED availableNow runs sharing a
+    checkpoint: the watermark is restored from state, a late event
+    behind it is dropped (doesn't extend its session), and a session
+    whose gap the watermark hasn't passed is held back in append mode."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def write(name, rows):
+        df = pd.DataFrame(rows, columns=["user", "ts"])
+        df["ts"] = (df["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds()
+        df.to_parquet(src / name)
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema("user long, ts double")
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        agg = (
+            stream.withWatermark("ts", "60 seconds")
+            .groupBy(F.session_window("ts", "30 seconds"), "user")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # pass 1: u1 session (2 events); u2 at +1h advances the watermark
+    # to ~+59min, so u1's session is emitted and u2's is held open
+    write("0.parquet", [(1, t0), (1, t0 + pd.Timedelta(seconds=10)),
+                        (2, t0 + pd.Timedelta(hours=1))])
+    run_pass()
+    got1 = {(r.user, r.n) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, 2)}
+
+    # pass 2 (watermark restored from checkpoint): u1's +20s event is
+    # LATE → dropped, it must NOT reopen/extend the session; u3 at +2h
+    # advances the watermark past u2's gap; u3's own session stays open
+    write("1.parquet", [(1, t0 + pd.Timedelta(seconds=20)),
+                        (3, t0 + pd.Timedelta(hours=2))])
+    run_pass()
+    got2 = {(r.user, r.n) for r in spark.read.parquet(out).collect()}
+    assert got2 == {(1, 2), (2, 1)}
