@@ -56,13 +56,15 @@ def load_all() -> None:
 # Round-5 rotation: after r1-r4, 110 distinct queries are driver-green
 # and every registered query except scalar_string_bytes has at least
 # one driver artifact row. This window holds (a) every never-graded
-# query — the r4 stragglers plus the eight new round-5 queries, (b)
-# re-grades for code changed in round 5 (the scan machine gained
-# variable-predicate residuals; media_features_vec switched to a
-# hashable to_json projection after its r4 red row), (c) refreshes for
-# the 39 oracle-backed queries whose newest green evidence is round 2
-# (oldest-first — every window keeps rotating so no query's record
-# goes stale).
+# query — the r4 straggler plus every round-5 addition (incl. the
+# composite training_pipeline_end_to_end and the incremental-index
+# lifecycle query), (b) re-grades for code changed in round 5 (the
+# scan machine gained variable-predicate residuals; media_features_vec
+# switched to a hashable to_json projection after its r4 red row),
+# (c) refreshes for oracle-backed queries whose newest green evidence
+# is round 2 (oldest-first — every window keeps rotating so no
+# query's record goes stale). Exactly 50 entries — enforced by
+# tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) never driver-graded: the r4 straggler + round-5 additions
     "scalar_string_bytes",
@@ -80,6 +82,8 @@ _PRIORITY: list[str] = [
     "text_quality_score_oracle",
     "text_language_id_oracle",
     "agg_percentilew",
+    "training_pipeline_end_to_end",
+    "dedup_incremental_index",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -115,9 +119,6 @@ _PRIORITY: list[str] = [
     "agg_conditional",
     "agg_dcount",
     "agg_argmax_argmin",
-    "agg_percentiles",
-    "agg_stats",
-    "agg_distinct_variants",
 ]
 
 def _ordered(mapping: dict) -> dict:

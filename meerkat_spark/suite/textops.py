@@ -734,3 +734,77 @@ def text_language_id_oracle(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "dedup_incremental_index",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE trim(coalesce(text, '')) <> ''
+    ), probe AS (
+      SELECT doc_id + 10000000 AS doc_id, text FROM d WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id, text FROM d WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id + 30000000 AS doc_id, text FROM d WHERE doc_id % 10 = 0
+    )
+    SELECT i.doc_id AS id1, p.doc_id AS id2, FALSE AS id1_is_new
+    FROM d i JOIN probe p ON i.text = p.text
+    UNION ALL
+    SELECT l.doc_id AS id1, r.doc_id AS id2, TRUE AS id1_is_new
+    FROM probe l JOIN probe r ON l.text = r.text AND l.doc_id < r.doc_id
+    ORDER BY id1, id2
+    """,
+)
+def dedup_incremental_index(spark, sf_dir):
+    """Persisted MinHash-index lifecycle (text/dedup_index.py), graded
+    on its deterministic subset: build the index on half the corpus,
+    extend it with the other half, then probe with a synthesized batch
+    of re-labeled exact copies. Exact-text duplicates produce identical
+    signatures, hence collide in EVERY band — so candidates filtered
+    to text-equal pairs are exactly the constructed copy↔source pairs,
+    which the DuckDB twin enumerates directly (hash-function-free).
+    The near-dup (non-exact) candidates stay rows-only via
+    dedup_minhash_lsh; this query pins build→extend→probe correctness."""
+    import tempfile
+
+    from meerkat_spark.text.dedup_index import (
+        build_minhash_index,
+        extend_minhash_index,
+        incremental_dedup_pairs,
+    )
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select("doc_id", "text")
+    )
+    probe = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="mk_minhash_idx_")
+    build_minhash_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    extend_minhash_index(d.filter(F.col("doc_id") % 2 == 1), path)
+    cand = incremental_dedup_pairs(probe, path)
+    texts = d.unionByName(probe)
+    t1 = texts.select(F.col("doc_id").alias("id1"), F.col("text").alias("__t1"))
+    t2 = texts.select(F.col("doc_id").alias("id2"), F.col("text").alias("__t2"))
+    return (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .filter(F.col("__t1") == F.col("__t2"))
+        .select("id1", "id2", "id1_is_new")
+        .orderBy("id1", "id2")
+    )
