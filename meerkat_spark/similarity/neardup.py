@@ -160,13 +160,27 @@ def neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket: int = DEFAULT_TARGET_BUCKET,
+    route_exact: bool = True,
 ) -> DataFrame:
     """(id1, id2, sim) near-duplicate pairs with sim ≥ threshold.
     No false positives (every candidate is exactly verified); recall is
     the LSH S-curve, asserted in tests/test_similarity.py.
 
     bands/rows_per_band default to corpus-derived values (one count()
-    action — index-build cost, not per-query)."""
+    action — one index-build action, not per-query).
+
+    `route_exact` (the same giant-class guard minhash_lsh_pairs grew in
+    text/dedup.py): byte-identical vectors — the dominant duplicate
+    class in real corpora, where identical docs embed identically —
+    are collapsed to one representative (min id) per exact class
+    BEFORE banding, and each class contributes STAR pairs
+    (rep, member, sim=1.0) instead of all-pairs. A class of c copies
+    costs c-1 output rows and ONE bucket slot, not c(c-1)/2 rows and a
+    c-wide bucket in every band; connected components reconstructs the
+    full class. Pairs between a non-rep member and an outside vector
+    are represented transitively through the rep (identical vectors
+    have identical similarities to everything). With no exact dups in
+    the corpus every class is a singleton and the output is unchanged."""
     if bands is None or rows_per_band is None:
         n = emb.count()
         d_bands, d_rows = derive_params(n, threshold, target_bucket)
@@ -181,6 +195,20 @@ def neardup_pairs_lsh(
     parallelism = emb.sparkSession.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < parallelism:
         base = base.repartition(parallelism)
+    star = None
+    if route_exact:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("__fp")
+        marked = base.withColumn("__fp", F.xxhash64("v")).withColumn(
+            "__rep", F.min("id").over(w)
+        )
+        star = marked.filter(F.col("id") != F.col("__rep")).select(
+            F.col("__rep").alias("id1"),
+            F.col("id").alias("id2"),
+            F.lit(1.0).alias("sim"),
+        )
+        base = marked.filter(F.col("id") == F.col("__rep")).select("id", "v")
     banded = base.mapInPandas(
         _band_codes_fn(bands, rows_per_band, dim),
         "id long, v array<double>, band int, code long",
@@ -188,4 +216,6 @@ def neardup_pairs_lsh(
     pairs = banded.groupBy("band", "code").applyInPandas(
         _bucket_pairs_fn(threshold), "id1 long, id2 long, sim double"
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
     return pairs.dropDuplicates(["id1", "id2"])

@@ -84,6 +84,8 @@ _PRIORITY: list[str] = [
     "agg_percentilew",
     "training_pipeline_end_to_end",
     "dedup_incremental_index",
+    "vocab_top_tokens",
+    "tfidf_top_terms",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -117,8 +119,6 @@ _PRIORITY: list[str] = [
     "parse_pattern",
     "find_in_tables",
     "agg_conditional",
-    "agg_dcount",
-    "agg_argmax_argmin",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -808,3 +808,68 @@ def dedup_incremental_index(spark, sf_dir):
         .select("id1", "id2", "id1_is_new")
         .orderBy("id1", "id2")
     )
+
+
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS tf, count(distinct doc_id) AS df
+    FROM tok GROUP BY token
+    ORDER BY tf DESC, token ASC LIMIT 200
+    """,
+)
+def vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary: top-200 tokens by total frequency with doc
+    frequency (text/vocab.py) — distributed wordcount, one shuffle with
+    map-side partial agg, TakeOrdered top-k. Deterministic (tf desc,
+    token asc) total order."""
+    from meerkat_spark.text.vocab import top_vocab
+
+    return top_vocab(_docs(spark, sf_dir), 200)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), tok3 AS (
+      SELECT * FROM tok WHERE length(token) >= 3
+    ), per_doc AS (
+      SELECT doc_id, token, count(*) AS tf_doc FROM tok3 GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, count(distinct doc_id) AS df_tok FROM tok3 GROUP BY token
+    ), n AS (
+      SELECT count(distinct doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT p.doc_id, p.token,
+             p.tf_doc * (ln((n.n_docs + 1.0) / (d.df_tok + 1.0)) + 1.0) AS s
+      FROM per_doc p JOIN dfreq d USING (token) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, token, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, token ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, round(s, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 keywords by smoothed TF-IDF (text/vocab.py):
+    token-key join of per-doc counts to the (small, broadcastable)
+    vocabulary df table, per-doc window top-k. Score math is identical
+    IEEE double ops on both engines (ln of exact-integer ratios), so
+    ordering and the 6dp rounding agree exactly."""
+    from meerkat_spark.text.vocab import tf_idf_top_terms
+
+    return tf_idf_top_terms(_docs(spark, sf_dir), k=3).orderBy("doc_id", "rank")

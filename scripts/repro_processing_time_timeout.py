@@ -2,7 +2,8 @@
 query on pyspark 4.1.x (Python worker EOF -> endless task retries).
 
 Run:  timeout 120 python scripts/repro_processing_time_timeout.py
-Observed on 4.1.2 (2026-08-13, re-verified round 4): the first
+Observed on 4.1.2 (2026-08-14, re-verified round 5: 240s timeout,
+first batch never completes): the first
 processAllAvailable() never returns; the driver loops retrying the
 failed state-worker task. Expected (per applyInPandasWithState docs):
 both batches complete and `SURVIVED batch 2` prints.

@@ -239,3 +239,41 @@ def test_neardup_bucket_sizes_bounded(spark, emb):
     # the bound here is structural: no bucket holds a constant fraction
     # of the whole corpus
     assert sizes <= n * 0.5, f"max bucket {sizes} of {n}"
+
+
+def test_neardup_exact_dup_routing(spark, emb):
+    """Byte-identical vectors are routed around LSH as star pairs:
+    a class of c copies contributes exactly c-1 (rep, member, 1.0)
+    rows, the full class reconstructs transitively, and a dup-free
+    corpus is unchanged by the routing."""
+    from meerkat_spark.similarity import neardup
+
+    base = emb.filter(F.col("vec_id") < 50)
+    copies = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(copies)
+    pairs = neardup.neardup_pairs_lsh(corpus, threshold=0.4).collect()
+    star = {(r.id1, r.id2) for r in pairs if r.sim == 1.0}
+    # each copied vector pairs with its rep (the original id) at sim 1.0
+    for vid in range(10):
+        assert (vid, vid + 1000) in star
+    # a member's outside-pairs are represented through its rep: no
+    # (member, x) row should exist for x not its rep
+    member_rows = [
+        (r.id1, r.id2) for r in pairs if (r.id1 >= 1000) or (r.id2 >= 1000)
+    ]
+    assert all(i1 < 1000 and i2 >= 1000 for i1, i2 in member_rows)
+
+    # dup-free corpus: routing on == routing off, row for row
+    on = {
+        (r.id1, r.id2, r.sim)
+        for r in neardup.neardup_pairs_lsh(base, threshold=0.4).collect()
+    }
+    off = {
+        (r.id1, r.id2, r.sim)
+        for r in neardup.neardup_pairs_lsh(
+            base, threshold=0.4, route_exact=False
+        ).collect()
+    }
+    assert on == off
