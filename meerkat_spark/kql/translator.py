@@ -1216,6 +1216,29 @@ class Translator:
 
     def ap_evaluate(self, t, a):
         plugin = a["plugin"]
+        if plugin == "rows_near":
+            # evaluate rows_near(Condition, NumRows [, RowsAfter]) —
+            # rows within NumRows before / RowsAfter after a condition
+            # row, on the serialization order (operators/temporalagg.py)
+            from meerkat_spark.operators.temporalagg import rows_near
+
+            if not self.serialize_order:
+                raise KqlSyntaxError(
+                    "rows_near requires a serialized table — add `| serialize` "
+                    "or `| sort by …` first"
+                )
+            if not a["args"]:
+                raise KqlSyntaxError("rows_near needs a condition argument")
+            cond = _c(self.expr(a["args"][0]))
+            n = int(_raw(self.expr(a["args"][1]))) if len(a["args"]) > 1 else 1
+            m = (
+                int(_raw(self.expr(a["args"][2])))
+                if len(a["args"]) > 2
+                else None
+            )
+            return MeerkatTable(
+                rows_near(t.df, cond, self.serialize_order, n, m)
+            )
         if plugin == "bag_unpack":
             col_node = a["args"][0]
             if not isinstance(col_node, P.Ident):

@@ -1,0 +1,164 @@
+"""Kusto time-series evaluate plugins rebuilt Spark-first:
+`rows_near`, `sliding_window_counts`, `rolling_percentile`.
+
+These are the activity-analytics plugins Kusto users run against event
+streams (docs: evaluate plugin reference). None needs a UDF — each is
+a composition of built-in expressions:
+
+- rows_near: one window (max of the condition flag over a bounded
+  ROWS frame on the serialization order) — whole-stage codegen, no
+  shuffle beyond the ordering the caller already established.
+- sliding_window_counts / rolling_percentile: explode each event to
+  the output bins its lookback window covers (amplification factor =
+  lookback/bin, a user-chosen constant independent of corpus size),
+  then ONE aggregation on the bin key with map-side partials. This is
+  the classic scale-out shape for sliding distinct-counts: no
+  self-join of events against events, no per-bin rescan; the shuffle
+  carries (bin, id) pairs only. All bin arithmetic is exact integer
+  microseconds (no float drift on timestamps).
+
+Reference anchor: the reference's KQL surface declaration
+(README.md:34) names the query language; the plugin set itself has no
+reference implementation (design-only engine) — semantics follow the
+public Kusto docs, deterministic variants where Kusto is heuristic.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _usec(ts: _dt.datetime | str) -> int:
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def rows_near(
+    df: DataFrame,
+    condition: Column,
+    order_by: list[Column | str],
+    rows_before: int,
+    rows_after: int | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Kusto `evaluate rows_near(Condition, NumRows[, RowsAfter])`:
+    rows within `rows_before` rows before or `rows_after` rows after
+    any row satisfying Condition (matching rows themselves included).
+    rows_after defaults to rows_before (Kusto default).
+
+    A row r qualifies iff some condition row exists in r's ROWS frame
+    [-rows_after, +rows_before] — one bounded window over the caller's
+    serialization order, optionally per partition key."""
+    if rows_after is None:
+        rows_after = rows_before
+    if rows_before < 0 or rows_after < 0:
+        raise ValueError("rows_near offsets must be non-negative")
+    base = W.partitionBy(*partition_by) if partition_by else W.partitionBy()
+    w = base.orderBy(*order_by).rowsBetween(-rows_after, rows_before)
+    flagged = df.withColumn(
+        "__near", F.max(condition.cast("int")).over(w) == 1
+    )
+    return flagged.filter(F.col("__near")).drop("__near")
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    lookback_sec: int,
+    bin_sec: int,
+) -> DataFrame:
+    """Kusto `evaluate sliding_window_counts(Id, Timeline, Start, End,
+    LookbackWindow, Bin)`: for each grid point t = Start + k*Bin ≤ End,
+    Count = events and Dcount = distinct ids with timeline in
+    (t - Lookback, t]. Output (t timestamp, Count, Dcount) for every
+    grid point in range (bins with no activity emit 0).
+
+    Each event explodes to the ⌈Lookback/Bin⌉ grid points whose window
+    contains it — k from ceil((τ-Start)/Bin) to ceil((τ+L-Start)/Bin)-1,
+    exact integer-µs arithmetic — then one groupBy on k."""
+    if bin_sec <= 0 or lookback_sec <= 0:
+        raise ValueError("bin and lookback must be positive")
+    s_us, e_us = _usec(start), _usec(end)
+    bin_us, look_us = bin_sec * 1_000_000, lookback_sec * 1_000_000
+    n_bins = (e_us - s_us) // bin_us  # grid k = 0..n_bins
+    if n_bins < 0:
+        raise ValueError("end before start")
+    tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+    # k_min = ceil(tau/bin) ; k_max = ceil((tau+L)/bin) - 1   (τ ≤ t < τ+L)
+    k_min = F.greatest(F.lit(0), -F.floor(-tau / F.lit(bin_us)))
+    k_max = F.least(
+        F.lit(n_bins), -F.floor(-(tau + F.lit(look_us)) / F.lit(bin_us)) - 1
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), k_min.alias("__k0"), k_max.alias("__k1"))
+        .filter(F.col("__k0") <= F.col("__k1"))
+        .select("__id", F.explode(F.sequence("__k0", "__k1")).alias("__k"))
+    )
+    counted = exploded.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("Count"),
+        F.count_distinct("__id").alias("Dcount"),
+    )
+    spark = df.sparkSession
+    grid = spark.range(0, n_bins + 1).select(F.col("id").alias("__k"))
+    return (
+        grid.join(counted, "__k", "left")
+        .select(
+            F.timestamp_micros(F.col("__k") * F.lit(bin_us) + F.lit(s_us)).alias("t"),
+            F.coalesce("Count", F.lit(0)).alias("Count"),
+            F.coalesce("Dcount", F.lit(0)).alias("Dcount"),
+        )
+        .orderBy("t")
+    )
+
+
+def rolling_percentile(
+    df: DataFrame,
+    value_col: str,
+    percentile: float,
+    time_col: str,
+    bin_sec: int,
+    bins_per_window: int,
+) -> DataFrame:
+    """Kusto `evaluate rolling_percentile(Value, Percentile, Timeline,
+    Bin, BinsPerWindow)`: for each data bin b (epoch-aligned floor bins
+    over the data's own range), the exact interpolated percentile of
+    values whose bin lies in the window (b - BinsPerWindow·Bin, b] —
+    i.e. the current bin and the BinsPerWindow-1 preceding ones.
+    Output (t, p<percentile>) for every bin in [min_bin, max_bin];
+    value rounded to 4dp (cross-engine double-sum convention).
+
+    Each value explodes to the ≤ BinsPerWindow bins it contributes to;
+    one groupBy computes all percentiles (no per-bin rescans)."""
+    if not 0.0 <= percentile <= 1.0:
+        raise ValueError("percentile must be in [0, 1]")
+    if bin_sec <= 0 or bins_per_window <= 0:
+        raise ValueError("bin and bins_per_window must be positive")
+    bin_us = bin_sec * 1_000_000
+    binned = df.select(
+        F.col(value_col).cast("double").alias("__v"),
+        F.floor(F.unix_micros(F.col(time_col).cast("timestamp")) / F.lit(bin_us)).alias(
+            "__b"
+        ),
+    )
+    lo, hi = binned.agg(F.min("__b"), F.max("__b")).first()
+    exploded = binned.select(
+        "__v", F.explode(F.sequence("__b", F.col("__b") + F.lit(bins_per_window - 1))).alias("__tb")
+    ).filter((F.col("__tb") >= F.lit(lo)) & (F.col("__tb") <= F.lit(hi)))
+    out_col = f"p{int(round(percentile * 100))}"
+    return (
+        exploded.groupBy("__tb")
+        .agg(F.round(F.percentile("__v", F.lit(percentile)), 4).alias(out_col))
+        .select(
+            F.timestamp_micros(F.col("__tb") * F.lit(bin_us)).alias("t"),
+            out_col,
+        )
+        .orderBy("t")
+    )

@@ -86,6 +86,9 @@ _PRIORITY: list[str] = [
     "dedup_incremental_index",
     "vocab_top_tokens",
     "tfidf_top_terms",
+    "rows_near_errors",
+    "sliding_window_counts_op",
+    "rolling_percentile_op",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -116,9 +119,6 @@ _PRIORITY: list[str] = [
     "range_table",
     "print_scalars",
     "search_term",
-    "parse_pattern",
-    "find_in_tables",
-    "agg_conditional",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -91,3 +91,114 @@ def range_join_price_bands(spark, sf_dir):
         bucket_width=50000.0,
     )
     return joined.select("o_orderkey", "band")
+
+
+@register(
+    "rows_near_errors",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, event_type,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+               ORDER BY ts, event_id
+               ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS nearf
+      FROM events
+    )
+    SELECT event_id, event_type FROM f WHERE nearf = 1 ORDER BY event_id
+    """,
+)
+def rows_near_errors(spark, sf_dir):
+    """Kusto `evaluate rows_near`: every event within 2 rows before or
+    1 row after an error, on the (ts, event_id) serialization order —
+    one bounded ROWS window (operators/temporalagg.py), frame
+    [-after, +before] over the condition flag."""
+    from meerkat_spark.operators.temporalagg import rows_near
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    out = rows_near(
+        ev,
+        F.col("event_type") == "error",
+        ["ts", "event_id"],
+        rows_before=2,
+        rows_after=1,
+    )
+    return out.select("event_id", "event_type").orderBy("event_id")
+
+
+@register(
+    "sliding_window_counts_op",
+    oracle="""
+    WITH grid AS (
+      SELECT g AS t
+      FROM generate_series(TIMESTAMP '2024-01-08 00:00:00',
+                           TIMESTAMP '2024-01-28 00:00:00',
+                           INTERVAL 1 DAY) AS s(g)
+    )
+    SELECT grid.t,
+           count(e.user_id) AS wnd_count,
+           count(DISTINCT e.user_id) AS wnd_dcount
+    FROM grid LEFT JOIN events e
+      ON e.ts > grid.t - INTERVAL 7 DAY AND e.ts <= grid.t
+    GROUP BY grid.t ORDER BY grid.t
+    """,
+)
+def sliding_window_counts_op(spark, sf_dir):
+    """Kusto `evaluate sliding_window_counts`: per daily grid point,
+    events and distinct users in the trailing 7-day window. Spark path
+    (operators/temporalagg.py) explodes each event to the ≤7 grid
+    points covering it (exact integer-µs bin math) then aggregates on
+    the bin key once — no events×grid range join, no per-bin rescan."""
+    from meerkat_spark.operators.temporalagg import sliding_window_counts
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    out = sliding_window_counts(
+        ev,
+        id_col="user_id",
+        time_col="ts",
+        start="2024-01-08",
+        end="2024-01-28",
+        lookback_sec=7 * 86400,
+        bin_sec=86400,
+    )
+    return out.select(
+        "t",
+        F.col("Count").alias("wnd_count"),
+        F.col("Dcount").alias("wnd_dcount"),
+    )
+
+
+@register(
+    "rolling_percentile_op",
+    oracle="""
+    WITH b AS (
+      SELECT value,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS bb
+      FROM events
+    ), bounds AS (
+      SELECT min(bb) AS lo, max(bb) AS hi FROM b
+    ), ex AS (
+      SELECT b.value, b.bb + s.j AS tb
+      FROM b CROSS JOIN generate_series(0, 6) AS s(j)
+    )
+    SELECT make_timestamp(tb * 86400000000) AS t,
+           round(quantile_cont(value, 0.5), 4) AS p50
+    FROM ex, bounds
+    WHERE tb BETWEEN bounds.lo AND bounds.hi
+    GROUP BY tb ORDER BY t
+    """,
+)
+def rolling_percentile_op(spark, sf_dir):
+    """Kusto `evaluate rolling_percentile`: per daily bin, the exact
+    interpolated median of `value` over the current + 6 preceding bins
+    (explode-to-bins + one percentile aggregation; same linear-
+    interpolation convention both engines, rounded 4dp)."""
+    from meerkat_spark.operators.temporalagg import rolling_percentile
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    return rolling_percentile(
+        ev,
+        value_col="value",
+        percentile=0.5,
+        time_col="ts",
+        bin_sec=86400,
+        bins_per_window=7,
+    )

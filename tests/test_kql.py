@@ -231,6 +231,15 @@ CASES: dict[str, tuple[str, str]] = {
         "SELECT event_id, ts + INTERVAL '1 hour' AS later, ts - INTERVAL '30 minutes' AS earlier "
         "FROM events WHERE event_id < 50",
     ),
+    "evaluate_rows_near": (
+        """events | sort by ts asc, event_id asc
+           | evaluate rows_near(event_type == 'error', 2, 1)
+           | project event_id, event_type""",
+        "WITH f AS (SELECT event_id, event_type, "
+        "max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) OVER ("
+        "ORDER BY ts, event_id ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS nearf "
+        "FROM events) SELECT event_id, event_type FROM f WHERE nearf=1",
+    ),
 }
 
 

@@ -1,0 +1,88 @@
+"""Known-answer tests for the Kusto time-series evaluate plugins
+(operators/temporalagg.py): rows_near, sliding_window_counts,
+rolling_percentile."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from meerkat_spark.operators.temporalagg import (
+    rolling_percentile,
+    rows_near,
+    sliding_window_counts,
+)
+
+
+def _t(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_rows_near_window_and_defaults(spark):
+    rows = [(i, "err" if i == 5 else "ok") for i in range(10)]
+    df = spark.createDataFrame(rows, "i long, kind string")
+    got = sorted(
+        r.i
+        for r in rows_near(
+            df, F.col("kind") == "err", ["i"], rows_before=2, rows_after=1
+        ).collect()
+    )
+    # condition at i=5 → rows [3, 6]: 2 before, itself, 1 after
+    assert got == [3, 4, 5, 6]
+    # rows_after defaults to rows_before
+    sym = sorted(
+        r.i
+        for r in rows_near(df, F.col("kind") == "err", ["i"], rows_before=2).collect()
+    )
+    assert sym == [3, 4, 5, 6, 7]
+
+
+def test_rows_near_partitioned(spark):
+    rows = [(g, i, i == 2) for g in ("a", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, i long, hit boolean")
+    got = {
+        (r.g, r.i)
+        for r in rows_near(
+            df, F.col("hit"), ["i"], 1, 0, partition_by=["g"]
+        ).collect()
+    }
+    assert got == {(g, i) for g in ("a", "b") for i in (1, 2)}
+
+
+def test_sliding_window_counts_known(spark):
+    # users 1,2 on day 2; user 1 again on day 5
+    rows = [(1, _t(2)), (2, _t(2, 12)), (1, _t(5))]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    out = {
+        r.t: (r.Count, r.Dcount)
+        for r in sliding_window_counts(
+            df, "uid", "ts", _t(1), _t(7), lookback_sec=3 * 86400, bin_sec=86400
+        ).collect()
+    }
+    assert len(out) == 7  # grid days 1..7 inclusive, empty bins present
+    assert out[_t(1)] == (0, 0)
+    assert out[_t(2)] == (1, 1)  # only 00:00 event ≤ day-2 boundary
+    assert out[_t(3)] == (2, 2)
+    assert out[_t(4)] == (2, 2)  # 3-day lookback still covers day 2
+    # day-2 00:00 event ages out EXACTLY at day 5 (strict τ > t - L);
+    # the 12:00 event and the day-5 event remain
+    assert out[_t(5)] == (2, 2)
+    assert out[_t(6)] == (1, 1)  # day-2 events aged out
+    assert out[_t(7)] == (1, 1)
+
+
+def test_rolling_percentile_known(spark):
+    # one value per day, days 1..4; 2-bin window median
+    rows = [(float(d), _t(d, 6)) for d in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "v double, ts timestamp")
+    out = {
+        r.t: r.p50
+        for r in rolling_percentile(
+            df, "v", 0.5, "ts", bin_sec=86400, bins_per_window=2
+        ).collect()
+    }
+    assert out[_t(1)] == 1.0
+    assert out[_t(2)] == 1.5  # median of {1, 2}
+    assert out[_t(3)] == 2.5
+    assert out[_t(4)] == 3.5
