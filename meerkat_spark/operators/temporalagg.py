@@ -1,5 +1,6 @@
 """Kusto time-series evaluate plugins rebuilt Spark-first:
-`rows_near`, `sliding_window_counts`, `rolling_percentile`.
+`rows_near`, `sliding_window_counts`, `rolling_percentile`,
+`activity_counts_metrics`.
 
 These are the activity-analytics plugins Kusto users run against event
 streams (docs: evaluate plugin reference). None needs a UDF — each is
@@ -159,6 +160,74 @@ def rolling_percentile(
         .select(
             F.timestamp_micros(F.col("__tb") * F.lit(bin_us)).alias("t"),
             out_col,
+        )
+        .orderBy("t")
+    )
+
+
+def activity_counts_metrics(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    bin_sec: int,
+) -> DataFrame:
+    """Kusto `evaluate activity_counts_metrics(Id, Timeline, Start,
+    End, Step)`: per bin t in [Start, End] — `count` (events),
+    `dcount` (distinct ids), `new_dcount` (ids whose FIRST activity in
+    range falls in this bin), `aggregated_dcount` (distinct ids from
+    Start through the end of this bin — the cumulative user curve).
+
+    Two aggregations and a window cumsum, no sliding explode:
+    per-bin count/dcount is one groupBy; first-activity bins come from
+    a min-bin-per-id aggregate (shuffle on the id key, the natural
+    partitioning); aggregated_dcount = running sum of new_dcount over
+    the (tiny) bin axis — cheaper and exact versus re-counting
+    distinct ids per prefix, because cumulative distinct IS the sum of
+    first-appearances."""
+    if bin_sec <= 0:
+        raise ValueError("bin must be positive")
+    s_us, e_us = _usec(start), _usec(end)
+    bin_us = bin_sec * 1_000_000
+    n_bins = (e_us - s_us) // bin_us
+    if n_bins < 0:
+        raise ValueError("end before start")
+    tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+    binned = df.select(
+        F.col(id_col).alias("__id"), F.floor(tau / F.lit(bin_us)).alias("__k")
+    ).filter((F.col("__k") >= 0) & (F.col("__k") <= F.lit(n_bins)))
+    per_bin = binned.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count_distinct("__id").alias("dcount"),
+    )
+    first_seen = (
+        binned.groupBy("__id")
+        .agg(F.min("__k").alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("new_dcount"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(0, n_bins + 1).select(F.col("id").alias("__k"))
+    joined = (
+        grid.join(per_bin, "__k", "left")
+        .join(first_seen, "__k", "left")
+        .select(
+            "__k",
+            F.coalesce("count", F.lit(0)).alias("count"),
+            F.coalesce("dcount", F.lit(0)).alias("dcount"),
+            F.coalesce("new_dcount", F.lit(0)).alias("new_dcount"),
+        )
+    )
+    w = W.orderBy("__k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        joined.withColumn("aggregated_dcount", F.sum("new_dcount").over(w))
+        .select(
+            F.timestamp_micros(F.col("__k") * F.lit(bin_us) + F.lit(s_us)).alias("t"),
+            "count",
+            "dcount",
+            "new_dcount",
+            "aggregated_dcount",
         )
         .orderBy("t")
     )

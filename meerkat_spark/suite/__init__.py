@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "rows_near_errors",
     "sliding_window_counts_op",
     "rolling_percentile_op",
+    "activity_counts_metrics_op",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "mv_expand_indexed",
     "range_table",
     "print_scalars",
-    "search_term",
 ]
 
 def _ordered(mapping: dict) -> dict:

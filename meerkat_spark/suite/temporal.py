@@ -202,3 +202,61 @@ def rolling_percentile_op(spark, sf_dir):
         bin_sec=86400,
         bins_per_window=7,
     )
+
+
+@register(
+    "activity_counts_metrics_op",
+    oracle="""
+    WITH binned AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 86400000000) AS BIGINT) AS k
+      FROM events
+    ), b AS (
+      SELECT * FROM binned WHERE k BETWEEN 0 AND 29
+    ), grid AS (
+      SELECT unnest(range(0, 30)) AS k
+    ), per_bin AS (
+      SELECT k, count(*) AS cnt, count(distinct user_id) AS dc
+      FROM b GROUP BY k
+    ), fs AS (
+      SELECT user_id, min(k) AS k FROM b GROUP BY user_id
+    ), nd AS (
+      SELECT k, count(*) AS ndc FROM fs GROUP BY k
+    ), j AS (
+      SELECT grid.k,
+             coalesce(cnt, 0) AS n_events,
+             coalesce(dc, 0) AS n_users,
+             coalesce(ndc, 0) AS new_users
+      FROM grid LEFT JOIN per_bin USING (k) LEFT JOIN nd USING (k)
+    )
+    SELECT make_timestamp(k * 86400000000
+                          + epoch_us(TIMESTAMP '2024-01-01')) AS t,
+           n_events, n_users, new_users,
+           sum(new_users) OVER (ORDER BY k) AS agg_users
+    FROM j ORDER BY t
+    """,
+)
+def activity_counts_metrics_op(spark, sf_dir):
+    """Kusto `evaluate activity_counts_metrics`: per daily bin —
+    events, distinct users, first-time users, and the cumulative
+    distinct-user curve (running sum of first appearances; exact
+    without per-prefix re-counting). operators/temporalagg.py."""
+    from meerkat_spark.operators.temporalagg import activity_counts_metrics
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    out = activity_counts_metrics(
+        ev,
+        id_col="user_id",
+        time_col="ts",
+        start="2024-01-01",
+        end="2024-01-30",
+        bin_sec=86400,
+    )
+    return out.select(
+        "t",
+        F.col("count").alias("n_events"),
+        F.col("dcount").alias("n_users"),
+        F.col("new_dcount").alias("new_users"),
+        F.col("aggregated_dcount").alias("agg_users"),
+    )

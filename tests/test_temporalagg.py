@@ -86,3 +86,21 @@ def test_rolling_percentile_known(spark):
     assert out[_t(2)] == 1.5  # median of {1, 2}
     assert out[_t(3)] == 2.5
     assert out[_t(4)] == 3.5
+
+
+def test_activity_counts_metrics_known(spark):
+    from meerkat_spark.operators.temporalagg import activity_counts_metrics
+
+    # u1 on days 1+2, u2 on day 2 (twice), u3 on day 4
+    rows = [(1, _t(1)), (1, _t(2)), (2, _t(2)), (2, _t(2, 6)), (3, _t(4))]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    out = {
+        r.t: (r["count"], r.dcount, r.new_dcount, r.aggregated_dcount)
+        for r in activity_counts_metrics(
+            df, "uid", "ts", _t(1), _t(4), bin_sec=86400
+        ).collect()
+    }
+    assert out[_t(1)] == (1, 1, 1, 1)
+    assert out[_t(2)] == (3, 2, 1, 2)  # u1 returns, u2 new (2 events)
+    assert out[_t(3)] == (0, 0, 0, 2)  # quiet bin keeps the cumulative
+    assert out[_t(4)] == (1, 1, 1, 3)
