@@ -1,6 +1,7 @@
 """Kusto time-series evaluate plugins rebuilt Spark-first:
 `rows_near`, `sliding_window_counts`, `rolling_percentile`,
-`activity_counts_metrics`.
+`activity_counts_metrics`, plus the retention triangle at the core of
+`new_activity_metrics`.
 
 These are the activity-analytics plugins Kusto users run against event
 streams (docs: evaluate plugin reference). None needs a UDF — each is
@@ -230,4 +231,63 @@ def activity_counts_metrics(
             "aggregated_dcount",
         )
         .orderBy("t")
+    )
+
+
+def retention_metrics(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    bin_sec: int,
+) -> DataFrame:
+    """Cohort retention triangle — the deterministic core of Kusto's
+    `evaluate new_activity_metrics`: ids are cohorted by the bin of
+    their FIRST activity in range; for every (cohort, activity bin ≥
+    cohort) pair, `retained` = distinct cohort ids active in that bin
+    and `retention_rate` = retained / cohort size (4dp). The cohort's
+    own bin yields rate 1.0 by construction.
+
+    Shape: one min-bin-per-id aggregate (cohort assignment, shuffled
+    on the id key), one distinct on (id, bin), one broadcast-sized
+    join of per-(cohort, bin) counts to cohort sizes — the matrix axis
+    is bins², never corpus-sized. Output
+    (cohort timestamp, t timestamp, cohort_size, retained,
+    retention_rate) ordered by (cohort, t)."""
+    if bin_sec <= 0:
+        raise ValueError("bin must be positive")
+    s_us, e_us = _usec(start), _usec(end)
+    bin_us = bin_sec * 1_000_000
+    n_bins = (e_us - s_us) // bin_us
+    if n_bins < 0:
+        raise ValueError("end before start")
+    tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+    binned = (
+        df.select(
+            F.col(id_col).alias("__id"), F.floor(tau / F.lit(bin_us)).alias("__k")
+        )
+        .filter((F.col("__k") >= 0) & (F.col("__k") <= F.lit(n_bins)))
+        .distinct()
+    )
+    cohort = binned.groupBy("__id").agg(F.min("__k").alias("__c"))
+    activity = binned.join(cohort, "__id")
+    cell = activity.groupBy("__c", "__k").agg(
+        F.count(F.lit(1)).alias("retained")  # (id, k) already distinct
+    )
+    size = cohort.groupBy("__c").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cell.join(F.broadcast(size), "__c")
+        .select(
+            F.timestamp_micros(F.col("__c") * F.lit(bin_us) + F.lit(s_us)).alias(
+                "cohort"
+            ),
+            F.timestamp_micros(F.col("__k") * F.lit(bin_us) + F.lit(s_us)).alias("t"),
+            "cohort_size",
+            "retained",
+            F.round(F.col("retained") / F.col("cohort_size"), 4).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort", "t")
     )

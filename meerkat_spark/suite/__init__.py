@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "sliding_window_counts_op",
     "rolling_percentile_op",
     "activity_counts_metrics_op",
+    "retention_matrix_op",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "mv_expand_words",
     "mv_expand_indexed",
     "range_table",
-    "print_scalars",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -260,3 +260,49 @@ def activity_counts_metrics_op(spark, sf_dir):
         F.col("new_dcount").alias("new_users"),
         F.col("aggregated_dcount").alias("agg_users"),
     )
+
+
+@register(
+    "retention_matrix_op",
+    oracle="""
+    WITH binned AS (
+      SELECT DISTINCT user_id,
+             CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 604800000000) AS BIGINT) AS k
+      FROM events
+    ), b AS (
+      SELECT * FROM binned WHERE k BETWEEN 0 AND 4
+    ), cohort AS (
+      SELECT user_id, min(k) AS c FROM b GROUP BY user_id
+    ), cell AS (
+      SELECT c, k, count(*) AS retained
+      FROM b JOIN cohort USING (user_id) GROUP BY c, k
+    ), sz AS (
+      SELECT c, count(*) AS cohort_size FROM cohort GROUP BY c
+    )
+    SELECT make_timestamp(c * 604800000000
+                          + epoch_us(TIMESTAMP '2024-01-01')) AS cohort,
+           make_timestamp(k * 604800000000
+                          + epoch_us(TIMESTAMP '2024-01-01')) AS t,
+           cohort_size, retained,
+           round(retained * 1.0 / cohort_size, 4) AS retention_rate
+    FROM cell JOIN sz USING (c)
+    ORDER BY cohort, t
+    """,
+)
+def retention_matrix_op(spark, sf_dir):
+    """Weekly cohort retention triangle over events (Kusto
+    new_activity_metrics' deterministic core): first-activity week ×
+    activity week → retained users and retention rate
+    (operators/temporalagg.py)."""
+    from meerkat_spark.operators.temporalagg import retention_metrics
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    return retention_metrics(
+        ev,
+        id_col="user_id",
+        time_col="ts",
+        start="2024-01-01",
+        end="2024-01-29",
+        bin_sec=7 * 86400,
+    )

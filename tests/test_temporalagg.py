@@ -104,3 +104,33 @@ def test_activity_counts_metrics_known(spark):
     assert out[_t(2)] == (3, 2, 1, 2)  # u1 returns, u2 new (2 events)
     assert out[_t(3)] == (0, 0, 0, 2)  # quiet bin keeps the cumulative
     assert out[_t(4)] == (1, 1, 1, 3)
+
+
+def test_retention_metrics_triangle(spark):
+    from meerkat_spark.operators.temporalagg import retention_metrics
+
+    # cohort day1 = {u1, u2}; u1 returns day2+day3, u2 never.
+    # cohort day2 = {u3}; u3 returns day3.
+    rows = [
+        (1, _t(1)),
+        (2, _t(1)),
+        (1, _t(2)),
+        (3, _t(2)),
+        (1, _t(3)),
+        (3, _t(3)),
+        (1, _t(3, 12)),  # second same-day event must not double-count
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    out = {
+        (r.cohort, r.t): (r.cohort_size, r.retained, r.retention_rate)
+        for r in retention_metrics(
+            df, "uid", "ts", _t(1), _t(3), bin_sec=86400
+        ).collect()
+    }
+    assert out[(_t(1), _t(1))] == (2, 2, 1.0)
+    assert out[(_t(1), _t(2))] == (2, 1, 0.5)
+    assert out[(_t(1), _t(3))] == (2, 1, 0.5)
+    assert out[(_t(2), _t(2))] == (1, 1, 1.0)
+    assert out[(_t(2), _t(3))] == (1, 1, 1.0)
+    # no cell for a bin where a cohort had zero activity before it
+    assert (_t(2), _t(1)) not in out
