@@ -1239,6 +1239,70 @@ class Translator:
             return MeerkatTable(
                 rows_near(t.df, cond, self.serialize_order, n, m)
             )
+        if plugin in (
+            "sliding_window_counts",
+            "activity_counts_metrics",
+            "rolling_percentile",
+        ):
+            # Kusto activity-analytics plugins (operators/temporalagg.py).
+            # Column args are idents; Start/End are datetime() literals;
+            # windows/bins are timespan (or numeric-seconds) literals.
+            from meerkat_spark.operators import temporalagg as TAgg
+
+            args = a["args"]
+
+            def name_of(node):
+                if not isinstance(node, P.Ident):
+                    raise KqlSyntaxError(f"{plugin} expects a column name")
+                return node.name
+
+            def dt_of(node):
+                if isinstance(node, P.DateTimeLit):
+                    return node.text.replace("T", " ")
+                raise KqlSyntaxError(f"{plugin} expects a datetime(...) literal")
+
+            def secs_of(node):
+                v = self.expr(node)
+                if isinstance(v, _Span):
+                    return int(v.seconds)
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    return int(v)
+                raise KqlSyntaxError(f"{plugin} expects a timespan literal")
+
+            if plugin == "sliding_window_counts":
+                if len(args) != 6:
+                    raise KqlSyntaxError(
+                        "sliding_window_counts(Id, Timeline, Start, End, "
+                        "Lookback, Bin)"
+                    )
+                out = TAgg.sliding_window_counts(
+                    t.df, name_of(args[0]), name_of(args[1]),
+                    dt_of(args[2]), dt_of(args[3]),
+                    secs_of(args[4]), secs_of(args[5]),
+                )
+            elif plugin == "activity_counts_metrics":
+                if len(args) != 5:
+                    raise KqlSyntaxError(
+                        "activity_counts_metrics(Id, Timeline, Start, End, Step)"
+                    )
+                out = TAgg.activity_counts_metrics(
+                    t.df, name_of(args[0]), name_of(args[1]),
+                    dt_of(args[2]), dt_of(args[3]), secs_of(args[4]),
+                )
+            else:
+                if len(args) != 5:
+                    raise KqlSyntaxError(
+                        "rolling_percentile(Value, Percentile, Index, "
+                        "BinSize, BinsPerWindow)"
+                    )
+                # Kusto percentile scale is 0-100
+                out = TAgg.rolling_percentile(
+                    t.df, name_of(args[0]),
+                    float(_raw(self.expr(args[1]))) / 100.0,
+                    name_of(args[2]), secs_of(args[3]),
+                    int(_raw(self.expr(args[4]))),
+                )
+            return MeerkatTable(out)
         if plugin == "bag_unpack":
             col_node = a["args"][0]
             if not isinstance(col_node, P.Ident):

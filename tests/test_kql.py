@@ -231,6 +231,44 @@ CASES: dict[str, tuple[str, str]] = {
         "SELECT event_id, ts + INTERVAL '1 hour' AS later, ts - INTERVAL '30 minutes' AS earlier "
         "FROM events WHERE event_id < 50",
     ),
+    "evaluate_sliding_window_counts": (
+        """events | evaluate sliding_window_counts(user_id, ts,
+             datetime(2024-01-08), datetime(2024-01-28), 7d, 1d)""",
+        "WITH grid AS (SELECT g AS t FROM generate_series("
+        "TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-28', INTERVAL 1 DAY) s(g)) "
+        "SELECT grid.t, count(e.user_id) AS \"Count\", "
+        "count(DISTINCT e.user_id) AS \"Dcount\" FROM grid LEFT JOIN events e "
+        "ON e.ts > grid.t - INTERVAL 7 DAY AND e.ts <= grid.t GROUP BY grid.t",
+    ),
+    "evaluate_activity_counts_metrics": (
+        """events | evaluate activity_counts_metrics(user_id, ts,
+             datetime(2024-01-01), datetime(2024-01-30), 1d)""",
+        "WITH binned AS (SELECT user_id, CAST(floor((epoch_us(ts) - "
+        "epoch_us(TIMESTAMP '2024-01-01')) / 86400000000) AS BIGINT) AS k "
+        "FROM events), b AS (SELECT * FROM binned WHERE k BETWEEN 0 AND 29), "
+        "grid AS (SELECT unnest(range(0, 30)) AS k), "
+        "per_bin AS (SELECT k, count(*) AS cnt, count(distinct user_id) AS dc "
+        "FROM b GROUP BY k), "
+        "fs AS (SELECT user_id, min(k) AS k FROM b GROUP BY user_id), "
+        "nd AS (SELECT k, count(*) AS ndc FROM fs GROUP BY k), "
+        "j AS (SELECT grid.k, coalesce(cnt,0) AS \"count\", "
+        "coalesce(dc,0) AS dcount, coalesce(ndc,0) AS new_dcount "
+        "FROM grid LEFT JOIN per_bin USING (k) LEFT JOIN nd USING (k)) "
+        "SELECT make_timestamp(k * 86400000000 + "
+        "epoch_us(TIMESTAMP '2024-01-01')) AS t, \"count\", dcount, new_dcount, "
+        "sum(new_dcount) OVER (ORDER BY k) AS aggregated_dcount FROM j",
+    ),
+    "evaluate_rolling_percentile": (
+        "events | evaluate rolling_percentile(value, 50, ts, 1d, 7)",
+        "WITH b AS (SELECT value, CAST(floor(epoch_us(ts) / 86400000000) "
+        "AS BIGINT) AS bb FROM events), "
+        "bounds AS (SELECT min(bb) AS lo, max(bb) AS hi FROM b), "
+        "ex AS (SELECT b.value, b.bb + s.j AS tb FROM b "
+        "CROSS JOIN generate_series(0, 6) AS s(j)) "
+        "SELECT make_timestamp(tb * 86400000000) AS t, "
+        "round(quantile_cont(value, 0.5), 4) AS p50 FROM ex, bounds "
+        "WHERE tb BETWEEN bounds.lo AND bounds.hi GROUP BY tb",
+    ),
     "evaluate_rows_near": (
         """events | sort by ts asc, event_id asc
            | evaluate rows_near(event_type == 'error', 2, 1)
