@@ -291,3 +291,82 @@ def retention_metrics(
         )
         .orderBy("cohort", "t")
     )
+
+
+def active_users_count(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    lookback_sec: int,
+    period_sec: int,
+    min_active_periods: int,
+    bin_sec: int,
+) -> DataFrame:
+    """Kusto `evaluate active_users_count(Id, Timeline, Start, End,
+    LookbackWindow, Period, ActivePeriodsCount, Bin)`: per grid bin t,
+    the number of distinct ids with activity in at least
+    `min_active_periods` DISTINCT periods of the lookback window —
+    periods are `period_sec` slices ending at t (period j of an event
+    at τ is floor((t-τ)/Period), window τ ∈ (t-Lookback, t]). The
+    fuzzy-MAU metric: "users active on ≥ m of the last k days".
+
+    Shape: the same explode-to-bins as sliding_window_counts
+    (amplification = lookback/bin), the period index computed per
+    (event, bin) as plain arithmetic, then distinct (bin, id, period)
+    → per-(bin, id) period counts → threshold filter → per-bin count.
+    Two keyed aggregations, no per-bin rescans, grid join fills empty
+    bins with 0."""
+    if min(bin_sec, lookback_sec, period_sec) <= 0 or min_active_periods <= 0:
+        raise ValueError("bin/lookback/period/min_active_periods must be positive")
+    s_us, e_us = _usec(start), _usec(end)
+    bin_us, look_us = bin_sec * 1_000_000, lookback_sec * 1_000_000
+    per_us = period_sec * 1_000_000
+    n_bins = (e_us - s_us) // bin_us
+    if n_bins < 0:
+        raise ValueError("end before start")
+    tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+    k_min = F.greatest(F.lit(0), -F.floor(-tau / F.lit(bin_us)))
+    k_max = F.least(
+        F.lit(n_bins), -F.floor(-(tau + F.lit(look_us)) / F.lit(bin_us)) - 1
+    )
+    hits = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            tau.alias("__tau"),
+            k_min.alias("__k0"),
+            k_max.alias("__k1"),
+        )
+        .filter(F.col("__k0") <= F.col("__k1"))
+        .select(
+            "__id",
+            "__tau",
+            F.explode(F.sequence("__k0", "__k1")).alias("__k"),
+        )
+        .select(
+            "__id",
+            "__k",
+            F.floor(
+                (F.col("__k") * F.lit(bin_us) - F.col("__tau")) / F.lit(per_us)
+            ).alias("__j"),
+        )
+        .distinct()
+    )
+    qualified = (
+        hits.groupBy("__k", "__id")
+        .agg(F.count(F.lit(1)).alias("__nper"))  # (__k,__id,__j) distinct
+        .filter(F.col("__nper") >= min_active_periods)
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(0, n_bins + 1).select(F.col("id").alias("__k"))
+    return (
+        grid.join(qualified, "__k", "left")
+        .select(
+            F.timestamp_micros(F.col("__k") * F.lit(bin_us) + F.lit(s_us)).alias("t"),
+            F.coalesce("active_users", F.lit(0)).alias("active_users"),
+        )
+        .orderBy("t")
+    )

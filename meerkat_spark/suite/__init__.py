@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "rolling_percentile_op",
     "activity_counts_metrics_op",
     "retention_matrix_op",
+    "active_users_count_op",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "union_inner_mismatched",
     "mv_expand_words",
     "mv_expand_indexed",
-    "range_table",
 ]
 
 def _ordered(mapping: dict) -> dict:

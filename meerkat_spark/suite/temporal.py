@@ -306,3 +306,47 @@ def retention_matrix_op(spark, sf_dir):
         end="2024-01-29",
         bin_sec=7 * 86400,
     )
+
+
+@register(
+    "active_users_count_op",
+    oracle="""
+    WITH grid AS (
+      SELECT g AS t
+      FROM generate_series(TIMESTAMP '2024-01-08',
+                           TIMESTAMP '2024-01-28',
+                           INTERVAL 1 DAY) AS s(g)
+    ), hits AS (
+      SELECT DISTINCT grid.t, e.user_id,
+             CAST(floor((epoch_us(grid.t) - epoch_us(e.ts))
+                        / 86400000000) AS BIGINT) AS j
+      FROM grid JOIN events e
+        ON e.ts > grid.t - INTERVAL 7 DAY AND e.ts <= grid.t
+    ), per_id AS (
+      SELECT t, user_id, count(*) AS nper FROM hits GROUP BY t, user_id
+    ), act AS (
+      SELECT t, count(*) AS active_users FROM per_id WHERE nper >= 3 GROUP BY t
+    )
+    SELECT grid.t, coalesce(act.active_users, 0) AS active_users
+    FROM grid LEFT JOIN act USING (t) ORDER BY grid.t
+    """,
+)
+def active_users_count_op(spark, sf_dir):
+    """Kusto `evaluate active_users_count`: per day, users active on
+    ≥3 distinct days of the trailing 7-day window (the fuzzy-MAU
+    metric; operators/temporalagg.py — explode-to-bins + two keyed
+    aggregations, no per-bin rescans)."""
+    from meerkat_spark.operators.temporalagg import active_users_count
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    return active_users_count(
+        ev,
+        id_col="user_id",
+        time_col="ts",
+        start="2024-01-08",
+        end="2024-01-28",
+        lookback_sec=7 * 86400,
+        period_sec=86400,
+        min_active_periods=3,
+        bin_sec=86400,
+    )

@@ -134,3 +134,42 @@ def test_retention_metrics_triangle(spark):
     assert out[(_t(2), _t(3))] == (1, 1, 1.0)
     # no cell for a bin where a cohort had zero activity before it
     assert (_t(2), _t(1)) not in out
+
+
+def test_active_users_count_known(spark):
+    from meerkat_spark.operators.temporalagg import active_users_count
+
+    # u1 active on days 1,2,3; u2 has 3 events but all on day 1
+    rows = [
+        (1, _t(1)),
+        (1, _t(2)),
+        (1, _t(3)),
+        (2, _t(1)),
+        (2, _t(1, 6)),
+        (2, _t(1, 12)),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    out = {
+        r.t: r.active_users
+        for r in active_users_count(
+            df,
+            "uid",
+            "ts",
+            _t(1),
+            _t(4),
+            lookback_sec=3 * 86400,
+            period_sec=86400,
+            min_active_periods=2,
+            bin_sec=86400,
+        ).collect()
+    }
+    # Periods are 1d slices ending at the bin (Kusto semantics), NOT
+    # calendar days: at t=Jan2 00:00, u2's Jan1 06:00/12:00 events fall
+    # in period 0 ((Jan1,Jan2]) while Jan1 00:00 falls in period 1 —
+    # so u2 spans 2 distinct periods despite one calendar day.
+    assert out[_t(1)] == 0  # everyone has one period so far
+    assert out[_t(2)] == 2  # u1 days 1+2; u2 periods {0,1}
+    assert out[_t(3)] == 2
+    # at t=Jan4 the window is (Jan1, Jan4]: u2's surviving events
+    # (06:00, 12:00) both map to period 2 → only u1 qualifies
+    assert out[_t(4)] == 1
