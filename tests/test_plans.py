@@ -331,3 +331,61 @@ def test_graph_match_is_equi_joins_no_cartesian(eng, spark):
     plan = plan_of(kql_graph_match(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Join" in plan
+
+
+def test_vocab_wordcount_partial_final(eng):
+    """token_frequencies is canonical distributed wordcount: the token
+    aggregation must run partial (map-side) then final around ONE
+    exchange — corpus rows never shuffle raw, only partial counts."""
+    from meerkat_spark.text.vocab import token_frequencies
+
+    docs = eng.table("documents").to_df()
+    plan = plan_of(token_frequencies(docs))
+    assert re.search(r"partial_count", plan, re.I)
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_no_cartesian_and_pruned_scan(eng):
+    """The doc-frequency join is on the token key (broadcast or
+    shuffled hash join, never a loop join), and the scan reads only
+    (doc_id, text)."""
+    from meerkat_spark.plans import read_schema_columns
+    from meerkat_spark.text.vocab import tf_idf_top_terms
+
+    docs = eng.table("documents").to_df()
+    out = tf_idf_top_terms(docs, k=3)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert set(read_schema_columns(out)) <= {"doc_id", "text"}
+
+
+def test_sliding_window_counts_no_range_join(eng):
+    """The sliding count must be the explode-to-bins shape — a bin-key
+    hash aggregate, never an events×grid theta/loop join (the naive
+    formulation Catalyst would execute as BroadcastNestedLoopJoin)."""
+    from meerkat_spark.operators.temporalagg import sliding_window_counts
+
+    ev = eng.table("events").to_df()
+    out = sliding_window_counts(
+        ev, "user_id", "ts", "2024-01-08", "2024-01-28",
+        lookback_sec=7 * 86400, bin_sec=86400,
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Generate explode", plan)
+
+
+def test_rows_near_single_window_no_extra_exchange(eng):
+    """rows_near adds one Window over the given order and a filter —
+    no joins, no aggregation, no added exchange beyond the ordering's
+    own sort requirement."""
+    from meerkat_spark.operators.temporalagg import rows_near
+
+    ev = eng.table("events").to_df()
+    out = rows_near(ev, F.col("event_type") == "error", ["ts", "event_id"], 2, 1)
+    plan = plan_of(out)
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
