@@ -370,3 +370,72 @@ def active_users_count(
         )
         .orderBy("t")
     )
+
+
+def funnel_sequence(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    state_col: str,
+    sequence: list[str],
+    max_step_sec: int | None = None,
+    start: _dt.datetime | str | None = None,
+    end: _dt.datetime | str | None = None,
+) -> DataFrame:
+    """Kusto `evaluate funnel_sequence(Id, Timeline, Start, End,
+    MaxSequenceStepWindow, Step, StateColumn, Sequence)` — the
+    prev/next distribution around a searched state sequence: for every
+    occurrence of `sequence` as CONSECUTIVE states in an id's
+    timeline (consecutive duplicate states collapsed first, Kusto's
+    convention; successive steps within `max_step_sec` when given),
+    record the state immediately before and immediately after the
+    occurrence. Output (prev, next, dcount) — distinct ids per
+    (prev, next) pair, null prev/next at timeline edges — ordered by
+    dcount desc then (prev, next) for determinism.
+
+    Shape: ONE shuffle on the id key (the per-id window), lag/lead
+    expressions for the fixed-length match — no self-joins, no state
+    machine needed for a fixed sequence (the general regex-over-states
+    case is `scan`'s job, operators/scan.py)."""
+    if not sequence:
+        raise ValueError("sequence must be non-empty")
+    ts = F.col(time_col).cast("timestamp")
+    base = df.select(
+        F.col(id_col).alias("__id"), ts.alias("__ts"), F.col(state_col).alias("__st")
+    )
+    if start is not None:
+        base = base.filter(F.col("__ts") >= F.lit(_usec(start) / 1e6).cast("timestamp"))
+    if end is not None:
+        base = base.filter(F.col("__ts") <= F.lit(_usec(end) / 1e6).cast("timestamp"))
+    w = W.partitionBy("__id").orderBy("__ts", "__st")
+    # collapse consecutive duplicate states per id
+    dedup = (
+        base.withColumn("__prev_st", F.lag("__st").over(w))
+        .filter(F.col("__prev_st").isNull() | (F.col("__st") != F.col("__prev_st")))
+        .drop("__prev_st")
+    )
+    m = len(sequence)
+    w2 = W.partitionBy("__id").orderBy("__ts", "__st")
+    cond = F.col("__st") == F.lit(sequence[0])
+    for i in range(1, m):
+        cond = cond & (F.lead("__st", i).over(w2) == F.lit(sequence[i]))
+    if max_step_sec is not None:
+        for i in range(1, m):
+            gap = F.unix_micros(F.lead("__ts", i).over(w2)) - F.unix_micros(
+                F.lead("__ts", i - 1).over(w2)
+            )
+            cond = cond & (gap <= max_step_sec * 1_000_000)
+    hits = (
+        dedup.withColumn("__prev", F.lag("__st").over(w2))
+        .withColumn("__next", F.lead("__st", m).over(w2))
+        # window expressions can't sit inside a WHERE — project the
+        # match flag first, then filter the materialized column
+        .withColumn("__match", cond)
+        .filter(F.col("__match"))
+    )
+    return (
+        hits.groupBy(F.col("__prev").alias("prev"), F.col("__next").alias("next"))
+        .agg(F.count_distinct("__id").alias("dcount"))
+        .orderBy(F.col("dcount").desc(), F.col("prev").asc_nulls_first(),
+                 F.col("next").asc_nulls_first())
+    )

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "activity_counts_metrics_op",
     "retention_matrix_op",
     "active_users_count_op",
+    "funnel_sequence_op",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "union_outer",
     "union_inner_mismatched",
     "mv_expand_words",
-    "mv_expand_indexed",
 ]
 
 def _ordered(mapping: dict) -> dict:

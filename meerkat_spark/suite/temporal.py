@@ -350,3 +350,49 @@ def active_users_count_op(spark, sf_dir):
         min_active_periods=3,
         bin_sec=86400,
     )
+
+
+@register(
+    "funnel_sequence_op",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS id, ts, event_type AS st FROM events
+    ), dedup AS (
+      SELECT id, ts, st FROM (
+        SELECT id, ts, st,
+               lag(st) OVER (PARTITION BY id ORDER BY ts, st) AS pst
+        FROM base
+      ) WHERE pst IS NULL OR st <> pst
+    ), ext AS (
+      SELECT id, ts, st,
+             lead(st, 1) OVER w AS s1, lead(st, 2) OVER w AS s2,
+             lag(st) OVER w AS prev, lead(st, 3) OVER w AS next,
+             lead(ts, 1) OVER w AS t1, lead(ts, 2) OVER w AS t2
+      FROM dedup WINDOW w AS (PARTITION BY id ORDER BY ts, st)
+    ), hits AS (
+      SELECT * FROM ext
+      WHERE st = 'view' AND s1 = 'click' AND s2 = 'purchase'
+        AND epoch_us(t1) - epoch_us(ts) <= 86400000000
+        AND epoch_us(t2) - epoch_us(t1) <= 86400000000
+    )
+    SELECT prev, next, count(distinct id) AS dcount
+    FROM hits GROUP BY prev, next
+    ORDER BY dcount DESC, prev NULLS FIRST, next NULLS FIRST
+    """,
+)
+def funnel_sequence_op(spark, sf_dir):
+    """Kusto `evaluate funnel_sequence`: what users do immediately
+    before and after the view→click→purchase funnel (≤1d between
+    steps, consecutive duplicate states collapsed). One per-id window
+    pass (operators/temporalagg.py), no self-joins."""
+    from meerkat_spark.operators.temporalagg import funnel_sequence
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    return funnel_sequence(
+        ev,
+        id_col="user_id",
+        time_col="ts",
+        state_col="event_type",
+        sequence=["view", "click", "purchase"],
+        max_step_sec=86400,
+    )

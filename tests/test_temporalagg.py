@@ -173,3 +173,35 @@ def test_active_users_count_known(spark):
     # at t=Jan4 the window is (Jan1, Jan4]: u2's surviving events
     # (06:00, 12:00) both map to period 2 → only u1 qualifies
     assert out[_t(4)] == 1
+
+
+def test_funnel_sequence_known(spark):
+    from meerkat_spark.operators.temporalagg import funnel_sequence
+
+    # u1: err → view → view → click → buy → home — the dup view
+    #     collapses to its FIRST occurrence (1h), so the view→click
+    #     gap is 2h: right at the cap
+    # u2: view → click → buy (timeline edges → null prev/next)
+    # u3: view → click ...11h gap... buy (violates the 2h step cap)
+    rows = [
+        (1, _t(1, 0), "err"),
+        (1, _t(1, 1), "view"),
+        (1, _t(1, 2), "view"),
+        (1, _t(1, 3), "click"),
+        (1, _t(1, 4), "buy"),
+        (1, _t(1, 5), "home"),
+        (2, _t(2, 0), "view"),
+        (2, _t(2, 1), "click"),
+        (2, _t(2, 2), "buy"),
+        (3, _t(3, 0), "view"),
+        (3, _t(3, 1), "click"),
+        (3, _t(3, 12), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, st string")
+    out = {
+        (r.prev, r.next): r.dcount
+        for r in funnel_sequence(
+            df, "uid", "ts", "st", ["view", "click", "buy"], max_step_sec=7200
+        ).collect()
+    }
+    assert out == {("err", "home"): 1, (None, None): 1}
