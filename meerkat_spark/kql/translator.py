@@ -364,6 +364,16 @@ class Translator:
         self._cur_schema = None
 
     # ---------------------------------------------------------- expressions
+    def _dyn_literal_list(self, node: Any, plugin: str) -> list:
+        """Python list out of an all-literal dynamic([...]) plugin arg
+        (timespan elements arrive as seconds, expr()'s convention)."""
+        v = self.expr(node)
+        if not isinstance(v, list):
+            raise KqlSyntaxError(
+                f"{plugin} expects a dynamic([...]) literal of constants"
+            )
+        return v
+
     def expr(self, node: Any, agg: bool = False) -> Any:
         if isinstance(node, P.Lit):
             return node.value
@@ -1243,6 +1253,12 @@ class Translator:
             "sliding_window_counts",
             "activity_counts_metrics",
             "rolling_percentile",
+            "session_count",
+            "activity_engagement",
+            "active_users_count",
+            "funnel_sequence",
+            "sequence_detect",
+            "funnel_sequence_completion",
         ):
             # Kusto activity-analytics plugins (operators/temporalagg.py).
             # Column args are idents; Start/End are datetime() literals;
@@ -1289,7 +1305,7 @@ class Translator:
                     t.df, name_of(args[0]), name_of(args[1]),
                     dt_of(args[2]), dt_of(args[3]), secs_of(args[4]),
                 )
-            else:
+            elif plugin == "rolling_percentile":
                 if len(args) != 5:
                     raise KqlSyntaxError(
                         "rolling_percentile(Value, Percentile, Index, "
@@ -1301,6 +1317,93 @@ class Translator:
                     float(_raw(self.expr(args[1]))) / 100.0,
                     name_of(args[2]), secs_of(args[3]),
                     int(_raw(self.expr(args[4]))),
+                )
+            elif plugin == "session_count":
+                if len(args) != 6:
+                    raise KqlSyntaxError(
+                        "session_count(Id, Timeline, Start, End, Bin, LookBack)"
+                    )
+                out = TAgg.session_count(
+                    t.df, name_of(args[0]), name_of(args[1]),
+                    dt_of(args[2]), dt_of(args[3]),
+                    secs_of(args[4]), secs_of(args[5]),
+                )
+            elif plugin == "activity_engagement":
+                if len(args) != 6:
+                    raise KqlSyntaxError(
+                        "activity_engagement(Id, Timeline, Start, End, "
+                        "InnerWindow, OuterWindow)"
+                    )
+                out = TAgg.activity_engagement(
+                    t.df, name_of(args[0]), name_of(args[1]),
+                    dt_of(args[2]), dt_of(args[3]),
+                    secs_of(args[4]), secs_of(args[5]),
+                )
+            elif plugin == "active_users_count":
+                if len(args) != 8:
+                    raise KqlSyntaxError(
+                        "active_users_count(Id, Timeline, Start, End, "
+                        "LookbackWindow, Period, ActivePeriodsCount, Bin)"
+                    )
+                out = TAgg.active_users_count(
+                    t.df, name_of(args[0]), name_of(args[1]),
+                    dt_of(args[2]), dt_of(args[3]),
+                    lookback_sec=secs_of(args[4]), period_sec=secs_of(args[5]),
+                    min_active_periods=int(_raw(self.expr(args[6]))),
+                    bin_sec=secs_of(args[7]),
+                )
+            elif plugin == "funnel_sequence":
+                # Kusto: funnel_sequence(Id, Timeline, Start, End,
+                # MaxSequenceStepWindow, Step, State, Sequence) — Step
+                # (the output period) is accepted and ignored: the
+                # prev/next distribution is period-free in this engine.
+                if len(args) != 8:
+                    raise KqlSyntaxError(
+                        "funnel_sequence(Id, Timeline, Start, End, "
+                        "MaxStepWindow, Step, State, Sequence)"
+                    )
+                out = TAgg.funnel_sequence(
+                    t.df, name_of(args[0]), name_of(args[1]),
+                    state_col=name_of(args[6]),
+                    sequence=self._dyn_literal_list(args[7], plugin),
+                    max_step_sec=secs_of(args[4]),
+                    start=dt_of(args[2]), end=dt_of(args[3]),
+                )
+            elif plugin == "sequence_detect":
+                # sequence_detect(Timeline, MaxStepWindow, MaxSpanWindow,
+                # Expr1, …, ExprK, Id) — exprs are boolean conditions;
+                # output step columns take the expr's column name when it
+                # is a bare identifier, step_i otherwise.
+                if len(args) < 6:
+                    raise KqlSyntaxError(
+                        "sequence_detect(Timeline, MaxStepWindow, "
+                        "MaxSpanWindow, Expr1, Expr2, …, Id)"
+                    )
+                expr_nodes = args[3:-1]
+                conds = [_c(self.expr(n)) for n in expr_nodes]
+                names = [
+                    n.name if isinstance(n, P.Ident) else f"step_{i + 1}"
+                    for i, n in enumerate(expr_nodes)
+                ]
+                out = TAgg.sequence_detect(
+                    t.df, id_col=name_of(args[-1]), time_col=name_of(args[0]),
+                    exprs=conds, max_step_sec=secs_of(args[1]),
+                    max_span_sec=secs_of(args[2]), names=names,
+                )
+            else:  # funnel_sequence_completion
+                if len(args) != 8:
+                    raise KqlSyntaxError(
+                        "funnel_sequence_completion(Id, Timeline, Start, "
+                        "End, Bin, State, Sequence, MaxSequenceWindows)"
+                    )
+                wins = [int(w) for w in self._dyn_literal_list(args[7], plugin)]
+                out = TAgg.funnel_sequence_completion(
+                    t.df, id_col=name_of(args[0]), time_col=name_of(args[1]),
+                    state_col=name_of(args[5]),
+                    sequence=self._dyn_literal_list(args[6], plugin),
+                    max_window_sec=wins,
+                    start=dt_of(args[2]), end=dt_of(args[3]),
+                    bin_sec=secs_of(args[4]),
                 )
             return MeerkatTable(out)
         if plugin == "bag_unpack":

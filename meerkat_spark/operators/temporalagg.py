@@ -439,3 +439,316 @@ def funnel_sequence(
         .orderBy(F.col("dcount").desc(), F.col("prev").asc_nulls_first(),
                  F.col("next").asc_nulls_first())
     )
+
+
+def session_count(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    bin_sec: int,
+    lookback_sec: int,
+) -> DataFrame:
+    """Kusto `evaluate session_count(Id, Timeline, Start, End, Bin,
+    LookBackWindow)`: per grid bin t, the number of active sessions —
+    an id's session is active at t iff the id has at least one event
+    with timeline in (t - LookBackWindow, t] (Kusto's definition; a
+    "session" is the id's presence inside the lookback horizon).
+    Output (t, count_sessions) for every grid point, empty bins 0.
+
+    Shape: the sliding_window_counts explode-to-bins (amplification =
+    lookback/bin, a user constant), distinct (bin, id), ONE keyed
+    aggregation — no per-bin rescans, no events×grid join."""
+    if bin_sec <= 0 or lookback_sec <= 0:
+        raise ValueError("bin and lookback must be positive")
+    s_us, e_us = _usec(start), _usec(end)
+    bin_us, look_us = bin_sec * 1_000_000, lookback_sec * 1_000_000
+    n_bins = (e_us - s_us) // bin_us
+    if n_bins < 0:
+        raise ValueError("end before start")
+    tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+    k_min = F.greatest(F.lit(0), -F.floor(-tau / F.lit(bin_us)))
+    k_max = F.least(
+        F.lit(n_bins), -F.floor(-(tau + F.lit(look_us)) / F.lit(bin_us)) - 1
+    )
+    counted = (
+        df.select(F.col(id_col).alias("__id"), k_min.alias("__k0"), k_max.alias("__k1"))
+        .filter(F.col("__k0") <= F.col("__k1"))
+        .select("__id", F.explode(F.sequence("__k0", "__k1")).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count_distinct("__id").alias("count_sessions"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(0, n_bins + 1).select(F.col("id").alias("__k"))
+    return (
+        grid.join(counted, "__k", "left")
+        .select(
+            F.timestamp_micros(F.col("__k") * F.lit(bin_us) + F.lit(s_us)).alias("t"),
+            F.coalesce("count_sessions", F.lit(0)).alias("count_sessions"),
+        )
+        .orderBy("t")
+    )
+
+
+def activity_engagement(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    inner_sec: int,
+    outer_sec: int,
+) -> DataFrame:
+    """Kusto `evaluate activity_engagement(Id, Timeline, Start, End,
+    InnerActivityWindow, OuterActivityWindow)` — the DAU/MAU
+    engagement ratio: timeline stepped by the inner window; at each
+    grid point t, dcount of ids active in (t-inner, t] and in
+    (t-outer, t], and their ratio. Output
+    (t, dcount_activities_inner, dcount_activities_outer,
+    activity_ratio) with ratio rounded to 6dp (0.0 when outer is 0).
+
+    Shape: ONE explode-to-bins pass per window length (outer
+    amplification = outer/inner), distinct (bin, id), keyed
+    aggregations joined on the bin key — never events×grid."""
+    if inner_sec <= 0 or outer_sec <= 0 or outer_sec < inner_sec:
+        raise ValueError("need 0 < inner <= outer")
+    s_us, e_us = _usec(start), _usec(end)
+    in_us, out_us = inner_sec * 1_000_000, outer_sec * 1_000_000
+    n_bins = (e_us - s_us) // in_us  # grid k = 1..n_bins (t = start + k*inner)
+    if n_bins < 1:
+        raise ValueError("range shorter than one inner window")
+    tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+
+    def dcounts(look_us: int, alias: str) -> DataFrame:
+        k_min = F.greatest(F.lit(1), -F.floor(-tau / F.lit(in_us)))
+        k_max = F.least(
+            F.lit(n_bins), -F.floor(-(tau + F.lit(look_us)) / F.lit(in_us)) - 1
+        )
+        return (
+            df.select(
+                F.col(id_col).alias("__id"),
+                k_min.alias("__k0"),
+                k_max.alias("__k1"),
+            )
+            .filter(F.col("__k0") <= F.col("__k1"))
+            .select("__id", F.explode(F.sequence("__k0", "__k1")).alias("__k"))
+            .groupBy("__k")
+            .agg(F.count_distinct("__id").alias(alias))
+        )
+
+    inner_c = dcounts(in_us, "dcount_activities_inner")
+    outer_c = dcounts(out_us, "dcount_activities_outer")
+    spark = df.sparkSession
+    grid = spark.range(1, n_bins + 1).select(F.col("id").alias("__k"))
+    return (
+        grid.join(inner_c, "__k", "left")
+        .join(outer_c, "__k", "left")
+        .select(
+            F.timestamp_micros(F.col("__k") * F.lit(in_us) + F.lit(s_us)).alias("t"),
+            F.coalesce("dcount_activities_inner", F.lit(0)).alias(
+                "dcount_activities_inner"
+            ),
+            F.coalesce("dcount_activities_outer", F.lit(0)).alias(
+                "dcount_activities_outer"
+            ),
+            F.when(F.coalesce("dcount_activities_outer", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("dcount_activities_inner", F.lit(0))
+                    / F.col("dcount_activities_outer"),
+                    6,
+                )
+            )
+            .alias("activity_ratio"),
+        )
+        .orderBy("t")
+    )
+
+
+def _earliest_following(
+    matches: DataFrame,
+    events: DataFrame,
+    from_col: str,
+    new_col: str,
+    max_gap_us: int | None,
+) -> DataFrame:
+    """For each match row, the EARLIEST event (same ``__id``) with
+    timestamp strictly after ``from_col`` and within ``max_gap_us``.
+    ``events`` must have columns (__id, __ets).
+
+    Union+window shape (the as-of join trick, operators/asof.py, run
+    forward): tag events 0 / matches 1, per-id window ordered by
+    (ts, tag) — events at equal ts sort before the match row and thus
+    fall outside the strictly-following frame, giving the strict-`>`
+    step semantics — then first(ignorenulls) over (+1, ∞). ONE shuffle
+    on the id key per step, no pairwise join blowup; successive steps
+    reuse the same hash partitioning so the exchange is shared."""
+    ev = events.select(
+        "__id",
+        F.col("__ets").alias("__ord"),
+        F.col("__ets").alias("__eval"),
+        F.lit(0).alias("__tag"),
+    )
+    mt = matches.withColumn("__ord", F.col(from_col)).withColumn("__tag", F.lit(1))
+    u = mt.unionByName(ev, allowMissingColumns=True)
+    w = (
+        W.partitionBy("__id")
+        .orderBy(F.col("__ord").asc(), F.col("__tag").asc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    out = (
+        u.withColumn(new_col, F.first("__eval", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+        .drop("__ord", "__tag", "__eval")
+        .filter(F.col(new_col).isNotNull())
+    )
+    if max_gap_us is not None:
+        out = out.filter(
+            F.unix_micros(F.col(new_col)) - F.unix_micros(F.col(from_col))
+            <= max_gap_us
+        )
+    return out
+
+
+def sequence_detect(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    exprs: list,
+    max_step_sec: int,
+    max_span_sec: int,
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Kusto `evaluate sequence_detect(Timeline, MaxSequenceStepWindow,
+    MaxSequenceSpanWindow, Expr1, …, ExprK, Id)`: detect event
+    sequences per id — a sequence is one event matching each Expr_i in
+    chronological order, each step within MaxSequenceStepWindow of the
+    previous and the whole span within MaxSequenceSpanWindow. Output:
+    (id, <name_1>…<name_k> step timestamps, duration seconds), one row
+    per anchor (Expr1 event) whose chain completes; each later step is
+    the EARLIEST qualifying event (greedy-earliest is reachability-
+    optimal: an earlier step-i time only widens the step-i+1 search
+    window). Delta from Kusto documented: Kusto also collapses
+    sequences sharing a tail; we keep one row per anchor.
+
+    Shape: K-1 forward as-of passes (union+window, one shuffle each,
+    all on the same id key so the exchange is reused) — no self-joins,
+    no events×events blowup; per-step event sets are pre-filtered so
+    each pass carries only (anchors + step events)."""
+    k = len(exprs)
+    if k < 2:
+        raise ValueError("sequence_detect needs at least two step expressions")
+    if names is None:
+        names = [f"step_{i + 1}" for i in range(k)]
+    if len(names) != k:
+        raise ValueError("names must match exprs")
+    step_us = max_step_sec * 1_000_000
+    span_us = max_span_sec * 1_000_000
+    ts = F.col(time_col).cast("timestamp")
+    base = df.select(F.col(id_col).alias("__id"), ts.alias("__ets"), "*")
+    matches = (
+        base.filter(exprs[0])
+        .select("__id", F.col("__ets").alias(names[0]))
+    )
+    for i in range(1, k):
+        events_i = base.filter(exprs[i]).select("__id", "__ets")
+        matches = _earliest_following(
+            matches, events_i, names[i - 1], names[i], step_us
+        )
+    dur_us = F.unix_micros(F.col(names[-1])) - F.unix_micros(F.col(names[0]))
+    return (
+        matches.filter(dur_us <= span_us)
+        .select(
+            F.col("__id").alias(id_col),
+            *names,
+            F.round(dur_us / 1_000_000, 6).alias("duration"),
+        )
+        .orderBy(id_col, names[0])
+    )
+
+
+def funnel_sequence_completion(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    state_col: str,
+    sequence: list[str],
+    max_window_sec: list[int],
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    bin_sec: int,
+) -> DataFrame:
+    """Kusto `evaluate funnel_sequence_completion(Id, Timeline, Start,
+    End, Bin, State, Sequence, MaxSequenceWindows)`: funnel completion
+    rates per period — for each timeline bin and each sequence prefix
+    i, the number of distinct ids with a funnel start (an event in
+    state Sequence[0] inside the bin) that reached Sequence[i-1]
+    within MaxSequenceWindows[i-1] of the start (steps strictly
+    ordered in time; each windows entry bounds start→step-i, Kusto's
+    convention). Output (t, state, dcount) ordered by (t, funnel
+    position).
+
+    Shape: the sequence_detect chain (forward as-of passes on the id
+    key) run WITHOUT per-step truncation, then one groupBy per prefix
+    on (bin, id) — union of K small aggregates. An id counts for
+    prefix i if ANY of its anchors in the bin completes step i; since
+    every anchor is chained greedy-earliest (reachability-optimal),
+    anchor-level success is exactly id-level reachability."""
+    k = len(sequence)
+    if k == 0 or len(max_window_sec) != k:
+        raise ValueError("sequence and max_window_sec must align")
+    s_us, e_us = _usec(start), _usec(end)
+    bin_us = bin_sec * 1_000_000
+    ts = F.col(time_col).cast("timestamp")
+    base = df.select(
+        F.col(id_col).alias("__id"), ts.alias("__ets"), F.col(state_col).alias("__st")
+    ).filter(
+        (F.unix_micros(F.col("__ets")) >= s_us) & (F.unix_micros(F.col("__ets")) <= e_us)
+    )
+    names = [f"__t{i + 1}" for i in range(k)]
+    matches = base.filter(F.col("__st") == sequence[0]).select(
+        "__id", F.col("__ets").alias(names[0])
+    )
+    prefixes = []
+    for i in range(k):
+        if i > 0:
+            events_i = base.filter(F.col("__st") == sequence[i]).select("__id", "__ets")
+            matches = _earliest_following(
+                matches, events_i, names[i - 1], names[i], None
+            )
+        within = (
+            F.unix_micros(F.col(names[i])) - F.unix_micros(F.col(names[0]))
+            <= max_window_sec[i] * 1_000_000
+        )
+        stage = (
+            matches.filter(within)
+            .select(
+                "__id",
+                (
+                    F.floor(
+                        (F.unix_micros(F.col(names[0])) - F.lit(s_us))
+                        / F.lit(bin_us)
+                    )
+                ).alias("__k"),
+            )
+            .distinct()
+            .groupBy("__k")
+            .agg(F.count_distinct("__id").alias("dcount"))
+            .select(
+                "__k",
+                F.lit(i).alias("__pos"),
+                F.lit(sequence[i]).alias("state"),
+                "dcount",
+            )
+        )
+        prefixes.append(stage)
+    out = prefixes[0]
+    for p in prefixes[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.timestamp_micros(F.col("__k") * F.lit(bin_us) + F.lit(s_us)).alias("t"),
+        "state",
+        "dcount",
+        "__pos",
+    ).orderBy("t", "__pos").drop("__pos")

@@ -93,6 +93,10 @@ _PRIORITY: list[str] = [
     "retention_matrix_op",
     "active_users_count_op",
     "funnel_sequence_op",
+    "session_count_op",
+    "activity_engagement_op",
+    "sequence_detect_op",
+    "funnel_completion_op",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -115,10 +119,6 @@ _PRIORITY: list[str] = [
     "join_rightsemi",
     "join_rightanti",
     "join_innerunique",
-    "lookup_dim_chain",
-    "union_outer",
-    "union_inner_mismatched",
-    "mv_expand_words",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -396,3 +396,200 @@ def funnel_sequence_op(spark, sf_dir):
         sequence=["view", "click", "purchase"],
         max_step_sec=86400,
     )
+
+
+@register(
+    "session_count_op",
+    oracle="""
+    WITH grid AS (
+      SELECT g AS t
+      FROM generate_series(TIMESTAMP '2024-01-02',
+                           TIMESTAMP '2024-01-12',
+                           INTERVAL 1 DAY) AS s(g)
+    ), act AS (
+      SELECT grid.t, count(DISTINCT e.user_id) AS count_sessions
+      FROM grid JOIN events e
+        ON e.ts > grid.t - INTERVAL 2 DAY AND e.ts <= grid.t
+      GROUP BY grid.t
+    )
+    SELECT grid.t, coalesce(act.count_sessions, 0) AS count_sessions
+    FROM grid LEFT JOIN act USING (t) ORDER BY grid.t
+    """,
+)
+def session_count_op(spark, sf_dir):
+    """Kusto `evaluate session_count`: active sessions per daily bin —
+    an id's session is active at t iff it has an event in the trailing
+    2-day lookback (operators/temporalagg.py, explode-to-bins +
+    one keyed distinct aggregation; never events×grid)."""
+    from meerkat_spark.operators.temporalagg import session_count
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    return session_count(
+        ev, id_col="user_id", time_col="ts",
+        start="2024-01-02", end="2024-01-12",
+        bin_sec=86400, lookback_sec=2 * 86400,
+    )
+
+
+@register(
+    "activity_engagement_op",
+    oracle="""
+    WITH grid AS (
+      SELECT g AS t
+      FROM generate_series(TIMESTAMP '2024-01-02',
+                           TIMESTAMP '2024-01-15',
+                           INTERVAL 1 DAY) AS s(g)
+    ), i AS (
+      SELECT grid.t, count(DISTINCT e.user_id) AS d
+      FROM grid JOIN events e
+        ON e.ts > grid.t - INTERVAL 1 DAY AND e.ts <= grid.t
+      GROUP BY grid.t
+    ), o AS (
+      SELECT grid.t, count(DISTINCT e.user_id) AS d
+      FROM grid JOIN events e
+        ON e.ts > grid.t - INTERVAL 7 DAY AND e.ts <= grid.t
+      GROUP BY grid.t
+    )
+    SELECT grid.t,
+           coalesce(i.d, 0) AS dcount_activities_inner,
+           coalesce(o.d, 0) AS dcount_activities_outer,
+           CASE WHEN coalesce(o.d, 0) = 0 THEN 0.0
+                ELSE round(coalesce(i.d, 0) * 1.0 / o.d, 6) END
+             AS activity_ratio
+    FROM grid LEFT JOIN i USING (t) LEFT JOIN o USING (t)
+    ORDER BY grid.t
+    """,
+)
+def activity_engagement_op(spark, sf_dir):
+    """Kusto `evaluate activity_engagement` — the DAU/MAU ratio:
+    daily timeline, 1-day inner window over a 7-day outer window
+    (operators/temporalagg.py — one explode-to-bins pass per window
+    length, amplification = outer/inner, keyed aggregations)."""
+    from meerkat_spark.operators.temporalagg import activity_engagement
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    return activity_engagement(
+        ev, id_col="user_id", time_col="ts",
+        start="2024-01-01", end="2024-01-15",
+        inner_sec=86400, outer_sec=7 * 86400,
+    )
+
+
+@register(
+    "sequence_detect_op",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS id, ts, event_type AS st FROM events
+    ), s1 AS (
+      SELECT id, ts AS view_t FROM e WHERE st = 'view'
+    ), m2 AS (
+      SELECT id, view_t,
+             (SELECT min(x.ts) FROM e x
+               WHERE x.id = s1.id AND x.st = 'click' AND x.ts > s1.view_t
+                 AND epoch_us(x.ts) - epoch_us(s1.view_t) <= 43200000000)
+               AS click_t
+      FROM s1
+    ), m3 AS (
+      SELECT id, view_t, click_t,
+             (SELECT min(x.ts) FROM e x
+               WHERE x.id = m2.id AND x.st = 'purchase' AND x.ts > m2.click_t
+                 AND epoch_us(x.ts) - epoch_us(m2.click_t) <= 43200000000)
+               AS purchase_t
+      FROM m2 WHERE click_t IS NOT NULL
+    )
+    SELECT id AS user_id, view_t, click_t, purchase_t,
+           round((epoch_us(purchase_t) - epoch_us(view_t)) / 1000000.0, 6)
+             AS duration
+    FROM m3
+    WHERE purchase_t IS NOT NULL
+      AND epoch_us(purchase_t) - epoch_us(view_t) <= 64800000000
+    ORDER BY user_id, view_t
+    """,
+)
+def sequence_detect_op(spark, sf_dir):
+    """Kusto `evaluate sequence_detect`: view→click→purchase chains,
+    each step within 12h of the previous and the whole span within 18h
+    (operators/temporalagg.py — K-1 forward as-of passes on the id
+    key; the oracle's correlated min() subqueries are the same
+    greedy-earliest chaining)."""
+    from meerkat_spark.operators.temporalagg import sequence_detect
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    return sequence_detect(
+        ev, id_col="user_id", time_col="ts",
+        exprs=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        max_step_sec=12 * 3600, max_span_sec=18 * 3600,
+        names=["view_t", "click_t", "purchase_t"],
+    )
+
+
+@register(
+    "funnel_completion_op",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS id, ts, event_type AS st FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-15'
+    ), s1 AS (
+      SELECT id, ts AS t1 FROM e WHERE st = 'view'
+    ), m2 AS (
+      SELECT id, t1,
+             (SELECT min(x.ts) FROM e x
+               WHERE x.id = s1.id AND x.st = 'click' AND x.ts > s1.t1) AS t2
+      FROM s1
+    ), m3 AS (
+      SELECT id, t1, t2,
+             (SELECT min(x.ts) FROM e x
+               WHERE x.id = m2.id AND x.st = 'purchase' AND x.ts > m2.t2) AS t3
+      FROM m2 WHERE t2 IS NOT NULL
+    ), p1 AS (
+      SELECT CAST(floor((epoch_us(t1)
+               - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000) AS BIGINT)
+               AS k,
+             'view' AS state, count(DISTINCT id) AS dcount
+      FROM s1 GROUP BY 1
+    ), p2 AS (
+      SELECT CAST(floor((epoch_us(t1)
+               - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000) AS BIGINT)
+               AS k,
+             'click' AS state, count(DISTINCT id) AS dcount
+      FROM m2
+      WHERE t2 IS NOT NULL
+        AND epoch_us(t2) - epoch_us(t1) <= 86400000000
+      GROUP BY 1
+    ), p3 AS (
+      SELECT CAST(floor((epoch_us(t1)
+               - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000) AS BIGINT)
+               AS k,
+             'purchase' AS state, count(DISTINCT id) AS dcount
+      FROM m3
+      WHERE t3 IS NOT NULL
+        AND epoch_us(t3) - epoch_us(t1) <= 172800000000
+      GROUP BY 1
+    ), u AS (
+      SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+    )
+    SELECT make_timestamp(k * 86400000000
+             + epoch_us(TIMESTAMP '2024-01-01')) AS t,
+           state, dcount
+    FROM u ORDER BY t, state
+    """,
+)
+def funnel_completion_op(spark, sf_dir):
+    """Kusto `evaluate funnel_sequence_completion`: per daily bin, the
+    distinct users whose view→click→purchase funnel (started in the
+    bin) completed each prefix within its window (1d, 1d, 2d from
+    start; operators/temporalagg.py — the sequence_detect chain plus
+    one keyed distinct aggregate per prefix)."""
+    from meerkat_spark.operators.temporalagg import funnel_sequence_completion
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    return funnel_sequence_completion(
+        ev, id_col="user_id", time_col="ts", state_col="event_type",
+        sequence=["view", "click", "purchase"],
+        max_window_sec=[86400, 86400, 2 * 86400],
+        start="2024-01-01", end="2024-01-15", bin_sec=86400,
+    )

@@ -205,3 +205,174 @@ def test_funnel_sequence_known(spark):
         ).collect()
     }
     assert out == {("err", "home"): 1, (None, None): 1}
+
+
+def test_session_count_known(spark):
+    # uid 1: days 1 and 4; uid 2: day 2 — lookback 2d, daily bins 2..6
+    rows = [(1, _t(1, 6)), (1, _t(4, 6)), (2, _t(2, 6))]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    from meerkat_spark.operators.temporalagg import session_count
+
+    out = {
+        r.t: r.count_sessions
+        for r in session_count(
+            df, "uid", "ts", _t(2), _t(6), bin_sec=86400, lookback_sec=2 * 86400
+        ).collect()
+    }
+    # t=d2: events in (d0,d2] → uid1@d1 → 1 ; t=d3: (d1,d3] → uid1? d1 6am
+    # yes, uid2@d2 → 2 ; t=d4: (d2,d4] → uid2? d2 6am in range? 2024-01-02
+    # 06:00 > 2024-01-02 00:00 → yes; uid1@d4 6am? d4 6am > d4 00:00 → no
+    # (bin boundary t=d4 00:00) → {2} → 1 ; t=d5: (d3,d5] → uid1@d4 → 1 ;
+    # t=d6: (d4,d6] → uid1@d4 6am → 1
+    assert out == {
+        _t(2): 1,
+        _t(3): 2,
+        _t(4): 1,
+        _t(5): 1,
+        _t(6): 1,
+    }
+
+
+def test_activity_engagement_known(spark):
+    # inner 1d / outer 3d over days 1..5
+    rows = [(1, _t(1, 6)), (2, _t(1, 8)), (1, _t(3, 6))]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    from meerkat_spark.operators.temporalagg import activity_engagement
+
+    out = {
+        r.t: (r.dcount_activities_inner, r.dcount_activities_outer, r.activity_ratio)
+        for r in activity_engagement(
+            df, "uid", "ts", _t(1), _t(5), inner_sec=86400, outer_sec=3 * 86400
+        ).collect()
+    }
+    # t=d2: inner (d1,d2] → {1,2}; outer (d-1,d2] → {1,2} → ratio 1.0
+    # t=d3: inner (d2,d3] → ∅… uid1@d3 6am > d3 00:00? no (bin end d3) → 0
+    #        outer (d0,d3] → {1,2} → 0/2 = 0
+    # t=d4: inner (d3,d4] → uid1@d3 6am → {1}; outer (d1,d4] → {1,2}… uid2
+    #        @d1 8am > d1 → yes → 0.5
+    # t=d5: inner (d4,d5] → ∅ → 0; outer (d2,d5] → {1} → 0
+    assert out == {
+        _t(2): (2, 2, 1.0),
+        _t(3): (0, 2, 0.0),
+        _t(4): (1, 2, 0.5),
+        _t(5): (0, 1, 0.0),
+    }
+
+
+def test_sequence_detect_greedy_earliest(spark):
+    from meerkat_spark.operators.temporalagg import sequence_detect
+
+    rows = [
+        (1, _t(1, 0), "a"),
+        (1, _t(1, 1), "b"),   # earliest b after the a
+        (1, _t(1, 2), "b"),   # later b must NOT be picked
+        (1, _t(1, 3), "c"),
+        (2, _t(1, 0), "a"),   # no b afterwards → no row
+        (3, _t(1, 0), "a"),
+        (3, _t(2, 12), "b"),  # outside the 1d step window → no row
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, st string")
+    out = sequence_detect(
+        df, "uid", "ts",
+        [F.col("st") == "a", F.col("st") == "b", F.col("st") == "c"],
+        max_step_sec=86400, max_span_sec=2 * 86400,
+        names=["ta", "tb", "tc"],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.uid, r.ta, r.tb, r.tc) == (1, _t(1, 0), _t(1, 1), _t(1, 3))
+    assert r.duration == 3 * 3600.0
+
+
+def test_sequence_detect_span_window(spark):
+    from meerkat_spark.operators.temporalagg import sequence_detect
+
+    rows = [(1, _t(1, 0), "a"), (1, _t(1, 20), "b")]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, st string")
+    # steps fit the step window but the total span (20h) busts max_span 12h
+    out = sequence_detect(
+        df, "uid", "ts", [F.col("st") == "a", F.col("st") == "b"],
+        max_step_sec=86400, max_span_sec=12 * 3600,
+    ).collect()
+    assert out == []
+
+
+def test_funnel_sequence_completion_known(spark):
+    from meerkat_spark.operators.temporalagg import funnel_sequence_completion
+
+    rows = [
+        (1, _t(1, 1), "a"), (1, _t(1, 2), "b"), (1, _t(1, 3), "c"),
+        (2, _t(1, 4), "a"), (2, _t(2, 10), "b"),  # b beyond the 1d window
+        (3, _t(2, 1), "a"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, st string")
+    out = {
+        (r.t, r.state): r.dcount
+        for r in funnel_sequence_completion(
+            df, "uid", "ts", "st", ["a", "b", "c"],
+            max_window_sec=[86400, 86400, 2 * 86400],
+            start=_t(1), end=_t(4), bin_sec=86400,
+        ).collect()
+    }
+    assert out == {
+        (_t(1), "a"): 2,   # uids 1, 2 started day1
+        (_t(1), "b"): 1,   # only uid 1 reached b within 1d of start
+        (_t(1), "c"): 1,
+        (_t(2), "a"): 1,   # uid 3
+    }
+
+
+def test_sequence_detect_kql_grammar(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    engine_small = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    got = engine_small.kql(
+        "events | extend is_v = event_type == 'view', "
+        "is_c = event_type == 'click' "
+        "| evaluate sequence_detect(ts, 12h, 1d, is_v, is_c, user_id)"
+    ).to_df()
+    from meerkat_spark.operators.temporalagg import sequence_detect
+
+    ev = engine_small.table("events").to_df()
+    want = sequence_detect(
+        ev, "user_id", "ts",
+        [F.col("event_type") == "view", F.col("event_type") == "click"],
+        max_step_sec=12 * 3600, max_span_sec=86400, names=["is_v", "is_c"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_count_kql_grammar(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    engine_small = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    got = engine_small.kql(
+        "events | evaluate session_count(user_id, ts, "
+        "datetime(2024-01-02), datetime(2024-01-05), 1d, 2d)"
+    ).to_df()
+    from meerkat_spark.operators.temporalagg import session_count
+
+    ev = engine_small.table("events").to_df()
+    want = session_count(ev, "user_id", "ts", "2024-01-02", "2024-01-05",
+                         bin_sec=86400, lookback_sec=2 * 86400)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_funnel_completion_kql_grammar(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    engine_small = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    got = engine_small.kql(
+        "events | evaluate funnel_sequence_completion(user_id, ts, "
+        "datetime(2024-01-01), datetime(2024-01-08), 1d, event_type, "
+        "dynamic(['view','click','purchase']), dynamic([1d, 1d, 2d]))"
+    ).to_df()
+    from meerkat_spark.operators.temporalagg import funnel_sequence_completion
+
+    ev = engine_small.table("events").to_df()
+    want = funnel_sequence_completion(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        max_window_sec=[86400, 86400, 2 * 86400],
+        start="2024-01-01", end="2024-01-08", bin_sec=86400,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
