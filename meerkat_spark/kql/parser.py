@@ -190,6 +190,10 @@ class Parser:
                 return self._parse_lambda()
             except KqlSyntaxError:
                 self.i = save
+        # datatable(...) / externaldata(...) literal-table sources bind
+        # as pipelines (with optional piped ops), not scalar exprs
+        if self.at_ident("datatable") or self.at_ident("externaldata"):
+            return self.parse_pipeline()
         # table pipeline if it starts with IDENT followed by '|' or ';'
         save = self.i
         if self.at("IDENT"):

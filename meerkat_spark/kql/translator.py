@@ -1406,6 +1406,30 @@ class Translator:
                     bin_sec=secs_of(args[4]),
                 )
             return MeerkatTable(out)
+        if plugin == "ipv4_lookup":
+            # evaluate ipv4_lookup(LookupTable, SourceIPv4Key,
+            # IPv4NetworkKey [, return_unmatched]) — longest-prefix CIDR
+            # enrich (operators/iplookup.py: bounded prefix-length
+            # explode + ONE broadcast equi-join; never a theta-join)
+            from meerkat_spark.operators.iplookup import ipv4_lookup as _ipl
+
+            args = a["args"]
+            if len(args) < 3 or not isinstance(args[0], P.Ident):
+                raise KqlSyntaxError(
+                    "ipv4_lookup(LookupTable, SourceIPv4Key, IPv4NetworkKey"
+                    " [, return_unmatched])"
+                )
+
+            def col_name(node):
+                if not isinstance(node, P.Ident):
+                    raise KqlSyntaxError("ipv4_lookup expects column names")
+                return node.name
+
+            lut = self.table(args[0].name).df
+            unmatched = bool(_raw(self.expr(args[3]))) if len(args) > 3 else False
+            return MeerkatTable(
+                _ipl(t.df, lut, col_name(args[1]), col_name(args[2]), unmatched)
+            )
         if plugin == "bag_unpack":
             col_node = a["args"][0]
             if not isinstance(col_node, P.Ident):

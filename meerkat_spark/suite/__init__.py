@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "activity_engagement_op",
     "sequence_detect_op",
     "funnel_completion_op",
+    "ipv4_lookup_op",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_leftanti",
     "join_rightsemi",
     "join_rightanti",
-    "join_innerunique",
 ]
 
 def _ordered(mapping: dict) -> dict:

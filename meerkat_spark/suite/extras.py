@@ -622,3 +622,67 @@ def series_fit_line_oracle(spark, sf_dir):
         F.round(F.col("fit.intercept"), 3).alias("intercept"),
         F.round(F.col("fit.rsquare"), 3).alias("rsquare"),
     )
+
+
+@register(
+    "ipv4_lookup_op",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, (event_id * 2654435761) % 4294967296 AS ipl
+      FROM events
+    ), fs AS (
+      SELECT event_id,
+             CAST((ipl >> 24) & 255 AS VARCHAR) || '.' ||
+             CAST((ipl >> 16) & 255 AS VARCHAR) || '.' ||
+             CAST((ipl >> 8) & 255 AS VARCHAR) || '.' ||
+             CAST(ipl & 255 AS VARCHAR) AS ip, ipl
+      FROM f
+    ), l(network, tag) AS (
+      VALUES ('10.0.0.0/8', 'private-10'), ('172.16.0.0/12', 'private-172'),
+             ('192.168.0.0/16', 'private-192'), ('100.64.0.0/10', 'cgnat'),
+             ('0.0.0.0/1', 'low-half'), ('128.0.0.0/2', 'upper-quarter')
+    ), p AS (
+      SELECT tag,
+             CAST(split_part(network, '/', 2) AS INT) AS len,
+             CAST(split_part(split_part(network, '/', 1), '.', 1) AS BIGINT)
+               * 16777216
+           + CAST(split_part(split_part(network, '/', 1), '.', 2) AS BIGINT)
+               * 65536
+           + CAST(split_part(split_part(network, '/', 1), '.', 3) AS BIGINT)
+               * 256
+           + CAST(split_part(split_part(network, '/', 1), '.', 4) AS BIGINT)
+               AS net
+      FROM l
+    ), m AS (
+      SELECT fs.event_id, fs.ip, p.tag, p.len
+      FROM fs JOIN p ON (fs.ipl >> (32 - p.len)) = (p.net >> (32 - p.len))
+    )
+    SELECT event_id, ip, arg_max(tag, len) AS tag
+    FROM m GROUP BY event_id, ip
+    """,
+)
+def ipv4_lookup_op(spark, sf_dir):
+    """Kusto `evaluate ipv4_lookup`: longest-prefix CIDR enrich of
+    event-derived IPs against a 6-network table (operators/iplookup.py
+    — bounded prefix-length explode + ONE broadcast equi-join + keyed
+    max_by; never an ip-in-range theta-join). Distinct prefix lengths
+    make the longest-match unique, so the oracle's arg_max(tag, len)
+    is tie-free."""
+    from meerkat_spark.functions.scalar import format_ipv4
+    from meerkat_spark.operators.iplookup import ipv4_lookup
+
+    ev = _eng(spark, sf_dir).table("events").to_df().select("event_id")
+    ip = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    fact = ev.select("event_id", format_ipv4(ip).alias("ip"))
+    lookup = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "private-10"),
+            ("172.16.0.0/12", "private-172"),
+            ("192.168.0.0/16", "private-192"),
+            ("100.64.0.0/10", "cgnat"),
+            ("0.0.0.0/1", "low-half"),
+            ("128.0.0.0/2", "upper-quarter"),
+        ],
+        "network string, tag string",
+    )
+    return ipv4_lookup(fact, lookup, "ip", "network")

@@ -376,3 +376,66 @@ def test_funnel_completion_kql_grammar(spark):
         start="2024-01-01", end="2024-01-08", bin_sec=86400,
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ipv4_lookup_longest_prefix_and_unmatched(spark):
+    from meerkat_spark.operators.iplookup import ipv4_lookup
+
+    lookup = spark.createDataFrame(
+        [("10.0.0.0/8", "ten"), ("10.1.0.0/16", "ten-one"),
+         ("0.0.0.0/0", "default")],
+        "network string, tag string",
+    )
+    # duplicate fact rows must each survive
+    t = spark.createDataFrame(
+        [(1, "10.1.2.3"), (1, "10.1.2.3"), (2, "10.9.9.9"), (3, "200.1.1.1")],
+        "i long, ip string",
+    )
+    rows = sorted(
+        (r.i, r.tag) for r in ipv4_lookup(t, lookup, "ip", "network").collect()
+    )
+    assert rows == [(1, "ten-one"), (1, "ten-one"), (2, "ten"), (3, "default")]
+
+    # without the default route, 200.x drops unless return_unmatched
+    lk2 = lookup.filter(F.col("tag") != "default")
+    got = sorted(
+        (r.i, r.tag)
+        for r in ipv4_lookup(t, lk2, "ip", "network", True).collect()
+    )
+    assert got == [(1, "ten-one"), (1, "ten-one"), (2, "ten"), (3, None)]
+
+
+def test_ipv4_lookup_kql_grammar(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    got = eng.kql(
+        "let ipnets = datatable(network:string, tag:string)["
+        "'10.0.0.0/8', 'ten', '0.0.0.0/1', 'low'];"
+        "events | project event_id"
+        " | extend ip = format_ipv4((event_id * 2654435761) % 4294967296)"
+        " | evaluate ipv4_lookup(ipnets, ip, network)"
+    ).to_df()
+    assert set(got.columns) == {"event_id", "ip", "tag"}
+    tags = {r.tag for r in got.collect()}
+    assert tags == {"ten", "low"}
+
+
+def test_ipv4_lookup_plan_is_broadcast(spark):
+    from meerkat_spark.operators.iplookup import ipv4_lookup
+    from meerkat_spark.functions.scalar import format_ipv4
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fact = ev.select(
+        "event_id",
+        format_ipv4((F.col("event_id") * 2654435761) % 4294967296).alias("ip"),
+    )
+    lookup = spark.createDataFrame(
+        [("10.0.0.0/8", "ten"), ("0.0.0.0/1", "low")], "network string, tag string"
+    )
+    plan = (
+        ipv4_lookup(fact, lookup, "ip", "network")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
