@@ -1024,3 +1024,98 @@ def totimespan_str(x) -> Column:
         + ss.cast("double")
     )
     return F.when(b.rlike(pat), sign * total)
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geo_point_to_geohash(lng, lat, precision: int = 5) -> Column:
+    """KQL geo_point_to_geohash: base-32 geohash of (lng, lat) at the
+    given precision (1-12 chars). Pure JVM: quantize, Morton-interleave
+    (unrolled bit sum — the z-order machinery, operators/zorder.py),
+    then ONE base-32 render via conv()+translate (geohash's alphabet
+    skips a/i/l/o) so the interleave expression is embedded once, not
+    once per output char. Null for out-of-range/null coordinates."""
+    p = int(precision)
+    if not 1 <= p <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    n = 5 * p
+    nlng, nlat = (n + 1) // 2, n // 2
+    lngc, latc = _c(lng).cast("double"), _c(lat).cast("double")
+    lngq = F.least(
+        F.lit((1 << nlng) - 1).cast("long"),
+        F.floor((lngc + 180.0) / 360.0 * float(1 << nlng)).cast("long"),
+    )
+    latq = F.least(
+        F.lit((1 << nlat) - 1).cast("long"),
+        F.floor((latc + 90.0) / 180.0 * float(1 << nlat)).cast("long"),
+    )
+    # interleave, lng first at the MSB: out-bit (n-1-2i) ← lng bit
+    # (nlng-1-i); out-bit (n-2-2i) ← lat bit (nlat-1-i)
+    code = F.lit(0).cast("long")
+    for i in range(nlng):
+        bit = F.shiftright(lngq, nlng - 1 - i).bitwiseAND(F.lit(1))
+        code = code + F.shiftleft(bit, n - 1 - 2 * i)
+    for i in range(nlat):
+        bit = F.shiftright(latq, nlat - 1 - i).bitwiseAND(F.lit(1))
+        code = code + F.shiftleft(bit, n - 2 - 2 * i)
+    rendered = F.translate(
+        F.lpad(F.lower(F.conv(code.cast("string"), 10, 32)), p, "0"),
+        "abcdefghijklmnopqrstuv",
+        "bcdefghjkmnpqrstuvwxyz",
+    )
+    valid = (
+        lngc.isNotNull() & latc.isNotNull()
+        & lngc.between(-180.0, 180.0) & latc.between(-90.0, 90.0)
+    )
+    return F.when(valid, rendered)
+
+
+def geo_geohash_to_central_point(gh) -> Column:
+    """KQL geo_geohash_to_central_point: center of the geohash cell as
+    struct(lng double, lat double) (KQL returns GeoJSON dynamic; wrap
+    with to_json for the wire shape). Variable precision handled
+    row-locally with higher-order functions: char→5-bit values via a
+    literal map, then a per-CHAR de-interleaving fold (even chars give
+    lng 3 bits/lat 2, odd chars the reverse) — small-int arithmetic
+    only, no 60-bit intermediates, no UDF. Null for empty/invalid."""
+    g = _c(gh)
+    cmap = F.create_map(
+        *[x for ch, v in ((c, i) for i, c in enumerate(_GEOHASH32))
+          for x in (F.lit(ch), F.lit(v))]
+    )
+    pairs = F.transform(
+        F.split(g, ""),
+        lambda ch, i: F.struct(
+            F.element_at(cmap, ch).cast("long").alias("v"), i.alias("c")
+        ),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("lngq"), F.lit(0).cast("long").alias("latq")
+    )
+
+    def step(acc, p):
+        v, c = p["v"], p["c"]
+        b4, b3 = F.floor(v / 16) % 2, F.floor(v / 8) % 2
+        b2, b1, b0 = F.floor(v / 4) % 2, F.floor(v / 2) % 2, v % 2
+        even = c % 2 == 0
+        return F.struct(
+            F.when(even, acc["lngq"] * 8 + b4 * 4 + b2 * 2 + b0)
+            .otherwise(acc["lngq"] * 4 + b3 * 2 + b1)
+            .alias("lngq"),
+            F.when(even, acc["latq"] * 4 + b3 * 2 + b1)
+            .otherwise(acc["latq"] * 8 + b4 * 4 + b2 * 2 + b0)
+            .alias("latq"),
+        )
+
+    unz = F.aggregate(pairs, acc0, step)
+    n = F.length(g) * 5
+    nlng = F.floor((n + 1) / 2)
+    nlat = n - nlng
+    lng = (unz["lngq"] + 0.5) / F.pow(F.lit(2.0), nlng.cast("double")) * 360.0 - 180.0
+    lat = (unz["latq"] + 0.5) / F.pow(F.lit(2.0), nlat.cast("double")) * 180.0 - 90.0
+    valid = (
+        g.isNotNull() & (F.length(g) > 0) & (F.length(g) <= 12)
+        & F.forall(F.split(g, ""), lambda ch: F.element_at(cmap, ch).isNotNull())
+    )
+    return F.when(valid, F.struct(lng.alias("lng"), lat.alias("lat")))

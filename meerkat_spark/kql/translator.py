@@ -213,6 +213,22 @@ _SCALARS: dict[str, Any] = {
     "geo_point_in_circle": lambda a: S.geo_point_in_circle(
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3]), _c(a[4])
     ),
+    "geo_point_to_geohash": lambda a: S.geo_point_to_geohash(
+        _c(a[0]), _c(a[1]), int(_raw(a[2])) if len(a) > 2 else 5
+    ),
+    # KQL returns GeoJSON dynamic — this engine's dynamic is a JSON string
+    "geo_geohash_to_central_point": lambda a: F.when(
+        S.geo_geohash_to_central_point(_c(a[0])).isNotNull(),
+        F.to_json(
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(
+                    S.geo_geohash_to_central_point(_c(a[0]))["lng"],
+                    S.geo_geohash_to_central_point(_c(a[0]))["lat"],
+                ).alias("coordinates"),
+            )
+        ),
+    ),
     # round-5 additions
     "series_dot_product": lambda a: S.series_dot_product(_c(a[0]), _c(a[1])),
     "series_cosine_similarity": lambda a: S.series_cosine_similarity(

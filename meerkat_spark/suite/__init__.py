@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "sequence_detect_op",
     "funnel_completion_op",
     "ipv4_lookup_op",
+    "geohash_roundtrip",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_leftsemi",
     "join_leftanti",
     "join_rightsemi",
-    "join_rightanti",
 ]
 
 def _ordered(mapping: dict) -> dict:

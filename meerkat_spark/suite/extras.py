@@ -686,3 +686,68 @@ def ipv4_lookup_op(spark, sf_dir):
         "network string, tag string",
     )
     return ipv4_lookup(fact, lookup, "ip", "network")
+
+
+def _geohash_oracle_sql() -> str:
+    """Unrolled DuckDB twin of the p=6 geohash encode (30-bit Morton
+    interleave + base-32 render) and cell-center arithmetic — generated
+    text so the bit positions provably match the Spark expression."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    interleave = " + ".join(
+        [f"((lngq >> {15 - 1 - i}) & 1) * {1 << (30 - 1 - 2 * i)}"
+         for i in range(15)]
+        + [f"((latq >> {15 - 1 - i}) & 1) * {1 << (30 - 2 - 2 * i)}"
+           for i in range(15)]
+    )
+    chars = " || ".join(
+        f"substr('{alphabet}', CAST((code >> {5 * (6 - 1 - c)}) & 31 AS INT)"
+        " + 1, 1)"
+        for c in range(6)
+    )
+    return f"""
+    WITH f AS (
+      SELECT event_id,
+             (event_id * 7919) % 36000 / 100.0 - 180.0 AS lng,
+             (event_id * 104729) % 18000 / 100.0 - 90.0 AS lat
+      FROM events
+    ), q AS (
+      SELECT event_id,
+             least(32767, CAST(floor((lng + 180.0) / 360.0 * 32768.0)
+                               AS BIGINT)) AS lngq,
+             least(32767, CAST(floor((lat + 90.0) / 180.0 * 32768.0)
+                               AS BIGINT)) AS latq
+      FROM f
+    ), c AS (
+      SELECT event_id, lngq, latq, {interleave} AS code FROM q
+    )
+    SELECT event_id, {chars} AS gh,
+           round((lngq + 0.5) / 32768.0 * 360.0 - 180.0, 9) AS c_lng,
+           round((latq + 0.5) / 32768.0 * 180.0 - 90.0, 9) AS c_lat
+    FROM c
+    """
+
+
+@register("geohash_roundtrip", oracle=_geohash_oracle_sql())
+def geohash_roundtrip(spark, sf_dir):
+    """geo_point_to_geohash (p=6) + geo_geohash_to_central_point round
+    trip over event-derived coordinates, graded bit-exactly: the oracle
+    computes the interleaved code and cell center directly from the
+    quantized values, so any drift in the encode bit layout OR the
+    decode fold breaks the hash (functions/scalar.py)."""
+    from meerkat_spark.functions.scalar import (
+        geo_geohash_to_central_point,
+        geo_point_to_geohash,
+    )
+
+    ev = _eng(spark, sf_dir).table("events").to_df().select("event_id")
+    lng = ((F.col("event_id") * 7919) % 36000) / 100.0 - 180.0
+    lat = ((F.col("event_id") * 104729) % 18000) / 100.0 - 90.0
+    gh = geo_point_to_geohash(lng, lat, 6)
+    with_gh = ev.select("event_id", gh.alias("gh"))
+    pt = geo_geohash_to_central_point(F.col("gh"))
+    return with_gh.select(
+        "event_id",
+        "gh",
+        F.round(pt["lng"], 9).alias("c_lng"),
+        F.round(pt["lat"], 9).alias("c_lat"),
+    )

@@ -439,3 +439,46 @@ def test_ipv4_lookup_plan_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_geohash_known_vectors(spark):
+    from meerkat_spark.functions.scalar import (
+        geo_geohash_to_central_point,
+        geo_point_to_geohash,
+    )
+
+    df = spark.createDataFrame(
+        [(10.40744, 57.64911), (-5.6, 42.6), (None, 1.0), (200.0, 0.0)],
+        "lng double, lat double",
+    )
+    got = df.select(
+        geo_point_to_geohash("lng", "lat", 11).alias("g11"),
+        geo_point_to_geohash("lng", "lat", 5).alias("g5"),
+    ).collect()
+    assert got[0].g11 == "u4pruydqqvj"          # classic test vector
+    assert got[1].g5 == "ezs42"                 # geohash.org example
+    assert got[2].g5 is None and got[3].g5 is None  # null / out-of-range
+
+    back = spark.createDataFrame(
+        [("ezs42",), ("u4pruydqqvj",), ("",), ("a!c",)], "gh string"
+    ).select(geo_geohash_to_central_point("gh").alias("pt")).collect()
+    assert abs(back[0].pt.lng - (-5.60302734375)) < 1e-12
+    assert abs(back[0].pt.lat - 42.60498046875) < 1e-12
+    assert abs(back[1].pt.lng - 10.40744) < 1e-4  # 11 chars ≈ sub-mm cell
+    assert back[2].pt is None and back[3].pt is None
+
+
+def test_geohash_kql(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    got = eng.kql(
+        "print gh = geo_point_to_geohash(-5.6, 42.6, 5)"
+        " | extend pt = geo_geohash_to_central_point(gh)"
+    ).to_df().collect()[0]
+    assert got.gh == "ezs42"
+    import json
+
+    pt = json.loads(got.pt)
+    assert pt["type"] == "Point"
+    assert abs(pt["coordinates"][0] - (-5.60302734375)) < 1e-12
