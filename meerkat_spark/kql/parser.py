@@ -883,6 +883,56 @@ class Parser:
             {"nodes": nodes, "edges": edges, "pred": pred, "cols": cols},
         )
 
+    def op_graph_shortest_paths(self) -> OpNode:
+        """`graph-shortest-paths [output=any] (s)-[e*lo..hi]->(t)
+        [where pred] project name = expr, …` — one variable-length
+        edge between two node variables (Kusto's mandatory range; this
+        engine's BFS subset returns one shortest path per pair)."""
+        output = "any"
+        if self.at_ident("output"):
+            self.next()
+            self.expect("OP", "=")
+            output = str(self.expect("IDENT").value).lower()
+        self.expect("PUNCT", "(")
+        s = str(self.expect("IDENT").value)
+        self.expect("PUNCT", ")")
+        self.expect("OP", "-")
+        self.expect("PUNCT", "[")
+        ev = str(self.expect("IDENT").value)
+        self.expect("OP", "*")
+        lo = int(float(self.expect("NUMBER").value))
+        self.expect("OP", "..")
+        hi = int(float(self.expect("NUMBER").value))
+        if lo < 1 or hi < lo:
+            raise KqlSyntaxError(
+                "graph-shortest-paths edge range needs 1 <= lo <= hi"
+            )
+        self.expect("PUNCT", "]")
+        self.expect("OP", "-")
+        self.expect("OP", ">")
+        self.expect("PUNCT", "(")
+        tn = str(self.expect("IDENT").value)
+        self.expect("PUNCT", ")")
+        pred = None
+        if self.at_ident("where"):
+            self.next()
+            pred = self.parse_expr()
+        self.expect_ident("project")
+        cols = self.parse_named_exprs()
+        return OpNode(
+            "graph-shortest-paths",
+            {
+                "output": output,
+                "src_var": s,
+                "dst_var": tn,
+                "edge_var": ev,
+                "min": lo,
+                "max": hi,
+                "pred": pred,
+                "cols": cols,
+            },
+        )
+
     def op_reduce(self) -> OpNode:
         """`reduce by col [with threshold=0.x]` — pattern clustering.
         threshold is parsed for grammar parity (Kusto tunes its

@@ -1896,6 +1896,72 @@ class Translator:
         finally:
             self._cur_schema = saved
 
+    def ap_graph_shortest_paths(self, t, a):
+        """KQL graph-shortest-paths (output=any subset): bounded-hop
+        BFS (operators/graph.py — frontier expansion with a visited
+        anti-join, one shuffle per level, lineage truncated per round).
+        Node variables bind to node attributes; the edge variable binds
+        to a struct {hops, path} (the witness path — Kusto's path
+        functions map()/inner_nodes() are not rebuilt; documented
+        subset). output=all (all shortest paths per pair) is not
+        supported — the BFS keeps one deterministic witness."""
+        g = getattr(self, "_graph", None)
+        if g is None:
+            raise KqlSyntaxError("graph-shortest-paths must follow make-graph")
+        if a["output"] not in ("any",):
+            raise KqlSyntaxError(
+                "graph-shortest-paths supports output=any only (one "
+                "deterministic shortest path per pair)"
+            )
+        from meerkat_spark.operators.graph import shortest_paths
+
+        edges, src, dst = g["edges"], g["src"], g["dst"]
+        nodes, nid = g["nodes"], g["node_id"]
+        if nodes is None:
+            nid = "id"
+            nodes = (
+                edges.select(F.col(src).alias("id"))
+                .unionByName(edges.select(F.col(dst).alias("id")))
+                .distinct()
+            )
+        sp = shortest_paths(edges, src, dst, max_hops=a["max"]).filter(
+            F.col("hops") >= a["min"]
+        )
+        sv, tv, ev = a["src_var"], a["dst_var"], a["edge_var"]
+        if len({sv, tv, ev}) != 3:
+            raise KqlSyntaxError("graph-shortest-paths variables must be distinct")
+        df = sp.select(
+            F.struct(F.col("hops"), F.col("path")).alias(ev),
+            "start_id",
+            "end_id",
+        )
+        sleg = nodes.select(
+            F.struct(*[F.col(c) for c in nodes.columns]).alias(sv),
+            F.col(nid).cast("string").alias("__sid"),
+        )
+        tleg = nodes.select(
+            F.struct(*[F.col(c) for c in nodes.columns]).alias(tv),
+            F.col(nid).cast("string").alias("__tid"),
+        )
+        df = (
+            df.join(sleg, df["start_id"] == sleg["__sid"], "inner")
+            .join(tleg, df["end_id"] == tleg["__tid"], "inner")
+            .drop("__sid", "__tid", "start_id", "end_id")
+        )
+        self._graph = None
+        saved = self._cur_schema
+        self._cur_schema = df.schema
+        try:
+            if a["pred"] is not None:
+                df = df.filter(_c(self.expr(a["pred"])))
+            out_cols = [
+                _c(self.expr(e)).alias(name or f"Column{i + 1}")
+                for i, (name, e) in enumerate(a["cols"])
+            ]
+            return MeerkatTable(df.select(*out_cols))
+        finally:
+            self._cur_schema = saved
+
     def ap_reduce(self, t, a):
         """KQL `reduce by` — cluster similar strings into patterns.
         Kusto's algorithm is a proprietary heuristic; this variant is

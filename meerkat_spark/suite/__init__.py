@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "funnel_completion_op",
     "ipv4_lookup_op",
     "geohash_roundtrip",
+    "kql_graph_shortest_paths",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_fullouter",
     "join_leftsemi",
     "join_leftanti",
-    "join_rightsemi",
 ]
 
 def _ordered(mapping: dict) -> dict:

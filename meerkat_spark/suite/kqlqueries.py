@@ -375,3 +375,46 @@ def kql_graph_match(spark, sf_dir):
              where c.id > 1000100
              project cust = c.id, nat = n.id, reg = r.id"""
     ).to_df()
+
+
+@register(
+    "kql_graph_shortest_paths",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT CAST(c_custkey + 1000000 AS VARCHAR) AS u,
+             CAST(c_nationkey AS VARCHAR) AS v
+      FROM customer
+      UNION ALL
+      SELECT CAST(n_nationkey AS VARCHAR),
+             CAST(n_regionkey + 2000000 AS VARCHAR)
+      FROM nation
+    ), walk(start_id, node, hops) AS (
+      SELECT u, u, 0 FROM (SELECT DISTINCT u FROM edges) s
+      UNION
+      SELECT w.start_id, e.v, w.hops + 1
+      FROM walk w JOIN edges e ON w.node = e.u
+      WHERE w.hops < 3
+    )
+    SELECT CAST(start_id AS BIGINT) AS start,
+           CAST(node AS BIGINT) AS dest,
+           CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk
+    GROUP BY start_id, node
+    HAVING MIN(hops) >= 1
+    """,
+)
+def kql_graph_shortest_paths(spark, sf_dir):
+    """graph-shortest-paths (round-5): BFS distances over the
+    customer→nation→region union graph, graded against DuckDB's
+    recursive-CTE min-distance (operators/graph.py: level-synchronous
+    frontier + visited anti-join — each pair expanded once; the CTE
+    re-derives every walk and takes MIN, same fixpoint)."""
+    return MeerkatEngine(spark, sf_dir).kql(
+        """union (customer | project src = c_custkey + 1000000,
+                             dst = tolong(c_nationkey)),
+                 (nation | project src = tolong(n_nationkey),
+                           dst = n_regionkey + 2000000)
+           | make-graph src --> dst
+           | graph-shortest-paths (s)-[e*1..3]->(t)
+             project start = s.id, dest = t.id, hops = e.hops"""
+    ).to_df()

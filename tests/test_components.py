@@ -62,3 +62,50 @@ def test_canonical_assignment_with_singletons(spark):
     assert out == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5, 6: 2}
     survivors = [d for d, c in out.items() if d == c]
     assert sorted(survivors) == [1, 2, 3, 5]
+
+
+def test_shortest_paths_bfs_known(spark):
+    from meerkat_spark.operators.graph import shortest_paths
+    from pyspark.sql import functions as F
+
+    # diamond + tail, plus a cycle back (d->a) to prove no re-expansion
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+         ("d", "a")],
+        "src string, dst string",
+    )
+    got = {
+        (r.start_id, r.end_id): (r.hops, r.path)
+        for r in shortest_paths(edges, max_hops=5).collect()
+    }
+    assert got[("a", "d")] == (2, "a->b->d")      # lex-min witness
+    assert got[("a", "e")] == (3, "a->b->d->e")
+    assert got[("d", "a")] == (1, "d->a")
+    assert got[("d", "c")] == (2, "d->a->c")       # through the cycle
+    assert ("a", "a") not in got                    # self never reported
+    # sources/targets restriction
+    src = spark.createDataFrame([("a",)], "id string")
+    tgt = spark.createDataFrame([("e",)], "id string")
+    only = shortest_paths(edges, max_hops=5, sources=src, targets=tgt).collect()
+    assert len(only) == 1 and only[0].hops == 3
+
+    # max_hops truncation
+    short = {
+        (r.start_id, r.end_id)
+        for r in shortest_paths(edges, max_hops=1).collect()
+    }
+    assert ("a", "d") not in short and ("a", "b") in short
+
+
+def test_graph_shortest_paths_kql_edge_struct(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    out = eng.kql(
+        "let g = datatable(s: long, d: long)[1, 2, 2, 3, 3, 4];"
+        "g | make-graph s --> d"
+        " | graph-shortest-paths (a)-[p*2..3]->(b)"
+        "   project f = a.id, t = b.id, n = p.hops"
+    ).to_df().collect()
+    got = sorted((r.f, r.t, r.n) for r in out)
+    assert got == [(1, 3, 2), (1, 4, 3), (2, 4, 2)]
