@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "ipv4_lookup_op",
     "geohash_roundtrip",
     "kql_graph_shortest_paths",
+    "embedding_quantize_int8",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_rightouter",
     "join_fullouter",
     "join_leftsemi",
-    "join_leftanti",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -203,3 +203,47 @@ def argmin_distance(spark, sf_dir):
         F.min_by(F.col("vec_id"), F.struct(F.col("dist"), F.col("vec_id"))).alias("nearest_id"),
         F.round(F.min("dist"), 6).alias("min_dist"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ), z AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(greatest(-127, least(127,
+                      floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT))
+               AS qv
+      FROM q WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale9,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2
+    FROM z
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 symmetric quantization of the embeddings corpus
+    (similarity/quantize.py) graded bit-exactly: the code vector's sum
+    and squared norm are INTEGER aggregates, so any drift in the
+    scale, the half-up rounding, or the clipping flips the hash.
+    One narrow JVM-HOF stage — no UDF, no shuffle."""
+    from meerkat_spark.similarity.quantize import quantize_table
+
+    emb = _emb(spark, sf_dir)
+    qt = quantize_table(emb, "embedding")
+    return qt.select(
+        "vec_id",
+        F.round("q_scale", 9).alias("scale9"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x).alias(
+            "qnorm2"
+        ),
+    )

@@ -277,3 +277,36 @@ def test_neardup_exact_dup_routing(spark, emb):
         ).collect()
     }
     assert on == off
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+    from meerkat_spark.similarity.quantize import (
+        dequantize,
+        quantize_table,
+        reconstruction_error,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qt = quantize_table(emb, "embedding", keep_vec=True)
+    checked = qt.select(
+        "vec_id",
+        reconstruction_error("embedding", "q", F.col("q_scale")).alias("err"),
+        (F.col("q_scale") / 2 * 1.0000001).alias("bound"),
+        F.array_max(F.transform("q", F.abs)).alias("qmax"),
+    )
+    bad = checked.filter(
+        (F.col("err") > F.col("bound")) | (F.col("qmax") > 127)
+    ).count()
+    assert bad == 0
+    # dequantize shape: same length, doubles
+    row = qt.select(
+        F.size("q").alias("n"),
+        F.size(dequantize("q", F.col("q_scale"))).alias("m"),
+    ).first()
+    assert row.n == row.m > 0
+    # all-zero vectors are dropped (no representable scale)
+    z = spark.createDataFrame([(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+                              "vec_id long, embedding array<double>")
+    kept = quantize_table(z, "embedding").select("vec_id").collect()
+    assert [r.vec_id for r in kept] == [2]
