@@ -1119,3 +1119,35 @@ def geo_geohash_to_central_point(gh) -> Column:
         & F.forall(F.split(g, ""), lambda ch: F.element_at(cmap, ch).isNotNull())
     )
     return F.when(valid, F.struct(lng.alias("lng"), lat.alias("lat")))
+
+
+def strcmp(a, b) -> Column:
+    """KQL strcmp: ordinal comparison → -1/0/1 (Spark string compare is
+    binary UTF-8 — the same ordinal order). Null if either side null."""
+    x, y = _c(a), _c(b)
+    return (
+        F.when(x.isNull() | y.isNull(), F.lit(None).cast("int"))
+        .when(x < y, F.lit(-1))
+        .when(x > y, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def bitset_count_ones(x) -> Column:
+    """KQL bitset_count_ones: population count of the 64-bit value."""
+    return F.bit_count(_c(x).cast("long")).cast("long")
+
+
+def base64_decode_toarray(s) -> Column:
+    """KQL base64_decode_toarray: base-64 → array<long> of bytes.
+    JVM-only path: unbase64 → hex → fixed 2-char slices → conv(16,10);
+    invalid input (bad alphabet / length) yields null rather than an
+    ANSI error (KQL null-on-invalid convention)."""
+    c = _c(s)
+    valid = c.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+    h = F.hex(F.unbase64(c))
+    arr = F.transform(
+        F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
+        lambda i: F.conv(F.substring(h, i * 2 - 1, F.lit(2)), 16, 10).cast("long"),
+    )
+    return F.when(c.isNotNull() & valid, arr)

@@ -933,6 +933,16 @@ class Parser:
             },
         )
 
+    def op_render(self) -> OpNode:
+        """`render timechart [with (...)]` — a presentation directive,
+        not a data transformation: parsed for grammar parity and
+        dropped (the result table is unchanged, Kusto's semantics for
+        non-visual consumers). Everything up to the next pipe is
+        consumed."""
+        while not (self.at("PUNCT", "|") or self.at("EOF")):
+            self.next()
+        return OpNode("render", {})
+
     def op_reduce(self) -> OpNode:
         """`reduce by col [with threshold=0.x]` — pattern clustering.
         threshold is parsed for grammar parity (Kusto tunes its

@@ -213,6 +213,9 @@ _SCALARS: dict[str, Any] = {
     "geo_point_in_circle": lambda a: S.geo_point_in_circle(
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3]), _c(a[4])
     ),
+    "strcmp": lambda a: S.strcmp(_c(a[0]), _c(a[1])),
+    "bitset_count_ones": lambda a: S.bitset_count_ones(_c(a[0])),
+    "base64_decode_toarray": lambda a: S.base64_decode_toarray(_c(a[0])),
     "geo_point_to_geohash": lambda a: S.geo_point_to_geohash(
         _c(a[0]), _c(a[1]), int(_raw(a[2])) if len(a) > 2 else 5
     ),
@@ -1895,6 +1898,10 @@ class Translator:
             return df.select(*out_cols)
         finally:
             self._cur_schema = saved
+
+    def ap_render(self, t, a):
+        """render: presentation no-op — table passes through."""
+        return t
 
     def ap_graph_shortest_paths(self, t, a):
         """KQL graph-shortest-paths (output=any subset): bounded-hop

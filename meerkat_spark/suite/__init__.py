@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "geohash_roundtrip",
     "kql_graph_shortest_paths",
     "embedding_quantize_int8",
+    "scalar_round5_extras",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_leftouter",
     "join_rightouter",
     "join_fullouter",
-    "join_leftsemi",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -560,3 +560,42 @@ def scalar_series_similarity(spark, sf_dir):
              cs = round(series_cosine_similarity(
                     embedding, array_rotate_left(embedding, 1)), 4)"""
     ).to_df()
+
+
+@register(
+    "scalar_round5_extras",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_name IS NULL OR c_mktsegment IS NULL THEN NULL
+                WHEN c_name < c_mktsegment THEN -1
+                WHEN c_name > c_mktsegment THEN 1 ELSE 0 END AS cmp_nm,
+           0 AS cmp_self,
+           CAST(bit_count((c_custkey * 2654435761) % 9007199254740993)
+                AS BIGINT) AS ones,
+           array_to_string(
+             list_transform(range(1, strlen(c_mktsegment) + 1),
+                            i -> ord(substr(c_mktsegment, CAST(i AS INT), 1))),
+             ',') AS seg_bytes
+    FROM customer
+    """,
+)
+def scalar_round5_extras(spark, sf_dir):
+    """Round-5 scalar stragglers through the KQL front-end: strcmp
+    (ordinal -1/0/1), bitset_count_ones (64-bit popcount),
+    base64_decode_toarray (base-64 → byte array, exercised as an
+    encode→decode round trip whose oracle is just the source string's
+    code points) — functions/scalar.py, all JVM expressions."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """customer
+           | project c_custkey, c_name, c_mktsegment
+           | extend cmp_nm = strcmp(c_name, c_mktsegment),
+                    cmp_self = strcmp(c_name, c_name),
+                    ones = bitset_count_ones(
+                        (c_custkey * 2654435761) % 9007199254740993),
+                    seg_bytes = strcat_array(
+                        base64_decode_toarray(
+                            base64_encode_tostring(c_mktsegment)), ',')
+           | project c_custkey, cmp_nm, cmp_self, ones, seg_bytes"""
+    ).to_df()

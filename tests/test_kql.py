@@ -1097,3 +1097,32 @@ def test_totimespan_string_roundtrip(spark):
     assert row.d == 1.5
     assert row.bad is None
     assert row.rt == -90061.0
+
+
+def test_render_is_noop(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    plain = eng.kql("nation | summarize n = count() by n_regionkey").to_df()
+    rendered = eng.kql(
+        "nation | summarize n = count() by n_regionkey"
+        " | render columnchart with (title='x', legend=visible)"
+    ).to_df()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, rendered.collect())
+    )
+    assert plain.columns == rendered.columns
+
+
+def test_base64_decode_toarray_invalid_null(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    got = eng.kql(
+        "print good = base64_decode_toarray('aGk='),"
+        " bad = base64_decode_toarray('!not-b64'),"
+        " ones = bitset_count_ones(255), c = strcmp('a', 'b')"
+    ).to_df().collect()[0]
+    assert list(got.good) == [104, 105]  # 'hi'
+    assert got.bad is None
+    assert got.ones == 8 and got.c == -1
