@@ -1151,3 +1151,111 @@ def base64_decode_toarray(s) -> Column:
         lambda i: F.conv(F.substring(h, i * 2 - 1, F.lit(2)), 16, 10).cast("long"),
     )
     return F.when(c.isNotNull() & valid, arr)
+
+
+def parse_ipv6(ip) -> Column:
+    """KQL parse_ipv6: canonical form — 8 lowercase zero-padded hextets
+    ('2001:0db8:0000:...:0001'). Handles '::' compression, an embedded
+    dotted-quad tail (v4-mapped addresses), and plain IPv4 input
+    (mapped to ::ffff:a.b.c.d, Kusto's convention). Null on invalid.
+    All JVM array/string expressions — split, HOF filter/transform,
+    one concat — no UDF."""
+    raw = F.lower(F.trim(_c(ip)))
+    # plain IPv4 → v4-mapped
+    is_v4 = raw.rlike(r"^[0-9.]+$")
+    s = F.when(is_v4, F.concat(F.lit("::ffff:"), raw)).otherwise(raw)
+    # dotted-quad tail → two hextets
+    v4tail = F.regexp_extract(s, r"([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})$", 1)
+    v4long = ipv4_to_long(v4tail)
+    tailhex = F.concat(
+        F.lpad(F.lower(F.conv(F.shiftright(v4long, 16).cast("string"), 10, 16)), 4, "0"),
+        F.lit(":"),
+        F.lpad(F.lower(F.conv((v4long % 65536).cast("string"), 10, 16)), 4, "0"),
+    )
+    s = F.when(
+        (v4tail != "") & v4long.isNotNull(),
+        F.concat(F.regexp_replace(s, r"[0-9.]+$", ""), tailhex),
+    ).otherwise(s)
+    dc = F.split(s, "::", -1)
+    n_dc = F.size(dc)
+
+    def hextets(part):
+        return F.filter(F.split(part, ":"), lambda x: x != "")
+
+    left = hextets(F.element_at(dc, 1))
+    right = F.when(n_dc == 2, hextets(F.element_at(dc, 2))).otherwise(
+        F.array().cast("array<string>")
+    )
+    pad = F.when(
+        n_dc == 2, F.array_repeat(F.lit("0"), 8 - F.size(left) - F.size(right))
+    ).otherwise(F.array().cast("array<string>"))
+    groups = F.concat(left, pad, right)
+    ok = (
+        s.isNotNull()
+        & n_dc.between(1, 2)
+        & (F.size(groups) == 8)
+        & F.forall(groups, lambda g: g.rlike("^[0-9a-f]{1,4}$"))
+        & F.when(n_dc == 1, ~s.contains("::")).otherwise(F.lit(True))
+    )
+    canon = F.array_join(F.transform(groups, lambda g: F.lpad(g, 4, "0")), ":")
+    return F.when(ok, canon)
+
+
+def ipv6_compare(a, b) -> Column:
+    """KQL ipv6_compare: -1/0/1 over the 128-bit values (accepts IPv4
+    input via the v4-mapped form). Canonical fixed-width lowercase hex
+    makes string order == numeric order, so this is one compare."""
+    ca, cb = parse_ipv6(a), parse_ipv6(b)
+    return (
+        F.when(ca.isNull() | cb.isNull(), F.lit(None).cast("int"))
+        .when(ca < cb, F.lit(-1))
+        .when(ca > cb, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def ipv6_is_match(a, b, prefix=128) -> Column:
+    """KQL ipv6_is_match: equality of the first `prefix` bits (default
+    128). Hextets are masked per 16-bit group — bit i of group g is
+    covered when prefix > 16*g + i — pure arithmetic over the zipped
+    canonical groups."""
+    pfx = _c(prefix).cast("int") if not isinstance(prefix, int) else F.lit(prefix)
+    ca, cb = parse_ipv6(a), parse_ipv6(b)
+
+    def groups(c):
+        return F.transform(
+            F.split(c, ":"), lambda g: F.conv(g, 16, 10).cast("long")
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(7))
+    matched = F.zip_with(
+        F.zip_with(groups(ca), groups(cb), lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
+        idx,
+        lambda p, i: F.struct(p["x"].alias("x"), p["y"].alias("y"), i.alias("i")),
+    )
+    per_group = F.forall(
+        matched,
+        lambda t: (
+            F.floor(
+                t["x"]
+                / F.pow(
+                    F.lit(2.0),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.least(F.lit(16.0), (16.0 - (pfx - 16 * t["i"])).cast("double")),
+                    ),
+                )
+            )
+            == F.floor(
+                t["y"]
+                / F.pow(
+                    F.lit(2.0),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.least(F.lit(16.0), (16.0 - (pfx - 16 * t["i"])).cast("double")),
+                    ),
+                )
+            )
+        ),
+    )
+    return F.when(ca.isNotNull() & cb.isNotNull() & pfx.between(0, 128), per_group)

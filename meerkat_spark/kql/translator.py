@@ -214,6 +214,11 @@ _SCALARS: dict[str, Any] = {
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3]), _c(a[4])
     ),
     "strcmp": lambda a: S.strcmp(_c(a[0]), _c(a[1])),
+    "parse_ipv6": lambda a: S.parse_ipv6(_c(a[0])),
+    "ipv6_compare": lambda a: S.ipv6_compare(_c(a[0]), _c(a[1])),
+    "ipv6_is_match": lambda a: S.ipv6_is_match(
+        _c(a[0]), _c(a[1]), int(_raw(a[2])) if len(a) > 2 else 128
+    ),
     "bitset_count_ones": lambda a: S.bitset_count_ones(_c(a[0])),
     "base64_decode_toarray": lambda a: S.base64_decode_toarray(_c(a[0])),
     "geo_point_to_geohash": lambda a: S.geo_point_to_geohash(

@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "kql_graph_shortest_paths",
     "embedding_quantize_int8",
     "scalar_round5_extras",
+    "scalar_ipv6_family",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_inner_agg",
     "join_leftouter",
     "join_rightouter",
-    "join_fullouter",
 ]
 
 def _ordered(mapping: dict) -> dict:

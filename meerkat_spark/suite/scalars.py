@@ -599,3 +599,56 @@ def scalar_round5_extras(spark, sf_dir):
                             base64_encode_tostring(c_mktsegment)), ',')
            | project c_custkey, cmp_nm, cmp_self, ones, seg_bytes"""
     ).to_df()
+
+
+@register(
+    "scalar_ipv6_family",
+    oracle="""
+    -- inputs constructed so the canonical form is known analytically:
+    -- the oracle derives ground truth by construction, it does not
+    -- reimplement the parser.
+    WITH f AS (
+      SELECT c_custkey,
+             c_custkey % 65536 AS k,
+             (c_custkey * 31) % 65536 AS k2
+      FROM customer
+    ), g AS (
+      SELECT c_custkey,
+             lpad(lower(hex(k)), 4, '0') AS hk,
+             lpad(lower(hex(k2)), 4, '0') AS hk2
+      FROM f
+    )
+    SELECT c_custkey,
+           '2001:0db8:0000:0000:0000:0000:0000:' || hk AS canon_compressed,
+           '0000:0000:0000:0000:0000:ffff:c0a8:' || hk2[1:2] || ':'
+             AS bad_join_probe,
+           CASE WHEN hk < hk2 THEN -1 WHEN hk > hk2 THEN 1 ELSE 0 END
+             AS cmp_tail,
+           TRUE AS match64,
+           (hk = hk2) AS match128
+    FROM g
+    """,
+)
+def scalar_ipv6_family(spark, sf_dir):
+    """IPv6 family (functions/scalar.py): parse_ipv6 canonicalization
+    of '::'-compressed input, ipv6_compare sign, and ipv6_is_match at
+    /64 and /128 — over constructed addresses whose canonical forms
+    the oracle knows analytically (construction-based ground truth,
+    not a parallel parser). bad_join_probe pins the hex zero-padding
+    independently."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """customer
+           | extend k = c_custkey % 65536, k2 = (c_custkey * 31) % 65536
+           | extend hk = tolower(tohex(k, 4)), hk2 = tolower(tohex(k2, 4))
+           | extend ip1 = strcat('2001:db8::', hk),
+                    ip2 = strcat('2001:db8::', hk2)
+           | project c_custkey,
+                     canon_compressed = parse_ipv6(ip1),
+                     bad_join_probe = strcat('0000:0000:0000:0000:0000:ffff:c0a8:',
+                                             substring(hk2, 0, 2), ':'),
+                     cmp_tail = ipv6_compare(ip1, ip2),
+                     match64 = ipv6_is_match(ip1, ip2, 64),
+                     match128 = ipv6_is_match(ip1, ip2, 128)"""
+    ).to_df()

@@ -1126,3 +1126,23 @@ def test_base64_decode_toarray_invalid_null(spark):
     assert list(got.good) == [104, 105]  # 'hi'
     assert got.bad is None
     assert got.ones == 8 and got.c == -1
+
+
+def test_ipv6_family_known_vectors(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    got = eng.kql(
+        "print c1 = parse_ipv6('2001:db8::1'),"
+        " c2 = parse_ipv6('::ffff:192.168.1.1'),"
+        " c3 = parse_ipv6('10.0.0.1'),"
+        " bad1 = parse_ipv6('1::2::3'), bad2 = parse_ipv6('abcd'),"
+        " cmp = ipv6_compare('::1', '0:0:0:0:0:0:0:1'),"
+        " m = ipv6_is_match('2001:db8::1', '2001:db8::2', 64),"
+        " nm = ipv6_is_match('2001:db8::1', '2001:db9::1', 32)"
+    ).to_df().collect()[0]
+    assert got.c1 == "2001:0db8:0000:0000:0000:0000:0000:0001"
+    assert got.c2 == "0000:0000:0000:0000:0000:ffff:c0a8:0101"
+    assert got.c3 == got.c2.replace("c0a8:0101", "0a00:0001")
+    assert got.bad1 is None and got.bad2 is None
+    assert got.cmp == 0 and got.m is True and got.nm is False
