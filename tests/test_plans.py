@@ -389,3 +389,66 @@ def test_rows_near_single_window_no_extra_exchange(eng):
     assert plan.count("Window") >= 1
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_session_count_and_engagement_explode_shape(eng):
+    """session_count and activity_engagement are the explode-to-bins
+    shape: Generate explode + hash aggregates, never an events×grid
+    theta/loop join."""
+    from meerkat_spark.operators.temporalagg import (
+        activity_engagement,
+        session_count,
+    )
+
+    ev = eng.table("events").to_df()
+    for out in (
+        session_count(ev, "user_id", "ts", "2024-01-02", "2024-01-12",
+                      86400, 2 * 86400),
+        activity_engagement(ev, "user_id", "ts", "2024-01-01", "2024-01-15",
+                            86400, 7 * 86400),
+    ):
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert re.search(r"Generate explode", plan)
+
+
+def test_sequence_detect_no_pairwise_join(eng):
+    """sequence_detect is K-1 union+window passes on the id key — no
+    theta-join of events against events; every Join in the plan is
+    absent (the chain is windows over a union)."""
+    from meerkat_spark.operators.temporalagg import sequence_detect
+
+    ev = eng.table("events").to_df()
+    out = sequence_detect(
+        ev, "user_id", "ts",
+        [F.col("event_type") == "view", F.col("event_type") == "click",
+         F.col("event_type") == "purchase"],
+        max_step_sec=43200, max_span_sec=86400,
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") >= 2  # one forward pass per later step
+
+
+def test_ipv6_and_geohash_are_single_project(eng):
+    """The ipv6/geohash scalar families stay row-local codegen — a
+    parquet scan plus projection, no shuffle, no UDF python workers."""
+    from meerkat_spark.functions.scalar import (
+        geo_point_to_geohash,
+        parse_ipv6,
+    )
+
+    cust = eng.table("customer").to_df()
+    out = cust.select(
+        parse_ipv6(F.concat(F.lit("2001:db8::"), F.col("c_custkey").cast("string"))).alias("v6"),
+        geo_point_to_geohash(F.lit(10.4), F.lit(57.6), 6).alias("gh"),
+    )
+    from meerkat_spark.plans import audit
+
+    a = audit(out)
+    assert a.exchanges == 0
+    assert "BatchEvalPython" not in plan_of(out)
+    assert "ArrowEvalPython" not in plan_of(out)
