@@ -298,3 +298,75 @@ def series_fit_2lines(col: Column) -> Column:
         )
 
     return fit2(col)
+
+
+def series_decompose_forecast(col: Column, points: int, period: int) -> Column:
+    """KQL series_decompose_forecast: decompose the series (same
+    STL-lite as series_decompose) and extend the baseline `points`
+    steps ahead — linear extrapolation of the trend (least-squares
+    slope over the last two periods, falling back to the whole trend)
+    plus the repeating seasonal component. Returns one array of length
+    len(series) + points (in-sample baseline ‖ forecast), 6dp. Arrow
+    batch kernel, row-local — the forecast of a million series is one
+    narrow stage."""
+
+    @F.pandas_udf("array<double>")
+    def forecast(series: pd.Series) -> pd.Series:
+        out = []
+        for arr in series:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            x = np.asarray(arr, dtype=np.float64)
+            n = len(x)
+            w = max(int(period), 1)
+            pad = np.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
+            trend = np.convolve(pad, np.full(w, 1.0 / w), mode="valid")
+            if w > 1 and n >= 2 * w:
+                detr = x - trend
+                phase = np.arange(n) % w
+                # per-phase means over INTERIOR samples only — the
+                # edge-padded trend samples are biased and would leak
+                # trend error into the seasonal profile
+                lo, hi = w // 2, n - (w - 1 - w // 2)
+                use = np.zeros(n, dtype=bool)
+                use[lo:hi] = True
+                smeans = np.array(
+                    [
+                        detr[use & (phase == p)].mean()
+                        if (use & (phase == p)).any()
+                        else detr[phase == p].mean()
+                        for p in range(w)
+                    ]
+                )
+                smeans -= smeans.mean()
+                seasonal = smeans[phase]
+            else:
+                smeans = np.zeros(w)
+                seasonal = np.zeros(n)
+            # Extrapolate from the INTERIOR trend only: the first/last
+            # ⌈w/2⌉ moving-average samples lean on edge padding and are
+            # biased toward flat, which would systematically bend the
+            # forecast. Anchor = last interior sample; slope = LSQ over
+            # the interior (whole-series fallback when too short).
+            a, b = w // 2, w - 1 - w // 2
+            if n - a - b >= 2:
+                interior = trend[a:n - b] if b else trend[a:]
+                anchor_idx = n - b - 1
+            else:
+                interior = trend
+                anchor_idx = n - 1
+            xs = np.arange(len(interior), dtype=np.float64)
+            slope = np.polyfit(xs, interior, 1)[0] if len(interior) >= 2 else 0.0
+            base_in = trend + seasonal
+            fut_idx = np.arange(n, n + int(points), dtype=np.float64)
+            fut_trend = interior[-1] + slope * (fut_idx - anchor_idx)
+            fut_seasonal = smeans[(n + np.arange(int(points))) % w]
+            out.append(
+                np.concatenate([base_in, fut_trend + fut_seasonal])
+                .round(6)
+                .tolist()
+            )
+        return pd.Series(out)
+
+    return forecast(col)

@@ -157,6 +157,10 @@ _SCALARS: dict[str, Any] = {
     "min_of": lambda a: S.min_of(*a),
     "max_of": lambda a: S.max_of(*a),
     # casts
+    # KQL typed literals long(null)/int(4)/real(null) — cast semantics
+    "long": lambda a: _c(a[0]).cast("long"),
+    "int": lambda a: _c(a[0]).cast("int"),
+    "real": lambda a: _c(a[0]).cast("double"),
     "toint": lambda a: S.toint(_c(a[0])),
     "tolong": lambda a: S.tolong(_c(a[0])),
     "todouble": lambda a: S.todouble(_c(a[0])),
@@ -186,6 +190,9 @@ _SCALARS: dict[str, Any] = {
     "series_fill_linear": lambda a: SER.series_fill_linear(_c(a[0])),
     "series_decompose_anomalies": lambda a: SER.series_decompose_anomalies(
         _c(a[0]), int(_raw(a[1])), float(_raw(a[2])) if len(a) > 2 else 2.5
+    ),
+    "series_decompose_forecast": lambda a: SER.series_decompose_forecast(
+        _c(a[0]), int(_raw(a[1])), int(_raw(a[2]))
     ),
     # dynamic / array
     "array_length": lambda a: S.array_length(a[0]),
@@ -1430,6 +1437,46 @@ class Translator:
                     bin_sec=secs_of(args[4]),
                 )
             return MeerkatTable(out)
+        if plugin == "dcount_intersect":
+            # evaluate dcount_intersect(hll_1, …, hll_k) — distinct-count
+            # of the running intersections via inclusion-exclusion over
+            # Datasketches HLL unions (|∩first m| = Σ(−1)^{|S|+1}|∪S|).
+            # Estimates, like Kusto's; clamped at 0 and rounded. Scalar
+            # per-row expressions over pre-aggregated sketch columns —
+            # no extra shuffle.
+            from itertools import combinations
+
+            args = a["args"]
+            if not 2 <= len(args) <= 4:
+                raise KqlSyntaxError(
+                    "dcount_intersect expects 2-4 hll sketch columns"
+                )
+            names = []
+            for node in args:
+                if not isinstance(node, P.Ident):
+                    raise KqlSyntaxError(
+                        "dcount_intersect expects hll column names"
+                    )
+                names.append(node.name)
+
+            def union_est(subset):
+                acc = F.col(subset[0])
+                for nm in subset[1:]:
+                    acc = F.hll_union(acc, F.col(nm))
+                return F.hll_sketch_estimate(acc)
+
+            outs = []
+            for m in range(1, len(names) + 1):
+                total = F.lit(0).cast("double")
+                for r in range(1, m + 1):
+                    for sub in combinations(names[:m], r):
+                        sign = 1 if r % 2 == 1 else -1
+                        total = total + F.lit(sign) * union_est(list(sub))
+                outs.append(
+                    F.greatest(F.lit(0).cast("long"), F.round(total).cast("long"))
+                    .alias(f"s{m}")
+                )
+            return MeerkatTable(t.df.select("*", *outs))
         if plugin == "ipv4_lookup":
             # evaluate ipv4_lookup(LookupTable, SourceIPv4Key,
             # IPv4NetworkKey [, return_unmatched]) — longest-prefix CIDR

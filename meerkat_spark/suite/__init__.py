@@ -103,6 +103,8 @@ _PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "scalar_round5_extras",
     "scalar_ipv6_family",
+    "agg_dcount_intersect",
+    "series_forecast_op",
     # (b) round-5 code changes — re-grade
     "media_features_vec",
     "scan_funnel",
@@ -117,8 +119,6 @@ _PRIORITY: list[str] = [
     "top_orders",
     "sort_take_asc",
     "join_inner_agg",
-    "join_leftouter",
-    "join_rightouter",
 ]
 
 def _ordered(mapping: dict) -> dict:

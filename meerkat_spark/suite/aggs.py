@@ -419,3 +419,25 @@ def agg_percentilew(spark, sf_dir):
     return percentilew_exact(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5
     )
+
+
+@register("agg_dcount_intersect", oracle=None)
+def agg_dcount_intersect(spark, sf_dir):
+    """`evaluate dcount_intersect` over weekly viewer/buyer HLL
+    sketches: inclusion-exclusion on Datasketches unions — estimates
+    (rows-only by design; tests/test_kql.py bounds them against the
+    exact intersection). Typed-null literals (long(null)) route the
+    sketch inputs."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    return MeerkatEngine(spark, sf_dir).kql(
+        """events
+           | summarize viewers = hll(iff(event_type == 'view', user_id,
+                                         long(null))),
+                       buyers = hll(iff(event_type == 'purchase', user_id,
+                                        long(null)))
+             by bin(ts, 7d)
+           | evaluate dcount_intersect(viewers, buyers)
+           | project ts, s1, s2
+           | sort by ts asc"""
+    ).to_df()

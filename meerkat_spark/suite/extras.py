@@ -751,3 +751,31 @@ def geohash_roundtrip(spark, sf_dir):
         F.round(pt["lng"], 9).alias("c_lng"),
         F.round(pt["lat"], 9).alias("c_lat"),
     )
+
+
+@register("series_forecast_op", oracle=None)
+def series_forecast_op(spark, sf_dir):
+    """series_decompose_forecast (functions/series.py): daily event
+    counts per user forecast 7 points ahead with weekly seasonality
+    (explicit-period subset of Kusto's autodetect). Arrow batch kernel
+    over make-series arrays — rows-only by design (the STL-lite
+    decomposition has no SQL twin); accuracy pinned by the analytic
+    known-answer pytest (tests/test_series.py). Serialized with
+    to_json so the driver canonicalizer can hash it."""
+    from meerkat_spark.engine import MeerkatEngine
+    from meerkat_spark.functions.series import series_decompose_forecast
+
+    eng = MeerkatEngine(spark, sf_dir)
+    made = eng.kql(
+        """events
+           | make-series n = count() default = 0 on ts
+             from datetime(2024-01-01) to datetime(2024-01-29) step 1d
+             by user_id"""
+    ).to_df()
+    fc = made.select(
+        "user_id",
+        F.to_json(
+            series_decompose_forecast(F.col("n").cast("array<double>"), 7, 7)
+        ).alias("forecast_json"),
+    )
+    return fc.orderBy("user_id")

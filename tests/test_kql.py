@@ -1146,3 +1146,45 @@ def test_ipv6_family_known_vectors(spark):
     assert got.c3 == got.c2.replace("c0a8:0101", "0a00:0001")
     assert got.bad1 is None and got.bad2 is None
     assert got.cmp == 0 and got.m is True and got.nm is False
+
+
+def test_dcount_intersect_tracks_exact(spark):
+    """HLL inclusion-exclusion estimates must track the exact
+    intersection closely at small cardinalities (lg_k=12 sketches are
+    exact-ish below ~thousands) and never exceed min(|A|, |B|) by more
+    than the estimator tolerance."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    est = {
+        r.ts: (r.s1, r.s2)
+        for r in eng.kql(
+            "events | summarize v = hll(iff(event_type == 'view', user_id,"
+            " long(null))), b = hll(iff(event_type == 'purchase', user_id,"
+            " long(null))) by bin(ts, 7d)"
+            " | evaluate dcount_intersect(v, b) | project ts, s1, s2"
+        ).to_df().collect()
+    }
+    ev = eng.table("events").to_df()
+    from pyspark.sql import functions as F
+
+    # exact intersection per 7d bin via two distinct sets
+    binned = ev.select(
+        F.timestamp_micros(
+            (F.floor(F.unix_micros("ts") / (7 * 86400 * 1000000))
+             * (7 * 86400 * 1000000)).cast("long")
+        ).alias("w"),
+        "user_id",
+        "event_type",
+    )
+    v = binned.filter(F.col("event_type") == "view").select("w", "user_id").distinct()
+    b = binned.filter(F.col("event_type") == "purchase").select("w", "user_id").distinct()
+    inter = v.join(b, ["w", "user_id"]).groupBy("w").agg(F.count("*").alias("i"))
+    vc = v.groupBy("w").agg(F.count("*").alias("v"))
+    exact = {r.w: (r.v, dict((x.w, x.i) for x in inter.collect()).get(r.w, 0))
+             for r in vc.collect()}
+    assert est, "no bins"
+    for w, (s1, s2) in est.items():
+        ev_, iv = exact[w]
+        assert abs(s1 - ev_) <= max(2, 0.05 * ev_)
+        assert abs(s2 - iv) <= max(3, 0.1 * max(iv, 1))

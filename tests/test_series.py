@@ -180,3 +180,39 @@ def test_series_fit_2lines_changepoint(spark):
     assert row.f2.rsquare > 0.999 and row.f2.rsquare > row.f1.rsquare
     short = spark.createDataFrame([([1.0, 2.0],)], "s array<double>")
     assert short.select(series_fit_2lines("s").alias("f")).collect()[0].f.rsquare is None
+
+
+def test_series_decompose_forecast_analytic(spark):
+    """Linear trend + exact period-4 seasonality must forecast within
+    the half-sample moving-average shift (0.25 * slope * window)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from meerkat_spark.functions.series import series_decompose_forecast
+
+    t = np.arange(24)
+    season = np.array([10.0, 0.0, -10.0, 0.0])
+    y = (0.5 * t + season[t % 4]).tolist()
+    df = spark.createDataFrame([(y,)], "s array<double>")
+    out = df.select(
+        series_decompose_forecast(F.col("s"), 8, 4).alias("f")
+    ).collect()[0].f
+    assert len(out) == 32
+    expect = [0.5 * (24 + i) + season[(24 + i) % 4] for i in range(8)]
+    assert max(abs(a - b) for a, b in zip(out[24:], expect)) <= 0.3
+    # degenerate inputs survive
+    deg = spark.createDataFrame([([],), ([5.0],)], "s array<double>")
+    rows = deg.select(series_decompose_forecast(F.col("s"), 3, 4).alias("f")).collect()
+    assert rows[0].f == [] and len(rows[1].f) == 4
+
+
+def test_series_decompose_forecast_kql(spark):
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    got = eng.kql(
+        "print s = dynamic([1.0,2.0,3.0,4.0,5.0,6.0,7.0,8.0])"
+        " | extend f = series_decompose_forecast(s, 2, 1)"
+    ).to_df().collect()[0]
+    assert len(got.f) == 10
+    # pure linear, period 1: forecast continues the line
+    assert abs(got.f[-1] - 10.0) < 0.5
