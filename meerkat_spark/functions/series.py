@@ -370,3 +370,260 @@ def series_decompose_forecast(col: Column, points: int, period: int) -> Column:
         return pd.Series(out)
 
     return forecast(col)
+
+
+# ------------------------------------------------- elementwise arithmetic
+# KQL's series arithmetic family (series_add .. series_not_equals,
+# series_sum/product/magnitude, series_pearson_correlation). These are
+# pure JVM higher-order functions (transform / zip_with / aggregate) —
+# no Python in the hot path, so a million-series column stays inside
+# whole-stage codegen. Null elements propagate to null outputs;
+# length-mismatched pairs follow zip_with (short side null-padded)
+# where Kusto errors — documented delta, COVERAGE.md.
+
+
+def _acol(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x) if isinstance(x, str) else F.lit(x)
+
+
+def _map1(x, fn) -> Column:
+    return F.transform(_acol(x), lambda v: fn(v.cast("double")))
+
+
+def _map2(a, b, fn) -> Column:
+    """series ⊗ series when both are array columns, series ⊗ scalar when
+    `b` is a number (Kusto allows either operand scalar; scalar-first
+    callers can rely on the symmetric wrappers below)."""
+    if isinstance(b, (int, float)) and not isinstance(b, bool):
+        s = F.lit(float(b))
+        return F.transform(_acol(a), lambda v: fn(v.cast("double"), s))
+    return F.zip_with(
+        _acol(a), _acol(b), lambda u, v: fn(u.cast("double"), v.cast("double"))
+    )
+
+
+def series_add(a, b) -> Column:
+    """KQL series_add — elementwise a + b."""
+    return _map2(a, b, lambda u, v: u + v)
+
+
+def series_subtract(a, b) -> Column:
+    """KQL series_subtract — elementwise a − b."""
+    return _map2(a, b, lambda u, v: u - v)
+
+
+def series_multiply(a, b) -> Column:
+    """KQL series_multiply — elementwise a · b."""
+    return _map2(a, b, lambda u, v: u * v)
+
+
+def series_divide(a, b) -> Column:
+    """KQL series_divide — elementwise a / b; division by zero yields
+    null (try_divide — ANSI-safe; Kusto renders ±inf, a documented
+    delta since the engine's doubles avoid non-finite values)."""
+    return _map2(a, b, lambda u, v: F.try_divide(u, v))
+
+
+def series_pow(a, b) -> Column:
+    """KQL series_pow — elementwise a^b."""
+    return _map2(a, b, lambda u, v: F.pow(u, v))
+
+
+def series_greater(a, b) -> Column:
+    """KQL series_greater — elementwise a > b (array<boolean>)."""
+    return _map2(a, b, lambda u, v: u > v)
+
+
+def series_greater_equals(a, b) -> Column:
+    return _map2(a, b, lambda u, v: u >= v)
+
+
+def series_less(a, b) -> Column:
+    return _map2(a, b, lambda u, v: u < v)
+
+
+def series_less_equals(a, b) -> Column:
+    return _map2(a, b, lambda u, v: u <= v)
+
+
+def series_equals(a, b) -> Column:
+    return _map2(a, b, lambda u, v: u == v)
+
+
+def series_not_equals(a, b) -> Column:
+    return _map2(a, b, lambda u, v: u != v)
+
+
+def series_abs(x) -> Column:
+    """KQL series_abs — elementwise |x|."""
+    return _map1(x, F.abs)
+
+
+def series_sign(x) -> Column:
+    return _map1(x, F.signum)
+
+
+def series_exp(x) -> Column:
+    return _map1(x, F.exp)
+
+
+def series_log(x) -> Column:
+    """KQL series_log — natural log; non-positive elements → null
+    (Spark ln semantics)."""
+    return _map1(x, F.log)
+
+
+def series_sin(x) -> Column:
+    return _map1(x, F.sin)
+
+
+def series_cos(x) -> Column:
+    return _map1(x, F.cos)
+
+
+def series_tan(x) -> Column:
+    return _map1(x, F.tan)
+
+
+def series_asin(x) -> Column:
+    return _map1(x, F.asin)
+
+
+def series_acos(x) -> Column:
+    return _map1(x, F.acos)
+
+
+def series_atan(x) -> Column:
+    return _map1(x, F.atan)
+
+
+def series_floor(x) -> Column:
+    return _map1(x, lambda v: F.floor(v).cast("double"))
+
+
+def series_ceiling(x) -> Column:
+    return _map1(x, lambda v: F.ceiling(v).cast("double"))
+
+
+def series_sum(x) -> Column:
+    """KQL series_sum — Σxᵢ, left-to-right fold (deterministic order,
+    matches a sequential SQL expression term-for-term)."""
+    return F.aggregate(
+        _acol(x), F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+
+
+def series_product(x) -> Column:
+    """KQL series_product — Πxᵢ, left-to-right fold."""
+    return F.aggregate(
+        _acol(x), F.lit(1.0), lambda acc, v: acc * v.cast("double")
+    )
+
+
+def series_magnitude(x) -> Column:
+    """KQL series_magnitude — L2 norm √Σxᵢ²."""
+    return F.sqrt(
+        F.aggregate(
+            _acol(x),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def series_pearson_correlation(a, b) -> Column:
+    """KQL series_pearson_correlation — r over the two arrays:
+    (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)); null when either
+    variance is zero. All folds are left-to-right JVM aggregates, so
+    the arithmetic is reproducible term-for-term in an oracle that
+    writes the same association order."""
+    ac, bc = _acol(a), _acol(b)
+    n = F.size(ac).cast("double")
+    fold = lambda arr, f: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + f(v.cast("double"))
+    )
+    sx = fold(ac, lambda v: v)
+    sy = fold(bc, lambda v: v)
+    sxx = fold(ac, lambda v: v * v)
+    syy = fold(bc, lambda v: v * v)
+    sxy = F.aggregate(
+        F.zip_with(ac, bc, lambda u, v: u.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when(den > 0, (n * sxy - sx * sy) / den)
+
+
+def series_iir(col: Column, b: list[float], a: list[float]) -> Column:
+    """KQL series_iir — infinite-impulse-response filter with feed-
+    forward coefficients `b` and feedback `a` (a[0] normalizes):
+    y[n] = (Σₖ b[k]·x[n−k] − Σ_{k≥1} a[k]·y[n−k]) / a[0].
+    The recurrence is inherently sequential per series, so this is the
+    sanctioned Arrow kernel path (row-local, no shuffle); e.g.
+    b=[1], a=[1,-1] gives the cumulative sum."""
+    bv = [float(v) for v in b]
+    av = [float(v) for v in a]
+    if not av or av[0] == 0:
+        raise ValueError("series_iir: a[0] must be non-zero")
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def iir(series: pd.Series) -> pd.Series:
+        out = []
+        for arr in series:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            x = np.asarray(arr, dtype=np.float64)
+            n = len(x)
+            y = np.zeros(n)
+            for i in range(n):
+                acc = 0.0
+                for k, bk in enumerate(bv):
+                    if i - k >= 0:
+                        acc += bk * x[i - k]
+                for k in range(1, len(av)):
+                    if i - k >= 0:
+                        acc -= av[k] * y[i - k]
+                y[i] = acc / av[0]
+            out.append(y.round(6).tolist())
+        return pd.Series(out)
+
+    return iir(_acol(col))
+
+
+def series_seasonal(col: Column, period: int = -1) -> Column:
+    """KQL series_seasonal — the repeating seasonal profile: per-phase
+    MEDIAN of the values at each period offset (Kusto's definition),
+    tiled to the series length. period=-1 autodetects via the
+    series_periods_detect periodogram; detection failure (or period
+    <= 0) yields an all-zero series, matching Kusto."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def seasonal(series: pd.Series) -> pd.Series:
+        out = []
+        for arr in series:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            x = np.asarray(arr, dtype=np.float64)
+            n = len(x)
+            w = int(period)
+            if w == -1 and n >= 4:
+                t = np.arange(n, dtype=np.float64)
+                slope, intercept = np.polyfit(t, x, 1)
+                power = np.abs(np.fft.rfft(x - (slope * t + intercept))) ** 2
+                power[0] = 0.0
+                k = int(power.argmax()) if power.sum() > 0 else 0
+                w = int(round(n / k)) if k > 0 else 0
+                if w < 2 or w > n // 2:
+                    w = 0
+            if w < 2 or n < w:
+                out.append([0.0] * n)
+                continue
+            phase = np.arange(n) % w
+            med = np.array([float(np.median(x[phase == p])) for p in range(w)])
+            out.append(med[phase].round(6).tolist())
+        return pd.Series(out)
+
+    return seasonal(_acol(col))

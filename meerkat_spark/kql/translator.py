@@ -194,6 +194,46 @@ _SCALARS: dict[str, Any] = {
     "series_decompose_forecast": lambda a: SER.series_decompose_forecast(
         _c(a[0]), int(_raw(a[1])), int(_raw(a[2]))
     ),
+    # elementwise series arithmetic (JVM HOFs; scalar operands allowed)
+    "series_add": lambda a: SER.series_add(_sern(a[0]), _sern(a[1])),
+    "series_subtract": lambda a: SER.series_subtract(_sern(a[0]), _sern(a[1])),
+    "series_multiply": lambda a: SER.series_multiply(_sern(a[0]), _sern(a[1])),
+    "series_divide": lambda a: SER.series_divide(_sern(a[0]), _sern(a[1])),
+    "series_pow": lambda a: SER.series_pow(_sern(a[0]), _sern(a[1])),
+    "series_greater": lambda a: SER.series_greater(_sern(a[0]), _sern(a[1])),
+    "series_greater_equals": lambda a: SER.series_greater_equals(
+        _sern(a[0]), _sern(a[1])
+    ),
+    "series_less": lambda a: SER.series_less(_sern(a[0]), _sern(a[1])),
+    "series_less_equals": lambda a: SER.series_less_equals(_sern(a[0]), _sern(a[1])),
+    "series_equals": lambda a: SER.series_equals(_sern(a[0]), _sern(a[1])),
+    "series_not_equals": lambda a: SER.series_not_equals(_sern(a[0]), _sern(a[1])),
+    "series_abs": lambda a: SER.series_abs(_c(a[0])),
+    "series_sign": lambda a: SER.series_sign(_c(a[0])),
+    "series_exp": lambda a: SER.series_exp(_c(a[0])),
+    "series_log": lambda a: SER.series_log(_c(a[0])),
+    "series_sin": lambda a: SER.series_sin(_c(a[0])),
+    "series_cos": lambda a: SER.series_cos(_c(a[0])),
+    "series_tan": lambda a: SER.series_tan(_c(a[0])),
+    "series_asin": lambda a: SER.series_asin(_c(a[0])),
+    "series_acos": lambda a: SER.series_acos(_c(a[0])),
+    "series_atan": lambda a: SER.series_atan(_c(a[0])),
+    "series_floor": lambda a: SER.series_floor(_c(a[0])),
+    "series_ceiling": lambda a: SER.series_ceiling(_c(a[0])),
+    "series_sum": lambda a: SER.series_sum(_c(a[0])),
+    "series_product": lambda a: SER.series_product(_c(a[0])),
+    "series_magnitude": lambda a: SER.series_magnitude(_c(a[0])),
+    "series_pearson_correlation": lambda a: SER.series_pearson_correlation(
+        _c(a[0]), _c(a[1])
+    ),
+    "series_iir": lambda a: SER.series_iir(
+        _c(a[0]),
+        [float(x) for x in _raw(a[1])],
+        [float(x) for x in _raw(a[2])],
+    ),
+    "series_seasonal": lambda a: SER.series_seasonal(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else -1
+    ),
     # dynamic / array
     "array_length": lambda a: S.array_length(a[0]),
     "array_concat": lambda a: S.array_concat(*a),
@@ -373,6 +413,14 @@ def _raw(x: Any):
     if isinstance(x, Column):
         raise KqlSyntaxError("expected a literal argument")
     return x
+
+
+def _sern(x: Any):
+    """series-or-numeric operand: numeric literals stay Python numbers
+    (series_* scalar broadcast), anything else becomes a Column."""
+    if isinstance(x, (int, float)) and not isinstance(x, bool):
+        return x
+    return _c(x)
 
 
 class Translator:

@@ -652,3 +652,85 @@ def scalar_ipv6_family(spark, sf_dir):
                      match64 = ipv6_is_match(ip1, ip2, 64),
                      match128 = ipv6_is_match(ip1, ip2, 128)"""
     ).to_df()
+
+
+@register(
+    "scalar_series_elementwise",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(x AS DOUBLE) AS e1,
+             CAST(x*2 + 1 AS DOUBLE) AS e2,
+             CAST(x % 7 AS DOUBLE) AS e3,
+             x
+      FROM generate_series(0, 199) AS t(x)
+    )
+    SELECT x,
+           -- series_sum(series_add(s, series_multiply(s, 2.0))),
+           -- left-to-right fold starting at 0.0
+           ((0.0 + (e1 + e1*2)) + (e2 + e2*2)) + (e3 + e3*2) AS add_sum,
+           -- series_product(series_add(s, 1.0)), fold from 1.0
+           ((1.0 * (e1+1)) * (e2+1)) * (e3+1) AS prod1,
+           ROUND(sqrt(((0.0 + e1*e1) + e2*e2) + e3*e3), 6) AS mag,
+           -- pearson r of s against t2 = s*2 + x%3 (perfectly linear
+           -- per-row => r = 1 everywhere; formula kept term-for-term)
+           ROUND(
+             (3.0*(((0.0 + e1*(e1*2 + x%3)) + e2*(e2*2 + x%3)) + e3*(e3*2 + x%3))
+              - (((0.0+e1)+e2)+e3) * (((0.0+(e1*2 + x%3))+(e2*2 + x%3))+(e3*2 + x%3)))
+             / (sqrt(3.0*(((0.0 + e1*e1)+e2*e2)+e3*e3)
+                     - (((0.0+e1)+e2)+e3)*(((0.0+e1)+e2)+e3))
+                * sqrt(3.0*(((0.0 + (e1*2+x%3)*(e1*2+x%3))
+                             + (e2*2+x%3)*(e2*2+x%3)) + (e3*2+x%3)*(e3*2+x%3))
+                       - (((0.0+(e1*2+x%3))+(e2*2+x%3))+(e3*2+x%3))
+                         * (((0.0+(e1*2+x%3))+(e2*2+x%3))+(e3*2+x%3)))), 6)
+             AS r,
+           CAST((CASE WHEN e1 > 3 THEN 1 ELSE 0 END)
+              + (CASE WHEN e2 > 3 THEN 1 ELSE 0 END)
+              + (CASE WHEN e3 > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt3,
+           ((0.0 + floor(e1/2.0)) + floor(e2/2.0)) + floor(e3/2.0) AS half_floor_sum,
+           (e1 + e3) / 2.0 AS seas0,
+           e2 AS seas1,
+           ROUND((e1 + e2) + e3, 6) AS cum_last,
+           ((0.0 + e1*e1) + e2*e2) + e3*e3 AS pow2_sum
+    FROM base
+    """,
+)
+def scalar_series_elementwise(spark, sf_dir):
+    """Elementwise series family (functions/series.py): add / multiply /
+    divide / pow / greater / floor as JVM higher-order functions,
+    series_sum/product/magnitude folds, series_pearson_correlation,
+    plus the Arrow kernels series_iir (cumulative-sum coefficients) and
+    series_seasonal (per-phase median). Series are built per-row from
+    integer-valued doubles, so every fold is exact and the oracle can
+    restate the same association order term-for-term."""
+    from meerkat_spark.functions import series as SER
+
+    df = spark.range(0, 200).select(F.col("id").alias("x"))
+    x = F.col("x")
+    s = F.array(
+        x.cast("double"),
+        (x * 2 + 1).cast("double"),
+        (x % 7).cast("double"),
+    )
+    xm3 = (x % 3).cast("double")
+    t2 = SER.series_add(SER.series_multiply(s, 2.0), F.array(xm3, xm3, xm3))
+    seas = SER.series_seasonal(s, 2)
+    cum = SER.series_iir(s, [1.0], [1.0, -1.0])
+    return df.select(
+        "x",
+        SER.series_sum(SER.series_add(s, SER.series_multiply(s, 2.0))).alias(
+            "add_sum"
+        ),
+        SER.series_product(SER.series_add(s, 1.0)).alias("prod1"),
+        F.round(SER.series_magnitude(s), 6).alias("mag"),
+        F.round(SER.series_pearson_correlation(s, t2), 6).alias("r"),
+        F.size(F.filter(SER.series_greater(s, 3.0), lambda v: v))
+        .cast("long")
+        .alias("n_gt3"),
+        SER.series_sum(SER.series_floor(SER.series_divide(s, 2.0))).alias(
+            "half_floor_sum"
+        ),
+        F.element_at(seas, 1).alias("seas0"),
+        F.element_at(seas, 2).alias("seas1"),
+        F.element_at(cum, 3).alias("cum_last"),
+        SER.series_sum(SER.series_pow(s, 2.0)).alias("pow2_sum"),
+    )

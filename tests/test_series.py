@@ -216,3 +216,104 @@ def test_series_decompose_forecast_kql(spark):
     assert len(got.f) == 10
     # pure linear, period 1: forecast continues the line
     assert abs(got.f[-1] - 10.0) < 0.5
+
+
+def test_series_elementwise_family(spark, series_df):
+    r = (
+        series_df.where("id = 1")
+        .select(
+            SR.series_add("s", 1.0).alias("a"),
+            SR.series_subtract("s", "s").alias("z"),
+            SR.series_multiply("s", "s").alias("sq"),
+            SR.series_divide("s", 0.0).alias("d0"),
+            SR.series_pow("s", 2.0).alias("p2"),
+            SR.series_abs(SR.series_subtract("s", 3.0)).alias("ab"),
+            SR.series_sign(SR.series_subtract("s", 3.0)).alias("sg"),
+            SR.series_sum("s").alias("ssum"),
+            SR.series_product("s").alias("sprod"),
+            SR.series_magnitude([3.0, 4.0]).alias("mag"),
+            SR.series_equals("s", "s").alias("eq"),
+            SR.series_not_equals("s", 3.0).alias("ne"),
+            SR.series_less("s", 3.0).alias("lt"),
+            SR.series_less_equals("s", 3.0).alias("le"),
+            SR.series_greater_equals("s", 3.0).alias("ge"),
+            SR.series_ceiling(SR.series_divide("s", 2.0)).alias("ce"),
+            SR.series_exp([0.0]).alias("ex"),
+            SR.series_log([1.0]).alias("lg"),
+        )
+        .collect()[0]
+    )
+    assert r.a == [2.0, 3.0, 4.0, 5.0, 6.0]
+    assert r.z == [0.0] * 5
+    assert r.sq == [1.0, 4.0, 9.0, 16.0, 25.0]
+    assert r.d0 == [None] * 5
+    assert r.p2 == [1.0, 4.0, 9.0, 16.0, 25.0]
+    assert r.ab == [2.0, 1.0, 0.0, 1.0, 2.0]
+    assert r.sg == [-1.0, -1.0, 0.0, 1.0, 1.0]
+    assert r.ssum == 15.0
+    assert r.sprod == 120.0
+    assert r.mag == pytest.approx(5.0)
+    assert r.eq == [True] * 5
+    assert r.ne == [True, True, False, True, True]
+    assert r.lt == [True, True, False, False, False]
+    assert r.le == [True, True, True, False, False]
+    assert r.ge == [False, False, True, True, True]
+    assert r.ce == [1.0, 1.0, 2.0, 2.0, 3.0]
+    assert r.ex == [1.0]
+    assert r.lg == [0.0]
+
+
+def test_series_pearson_and_kernels(spark, series_df):
+    r = (
+        series_df.where("id = 1")
+        .select(
+            SR.series_pearson_correlation(
+                "s", SR.series_multiply("s", -2.0)
+            ).alias("rneg"),
+            SR.series_pearson_correlation("s", [1.0, 1.0, 1.0, 1.0, 1.0]).alias(
+                "rflat"
+            ),
+            SR.series_iir("s", [1.0], [1.0, -1.0]).alias("cum"),
+            # y[n] = 0.5*x[n] + 0.5*y[n-1]: exponential smoothing
+            SR.series_iir([1.0, 1.0, 1.0], [0.5], [1.0, -0.5]).alias("ema"),
+            SR.series_seasonal([1.0, 9.0, 1.0, 9.0, 1.0, 9.0], 2).alias("seas"),
+            SR.series_seasonal([1.0, 9.0, 1.0, 9.0, 1.0, 9.0], -1).alias(
+                "seas_auto"
+            ),
+            SR.series_seasonal([5.0, 5.0], 0).alias("seas_zero"),
+        )
+        .collect()[0]
+    )
+    assert r.rneg == pytest.approx(-1.0)
+    assert r.rflat is None  # zero variance -> undefined
+    assert r.cum == [1.0, 3.0, 6.0, 10.0, 15.0]
+    assert r.ema == pytest.approx([0.5, 0.75, 0.875])
+    assert r.seas == [1.0, 9.0, 1.0, 9.0, 1.0, 9.0]
+    assert r.seas_auto == [1.0, 9.0, 1.0, 9.0, 1.0, 9.0]
+    assert r.seas_zero == [0.0, 0.0]
+
+
+def test_series_elementwise_kql(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    df = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            """range i from 1 to 2 step 1
+               | extend s = pack_array(3.0, 4.0)
+               | project i,
+                         mag = series_magnitude(s),
+                         tot = series_sum(series_pow(s, 2.0)),
+                         gt = series_greater(s, 3.5),
+                         seas = series_seasonal(s, 2),
+                         sm = series_iir(s, dynamic([1.0]), dynamic([1.0, -1.0]))"""
+        )
+        .to_df()
+    )
+    r = df.orderBy("i").collect()[0]
+    assert r.mag == pytest.approx(5.0)
+    assert r.tot == 25.0
+    assert r.gt == [False, True]
+    assert r.seas == [3.0, 4.0]
+    assert r.sm == [3.0, 7.0]
