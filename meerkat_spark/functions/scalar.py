@@ -18,6 +18,7 @@ src/store/segment_metadata.rs:131-142.
 
 from __future__ import annotations
 
+import pandas as pd  # Arrow-kernel signatures (ipv4_range_to_cidr_list)
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -1259,3 +1260,112 @@ def ipv6_is_match(a, b, prefix=128) -> Column:
         ),
     )
     return F.when(ca.isNotNull() & cb.isNotNull() & pfx.between(0, 128), per_group)
+
+
+def ipv4_netmask_suffix(cidr) -> Column:
+    """KQL ipv4_netmask_suffix — the prefix length of 'a.b.c.d/p'
+    (missing suffix ⇒ 32); null when the address part is malformed or
+    the suffix is outside 0..32."""
+    c = _c(cidr)
+    base = F.when(c.contains("/"), F.substring_index(c, "/", 1)).otherwise(c)
+    bits = F.when(
+        c.contains("/"), F.substring_index(c, "/", -1).try_cast("int")
+    ).otherwise(F.lit(32))
+    return F.when(ipv4_to_long(base).isNotNull() & bits.between(0, 32), bits)
+
+
+def format_ipv4_mask(ip, prefix) -> Column:
+    """KQL format_ipv4_mask — the network base of `ip` under `prefix`
+    in CIDR notation ('192.168.1.0/24'). Accepts dotted-quad or
+    numeric input; null on malformed input or prefix outside 0..32."""
+    pfx = _c(prefix).cast("int")
+    ipc = _c(ip)
+    v = F.when(
+        ipc.cast("string").rlike("^[0-9]+$"), ipc.cast("long")
+    ).otherwise(ipv4_to_long(ipc))
+    p = F.pow(F.lit(2.0), (32 - pfx).cast("double"))
+    masked = (F.floor(v / p) * p).cast("long")
+    return F.when(
+        v.isNotNull() & pfx.between(0, 32),
+        F.concat(format_ipv4(masked), F.lit("/"), pfx.cast("string")),
+    )
+
+
+def ipv4_is_in_any_range(ip, ranges) -> Column:
+    """KQL ipv4_is_in_any_range — true when `ip` falls in ANY of the
+    CIDR ranges (array column or list literal); null when `ip` itself
+    is malformed, false when it merely matches nothing (Kusto's
+    contract)."""
+    arr = (
+        F.array(*[F.lit(r) for r in ranges])
+        if isinstance(ranges, (list, tuple))
+        else _c(ranges)
+    )
+    hit = F.exists(arr, lambda r: F.coalesce(ipv4_is_in_range(ip, r), F.lit(False)))
+    return F.when(ipv4_to_long(ip).isNotNull(), hit)
+
+
+def ipv6_is_in_range(ip, cidr) -> Column:
+    """KQL ipv6_is_in_range — ip within 'addr/prefix' (missing prefix
+    ⇒ /128). Accepts v4-mapped and plain-IPv4 input like parse_ipv6."""
+    c = _c(cidr)
+    base = F.when(c.contains("/"), F.substring_index(c, "/", 1)).otherwise(c)
+    bits = F.when(
+        c.contains("/"), F.substring_index(c, "/", -1).try_cast("int")
+    ).otherwise(F.lit(128))
+    return F.when(
+        bits.between(0, 128), ipv6_is_match(ip, base, bits)
+    )
+
+
+def ipv6_is_in_any_range(ip, ranges) -> Column:
+    """KQL ipv6_is_in_any_range — any-of over IPv6 CIDR ranges; null
+    when `ip` is malformed."""
+    arr = (
+        F.array(*[F.lit(r) for r in ranges])
+        if isinstance(ranges, (list, tuple))
+        else _c(ranges)
+    )
+    hit = F.exists(arr, lambda r: F.coalesce(ipv6_is_in_range(ip, r), F.lit(False)))
+    return F.when(parse_ipv6(ip).isNotNull(), hit)
+
+
+def ipv4_range_to_cidr_list(start, end) -> Column:
+    """KQL ipv4_range_to_cidr_list — minimal CIDR cover of [start, end]
+    (greedy largest-aligned-block, the classic algorithm). The loop is
+    data-dependent (≤ 64 blocks), so this is an Arrow kernel — row-
+    local, no shuffle; null on malformed input or start > end."""
+    from pyspark.sql import types as T
+
+    def to_long(s):
+        try:
+            parts = [int(p) for p in str(s).strip().split(".")]
+            if len(parts) != 4 or any(p < 0 or p > 255 for p in parts):
+                return None
+            return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+        except (ValueError, AttributeError):
+            return None
+
+    def fmt(v):
+        return f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def cover(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(s1, s2):
+            lo, hi = to_long(a), to_long(b)
+            if lo is None or hi is None or lo > hi:
+                out.append(None)
+                continue
+            cidrs = []
+            while lo <= hi:
+                # largest block aligned at lo that fits within [lo, hi]
+                max_align = (lo & -lo).bit_length() - 1 if lo else 32
+                max_fit = (hi - lo + 1).bit_length() - 1
+                size = min(max_align, max_fit)
+                cidrs.append(f"{fmt(lo)}/{32 - size}")
+                lo += 1 << size
+            out.append(cidrs)
+        return pd.Series(out)
+
+    return cover(_c(start), _c(end))

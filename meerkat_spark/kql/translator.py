@@ -244,6 +244,21 @@ _SCALARS: dict[str, Any] = {
     "ipv4_compare": lambda a: S.ipv4_compare(_c(a[0]), _c(a[1])),
     "ipv4_is_in_range": lambda a: S.ipv4_is_in_range(_c(a[0]), _c(a[1])),
     "ipv4_is_private": lambda a: S.ipv4_is_private(_c(a[0])),
+    "ipv4_netmask_suffix": lambda a: S.ipv4_netmask_suffix(_c(a[0])),
+    "format_ipv4_mask": lambda a: S.format_ipv4_mask(_c(a[0]), _c(a[1])),
+    # variadic (ip, r1, r2, ...) or (ip, dynamic([...]))
+    "ipv4_is_in_any_range": lambda a: S.ipv4_is_in_any_range(
+        _c(a[0]),
+        a[1] if len(a) == 2 and isinstance(a[1], list) else [str(x) for x in a[1:]],
+    ),
+    "ipv6_is_in_range": lambda a: S.ipv6_is_in_range(_c(a[0]), _c(a[1])),
+    "ipv6_is_in_any_range": lambda a: S.ipv6_is_in_any_range(
+        _c(a[0]),
+        a[1] if len(a) == 2 and isinstance(a[1], list) else [str(x) for x in a[1:]],
+    ),
+    "ipv4_range_to_cidr_list": lambda a: S.ipv4_range_to_cidr_list(
+        _c(a[0]), _c(a[1])
+    ),
     "parse_version": lambda a: S.parse_version(_c(a[0])),
     "parse_url": lambda a: S.parse_url(_c(a[0])),
     "parse_path": lambda a: S.parse_path(_c(a[0])),

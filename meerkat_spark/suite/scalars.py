@@ -734,3 +734,78 @@ def scalar_series_elementwise(spark, sf_dir):
         F.element_at(cum, 3).alias("cum_last"),
         SER.series_sum(SER.series_pow(s, 2.0)).alias("pow2_sum"),
     )
+
+
+@register(
+    "scalar_ip_ranges",
+    oracle="""
+    WITH f AS (
+      SELECT c_custkey,
+             c_custkey % 200 AS k1,
+             (c_custkey * 7) % 256 AS k2,
+             c_custkey % 33 AS p,
+             (c_custkey * 31) % 65536 AS h
+      FROM customer WHERE c_custkey <= 400
+    )
+    SELECT c_custkey,
+           CAST(p AS INT) AS suffix,
+           CAST(NULL AS INT) AS bad_suffix,
+           '10.' || k1 || '.' || k2 || '.0/24' AS mask24,
+           '10.' || k1 || '.0.0/16' AS mask16,
+           (k1 < 128) AS in_any,
+           FALSE AS in_none,
+           (h < 4096) AS v6_in_116,
+           TRUE AS v6_any,
+           '10.' || k1 || '.0.0/24' AS cover_first,
+           CAST(4 AS INT) AS cover_n
+    FROM f
+    """,
+)
+def scalar_ip_ranges(spark, sf_dir):
+    """IP range family (functions/scalar.py): ipv4_netmask_suffix,
+    format_ipv4_mask, ipv4_is_in_any_range, ipv6_is_in_range/any_range,
+    ipv4_range_to_cidr_list — over constructed addresses whose network
+    membership the oracle knows analytically (construction-based
+    ground truth, like the ipv6 family query). The CIDR cover of
+    [10.k.0.3, 10.k.0.10] is always 4 blocks; of [10.k.0.0,
+    10.k.0.255] always the single /24."""
+    t = _eng(spark, sf_dir).table("customer")
+    c = F.col("c_custkey")
+    k1 = (c % 200).cast("string")
+    k2 = ((c * 7) % 256).cast("string")
+    p = (c % 33).cast("int")
+    h = (c * 31) % 65536
+    ip = F.concat(F.lit("10."), k1, F.lit("."), k2, F.lit(".7"))
+    ip6 = F.concat(
+        F.lit("2001:db8::"),
+        F.lpad(F.lower(F.conv(h.cast("string"), 10, 16)), 4, "0"),
+    )
+    cover1 = S.ipv4_range_to_cidr_list(
+        F.concat(F.lit("10."), k1, F.lit(".0.0")),
+        F.concat(F.lit("10."), k1, F.lit(".0.255")),
+    )
+    cover4 = S.ipv4_range_to_cidr_list(
+        F.concat(F.lit("10."), k1, F.lit(".0.3")),
+        F.concat(F.lit("10."), k1, F.lit(".0.10")),
+    )
+    return (
+        t.where(c <= 400)
+        .project(
+            "c_custkey",
+            suffix=S.ipv4_netmask_suffix(
+                F.concat(ip, F.lit("/"), p.cast("string"))
+            ),
+            bad_suffix=S.ipv4_netmask_suffix(F.lit("300.1.2.3/8")),
+            mask24=S.format_ipv4_mask(ip, F.lit(24)),
+            mask16=S.format_ipv4_mask(ip, F.lit(16)),
+            in_any=S.ipv4_is_in_any_range(ip, ["10.0.0.0/9", "172.16.0.0/12"]),
+            in_none=S.ipv4_is_in_any_range(ip, ["192.168.0.0/16"]),
+            v6_in_116=S.ipv6_is_in_range(ip6, F.lit("2001:db8::/116")),
+            v6_any=S.ipv6_is_in_any_range(
+                ip6, ["2001:db7::/64", "2001:db8::/32"]
+            ),
+            cover_first=F.element_at(cover1, 1),
+            cover_n=F.size(cover4),
+        )
+        .to_df()
+    )

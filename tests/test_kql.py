@@ -1188,3 +1188,38 @@ def test_dcount_intersect_tracks_exact(spark):
         ev_, iv = exact[w]
         assert abs(s1 - ev_) <= max(2, 0.05 * ev_)
         assert abs(s2 - iv) <= max(3, 0.1 * max(iv, 1))
+
+
+def test_ip_range_family_known_vectors(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print s24 = ipv4_netmask_suffix('192.168.1.0/24'),"
+            " s32 = ipv4_netmask_suffix('10.0.0.1'),"
+            " sbad = ipv4_netmask_suffix('999.0.0.1/8'),"
+            " m = format_ipv4_mask('192.168.1.77', 24),"
+            " mnum = format_ipv4_mask(3232235853, 16),"
+            " va = ipv4_is_in_any_range('10.1.2.3', '10.0.0.0/8', '192.168.0.0/16'),"
+            " vd = ipv4_is_in_any_range('11.1.2.3', dynamic(['10.0.0.0/8'])),"
+            " vb = ipv4_is_in_any_range('bogus', '10.0.0.0/8'),"
+            " r6 = ipv6_is_in_range('2001:db8::1', '2001:db8::/64'),"
+            " f6 = ipv6_is_in_range('2001:db9::1', '2001:db8::/64'),"
+            " a6 = ipv6_is_in_any_range('2001:db8::1', '2001:db7::/64', '2001:db8::/64'),"
+            " c1 = ipv4_range_to_cidr_list('192.168.1.0', '192.168.1.255'),"
+            " c2 = ipv4_range_to_cidr_list('10.0.0.3', '10.0.0.10'),"
+            " cbad = ipv4_range_to_cidr_list('10.0.0.9', '10.0.0.3')"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.s24 == 24 and r.s32 == 32 and r.sbad is None
+    assert r.m == "192.168.1.0/24"
+    assert r.mnum == "192.168.0.0/16"
+    assert r.va is True and r.vd is False and r.vb is None
+    assert r.r6 is True and r.f6 is False and r.a6 is True
+    assert r.c1 == ["192.168.1.0/24"]
+    assert r.c2 == ["10.0.0.3/32", "10.0.0.4/30", "10.0.0.8/31", "10.0.0.10/32"]
+    assert r.cbad is None
