@@ -276,6 +276,27 @@ _SCALARS: dict[str, Any] = {
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3]), _c(a[4])
     ),
     "strcmp": lambda a: S.strcmp(_c(a[0]), _c(a[1])),
+    # special math (Lanczos / A&S codegen approximations)
+    "gamma": lambda a: S.gamma(_c(a[0])),
+    "loggamma": lambda a: S.loggamma(_c(a[0])),
+    "erf": lambda a: S.erf(_c(a[0])),
+    "erfc": lambda a: S.erfc(_c(a[0])),
+    "welch_test": lambda a: S.welch_test(
+        _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3]), _c(a[4]), _c(a[5])
+    ),
+    # compression codecs (deterministic level-6, Arrow kernels)
+    "zlib_compress_to_base64_string": lambda a: S.zlib_compress_to_base64_string(
+        _c(a[0])
+    ),
+    "zlib_decompress_from_base64_string": lambda a: (
+        S.zlib_decompress_from_base64_string(_c(a[0]))
+    ),
+    "gzip_compress_to_base64_string": lambda a: S.gzip_compress_to_base64_string(
+        _c(a[0])
+    ),
+    "gzip_decompress_from_base64_string": lambda a: (
+        S.gzip_decompress_from_base64_string(_c(a[0]))
+    ),
     "parse_ipv6": lambda a: S.parse_ipv6(_c(a[0])),
     "ipv6_compare": lambda a: S.ipv6_compare(_c(a[0]), _c(a[1])),
     "ipv6_is_match": lambda a: S.ipv6_is_match(

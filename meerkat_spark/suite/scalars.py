@@ -809,3 +809,32 @@ def scalar_ip_ranges(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "scalar_special_math",
+    oracle="""
+    SELECT x,
+           ROUND(gamma(v), 6) AS g,
+           ROUND(lgamma(v), 6) AS lg,
+           ROUND(lgamma(v + 20.0), 6) AS lg_big,
+           ROUND(gamma(v - 5.0), 6) AS g_neg
+    FROM (SELECT x, x % 90 / 10.0 + 0.15 AS v
+          FROM generate_series(0, 179) AS t(x))
+    """,
+)
+def scalar_special_math(spark, sf_dir):
+    """gamma/loggamma (Lanczos g=7 codegen approximation, ~1e-13
+    relative) against DuckDB's libm gamma/lgamma, rounded to 6dp —
+    inputs span the positive range, the reflection branch (v−5 < 0,
+    non-integer), and large arguments via loggamma. erf/erfc/welch_test
+    have no DuckDB twin and are pytest-verified instead."""
+    df = spark.range(0, 180).select(F.col("id").alias("x"))
+    v = ((F.col("x") % 90) / 10.0 + 0.15).cast("double")
+    return df.select(
+        "x",
+        F.round(S.gamma(v), 6).alias("g"),
+        F.round(S.loggamma(v), 6).alias("lg"),
+        F.round(S.loggamma(v + 20.0), 6).alias("lg_big"),
+        F.round(S.gamma(v - 5.0), 6).alias("g_neg"),
+    )

@@ -1223,3 +1223,41 @@ def test_ip_range_family_known_vectors(spark):
     assert r.c1 == ["192.168.1.0/24"]
     assert r.c2 == ["10.0.0.3/32", "10.0.0.4/30", "10.0.0.8/31", "10.0.0.10/32"]
     assert r.cbad is None
+
+
+def test_special_math_and_codecs(spark):
+    import math
+
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print g = gamma(5.0), gh = gamma(0.5), gn = gamma(-1.5),"
+            " gp = gamma(-3.0), lg = loggamma(10.5), lgn = loggamma(-0.5),"
+            " e1 = erf(1.0), en = erf(-0.5), ec = erfc(2.0),"
+            " w = welch_test(10.0, 4.0, 30, 11.0, 5.0, 25),"
+            " weq = welch_test(10.0, 4.0, 30, 10.0, 4.0, 30),"
+            " z = zlib_decompress_from_base64_string("
+            "       zlib_compress_to_base64_string('meerkat spark')),"
+            " gz = gzip_decompress_from_base64_string("
+            "       gzip_compress_to_base64_string('meerkat spark')),"
+            " zbad = zlib_decompress_from_base64_string('!!notb64!!')"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.g == pytest.approx(math.gamma(5.0), rel=1e-9)
+    assert r.gh == pytest.approx(math.gamma(0.5), rel=1e-9)
+    assert r.gn == pytest.approx(math.gamma(-1.5), rel=1e-9)
+    assert r.gp is None  # pole
+    assert r.lg == pytest.approx(math.lgamma(10.5), rel=1e-9)
+    assert r.lgn == pytest.approx(math.lgamma(-0.5), rel=1e-9)
+    assert r.e1 == pytest.approx(math.erf(1.0), abs=2e-7)
+    assert r.en == pytest.approx(math.erf(-0.5), abs=2e-7)
+    assert r.ec == pytest.approx(math.erfc(2.0), abs=2e-7)
+    assert 0.08 < r.w < 0.10  # t≈-1.73, df≈50 → p≈0.089
+    assert r.weq == pytest.approx(1.0)
+    assert r.z == "meerkat spark" and r.gz == "meerkat spark"
+    assert r.zbad == ""
