@@ -873,3 +873,56 @@ def tfidf_top_terms(spark, sf_dir):
     from meerkat_spark.text.vocab import tf_idf_top_terms
 
     return tf_idf_top_terms(_docs(spark, sf_dir), k=3).orderBy("doc_id", "rank")
+
+
+@register(
+    "url_blocklist_filter",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, doc_id % 5 AS m5, doc_id % 3 AS m3 FROM documents
+    ), urls AS (
+      SELECT doc_id, m5, m3,
+             's' || m3 || '.' ||
+             CASE m5 WHEN 0 THEN 'tracker.com' WHEN 1 THEN 'ads.net'
+                     WHEN 2 THEN 'goodsite.org' WHEN 3 THEN 'bad.ads.net'
+                     ELSE 'example.com' END AS host
+      FROM f
+    )
+    SELECT doc_id, host
+    FROM urls
+    WHERE NOT (m5 = 0 OR m5 = 3 OR (m5 = 4 AND m3 = 1))
+    """,
+)
+def url_blocklist_filter(spark, sf_dir):
+    """URL blocklist gate (text/urlfilter.py): drop documents whose
+    URL host matches a blocklist entry exactly or by domain suffix —
+    a chain of broadcast left-anti hash joins (one per suffix depth,
+    all map-side; no explode of the corpus, no broadcast-nested-loop).
+    URLs are synthesized from doc_id so the oracle knows membership
+    analytically: 'tracker.com' blocks by 2-label suffix,
+    'bad.ads.net' by 3-label suffix, 's1.example.com' exactly."""
+    from meerkat_spark.text.urlfilter import filter_blocked_urls, url_host
+
+    d = _docs(spark, sf_dir)
+    m5 = (F.col("doc_id") % 5).cast("long")
+    m3 = (F.col("doc_id") % 3).cast("long")
+    dom = (
+        F.when(m5 == 0, "tracker.com")
+        .when(m5 == 1, "ads.net")
+        .when(m5 == 2, "goodsite.org")
+        .when(m5 == 3, "bad.ads.net")
+        .otherwise("example.com")
+    )
+    with_url = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://s"), m3.cast("string"), F.lit("."), dom,
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("tracker.com",), ("bad.ads.net",), ("s1.example.com",)],
+        "domain string",
+    )
+    kept = filter_blocked_urls(with_url, bl, url_col="url")
+    return kept.select("doc_id", url_host(F.col("url")).alias("host"))

@@ -189,3 +189,52 @@ def test_pack_chunks_budget_and_offsets(spark):
     assert out[(4, 0)] == (0, 1, 50)
     assert out[(1, 0)] == (1, 0, 0)
     assert out[(3, 0)] == (1, 1, 0)
+
+
+def test_url_blocklist_filter(spark):
+    from meerkat_spark.text.urlfilter import (
+        domain_suffix,
+        filter_blocked_urls,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://cdn.eu.tracker.com/x?q=1"),
+            (2, "http://user:pw@GoodSite.org:8080/path"),
+            (3, "ftp://exact.host.net/file"),
+            (4, "plain.example.com/no/scheme"),
+            (5, "https://tracker.com"),
+            (6, "https://nottracker.com/a"),  # suffix must be label-aligned
+            (7, None),
+        ],
+        "id int, url string",
+    )
+    hosts = {r.id: r.h for r in df.select("id", url_host("url").alias("h")).collect()}
+    assert hosts[1] == "cdn.eu.tracker.com"
+    assert hosts[2] == "goodsite.org"  # userinfo + port stripped, lowered
+    assert hosts[4] == "plain.example.com"  # scheme optional
+    assert hosts[7] is None
+
+    sfx = df.where("id = 1").select(
+        domain_suffix(url_host("url"), 2).alias("s2"),
+        domain_suffix(url_host("url"), 4).alias("s4"),
+        domain_suffix(url_host("url"), 5).alias("s5"),
+    ).collect()[0]
+    assert sfx.s2 == "tracker.com"
+    assert sfx.s4 == "cdn.eu.tracker.com"
+    assert sfx.s5 is None  # fewer labels than depth
+
+    bl = spark.createDataFrame(
+        [("tracker.com",), ("exact.host.net",)], "domain string"
+    )
+    kept = sorted(
+        r.id for r in filter_blocked_urls(df, bl, url_col="url").collect()
+    )
+    # 1 (suffix), 3 (exact), 5 (exact-as-2-label) blocked;
+    # 6 survives: 'nottracker.com' is NOT label-aligned with tracker.com
+    assert kept == [2, 4, 6, 7]
+
+    plan = filter_blocked_urls(df, bl, url_col="url")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 5  # host + depths 2..5
+    assert "LeftAnti" in plan and "BroadcastNestedLoopJoin" not in plan
