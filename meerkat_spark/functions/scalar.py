@@ -1604,3 +1604,70 @@ def welch_test(mean1, var1, count1, mean2, var2, count2) -> Column:
         return pd.Series(out)
 
     return pval(tstat, df)
+
+
+# ------------------------------------------------------------- geo shapes
+def _geojson_ring(poly) -> Column:
+    """Outer ring of a GeoJSON Polygon carried as the engine's dynamic
+    (JSON string): array of [lng, lat] points."""
+    coords = F.from_json(
+        _c(poly), "struct<type:string, coordinates:array<array<array<double>>>>"
+    )
+    return F.element_at(coords["coordinates"], 1)
+
+
+def geo_point_in_polygon(lng, lat, polygon) -> Column:
+    """KQL geo_point_in_polygon — even-odd ray casting over the
+    polygon's outer ring, all JVM HOFs (zip consecutive vertices →
+    count crossings → parity). Planar edges (lng/lat treated as a
+    plane) — a documented delta from Kusto's spherical geodesics,
+    accurate for the small, antimeridian-free polygons these gates
+    use. Null when the polygon JSON is malformed."""
+    x, y = _c(lng).cast("double"), _c(lat).cast("double")
+    ring = _geojson_ring(polygon)
+    n = F.size(ring)
+    # drop an explicit closing vertex (GeoJSON rings repeat the first)
+    open_ring = F.when(
+        (n > 1)
+        & (F.element_at(ring, 1)[0] == F.element_at(ring, -1)[0])
+        & (F.element_at(ring, 1)[1] == F.element_at(ring, -1)[1]),
+        F.slice(ring, 1, n - 1),
+    ).otherwise(ring)
+    m = F.size(open_ring)
+    nxt = F.concat(F.slice(open_ring, 2, m - 1), F.slice(open_ring, 1, 1))
+    edges = F.zip_with(
+        open_ring, nxt, lambda p, q: F.struct(
+            p[0].alias("x1"), p[1].alias("y1"), q[0].alias("x2"), q[1].alias("y2")
+        )
+    )
+    crossings = F.size(
+        F.filter(
+            edges,
+            lambda e: ((e["y1"] > y) != (e["y2"] > y))
+            & (
+                x
+                < (e["x2"] - e["x1"]) * (y - e["y1"])
+                / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+        )
+    )
+    return F.when(m >= 3, crossings % 2 == 1)
+
+
+def geo_line_length(line) -> Column:
+    """KQL geo_line_length — meters along a GeoJSON LineString: sum of
+    haversine segment lengths (same kernel as geo_distance_2points),
+    folded left-to-right over consecutive vertex pairs. Null on
+    malformed input; 0.0 for a single-point line."""
+    coords = F.from_json(
+        _c(line), "struct<type:string, coordinates:array<array<double>>>"
+    )["coordinates"]
+    n = F.size(coords)
+    nxt = F.slice(coords, 2, n - 1)
+    prev = F.slice(coords, 1, n - 1)
+    segs = F.zip_with(
+        prev, nxt, lambda p, q: geo_distance_2points(p[0], p[1], q[0], q[1])
+    )
+    total = F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(n >= 1, total)

@@ -275,6 +275,10 @@ _SCALARS: dict[str, Any] = {
     "geo_point_in_circle": lambda a: S.geo_point_in_circle(
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3]), _c(a[4])
     ),
+    "geo_point_in_polygon": lambda a: S.geo_point_in_polygon(
+        _c(a[0]), _c(a[1]), _c(a[2])
+    ),
+    "geo_line_length": lambda a: S.geo_line_length(_c(a[0])),
     "strcmp": lambda a: S.strcmp(_c(a[0]), _c(a[1])),
     # special math (Lanczos / A&S codegen approximations)
     "gamma": lambda a: S.gamma(_c(a[0])),

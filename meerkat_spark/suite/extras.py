@@ -779,3 +779,59 @@ def series_forecast_op(spark, sf_dir):
         ).alias("forecast_json"),
     )
     return fc.orderBy("user_id")
+
+
+@register(
+    "geo_polygon_ops",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             c_custkey % 10 + 0.5 AS x,
+             (c_custkey * 3) % 8 + 0.5 AS y
+      FROM customer WHERE c_custkey <= 500
+    )
+    SELECT c_custkey, x, y,
+           (x > 2 AND x < 8 AND y > 2 AND y < 6) AS in_rect,
+           (x + y < 6) AS in_tri,
+           ROUND(2.0 * 6371008.8 * asin(sqrt(
+             0.0 * 0.0 + cos(0.0) * cos(0.0)
+             * pow(sin(radians(x) / 2), 2))), 3) AS path_m
+    FROM pts
+    """,
+)
+def geo_polygon_ops(spark, sf_dir):
+    """geo_point_in_polygon (even-odd ray casting over GeoJSON rings,
+    JVM HOFs) and geo_line_length (haversine fold along a LineString)
+    — points synthesized off-lattice (+0.5) so no vertex/edge boundary
+    case arises and the oracle is the analytic membership predicate.
+    in_tri exercises an UNCLOSED ring (GeoJSON without the repeated
+    first vertex). path_m is the equator path (0,0)→(x,0), restated
+    in the oracle with the same haversine terms."""
+    from meerkat_spark.functions.scalar import geo_line_length, geo_point_in_polygon
+
+    rect = (
+        '{"type":"Polygon",'
+        '"coordinates":[[[2,2],[8,2],[8,6],[2,6],[2,2]]]}'
+    )
+    tri = '{"type":"Polygon","coordinates":[[[0,0],[6,0],[0,6]]]}'
+    t = _eng(spark, sf_dir).table("customer")
+    c = F.col("c_custkey")
+    x = (c % 10 + 0.5).cast("double")
+    y = ((c * 3) % 8 + 0.5).cast("double")
+    line = F.concat(
+        F.lit('{"type":"LineString","coordinates":[[0,0],['),
+        x.cast("string"),
+        F.lit(",0]]}"),
+    )
+    return (
+        t.where(c <= 500)
+        .project(
+            "c_custkey",
+            x=x,
+            y=y,
+            in_rect=geo_point_in_polygon(x, y, F.lit(rect)),
+            in_tri=geo_point_in_polygon(x, y, F.lit(tri)),
+            path_m=F.round(geo_line_length(line), 3),
+        )
+        .to_df()
+    )

@@ -1261,3 +1261,28 @@ def test_special_math_and_codecs(spark):
     assert r.weq == pytest.approx(1.0)
     assert r.z == "meerkat spark" and r.gz == "meerkat spark"
     assert r.zbad == ""
+
+
+def test_geo_polygon_family(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    sq = '{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}'
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            f"print inpoly = geo_point_in_polygon(5.0, 5.0, '{sq}'),"
+            f" outpoly = geo_point_in_polygon(15.0, 5.0, '{sq}'),"
+            " bad = geo_point_in_polygon(0.0, 0.0, 'junk'),"
+            " ln = geo_line_length("
+            "   '{\"type\":\"LineString\",\"coordinates\":[[0,0],[1,0],[1,1]]}'),"
+            " ln1 = geo_line_length("
+            "   '{\"type\":\"LineString\",\"coordinates\":[[3,4]]}')"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.inpoly is True and r.outpoly is False and r.bad is None
+    # two 1-degree segments, one along the equator, one along a meridian
+    assert r.ln == pytest.approx(2 * 111195.08, rel=1e-4)
+    assert r.ln1 == 0.0
