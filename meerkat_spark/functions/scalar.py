@@ -1671,3 +1671,65 @@ def geo_line_length(line) -> Column:
     )
     total = F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)
     return F.when(n >= 1, total)
+
+
+def datetime_utc_to_local(ts, tz) -> Column:
+    """KQL datetime_utc_to_local — wall-clock time of a UTC instant in
+    the IANA zone `tz` (JVM tzdb; DST-aware). The engine's datetimes
+    are naive-UTC, so the result is a naive local timestamp."""
+    return F.from_utc_timestamp(_c(ts), _c(tz) if isinstance(tz, Column) else tz)
+
+
+def datetime_local_to_utc(ts, tz) -> Column:
+    """KQL datetime_local_to_utc — UTC instant of a wall-clock reading
+    in `tz` (inverse of datetime_utc_to_local up to DST folds)."""
+    return F.to_utc_timestamp(_c(ts), _c(tz) if isinstance(tz, Column) else tz)
+
+
+_UA_BROWSERS = [
+    ("Edge", r"Edg(?:e|A|iOS)?/([0-9.]+)"),
+    ("Opera", r"OPR/([0-9.]+)"),
+    ("Chrome", r"Chrome/([0-9.]+)"),
+    ("Firefox", r"Firefox/([0-9.]+)"),
+    ("Safari", r"Version/([0-9.]+).*Safari"),
+    ("IE", r"MSIE ([0-9.]+)"),
+]
+_UA_OS = [
+    ("Windows", r"Windows NT ([0-9.]+)"),
+    ("iOS", r"(?:iPhone|iPad).*? OS ([0-9_]+)"),
+    ("macOS", r"Mac OS X ([0-9_.]+)"),
+    ("Android", r"Android ([0-9.]+)"),
+    ("Linux", r"(Linux)"),
+]
+
+
+def parse_user_agent(ua) -> Column:
+    """parse_user_agent (lite): browser family+version and OS
+    family+version from the classic token patterns — the documented
+    subset of Kusto's parser (which carries a large device DB). One
+    chained regexp_extract per family, pure codegen; returns a struct
+    (browser, browser_version, os, os_version), families 'Other' when
+    nothing matches. Order encodes precedence (Edge before Chrome,
+    Chrome before Safari) exactly as real UA strings require."""
+    c = _c(ua)
+    browser = F.lit("Other")
+    bver = F.lit(None).cast("string")
+    for name, pat in reversed(_UA_BROWSERS):
+        hit = F.regexp_extract(c, pat, 1)
+        browser = F.when(hit != "", F.lit(name)).otherwise(browser)
+        bver = F.when(hit != "", hit).otherwise(bver)
+    osname = F.lit("Other")
+    over = F.lit(None).cast("string")
+    for name, pat in reversed(_UA_OS):
+        hit = F.regexp_extract(c, pat, 1)
+        osname = F.when(hit != "", F.lit(name)).otherwise(osname)
+        over = F.when(
+            hit != "", F.regexp_replace(hit, "_", ".")
+        ).otherwise(over)
+    over = F.when(osname == "Linux", F.lit(None).cast("string")).otherwise(over)
+    return F.struct(
+        browser.alias("browser"),
+        bver.alias("browser_version"),
+        osname.alias("os"),
+        over.alias("os_version"),
+    )

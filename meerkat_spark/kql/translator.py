@@ -260,6 +260,13 @@ _SCALARS: dict[str, Any] = {
         _c(a[0]), _c(a[1])
     ),
     "parse_version": lambda a: S.parse_version(_c(a[0])),
+    "parse_user_agent": lambda a: S.parse_user_agent(_c(a[0])),
+    "datetime_utc_to_local": lambda a: S.datetime_utc_to_local(
+        _c(a[0]), a[1] if isinstance(a[1], str) else _c(a[1])
+    ),
+    "datetime_local_to_utc": lambda a: S.datetime_local_to_utc(
+        _c(a[0]), a[1] if isinstance(a[1], str) else _c(a[1])
+    ),
     "parse_url": lambda a: S.parse_url(_c(a[0])),
     "parse_path": lambda a: S.parse_path(_c(a[0])),
     # bitwise (Kusto binary_* scalars; shifts take literal counts)

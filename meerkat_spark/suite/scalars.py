@@ -838,3 +838,68 @@ def scalar_special_math(spark, sf_dir):
         F.round(S.loggamma(v + 20.0), 6).alias("lg_big"),
         F.round(S.gamma(v - 5.0), 6).alias("g_neg"),
     )
+
+
+@register(
+    "scalar_tz_useragent",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, ts,
+             CASE event_id % 3 WHEN 0 THEN 'America/New_York'
+                               WHEN 1 THEN 'Europe/Paris'
+                               ELSE 'Asia/Tokyo' END AS tz,
+             CASE event_id % 4
+               WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36'
+               WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.1 Safari/605.1.15'
+               WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64) Firefox/121.0'
+               ELSE 'curl/8.4.0' END AS ua
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           timezone(tz, ts AT TIME ZONE 'UTC') AS local_ts,
+           timezone('UTC', timezone(tz, timezone(tz, ts AT TIME ZONE 'UTC')))
+             AS roundtrip,
+           CASE event_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+                             WHEN 2 THEN 'Firefox' ELSE 'Other' END AS browser,
+           CASE event_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'macOS'
+                             WHEN 2 THEN 'Linux' ELSE 'Other' END AS os,
+           CASE event_id % 4 WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.1'
+                             WHEN 2 THEN '121.0' ELSE NULL END AS bver
+    FROM f
+    """,
+)
+def scalar_tz_useragent(spark, sf_dir):
+    """datetime_utc_to_local / datetime_local_to_utc (JVM tzdb,
+    DST-aware — oracle is DuckDB's ICU timezone(), both reading IANA
+    rules) and parse_user_agent lite (codegen regexp chains; oracle is
+    the analytic family mapping of the synthesized UA strings).
+    roundtrip re-converts the local wall clock back to UTC — equal to
+    ts away from DST folds; the fixture's hourly grid stays clear of
+    the ambiguous hour."""
+    t = _eng(spark, sf_dir).table("events")
+    e = F.col("event_id")
+    tz = (
+        F.when(e % 3 == 0, "America/New_York")
+        .when(e % 3 == 1, "Europe/Paris")
+        .otherwise("Asia/Tokyo")
+    )
+    ua = (
+        F.when(e % 4 == 0, "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36")
+        .when(e % 4 == 1, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.1 Safari/605.1.15")
+        .when(e % 4 == 2, "Mozilla/5.0 (X11; Linux x86_64) Firefox/121.0")
+        .otherwise("curl/8.4.0")
+    )
+    parsed = S.parse_user_agent(ua)
+    local = S.datetime_utc_to_local(F.col("ts"), tz)
+    return (
+        t.where(e < 2000)
+        .project(
+            "event_id",
+            local_ts=local,
+            roundtrip=S.datetime_local_to_utc(local, tz),
+            browser=parsed["browser"],
+            os=parsed["os"],
+            bver=parsed["browser_version"],
+        )
+        .to_df()
+    )

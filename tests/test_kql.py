@@ -1286,3 +1286,29 @@ def test_geo_polygon_family(spark):
     # two 1-degree segments, one along the equator, one along a meridian
     assert r.ln == pytest.approx(2 * 111195.08, rel=1e-4)
     assert r.ln1 == 0.0
+
+
+def test_tz_and_user_agent(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print loc = datetime_utc_to_local(datetime(2024-07-01 12:00:00),"
+            " 'America/New_York'),"
+            " win = datetime_utc_to_local(datetime(2024-01-15 12:00:00),"
+            " 'America/New_York'),"
+            " back = datetime_local_to_utc(datetime(2024-07-01 08:00:00),"
+            " 'America/New_York'),"
+            " ua = parse_user_agent('Mozilla/5.0 (Windows NT 10.0)"
+            " Chrome/120.0.0.0 Safari/537.36')"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert str(r.loc) == "2024-07-01 08:00:00"  # EDT, UTC-4
+    assert str(r.win) == "2024-01-15 07:00:00"  # EST, UTC-5
+    assert str(r.back) == "2024-07-01 12:00:00"
+    assert r.ua.browser == "Chrome" and r.ua.os == "Windows"
+    assert r.ua.browser_version == "120.0.0.0" and r.ua.os_version == "10.0"
