@@ -1733,3 +1733,108 @@ def parse_user_agent(ua) -> Column:
         osname.alias("os"),
         over.alias("os_version"),
     )
+
+
+# --------------------------------------------------------- unit converts
+# KQL convert_* family. Unit names follow Kusto's docs; conversions are
+# one JVM multiply by a Python-precomputed factor (temperature is the
+# affine exception). Unknown units raise at plan time with the valid
+# list — never a silent null.
+
+_UNIT_TABLES: dict[str, dict[str, float]] = {
+    "length": {  # base meter
+        "Angstrom": 1e-10, "Nanometer": 1e-9, "Micrometer": 1e-6,
+        "Millimeter": 1e-3, "Centimeter": 1e-2, "Decimeter": 0.1,
+        "Meter": 1.0, "Decameter": 10.0, "Hectometer": 100.0,
+        "Kilometer": 1000.0, "Inch": 0.0254, "Foot": 0.3048,
+        "Yard": 0.9144, "Mile": 1609.344, "NauticalMile": 1852.0,
+        "AstronomicalUnit": 149597870700.0,
+    },
+    "mass": {  # base kilogram
+        "Microgram": 1e-9, "Milligram": 1e-6, "Gram": 1e-3,
+        "Kilogram": 1.0, "Tonne": 1000.0, "Ounce": 0.028349523125,
+        "Pound": 0.45359237, "Stone": 6.35029318,
+        "ShortTon": 907.18474, "LongTon": 1016.0469088,
+    },
+    "speed": {  # base meter/second
+        "MeterPerSecond": 1.0, "KilometerPerHour": 1000.0 / 3600.0,
+        "MilePerHour": 0.44704, "Knot": 1852.0 / 3600.0,
+        "FootPerSecond": 0.3048,
+    },
+    "energy": {  # base joule
+        "Joule": 1.0, "Kilojoule": 1e3, "Megajoule": 1e6,
+        "Calorie": 4.184, "Kilocalorie": 4184.0, "WattHour": 3600.0,
+        "KilowattHour": 3.6e6, "BritishThermalUnit": 1055.05585262,
+        "Electronvolt": 1.602176634e-19,
+    },
+    "angle": {  # base radian
+        "Radian": 1.0, "Degree": 0.017453292519943295,
+        "Gradian": 0.015707963267948967, "Revolution": 6.283185307179586,
+        "Arcminute": 0.0002908882086657216,
+        "Arcsecond": 4.84813681109536e-06,
+    },
+    "force": {  # base newton
+        "Newton": 1.0, "Kilonewton": 1000.0,
+        "PoundForce": 4.4482216152605, "KilogramForce": 9.80665,
+        "Dyne": 1e-5,
+    },
+    "volume": {  # base cubic meter
+        "CubicMeter": 1.0, "Liter": 1e-3, "Milliliter": 1e-6,
+        "CubicFoot": 0.028316846592, "CubicInch": 1.6387064e-5,
+        "UsGallon": 0.003785411784, "ImperialGallon": 0.00454609,
+    },
+}
+
+
+def _convert_factor(kind: str, from_unit: str, to_unit: str) -> float:
+    table = _UNIT_TABLES[kind]
+    for u in (from_unit, to_unit):
+        if u not in table:
+            raise ValueError(
+                f"convert_{kind}: unknown unit {u!r} "
+                f"(expected one of {sorted(table)})"
+            )
+    return table[from_unit] / table[to_unit]
+
+
+def _make_convert(kind: str):
+    def conv(value, from_unit: str, to_unit: str) -> Column:
+        return _c(value).cast("double") * F.lit(_convert_factor(kind, from_unit, to_unit))
+
+    conv.__name__ = f"convert_{kind}"
+    conv.__doc__ = (
+        f"KQL convert_{kind}(value, from_unit, to_unit) — one multiply "
+        "by a plan-time factor; unknown units raise at plan time."
+    )
+    return conv
+
+
+convert_length = _make_convert("length")
+convert_mass = _make_convert("mass")
+convert_speed = _make_convert("speed")
+convert_energy = _make_convert("energy")
+convert_angle = _make_convert("angle")
+convert_force = _make_convert("force")
+convert_volume = _make_convert("volume")
+
+
+def convert_temperature(value, from_unit: str, to_unit: str) -> Column:
+    """KQL convert_temperature — affine Kelvin/Celsius/Fahrenheit."""
+    v = _c(value).cast("double")
+    to_k = {
+        "Kelvin": lambda x: x,
+        "DegreeCelsius": lambda x: x + 273.15,
+        "DegreeFahrenheit": lambda x: (x - 32.0) * (5.0 / 9.0) + 273.15,
+    }
+    from_k = {
+        "Kelvin": lambda k: k,
+        "DegreeCelsius": lambda k: k - 273.15,
+        "DegreeFahrenheit": lambda k: (k - 273.15) * 1.8 + 32.0,
+    }
+    for u in (from_unit, to_unit):
+        if u not in to_k:
+            raise ValueError(
+                f"convert_temperature: unknown unit {u!r} "
+                f"(expected one of {sorted(to_k)})"
+            )
+    return from_k[to_unit](to_k[from_unit](v))

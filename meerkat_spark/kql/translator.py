@@ -261,6 +261,16 @@ _SCALARS: dict[str, Any] = {
     ),
     "parse_version": lambda a: S.parse_version(_c(a[0])),
     "parse_user_agent": lambda a: S.parse_user_agent(_c(a[0])),
+    "convert_length": lambda a: S.convert_length(_c(a[0]), str(_raw(a[1])), str(_raw(a[2]))),
+    "convert_mass": lambda a: S.convert_mass(_c(a[0]), str(_raw(a[1])), str(_raw(a[2]))),
+    "convert_speed": lambda a: S.convert_speed(_c(a[0]), str(_raw(a[1])), str(_raw(a[2]))),
+    "convert_energy": lambda a: S.convert_energy(_c(a[0]), str(_raw(a[1])), str(_raw(a[2]))),
+    "convert_angle": lambda a: S.convert_angle(_c(a[0]), str(_raw(a[1])), str(_raw(a[2]))),
+    "convert_force": lambda a: S.convert_force(_c(a[0]), str(_raw(a[1])), str(_raw(a[2]))),
+    "convert_volume": lambda a: S.convert_volume(_c(a[0]), str(_raw(a[1])), str(_raw(a[2]))),
+    "convert_temperature": lambda a: S.convert_temperature(
+        _c(a[0]), str(_raw(a[1])), str(_raw(a[2]))
+    ),
     "datetime_utc_to_local": lambda a: S.datetime_utc_to_local(
         _c(a[0]), a[1] if isinstance(a[1], str) else _c(a[1])
     ),

@@ -903,3 +903,51 @@ def scalar_tz_useragent(spark, sf_dir):
         )
         .to_df()
     )
+
+
+def _conv_factor(kind, a, b):
+    from meerkat_spark.functions.scalar import _convert_factor
+
+    return _convert_factor(kind, a, b)
+
+
+@register(
+    "scalar_unit_convert",
+    oracle=f"""
+    SELECT x,
+           -- CAST to DOUBLE: a bare numeric literal is DECIMAL in
+           -- DuckDB, and BIGINT*DECIMAL is exact decimal arithmetic —
+           -- a different number than the engine's IEEE multiply
+           CAST(x AS DOUBLE) * CAST({_conv_factor('length', 'Kilometer', 'Mile')!r} AS DOUBLE) AS km_mi,
+           CAST(x AS DOUBLE) * CAST({_conv_factor('mass', 'Pound', 'Kilogram')!r} AS DOUBLE) AS lb_kg,
+           CAST(x AS DOUBLE) * CAST({_conv_factor('speed', 'KilometerPerHour', 'MeterPerSecond')!r} AS DOUBLE) AS kmh_ms,
+           CAST(x AS DOUBLE) * CAST({_conv_factor('energy', 'KilowattHour', 'Joule')!r} AS DOUBLE) AS kwh_j,
+           CAST(x AS DOUBLE) * CAST({_conv_factor('angle', 'Degree', 'Radian')!r} AS DOUBLE) AS deg_rad,
+           CAST(x AS DOUBLE) * CAST({_conv_factor('volume', 'Liter', 'UsGallon')!r} AS DOUBLE) AS l_gal,
+           (CAST(x AS DOUBLE) - 32.0) * CAST({5.0 / 9.0!r} AS DOUBLE) + 273.15 AS f_k,
+           ((CAST(x AS DOUBLE) + 273.15) - 273.15) * 1.8 + 32.0 AS c_f
+    FROM generate_series(1, 100) AS t(x)
+    """,
+)
+def scalar_unit_convert(spark, sf_dir):
+    """convert_* unit family: each conversion is one JVM multiply by a
+    plan-time factor, so the oracle embeds the SAME Python-computed
+    double literal (repr round-trips exactly) — bit-exact by
+    construction. Temperature is affine; c_f mirrors the through-
+    Kelvin chain term-for-term (the +273.15/−273.15 round trip is
+    deliberately NOT simplified away)."""
+    from meerkat_spark.functions import scalar as S
+
+    df = spark.range(1, 101).select(F.col("id").alias("x"))
+    x = F.col("x")
+    return df.select(
+        "x",
+        S.convert_length(x, "Kilometer", "Mile").alias("km_mi"),
+        S.convert_mass(x, "Pound", "Kilogram").alias("lb_kg"),
+        S.convert_speed(x, "KilometerPerHour", "MeterPerSecond").alias("kmh_ms"),
+        S.convert_energy(x, "KilowattHour", "Joule").alias("kwh_j"),
+        S.convert_angle(x, "Degree", "Radian").alias("deg_rad"),
+        S.convert_volume(x, "Liter", "UsGallon").alias("l_gal"),
+        S.convert_temperature(x, "DegreeFahrenheit", "Kelvin").alias("f_k"),
+        S.convert_temperature(x, "DegreeCelsius", "DegreeFahrenheit").alias("c_f"),
+    )

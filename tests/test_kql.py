@@ -1312,3 +1312,35 @@ def test_tz_and_user_agent(spark):
     assert str(r.back) == "2024-07-01 12:00:00"
     assert r.ua.browser == "Chrome" and r.ua.os == "Windows"
     assert r.ua.browser_version == "120.0.0.0" and r.ua.os_version == "10.0"
+
+
+def test_unit_convert_family(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from meerkat_spark.functions import scalar as S
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print mi = convert_length(1.0, 'Mile', 'Meter'),"
+            " kg = convert_mass(16.0, 'Ounce', 'Pound'),"
+            " ms = convert_speed(36.0, 'KilometerPerHour', 'MeterPerSecond'),"
+            " j = convert_energy(1.0, 'KilowattHour', 'Joule'),"
+            " rad = convert_angle(180.0, 'Degree', 'Radian'),"
+            " n = convert_force(1.0, 'KilogramForce', 'Newton'),"
+            " gal = convert_volume(3.785411784, 'Liter', 'UsGallon'),"
+            " k = convert_temperature(32.0, 'DegreeFahrenheit', 'DegreeCelsius')"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.mi == pytest.approx(1609.344)
+    assert r.kg == pytest.approx(1.0)
+    assert r.ms == pytest.approx(10.0)
+    assert r.j == pytest.approx(3.6e6)
+    assert r.rad == pytest.approx(3.14159265358979)
+    assert r.n == pytest.approx(9.80665)
+    assert r.gal == pytest.approx(1.0)
+    assert r.k == pytest.approx(0.0, abs=1e-12)
+    with pytest.raises(ValueError, match="unknown unit"):
+        S.convert_length(1, "Parsec", "Meter")
