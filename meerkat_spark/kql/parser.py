@@ -839,6 +839,23 @@ class Parser:
             {"src": src, "dst": dst, "nodes": nodes, "node_id": node_id},
         )
 
+    def op_graph_to_table(self) -> OpNode:
+        """`graph-to-table nodes [with_node_id=name]` or
+        `graph-to-table edges [with_source_id=name] [with_target_id=
+        name]` — materialize the graph context back into a table
+        (single-output subset of Kusto's `as`-binding form)."""
+        what = str(self.expect("IDENT").value).lower()
+        if what not in ("nodes", "edges"):
+            raise KqlSyntaxError("graph-to-table expects 'nodes' or 'edges'")
+        opts: dict[str, str] = {}
+        while self.at_ident("with_node_id") or self.at_ident(
+            "with_source_id"
+        ) or self.at_ident("with_target_id"):
+            key = str(self.next().value)
+            self.expect("OP", "=")
+            opts[key] = str(self.expect("IDENT").value)
+        return OpNode("graph-to-table", {"what": what, **opts})
+
     def op_graph_match(self) -> OpNode:
         """`graph-match (a)-[e1]->(b)[-[e2]->(c)…] [where pred]
         project name = expr, …` — fixed-length directed path patterns

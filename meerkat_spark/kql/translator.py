@@ -1931,6 +1931,37 @@ class Translator:
         }
         return t
 
+    def ap_graph_to_table(self, t, a):
+        """KQL graph-to-table: materialize the make-graph context.
+        `edges` returns the edge list (optionally renaming the
+        endpoint columns); `nodes` returns the nodes table when one
+        was bound, else the DISTINCT union of edge endpoints — one
+        shuffle on the node id, the minimal plan for endpoint
+        discovery."""
+        from meerkat_spark.table import MeerkatTable
+
+        g = getattr(self, "_graph", None)
+        if g is None:
+            raise KqlSyntaxError("graph-to-table must follow make-graph")
+        if a["what"] == "edges":
+            out = g["edges"]
+            if a.get("with_source_id"):
+                out = out.withColumnRenamed(g["src"], a["with_source_id"])
+            if a.get("with_target_id"):
+                out = out.withColumnRenamed(g["dst"], a["with_target_id"])
+            return MeerkatTable(out)
+        node_id = a.get("with_node_id", "node_id")
+        if g["nodes"] is not None:
+            out = g["nodes"].withColumnRenamed(g["node_id"], node_id)
+            return MeerkatTable(out)
+        e = g["edges"]
+        out = (
+            e.select(F.col(g["src"]).alias(node_id))
+            .unionByName(e.select(F.col(g["dst"]).alias(node_id)))
+            .distinct()
+        )
+        return MeerkatTable(out)
+
     def ap_graph_match(self, t, a):
         """KQL graph-match (fixed-length directed path subset): an
         L-edge pattern compiles to L−1 edge-chain equi-joins plus one

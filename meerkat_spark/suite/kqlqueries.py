@@ -418,3 +418,29 @@ def kql_graph_shortest_paths(spark, sf_dir):
            | graph-shortest-paths (s)-[e*1..3]->(t)
              project start = s.id, dest = t.id, hops = e.hops"""
     ).to_df()
+
+
+@register(
+    "kql_graph_to_table",
+    oracle="""
+    SELECT c_custkey + 1000000 AS nid FROM customer
+    UNION
+    SELECT DISTINCT c_nationkey AS nid FROM customer
+    """,
+)
+def kql_graph_to_table(spark, sf_dir):
+    """graph-to-table (kql/translator.py ap_graph_to_table): nodes
+    output without a bound nodes table = DISTINCT union of edge
+    endpoints (one shuffle on the node id). Customer ids are offset so
+    the two endpoint domains can't collide."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """customer
+               | extend u = c_custkey + 1000000
+               | project u, c_nationkey
+               | make-graph u --> c_nationkey
+               | graph-to-table nodes with_node_id=nid"""
+        )
+        .to_df()
+    )

@@ -1344,3 +1344,49 @@ def test_unit_convert_family(spark):
     assert r.k == pytest.approx(0.0, abs=1e-12)
     with pytest.raises(ValueError, match="unknown unit"):
         S.convert_length(1, "Parsec", "Meter")
+
+
+def test_graph_to_table(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    nodes = (
+        eng.kql(
+            """datatable(s:string, d:string) ['a','b', 'b','c', 'c','a', 'x','b']
+               | make-graph s --> d
+               | graph-to-table nodes with_node_id=nid
+               | sort by nid asc"""
+        )
+        .to_df()
+        .collect()
+    )
+    assert [r.nid for r in nodes] == ["a", "b", "c", "x"]
+    edges = (
+        eng.kql(
+            """datatable(s:string, d:string) ['a','b', 'b','c']
+               | make-graph s --> d
+               | graph-to-table edges with_source_id=u with_target_id=v
+               | sort by u asc"""
+        )
+        .to_df()
+        .collect()
+    )
+    assert [(r.u, r.v) for r in edges] == [("a", "b"), ("b", "c")]
+    # nodes table bound via `with ... on`: properties come through
+    nodes2 = (
+        eng.kql(
+            """let Nodes = nation | project n_nationkey, n_name;
+               customer
+               | extend u = c_custkey + 1000000
+               | project u, c_nationkey
+               | make-graph u --> c_nationkey with Nodes on n_nationkey
+               | graph-to-table nodes
+               | sort by node_id asc
+               | take 3"""
+        )
+        .to_df()
+        .collect()
+    )
+    assert [r.node_id for r in nodes2] == [0, 1, 2]
+    assert "n_name" in nodes2[0].asDict()
