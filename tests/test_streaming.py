@@ -190,3 +190,68 @@ def test_streaming_session_window_watermark(spark, tmp_path):
     run_pass()
     got2 = {(r.user, r.n) for r in spark.read.parquet(out).collect()}
     assert got2 == {(1, 2), (2, 1)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impression->click correlation within [0, 10m]: streaming result
+    must equal the equivalent batch join."""
+    import datetime as dt
+
+    from meerkat_spark.streaming.joins import stream_stream_interval_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    imps = [
+        (i, f"u{i % 3}", base + dt.timedelta(minutes=2 * i)) for i in range(20)
+    ]
+    # clicks: one 4 minutes after every second impression (matches),
+    # one 30 minutes after (outside the band, must not match)
+    clicks = [
+        (100 + i, f"u{i % 3}", base + dt.timedelta(minutes=2 * i, seconds=240))
+        for i in range(0, 20, 2)
+    ] + [(900, "u0", base + dt.timedelta(minutes=0, seconds=1800))]
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(
+        imps, "imp_id long, user_id string, ts timestamp"
+    ).write.parquet(imp_dir)
+    spark.createDataFrame(
+        clicks, "click_id long, user_id string, ts timestamp"
+    ).write.parquet(clk_dir)
+
+    imp_schema = spark.read.parquet(imp_dir).schema
+    clk_schema = spark.read.parquet(clk_dir).schema
+    s_imp = spark.readStream.schema(imp_schema).parquet(imp_dir)
+    s_clk = spark.readStream.schema(clk_schema).parquet(clk_dir)
+    joined = stream_stream_interval_join(
+        s_imp, s_clk, on=["user_id"], lower="0 seconds", upper="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.imp_id, r.click_id)
+        for r in spark.sql("SELECT imp_id, click_id FROM ssj_out").collect()
+    }
+
+    b_imp = spark.read.parquet(imp_dir)
+    b_clk = spark.read.parquet(clk_dir)
+    expect = {
+        (r.imp_id, r.click_id)
+        for r in b_imp.join(
+            b_clk.withColumnRenamed("ts", "ts_r"),
+            on=[
+                b_imp["user_id"] == b_clk["user_id"],
+                F.col("ts_r") >= F.col("ts"),
+                F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 10 minutes"),
+            ],
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+    # the late click is out of band for impression 0 (Δ = 30 min),
+    # though it may legitimately match later impressions of u0
+    assert (0, 900) not in got
