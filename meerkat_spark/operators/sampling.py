@@ -180,3 +180,37 @@ def percentilew_exact(
     return hit.groupBy(*by).agg(
         F.min(value_col).alias(f"p{int(round(p * 100))}_weighted")
     )
+
+
+def percentilesw_exact(
+    df,
+    by: list[str],
+    value_col: str,
+    weight_col: str,
+    ps: list[float],
+):
+    """Exact weighted percentileS (Kusto percentilesw): every requested
+    p from ONE cumulative-weight pass — the window is computed once and
+    each p contributes a conditional min, so cost is independent of
+    len(ps). Same lower-bound definition as percentilew_exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w_ord = (
+        Window.partitionBy(*by)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    work = df.withColumn("__cum", F.sum(weight_col).over(w_ord)).withColumn(
+        "__tot", F.sum(weight_col).over(w_all)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.lit(p) * F.col("__tot"), F.col(value_col)
+            )
+        ).alias(f"p{int(round(p * 100))}_weighted")
+        for p in ps
+    ]
+    return work.groupBy(*by).agg(*aggs)

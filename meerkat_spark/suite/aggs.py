@@ -441,3 +441,34 @@ def agg_dcount_intersect(spark, sf_dir):
            | project ts, s1, s2
            | sort by ts asc"""
     ).to_df()
+
+
+@register(
+    "agg_percentilesw",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS t
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN c >= 0.25 * t THEN l_extendedprice END) AS p25_weighted,
+           MIN(CASE WHEN c >= 0.5 * t THEN l_extendedprice END) AS p50_weighted,
+           MIN(CASE WHEN c >= 0.9 * t THEN l_extendedprice END) AS p90_weighted
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def agg_percentilesw(spark, sf_dir):
+    """Kusto percentilesw: every requested weighted percentile from ONE
+    cumulative-weight window pass (operators/sampling.py:
+    percentilesw_exact) — conditional mins share the window, so cost is
+    independent of how many percentiles are requested."""
+    from meerkat_spark.operators.sampling import percentilesw_exact
+
+    li = MeerkatEngine(spark, sf_dir).table("lineitem").to_df()
+    return percentilesw_exact(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9]
+    )

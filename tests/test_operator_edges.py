@@ -236,3 +236,30 @@ def test_sampling_operators(spark):
     frac = sampling.stratified_sample(ev, "g", {"a": 0.5, "b": 0.1}, seed=1)
     got = {r.g: r.n for r in frac.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert got.get("a", 0) > got.get("b", 0)
+
+
+def test_percentilesw_exact_matches_singles(spark):
+    from meerkat_spark.operators.sampling import (
+        percentilesw_exact,
+        percentilew_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v, w) for v, w in [(1.0, 1.0), (2.0, 1.0), (3.0, 8.0), (4.0, 1.0)]]
+        + [("b", float(v), 1.0) for v in range(1, 11)],
+        "g string, v double, w double",
+    )
+    multi = {
+        r.g: (r.p25_weighted, r.p50_weighted, r.p90_weighted)
+        for r in percentilesw_exact(df, ["g"], "v", "w", [0.25, 0.5, 0.9]).collect()
+    }
+    for p, idx in ((0.25, 0), (0.5, 1), (0.9, 2)):
+        singles = {
+            r.g: r[1] for r in percentilew_exact(df, ["g"], "v", "w", p).collect()
+        }
+        for g in singles:
+            assert multi[g][idx] == singles[g]
+    # weight concentration: p25 through p90 all land on the heavy value
+    assert multi["a"] == (3.0, 3.0, 3.0)
+    # uniform weights reduce to the ordinary lower-bound percentile
+    assert multi["b"] == (3.0, 5.0, 9.0)
