@@ -1713,6 +1713,33 @@ class Translator:
                     cond if not_all_null is None else (not_all_null | cond)
                 )
             return MeerkatTable(out.filter(not_all_null))
+        if plugin == "diffpatterns_text":
+            # evaluate diffpatterns_text(TextColumn, SplitColumn,
+            #                            "valueA", "valueB"
+            #                            [, min_percent_diff])
+            from meerkat_spark.text.analysis import diffpatterns_text
+
+            args = a.get("args") or []
+            if len(args) < 4:
+                raise KqlSyntaxError(
+                    "diffpatterns_text(TextColumn, SplitColumn, valueA, "
+                    "valueB[, min_percent_diff])"
+                )
+            for node in args[:2]:
+                if not isinstance(node, P.Ident):
+                    raise KqlSyntaxError(
+                        "diffpatterns_text expects column names first"
+                    )
+            return MeerkatTable(
+                diffpatterns_text(
+                    t.to_df(),
+                    args[0].name,
+                    args[1].name,
+                    str(_raw(self.expr(args[2]))),
+                    str(_raw(self.expr(args[3]))),
+                    float(_raw(self.expr(args[4]))) if len(args) > 4 else 0.0,
+                )
+            )
         if plugin == "diffpatterns":
             # evaluate diffpatterns(SplitColumn, "valueA", "valueB"
             #                       [, min_percent_diff])

@@ -926,3 +926,50 @@ def url_blocklist_filter(spark, sf_dir):
     )
     kept = filter_blocked_urls(with_url, bl, url_col="url")
     return kept.select("doc_id", url_host(F.col("url")).alias("host"))
+
+
+@register(
+    "diffpatterns_text_op",
+    oracle="""
+    WITH both_sides AS (
+      SELECT doc_id, text, lang FROM documents WHERE lang IN ('en', 'fr')
+    ), tot AS (
+      SELECT COUNT(*) FILTER (WHERE lang = 'en') AS ta,
+             COUNT(*) FILTER (WHERE lang = 'fr') AS tb
+      FROM both_sides
+    ), toks AS (
+      SELECT DISTINCT doc_id, lang, t.tok AS token
+      FROM both_sides,
+           unnest(regexp_split_to_array(lower(text), '\\W+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), counts AS (
+      SELECT token,
+             COUNT(*) FILTER (WHERE lang = 'en')::BIGINT AS CountA,
+             COUNT(*) FILTER (WHERE lang = 'fr')::BIGINT AS CountB
+      FROM toks GROUP BY token
+    )
+    SELECT token, CountA, CountB,
+           round(CountA * 100.0 / (SELECT ta FROM tot), 2) AS PercentA,
+           round(CountB * 100.0 / (SELECT tb FROM tot), 2) AS PercentB,
+           round(abs(round(CountA * 100.0 / (SELECT ta FROM tot), 2)
+                     - round(CountB * 100.0 / (SELECT tb FROM tot), 2)), 2)
+             AS PercentDiff
+    FROM counts
+    WHERE round(abs(round(CountA * 100.0 / (SELECT ta FROM tot), 2)
+                    - round(CountB * 100.0 / (SELECT tb FROM tot), 2)), 2) >= 8.0
+    """,
+)
+def diffpatterns_text_op(spark, sf_dir):
+    """evaluate diffpatterns_text (text/analysis.py): tokens whose
+    document-frequency percentage differs >= 8 points between the en
+    and fr document cohorts — the 'what words distinguish these
+    corpora' differ. One explode + one token-key agg; cohort totals
+    broadcast (no driver collect)."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """documents | where lang in ('en', 'fr')
+               | evaluate diffpatterns_text(text, lang, 'en', 'fr', 8.0)"""
+        )
+        .to_df()
+    )

@@ -290,3 +290,56 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", language_id(F.col(text_col)))
         .withColumn("fp64", fingerprint64(F.col(text_col)))
     )
+
+
+def diffpatterns_text(
+    df: DataFrame,
+    text_col: str,
+    split_col: str,
+    value_a: str,
+    value_b: str,
+    min_percent_diff: float = 0.0,
+) -> DataFrame:
+    """Kusto `evaluate diffpatterns_text` (exact variant): tokens whose
+    DOCUMENT-frequency percentage differs between the two row cohorts —
+    the 'what words distinguish these corpora' differ. Kusto's plugin
+    mines multi-token phrases heuristically; this deterministic variant
+    scores single tokens exhaustively (document frequency, so repeated
+    words don't dominate), making it oracle-checkable.
+
+    Scale: tokenize + per-doc distinct (row-local HOFs) → one explode →
+    ONE token-key aggregation; cohort totals are a 1-row broadcast
+    cross join, never a driver collect."""
+    both = df.filter(F.col(split_col).isin([value_a, value_b]))
+    totals = both.groupBy().agg(
+        F.sum(F.when(F.col(split_col) == value_a, 1).otherwise(0)).alias("__ta"),
+        F.sum(F.when(F.col(split_col) == value_b, 1).otherwise(0)).alias("__tb"),
+    )
+    toks = both.select(
+        F.col(split_col).alias("__split"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "\\W+"), lambda x: x != ""
+                )
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__split") == value_a, 1).otherwise(0)).alias("CountA"),
+        F.sum(F.when(F.col("__split") == value_b, 1).otherwise(0)).alias("CountB"),
+    )
+    pa = F.round(F.col("CountA") * 100.0 / F.col("__ta"), 2)
+    pb = F.round(F.col("CountB") * 100.0 / F.col("__tb"), 2)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "CountA",
+            "CountB",
+            pa.alias("PercentA"),
+            pb.alias("PercentB"),
+            F.round(F.abs(pa - pb), 2).alias("PercentDiff"),
+        )
+        .filter(F.col("PercentDiff") >= float(min_percent_diff))
+    )

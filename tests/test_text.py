@@ -238,3 +238,36 @@ def test_url_blocklist_filter(spark):
     plan = filter_blocked_urls(df, bl, url_col="url")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 5  # host + depths 2..5
     assert "LeftAnti" in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_diffpatterns_text_known_answer(spark):
+    from meerkat_spark.text.analysis import diffpatterns_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "alpha beta common"),
+            (2, "a", "alpha common"),
+            (3, "a", "alpha beta"),
+            (4, "b", "gamma common"),
+            (5, "b", "gamma common beta"),
+        ],
+        "id int, grp string, text string",
+    )
+    out = {
+        r.token: r
+        for r in diffpatterns_text(df, "text", "grp", "a", "b").collect()
+    }
+    # alpha: 3/3 docs in a, 0/2 in b -> 100 vs 0
+    assert out["alpha"].PercentA == 100.0 and out["alpha"].PercentB == 0.0
+    assert out["alpha"].PercentDiff == 100.0
+    # gamma: 0 vs 100
+    assert out["gamma"].PercentDiff == 100.0
+    # common: 2/3 vs 2/2 -> 66.67 vs 100
+    assert out["common"].PercentA == 66.67 and out["common"].PercentDiff == 33.33
+    # beta counted per DOCUMENT (doc 5 contains it once): 2/3 vs 1/2
+    assert out["beta"].CountA == 2 and out["beta"].CountB == 1
+    # threshold filters
+    from meerkat_spark.text.analysis import diffpatterns_text as dpt
+
+    few = dpt(df, "text", "grp", "a", "b", min_percent_diff=50.0)
+    assert {r.token for r in few.collect()} == {"alpha", "gamma"}
