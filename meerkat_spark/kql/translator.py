@@ -1388,6 +1388,7 @@ class Translator:
         if plugin in (
             "sliding_window_counts",
             "activity_counts_metrics",
+            "activity_metrics",
             "rolling_percentile",
             "session_count",
             "activity_engagement",
@@ -1438,6 +1439,15 @@ class Translator:
                         "activity_counts_metrics(Id, Timeline, Start, End, Step)"
                     )
                 out = TAgg.activity_counts_metrics(
+                    t.df, name_of(args[0]), name_of(args[1]),
+                    dt_of(args[2]), dt_of(args[3]), secs_of(args[4]),
+                )
+            elif plugin == "activity_metrics":
+                if len(args) != 5:
+                    raise KqlSyntaxError(
+                        "activity_metrics(Id, Timeline, Start, End, Window)"
+                    )
+                out = TAgg.activity_metrics(
                     t.df, name_of(args[0]), name_of(args[1]),
                     dt_of(args[2]), dt_of(args[3]), secs_of(args[4]),
                 )

@@ -752,3 +752,81 @@ def funnel_sequence_completion(
         "dcount",
         "__pos",
     ).orderBy("t", "__pos").drop("__pos")
+
+
+def activity_metrics(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    bin_sec: int,
+) -> DataFrame:
+    """Kusto `evaluate activity_metrics(Id, Timeline, Start, End,
+    Window)`: per window bin — `dcount_values`, `dcount_newvalues`
+    (first-ever-in-range ids), `retention_rate` (share of THIS bin's
+    actives also active in the NEXT bin — Kusto's definition) and
+    `churn_rate` (share NOT active in the next bin; retention + churn
+    = 1 on bins with actives, both 0 on the last bin/empty bins).
+
+    Shape: distinct (bin, id) once; retained = ONE self-equi-join on
+    (id, bin+1) — co-keyed shuffle, never a set-collect; new ids from
+    the min-bin-per-id aggregate. 6dp rates for cross-engine hashing."""
+    if bin_sec <= 0:
+        raise ValueError("bin must be positive")
+    s_us, e_us = _usec(start), _usec(end)
+    bin_us = bin_sec * 1_000_000
+    n_bins = (e_us - s_us) // bin_us
+    if n_bins < 0:
+        raise ValueError("end before start")
+    tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+    actives = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.floor(tau / F.lit(bin_us)).alias("__k"),
+        )
+        .filter((F.col("__k") >= 0) & (F.col("__k") <= F.lit(n_bins)))
+        .distinct()
+    )
+    per_bin = actives.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("dcount_values")
+    )
+    nxt = actives.select((F.col("__k") - 1).alias("__k"), "__id")
+    retained = (
+        actives.join(nxt, ["__k", "__id"], "left_semi")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__retained"))
+    )
+    first_seen = (
+        actives.groupBy("__id")
+        .agg(F.min("__k").alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("dcount_newvalues"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(0, n_bins + 1).select(F.col("id").alias("__k"))
+    d = F.col("dcount_values")
+    r = F.col("__retained")
+    return (
+        grid.join(per_bin, "__k", "left")
+        .join(retained, "__k", "left")
+        .join(first_seen, "__k", "left")
+        .select(
+            F.timestamp_micros(F.col("__k") * F.lit(bin_us) + F.lit(s_us)).alias("t"),
+            F.coalesce(d, F.lit(0)).alias("dcount_values"),
+            F.coalesce("dcount_newvalues", F.lit(0)).alias("dcount_newvalues"),
+            F.when(
+                (F.col("__k") < n_bins) & d.isNotNull() & (d > 0),
+                F.round(F.coalesce(r, F.lit(0)) / d, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("retention_rate"),
+            F.when(
+                (F.col("__k") < n_bins) & d.isNotNull() & (d > 0),
+                F.round((d - F.coalesce(r, F.lit(0))) / d, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("churn_rate"),
+        )
+        .orderBy("t")
+    )

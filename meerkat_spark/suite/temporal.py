@@ -593,3 +593,54 @@ def funnel_completion_op(spark, sf_dir):
         max_window_sec=[86400, 86400, 2 * 86400],
         start="2024-01-01", end="2024-01-15", bin_sec=86400,
     )
+
+
+@register(
+    "activity_metrics_op",
+    oracle="""
+    WITH actives AS (
+      SELECT DISTINCT user_id AS id,
+             CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 86400000000.0) AS BIGINT) AS k
+      FROM events
+    ), inrange AS (
+      SELECT * FROM actives WHERE k BETWEEN 0 AND 14
+    ), per_bin AS (
+      SELECT k, COUNT(*)::BIGINT AS d FROM inrange GROUP BY k
+    ), retained AS (
+      SELECT a.k, COUNT(*)::BIGINT AS r
+      FROM inrange a JOIN inrange b ON a.id = b.id AND b.k = a.k + 1
+      GROUP BY a.k
+    ), news AS (
+      SELECT k, COUNT(*)::BIGINT AS nw
+      FROM (SELECT id, MIN(k) AS k FROM inrange GROUP BY id) GROUP BY k
+    ), grid AS (SELECT range AS k FROM range(0, 15))
+    SELECT TIMESTAMP '2024-01-01' + to_microseconds(k * 86400000000) AS t,
+           COALESCE(d, 0)::BIGINT AS dcount_values,
+           COALESCE(nw, 0)::BIGINT AS dcount_newvalues,
+           CASE WHEN k < 14 AND COALESCE(d, 0) > 0
+                THEN round(COALESCE(r, 0) / d, 6) ELSE 0.0 END
+             AS retention_rate,
+           CASE WHEN k < 14 AND COALESCE(d, 0) > 0
+                THEN round((d - COALESCE(r, 0)) / d, 6) ELSE 0.0 END
+             AS churn_rate
+    FROM grid LEFT JOIN per_bin USING (k)
+              LEFT JOIN retained USING (k)
+              LEFT JOIN news USING (k)
+    ORDER BY t
+    """,
+)
+def activity_metrics_op(spark, sf_dir):
+    """evaluate activity_metrics (operators/temporalagg.py): per-bin
+    distinct actives, first-ever ids, and next-bin retention/churn
+    rates. Retained = ONE self-equi-join of the distinct (bin, id)
+    table on (id, bin+1) — co-keyed shuffle, no set collection."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """events
+               | evaluate activity_metrics(user_id, ts,
+                   datetime(2024-01-01), datetime(2024-01-15), 1d)"""
+        )
+        .to_df()
+    )

@@ -482,3 +482,28 @@ def test_geohash_kql(spark):
     pt = json.loads(got.pt)
     assert pt["type"] == "Point"
     assert abs(pt["coordinates"][0] - (-5.60302734375)) < 1e-12
+
+
+def test_activity_metrics_known_answer(spark):
+    import datetime as dt
+
+    from meerkat_spark.operators.temporalagg import activity_metrics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d, us in [(0, ["u1", "u2", "u3"]), (1, ["u2", "u3", "u4"]), (2, ["u4"])]:
+        rows += [(u, base + dt.timedelta(days=d, hours=i)) for i, u in enumerate(us)]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    got = {
+        r.t.day: r
+        for r in activity_metrics(
+            df, "uid", "ts", base, base + dt.timedelta(days=3), 86400
+        ).collect()
+    }
+    assert got[1].dcount_values == 3 and got[1].dcount_newvalues == 3
+    # day1: u2,u3 of {u1,u2,u3} return on day2 -> retention 2/3
+    assert got[1].retention_rate == 0.666667 and got[1].churn_rate == 0.333333
+    assert got[2].dcount_newvalues == 1  # u4 first seen day2
+    assert got[2].retention_rate == 0.333333  # only u4 of 3 returns
+    assert got[3].dcount_values == 1 and got[3].churn_rate == 1.0
+    assert got[4].dcount_values == 0 and got[4].retention_rate == 0.0
