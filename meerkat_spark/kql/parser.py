@@ -413,6 +413,55 @@ class Parser:
         node = self.op_parse()
         return OpNode("parse-where", node.args)
 
+    def op_parse_kv(self) -> OpNode:
+        """`parse-kv Expr as (key1:type, key2:type, …) with
+        (pair_delimiter='…', kv_delimiter='…')` — extract declared keys
+        as typed columns (delimiter mode; Kusto's regex mode not
+        implemented)."""
+        expr = self.parse_expr()
+        self.expect_ident("as")
+        self.expect("PUNCT", "(")
+        keys = []
+        while not self.at("PUNCT", ")"):
+            kname = str(self.expect("IDENT").value)
+            self.expect("PUNCT", ":")
+            ktype = str(self.expect("IDENT").value).lower()
+            keys.append((kname, ktype))
+            if self.at("PUNCT", ","):
+                self.next()
+        self.expect("PUNCT", ")")
+        pair_delim, kv_delim = ";", "="
+        if self.at_ident("with"):
+            self.next()
+            self.expect("PUNCT", "(")
+            while not self.at("PUNCT", ")"):
+                opt = str(self.expect("IDENT").value).lower()
+                self.expect("OP", "=")
+                val = str(self.expect("STRING").value)
+                if opt == "pair_delimiter":
+                    pair_delim = val
+                elif opt == "kv_delimiter":
+                    kv_delim = val
+                else:
+                    raise KqlSyntaxError(f"parse-kv: unknown option {opt!r}")
+                if self.at("PUNCT", ","):
+                    self.next()
+            self.expect("PUNCT", ")")
+        return OpNode(
+            "parse-kv",
+            {
+                "expr": expr,
+                "keys": keys,
+                "pair_delimiter": pair_delim,
+                "kv_delimiter": kv_delim,
+            },
+        )
+
+    def op_consume(self) -> OpNode:
+        """`consume` — run the pipeline, emit no rows (Kusto's sink for
+        timing/side effects)."""
+        return OpNode("consume", {})
+
     def op_scan(self) -> OpNode:
         # scan [kind=greedy|concurrent] [with_match_id = name]
         #      with (step s1: pred; step s2: pred; …)

@@ -1968,6 +1968,32 @@ class Translator:
         }
         return t
 
+    def ap_parse_kv(self, t, a):
+        """KQL parse-kv (delimiter mode): ONE str_to_map per row, then
+        a typed element_at per declared key — row-local codegen, no
+        regex per key."""
+        from meerkat_spark.types import kql_to_spark
+
+        m = F.str_to_map(
+            _c(self.expr(a["expr"])),
+            F.lit(a["pair_delimiter"]),
+            F.lit(a["kv_delimiter"]),
+        )
+        cols = [t.df[c] for c in t.df.columns]
+        for kname, ktype in a["keys"]:
+            cols.append(
+                F.element_at(m, F.lit(kname))
+                .try_cast(kql_to_spark(ktype))
+                .alias(kname)
+            )
+        return MeerkatTable(t.df.select(*cols))
+
+    def ap_consume(self, t, a):
+        """KQL consume: evaluate the pipeline, return an empty relation
+        with the same schema (limit 0 — Catalyst still validates the
+        full plan, matching Kusto's 'run but emit nothing')."""
+        return MeerkatTable(t.df.limit(0))
+
     def ap_graph_to_table(self, t, a):
         """KQL graph-to-table: materialize the make-graph context.
         `edges` returns the edge list (optionally renaming the

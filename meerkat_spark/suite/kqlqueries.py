@@ -444,3 +444,32 @@ def kql_graph_to_table(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "kql_parse_kv_op",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 97 AS BIGINT) AS code,
+           'u' || CAST(event_id % 7 AS VARCHAR) AS who,
+           CAST(event_id AS DOUBLE) / 8.0 AS score
+    FROM events WHERE event_id < 1000
+    """,
+)
+def kql_parse_kv_op(spark, sf_dir):
+    """parse-kv operator (delimiter mode): one str_to_map per row +
+    typed element_at per declared key. The kv text is synthesized from
+    event_id so the oracle knows every extracted value analytically."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """events | where event_id < 1000
+               | extend s = strcat('code=', tostring(event_id % 97),
+                                   ';who=u', tostring(event_id % 7),
+                                   ';score=', tostring(todouble(event_id) / 8.0))
+               | parse-kv s as (code: long, who: string, score: real)
+                 with (pair_delimiter=';', kv_delimiter='=')
+               | project event_id, code, who, score"""
+        )
+        .to_df()
+    )

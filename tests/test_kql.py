@@ -1390,3 +1390,29 @@ def test_graph_to_table(spark):
     )
     assert [r.node_id for r in nodes2] == [0, 1, 2]
     assert "n_name" in nodes2[0].asDict()
+
+
+def test_parse_kv_operator_and_consume(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    rows = (
+        eng.kql(
+            """datatable(s:string) ['k=1;v=a;x=2.5', 'k=7;x=9.25', 'v=b']
+               | parse-kv s as (k: long, v: string, x: real)
+                 with (pair_delimiter=';', kv_delimiter='=')
+               | sort by s asc"""
+        )
+        .to_df()
+        .collect()
+    )
+    assert [(r.k, r.v, r.x) for r in rows] == [
+        (1, "a", 2.5),
+        (7, None, 9.25),
+        (None, "b", None),
+    ]
+    # consume: full plan validated, zero rows out
+    out = eng.kql("events | where value > 10 | consume").to_df()
+    assert out.count() == 0
+    assert "value" in out.columns
