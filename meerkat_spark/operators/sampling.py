@@ -214,3 +214,39 @@ def percentilesw_exact(
         for p in ps
     ]
     return work.groupBy(*by).agg(*aggs)
+
+
+def temperature_mix(
+    sources: dict[str, DataFrame],
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Temperature-weighted mixture (the multilingual-corpus balancing
+    rule, e.g. mBERT/XLM-R style): target proportions ∝ pᵢ^α where pᵢ
+    is each source's share of the pooled corpus. α=1 keeps natural
+    proportions; α→0 approaches uniform — low-resource sources are
+    up-WEIGHTED relatively, but no source is ever up-SAMPLED (the
+    binding source keeps 100%, the rest down-sample to match).
+
+    Implementation: compute the p^α weights driver-side from one
+    count() per source (bounded), then delegate to mix_datasets —
+    the same deterministic salted-md5 bucketing, row-local filter,
+    no shuffle."""
+    if not sources:
+        raise ValueError("temperature_mix needs at least one source")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {k: df.count() for k, df in sources.items()}
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("all sources are empty")
+    weights = {
+        k: (counts[k] / total) ** alpha if counts[k] > 0 else 0.0
+        for k in sources
+    }
+    live = {
+        k: (sources[k], w) for k, w in weights.items() if w > 0
+    }
+    return mix_datasets(live, id_col=id_col, salt=salt, granularity=granularity)

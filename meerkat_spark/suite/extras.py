@@ -835,3 +835,48 @@ def geo_polygon_ops(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "temperature_mix_op",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, lang FROM documents
+      WHERE lang IN ('en', 'fr', 'de', 'es', 'zh')
+    ), cnt AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM src GROUP BY lang
+    ), tot AS (SELECT SUM(n) AS t FROM cnt),
+    wgt AS (
+      SELECT lang, n, pow(n / (SELECT t FROM tot), 0.3) AS w FROM cnt
+    ), scl AS (SELECT MIN(n / w) AS s FROM wgt),
+    thr AS (
+      SELECT lang,
+             CAST(round(LEAST(w * (SELECT s FROM scl) / n, 1.0) * 10000)
+                  AS BIGINT) AS th
+      FROM wgt
+    ), m AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix'),
+                                     1, 8)) AS BIGINT) % 10000 AS b
+      FROM src
+    )
+    SELECT m.doc_id, m.lang AS mix_source
+    FROM m JOIN thr USING (lang) WHERE m.b < thr.th
+    """,
+)
+def temperature_mix_op(spark, sf_dir):
+    """Temperature-weighted mixture (operators/sampling.py
+    temperature_mix, α=0.3): per-language shares flattened toward
+    uniform — the multilingual corpus balancing rule. The oracle
+    recomputes the p^α weights, binding-source scale, and salted-md5
+    buckets from the same corpus, so kept-set membership is bit-exact
+    (the threshold arithmetic is the identical double chain)."""
+    from meerkat_spark.operators.sampling import temperature_mix
+
+    docs = MeerkatEngine(spark, sf_dir).table("documents").to_df()
+    langs = ["en", "fr", "de", "es", "zh"]
+    srcs = {
+        lg: docs.filter(F.col("lang") == lg).select("doc_id") for lg in langs
+    }
+    out = temperature_mix(srcs, alpha=0.3)
+    return out.select("doc_id", "mix_source")

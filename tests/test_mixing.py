@@ -35,3 +35,32 @@ def test_mix_validation(spark):
         mix_datasets({})
     with pytest.raises(ValueError):
         mix_datasets({"a": (df, 0.0)})
+
+
+def test_temperature_mix_flattens_and_binds(spark):
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.operators.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, src string",
+    )
+    srcs = {
+        s: docs.filter(F.col("src") == s).select("doc_id")
+        for s in ("big", "small")
+    }
+    out = temperature_mix(srcs, alpha=0.0)  # uniform target
+    got = {r.mix_source: r["count"] for r in out.groupBy("mix_source").count().collect()}
+    # alpha=0: equal target shares; 'small' binds at 100 kept docs,
+    # 'big' down-samples to ~100 (hash granularity gives +-~10%)
+    assert got["small"] == 100
+    assert 70 <= got["big"] <= 130
+    # alpha=1: natural proportions -> both kept fully
+    out1 = temperature_mix(srcs, alpha=1.0)
+    got1 = {r.mix_source: r["count"] for r in out1.groupBy("mix_source").count().collect()}
+    assert got1 == {"big": 900, "small": 100}
+    # deterministic: same call, same kept set
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in temperature_mix(srcs, alpha=0.0).collect()}
+    assert a == b
