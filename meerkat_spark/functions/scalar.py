@@ -1523,6 +1523,67 @@ def erfc(x) -> Column:
     return 1.0 - erf(x)
 
 
+def _betacf(a: float, b: float, x: float) -> float:
+    """Lentz continued fraction for the regularized incomplete beta
+    (classic Numerical-Recipes-style public algorithm) — shared by
+    welch_test and the beta_* distribution kernels."""
+    import math  # noqa: F401 — parity with _ibeta's imports
+
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 200):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 3e-15:
+            break
+    return h
+
+
+def _ibeta(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
 def welch_test(mean1, var1, count1, mean2, var2, count2) -> Column:
     """KQL welch_test — two-sided p-value of Welch's unequal-variance
     t-test from the six summary statistics. The t statistic and
@@ -1537,60 +1598,6 @@ def welch_test(mean1, var1, count1, mean2, var2, count2) -> Column:
     df = (se1 + se2) * (se1 + se2) / (
         se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)
     )
-
-    import math
-
-    def _betacf(a: float, b: float, x: float) -> float:
-        # Lentz's continued fraction for I_x(a,b) (classic algorithm)
-        tiny = 1e-300
-        qab, qap, qam = a + b, a + 1.0, a - 1.0
-        c = 1.0
-        d = 1.0 - qab * x / qap
-        if abs(d) < tiny:
-            d = tiny
-        d = 1.0 / d
-        h = d
-        for m in range(1, 200):
-            m2 = 2 * m
-            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
-            d = 1.0 + aa * d
-            if abs(d) < tiny:
-                d = tiny
-            c = 1.0 + aa / c
-            if abs(c) < tiny:
-                c = tiny
-            d = 1.0 / d
-            h *= d * c
-            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
-            d = 1.0 + aa * d
-            if abs(d) < tiny:
-                d = tiny
-            c = 1.0 + aa / c
-            if abs(c) < tiny:
-                c = tiny
-            d = 1.0 / d
-            delta = d * c
-            h *= delta
-            if abs(delta - 1.0) < 3e-15:
-                break
-        return h
-
-    def _ibeta(a: float, b: float, x: float) -> float:
-        if x <= 0.0:
-            return 0.0
-        if x >= 1.0:
-            return 1.0
-        ln = (
-            math.lgamma(a + b)
-            - math.lgamma(a)
-            - math.lgamma(b)
-            + a * math.log(x)
-            + b * math.log(1.0 - x)
-        )
-        front = math.exp(ln)
-        if x < (a + 1.0) / (a + b + 2.0):
-            return front * _betacf(a, b, x) / a
-        return 1.0 - front * _betacf(b, a, 1.0 - x) / b
 
     @F.pandas_udf("double")
     def pval(ts: pd.Series, dfs: pd.Series) -> pd.Series:
@@ -1838,3 +1845,72 @@ def convert_temperature(value, from_unit: str, to_unit: str) -> Column:
                 f"(expected one of {sorted(to_k)})"
             )
     return from_k[to_unit](to_k[from_unit](v))
+
+
+def beta_pdf(x, a, b) -> Column:
+    """KQL beta_pdf — x^(a−1)(1−x)^(b−1)/B(a,b), computed through the
+    log domain with the Lanczos loggamma: PURE codegen (no kernel).
+    Null outside (0,1) boundaries where the density is undefined for
+    a<1/b<1; 0 at the boundaries otherwise."""
+    xv = _c(x).cast("double")
+    av, bv = _c(a).cast("double"), _c(b).cast("double")
+    ln = (
+        (av - 1.0) * F.log(xv)
+        + (bv - 1.0) * F.log(1.0 - xv)
+        + _lgamma_pos(av + bv)
+        - _lgamma_pos(av)
+        - _lgamma_pos(bv)
+    )
+    inside = (xv > 0) & (xv < 1)
+    at_edge = (xv == 0) | (xv == 1)
+    return (
+        F.when(inside, F.exp(ln))
+        .when(at_edge & (av >= 1) & (bv >= 1), F.lit(0.0))
+    )
+
+
+def _beta_kernel(mode: str):
+    @F.pandas_udf("double")
+    def kern(xs: pd.Series, aas: pd.Series, bs: pd.Series) -> pd.Series:
+        out = []
+        for x, a, b in zip(xs, aas, bs):
+            if x is None or a is None or b is None or a <= 0 or b <= 0:
+                out.append(None)
+                continue
+            if mode == "cdf":
+                if x < 0 or x > 1:
+                    out.append(None)
+                    continue
+                out.append(_ibeta(float(a), float(b), float(x)))
+            else:  # inv
+                p = float(x)
+                if p < 0 or p > 1:
+                    out.append(None)
+                    continue
+                lo, hi = 0.0, 1.0
+                for _ in range(80):  # bisection: 2^-80 < 1 ulp
+                    mid = 0.5 * (lo + hi)
+                    if _ibeta(float(a), float(b), mid) < p:
+                        lo = mid
+                    else:
+                        hi = mid
+                out.append(0.5 * (lo + hi))
+        return pd.Series(out, dtype="float64")
+
+    return kern
+
+
+def beta_cdf(x, a, b) -> Column:
+    """KQL beta_cdf — regularized incomplete beta I_x(a,b); Arrow
+    kernel (Lentz continued fraction), row-local."""
+    return _beta_kernel("cdf")(
+        _c(x).cast("double"), _c(a).cast("double"), _c(b).cast("double")
+    )
+
+
+def beta_inv(p, a, b) -> Column:
+    """KQL beta_inv — inverse beta CDF by bisection on I_x(a,b)
+    (80 halvings → full double precision); Arrow kernel."""
+    return _beta_kernel("inv")(
+        _c(p).cast("double"), _c(a).cast("double"), _c(b).cast("double")
+    )

@@ -301,6 +301,9 @@ _SCALARS: dict[str, Any] = {
     "gamma": lambda a: S.gamma(_c(a[0])),
     "loggamma": lambda a: S.loggamma(_c(a[0])),
     "erf": lambda a: S.erf(_c(a[0])),
+    "beta_pdf": lambda a: S.beta_pdf(_c(a[0]), _c(a[1]), _c(a[2])),
+    "beta_cdf": lambda a: S.beta_cdf(_c(a[0]), _c(a[1]), _c(a[2])),
+    "beta_inv": lambda a: S.beta_inv(_c(a[0]), _c(a[1]), _c(a[2])),
     "erfc": lambda a: S.erfc(_c(a[0])),
     "welch_test": lambda a: S.welch_test(
         _c(a[0]), _c(a[1]), _c(a[2]), _c(a[3]), _c(a[4]), _c(a[5])

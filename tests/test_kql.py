@@ -1416,3 +1416,32 @@ def test_parse_kv_operator_and_consume(spark):
     out = eng.kql("events | where value > 10 | consume").to_df()
     assert out.count() == 0
     assert "value" in out.columns
+
+
+def test_beta_distribution_family(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print pdf = beta_pdf(0.3, 2.0, 2.0),"
+            " cdf = beta_cdf(0.3, 2.0, 2.0),"
+            " cdfu = beta_cdf(0.42, 1.0, 1.0),"
+            " inv = beta_inv(0.216, 2.0, 2.0),"
+            " inv51 = beta_inv(0.5, 5.0, 1.0),"
+            " edge = beta_pdf(0.0, 2.0, 2.0),"
+            " oob = beta_cdf(1.5, 2.0, 2.0),"
+            " badab = beta_cdf(0.5, -1.0, 2.0)"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    # Beta(2,2): pdf = 6x(1-x); cdf = 3x^2 - 2x^3
+    assert r.pdf == pytest.approx(1.26, rel=1e-9)
+    assert r.cdf == pytest.approx(0.216, rel=1e-9)
+    assert r.cdfu == pytest.approx(0.42, rel=1e-9)  # uniform
+    assert r.inv == pytest.approx(0.3, rel=1e-9)  # inverse of cdf above
+    assert r.inv51 == pytest.approx(0.5 ** 0.2, rel=1e-9)  # x^5 = 0.5
+    assert r.edge == 0.0
+    assert r.oob is None and r.badab is None
