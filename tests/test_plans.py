@@ -452,3 +452,85 @@ def test_ipv6_and_geohash_are_single_project(eng):
     assert a.exchanges == 0
     assert "BatchEvalPython" not in plan_of(out)
     assert "ArrowEvalPython" not in plan_of(out)
+
+
+def test_series_elementwise_stays_codegen(eng):
+    """The elementwise series family (HOF subset) is row-local JVM —
+    no exchange, no python workers in the plan."""
+    from meerkat_spark.functions import series as SER
+
+    emb = eng.table("embeddings").to_df()
+    out = emb.select(
+        SER.series_sum(SER.series_multiply("embedding", 2.0)).alias("s"),
+        SER.series_magnitude("embedding").alias("m"),
+        SER.series_pearson_correlation(
+            "embedding", SER.series_add("embedding", 1.0)
+        ).alias("r"),
+    )
+    a = audit(out)
+    assert a.exchanges == 0
+    p = plan_of(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_temperature_mix_is_row_local(eng):
+    """temperature_mix compiles to per-source filters + union — zero
+    exchanges beyond the bounded count() actions it already did."""
+    from meerkat_spark.operators.sampling import temperature_mix
+
+    docs = eng.table("documents").to_df()
+    srcs = {
+        lg: docs.filter(F.col("lang") == lg).select("doc_id")
+        for lg in ("en", "fr")
+    }
+    out = temperature_mix(srcs, alpha=0.5)
+    assert audit(out).exchanges == 0
+    assert "Join" not in plan_of(out)
+
+
+def test_diffpatterns_text_single_token_shuffle(eng):
+    """diffpatterns_text: one token-key aggregation (partial+final) and
+    a broadcast cross join for the 1-row totals — no sort-merge join,
+    no per-token python."""
+    from meerkat_spark.text.analysis import diffpatterns_text
+
+    docs = eng.table("documents").to_df()
+    out = diffpatterns_text(docs, "text", "lang", "en", "fr", 5.0)
+    p = plan_of(out)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("Generate explode") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_activity_metrics_cokeyed_semi_join(eng):
+    """activity_metrics' retained count is an equi-semi-join on
+    (bin, id) — never a cartesian/BNLJ, no set collection."""
+    from meerkat_spark.operators.temporalagg import activity_metrics
+
+    ev = eng.table("events").to_df()
+    out = activity_metrics(
+        ev, "user_id", "ts", "2024-01-01", "2024-01-15", 86400
+    )
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p
+
+
+def test_percentilesw_single_window_pass(eng):
+    """percentilesw: all percentiles share ONE cumulative-weight window
+    — exactly one Window node, one partial+final aggregate after it."""
+    from meerkat_spark.operators.sampling import percentilesw_exact
+
+    li = eng.table("lineitem").to_df()
+    out = percentilesw_exact(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        [0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+    p = plan_of(out)
+    # cum + tot windows and the final agg all reuse ONE hash exchange
+    # on the group key — adding percentiles adds no shuffle
+    assert p.count("Exchange") == 1
+    assert p.count("Window") == 2
+    assert "HashAggregate" in p
