@@ -973,3 +973,21 @@ def diffpatterns_text_op(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register("span_dedup_stats", oracle=None)
+def span_dedup_stats(spark, sf_dir):
+    """Cross-document duplicated-span removal (text/spandedup.py —
+    window-hash approximation of Lee et al.'s suffix-array substring
+    dedup, content-defined anchors so shifted copies align). Span
+    hashes are engine-specific (xxhash64) → rows-only by design;
+    keeper/shifted/passthrough semantics are pytest-pinned."""
+    from meerkat_spark.text.spandedup import remove_duplicated_spans
+
+    docs = MeerkatEngine(spark, sf_dir).table("documents").to_df()
+    out = remove_duplicated_spans(docs, window=12, stride=4)
+    return out.select(
+        "doc_id",
+        "n_dropped_spans",
+        F.size(F.split(F.col("text"), "\\s+")).cast("long").alias("n_tokens_after"),
+    )

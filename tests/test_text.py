@@ -271,3 +271,47 @@ def test_diffpatterns_text_known_answer(spark):
 
     few = dpt(df, "text", "grp", "a", "b", min_percent_diff=50.0)
     assert {r.token for r in few.collect()} == {"alpha", "gamma"}
+
+
+def test_span_dedup_removes_shifted_copies(spark):
+    from meerkat_spark.text.spandedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    dup = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [
+            (1, "alpha " + dup + " omega"),
+            # same run at a DIFFERENT offset — content-defined anchors
+            # must still align the windows
+            (2, "start of something " + dup + " end unique tail"),
+            (3, "totally different text with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(df, window=20, stride=4)
+    rows = spans.collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    # keeper = globally-first occurrence (doc 1)
+    assert all(r.keep == (r.doc_id == 1) for r in rows)
+
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, window=20, stride=4).collect()}
+    assert out[1].n_dropped_spans == 0  # keeper untouched
+    assert out[1].text == "alpha " + dup + " omega"
+    assert out[2].n_dropped_spans > 0
+    assert "w0" not in out[2].text and "w19" not in out[2].text
+    assert out[2].text.startswith("start of something")
+    assert out[3].n_dropped_spans == 0
+    assert out[3].text == "totally different text with no repeats at all"
+
+
+def test_span_dedup_plan_no_allpairs(spark):
+    from meerkat_spark.text.spandedup import remove_duplicated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = remove_duplicated_spans(docs, window=12, stride=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # all HOFs, no python workers
