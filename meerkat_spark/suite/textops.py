@@ -991,3 +991,31 @@ def span_dedup_stats(spark, sf_dir):
         "n_dropped_spans",
         F.size(F.split(F.col("text"), "\\s+")).cast("long").alias("n_tokens_after"),
     )
+
+
+@register("classifier_quality_gate", oracle=None)
+def classifier_quality_gate(spark, sf_dir):
+    """Hashing-trick linear classifier scoring (text/classifier.py —
+    the fastText-style model-based corpus gate): hashed token features
+    → one explode → broadcast join against the weight table → doc-key
+    sum + sigmoid. Feature ids are xxhash64-dependent → rows-only;
+    scoring arithmetic is pytest-pinned."""
+    from meerkat_spark.text.classifier import score_documents
+
+    docs = MeerkatEngine(spark, sf_dir).table("documents").to_df()
+    dim = 1 << 18
+    vocab = [("data", 1.5), ("query", 1.0), ("slow", -2.0), ("spam", -3.0)]
+    w = spark.createDataFrame(
+        [
+            (r.fid, wt)
+            for (tok, wt) in vocab
+            for r in spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(tok)), F.lit(dim)).alias("fid"))
+            .collect()
+        ],
+        "feature_id long, weight double",
+    )
+    out = score_documents(docs, w, dim=dim, bigrams=False)
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), F.round("prob", 6).alias("prob")
+    )

@@ -315,3 +315,56 @@ def test_span_dedup_plan_no_allpairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # all HOFs, no python workers
+
+
+def test_linear_classifier_scoring_and_gate(spark):
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.text.classifier import (
+        filter_by_score,
+        hash_features,
+        score_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "good clean prose here"),
+            (2, "spam spam spam buy now"),
+            (3, "neutral text"),
+        ],
+        "doc_id long, text string",
+    )
+    dim = 1 << 18
+    ids = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit("spam")), F.lit(dim)).alias("spam_id"),
+            F.pmod(F.xxhash64(F.lit("clean")), F.lit(dim)).alias("clean_id"),
+        )
+        .collect()[0]
+    )
+    w = spark.createDataFrame(
+        [(ids.spam_id, -2.0), (ids.clean_id, 3.0)], "feature_id long, weight double"
+    )
+    got = {
+        r.doc_id: r
+        for r in score_documents(df, w, bigrams=False).collect()
+    }
+    assert got[1].score == pytest.approx(3.0 / 4)  # mean-pooled
+    assert got[2].score == pytest.approx(3 * -2.0 / 5)
+    assert got[3].score == 0.0 and got[3].prob == 0.5
+    kept = sorted(r.doc_id for r in filter_by_score(df, w, 0.5, bigrams=False).collect())
+    assert kept == [1, 3]
+
+    # bigrams add position-pair features: "buy now" present once
+    feats = hash_features(df.where("doc_id = 2"), bigrams=True)
+    n_uni = hash_features(df.where("doc_id = 2"), bigrams=False)
+    assert feats.agg(F.sum("tf")).first()[0] == n_uni.agg(F.sum("tf")).first()[0] + 4
+
+    # plan: broadcast join for the model, no python workers
+    plan = (
+        score_documents(df, w, bigrams=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
