@@ -164,3 +164,50 @@ def digest_percentiles(df: DataFrame, qs: list[float], digest_col: str = "digest
         name = f"p{str(q).replace('0.', '')}"
         tmp = tmp.withColumn(name, F.col("__qs")[i])
     return tmp.drop("__qs")
+
+
+def rank(means: np.ndarray, weights: np.ndarray, x: float) -> float:
+    """Estimated CDF at x (fraction of mass <= x) — the inverse of
+    `quantile`: linear interpolation between centroid-midpoint
+    cumulative weights, 0/1 beyond the extreme centroids."""
+    n = len(means)
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return 0.0 if x < means[0] else 1.0
+    total = float(weights.sum())
+    cum = np.cumsum(weights) - weights / 2.0
+    if x <= means[0]:
+        return 0.0
+    if x >= means[-1]:
+        return 1.0
+    i = int(np.searchsorted(means, x)) - 1
+    span = means[i + 1] - means[i]
+    frac = (x - means[i]) / span if span > 0 else 0.0
+    return float((cum[i] + frac * (cum[i + 1] - cum[i])) / total)
+
+
+def digest_percentrank(
+    df: DataFrame, value, digest_col: str = "digest", out_col: str = "percentrank"
+) -> DataFrame:
+    """Kusto percentrank_tdigest: extend a digest table with the
+    estimated percent rank (0-100) of `value` within each digest —
+    Arrow-batched, no shuffle. `value` may be a literal or a column
+    name (rank of that row's value in that row's digest)."""
+
+    @F.pandas_udf("double")
+    def extract(dig: pd.DataFrame, xs: pd.Series) -> pd.Series:
+        out = []
+        for (m_list, w_list), x in zip(
+            zip(dig["means"], dig["weights"]), xs
+        ):
+            if x is None:
+                out.append(None)
+                continue
+            m = np.asarray(m_list, dtype=float)
+            w = np.asarray(w_list, dtype=float)
+            out.append(round(100.0 * rank(m, w, float(x)), 6))
+        return pd.Series(out, dtype="float64")
+
+    xcol = F.col(value) if isinstance(value, str) else F.lit(value).cast("double")
+    return df.withColumn(out_col, extract(F.col(digest_col), xcol))

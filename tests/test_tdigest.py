@@ -67,3 +67,27 @@ def test_spark_sketch_matches_exact(spark):
         e50, e95 = exact[r.l_returnflag]
         assert abs(r.p5 - e50) / e50 < 0.02
         assert abs(r.p95 - e95) / e95 < 0.02
+
+
+def test_digest_percentrank_inverts_percentiles(spark):
+    import numpy as np
+
+    from meerkat_spark.functions import tdigest as TD
+
+    # rank is quantile's inverse on the raw kernel
+    rng = np.random.RandomState(7)
+    v = np.sort(rng.normal(50, 10, 20000))
+    m, w = TD.compress(v, np.ones(len(v)), 100.0)
+    for q in (0.1, 0.5, 0.9):
+        x = TD.quantile(m, w, q)
+        assert abs(TD.rank(m, w, x) - q) < 0.01
+    assert TD.rank(m, w, -1e9) == 0.0 and TD.rank(m, w, 1e9) == 1.0
+
+    # spark path: rank of the true median ~ 50
+    df = spark.createDataFrame(
+        [(i % 4, float(i)) for i in range(4000)], "g int, v double"
+    )
+    digests = TD.tdigest_sketch(df, "v", ["g"])
+    ranked = TD.digest_percentrank(digests, 2000.0)
+    for r in ranked.collect():
+        assert 47.0 <= r.percentrank <= 53.0
