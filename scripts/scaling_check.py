@@ -63,9 +63,17 @@ def main() -> None:
 
     from meerkat_spark.similarity import ivf_index, knn, neardup
     from meerkat_spark.text import analysis as TA
+    from meerkat_spark.text import classifier, pii, spandedup, urlfilter
     from meerkat_spark.text import dedup as TD
-    from meerkat_spark.text import pii
     from meerkat_spark.text.chunk import chunk_documents, pack_chunks
+
+    _bl_df = spark.createDataFrame(
+        [(f"site{i}.com",) for i in range(0, 50, 3)], "domain string"
+    )
+    _w_df = spark.createDataFrame(
+        [(i * 7919 % (1 << 18), (i % 11 - 5) / 5.0) for i in range(5000)],
+        "feature_id long, weight double",
+    )
 
     # warm the JVM + Python worker pool outside every timed section
     docs0.count()
@@ -155,6 +163,44 @@ def main() -> None:
                 chunk_documents(docs.select("doc_id", "text")).drop("chunk_text"),
                 budget=4096,
                 n_shards=64,
+            ).count(),
+        )
+        # round-5 session additions — the replicated corpus is the
+        # adversarial case for span dedup (every span duplicated N×)
+        timed(
+            "span_dedup",
+            n_docs,
+            lambda: spandedup.remove_duplicated_spans(
+                docs.select("doc_id", "text"), window=12, stride=4
+            )
+            .select("doc_id", "n_dropped_spans")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        timed(
+            "url_filter",
+            n_docs,
+            lambda: urlfilter.filter_blocked_urls(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("https://s"),
+                        (F.col("doc_id") % 1000).cast("string"),
+                        F.lit(".site"),
+                        (F.col("doc_id") % 50).cast("string"),
+                        F.lit(".com/p"),
+                    ).alias("url"),
+                ),
+                _bl_df,
+                url_col="url",
+            ).count(),
+        )
+        timed(
+            "classifier",
+            n_docs,
+            lambda: classifier.score_documents(
+                docs.select("doc_id", "text"), _w_df, bigrams=True
             ).count(),
         )
         docs.unpersist()
