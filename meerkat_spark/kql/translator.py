@@ -1108,8 +1108,10 @@ class Translator:
         return t.union(*others, kind=a["kind"])
 
     def ap_mv_expand(self, t, a):
-        (name, e, ty) = a["cols"][0]
         index = a.get("index")
+        if len(a["cols"]) > 1:
+            return self._mv_expand_zip(t, a["cols"], index)
+        (name, e, ty) = a["cols"][0]
         if name is None and isinstance(e, P.Ident):
             out = t.mv_expand(e.name, index_col=index)
             col_name = e.name
@@ -1126,6 +1128,46 @@ class Translator:
                 **{col_name: F.col(col_name).try_cast(kql_to_spark(ty))}
             )
         return out
+
+    def _mv_expand_zip(self, t, cols, index):
+        """Multi-column mv-expand — Kusto ZIPS the arrays pairwise
+        (element i of each array lands on the same output row, shorter
+        arrays null-padded to the longest): one posexplode over the
+        index range + element_at per column, a single Generate."""
+        from meerkat_spark.types import kql_to_spark
+
+        named = []
+        for i, (name, e, ty) in enumerate(cols):
+            if name is None and isinstance(e, P.Ident):
+                name = e.name
+            named.append((name or f"Column{i + 1}", _c(self.expr(e)), ty))
+        df = t.df
+        for n, c, _ in named:
+            df = df.withColumn(n, c)
+        arr_names = [n for n, _, _ in named]
+        longest = F.greatest(
+            *[F.coalesce(F.size(F.col(n)), F.lit(0)) for n in arr_names]
+        )
+        # rows where every array is empty/null expand to nothing
+        # (matching single-column explode semantics)
+        df = df.withColumn(
+            "__mvi",
+            F.explode(
+                F.when(
+                    longest > 0, F.sequence(F.lit(0), longest - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        for n, _, ty in named:
+            # try_element_at: past-the-end reads null-pad the shorter
+            # arrays (Kusto's zip) and stay ANSI-safe
+            el = F.try_element_at(F.col(n), F.col("__mvi") + 1)
+            if ty is not None:
+                el = el.try_cast(kql_to_spark(ty))
+            df = df.withColumn(n, el)
+        if index:
+            df = df.withColumn(index, F.col("__mvi").cast("long"))
+        return MeerkatTable(df.drop("__mvi"))
 
     def ap_partition(self, t, a):
         """KQL `partition by col ( subquery )` — windowable sub-ops run

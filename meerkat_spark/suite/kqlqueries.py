@@ -473,3 +473,31 @@ def kql_parse_kv_op(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "mv_expand_zip",
+    oracle="""
+    SELECT event_id,
+           event_id * (i + 1) AS xs,
+           CASE i WHEN 0 THEN 'a' WHEN 1 THEN 'b' END AS ys,
+           CAST(i AS BIGINT) AS ix
+    FROM events, unnest([0, 1, 2]) AS t(i)
+    WHERE event_id < 500
+    """,
+)
+def mv_expand_zip(spark, sf_dir):
+    """Multi-column mv-expand (Kusto ZIP semantics — element i of each
+    array on the same output row, shorter arrays null-padded): one
+    posexplode over the longest index range, a single Generate."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """events | where event_id < 500
+               | extend xs = pack_array(event_id, event_id * 2, event_id * 3),
+                        ys = pack_array('a', 'b')
+               | mv-expand with_itemindex=ix xs, ys
+               | project event_id, xs, ys, ix"""
+        )
+        .to_df()
+    )

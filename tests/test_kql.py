@@ -1445,3 +1445,25 @@ def test_beta_distribution_family(spark):
     assert r.inv51 == pytest.approx(0.5 ** 0.2, rel=1e-9)  # x^5 = 0.5
     assert r.edge == 0.0
     assert r.oob is None and r.badab is None
+
+
+def test_mv_expand_zip_semantics(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    rows = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            """datatable(k:string) ['a']
+               | extend xs = pack_array(1, 2, 3), ys = pack_array('p', 'q')
+               | mv-expand with_itemindex=ix xs, ys"""
+        )
+        .to_df()
+        .orderBy("ix")
+        .collect()
+    )
+    assert [(r.xs, r.ys, r.ix) for r in rows] == [
+        (1, "p", 0),
+        (2, "q", 1),
+        (3, None, 2),  # shorter array null-pads (zip, not cross)
+    ]
