@@ -1083,8 +1083,31 @@ class Parser:
         )
 
     def op_search(self) -> OpNode:
+        """`search ['col':] 'term'` with optional kind=case_sensitive —
+        substring match across all string columns, or one column when
+        qualified."""
+        case_sensitive = False
+        if self.at_ident("kind"):
+            self.next()
+            self.expect("OP", "=")
+            kind = str(self.expect("IDENT").value).lower()
+            if kind not in ("default", "case_sensitive"):
+                raise KqlSyntaxError(f"search: unknown kind {kind!r}")
+            case_sensitive = kind == "case_sensitive"
+        col = None
+        if self.at("IDENT"):
+            save = self.i
+            name = str(self.next().value)
+            if self.at("PUNCT", ":"):
+                self.next()
+                col = name
+            else:
+                self.i = save
         term = self.expect("STRING").value
-        return OpNode("search", {"term": str(term)})
+        return OpNode(
+            "search",
+            {"term": str(term), "col": col, "case_sensitive": case_sensitive},
+        )
 
     def op_as(self) -> OpNode:
         """`T | as name` — bind the current table mid-pipeline."""

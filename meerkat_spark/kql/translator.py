@@ -1962,7 +1962,11 @@ class Translator:
         return MeerkatTable(out)
 
     def ap_search(self, t, a):
-        return t.search(a["term"])
+        return t.search(
+            a["term"],
+            case_sensitive=a.get("case_sensitive", False),
+            column=a.get("col"),
+        )
 
     def ap_project_reorder(self, t, a):
         return t.project_reorder(*a["first"])

@@ -501,3 +501,24 @@ def mv_expand_zip(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "kql_search_qualified",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE lower(event_type) LIKE 'cli%' AND event_id < 2000
+    """,
+)
+def kql_search_qualified(spark, sf_dir):
+    """search with a column qualifier and Kusto's * term wildcard
+    (anchored LIKE) — `search Col:'cli*'`."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """events | where event_id < 2000
+               | search event_type:'cli*'
+               | project event_id, event_type"""
+        )
+        .to_df()
+    )

@@ -109,8 +109,21 @@ class MeerkatTable:
         return self._wrap(self.df.withColumnsRenamed(mapping))
 
     def project_reorder(self, *first: str) -> "MeerkatTable":
-        rest = [c for c in self.df.columns if c not in first]
-        return self._wrap(self.df.select(*first, *rest))
+        """KQL `project-reorder` — move matching columns to the front
+        (wildcard patterns allowed, each expanding in the table's
+        existing column order, Kusto's default ordering)."""
+        front: list[str] = []
+        for p in first:
+            if "*" in p or "?" in p:
+                front += [
+                    c
+                    for c in self.df.columns
+                    if fnmatch.fnmatchcase(c, p) and c not in front
+                ]
+            elif p not in front:
+                front.append(p)
+        rest = [c for c in self.df.columns if c not in front]
+        return self._wrap(self.df.select(*front, *rest))
 
     def summarize(
         self,
@@ -259,16 +272,38 @@ class MeerkatTable:
         )
         return self._wrap(out)
 
-    def search(self, term: str, case_sensitive: bool = False) -> "MeerkatTable":
-        """KQL `search` — substring match across all string columns."""
+    def search(
+        self,
+        term: str,
+        case_sensitive: bool = False,
+        column: str | None = None,
+    ) -> "MeerkatTable":
+        """KQL `search` — substring match across all string columns, or
+        one column when qualified (`search Col:'term'`). A `*` in the
+        term is Kusto's wildcard (anchored LIKE pattern); otherwise
+        plain substring containment."""
         from functools import reduce
 
-        str_cols = [
-            f.name for f in self.df.schema.fields if f.dataType.simpleString() == "string"
-        ]
+        str_cols = (
+            [column]
+            if column is not None
+            else [
+                f.name
+                for f in self.df.schema.fields
+                if f.dataType.simpleString() == "string"
+            ]
+        )
         if not str_cols:
             return self._wrap(self.df.filter(F.lit(False)))
-        if case_sensitive:
+
+        if "*" in term:
+            esc = term.replace("%", "\\%").replace("_", "\\_")
+            pat = esc.replace("*", "%")
+            if case_sensitive:
+                preds = [F.col(c).like(pat) for c in str_cols]
+            else:
+                preds = [F.lower(F.col(c)).like(pat.lower()) for c in str_cols]
+        elif case_sensitive:
             preds = [F.col(c).contains(term) for c in str_cols]
         else:
             preds = [F.lower(F.col(c)).contains(term.lower()) for c in str_cols]

@@ -1467,3 +1467,29 @@ def test_mv_expand_zip_semantics(spark):
         (2, "q", 1),
         (3, None, 2),  # shorter array null-pads (zip, not cross)
     ]
+
+
+def test_search_qualifier_and_reorder_wildcards(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    all_hits = eng.kql("events | search 'click' | count").to_df().collect()[0][0]
+    col_hits = (
+        eng.kql("events | search event_type:'click' | count").to_df().collect()[0][0]
+    )
+    wild_hits = (
+        eng.kql("events | search event_type:'cli*' | count").to_df().collect()[0][0]
+    )
+    assert col_hits == wild_hits > 0
+    assert all_hits >= col_hits  # unqualified searches every string col
+    # case_sensitive: fixture text is lowercase
+    cs = (
+        eng.kql("events | search kind=case_sensitive 'CLICK' | count")
+        .to_df()
+        .collect()[0][0]
+    )
+    assert cs == 0
+    cols = eng.kql("customer | project-reorder c_name, c_* | take 1").to_df().columns
+    assert cols[0] == "c_name"
+    assert set(cols) == {"c_name", "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"}
