@@ -22,7 +22,12 @@ _NUMBER_RE = re.compile(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 # multi-char operators first
 _OPS = [
-    "==", "!=", "<=", ">=", "=~", "!~", "!in~", "!in", "..", "=>", "<", ">",
+    "==", "!=", "<=", ">=", "=~", "!~", "!in~", "!in",
+    # negated string predicates (longest first — '!has' prefixes others)
+    "!hasprefix_cs", "!hassuffix_cs", "!hasprefix", "!hassuffix",
+    "!has_cs", "!has", "!contains_cs", "!contains",
+    "!startswith_cs", "!startswith", "!endswith_cs", "!endswith",
+    "..", "=>", "<", ">",
     "+", "-", "*", "/", "%", "=",
 ]
 _PUNCT = ["|", "(", ")", "[", "]", "{", "}", ",", ";", ".", ":", "$"]

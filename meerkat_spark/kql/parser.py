@@ -1159,6 +1159,7 @@ class Parser:
     _STR_PREDS = {
         "has", "has_cs", "contains", "contains_cs", "startswith",
         "endswith", "startswith_cs", "endswith_cs",
+        "hasprefix", "hassuffix", "hasprefix_cs", "hassuffix_cs",
     }
 
     def parse_comparison(self):
@@ -1170,6 +1171,16 @@ class Parser:
         if t.kind == "OP" and t.value in ("!in", "!in~"):
             self.next()
             return self._parse_in(left, negated=True, ci=str(t.value).endswith("~"))
+        if (
+            t.kind == "OP"
+            and str(t.value).startswith("!")
+            and str(t.value)[1:] in self._STR_PREDS
+        ):
+            # negated string predicate (!has, !contains, …)
+            self.next()
+            return Unary(
+                "not", Binary(str(t.value)[1:], left, self.parse_additive())
+            )
         if t.kind == "OP" and t.value == "in~":
             self.next()
             return self._parse_in(left, negated=False, ci=True)
@@ -1216,6 +1227,24 @@ class Parser:
 
     def _parse_in(self, left, negated: bool, ci: bool = False):
         self.expect("PUNCT", "(")
+        # table-subquery form: in ((T | project col)) — the doubled
+        # paren disambiguates a pipeline from a scalar expression
+        if self.at("PUNCT", "("):
+            save = self.i
+            self.next()
+            if self.at("IDENT"):
+                save2 = self.i
+                self.next()
+                is_pipe = self.at("PUNCT", "|") or self.at("PUNCT", ")")
+                self.i = save2
+                if is_pipe:
+                    pipe = self.parse_pipeline()
+                    self.expect("PUNCT", ")")
+                    self.expect("PUNCT", ")")
+                    return InList(
+                        left, [pipe], negated=negated, case_insensitive=ci
+                    )
+            self.i = save
         values = [self.parse_expr()]
         while self.at("PUNCT", ","):
             self.next()

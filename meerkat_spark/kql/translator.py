@@ -587,6 +587,26 @@ class Translator:
             return self.binary(node, agg=agg)
         if isinstance(node, P.InList):
             col = _c(self.expr(node.expr))
+            if len(node.values) == 1 and isinstance(node.values[0], P.Pipeline):
+                # in ((T | project col)): first column of the subquery,
+                # materialized driver-side with Kusto's own 1M-value
+                # in() cap (bounded collect, like toscalar)
+                sub = self.pipeline(node.values[0])
+                first = sub.columns[0]
+                cap = 1_000_000
+                rows = (
+                    sub.select(first).distinct().limit(cap + 1).collect()
+                )
+                if len(rows) > cap:
+                    raise KqlSyntaxError(
+                        "in() subquery exceeds 1,000,000 distinct values"
+                    )
+                vals = [r[0] for r in rows if r[0] is not None]
+                if node.case_insensitive:
+                    res = F.lower(col).isin([str(v).lower() for v in vals])
+                else:
+                    res = col.isin(vals)
+                return ~res if node.negated else res
             vals = [self.expr(v) for v in node.values]
             if node.case_insensitive:
                 res = F.lower(col).isin([str(v).lower() for v in vals])
@@ -654,6 +674,16 @@ class Translator:
             if op == "endswith":
                 return S.endswith(l, str(_raw(re)))
             return l.endswith(str(_raw(re)))
+        if op in ("hasprefix", "hassuffix", "hasprefix_cs", "hassuffix_cs"):
+            # term-boundary prefix/suffix match (Kusto: some TERM in the
+            # text starts/ends with the value); default case-insensitive
+            import re as _re2
+
+            q = _re2.escape(str(_raw(re)))
+            flags = "" if op.endswith("_cs") else "(?i)"
+            if op.startswith("hasprefix"):
+                return l.rlike(flags + r"(^|[^\w])" + q)
+            return l.rlike(flags + q + r"($|[^\w])")
         if op == "matches":
             return S.matches_regex(l, str(_raw(re)))
         raise KqlSyntaxError(f"unsupported operator {op!r}")

@@ -522,3 +522,38 @@ def kql_search_qualified(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "kql_pred_extensions",
+    oracle="""
+    WITH sub AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey < 200)
+    SELECT doc_id,
+           (doc_id IN (SELECT c_custkey FROM sub)) AS in_sub,
+           NOT regexp_matches(text, '(?i)(^|[^a-zA-Z0-9_])data([^a-zA-Z0-9_]|$)')
+             AS no_data_term,
+           regexp_matches(text, '(?i)(^|[^a-zA-Z0-9_])dat') AS pref,
+           regexp_matches(text, '(?i)ta([^a-zA-Z0-9_]|$)') AS suf,
+           NOT (text LIKE '%quer%') AS no_quer
+    FROM documents
+    """,
+)
+def kql_pred_extensions(spark, sf_dir):
+    """Predicate extensions (r5): in ((subquery)) — bounded driver
+    materialization with Kusto's 1M cap; negated string predicates
+    (!has / !contains); hasprefix / hassuffix term-boundary matches."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """documents
+               | extend in_sub = doc_id in ((customer
+                                             | where c_custkey < 200
+                                             | project c_custkey)),
+                        no_data_term = text !has 'data',
+                        pref = text hasprefix 'dat',
+                        suf = text hassuffix 'ta',
+                        no_quer = text !contains 'quer'
+               | project doc_id, in_sub, no_data_term, pref, suf, no_quer"""
+        )
+        .to_df()
+    )

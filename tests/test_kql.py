@@ -1493,3 +1493,37 @@ def test_search_qualifier_and_reorder_wildcards(spark):
     cols = eng.kql("customer | project-reorder c_name, c_* | take 1").to_df().columns
     assert cols[0] == "c_name"
     assert set(cols) == {"c_name", "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"}
+
+
+def test_negated_predicates_and_in_subquery(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+
+    def n(q):
+        return eng.kql(q).to_df().collect()[0][0]
+
+    total = n("documents | count")
+    has = n("documents | where text has 'data' | count")
+    nhas = n("documents | where text !has 'data' | count")
+    assert has + nhas == total and has > 0 and nhas > 0
+    assert (
+        n("documents | where text contains 'data' | count")
+        + n("documents | where text !contains 'data' | count")
+        == total
+    )
+    # hasprefix: term-boundary start ('dat' prefixes 'data'); its
+    # negation partitions the corpus
+    pref = n("documents | where text hasprefix 'dat' | count")
+    assert pref >= has
+    assert pref + n("documents | where text !hasprefix 'dat' | count") == total
+    # case-sensitive variant: corpus is lowercase
+    assert n("documents | where text hasprefix_cs 'Dat' | count") == 0
+    # in ((subquery)): every event user is a customer key
+    assert n(
+        "events | where user_id in ((customer | project c_custkey)) | count"
+    ) == n("events | count")
+    assert n(
+        "events | where user_id !in ((customer | project c_custkey)) | count"
+    ) == 0
