@@ -546,6 +546,16 @@ class Parser:
         return OpNode("project-rename", {"renames": renames})
 
     def op_summarize(self) -> OpNode:
+        shuffle_keys: list[str] = []
+        while self.at_ident("hint"):
+            self.next()
+            self.expect("PUNCT", ".")
+            hname = str(self.expect("IDENT").value).lower()
+            self.expect("OP", "=")
+            hval = str(self.expect("IDENT").value)
+            if hname == "shufflekey":
+                shuffle_keys.append(hval)
+            # other hints (strategy, num_partitions) parse-and-ignore
         aggs = []
         by = []
         if not self.at_ident("by"):
@@ -553,10 +563,17 @@ class Parser:
         if self.at_ident("by"):
             self.next()
             by = self.parse_named_exprs()
-        return OpNode("summarize", {"aggs": aggs, "by": by})
+        return OpNode(
+            "summarize",
+            {"aggs": aggs, "by": by, "shuffle_keys": shuffle_keys},
+        )
 
     def op_count(self) -> OpNode:
-        return OpNode("count", {})
+        alias = "Count"
+        if self.at_ident("as"):
+            self.next()
+            alias = str(self.expect("IDENT").value)
+        return OpNode("count", {"alias": alias})
 
     def op_distinct(self) -> OpNode:
         if self.at("OP", "*"):
@@ -1130,7 +1147,12 @@ class Parser:
         return OpNode("sample-distinct", {"n": float(n), "col": col})
 
     def op_serialize(self) -> OpNode:
-        return OpNode("serialize", {})
+        # `serialize [name = expr, …]` — optional assignments evaluated
+        # over the frozen order (window functions allowed)
+        cols = []
+        if not (self.at("PUNCT", "|") or self.at("EOF")):
+            cols = self.parse_named_exprs()
+        return OpNode("serialize", {"cols": cols})
 
     # ---------------------------------------------------------- expressions
     def parse_expr(self):

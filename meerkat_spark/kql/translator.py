@@ -1014,8 +1014,30 @@ class Translator:
         return t.project_rename(**a["renames"])
 
     def ap_summarize(self, t, a):
+        if a.get("shuffle_keys"):
+            # hint.shufflekey=K: pre-shuffle on the key so the aggregate
+            # runs co-partitioned (Kusto's skew/shuffle strategy hint)
+            t = MeerkatTable(t.df.repartition(*[F.col(k) for k in a["shuffle_keys"]]))
         aggs: dict[str, Column] = {}
+        star_aliases: list[str] = []
         for i, (name, e) in enumerate(a["aggs"]):
+            # arg_max(ord, *) / arg_min(ord, *): Kusto returns the WHOLE
+            # winning row — aggregate a struct of every column, expanded
+            # back to flat columns after the groupBy
+            if (
+                isinstance(e, P.Call)
+                and e.func.lower() in ("arg_max", "arg_min")
+                and len(e.args) == 2
+                and isinstance(e.args[1], P.Ident)
+                and e.args[1].name == "*"
+            ):
+                ordc = _c(self.expr(e.args[0], agg=False))
+                row = F.struct(*[F.col(c) for c in t.df.columns])
+                fn = F.max_by if e.func.lower() == "arg_max" else F.min_by
+                alias = name or f"__star{i}"
+                aggs[alias] = fn(row, ordc)
+                star_aliases.append(alias)
+                continue
             col = _c(self.expr(e, agg=True))
             aggs[name or _default_agg_name(e, i)] = col
         by = []
@@ -1025,10 +1047,20 @@ class Translator:
         if not aggs and by:
             # `summarize by k` == distinct k
             return MeerkatTable(t.df.select(*by).distinct())
-        return t.summarize(aggs, by=by or None)
+        out = t.summarize(aggs, by=by or None)
+        for alias in star_aliases:
+            df = out.df
+            others = [c for c in df.columns if c != alias]
+            flat = [
+                F.col(f"{alias}.{f.name}").alias(f.name)
+                for f in df.schema[alias].dataType.fields
+                if f.name not in others
+            ]
+            out = MeerkatTable(df.select(*others, *flat))
+        return out
 
     def ap_count(self, t, a):
-        return t.count()
+        return t.count(a.get("alias") or "Count")
 
     def ap_distinct(self, t, a):
         return t.distinct(*a["cols"])
@@ -2393,7 +2425,10 @@ class Translator:
             # freeze the current (arbitrary) order: materialize a row id
             df = t.df.withColumn("__serial", F.monotonically_increasing_id())
             self.serialize_order = [F.col("__serial").asc()]
-            return MeerkatTable(df)
+            t = MeerkatTable(df)
+        for name, e in a.get("cols") or []:
+            # assignments see the serialized order (window funcs work)
+            t = t.extend(**{name or "Column1": _c(self.expr(e))})
         return t
 
 

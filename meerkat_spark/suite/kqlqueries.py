@@ -557,3 +557,30 @@ def kql_pred_extensions(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "kql_argmax_star",
+    oracle="""
+    SELECT event_type, event_id, user_id, value
+    FROM (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def kql_argmax_star(spark, sf_dir):
+    """arg_max(ord, *) — Kusto's whole-row argmax: a struct of every
+    column aggregated with max_by, expanded back to flat columns after
+    the groupBy (ap_summarize). event_id is unique → tie-free oracle."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """events
+               | summarize arg_max(event_id, *) by event_type
+               | project event_type, event_id, user_id, value"""
+        )
+        .to_df()
+    )

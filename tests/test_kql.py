@@ -1527,3 +1527,40 @@ def test_negated_predicates_and_in_subquery(spark):
     assert n(
         "events | where user_id !in ((customer | project c_custkey)) | count"
     ) == 0
+
+
+def test_argmax_star_serialize_assign_count_as(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    rows = (
+        eng.kql("events | summarize arg_max(event_id, *) by event_type")
+        .to_df()
+        .collect()
+    )
+    # whole-row argmax: every source column present, flattened
+    assert {"event_type", "event_id", "user_id", "value", "ts"} <= set(
+        rows[0].asDict()
+    )
+    by_type = {r.event_type: r.event_id for r in rows}
+    batch = (
+        eng.kql("events | summarize m = max(event_id) by event_type")
+        .to_df()
+        .collect()
+    )
+    assert by_type == {r.event_type: r.m for r in batch}
+
+    r = eng.kql(
+        """events | take 5 | serialize rn = row_number()
+           | summarize lo = min(rn), hi = max(rn)"""
+    ).to_df().collect()[0]
+    assert (r.lo, r.hi) == (1, 5)
+
+    n = eng.kql("events | count as n").to_df()
+    assert n.columns == ["n"]
+
+    hint = eng.kql(
+        "events | summarize hint.shufflekey = user_id c = count() by user_id"
+    ).to_df()
+    assert hint.count() == eng.kql("events | distinct user_id").to_df().count()
