@@ -764,6 +764,13 @@ class Parser:
         return OpNode("mv-apply", {"name": name, "expr": arr, "ops": ops})
 
     def op_parse(self) -> OpNode:
+        kind = "simple"
+        if self.at_ident("kind"):
+            self.next()
+            self.expect("OP", "=")
+            kind = str(self.expect("IDENT").value).lower()
+            if kind not in ("simple", "regex", "relaxed"):
+                raise KqlSyntaxError(f"parse: unknown kind {kind!r}")
         src = self.parse_expr()
         self.expect_ident("with")
         # pattern: STRING IDENT[:type] STRING IDENT[:type] ...
@@ -780,7 +787,7 @@ class Parser:
                 parts.append(("capture", (name, typ)))
             else:
                 break
-        return OpNode("parse", {"src": src, "parts": parts})
+        return OpNode("parse", {"src": src, "parts": parts, "kind": kind})
 
     def op_top_nested(self) -> OpNode:
         """top-nested N of key by [name =] agg [with others = 'label']

@@ -1397,12 +1397,21 @@ class Translator:
         captures: list[tuple[str, str]] = []
         import re as _re
 
+        mode = a.get("kind", "simple")
         for kind, val in a["parts"]:
             if kind == "lit":
-                regex_parts.append(_re.escape(val))
+                # kind=regex: literal segments ARE regular expressions
+                # (Kusto's contract); simple/relaxed escape them
+                regex_parts.append(val if mode == "regex" else _re.escape(val))
             else:
                 name, typ = val
-                pat = "(\\d+)" if typ in ("int", "long") else "(.*?)"
+                if mode == "relaxed":
+                    # relaxed: a failed typed capture nulls that column
+                    # instead of failing the whole row — capture greedily
+                    # as text, the cast below nulls misfits
+                    pat = "(.*?)"
+                else:
+                    pat = "(\\d+)" if typ in ("int", "long") else "(.*?)"
                 regex_parts.append(pat)
                 captures.append((name, typ))
         pattern = "".join(regex_parts)

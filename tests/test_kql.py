@@ -1564,3 +1564,31 @@ def test_argmax_star_serialize_assign_count_as(spark):
         "events | summarize hint.shufflekey = user_id c = count() by user_id"
     ).to_df()
     assert hint.count() == eng.kql("events | distinct user_id").to_df().count()
+
+
+def test_parse_kinds(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+
+    def one(q):
+        return eng.kql(q).to_df().collect()[0]
+
+    # kind=regex: literal segments are regexes
+    r = one(
+        "datatable(s:string) ['a-12-end']"
+        " | parse kind=regex s with '[a-z]+-' x:long '-end' | project x"
+    )
+    assert r.x == 12
+    # simple mode still escapes literals
+    r = one(
+        "datatable(s:string) ['q=7;'] | parse s with 'q=' x:long ';' | project x"
+    )
+    assert r.x == 7
+    # relaxed: a type-misfit capture nulls that column, row survives
+    r = one(
+        "datatable(s:string) ['v=abc']"
+        " | parse kind=relaxed s with 'v=' x:long | project s, x"
+    )
+    assert r.x is None and r.s == "v=abc"
