@@ -644,3 +644,65 @@ def activity_metrics_op(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "rollup_incremental",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS _rollup_day,
+           event_type,
+           COUNT(value)::BIGINT AS n,
+           ROUND(SUM(CAST(value AS DOUBLE)), 4) AS s,
+           -- avg = rounded-sum / count, UNROUNDED: the 4dp sums are
+           -- engine-identical doubles, so the IEEE division is too —
+           -- an outer ROUND would re-introduce exact-tie divergence
+           -- (engines round shortest-repr vs true binary at .5)
+           ROUND(SUM(CAST(value AS DOUBLE)), 4) / COUNT(value) AS a,
+           MIN(CAST(value AS DOUBLE)) AS mn,
+           MAX(CAST(value AS DOUBLE)) AS mx,
+           ROUND(VAR_SAMP(CAST(value AS DOUBLE)), 2) AS v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental(spark, sf_dir):
+    """Incremental rollup lifecycle (ingest/rollup.py): BUILD the
+    stored merge states from half the corpus, EXTEND with the other
+    half (only touched day partitions rewritten), QUERY the finalized
+    aggregates — must equal one direct aggregation over everything.
+    Merge states are associative, so the split is invisible modulo
+    double summation order (4dp/2dp rounding per the determinism
+    rules)."""
+    import shutil
+    import tempfile
+
+    from meerkat_spark.ingest.rollup import (
+        rollup_build,
+        rollup_extend,
+        rollup_query,
+    )
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    path = tempfile.mkdtemp(prefix="mk_rollup_") + "/store"
+    rollup_build(
+        ev.filter(F.col("event_id") % 2 == 0), path, ["event_type"], "ts", "value"
+    )
+    rollup_extend(
+        ev.filter(F.col("event_id") % 2 == 1), path, ["event_type"], "ts", "value"
+    )
+    out = rollup_query(spark, path).select(
+        # the day partition column reads back as DATE — string for the
+        # cross-engine compare
+        F.col("_rollup_day").cast("string").alias("_rollup_day"),
+        "event_type",
+        F.col("count").alias("n"),
+        F.round("sum", 4).alias("s"),
+        (F.round("sum", 4) / F.col("count")).alias("a"),
+        F.col("min").alias("mn"),
+        F.col("max").alias("mx"),
+        F.round("variance", 2).alias("v"),
+    )
+    out = out.cache()
+    out.count()  # materialize before the temp store could be cleaned
+    shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return out

@@ -101,3 +101,81 @@ def test_schema_union_numeric_widening(spark, tmp_path):
     df = read_table_with_schema_union(spark, p)
     assert dict(df.dtypes)["v"] == "double"
     assert sorted(r.v for r in df.select("v").collect()) == [2.5, 10.0]
+
+
+def test_rollup_incremental_lifecycle(spark, tmp_path):
+    """build -> extend == one-shot aggregation; extend touches only the
+    batch's day partitions; query-side day filter prunes at the scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.ingest.rollup import (
+        rollup_build,
+        rollup_extend,
+        rollup_query,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (i, "t%d" % (i % 2), "2024-01-%02d 12:00:00" % (1 + i % 3), float(i))
+            for i in range(300)
+        ],
+        "id long, k string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "rollup")
+    rollup_build(ev.filter("id < 200"), path, ["k"], "ts", "value")
+    rollup_extend(ev.filter("id >= 200"), path, ["k"], "ts", "value")
+
+    got = {
+        (r._rollup_day_s, r.k): r
+        for r in rollup_query(spark, path)
+        .withColumn("_rollup_day_s", F.col("_rollup_day").cast("string"))
+        .collect()
+    }
+    direct = {
+        (r.d, r.k): r
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"), "k"
+        )
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.var_samp("value").alias("v"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for key, d in direct.items():
+        g = got[key]
+        assert g["count"] == d.n and g["min"] == d.mn and g["max"] == d.mx
+        assert g["sum"] == pytest.approx(d.s, rel=1e-12)
+        assert g["variance"] == pytest.approx(d.v, rel=1e-9)
+
+    # a day never in any batch is untouched by extend: add one new-day
+    # batch, other day partitions' files must not be rewritten
+    before = {
+        p: os.path.getmtime(os.path.join(path, p))
+        for p in os.listdir(path)
+        if p.startswith("_rollup_day=")
+    }
+    extra = spark.createDataFrame(
+        [(999, "t0", "2024-02-01 00:00:00", 5.0)],
+        "id long, k string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rollup_extend(extra, path, ["k"], "ts", "value")
+    after = {
+        p: os.path.getmtime(os.path.join(path, p))
+        for p in os.listdir(path)
+        if p.startswith("_rollup_day=")
+    }
+    assert set(after) == set(before) | {"_rollup_day=2024-02-01"}
+    for p, t0 in before.items():
+        assert after[p] == t0  # untouched partitions not rewritten
+
+    # query with a day filter prunes partitions
+    q = rollup_query(spark, path, days=["2024-01-02"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and q.count() == 2
