@@ -150,10 +150,13 @@ def strcat_delim(delim: str, *parts) -> Column:
 
 
 def split(x, delim: str, index: int | None = None) -> Column:
-    """KQL split returns dynamic array; optional requested index."""
+    """KQL split returns dynamic array; optional requested index
+    (0-based; out-of-range or negative → null, Kusto's contract)."""
     arr = F.split(_c(x), F.lit(delim), -1)
     if index is not None:
-        return F.element_at(arr, index + 1)  # KQL index is 0-based
+        if index < 0:
+            return F.lit(None).cast("string")
+        return F.try_element_at(arr, F.lit(index + 1))
     return arr
 
 
@@ -197,10 +200,16 @@ def extract_all(pattern: str, x) -> Column:
     return F.regexp_extract_all(_c(x), F.lit(pattern), 1)
 
 
-def indexof(x, needle) -> Column:
-    """KQL indexof: 0-based, -1 if absent (Spark locate: 1-based, 0 if absent)."""
+def indexof(x, needle, start: int | None = None) -> Column:
+    """KQL indexof: 0-based, -1 if absent (Spark locate: 1-based, 0 if
+    absent); optional `start` searches from that 0-based offset."""
     needle_col = needle if isinstance(needle, Column) else F.lit(needle)
-    return (F.instr(_c(x), needle_col) - 1).cast("long")
+    if start is None:
+        return (F.instr(_c(x), needle_col) - 1).cast("long")
+    found = F.call_function(
+        "locate", needle_col, _c(x), F.lit(int(start) + 1)
+    )
+    return (found - 1).cast("long")
 
 
 def countof(x, needle: str) -> Column:
@@ -1914,3 +1923,13 @@ def beta_inv(p, a, b) -> Column:
     return _beta_kernel("inv")(
         _c(p).cast("double"), _c(a).cast("double"), _c(b).cast("double")
     )
+
+
+def toguid(x) -> Column:
+    """KQL toguid — canonical lowercase 8-4-4-4-12 GUID, null on
+    malformed input (accepts braces and uppercase)."""
+    t = F.lower(F.regexp_replace(F.trim(_c(x)), "[{}]", ""))
+    ok = t.rlike(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    )
+    return F.when(ok, t)

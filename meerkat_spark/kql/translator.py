@@ -102,7 +102,10 @@ _SCALARS: dict[str, Any] = {
     "replace_regex": lambda a: S.replace_regex(_c(a[0]), a[1], a[2]),
     "extract": lambda a: S.extract(a[0], int(a[1]), _c(a[2])),
     "extract_all": lambda a: S.extract_all(a[0], _c(a[1])),
-    "indexof": lambda a: S.indexof(_c(a[0]), a[1]),
+    "indexof": lambda a: S.indexof(
+        _c(a[0]), a[1], int(_raw(a[2])) if len(a) > 2 else None
+    ),
+    "toguid": lambda a: S.toguid(_c(a[0])),
     "countof": lambda a: S.countof(_c(a[0]), a[1]),
     "reverse": lambda a: S.reverse(_c(a[0])),
     "tostring": lambda a: S.tostring(_c(a[0])),

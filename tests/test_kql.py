@@ -1592,3 +1592,26 @@ def test_parse_kinds(spark):
         " | parse kind=relaxed s with 'v=' x:long | project s, x"
     )
     assert r.x is None and r.s == "v=abc"
+
+
+def test_split_index_indexof_start_toguid(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print sneg = split('a,b,c', ',', -1),"
+            " soob = split('a,b,c', ',', 9),"
+            " sok = split('a,b,c', ',', 1),"
+            " i2 = indexof('abcabc', 'bc', 2),"
+            " imiss = indexof('abcabc', 'bc', 5),"
+            " g = toguid('{0E318A8E-B9E9-4F0E-9A1E-1F8EA50E0AA1}'),"
+            " gbad = toguid('nope')"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.sneg is None and r.soob is None and r.sok == "b"
+    assert r.i2 == 4 and r.imiss == -1
+    assert r.g == "0e318a8e-b9e9-4f0e-9a1e-1f8ea50e0aa1" and r.gbad is None
