@@ -63,23 +63,32 @@ def now() -> Column:
     return F.current_timestamp()
 
 
-def startofday(ts) -> Column:
-    return F.date_trunc("day", _c(ts))
+def startofday(ts, offset: int = 0) -> Column:
+    base = F.date_trunc("day", _c(ts))
+    return base + F.expr(f"INTERVAL {int(offset)} DAY") if offset else base
 
 
-def startofweek(ts) -> Column:
+def startofweek(ts, offset: int = 0) -> Column:
     """KQL weeks start on Sunday; Spark date_trunc('week') is Monday.
-    Shift forward a day, truncate to Monday, shift back → Sunday-aligned."""
+    Shift forward a day, truncate to Monday, shift back → Sunday-aligned.
+    `offset` shifts by whole weeks (Kusto's optional second argument)."""
     day = F.expr("INTERVAL 1 DAY")
-    return F.date_trunc("week", _c(ts) + day) - day
+    base = F.date_trunc("week", _c(ts) + day) - day
+    return base + F.expr(f"INTERVAL {7 * int(offset)} DAY") if offset else base
 
 
-def startofmonth(ts) -> Column:
-    return F.date_trunc("month", _c(ts))
+def startofmonth(ts, offset: int = 0) -> Column:
+    base = F.date_trunc("month", _c(ts))
+    if offset:
+        base = F.add_months(base, int(offset)).cast("timestamp")
+    return base
 
 
-def startofyear(ts) -> Column:
-    return F.date_trunc("year", _c(ts))
+def startofyear(ts, offset: int = 0) -> Column:
+    base = F.date_trunc("year", _c(ts))
+    if offset:
+        base = F.add_months(base, 12 * int(offset)).cast("timestamp")
+    return base
 
 
 def datetime_add(part: str, amount, ts) -> Column:
@@ -497,29 +506,36 @@ def _end_of(ts, unit: str) -> Column:
     return start + F.expr(f"INTERVAL 1 {unit}") - F.expr("INTERVAL 1 MICROSECOND")
 
 
-def endofday(ts) -> Column:
-    return _end_of(ts, "day")
+def endofday(ts, offset: int = 0) -> Column:
+    base = _end_of(ts, "day")
+    return base + F.expr(f"INTERVAL {int(offset)} DAY") if offset else base
 
 
-def endofweek(ts) -> Column:
+def endofweek(ts, offset: int = 0) -> Column:
     """Last µs of the KQL (Sunday-based) week containing ts — defined
     off startofweek so the [startofweek, endofweek] pair brackets ONE
     week (Spark's Monday-truncated 'week' unit would bracket 8 days for
     Monday timestamps and diverge from Kusto on every non-Sunday-aligned
     day)."""
     return (
-        startofweek(ts)
+        startofweek(ts, offset)
         + F.expr("INTERVAL 7 DAY")
         - F.expr("INTERVAL 1 MICROSECOND")
     )
 
 
-def endofmonth(ts) -> Column:
-    return _end_of(ts, "month")
+def endofmonth(ts, offset: int = 0) -> Column:
+    start = startofmonth(ts, offset)
+    return F.add_months(start, 1).cast("timestamp") - F.expr(
+        "INTERVAL 1 MICROSECOND"
+    )
 
 
-def endofyear(ts) -> Column:
-    return _end_of(ts, "year")
+def endofyear(ts, offset: int = 0) -> Column:
+    start = startofyear(ts, offset)
+    return F.add_months(start, 12).cast("timestamp") - F.expr(
+        "INTERVAL 1 MICROSECOND"
+    )
 
 
 def bin_at_numeric(v, size, fixed) -> Column:
@@ -1933,3 +1949,56 @@ def toguid(x) -> Column:
         "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
     )
     return F.when(ok, t)
+
+
+def startofquarter(ts, offset: int = 0) -> Column:
+    """KQL startofquarter (+ optional quarter offset)."""
+    base = F.date_trunc("quarter", _c(ts))
+    if offset:
+        base = F.date_trunc(
+            "quarter", F.add_months(base, 3 * int(offset)).cast("timestamp")
+        )
+    return base
+
+
+def endofquarter(ts, offset: int = 0) -> Column:
+    """KQL endofquarter — last µs of the (offset-shifted) quarter."""
+    start = startofquarter(ts, offset)
+    return (
+        F.add_months(start, 3).cast("timestamp")
+        - F.expr("INTERVAL 1 MICROSECOND")
+    )
+
+
+def datetime_diff_boundaries(part: str, dt1, dt2) -> Column:
+    """KQL datetime_diff — the number of PERIOD BOUNDARIES crossed
+    between dt2 and dt1 (Kusto's calendrical semantics: one day apart
+    across New Year is year-diff 1), NOT elapsed whole periods
+    (Spark's timestamp_diff). Calendar parts difference truncated
+    period indexes; clock parts difference unit-truncated instants."""
+    p = part.strip("'\"").lower()
+    a, b = _c(dt1), _c(dt2)
+    if p == "year":
+        return (F.year(a) - F.year(b)).cast("long")
+    if p == "quarter":
+        return (
+            (F.year(a) * 4 + F.quarter(a)) - (F.year(b) * 4 + F.quarter(b))
+        ).cast("long")
+    if p == "month":
+        return (
+            (F.year(a) * 12 + F.month(a)) - (F.year(b) * 12 + F.month(b))
+        ).cast("long")
+    if p == "week":
+        # Sunday-aligned week starts (KQL weeks)
+        return (F.datediff(startofweek(a), startofweek(b)) / 7).cast("long")
+    if p == "day":
+        return F.datediff(a, b).cast("long")
+    if p in ("hour", "minute", "second"):
+        ta, tb = F.date_trunc(p, a), F.date_trunc(p, b)
+        return F.timestamp_diff(p, tb, ta).cast("long")
+    if p in ("millisecond", "microsecond"):
+        scale = 1000 if p == "millisecond" else 1
+        return ((F.unix_micros(a) // scale) - (F.unix_micros(b) // scale)).cast(
+            "long"
+        )
+    raise ValueError(f"datetime_diff: unsupported part {part!r}")

@@ -52,10 +52,24 @@ _SCALARS: dict[str, Any] = {
     "ago": lambda a: F.current_timestamp() - _interval(a[0].seconds if isinstance(a[0], _Span) else float(a[0])),
     "now": lambda a: F.current_timestamp(),
     "ingestion_time": lambda a: F.current_timestamp(),  # stamped at ingest (§2.2.5)
-    "startofday": lambda a: S.startofday(_c(a[0])),
-    "startofweek": lambda a: S.startofweek(_c(a[0])),
-    "startofmonth": lambda a: S.startofmonth(_c(a[0])),
-    "startofyear": lambda a: S.startofyear(_c(a[0])),
+    "startofquarter": lambda a: S.startofquarter(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
+    "endofquarter": lambda a: S.endofquarter(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
+    "startofday": lambda a: S.startofday(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
+    "startofweek": lambda a: S.startofweek(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
+    "startofmonth": lambda a: S.startofmonth(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
+    "startofyear": lambda a: S.startofyear(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
     "dayofweek": lambda a: S.dayofweek_timespan(_c(a[0])),
     "hourofday": lambda a: S.hourofday(_c(a[0])),
     "week_of_year": lambda a: S.week_of_year(_c(a[0])),
@@ -66,15 +80,25 @@ _SCALARS: dict[str, Any] = {
     "todatetime": lambda a: S.todatetime(_c(a[0])),
     "unixtime_seconds_todatetime": lambda a: S.unixtime_seconds_todatetime(_c(a[0])),
     "datetime_add": lambda a: S.datetime_add_col(str(a[0]), _c(a[1]), _c(a[2])),
-    "datetime_diff": lambda a: S.datetime_diff_col(str(a[0]), _c(a[1]), _c(a[2])),
+    "datetime_diff": lambda a: S.datetime_diff_boundaries(
+        str(a[0]), _c(a[1]), _c(a[2])
+    ),
     "datetime_part": lambda a: S.datetime_part(str(a[0]), _c(a[1])),
     "make_datetime": lambda a: S.make_datetime(*[_c(x) for x in a]),
     "dayofyear": lambda a: F.dayofyear(_c(a[0])),
     "monthofyear": lambda a: F.month(_c(a[0])),
-    "endofday": lambda a: S.endofday(a[0]),
-    "endofweek": lambda a: S.endofweek(a[0]),
-    "endofmonth": lambda a: S.endofmonth(a[0]),
-    "endofyear": lambda a: S.endofyear(a[0]),
+    "endofday": lambda a: S.endofday(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
+    "endofweek": lambda a: S.endofweek(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
+    "endofmonth": lambda a: S.endofmonth(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
+    "endofyear": lambda a: S.endofyear(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
+    ),
     "bin_at": lambda a: (
         S.bin_at_datetime(a[0], a[1].seconds, a[2])
         if isinstance(a[1], _Span)

@@ -1615,3 +1615,40 @@ def test_split_index_indexof_start_toguid(spark):
     assert r.sneg is None and r.soob is None and r.sok == "b"
     assert r.i2 == 4 and r.imiss == -1
     assert r.g == "0e318a8e-b9e9-4f0e-9a1e-1f8ea50e0aa1" and r.gbad is None
+
+
+def test_datetime_offsets_quarters_boundary_diff(spark):
+    import datetime as dt
+
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print sow = startofweek(datetime(2024-03-06), 1),"
+            " som = startofmonth(datetime(2024-03-06), -1),"
+            " soq = startofquarter(datetime(2024-05-15)),"
+            " eoq = endofquarter(datetime(2024-05-15)),"
+            " eom = endofmonth(datetime(2024-02-10)),"
+            " eoy = endofyear(datetime(2024-03-06), -1),"
+            " dm = datetime_diff('month', datetime(2024-03-01), datetime(2024-01-15)),"
+            " dq = datetime_diff('quarter', datetime(2024-07-01), datetime(2024-01-15)),"
+            " dy = datetime_diff('year', datetime(2017-01-01), datetime(2016-12-31)),"
+            " dw = datetime_diff('week', datetime(2024-01-08), datetime(2024-01-06)),"
+            " dd = datetime_diff('day', datetime(2024-01-02 00:01:00),"
+            "                    datetime(2024-01-01 23:59:00)),"
+            " dh = datetime_diff('hour', datetime(2024-01-01 02:01:00),"
+            "                    datetime(2024-01-01 01:59:00))"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.sow == dt.datetime(2024, 3, 10)
+    assert r.som == dt.datetime(2024, 2, 1)
+    assert r.soq == dt.datetime(2024, 4, 1)
+    assert r.eoq == dt.datetime(2024, 6, 30, 23, 59, 59, 999999)
+    assert r.eom == dt.datetime(2024, 2, 29, 23, 59, 59, 999999)  # leap
+    assert r.eoy == dt.datetime(2023, 12, 31, 23, 59, 59, 999999)
+    # Kusto counts BOUNDARIES crossed, not elapsed whole periods
+    assert (r.dm, r.dq, r.dy, r.dw, r.dd, r.dh) == (2, 2, 1, 1, 1, 1)
