@@ -375,8 +375,18 @@ def array_concat(*xs) -> Column:
 
 
 def array_slice(x, start, end) -> Column:
-    """KQL array_slice(arr, start, end) — 0-based inclusive ends."""
-    return F.slice(_c(x), _lit(start) + 1, _lit(end) - _lit(start) + 1)
+    """KQL array_slice(arr, start, end) — 0-based inclusive ends;
+    negative indexes count from the end (Kusto: -1 is the last
+    element). Inverted or fully out-of-range slices yield []."""
+    arr = _c(x)
+    n = F.size(arr)
+    s = _lit(start).cast("int")
+    e = _lit(end).cast("int")
+    s = F.when(s >= 0, s).otherwise(n + s)
+    e = F.when(e >= 0, e).otherwise(n + e)
+    s = F.greatest(s, F.lit(0))
+    length = F.greatest(e - s + 1, F.lit(0))
+    return F.slice(arr, s + 1, length)
 
 
 def array_sort_asc(x) -> Column:

@@ -1336,6 +1336,16 @@ class Parser:
             e = self.parse_expr()
             self.expect("PUNCT", ")")
             return e
+        if t.kind == "PUNCT" and t.value == "[":
+            # bare [v1, v2, …] array literal (nested dynamic arrays)
+            self.next()
+            items = []
+            while not self.at("PUNCT", "]"):
+                items.append(self.parse_expr())
+                if self.at("PUNCT", ","):
+                    self.next()
+            self.expect("PUNCT", "]")
+            return DynamicLit(items)
         if t.kind == "PUNCT" and t.value == "$":
             self.next()
             side = self.expect_ident("left", "right")

@@ -603,6 +603,14 @@ class Translator:
         if isinstance(node, P.Index):
             base = self.expr(node.base)
             idx = self.expr(node.index)
+            if self._is_array_expr(node.base):
+                # real ARRAY values index natively (0-based KQL →
+                # 1-based try_element_at; negative = from end)
+                i = int(idx)
+                return F.try_element_at(
+                    _c(base), F.lit(i + 1 if i >= 0 else i)
+                )
+            # JSON-string dynamics go through the JSON path
             return F.get_json_object(_c(base), f"$[{int(idx)}]")
         if isinstance(node, P.Unary):
             v = self.expr(node.operand, agg=agg)
@@ -647,6 +655,60 @@ class Translator:
         if isinstance(node, P.Call):
             return self.call(node, agg=agg)
         raise KqlSyntaxError(f"cannot translate {node!r}")
+
+    _ARRAY_FUNCS = {
+        "pack_array", "array_concat", "array_slice", "array_sort_asc",
+        "array_sort_desc", "array_reverse", "array_rotate_left",
+        "array_rotate_right", "array_shift_left", "array_shift_right",
+        "set_union", "set_intersect", "set_difference", "zip", "repeat",
+        "array_split", "base64_decode_toarray",
+        "unicode_codepoints_from_string", "parse_csv",
+        "ipv4_range_to_cidr_list", "series_add", "series_subtract",
+        "series_multiply", "series_divide", "series_pow", "series_abs",
+        "series_sign", "series_exp", "series_log", "series_sin",
+        "series_cos", "series_tan", "series_floor", "series_ceiling",
+        "series_greater", "series_greater_equals", "series_less",
+        "series_less_equals", "series_equals", "series_not_equals",
+        "series_fir", "series_outliers", "series_seasonal", "series_iir",
+        "series_fill_forward", "series_fill_backward",
+        "series_fill_const", "series_fill_linear",
+        "series_decompose_forecast",
+    }
+
+    def _is_array_expr(self, node) -> bool:
+        """Static shape check: does this AST node produce a real ARRAY
+        column (→ index with element_at) rather than a JSON-string
+        dynamic (→ index via JSON path)?"""
+        from pyspark.sql import types as T
+
+        if isinstance(node, P.DynamicLit):
+            return True
+        if isinstance(node, P.Call):
+            low = node.func.lower()
+            if low == "split" and len(node.args) < 3:
+                return True
+            return low in self._ARRAY_FUNCS
+        if isinstance(node, P.Ident) and self._cur_schema is not None:
+            f = {x.name: x.dataType for x in self._cur_schema.fields}.get(
+                node.name
+            )
+            return isinstance(f, T.ArrayType)
+        if isinstance(node, P.Index):
+            # arr-of-arr: indexing an array literal of array literals
+            if isinstance(node.base, P.DynamicLit):
+                return all(
+                    isinstance(i, P.DynamicLit) for i in node.base.items
+                )
+            if isinstance(node.base, P.Ident) and self._cur_schema is not None:
+                from pyspark.sql import types as T2
+
+                f = {
+                    x.name: x.dataType for x in self._cur_schema.fields
+                }.get(node.base.name)
+                return isinstance(f, T2.ArrayType) and isinstance(
+                    f.elementType, T2.ArrayType
+                )
+        return False
 
     def binary(self, node: P.Binary, agg: bool) -> Column:
         op = node.op
@@ -1133,11 +1195,32 @@ class Translator:
         else:
             conds = []
             left_keys = []
-            for k in on:
-                if isinstance(k, str):
-                    conds.append(t.df[k] == right_df[k])
-                    left_keys.append(k)
-                else:  # Binary($left.x == $right.y)
+
+            def _flat_eqs(node):
+                # `$left.a == $right.b and $left.c == $right.d` parses
+                # as one Binary('and') chain — flatten to equalities
+                if isinstance(node, P.Binary) and node.op == "and":
+                    yield from _flat_eqs(node.left)
+                    yield from _flat_eqs(node.right)
+                else:
+                    yield node
+
+            for k0 in on:
+                for k in [k0] if isinstance(k0, str) else _flat_eqs(k0):
+                    if isinstance(k, str):
+                        conds.append(t.df[k] == right_df[k])
+                        left_keys.append(k)
+                        continue
+                    if not (
+                        isinstance(k, P.Binary)
+                        and k.op == "=="
+                        and isinstance(k.left, P.Ident)
+                        and isinstance(k.right, P.Ident)
+                    ):
+                        raise KqlSyntaxError(
+                            "join on-clause supports column names and "
+                            "$left.x == $right.y equalities (and-chained)"
+                        )
                     lcol = k.left.name.split(".", 1)[1]
                     rcol = k.right.name.split(".", 1)[1]
                     conds.append(t.df[lcol] == right_df[rcol])

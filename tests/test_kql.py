@@ -1652,3 +1652,46 @@ def test_datetime_offsets_quarters_boundary_diff(spark):
     assert r.eoy == dt.datetime(2023, 12, 31, 23, 59, 59, 999999)
     # Kusto counts BOUNDARIES crossed, not elapsed whole periods
     assert (r.dm, r.dq, r.dy, r.dw, r.dd, r.dh) == (2, 2, 1, 1, 1, 1)
+
+
+def test_array_index_join_and_slice_edges(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = (
+        eng.kql(
+            "print nested = dynamic([[1,2],[3,4]])[1][0],"
+            " pk = pack_array(7, 8, 9)[1],"
+            " pneg = pack_array(7, 8, 9)[-1],"
+            " js = parse_json('[5, 6]')[1],"
+            " sneg = array_slice(pack_array(1,2,3,4,5), -2, -1),"
+            " sinv = array_slice(pack_array(1,2,3), 2, 1)"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.nested == 3 and r.pk == 8 and r.pneg == 9
+    assert r.js == "6"  # JSON-string dynamics index via JSON path
+    assert r.sneg == [4, 5] and r.sinv == []
+
+    # compound $left/$right equalities joined with `and`
+    n = (
+        eng.kql(
+            """customer
+               | join kind=inner (nation)
+                 on $left.c_nationkey == $right.n_nationkey
+                    and $left.c_custkey == $right.n_nationkey
+               | count"""
+        )
+        .to_df()
+        .collect()[0][0]
+    )
+    direct = (
+        eng.kql(
+            "customer | where c_custkey == c_nationkey | count"
+        )
+        .to_df()
+        .collect()[0][0]
+    )
+    assert n == direct
