@@ -29,16 +29,54 @@ from meerkat_spark.table import MeerkatTable
 # ---------------------------------------------------------------- scalars
 def _fn_bin(args: list[Any]) -> Column:
     x, size = args
+    if isinstance(x, _Span):
+        # bin(timespan, timespan) → a timespan (seconds floored to a
+        # multiple of the step)
+        step = size.seconds if isinstance(size, _Span) else float(size)
+        return _Span((x.seconds // step) * step)
     if isinstance(size, _Span):
         return S.bin_datetime(x, int(size.seconds))
     return S.bin_numeric(x, size)
 
 
 class _Span:
-    """Marker for timespan values flowing through translation."""
+    """Marker for timespan values flowing through translation. Supports
+    the literal arithmetic KQL allows on timespans (-5m, 2h + 30m,
+    2 * 1h, abs(-1h)) so span expressions stay spans until they meet a
+    datetime or numeric context."""
 
     def __init__(self, seconds: float):
         self.seconds = seconds
+
+    def __neg__(self):
+        return _Span(-self.seconds)
+
+    def __abs__(self):
+        return _Span(abs(self.seconds))
+
+    def __add__(self, other):
+        if isinstance(other, _Span):
+            return _Span(self.seconds + other.seconds)
+        return NotImplemented
+
+    def __sub__(self, other):
+        if isinstance(other, _Span):
+            return _Span(self.seconds - other.seconds)
+        return NotImplemented
+
+    def __mul__(self, other):
+        if isinstance(other, (int, float)):
+            return _Span(self.seconds * other)
+        return NotImplemented
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        if isinstance(other, _Span):
+            return self.seconds / other.seconds  # ratio is a number
+        if isinstance(other, (int, float)):
+            return _Span(self.seconds / other)
+        return NotImplemented
 
 
 def _interval(seconds: float) -> Column:
@@ -149,7 +187,7 @@ _SCALARS: dict[str, Any] = {
     "isnull": lambda a: _c(a[0]).isNull(),
     "isnotnull": lambda a: _c(a[0]).isNotNull(),
     # math
-    "abs": lambda a: F.abs(_c(a[0])),
+    "abs": lambda a: abs(a[0]) if isinstance(a[0], _Span) else F.abs(_c(a[0])),
     "round": lambda a: F.round(_c(a[0]), int(a[1]) if len(a) > 1 else 0),
     "ceiling": lambda a: S.ceiling(_c(a[0])),
     "exp": lambda a: F.exp(_c(a[0])),
@@ -714,6 +752,35 @@ class Translator:
         op = node.op
         le = self.expr(node.left, agg=agg)
         re = self.expr(node.right, agg=agg)
+        # timespan literal arithmetic stays python-side (_Span ops) so
+        # 2h + 30m, 2 * 1h, span/span ratios resolve before columns
+        if isinstance(le, _Span) or isinstance(re, _Span):
+            py_ops = {
+                "+": lambda a, b: a + b,
+                "-": lambda a, b: a - b,
+                "*": lambda a, b: a * b,
+                "/": lambda a, b: a / b,
+            }
+            both_py = isinstance(le, (_Span, int, float)) and isinstance(
+                re, (_Span, int, float)
+            )
+            if op in py_ops and both_py:
+                try:
+                    out = py_ops[op](le, re)
+                    if out is not NotImplemented:
+                        return out
+                except TypeError:
+                    pass
+            if op in ("==", "!=", "<", "<=", ">", ">=") and isinstance(
+                le, _Span
+            ) and isinstance(re, _Span):
+                import operator as _opmod
+
+                cmp = {
+                    "==": _opmod.eq, "!=": _opmod.ne, "<": _opmod.lt,
+                    "<=": _opmod.le, ">": _opmod.gt, ">=": _opmod.ge,
+                }[op]
+                return F.lit(cmp(le.seconds, re.seconds))
         l, r = _c(le), _c(re)
         if op == "and":
             return l & r

@@ -1695,3 +1695,31 @@ def test_array_index_join_and_slice_edges(spark):
         .collect()[0][0]
     )
     assert n == direct
+
+
+def test_timespan_literal_arithmetic(spark):
+    import datetime as dt
+
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print b = bin(150m, 1h) / 1h,"
+            " a = abs(-5m) / 1m,"
+            " s = (2h + 30m) / 30m,"
+            " m = (2 * 1h) / 1h,"
+            " cmp = 90m > 1h,"
+            " dsub = datetime(2024-01-02) - 1d,"
+            " dadd = datetime(2024-01-01) + 36h,"
+            " f = format_timespan(90m + 30s, 'hh:mm:ss')"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert (r.b, r.a, r.s, r.m) == (2.0, 5.0, 5.0, 2.0)
+    assert r.cmp is True
+    assert r.dsub == dt.datetime(2024, 1, 1)
+    assert r.dadd == dt.datetime(2024, 1, 2, 12)
+    assert r.f == "01:30:30"
