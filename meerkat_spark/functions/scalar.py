@@ -206,7 +206,26 @@ def extract(pattern: str, group: int, x) -> Column:
 
 
 def extract_all(pattern: str, x) -> Column:
-    return F.regexp_extract_all(_c(x), F.lit(pattern), 1)
+    """KQL extract_all — all matches of the regex. One capture group →
+    array of strings; MULTIPLE groups → array of per-match arrays
+    (Kusto's contract). Group count is read from the compiled pattern
+    at plan time; per-group extractions zip back together row-side."""
+    import re as _re
+
+    n_groups = _re.compile(pattern).groups
+    if n_groups == 0:
+        # no capture group: the whole match
+        return F.regexp_extract_all(_c(x), F.lit(pattern), 0)
+    if n_groups == 1:
+        return F.regexp_extract_all(_c(x), F.lit(pattern), 1)
+    per_group = [
+        F.regexp_extract_all(_c(x), F.lit(pattern), g)
+        for g in range(1, n_groups + 1)
+    ]
+    zipped = F.arrays_zip(*per_group)
+    return F.transform(
+        zipped, lambda s: F.array(*[s[str(i)] for i in range(n_groups)])
+    )
 
 
 def indexof(x, needle, start: int | None = None) -> Column:

@@ -152,7 +152,7 @@ _SCALARS: dict[str, Any] = {
     # strings
     "strlen": lambda a: S.strlen(_c(a[0])),
     "substring": lambda a: S.substring(_c(a[0]), *a[1:]),
-    "strcat": lambda a: S.strcat(*a),
+    "strcat": lambda a: S.strcat(*[_span_str(x) for x in a]),
     "strcat_delim": lambda a: S.strcat_delim(a[0], *a[1:]),
     "split": lambda a: S.split(_c(a[0]), a[1], int(a[2]) if len(a) > 2 else None),
     "tolower": lambda a: S.tolower(_c(a[0])),
@@ -537,6 +537,23 @@ def _raw(x: Any):
     """Literal python value out of a translated arg (for e.g. percentile p)."""
     if isinstance(x, Column):
         raise KqlSyntaxError("expected a literal argument")
+    return x
+
+
+def _span_str(x: Any):
+    """Timespans render as Kusto's [d.]hh:mm:ss inside string contexts
+    (strcat & friends)."""
+    if isinstance(x, _Span):
+        total = abs(x.seconds)
+        sign = "-" if x.seconds < 0 else ""
+        d, rem = divmod(int(total), 86400)
+        h, rem = divmod(rem, 3600)
+        m, sec = divmod(rem, 60)
+        frac = total - int(total)
+        body = (f"{d}." if d else "") + f"{h:02d}:{m:02d}:{sec:02d}"
+        if frac:
+            body += f"{frac:.7f}".rstrip("0")[1:]
+        return sign + body
     return x
 
 

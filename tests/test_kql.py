@@ -1723,3 +1723,25 @@ def test_timespan_literal_arithmetic(spark):
     assert r.dsub == dt.datetime(2024, 1, 1)
     assert r.dadd == dt.datetime(2024, 1, 2, 12)
     assert r.f == "01:30:30"
+
+
+def test_extract_all_groups_and_strcat_spans(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print whole = extract_all('\\\\d+', 'a1b22'),"
+            " one = extract_all('x(\\\\d)', 'x1 x2'),"
+            " multi = extract_all('(\\\\d+)-(\\\\d+)', '1-2 3-4'),"
+            " s = strcat('a', 1, 2h),"
+            " sd = strcat('t=', 26h)"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.whole == ["1", "22"]
+    assert r.one == ["1", "2"]
+    assert r.multi == [["1", "2"], ["3", "4"]]  # multi-group: per-match arrays
+    assert r.s == "a102:00:00" and r.sd == "t=1.02:00:00"
