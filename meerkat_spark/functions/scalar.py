@@ -350,13 +350,18 @@ iif = iff
 
 
 def case(*args) -> Column:
-    """KQL case(p1, v1, p2, v2, …, default)."""
+    """KQL case(p1, v1, p2, v2, …, default). Literal-bool predicates
+    (case(false, …)) are lifted to Columns."""
     if len(args) < 3 or len(args) % 2 == 0:
         raise ValueError("case needs pred/value pairs plus a default")
-    expr = F.when(args[0], _lit(args[1]))
+
+    def pred(p):
+        return F.lit(p) if isinstance(p, bool) else p
+
+    expr = F.when(pred(args[0]), _lit(args[1]))
     i = 2
     while i + 1 < len(args):
-        expr = expr.when(args[i], _lit(args[i + 1]))
+        expr = expr.when(pred(args[i]), _lit(args[i + 1]))
         i += 2
     return expr.otherwise(_lit(args[-1]))
 

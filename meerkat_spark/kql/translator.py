@@ -215,8 +215,8 @@ _SCALARS: dict[str, Any] = {
     "isnan": lambda a: F.isnan(_c(a[0])),
     "not": lambda a: ~_c(a[0]),
     # conditional
-    "iff": lambda a: F.when(a[0], _c(a[1])).otherwise(_c(a[2])),
-    "iif": lambda a: F.when(a[0], _c(a[1])).otherwise(_c(a[2])),
+    "iff": lambda a: F.when(_colify_pred(a[0]), _c(a[1])).otherwise(_c(a[2])),
+    "iif": lambda a: F.when(_colify_pred(a[0]), _c(a[1])).otherwise(_c(a[2])),
     "case": lambda a: S.case(*a),
     "coalesce": lambda a: F.coalesce(*[_c(x) for x in a]),
     "min_of": lambda a: S.min_of(*a),
@@ -886,6 +886,19 @@ class Translator:
                 if cname in fields:
                     return F.lit(spark_to_kql(fields[cname]))
             raise KqlSyntaxError("gettype() expects a single column name")
+        if name == "bin_auto":
+            # Kusto sizes bin_auto from the query_bin_auto_size query
+            # property; here that property is a let-bound scalar of the
+            # same name (number or timespan), default 1.0
+            size = self.lets.get("query_bin_auto_size", 1.0)
+            if hasattr(size, "__dataclass_fields__"):  # stored AST node
+                size = self.expr(size)
+            if not isinstance(size, (int, float, _Span)):
+                raise KqlSyntaxError(
+                    "query_bin_auto_size must be a numeric or timespan literal"
+                )
+            arg = self.expr(node.args[0], agg=False)
+            return _fn_bin([arg, size])
         if name == "toscalar":
             # scalar subquery: first column of the first row, evaluated
             # once driver-side (bounded: limit(1) collect — the Kusto
@@ -2636,7 +2649,7 @@ class Translator:
 
 
 def _colify_pred(x: Any) -> Any:
-    return x
+    return F.lit(x) if isinstance(x, bool) else x
 
 
 def _collect_idents(node: Any) -> set[str]:

@@ -1745,3 +1745,24 @@ def test_extract_all_groups_and_strcat_spans(spark):
     assert r.one == ["1", "2"]
     assert r.multi == [["1", "2"], ["3", "4"]]  # multi-group: per-match arrays
     assert r.s == "a102:00:00" and r.sd == "t=1.02:00:00"
+
+
+def test_literal_bool_preds_and_bin_auto(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+
+    def one(q):
+        return eng.kql(q).to_df().collect()[0][0]
+
+    assert one("print x = iff(true, 1, 2)") == 1
+    assert one("print x = case(false, 1, 99)") == 99
+    assert one("print b = bin_auto(7.3)") == 7.0  # default size 1.0
+    assert one("let query_bin_auto_size = 5; print b = bin_auto(13)") == 10
+    n = one(
+        "let query_bin_auto_size = 1h;"
+        " events | summarize n = count() by b = bin_auto(ts) | count"
+    )
+    m = one("events | summarize n = count() by b = bin(ts, 1h) | count")
+    assert n == m
