@@ -65,6 +65,14 @@ def load_all() -> None:
 # is round 2 (oldest-first — every window keeps rotating so no
 # query's record goes stale). Exactly 50 entries — enforced by
 # tests/test_registry.py.
+# Queries registered AFTER this window was set (the round-5 session
+# additions: series elementwise, IP ranges, special math, tz/UA, unit
+# converts, URL blocklist, graph-to-table, percentilesw,
+# diffpatterns_text, activity_metrics, parse-kv, temperature mix, span
+# dedup, classifier gate, incremental rollup, mv-expand zip, search
+# qualifier, argmax-star, predicate extensions) are judge-verifiable
+# through tests/test_oracle.py now and rotate into the round-6 window
+# head.
 _PRIORITY: list[str] = [
     # (a) never driver-graded: the r4 straggler + round-5 additions
     "scalar_string_bytes",
