@@ -686,9 +686,17 @@ class Parser:
     def op_union(self) -> OpNode:
         kind = "outer"
         withsource = None
-        while self.at_ident("kind") or self.at_ident("withsource"):
-            w = self.expect_ident("kind", "withsource")
+        isfuzzy = False
+        while (
+            self.at_ident("kind")
+            or self.at_ident("withsource")
+            or self.at_ident("isfuzzy")
+        ):
+            w = self.expect_ident("kind", "withsource", "isfuzzy")
             self.expect("OP", "=")
+            if w == "isfuzzy":
+                isfuzzy = self.expect_ident("true", "false") == "true"
+                continue
             if w == "kind":
                 kind = self.expect_ident("outer", "inner")
             else:
@@ -707,7 +715,7 @@ class Parser:
             break
         return OpNode(
             "union",
-            {"kind": kind, "tables": tables, "withsource": withsource},
+            {"kind": kind, "tables": tables, "withsource": withsource, "isfuzzy": isfuzzy},
         )
 
     def op_mv_expand(self) -> OpNode:

@@ -993,12 +993,19 @@ class Translator:
         if name == "prev":
             col = _c(self.expr(node.args[0]))
             off = int(_raw(self.expr(node.args[1]))) if len(node.args) > 1 else 1
-            return F.lag(col, off).over(w)
+            dflt = _raw(self.expr(node.args[2])) if len(node.args) > 2 else None
+            return F.lag(col, off, dflt).over(w)
         if name == "next":
             col = _c(self.expr(node.args[0]))
             off = int(_raw(self.expr(node.args[1]))) if len(node.args) > 1 else 1
-            return F.lead(col, off).over(w)
+            dflt = _raw(self.expr(node.args[2])) if len(node.args) > 2 else None
+            return F.lead(col, off, dflt).over(w)
         if name == "row_cumsum":
+            if len(node.args) > 1:
+                raise KqlSyntaxError(
+                    "row_cumsum with a restart term is only supported as a "
+                    "direct `extend name = row_cumsum(x, restart)` column"
+                )
             col = _c(self.expr(node.args[0]))
             return F.sum(col).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         if name == "row_rank_min":
@@ -1043,11 +1050,24 @@ class Translator:
         if node.name == "table":
             return self.table(node.args["name"])
         if node.name == "range":
-            lo = int(_raw(self.expr(node.args["from"])))
-            hi = int(_raw(self.expr(node.args["to"])))
-            step = int(_raw(self.expr(node.args["step"])))
-            df = self.engine.spark.range(lo, hi + 1, step).select(
-                F.col("id").alias(node.args["var"])
+            lo = self.expr(node.args["from"])
+            hi = self.expr(node.args["to"])
+            step = self.expr(node.args["step"])
+            var = node.args["var"]
+            if isinstance(step, _Span):
+                # datetime axis: sequence + explode (inclusive ends)
+                df = self.engine.spark.range(1).select(
+                    F.explode(
+                        F.sequence(
+                            _c(lo), _c(hi),
+                            F.expr(f"INTERVAL {int(step.seconds)} SECOND"),
+                        )
+                    ).alias(var)
+                )
+                return MeerkatTable(df)
+            lo_i, hi_i, st_i = int(_raw(lo)), int(_raw(hi)), int(_raw(step))
+            df = self.engine.spark.range(lo_i, hi_i + 1, st_i).select(
+                F.col("id").alias(var)
             )
             return MeerkatTable(df)
         if node.name == "print":
@@ -1069,6 +1089,7 @@ class Translator:
                 "kind": node.args["kind"],
                 "tables": tabs[1:],
                 "withsource": node.args.get("withsource"),
+                "isfuzzy": node.args.get("isfuzzy", False),
                 "base_name": first if isinstance(first, str) else "union_arg_0",
             }
             if tabs[1:]:
@@ -1185,10 +1206,44 @@ class Translator:
         return MeerkatTable(t.df.select(*cols))
 
     def ap_extend(self, t, a):
+        from pyspark.sql import Window as W
+
         named = {}
         for i, (name, e) in enumerate(a["cols"]):
-            named[name or f"Column{i+1}"] = _c(self.expr(e))
-        return t.extend(**named)
+            out_name = name or f"Column{i+1}"
+            if (
+                isinstance(e, P.Call)
+                and e.func.lower() == "row_cumsum"
+                and len(e.args) == 2
+            ):
+                # row_cumsum(x, restart): Spark forbids nesting window
+                # functions, so the restart form expands to two window
+                # passes — segment id = running count of restarts, then
+                # a per-segment cumulative sum on the serialize order
+                if not self.serialize_order:
+                    raise KqlSyntaxError(
+                        "row_cumsum() requires a serialized table"
+                    )
+                w = W.orderBy(*self.serialize_order).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+                restart = _colify_pred(self.expr(e.args[1]))
+                seg = F.sum(
+                    F.when(_c(restart).cast("boolean"), 1).otherwise(0)
+                ).over(w)
+                df = t.df.withColumn("__cs_seg", seg)
+                w2 = (
+                    W.partitionBy("__cs_seg")
+                    .orderBy(*self.serialize_order)
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                col = F.sum(_c(self.expr(e.args[0]))).over(w2)
+                t = MeerkatTable(
+                    df.withColumn(out_name, col).drop("__cs_seg")
+                )
+                continue
+            named[out_name] = _c(self.expr(e))
+        return t.extend(**named) if named else t
 
     def ap_project_away(self, t, a):
         return t.project_away(*a["patterns"])
@@ -1356,10 +1411,20 @@ class Translator:
                     if tab.source.name == "table"
                     else f"union_arg_{i + 1}"
                 )
-                others.append(self.pipeline(tab))
+                try:
+                    others.append(self.pipeline(tab))
+                except Exception:
+                    if not a.get("isfuzzy"):
+                        raise
+                    continue  # isfuzzy=true: unresolvable legs drop out
             else:
                 nm = str(tab)
-                others.append(self.table(tab).df)
+                try:
+                    others.append(self.table(tab).df)
+                except Exception:
+                    if not a.get("isfuzzy"):
+                        raise
+                    continue
             names.append(nm)
         ws = a.get("withsource")
         if ws:

@@ -1766,3 +1766,52 @@ def test_literal_bool_preds_and_bin_auto(spark):
     )
     m = one("events | summarize n = count() by b = bin(ts, 1h) | count")
     assert n == m
+
+
+def test_union_isfuzzy_range_dt_cumsum_restart(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+
+    def one(q):
+        return eng.kql(q).to_df().collect()[0][0]
+
+    n_nation = one("nation | count")
+    assert one("union isfuzzy=true nation, no_such_table | count") == n_nation
+    assert one("nation | union isfuzzy=true no_such_table | count") == n_nation
+    with pytest.raises(Exception):
+        one("union nation, no_such_table | count")
+
+    # datetime range source with timespan step (inclusive ends)
+    assert one(
+        "range t from datetime(2024-01-01) to datetime(2024-01-02)"
+        " step 6h | count"
+    ) == 5
+
+    # row_cumsum with a restart term resets per segment
+    rows = [
+        tuple(r)
+        for r in eng.kql(
+            """datatable(g:long, v:long) [1,10, 1,20, 2,5, 2,7]
+               | serialize
+               | extend cs = row_cumsum(v, g != prev(g, 1, 1))
+               | project cs"""
+        )
+        .to_df()
+        .collect()
+    ]
+    assert rows == [(10,), (30,), (5,), (12,)]
+
+    # prev/next defaults fill the edges
+    rows = [
+        tuple(r)
+        for r in eng.kql(
+            """datatable(v:long) [7, 8] | serialize
+               | extend p = prev(v, 1, 0), n = next(v, 1, -1)
+               | project p, n"""
+        )
+        .to_df()
+        .collect()
+    ]
+    assert rows == [(0, 8), (7, -1)]
