@@ -250,7 +250,9 @@ def reverse(x) -> Column:
 
 
 def tostring(x) -> Column:
-    return _c(x).cast("string")
+    """KQL tostring — null renders as '' (Kusto's contract; KQL strings
+    have no null, only empty)."""
+    return F.coalesce(_c(x).cast("string"), F.lit(""))
 
 
 def base64_encode_tostring(x) -> Column:
@@ -448,8 +450,17 @@ def array_sort_desc(x) -> Column:
     return F.sort_array(_c(x), asc=False)
 
 
-def array_index_of(x, v) -> Column:
-    """KQL 0-based, -1 if missing (Spark array_position is 1-based, 0 if missing)."""
+def array_index_of(x, v, start: int = 0) -> Column:
+    """KQL 0-based, -1 if missing (Spark array_position is 1-based, 0
+    if missing); optional `start` searches from that index (the found
+    position stays relative to the FULL array, Kusto's contract)."""
+    if start:
+        arr = _c(x)
+        tail_pos = F.array_position(
+            F.slice(arr, int(start) + 1, F.greatest(F.size(arr) - int(start), F.lit(0))),
+            _lit(v),
+        ).cast("long")
+        return F.when(tail_pos > 0, tail_pos - 1 + int(start)).otherwise(-1)
     return F.array_position(_c(x), _lit(v)).cast("long") - 1
 
 

@@ -27,6 +27,7 @@ _OPS = [
     "!hasprefix_cs", "!hassuffix_cs", "!hasprefix", "!hassuffix",
     "!has_cs", "!has", "!contains_cs", "!contains",
     "!startswith_cs", "!startswith", "!endswith_cs", "!endswith",
+    "!between",
     "..", "=>", "<", ">",
     "+", "-", "*", "/", "%", "=",
 ]

@@ -1208,6 +1208,14 @@ class Parser:
         if t.kind == "OP" and t.value in ("!in", "!in~"):
             self.next()
             return self._parse_in(left, negated=True, ci=str(t.value).endswith("~"))
+        if t.kind == "OP" and t.value == "!between":
+            self.next()
+            self.expect("PUNCT", "(")
+            low = self.parse_expr()
+            self.expect("OP", "..")
+            high = self.parse_expr()
+            self.expect("PUNCT", ")")
+            return Unary("not", Between(left, low, high))
         if (
             t.kind == "OP"
             and str(t.value).startswith("!")

@@ -447,7 +447,9 @@ _SCALARS: dict[str, Any] = {
     "repeat": lambda a: S.repeat_value(_c(a[0]), a[1]),
     "array_sort_asc": lambda a: S.array_sort_asc(a[0]),
     "array_sort_desc": lambda a: S.array_sort_desc(a[0]),
-    "array_index_of": lambda a: S.array_index_of(a[0], a[1]),
+    "array_index_of": lambda a: S.array_index_of(
+        a[0], a[1], int(_raw(a[2])) if len(a) > 2 else 0
+    ),
     "array_reverse": lambda a: F.reverse(_c(a[0])),
     "array_rotate_left": lambda a: S.array_rotate_left(a[0], _c(a[1])),
     "array_rotate_right": lambda a: S.array_rotate_right(a[0], _c(a[1])),
@@ -1277,6 +1279,19 @@ class Translator:
                 fn = F.max_by if e.func.lower() == "arg_max" else F.min_by
                 alias = name or f"__star{i}"
                 aggs[alias] = fn(row, ordc)
+                star_aliases.append(alias)
+                continue
+            if (
+                isinstance(e, P.Call)
+                and e.func.lower() in ("take_any", "any")
+                and len(e.args) == 1
+                and isinstance(e.args[0], P.Ident)
+                and e.args[0].name == "*"
+            ):
+                # take_any(*): one whole surviving row
+                row = F.struct(*[F.col(c) for c in t.df.columns])
+                alias = name or f"__star{i}"
+                aggs[alias] = F.any_value(row, ignoreNulls=True)
                 star_aliases.append(alias)
                 continue
             col = _c(self.expr(e, agg=True))

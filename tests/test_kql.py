@@ -1815,3 +1815,31 @@ def test_union_isfuzzy_range_dt_cumsum_restart(spark):
         .collect()
     ]
     assert rows == [(0, 8), (7, -1)]
+
+
+def test_array_index_start_notbetween_takeany_star_tostring(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = (
+        eng.kql(
+            "print i2 = array_index_of(pack_array(1,2,3,2), 2, 2),"
+            " i0 = array_index_of(pack_array(1,2,3,2), 2),"
+            " imiss = array_index_of(pack_array(1,2), 9, 1),"
+            " snull = tostring(long(null)),"
+            " snum = tostring(42)"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert (r.i2, r.i0, r.imiss) == (3, 1, -1)
+    assert r.snull == "" and r.snum == "42"
+
+    inside = eng.kql("events | where value between (10 .. 20) | count").to_df().collect()[0][0]
+    outside = eng.kql("events | where value !between (10 .. 20) | count").to_df().collect()[0][0]
+    total = eng.kql("events | where isnotempty(value) | count").to_df().collect()[0][0]
+    assert inside + outside == total
+
+    row = eng.kql("events | summarize take_any(*)").to_df().collect()
+    assert len(row) == 1 and "event_id" in row[0].asDict()
