@@ -951,3 +951,51 @@ def scalar_unit_convert(spark, sf_dir):
         S.convert_temperature(x, "DegreeFahrenheit", "Kelvin").alias("f_k"),
         S.convert_temperature(x, "DegreeCelsius", "DegreeFahrenheit").alias("c_f"),
     )
+
+
+@register(
+    "scalar_datetime_r5",
+    oracle="""
+    SELECT event_id,
+           date_trunc('quarter', ts) AS soq,
+           date_trunc('quarter', ts) + INTERVAL 3 MONTH
+             - INTERVAL 1 MICROSECOND AS eoq,
+           date_trunc('month', ts) + INTERVAL 1 MONTH AS som_next,
+           date_trunc('year', ts) + INTERVAL 24 MONTH
+             - INTERVAL 1 MICROSECOND AS eoy_next,
+           CAST((year(ts) * 12 + month(ts))
+                - (2024 * 12 + 1) AS BIGINT) AS months_since,
+           CAST((year(ts) * 4 + quarter(ts)) - (2024 * 4 + 1) AS BIGINT)
+             AS quarters_since,
+           CAST(year(ts) - 2023 AS BIGINT) AS years_since,
+           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS days_since
+    FROM events WHERE event_id < 1500
+    """,
+)
+def scalar_datetime_r5(spark, sf_dir):
+    """r5 datetime semantics: startofquarter/endofquarter, period
+    offsets on startofmonth/endofyear, and datetime_diff's calendrical
+    boundary-crossing counts (months/quarters/years/days since fixed
+    anchors — the oracle differences truncated period indexes the same
+    way)."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """events | where event_id < 1500
+               | project event_id,
+                         soq = startofquarter(ts),
+                         eoq = endofquarter(ts),
+                         som_next = startofmonth(ts, 1),
+                         eoy_next = endofyear(ts, 1),
+                         months_since = datetime_diff('month', ts,
+                                                      datetime(2024-01-15)),
+                         quarters_since = datetime_diff('quarter', ts,
+                                                        datetime(2024-01-15)),
+                         years_since = datetime_diff('year', ts,
+                                                     datetime(2023-06-01)),
+                         days_since = datetime_diff('day', ts,
+                                                    datetime(2024-01-01))"""
+        )
+        .to_df()
+    )
