@@ -83,3 +83,40 @@ def media_metadata_agg(spark, sf_dir):
         )
         .orderBy("mime")
     )
+
+
+@register("media_cdc_dedup", oracle=None)
+def media_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking over binary payloads (multimodal/
+    cdc.py): gear-hash boundaries make shared byte ranges produce
+    identical chunks at ANY offset; one chunk-hash aggregation yields
+    the dedup potential. Chunk hashes are xxhash64 → rows-only;
+    offset-invariance and determinism are pytest-pinned. The fixture
+    duplicates every 4th payload with a shifted prefix so real sharing
+    exists (chunk sizes scaled to the 256-byte fixture payloads)."""
+    from meerkat_spark.multimodal.cdc import cdc_chunks, cdc_dedup_stats
+
+    media = synthesize_media_table(spark, n=64)
+    shifted = (
+        media.filter(F.col("media_id") % 4 == 0)
+        .select(
+            (F.col("media_id") + 1000).alias("media_id"),
+            F.concat(
+                F.expr("CAST('prefixbytes' AS BINARY)"), F.col("payload")
+            ).alias("payload"),
+        )
+    )
+    corpus = media.select("media_id", "payload").unionByName(shifted)
+    chunks = cdc_chunks(corpus, min_size=16, avg_size=64, max_size=128)
+    stats = cdc_dedup_stats(chunks)
+    per_blob = (
+        chunks.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("length").alias("n_bytes"),
+        )
+        .orderBy("media_id")
+    )
+    return per_blob.crossJoin(
+        F.broadcast(stats.select("dedup_ratio", "distinct_chunks"))
+    )

@@ -70,3 +70,42 @@ def test_metadata_agg_prunes_payload(spark, tmp_path):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "payload" not in read_schema
     assert "mime" in read_schema
+
+
+def test_cdc_chunking_offset_invariant_dedup(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.multimodal.cdc import cdc_chunks, cdc_dedup_stats
+
+    rnd = random.Random(7)
+    shared = bytes(rnd.randrange(256) for _ in range(40000))
+    a = bytes(rnd.randrange(256) for _ in range(5000)) + shared
+    b = bytes(rnd.randrange(256) for _ in range(12345)) + shared  # shifted
+    c = bytes(rnd.randrange(256) for _ in range(30000))
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(c))],
+        "media_id long, payload binary",
+    )
+    ch = cdc_chunks(df, min_size=512, avg_size=2048, max_size=8192).cache()
+    # offsets partition each blob exactly
+    lens = {
+        r.media_id: r.s
+        for r in ch.groupBy("media_id").agg(F.sum("length").alias("s")).collect()
+    }
+    assert lens == {1: len(a), 2: len(b), 3: len(c)}
+    h = {
+        m: {r.chunk_hash for r in ch.filter(F.col("media_id") == m).collect()}
+        for m in (1, 2, 3)
+    }
+    # the shared segment yields common chunks despite different offsets
+    assert len(h[1] & h[2]) >= 5
+    # unrelated blobs share nothing
+    assert not (h[1] & h[3]) and not (h[2] & h[3])
+    stats = cdc_dedup_stats(ch).collect()[0]
+    assert stats.total_chunks > stats.distinct_chunks
+    assert 0.15 < stats.dedup_ratio < 0.5
+    # deterministic across invocations
+    again = cdc_chunks(df, min_size=512, avg_size=2048, max_size=8192)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, ch.collect()))
