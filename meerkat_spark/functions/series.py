@@ -627,3 +627,73 @@ def series_seasonal(col: Column, period: int = -1) -> Column:
         return pd.Series(out)
 
     return seasonal(_acol(col))
+
+
+def series_fit_poly(col: Column, degree: int = 1) -> Column:
+    """KQL series_fit_poly — least-squares polynomial fit per series →
+    struct (rsquare, coefficients) with coefficients ordered from the
+    highest power down (Kusto's order; x axis = 0..n−1). Deterministic
+    numpy per row, row-local."""
+    deg = int(degree)
+
+    @F.pandas_udf("rsquare double, coefficients array<double>")
+    def fitp(series: pd.Series) -> pd.DataFrame:
+        r2s, coefs = [], []
+        for arr in series:
+            if arr is None or len(arr) <= deg:
+                r2s.append(None)
+                coefs.append(None)
+                continue
+            y = np.asarray(arr, dtype=np.float64)
+            x = np.arange(len(y), dtype=np.float64)
+            c = np.polyfit(x, y, deg)
+            pred = np.polyval(c, x)
+            ss_res = float(((y - pred) ** 2).sum())
+            ss_tot = float(((y - y.mean()) ** 2).sum())
+            r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0
+            r2s.append(round(r2, 6))
+            coefs.append([round(float(v), 6) for v in c])
+        return pd.DataFrame({"rsquare": r2s, "coefficients": coefs})
+
+    return fitp(_acol(col))
+
+
+def series_fft(col: Column) -> Column:
+    """KQL series_fft — discrete Fourier transform of a real series →
+    struct (real, imag) arrays. numpy FFT per row (row-local)."""
+
+    @F.pandas_udf("real array<double>, imag array<double>")
+    def fft(series: pd.Series) -> pd.DataFrame:
+        res, ims = [], []
+        for arr in series:
+            if arr is None or len(arr) == 0:
+                res.append([])
+                ims.append([])
+                continue
+            z = np.fft.fft(np.asarray(arr, dtype=np.float64))
+            res.append(z.real.round(9).tolist())
+            ims.append(z.imag.round(9).tolist())
+        return pd.DataFrame({"real": res, "imag": ims})
+
+    return fft(_acol(col))
+
+
+def series_ifft(real_col, imag_col) -> Column:
+    """KQL series_ifft — inverse DFT from (real, imag) arrays back to
+    the real series (imaginary residue discarded after rounding, the
+    roundtrip contract series_fft(series_ifft(x)) ≈ x)."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def ifft(re: pd.Series, im: pd.Series) -> pd.Series:
+        out = []
+        for r, i in zip(re, im):
+            if r is None or len(r) == 0:
+                out.append([])
+                continue
+            z = np.asarray(r, dtype=np.float64) + 1j * np.asarray(
+                i if i is not None else np.zeros(len(r)), dtype=np.float64
+            )
+            out.append(np.fft.ifft(z).real.round(9).tolist())
+        return pd.Series(out)
+
+    return ifft(_acol(real_col), _acol(imag_col))

@@ -243,6 +243,11 @@ _SCALARS: dict[str, Any] = {
     ),
     "series_fit_line": lambda a: SER.series_fit_line(_c(a[0])),
     "series_fit_2lines": lambda a: SER.series_fit_2lines(_c(a[0])),
+    "series_fit_poly": lambda a: SER.series_fit_poly(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 1
+    ),
+    "series_fft": lambda a: SER.series_fft(_c(a[0])),
+    "series_ifft": lambda a: SER.series_ifft(_c(a[0]), _c(a[1])),
     "series_decompose": lambda a: SER.series_decompose(_c(a[0]), int(_raw(a[1]))),
     "series_periods_detect": lambda a: SER.series_periods_detect(
         _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0

@@ -317,3 +317,28 @@ def test_series_elementwise_kql(spark):
     assert r.gt == [False, True]
     assert r.seas == [3.0, 4.0]
     assert r.sm == [3.0, 7.0]
+
+
+def test_series_fit_poly_and_fft(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            """print s = pack_array(1.0, 4.0, 9.0, 16.0, 25.0)
+               | extend p = series_fit_poly(s, 2), l = series_fit_poly(s)
+               | extend f = series_fft(s)
+               | extend back = series_ifft(f.real, f.imag)
+               | project r2 = p.rsquare, c = p.coefficients,
+                         lr2 = l.rsquare, back"""
+        )
+        .to_df()
+        .collect()[0]
+    )
+    # (x+1)^2 fits degree 2 exactly: coefficients [1, 2, 1] high->low
+    assert r.r2 == pytest.approx(1.0)
+    assert r.c == pytest.approx([1.0, 2.0, 1.0], abs=1e-6)
+    assert r.lr2 < 1.0  # a line can't fit the parabola exactly
+    # fft -> ifft roundtrips the series
+    assert r.back == pytest.approx([1.0, 4.0, 9.0, 16.0, 25.0], abs=1e-6)
