@@ -1019,3 +1019,22 @@ def classifier_quality_gate(spark, sf_dir):
     return out.select(
         "doc_id", F.round("score", 6).alias("score"), F.round("prob", 6).alias("prob")
     )
+
+
+@register("sentence_chunking", oracle=None)
+def sentence_chunking(spark, sf_dir):
+    """Sentence-aware chunking (text/chunk.py chunk_by_sentences):
+    regex sentence segmentation + greedy row-local packing to a token
+    budget (one array fold — no shuffle until the per-doc regroup).
+    The lookbehind split regex is not RE2-expressible → rows-only;
+    packing invariants (budget, order-preserving reassembly) are
+    pytest-pinned."""
+    docs = MeerkatEngine(spark, sf_dir).table("documents").to_df()
+    from meerkat_spark.text.chunk import chunk_by_sentences
+
+    out = chunk_by_sentences(docs, max_tokens=64)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk_text", "\\s+")).cast("long").alias("n_tokens"),
+    )

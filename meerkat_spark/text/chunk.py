@@ -12,7 +12,7 @@ only its own chunk text, never the full document.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from meerkat_spark.text.analysis import tokens
@@ -88,4 +88,82 @@ def pack_chunks(
         "*",
         F.floor(start / budget).cast("long").alias("pack_id"),
         (start - F.floor(start / budget) * budget).cast("long").alias("pack_offset"),
+    )
+
+
+_SENTENCE_SPLIT_RE = r"(?<=[.!?])\s+(?=[A-Z0-9\"'])"
+
+
+def split_sentences(text) -> "Column":
+    """Sentence segmentation: split after terminal punctuation followed
+    by whitespace and an upper/digit/quote opener — the standard
+    regex heuristic (no model); one JVM split, row-local. Returns the
+    array of sentences with surrounding whitespace trimmed."""
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.filter(
+        F.transform(F.split(c, _SENTENCE_SPLIT_RE), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 256,
+) -> DataFrame:
+    """Sentence-aware chunking: greedily pack consecutive sentences
+    into chunks of <= max_tokens whitespace tokens (one sentence never
+    splits — a chunk may exceed the budget only when a single sentence
+    does). Row-local: the greedy pack is an array fold over the
+    sentence list; chunks explode with their index. The token-window
+    chunker (chunk_documents) remains the exact-budget alternative."""
+    sents = split_sentences(F.col(text_col))
+    counts = F.transform(sents, lambda s: F.size(F.split(s, "\\s+")))
+    # fold to chunk ids: running token count, reset when adding the
+    # sentence would exceed the budget
+    packed = F.aggregate(
+        F.zip_with(
+            sents, counts, lambda s, n: F.struct(s.alias("s"), n.alias("n"))
+        ),
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("cid"),
+            F.array().cast("array<struct<cid:int,s:string>>").alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(acc["run"] + x["n"] > max_tokens, x["n"])
+            .otherwise(acc["run"] + x["n"])
+            .alias("run"),
+            F.when(
+                (acc["run"] + x["n"] > max_tokens) & (acc["run"] > 0),
+                acc["cid"] + 1,
+            )
+            .otherwise(acc["cid"])
+            .alias("cid"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        F.when(
+                            (acc["run"] + x["n"] > max_tokens)
+                            & (acc["run"] > 0),
+                            acc["cid"] + 1,
+                        )
+                        .otherwise(acc["cid"])
+                        .cast("int")
+                        .alias("cid"),
+                        x["s"].alias("s"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(packed).alias("x")
+    ).select(id_col, F.col("x.cid").alias("chunk_id"), F.col("x.s").alias("s"))
+    return (
+        exploded.groupBy(id_col, "chunk_id")
+        .agg(F.concat_ws(" ", F.collect_list("s")).alias("chunk_text"))
     )
