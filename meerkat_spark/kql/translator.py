@@ -450,6 +450,26 @@ _SCALARS: dict[str, Any] = {
         str(_raw(a[1])) if len(a) > 1 else "hh:mm:ss",
     ),
     "repeat": lambda a: S.repeat_value(_c(a[0]), a[1]),
+    # range() SCALAR (array of start..stop by step, inclusive) — numeric
+    # or datetime+timespan; distinct from the `range` table source
+    "range": lambda a: F.sequence(
+        _c(a[0]),
+        _c(a[1]),
+        F.expr(f"INTERVAL {int(a[2].seconds)} SECOND")
+        if len(a) > 2 and isinstance(a[2], _Span)
+        else (_c(a[2]) if len(a) > 2 else F.lit(1)),
+    ),
+    # around(x, center, delta): |x - center| <= delta; a timespan delta
+    # implies datetime operands (microsecond arithmetic)
+    "around": lambda a: (
+        F.abs(
+            F.unix_micros(_c(a[0]).cast("timestamp"))
+            - F.unix_micros(_c(a[1]).cast("timestamp"))
+        )
+        <= F.lit(int(a[2].seconds * 1_000_000))
+        if isinstance(a[2], _Span)
+        else F.abs(_c(a[0]) - _c(a[1])) <= _c(a[2])
+    ),
     "array_sort_asc": lambda a: S.array_sort_asc(a[0]),
     "array_sort_desc": lambda a: S.array_sort_desc(a[0]),
     "array_index_of": lambda a: S.array_index_of(

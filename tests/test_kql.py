@@ -1843,3 +1843,25 @@ def test_array_index_start_notbetween_takeany_star_tostring(spark):
 
     row = eng.kql("events | summarize take_any(*)").to_df().collect()
     assert len(row) == 1 and "event_id" in row[0].asDict()
+
+
+def test_range_scalar_and_around(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print r = range(1, 7, 2),"
+            " rd = range(1, 3),"
+            " rt = array_length(range(datetime(2024-01-01),"
+            "                         datetime(2024-01-03), 1d)),"
+            " a1 = around(104, 100, 5),"
+            " a2 = around(106, 100, 5),"
+            " a3 = around(datetime(2024-01-01 00:00:30), datetime(2024-01-01), 1m)"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.r == [1, 3, 5, 7] and r.rd == [1, 2, 3] and r.rt == 3
+    assert r.a1 is True and r.a2 is False and r.a3 is True
