@@ -110,9 +110,15 @@ def todatetime(x) -> Column:
 
 
 def format_datetime(ts, fmt: str) -> Column:
-    """KQL format_datetime — KQL format tokens map closely to JVM
-    SimpleDateFormat used by date_format (yyyy, MM, dd, HH, mm, ss)."""
-    return F.date_format(_c(ts), fmt)
+    """KQL format_datetime — KQL tokens map to the JVM pattern letters
+    used by date_format; the divergent ones are rewritten here:
+    f/ff/fff (fractional seconds) → S/SS/SSS and tt (AM/PM) → a."""
+    import re as _re
+
+    jvm = _re.sub(
+        "f+", lambda m: "S" * len(m.group(0)), fmt.replace("tt", "a")
+    )
+    return F.date_format(_c(ts), jvm)
 
 
 def dayofweek_timespan(ts) -> Column:

@@ -523,8 +523,16 @@ _AGGS: dict[str, Any] = {
     "stdevp": lambda a: A.stdevp(a[0]),
     "variance": lambda a: A.variance(a[0]),
     "variancep": lambda a: A.variancep(a[0]),
-    "make_list": lambda a: A.make_list(a[0]),
-    "make_set": lambda a: A.make_set(a[0]),
+    "make_list": lambda a: (
+        F.slice(A.make_list(a[0]), 1, int(_raw(a[1])))
+        if len(a) > 1
+        else A.make_list(a[0])
+    ),
+    "make_set": lambda a: (
+        F.slice(A.make_set(a[0]), 1, int(_raw(a[1])))
+        if len(a) > 1
+        else A.make_set(a[0])
+    ),
     "make_list_if": lambda a: A.make_list_if(a[0], a[1]),
     "make_set_if": lambda a: A.make_set_if(a[0], a[1]),
     "make_bag": lambda a: A.make_bag(a[0], a[1]),
@@ -861,8 +869,14 @@ class Translator:
         if op == "%":
             return l % r
         if op in ("has", "has_cs"):
+            # Kusto string operators coerce a dynamic operand to its
+            # JSON text; array-shaped left sides render via to_json
+            if self._is_array_expr(node.left):
+                l = F.to_json(l)
             return S.has_term(l, str(_raw(re)), case_insensitive=(op == "has"))
         if op in ("contains", "contains_cs"):
+            if self._is_array_expr(node.left):
+                l = F.to_json(l)
             if op == "contains":
                 return F.lower(l).contains(str(_raw(re)).lower())
             return l.contains(str(_raw(re)))

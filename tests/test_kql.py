@@ -1865,3 +1865,33 @@ def test_range_scalar_and_around(spark):
     )
     assert r.r == [1, 3, 5, 7] and r.rd == [1, 2, 3] and r.rt == 3
     assert r.a1 is True and r.a2 is False and r.a3 is True
+
+
+def test_format_tokens_agg_caps_dynamic_strops(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = (
+        eng.kql(
+            "print f3 = format_datetime(datetime(2024-01-02 03:04:05.678),"
+            " 'yyyy-MM-dd HH:mm:ss.fff'),"
+            " ampm = format_datetime(datetime(2024-01-02 15:04:05), 'hh:mm tt'),"
+            " hd = pack_array('abc', 'def') has 'abc',"
+            " hm = pack_array('abc', 'def') has 'ab',"
+            " cd = pack_array('abc') contains 'ab'"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.f3 == "2024-01-02 03:04:05.678"
+    assert r.ampm == "03:04 PM"
+    assert r.hd is True and r.hm is False  # has stays whole-term
+    assert r.cd is True
+    caps = eng.kql(
+        """events | summarize s = make_set(user_id, 3),
+                             l = make_list(event_id, 4) by event_type
+           | project ns = array_length(s), nl = array_length(l)
+           | summarize ms = max(ns), ml = max(nl)"""
+    ).to_df().collect()[0]
+    assert (caps.ms, caps.ml) == (3, 4)
