@@ -489,8 +489,13 @@ def pack_array(*xs) -> Column:
     return F.array(*[_lit(x) if not isinstance(x, Column) else x for x in xs])
 
 
-def zip_arrays(a, b) -> Column:
-    return F.arrays_zip(_c(a), _c(b))
+def zip_arrays(*arrays) -> Column:
+    """KQL zip — variadic pairwise zip. Spark's struct-element shape
+    (fields '0', '1', …) stands in for Kusto's inner arrays, which
+    would need a common element type (documented delta)."""
+    if len(arrays) < 2:
+        raise ValueError("zip needs at least two arrays")
+    return F.arrays_zip(*[_c(a) for a in arrays])
 
 
 def array_sum(x) -> Column:

@@ -489,7 +489,7 @@ _SCALARS: dict[str, Any] = {
     "pack": lambda a: S.pack(*a),
     "bag_pack": lambda a: S.pack(*a),
     "bag_keys": lambda a: S.bag_keys(a[0]),
-    "zip": lambda a: S.zip_arrays(a[0], a[1]),
+    "zip": lambda a: S.zip_arrays(*a),
     "array_sum": lambda a: S.array_sum(a[0]),
     "array_avg": lambda a: S.array_avg(a[0]),
     "parse_json": lambda a: _c(a[0]),  # dynamic is a JSON string (types.py)
@@ -962,11 +962,14 @@ class Translator:
         if name == "column_ifexists":
             # schema-resolved: the column when it exists, else the
             # default expression (Kusto's optional-column idiom)
-            if len(node.args) != 2 or not isinstance(node.args[0], P.Ident):
+            if len(node.args) != 2 or not isinstance(
+                node.args[0], (P.Ident, P.Lit)
+            ):
                 raise KqlSyntaxError(
                     "column_ifexists(column, default) expects a column name"
                 )
-            cname = node.args[0].name
+            arg0 = node.args[0]
+            cname = arg0.name if isinstance(arg0, P.Ident) else str(arg0.value)
             have = (
                 {f.name for f in self._cur_schema.fields}
                 if self._cur_schema is not None

@@ -1895,3 +1895,29 @@ def test_format_tokens_agg_caps_dynamic_strops(spark):
            | summarize ms = max(ns), ml = max(nl)"""
     ).to_df().collect()[0]
     assert (caps.ms, caps.ml) == (3, 4)
+
+
+def test_zip_variadic_and_column_ifexists_string(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    assert (
+        eng.kql(
+            "print n = array_length(zip(pack_array(1,2), pack_array(3,4),"
+            " pack_array(5,6)))"
+        )
+        .to_df()
+        .collect()[0][0]
+        == 2
+    )
+    r = (
+        eng.kql(
+            """events | take 1
+               | project a = column_ifexists('nope', 'fb'),
+                         b = column_ifexists('value', 0.0)"""
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.a == "fb" and isinstance(r.b, float)
