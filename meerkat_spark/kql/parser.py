@@ -467,10 +467,17 @@ class Parser:
         #      with (step s1: pred; step s2: pred; …)
         kind = "greedy"
         match_id = "match_id"
+        partials = 1
         if self.at_ident("kind"):
             self.next()
             self.expect("OP", "=")
             kind = self.expect_ident("greedy", "concurrent")
+        if self.at_ident("with_partials"):
+            # bounded state tables: with_partials=N partial matches per
+            # step (engine extension; Kusto's tables are unbounded)
+            self.next()
+            self.expect("OP", "=")
+            partials = int(self.expect("NUMBER").value)
         if self.at_ident("with_match_id"):
             self.next()
             self.expect("OP", "=")
@@ -529,6 +536,7 @@ class Parser:
                 "declare": declare,
                 "assigns": assigns,
                 "kind": kind,
+                "partials": partials,
             },
         )
 

@@ -2754,6 +2754,7 @@ class Translator:
             declare=decl or None,
             step_assign=step_assign if any(step_assign) else None,
             concurrent=a.get("kind") == "concurrent",
+            concurrent_partials=int(a.get("partials", 1)),
             step_py_preds=py_preds if any(py_preds) else None,
         ).drop("__scan_ord")
         return MeerkatTable(out)

@@ -47,6 +47,7 @@ def scan_steps(
     step_assign: list[dict[str, Column]] | None = None,
     concurrent: bool = False,
     step_py_preds: list | None = None,
+    concurrent_partials: int = 1,
 ) -> DataFrame:
     """Rows participating in completed step sequences, with
     (`match_id_col`, `step_index`) appended. A row advances the machine
@@ -74,6 +75,18 @@ def scan_steps(
     (newest-wins — the one-match-per-step simplification of Kusto's
     full state tables, which accumulate every partial match and can go
     quadratic on pathological inputs).
+
+    `concurrent_partials` (with concurrent=True) lifts the
+    one-match-per-step simplification: each step's state holds up to
+    that many partial matches. A record then HOLDs every accepting
+    partial at its step, PROMOTEs every accepting partial from the
+    previous step (one record can advance several overlapping
+    sequences — Kusto's full state tables behave this way on
+    overlapping funnels), and a step-1 record additionally STARTS a
+    new partial. Oldest partials evict beyond the bound, keeping state
+    O(steps × bound) — the unbounded model can go quadratic on
+    pathological inputs, which is exactly why the bound exists.
+    Default 1 preserves the newest-wins subset bit-for-bit.
 
     `step_py_preds[k]`, when given, is `None` or a callable
     `(row: dict, vars: dict) -> bool` — the var-dependent residual of
@@ -168,6 +181,68 @@ def scan_steps(
                     keep_mid.append(match_id)
                     keep_step.append(s)
                     keep_vars.append(snap)
+
+        if concurrent and concurrent_partials > 1:
+            # bounded state tables: up to `concurrent_partials` partial
+            # matches PER STEP. Backwards step evaluation per record;
+            # a record promotes every accepting previous-step partial,
+            # holds every accepting same-step partial, and (step 1)
+            # starts a new partial; oldest evict beyond the bound.
+            tables: list[list[tuple[list, dict]]] = [[] for _ in range(n_steps)]
+            match_id = 0
+            for i in range(len(pdf)):
+                for k in range(n_steps - 1, -1, -1):
+                    if not flags[i, k]:
+                        continue
+                    if k > 0:
+                        promoted = []
+                        kept = []
+                        for runs, vv in tables[k - 1]:
+                            if pyok(k, i, vv):
+                                vv2 = apply_assigns(k, i, vv)
+                                promoted.append((runs + [[(i, vv2)]], vv2))
+                            else:
+                                kept.append((runs, vv))
+                        tables[k - 1] = kept
+                        for j, (runs, vv) in enumerate(tables[k]):
+                            if pyok(k, i, vv):
+                                vv2 = apply_assigns(k, i, vv)
+                                runs[k].append((i, vv2))
+                                tables[k][j] = (runs, vv2)
+                        for runs, vv in promoted:
+                            if k == n_steps - 1:
+                                emit(runs, match_id)
+                                match_id += 1
+                            else:
+                                tables[k].append((runs, vv))
+                        del tables[k][:-concurrent_partials]
+                    else:
+                        fresh = {v: None for v in var_names}
+                        if n_steps == 1:
+                            if pyok(0, i, fresh):
+                                vv = apply_assigns(0, i, fresh)
+                                emit([[(i, vv)]], match_id)
+                                match_id += 1
+                            continue
+                        # bounded mode: a step-1 record STARTS its own
+                        # partial (no hold into existing ones — holding
+                        # would overwrite their variable snapshots and
+                        # collapse distinguishable overlapping
+                        # sequences, the exact case this mode exists
+                        # for); same-step extension applies from step 2
+                        # up, where the variable residual guards it
+                        if pyok(0, i, fresh):
+                            vv = apply_assigns(0, i, fresh)
+                            tables[0].append(([[(i, vv)]], vv))
+                        del tables[0][:-concurrent_partials]
+            out = pdf.iloc[keep_rows][data_cols].copy()
+            for v in var_names:
+                out[v] = pd.Series(
+                    [snap[v] for snap in keep_vars], index=out.index, dtype=object
+                )
+            out[match_id_col] = pd.Series(keep_mid, index=out.index, dtype="int64")
+            out["step_index"] = pd.Series(keep_step, index=out.index, dtype="int64")
+            return out
 
         if concurrent:
             # one partial match per step: (runs, var_vals) or None

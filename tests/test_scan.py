@@ -329,3 +329,48 @@ def test_scan_var_pred_unsupported_construct_raises(spark):
             ' step a: ev == "a" => t0 = ts;'
             " step b: strlen(ev) > t0;)"
         ).to_df().collect()
+
+
+def test_scan_bounded_multi_partials(spark):
+    """with_partials=N: multiple same-step partial matches in flight —
+    two variable-distinguished overlapping funnels BOTH complete (the
+    newest-wins subset loses one)."""
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    q = """datatable(seq:long, ev:string, who:string)
+           [1, 's1', 'A', 2, 's1', 'B', 3, 's2', 'B', 4, 's2', 'A']
+           | sort by seq asc
+           | scan kind=concurrent {P} declare (w: string) with (
+               step one: ev == 's1' => w = who;
+               step two: ev == 's2' and who == w;
+             )
+           | project match_id, step_index, who, w"""
+    multi = [
+        (r.match_id, r.step_index, r.who, r.w)
+        for r in eng.kql(q.replace("{P}", "with_partials=4"))
+        .to_df()
+        .orderBy("match_id", "step_index")
+        .collect()
+    ]
+    assert multi == [
+        (0, 0, "B", "B"),
+        (0, 1, "B", "B"),
+        (1, 0, "A", "A"),
+        (1, 1, "A", "A"),
+    ]
+    single = [
+        (r.match_id, r.who)
+        for r in eng.kql(q.replace("{P}", ""))
+        .to_df()
+        .collect()
+    ]
+    # the one-partial subset completes only one of the two funnels
+    assert len({m for m, _ in single}) == 1
+
+    # the bound caps state: with_partials=1 equals the legacy subset
+    legacy = eng.kql(q.replace("{P}", "with_partials=1")).to_df().collect()
+    assert sorted(map(tuple, legacy)) == sorted(
+        map(tuple, eng.kql(q.replace("{P}", "")).to_df().collect())
+    )
