@@ -68,3 +68,42 @@ def test_windowed_oracleless_queries_return_hashable_columns(spark, registry):
         "oracle-less windowed queries return unhashable top-level "
         f"array/map columns (driver canonicalizer will crash): {offenders}"
     )
+
+
+# queries whose plan legitimately contains a cross/nested-loop join —
+# every entry's build side is BOUNDED BY CONSTRUCTION:
+# - 1-row totals/stats frames cross-joined onto the result
+# - make-series: the bin-axis spine (bounded by the time range / step)
+#   crossed with the distinct group keys
+# - brute-force KNN/argmin: the broadcast QUERY set (a handful of
+#   vectors) against the corpus scan — the documented exact baseline
+_BOUNDED_CROSS = {
+    "diffpatterns_text_op",
+    "media_cdc_dedup",
+    "temperature_mix_op",
+    "print_scalars",
+    "make_series_daily",
+    "make_series_arrays",
+    "kql_make_series",
+    "series_forecast_op",
+    "knn_cosine_topk",
+    "argmin_distance",
+}
+
+
+def test_registry_plans_have_no_scale_killers(spark, registry):
+    """Every registered query's OPTIMIZED plan is free of cartesian
+    products and (except the 1-row-cross whitelist) broadcast nested
+    loop joins — the registry-wide version of the per-operator plan
+    tests, so a scale-killer can't slip in through a new query."""
+    offenders = {}
+    for name, fn in registry.items():
+        try:
+            df = fn(spark, SF_SMOKE)
+        except Exception as e:  # noqa: BLE001 — plan-build failure IS a finding
+            offenders[name] = f"build failed: {type(e).__name__}"
+            continue
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "Join Cross" in plan and name not in _BOUNDED_CROSS:
+            offenders[name] = "cartesian/cross join"
+    assert not offenders, f"scale-killer plans: {offenders}"
