@@ -170,7 +170,11 @@ _SCALARS: dict[str, Any] = {
     "toguid": lambda a: S.toguid(_c(a[0])),
     "countof": lambda a: S.countof(_c(a[0]), a[1]),
     "reverse": lambda a: S.reverse(_c(a[0])),
-    "tostring": lambda a: S.tostring(_c(a[0])),
+    "tostring": lambda a: (
+        F.lit(_span_str(a[0]))
+        if isinstance(a[0], _Span)
+        else S.tostring(_c(a[0]))
+    ),
     "base64_encode_tostring": lambda a: S.base64_encode_tostring(_c(a[0])),
     "base64_decode_tostring": lambda a: S.base64_decode_tostring(_c(a[0])),
     "hash": lambda a: S.hash_xx(_c(a[0]), int(a[1]) if len(a) > 1 else None),
@@ -927,6 +931,22 @@ class Translator:
                 if cname in fields:
                     return F.lit(spark_to_kql(fields[cname]))
             raise KqlSyntaxError("gettype() expects a single column name")
+        if name == "extract" and len(node.args) == 4:
+            # extract(regex, group, text, typeof(T)) — typed capture
+            ty_node = node.args[3]
+            if not (
+                isinstance(ty_node, P.Call) and ty_node.func.lower() == "typeof"
+                and len(ty_node.args) == 1 and isinstance(ty_node.args[0], P.Ident)
+            ):
+                raise KqlSyntaxError("extract 4th argument must be typeof(type)")
+            from meerkat_spark.types import kql_to_spark
+
+            base = S.extract(
+                str(_raw(self.expr(node.args[0]))),
+                int(_raw(self.expr(node.args[1]))),
+                _c(self.expr(node.args[2])),
+            )
+            return base.try_cast(kql_to_spark(ty_node.args[0].name.lower()))
         if name == "bin_auto":
             # Kusto sizes bin_auto from the query_bin_auto_size query
             # property; here that property is a let-bound scalar of the

@@ -1921,3 +1921,24 @@ def test_zip_variadic_and_column_ifexists_string(spark):
         .collect()[0]
     )
     assert r.a == "fb" and isinstance(r.b, float)
+
+
+def test_typed_extract_and_tostring_span(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    r = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .kql(
+            "print xl = extract('(\\\\d+)', 1, 'a42', typeof(long)),"
+            " xr = extract('([0-9.]+)', 1, 'v=2.5', typeof(real)),"
+            " xs = extract('(\\\\d+)', 1, 'a42'),"
+            " ts = tostring(1h), td = tostring(26h),"
+            " sd = strcat_delim('-', 'a', tostring(1h))"
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert r.xl == 42 and r.xr == 2.5 and r.xs == "42"
+    assert r.ts == "01:00:00" and r.td == "1.02:00:00"
+    assert r.sd == "a-01:00:00"
