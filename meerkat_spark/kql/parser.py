@@ -905,9 +905,20 @@ class Parser:
 
     def op_facet(self) -> OpNode:
         """facet by col1, col2 — per-column value-count tables, unioned
-        as (facet_column, value, count_)."""
+        as (facet_column, value, count_). Optional `with ( op | op … )`
+        applies the subquery per facet value (single facet column)."""
         self.expect_ident("by")
-        return OpNode("facet", {"cols": self.parse_name_list()})
+        cols = self.parse_name_list()
+        with_ops = None
+        if self.at_ident("with"):
+            self.next()
+            self.expect("PUNCT", "(")
+            with_ops = [self.parse_op()]
+            while self.at("PUNCT", "|"):
+                self.next()
+                with_ops.append(self.parse_op())
+            self.expect("PUNCT", ")")
+        return OpNode("facet", {"cols": cols, "with": with_ops})
 
     def op_make_graph(self) -> OpNode:
         """`make-graph src --> dst [with NodesTable on id]` — the piped

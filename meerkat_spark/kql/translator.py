@@ -1680,7 +1680,18 @@ class Translator:
     def ap_facet(self, t, a):
         """KQL facet by: one value-count table per column, flattened to
         (facet_column, value, count_) rows — each leg is one partial+
-        final hash aggregation."""
+        final hash aggregation. `with (ops)` applies the subquery per
+        facet value of a SINGLE facet column (compiled through the
+        partition-by machinery — one keyed window/agg, no per-value
+        loop)."""
+        if a.get("with"):
+            if len(a["cols"]) != 1:
+                raise KqlSyntaxError(
+                    "facet … with (subquery) supports one facet column"
+                )
+            col = a["cols"][0]
+            out = self.ap_partition(t, {"col": col, "ops": a["with"]})
+            return out
         legs = []
         for c in a["cols"]:
             legs.append(
@@ -2413,8 +2424,10 @@ class Translator:
 
     def ap_sample(self, t, a):
         # KQL sample N is a row count — exact-N via the builder's
-        # TakeOrdered-on-rand path
-        return t.sample(int(a["n"]))
+        # TakeOrdered-on-rand path; a fractional argument selects the
+        # builder's Bernoulli mode (engine extension)
+        n = a["n"]
+        return t.sample(n if 0 < n < 1 else int(n))
 
     def ap_sample_distinct(self, t, a):
         # exact-N distinct values of one column (Kusto sample-distinct)

@@ -1942,3 +1942,45 @@ def test_typed_extract_and_tostring_span(spark):
     assert r.xl == 42 and r.xr == 2.5 and r.xs == "42"
     assert r.ts == "01:00:00" and r.td == "1.02:00:00"
     assert r.sd == "a-01:00:00"
+
+
+def test_facet_with_subquery_and_fractional_sample(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+
+    def one(q):
+        return eng.kql(q).to_df().collect()[0][0]
+
+    n_types = one("events | distinct event_type | count")
+    assert one(
+        "events | facet by event_type with (summarize n = count()) | count"
+    ) == n_types
+    # per-facet top 2: facet value column retained, 2 rows per value
+    top2 = eng.kql(
+        "events | facet by event_type with (top 2 by value)"
+    ).to_df()
+    per = {r.event_type: r.n for r in top2.groupBy("event_type").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert all(v == 2 for v in per.values()) and len(per) == n_types
+    # facet summarize agrees with the direct groupBy
+    direct = {
+        (r.event_type, r.n)
+        for r in eng.kql("events | summarize n = count() by event_type")
+        .to_df()
+        .collect()
+    }
+    facet = {
+        (r.event_type, r.n)
+        for r in eng.kql(
+            "events | facet by event_type with (summarize n = count())"
+        )
+        .to_df()
+        .collect()
+    }
+    assert facet == direct
+    # fractional sample is the Bernoulli mode; exact-N unchanged
+    assert one("events | sample 10 | count") == 10
+    frac = one("events | sample 0.5 | count")
+    assert 300 < frac < 700
