@@ -761,12 +761,23 @@ class Parser:
         return OpNode("mv-expand", {"cols": cols, "index": index_name})
 
     def op_mv_apply(self) -> OpNode:
-        """mv-apply elem = arrayExpr on ( op | op … ) — per-row subquery
-        over the exploded array (supported sub-ops: where, extend,
-        summarize, top)."""
+        """mv-apply [elem =] arrayExpr [to typeof(T)] on ( op | op … ) —
+        per-row subquery over the exploded array (supported sub-ops:
+        where, extend, summarize, top). Bare-column form reuses the
+        column name for the element."""
         name = str(self.expect("IDENT").value)
-        self.expect("OP", "=")
-        arr = self.parse_expr()
+        if self.at("OP", "="):
+            self.next()
+            arr = self.parse_expr()
+        else:
+            arr = Ident(name)  # bare column: element keeps its name
+        elem_type = None
+        if self.at_ident("to"):
+            self.next()
+            self.expect_ident("typeof")
+            self.expect("PUNCT", "(")
+            elem_type = str(self.expect("IDENT").value).lower()
+            self.expect("PUNCT", ")")
         self.expect_ident("on")
         self.expect("PUNCT", "(")
         ops = []
@@ -777,7 +788,10 @@ class Parser:
                 continue
             break
         self.expect("PUNCT", ")")
-        return OpNode("mv-apply", {"name": name, "expr": arr, "ops": ops})
+        return OpNode(
+            "mv-apply",
+            {"name": name, "expr": arr, "ops": ops, "to": elem_type},
+        )
 
     def op_parse(self) -> OpNode:
         kind = "simple"

@@ -1719,7 +1719,21 @@ class Translator:
         arr = _c(self.expr(a["expr"]))
         parent_cols = list(t.df.columns)
         df = t.df.withColumn("__row", F.monotonically_increasing_id())
-        exploded = df.select("*", F.explode(arr).alias(elem))
+        if elem in df.columns:
+            # bare-column form: the element SHADOWS the source array
+            # column — drop the array after exploding it
+            exploded = df.select(
+                *[c for c in df.columns if c != elem],
+                F.explode(arr).alias(elem),
+            )
+        else:
+            exploded = df.select("*", F.explode(arr).alias(elem))
+        if a.get("to"):
+            from meerkat_spark.types import kql_to_spark
+
+            exploded = exploded.withColumn(
+                elem, F.col(elem).try_cast(kql_to_spark(a["to"]))
+            )
         cur = MeerkatTable(exploded)
         for op in a["ops"]:
             if op.name == "where":

@@ -1984,3 +1984,27 @@ def test_facet_with_subquery_and_fractional_sample(spark):
     assert one("events | sample 10 | count") == 10
     frac = one("events | sample 0.5 | count")
     assert 300 < frac < 700
+
+
+def test_mv_apply_bare_and_typed_forms(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+
+    def one(q):
+        return eng.kql(q).to_df().collect()[0][0]
+
+    base = "datatable(a:string) ['x'] | extend v = pack_array(1,2,5) | "
+    # bare-column form: element shadows the array column
+    assert one(base + "mv-apply v on (top 1 by v) | project v") == 5
+    assert one(base + "mv-apply e = v on (top 1 by e) | project e") == 5
+    # typed element casts before the sub-ops
+    assert (
+        one(
+            "datatable(a:string) ['x'] | extend v = pack_array('1','2')"
+            " | mv-apply e = v to typeof(long) on (summarize s = sum(e))"
+            " | project s"
+        )
+        == 3
+    )
