@@ -861,6 +861,9 @@ class Translator:
         if op == "+":
             if isinstance(re, _Span):
                 return l + _interval(re.seconds)
+            if isinstance(le, str) or isinstance(re, str):
+                # Kusto + concatenates when an operand is a string
+                return F.concat(l.cast("string"), r.cast("string"))
             return l + r
         if op == "-":
             if isinstance(re, _Span):

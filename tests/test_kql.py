@@ -2008,3 +2008,16 @@ def test_mv_apply_bare_and_typed_forms(spark):
         )
         == 3
     )
+
+
+def test_string_plus_concatenation(spark):
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print s = 'a' + 'b', n = 1 + 2, v = 'v=' + tostring(5)"
+    ).to_df().collect()[0]
+    assert r.s == "ab" and r.n == 3 and r.v == "v=5"
+    col = eng.kql("documents | take 1 | project s = lang + '!'").to_df().collect()[0]
+    assert col.s.endswith("!")
