@@ -53,80 +53,72 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-5 rotation: after r1-r4, 110 distinct queries are driver-green
-# and every registered query except scalar_string_bytes has at least
-# one driver artifact row. This window holds (a) every never-graded
-# query — the r4 straggler plus every round-5 addition (incl. the
-# composite training_pipeline_end_to_end and the incremental-index
-# lifecycle query), (b) re-grades for code changed in round 5 (the
-# scan machine gained variable-predicate residuals; media_features_vec
-# switched to a hashable to_json projection after its r4 red row),
-# (c) refreshes for oracle-backed queries whose newest green evidence
-# is round 2 (oldest-first — every window keeps rotating so no
-# query's record goes stale). Exactly 50 entries — enforced by
-# tests/test_registry.py.
-# Queries registered AFTER this window was set (the round-5 session
-# additions: series elementwise, IP ranges, special math, tz/UA, unit
-# converts, URL blocklist, graph-to-table, percentilesw,
-# diffpatterns_text, activity_metrics, parse-kv, temperature mix, span
-# dedup, classifier gate, incremental rollup, mv-expand zip, search
-# qualifier, argmax-star, predicate extensions) are judge-verifiable
-# through tests/test_oracle.py now and rotate into the round-6 window
-# head.
+# Round-6 rotation: after r1-r5, 172 distinct queries have driver
+# artifacts (171 green/rows-only, 1 red — activity_counts_metrics_op,
+# an oracle-side uncast HUGEINT now fixed). This window holds
+# (a) every query never graded by the driver (the 23 registered after
+# the round-5 window was frozen — restores the "every registered query
+# has a driver artifact" invariant), (b) re-grades for round-6 code or
+# oracle changes (the fixed activity_counts_metrics oracle; the scan
+# family, newly oracle-backed; search_term after the wildcard-anywhere
+# fix), (c) refreshes for oracle-backed queries whose newest green
+# evidence is round 2 (oldest-first). Exactly 50 entries — enforced by
+# tests/test_registry.py. New round-6 queries are appended to section
+# (b) as they land, displacing tail (c) refreshes.
 _PRIORITY: list[str] = [
-    # (a) never driver-graded: the r4 straggler + round-5 additions
-    "scalar_string_bytes",
-    "scalar_format_fns",
-    "kql_reduce_by",
-    "kql_basket",
-    "kql_diffpatterns",
-    "series_fit_line_oracle",
-    "gopher_quality_filter",
-    "scan_funnel_time_bound",
-    "kql_externaldata",
-    "scalar_series_similarity",
-    "kql_union_withsource",
-    "kql_graph_match",
-    "text_quality_score_oracle",
-    "text_language_id_oracle",
-    "agg_percentilew",
-    "training_pipeline_end_to_end",
-    "dedup_incremental_index",
-    "vocab_top_tokens",
-    "tfidf_top_terms",
-    "rows_near_errors",
-    "sliding_window_counts_op",
-    "rolling_percentile_op",
+    # (a) never driver-graded: registered after the round-5 window
+    "agg_percentilesw",
+    "scalar_series_elementwise",
+    "scalar_ip_ranges",
+    "scalar_special_math",
+    "scalar_tz_useragent",
+    "scalar_unit_convert",
+    "scalar_datetime_r5",
+    "url_blocklist_filter",
+    "diffpatterns_text_op",
+    "span_dedup_stats",
+    "classifier_quality_gate",
+    "sentence_chunking",
+    "kql_graph_to_table",
+    "kql_parse_kv_op",
+    "mv_expand_zip",
+    "kql_search_qualified",
+    "kql_pred_extensions",
+    "kql_argmax_star",
+    "media_cdc_dedup",
+    "geo_polygon_ops",
+    "temperature_mix_op",
+    "activity_metrics_op",
+    "rollup_incremental",
+    # (b) round-6 changes — re-grade
     "activity_counts_metrics_op",
-    "retention_matrix_op",
-    "active_users_count_op",
-    "funnel_sequence_op",
-    "session_count_op",
-    "activity_engagement_op",
-    "sequence_detect_op",
-    "funnel_completion_op",
-    "ipv4_lookup_op",
-    "geohash_roundtrip",
-    "kql_graph_shortest_paths",
-    "embedding_quantize_int8",
-    "scalar_round5_extras",
-    "scalar_ipv6_family",
-    "agg_dcount_intersect",
-    "series_forecast_op",
-    # (b) round-5 code changes — re-grade
-    "media_features_vec",
     "scan_funnel",
     "scan_funnel_latency",
+    "scan_funnel_time_bound",
+    "search_term",
     # (c) oldest-evidence refreshes (last green in round 2)
-    "where_project",
-    "extend_compute",
-    "project_away_rename",
-    "project_keep_wildcard",
-    "count_op",
-    "distinct_op",
-    "top_orders",
-    "sort_take_asc",
-    "join_inner_agg",
+    "agg_argmax_argmin",
+    "agg_binary_all",
+    "agg_conditional",
+    "agg_dcount",
+    "agg_distinct_variants",
+    "agg_make_list_if",
+    "agg_make_set",
+    "agg_percentiles",
+    "agg_stats",
+    "agg_take_any",
+    "find_in_tables",
+    "join_fullouter",
+    "join_innerunique",
+    "join_leftanti",
+    "join_leftouter",
+    "join_leftsemi",
+    "join_rightanti",
+    "join_rightouter",
+    "join_rightsemi",
+    "lookup_dim_chain",
+    "mv_expand_indexed",
+    "mv_expand_words",
 ]
 
 def _ordered(mapping: dict) -> dict:

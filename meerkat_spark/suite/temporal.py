@@ -233,7 +233,7 @@ def rolling_percentile_op(spark, sf_dir):
     SELECT make_timestamp(k * 86400000000
                           + epoch_us(TIMESTAMP '2024-01-01')) AS t,
            n_events, n_users, new_users,
-           sum(new_users) OVER (ORDER BY k) AS agg_users
+           CAST(sum(new_users) OVER (ORDER BY k) AS BIGINT) AS agg_users
     FROM j ORDER BY t
     """,
 )

@@ -56,6 +56,27 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     if s_cols != d_cols:
         problems.append(f"{name}: columns spark={s_cols} duckdb={d_cols}")
         return problems
+    # Dtype strictness: the driver hashes stringified values, so an int
+    # column on one side vs float on the other ("123" vs "123.0") is a hard
+    # driver failure even when values are numerically equal.  DuckDB silently
+    # promotes HUGEINT (e.g. uncast SUM ... OVER) to float64 through .df();
+    # catch that here so local green predicts driver green.  int-with-nulls
+    # becomes float64 on BOTH sides identically, so only flag columns where
+    # neither side has nulls (a null-free int vs float pairing is always the
+    # HUGEINT/uncast class, never the null-coercion class).
+    for c in s_cols:
+        sk, dk = s_pdf[c].dtype.kind, d_pdf[c].dtype.kind
+        int_kinds = ("i", "u")
+        if ((sk in int_kinds and dk == "f") or (dk in int_kinds and sk == "f")) and not (
+            s_pdf[c].isna().any() or d_pdf[c].isna().any()
+        ):
+            problems.append(
+                f"{name}: dtype mismatch col {c!r} spark={s_pdf[c].dtype} "
+                f"duckdb={d_pdf[c].dtype} (int vs float hashes differently "
+                f"on the driver — add an explicit CAST)"
+            )
+    if problems:
+        return problems
     s_rows, d_rows = normalize(s_pdf), normalize(d_pdf)
     n_bad = 0
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
