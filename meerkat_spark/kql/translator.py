@@ -1258,7 +1258,68 @@ class Translator:
 
     # -- per-operator translation
     def ap_where(self, t, a):
-        return t.where(_c(self.expr(a["pred"])))
+        # Top-level `col in ((T | ...))` conjuncts compile to a
+        # broadcast semi/anti join instead of a literal isin list when
+        # the subquery is large: a 1M-literal plan is a driver/analysis
+        # bottleneck at scale, while a semi join is the same semantics
+        # with no plan bloat (small subqueries keep the literal path —
+        # it pushes down to the scan). in() under OR / inside other
+        # expressions still goes through the expression path.
+        conjuncts = _scan_split_and(a["pred"])
+        joins = [
+            c
+            for c in conjuncts
+            if isinstance(c, P.InList)
+            and len(c.values) == 1
+            and isinstance(c.values[0], P.Pipeline)
+        ]
+        if not joins:
+            return t.where(_c(self.expr(a["pred"])))
+        rest = [c for c in conjuncts if c not in joins]
+        out = t
+        if rest:
+            pred = rest[0]
+            for c in rest[1:]:
+                pred = P.Binary("and", pred, c)
+            out = out.where(_c(self.expr(pred)))
+        for c in joins:
+            out = MeerkatTable(self._in_subquery_filter(out.df, c))
+        return out
+
+    # Below this many distinct values an in()-subquery stays a literal
+    # isin (pushes down to the parquet scan); above, it becomes a
+    # broadcast semi join. Kusto's own 1M-value in() cap does not apply
+    # to the join path (documented extension).
+    _IN_LITERAL_MAX = 10_000
+
+    def _in_subquery_filter(self, df, node: P.InList):
+        sub = self.pipeline(node.values[0])
+        first = sub.columns[0]
+        vals_df = sub.select(first).distinct()
+        probe = vals_df.limit(self._IN_LITERAL_MAX + 1).collect()
+        col = _c(self.expr(node.expr))
+        if len(probe) <= self._IN_LITERAL_MAX:
+            vals = [r[0] for r in probe if r[0] is not None]
+            if node.case_insensitive:
+                res = F.lower(col).isin([str(v).lower() for v in vals])
+            else:
+                res = col.isin(vals)
+            return df.filter(~res if node.negated else res)
+        right = vals_df.select(F.col(first).alias("__in_val"))
+        lhs = F.lower(col) if node.case_insensitive else col
+        rhs = (
+            F.lower(F.col("__in_val"))
+            if node.case_insensitive
+            else F.col("__in_val")
+        )
+        if node.negated:
+            # match the literal path's null semantics: null LHS rows
+            # are dropped by ~isin, while a bare anti join would keep
+            # them
+            return df.filter(col.isNotNull()).join(
+                F.broadcast(right), on=lhs == rhs, how="left_anti"
+            )
+        return df.join(F.broadcast(right), on=lhs == rhs, how="left_semi")
 
     def ap_project(self, t, a):
         cols = []

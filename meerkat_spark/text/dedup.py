@@ -313,23 +313,56 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = 5000,
 ) -> DataFrame:
     """EXACT n-gram (k-word shingle) Jaccard similarity pairs ≥ threshold.
 
-    Inverted-index formulation: explode distinct shingles, self-join on
-    the shingle hash (only docs sharing a shingle meet — never all
-    pairs), count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
-    This is also the verifier for MinHash-LSH candidates."""
+    Inverted-index formulation: one shuffle groups distinct shingles
+    into sorted posting lists (shingle → doc ids); only docs sharing a
+    shingle meet — never all pairs. Pairs are expanded JVM-side from
+    each posting list (the same bucket-local idiom as the LSH path: a
+    self-join would shuffle the shingle table twice and re-evaluate the
+    Arrow kernel per side), then |A∩B| / (|A|+|B|-|A∩B|).
+
+    `max_shingle_df` is the document-frequency cap that keeps the
+    candidate expansion from going quadratic: a stop-phrase or
+    boilerplate shingle shared by k docs would otherwise emit k(k-1)/2
+    pairs. Posting lists longer than the cap are dropped BEFORE the
+    expansion, and per-doc sizes are counted over the kept shingles
+    only, so the ratio remains a true Jaccard of the filtered shingle
+    sets. Recall loss is bounded and rare: a pair is missed only when
+    ALL of its shared shingles are ultra-common (every shingle in >cap
+    docs) — at threshold ≥ 0.8 near-dups share most of their shingles,
+    so any rare shared shingle still surfaces the pair. Pass None to
+    disable (exact textbook semantics, unsafe on boilerplate-heavy
+    corpora). This is also the verifier for MinHash-LSH candidates,
+    which has the analogous `max_bucket` guard."""
     shingles_udf = _make_shingles_udf(shingle_k)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_udf(F.col(text_col))).alias("sh"),
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    l, r = sh.alias("l"), sh.alias("r")
+    posts = sh.groupBy("sh").agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    if max_shingle_df is not None:
+        posts = posts.filter(F.size("ids") <= max_shingle_df)
+    sizes = (
+        posts.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids"), F.lit(1))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     inter = (
-        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        posts.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))

@@ -196,6 +196,29 @@ def main() -> None:
                 url_col="url",
             ).count(),
         )
+        # Boilerplate stress for the exact-Jaccard verifier: every doc
+        # gets the same long header, so each header shingle's document
+        # frequency equals the full corpus size. Without the
+        # max_shingle_df cap the inverted-index expansion would emit
+        # O(n²) candidate pairs from those shingles alone (1.8e9 pairs
+        # at ×1 — unrunnable); with the cap the hot shingles are
+        # dropped before expansion and work stays proportional to the
+        # genuine near-dup structure.
+        boiler = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(
+                    "terms of service apply all rights reserved contact "
+                    "the webmaster for takedown requests privacy policy "
+                ),
+                F.col("text"),
+            ).alias("text"),
+        )
+        timed(
+            "jaccard_boiler",
+            n_docs,
+            lambda: TD.jaccard_pairs(boiler, max_shingle_df=1000).count(),
+        )
         timed(
             "classifier",
             n_docs,

@@ -534,3 +534,25 @@ def test_percentilesw_single_window_pass(eng):
     assert p.count("Exchange") == 1
     assert p.count("Window") == 2
     assert "HashAggregate" in p
+
+
+def test_in_subquery_compiles_to_broadcast_semi_join(eng, monkeypatch):
+    """Above _IN_LITERAL_MAX distinct values, `where col in ((T|...))`
+    must become a broadcast left-semi join (no 1M-literal isin plan);
+    results must equal the literal path's."""
+    from meerkat_spark.kql.translator import Translator
+
+    q = "events | where user_id in ((customer | project c_custkey)) | summarize n=count()"
+    nq = "events | where user_id !in ((customer | project c_custkey)) | summarize n=count()"
+    lit_in = eng.kql(q).to_df().collect()[0].n
+    lit_notin = eng.kql(nq).to_df().collect()[0].n
+
+    monkeypatch.setattr(Translator, "_IN_LITERAL_MAX", 5)
+    df = eng.kql(q.replace(" | summarize n=count()", "")).to_df()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert df.count() == lit_in
+    ndf = eng.kql(nq.replace(" | summarize n=count()", "")).to_df()
+    nplan = plan_of(ndf)
+    assert "BroadcastHashJoin" in nplan and "LeftAnti" in nplan
+    assert ndf.count() == lit_notin

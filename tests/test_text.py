@@ -368,3 +368,31 @@ def test_linear_classifier_scoring_and_gate(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jaccard_df_cap_bounds_boilerplate(spark):
+    """A shingle shared by every doc (boilerplate header) must not emit
+    O(n²) candidate pairs: with max_shingle_df set, hot shingles are
+    dropped before pair expansion, genuine near-dups (sharing RARE
+    shingles) still surface, and pure-boilerplate pairs are the
+    documented recall loss."""
+    n = 60
+    header = "terms of service apply all rights reserved by the site owner "
+    rows = [(i, header + f"unique body {i} " + ("alpha beta gamma delta " * 3)
+             if i % 2 == 0 else header + f"other body {i} " + f"w{i} x{i} y{i} z{i} " * 4)
+            for i in range(n)]
+    # one genuine near-dup pair sharing rare shingles beyond the header
+    rows.append((1000, header + "unique body 0 " + "alpha beta gamma delta " * 3 + "tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = TD.jaccard_pairs(df, threshold=0.5, max_shingle_df=10)
+    pairs = {(r.id1, r.id2) for r in capped.collect()}
+    # the near-dup of doc 0 survives the cap (their shared shingles are rare)
+    assert (0, 1000) in pairs
+    # boilerplate-only co-occurrence never pairs odd/even docs
+    assert all(not (a % 2 == 0 and b % 2 == 1) for a, b in pairs if b != 1000)
+
+    # uncapped is a superset (exact textbook semantics)
+    full = {(r.id1, r.id2)
+            for r in TD.jaccard_pairs(df, threshold=0.5, max_shingle_df=None).collect()}
+    assert pairs <= full
