@@ -48,6 +48,7 @@ def scan_steps(
     concurrent: bool = False,
     step_py_preds: list | None = None,
     concurrent_partials: int = 1,
+    max_unpartitioned_rows: int = 5_000_000,
 ) -> DataFrame:
     """Rows participating in completed step sequences, with
     (`match_id_col`, `step_index`) appended. A row advances the machine
@@ -149,7 +150,28 @@ def scan_steps(
         raise ValueError("step_py_preds needs one entry (or None) per step")
     has_py = any(p is not None for p in py_preds)
 
+    unpartitioned = not keys
+    if unpartitioned:
+        import warnings
+
+        warnings.warn(
+            "scan_steps called without partition_by: the sequential state "
+            "machine degrades to ONE partition (no parallelism, all rows "
+            "on one worker). Partition per user/session/device as Kusto "
+            "scans are written in practice; groups above "
+            f"{max_unpartitioned_rows:,} rows raise.",
+            stacklevel=2,
+        )
+
     def machine(pdf: pd.DataFrame) -> pd.DataFrame:
+        if unpartitioned and len(pdf) > max_unpartitioned_rows:
+            raise ValueError(
+                f"scan_steps without partition_by on {len(pdf):,} rows "
+                f"(limit {max_unpartitioned_rows:,}): the single sequential "
+                "partition would serialize the whole input through one "
+                "worker. Pass partition_by=... (per user/session/device) "
+                "or raise max_unpartitioned_rows explicitly."
+            )
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = pdf[flag_cols].fillna(False).to_numpy(dtype=bool)
         rows = pdf.to_dict("records") if has_py else None

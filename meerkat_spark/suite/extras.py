@@ -322,14 +322,56 @@ def stratified_sample_op(spark, sf_dir):
     )
 
 
-@register("scan_funnel", oracle=None)
+@register(
+    "scan_funnel",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             event_type = 'view' AS fv,
+             event_type = 'click' AS fc,
+             event_type = 'purchase' AS fp
+      FROM events
+    ), m AS (
+      -- greedy machine, one recursion level per COMPLETED match:
+      -- v_rn = first view after the previous match's purchase,
+      -- c_rn = first click after it, p_rn = first purchase after that
+      SELECT user_id, CAST(-1 AS BIGINT) AS match_id,
+             CAST(0 AS BIGINT) AS v_rn, CAST(0 AS BIGINT) AS c_rn,
+             CAST(0 AS BIGINT) AS p_rn
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT m.user_id, m.match_id + 1, a.v_rn, b.c_rn, c.p_rn
+      FROM m
+      JOIN LATERAL (SELECT min(rn) AS v_rn FROM ev
+                    WHERE ev.user_id = m.user_id AND fv AND rn > m.p_rn) a ON true
+      JOIN LATERAL (SELECT min(rn) AS c_rn FROM ev
+                    WHERE ev.user_id = m.user_id AND fc AND rn > a.v_rn) b ON true
+      JOIN LATERAL (SELECT min(rn) AS p_rn FROM ev
+                    WHERE ev.user_id = m.user_id AND fp AND rn > b.c_rn) c ON true
+      WHERE c.p_rn IS NOT NULL
+    )
+    SELECT e.user_id, e.ts, e.event_id, e.event_type, m.match_id,
+           CAST(CASE WHEN e.rn < m.c_rn THEN 0
+                     WHEN e.rn < m.p_rn THEN 1
+                     ELSE 2 END AS BIGINT) AS step_index
+    FROM m JOIN ev e ON e.user_id = m.user_id
+    WHERE m.match_id >= 0 AND (
+          (e.rn >= m.v_rn AND e.rn < m.c_rn AND e.fv)
+       OR (e.rn >= m.c_rn AND e.rn < m.p_rn AND e.fc)
+       OR e.rn = m.p_rn)
+    """,
+)
 def scan_funnel(spark, sf_dir):
     """KQL `scan` subset (operators/scan.py): greedy non-overlapping
-    view→click→purchase funnels per user in event-time order. Sequence
-    matching is inherently ordered/stateful → no SQL oracle; semantics
-    pinned by known-answer pytest (tests/test_scan.py). Predicates are
-    evaluated JVM-side; only packed booleans reach the per-user state
-    machine."""
+    view→click→purchase funnels per user in event-time order.
+    Oracle-backed: the greedy machine's matches are deterministic — a
+    match is (first view after the previous purchase, first click
+    after it, first purchase after that), holds are the same-type rows
+    inside each half-open step interval, so a recursive CTE over
+    MATCHES (depth = funnels per user, not rows) is an exact twin.
+    Predicates are evaluated JVM-side; only packed booleans reach the
+    per-user state machine."""
     from meerkat_spark.operators.scan import scan_steps
 
     ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
@@ -346,12 +388,48 @@ def scan_funnel(spark, sf_dir):
     return out.orderBy("user_id", "match_id", "step_index")
 
 
-@register("scan_funnel_latency", oracle=None)
+@register(
+    "scan_funnel_latency",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             event_type = 'view' AS fv, event_type = 'purchase' AS fp,
+             -- running last-view timestamp == the t0 variable (assigned
+             -- on every step-0 match, start AND holds)
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_ts
+      FROM events
+    ), m AS (
+      SELECT user_id, CAST(-1 AS BIGINT) AS match_id, CAST(0 AS BIGINT) AS p_rn
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT m.user_id, m.match_id + 1, b.p_rn
+      FROM m
+      JOIN LATERAL (SELECT min(rn) AS v_rn FROM ev
+                    WHERE ev.user_id = m.user_id AND fv AND rn > m.p_rn) a ON true
+      JOIN LATERAL (SELECT min(rn) AS p_rn FROM ev
+                    WHERE ev.user_id = m.user_id AND fp AND rn > a.v_rn) b ON true
+      WHERE b.p_rn IS NOT NULL
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_funnels,
+           ROUND(AVG(lat), 2) AS avg_latency_s
+    FROM (
+      SELECT m.user_id,
+             (epoch_us(e.ts) - epoch_us(e.pv_ts)) // 1000000 AS lat
+      FROM m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.p_rn
+      WHERE m.match_id >= 0
+    ) GROUP BY user_id
+    """,
+)
 def scan_funnel_latency(spark, sf_dir):
     """scan with declared state (operators/scan.py): carry the view
     timestamp through the funnel and report view→purchase latency per
-    user (rows-only: stateful sequence op; semantics pinned in
-    tests/test_scan.py)."""
+    user. Oracle-backed: t0 is assigned on every step-0 match (start
+    and holds), so at the purchase it equals the running last-view
+    timestamp — a plain window max in the twin; matches recurse per
+    funnel. Latency is integer micros-floor seconds on both engines."""
     from meerkat_spark.operators.scan import scan_steps
 
     ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
@@ -367,10 +445,9 @@ def scan_funnel_latency(spark, sf_dir):
         step_assign=[{"t0": F.col("ts")}, {}],
         step_output=["none", "all"],
     )
+    lat = F.floor((F.unix_micros("ts") - F.unix_micros("t0")) / F.lit(1_000_000))
     return (
-        out.withColumn(
-            "latency_s", F.timestamp_diff("SECOND", F.col("t0"), F.col("ts"))
-        )
+        out.withColumn("latency_s", lat)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_funnels"),
@@ -520,7 +597,44 @@ def stratified_sample_hash_op(spark, sf_dir):
     )
 
 
-@register("scan_funnel_time_bound", oracle=None)
+@register(
+    "scan_funnel_time_bound",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             event_type = 'view' AS fv, event_type = 'purchase' AS fp,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_ts
+      FROM events
+    ), m AS (
+      -- a purchase failing the 6h residual is SKIPPED (sequence stays
+      -- alive; later views keep re-assigning t0), so the completing
+      -- purchase is the first one within 6h of ITS OWN running
+      -- last-view timestamp
+      SELECT user_id, CAST(-1 AS BIGINT) AS match_id, CAST(0 AS BIGINT) AS p_rn
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT m.user_id, m.match_id + 1, b.p_rn
+      FROM m
+      JOIN LATERAL (SELECT min(rn) AS v_rn FROM ev
+                    WHERE ev.user_id = m.user_id AND fv AND rn > m.p_rn) a ON true
+      JOIN LATERAL (SELECT min(rn) AS p_rn FROM ev
+                    WHERE ev.user_id = m.user_id AND fp AND rn > a.v_rn
+                      AND epoch_us(ts) - epoch_us(pv_ts) <= 21600000000) b ON true
+      WHERE b.p_rn IS NOT NULL
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_bounded_funnels,
+           CAST(max(lat) AS BIGINT) AS max_latency_s
+    FROM (
+      SELECT m.user_id,
+             (epoch_us(e.ts) - epoch_us(e.pv_ts)) // 1000000 AS lat
+      FROM m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.p_rn
+      WHERE m.match_id >= 0
+    ) GROUP BY user_id
+    """,
+)
 def scan_funnel_time_bound(spark, sf_dir):
     """Round-5: declared variable INSIDE a step predicate (full Kusto
     scan parity) — view→purchase funnels where the purchase must land
@@ -528,8 +642,10 @@ def scan_funnel_time_bound(spark, sf_dir):
     conjunct references t0, so it is compiled to the python residual
     evaluated in the per-user machine against each candidate
     sequence's state; the event-type conjunct stays a JVM gate
-    (kql/translator.py _scan_compile_pypred). Rows-only: stateful
-    sequence op, semantics pinned in tests/test_scan.py."""
+    (kql/translator.py _scan_compile_pypred). Oracle-backed (round 6):
+    t0 equals the running last-view timestamp at every candidate row,
+    so the residual is expressible as a window-max comparison and the
+    greedy matches recurse per funnel."""
     from meerkat_spark.operators.scan import scan_steps
 
     ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
@@ -553,10 +669,9 @@ def scan_funnel_time_bound(spark, sf_dir):
         ],
         step_output=["none", "all"],
     )
+    lat = F.floor((F.unix_micros("ts") - F.unix_micros("t0")) / F.lit(1_000_000))
     return (
-        out.withColumn(
-            "latency_s", F.timestamp_diff("SECOND", F.col("t0"), F.col("ts"))
-        )
+        out.withColumn("latency_s", lat)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_bounded_funnels"),

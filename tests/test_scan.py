@@ -374,3 +374,62 @@ def test_scan_bounded_multi_partials(spark):
     assert sorted(map(tuple, legacy)) == sorted(
         map(tuple, eng.kql(q.replace("{P}", "")).to_df().collect())
     )
+
+
+def test_unpartitioned_scan_warns_and_bounds(spark):
+    """Without partition_by the scan degrades to ONE sequential
+    partition — that must be loud (warning) and bounded (groups above
+    max_unpartitioned_rows raise instead of silently serializing)."""
+    import warnings
+
+    from meerkat_spark.operators.scan import scan_steps
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)], "i long, t string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = scan_steps(
+            df,
+            steps=[F.col("t") == "a", F.col("t") == "b"],
+            order_by=["i"],
+        )
+        assert any("without partition_by" in str(x.message) for x in w)
+    assert out.count() == 100  # 50 a->b funnels, 2 rows each
+
+    bounded = scan_steps(
+        df,
+        steps=[F.col("t") == "a", F.col("t") == "b"],
+        order_by=["i"],
+        max_unpartitioned_rows=10,
+    )
+    with pytest.raises(Exception, match="without partition_by"):
+        bounded.count()
+
+
+def test_concurrent_partials_state_is_bounded(spark):
+    """Adversarial overlap: M step-1 rows then one step-2 row. Unbounded
+    Kusto state tables would keep all M partials (O(steps x M) state and
+    M completed matches on the closing row); the bounded machine keeps
+    at most `concurrent_partials`, evicting oldest — state and output
+    are capped by the bound, which is the documented memory contract."""
+    m = 200
+    rows = [(i, "s1") for i in range(m)] + [(m, "s2")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    for bound in (1, 4, 32):
+        out = scan_steps(
+            df,
+            steps=[F.col("t") == "s1", F.col("t") == "s2"],
+            order_by=["i"],
+            partition_by=None,
+            concurrent=True,
+            concurrent_partials=bound,
+            step_output=["last", "all"],
+        )
+        got = out.collect()
+        # one closing row completes at most `bound` overlapping matches
+        n_matches = len({r.match_id for r in got})
+        assert n_matches == min(bound, m)
+        # the survivors are the NEWEST partials (oldest evicted)
+        starts = sorted(r.i for r in got if r.step_index == 0)
+        assert starts == list(range(m - min(bound, m), m))
