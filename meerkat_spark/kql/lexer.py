@@ -75,6 +75,26 @@ def tokenize(text: str) -> list[Token]:
             j = text.find("\n", i)
             i = n if j < 0 else j
             continue
+        if ch == "@" and text[i + 1 : i + 2] in "'\"":
+            # Kusto verbatim string: no backslash escapes; a doubled
+            # quote character stands for itself
+            q = text[i + 1]
+            j = i + 2
+            buf = []
+            while j < n:
+                if text[j] == q:
+                    if text[j + 1 : j + 2] == q:
+                        buf.append(q)
+                        j += 2
+                        continue
+                    break
+                buf.append(text[j])
+                j += 1
+            if j >= n:
+                raise KqlSyntaxError(f"unterminated verbatim string at {i}")
+            tokens.append(Token("STRING", "".join(buf), i))
+            i = j + 1
+            continue
         if ch in "'\"":
             j = i + 1
             buf = []

@@ -416,8 +416,9 @@ class Parser:
     def op_parse_kv(self) -> OpNode:
         """`parse-kv Expr as (key1:type, key2:type, …) with
         (pair_delimiter='…', kv_delimiter='…')` — extract declared keys
-        as typed columns (delimiter mode; Kusto's regex mode not
-        implemented)."""
+        as typed columns. Regex mode: `with (regex=@'(key)(value)')`,
+        a pattern with exactly two capture groups (group 1 = key name,
+        group 2 = value; first occurrence wins, per Kusto)."""
         expr = self.parse_expr()
         self.expect_ident("as")
         self.expect("PUNCT", "(")
@@ -430,7 +431,7 @@ class Parser:
             if self.at("PUNCT", ","):
                 self.next()
         self.expect("PUNCT", ")")
-        pair_delim, kv_delim = ";", "="
+        pair_delim, kv_delim, regex = ";", "=", None
         if self.at_ident("with"):
             self.next()
             self.expect("PUNCT", "(")
@@ -442,6 +443,8 @@ class Parser:
                     pair_delim = val
                 elif opt == "kv_delimiter":
                     kv_delim = val
+                elif opt == "regex":
+                    regex = val
                 else:
                     raise KqlSyntaxError(f"parse-kv: unknown option {opt!r}")
                 if self.at("PUNCT", ","):
@@ -454,6 +457,7 @@ class Parser:
                 "keys": keys,
                 "pair_delimiter": pair_delim,
                 "kv_delimiter": kv_delim,
+                "regex": regex,
             },
         )
 

@@ -2529,17 +2529,30 @@ class Translator:
         return t
 
     def ap_parse_kv(self, t, a):
-        """KQL parse-kv (delimiter mode): ONE str_to_map per row, then
-        a typed element_at per declared key — row-local codegen, no
-        regex per key."""
+        """KQL parse-kv. Delimiter mode: ONE str_to_map per row, then a
+        typed element_at per declared key — row-local codegen, no regex
+        per key. Regex mode (`with (regex=...)`, two capture groups:
+        key, value): ONE regexp_extract_all pass per group builds
+        parallel key/value arrays, each declared key reads its FIRST
+        occurrence via array_position + get (Kusto first-wins; no map
+        build, so duplicate keys never trip mapKeyDedupPolicy)."""
         from meerkat_spark.types import kql_to_spark
 
+        cols = [t.df[c] for c in t.df.columns]
+        if a.get("regex"):
+            s = _c(self.expr(a["expr"]))
+            ks = F.regexp_extract_all(s, F.lit(a["regex"]), F.lit(1))
+            vs = F.regexp_extract_all(s, F.lit(a["regex"]), F.lit(2))
+            for kname, ktype in a["keys"]:
+                idx = F.array_position(ks, F.lit(kname))
+                v = F.when(idx > 0, F.get(vs, (idx - 1).cast("int")))
+                cols.append(v.try_cast(kql_to_spark(ktype)).alias(kname))
+            return MeerkatTable(t.df.select(*cols))
         m = F.str_to_map(
             _c(self.expr(a["expr"])),
             F.lit(a["pair_delimiter"]),
             F.lit(a["kv_delimiter"]),
         )
-        cols = [t.df[c] for c in t.df.columns]
         for kname, ktype in a["keys"]:
             cols.append(
                 F.element_at(m, F.lit(kname))

@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "scan_funnel_latency",
     "scan_funnel_time_bound",
     "search_term",
+    "kql_parse_kv_regex",
     # (c) oldest-evidence refreshes (last green in round 2)
     "agg_argmax_argmin",
     "agg_binary_all",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_rightsemi",
     "lookup_dim_chain",
     "mv_expand_indexed",
-    "mv_expand_words",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -476,6 +476,39 @@ def kql_parse_kv_op(spark, sf_dir):
 
 
 @register(
+    "kql_parse_kv_regex",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 97 AS BIGINT) AS code,
+           'u' || CAST(event_id % 7 AS VARCHAR) AS who,
+           CAST(NULL AS BIGINT) AS missing
+    FROM events WHERE event_id < 1000
+    """,
+)
+def kql_parse_kv_regex(spark, sf_dir):
+    """parse-kv REGEX mode (Kusto: `with (regex=...)`, two capture
+    groups = key, value; first occurrence wins): one
+    regexp_extract_all pass per group, declared keys read their first
+    occurrence via array_position + get. The text repeats `code` with
+    a decoy value to pin first-wins, and declares a key absent from
+    the text to pin null-extraction; values synthesized from event_id
+    so the oracle is analytic."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            r"""events | where event_id < 1000
+               | extend s = strcat('code: ', tostring(event_id % 97),
+                                   ' who: u', tostring(event_id % 7),
+                                   ' code: 9999')
+               | parse-kv s as (code: long, who: string, missing: long)
+                 with (regex=@'(\w+): (\S+)')
+               | project event_id, code, who, missing"""
+        )
+        .to_df()
+    )
+
+
+@register(
     "mv_expand_zip",
     oracle="""
     SELECT event_id,

@@ -2021,3 +2021,21 @@ def test_string_plus_concatenation(spark):
     assert r.s == "ab" and r.n == 3 and r.v == "v=5"
     col = eng.kql("documents | take 1 | project s = lang + '!'").to_df().collect()[0]
     assert col.s.endswith("!")
+
+
+def test_verbatim_strings_and_parse_kv_regex(spark):
+    """Kusto verbatim strings (@'…' / @"…"): no backslash escapes, a
+    doubled quote stands for itself; regex-mode parse-kv first-wins."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(r"print s = @'a\n''b'").to_df().collect()[0]
+    assert r.s == r"a\n'b"  # backslash literal, doubled quote -> quote
+    row = (
+        eng.kql(
+            r"""print s = 'x: 1 y: hi x: 9'
+               | parse-kv s as (x: long, y: string, z: long)
+                 with (regex=@'(\w+): (\S+)')"""
+        )
+        .to_df()
+        .collect()[0]
+    )
+    assert (row.x, row.y, row.z) == (1, "hi", None)
