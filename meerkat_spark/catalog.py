@@ -37,6 +37,14 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         if pat.is_timestamp(f.type) and f.type.unit == "ns"
     )
 
+class UnknownTableError(KeyError):
+    """Referenced table has no parquet file/dir in the database
+    directory — the one error class `union isfuzzy=true` forgives."""
+
+    def __str__(self) -> str:  # KeyError quotes repr by default
+        return f"unknown table {self.args[0]!r}"
+
+
 # The driver-provided fixture tables (TESTDATA.md).
 TABLES = [
     "region",
@@ -82,7 +90,10 @@ class Catalog:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = self._load(self.path(name))
+            p = self.path(name)
+            if not os.path.exists(p):
+                raise UnknownTableError(name)
+            self._cache[name] = self._load(p)
         return self._cache[name]
 
     def _load(self, path: str) -> DataFrame:

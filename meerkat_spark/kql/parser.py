@@ -564,7 +564,12 @@ class Parser:
             self.expect("PUNCT", ".")
             hname = str(self.expect("IDENT").value).lower()
             self.expect("OP", "=")
-            hval = str(self.expect("IDENT").value)
+            # hint values may be identifiers (shufflekey=Col,
+            # strategy=shuffle) or numbers (num_partitions=64)
+            if self.at("NUMBER"):
+                hval = str(self.next().value)
+            else:
+                hval = str(self.expect("IDENT").value)
             if hname == "shufflekey":
                 shuffle_keys.append(hval)
             # other hints (strategy, num_partitions) parse-and-ignore

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from meerkat_spark.functions import agg as A
 from meerkat_spark.functions import scalar as S
 from meerkat_spark.functions import series as SER
+from meerkat_spark.catalog import UnknownTableError
 from meerkat_spark.kql import parser as P
 from meerkat_spark.kql.lexer import KqlSyntaxError
 from meerkat_spark.table import MeerkatTable
@@ -583,15 +584,19 @@ def _span_str(x: Any):
     """Timespans render as Kusto's [d.]hh:mm:ss inside string contexts
     (strcat & friends)."""
     if isinstance(x, _Span):
-        total = abs(x.seconds)
+        # round to Kusto's 7-digit (100ns-tick) resolution BEFORE the
+        # divmod split: a fraction >= .99999995 must carry into the
+        # seconds, not render as a dangling '.'
+        total = round(abs(x.seconds), 7)
         sign = "-" if x.seconds < 0 else ""
         d, rem = divmod(int(total), 86400)
         h, rem = divmod(rem, 3600)
         m, sec = divmod(rem, 60)
-        frac = total - int(total)
+        ticks = int(round((total - int(total)) * 10**7))
         body = (f"{d}." if d else "") + f"{h:02d}:{m:02d}:{sec:02d}"
-        if frac:
-            body += f"{frac:.7f}".rstrip("0")[1:]
+        if ticks:
+            # Kusto renders the full fixed 7-digit fractional field
+            body += f".{ticks:07d}"
         return sign + body
     return x
 
@@ -804,6 +809,44 @@ class Translator:
                 )
         return False
 
+    _STRING_FUNCS = {
+        "strcat", "tostring", "substring", "toupper", "tolower", "trim",
+        "trim_start", "trim_end", "replace_string", "replace_regex",
+        "extract", "strcat_delim", "strrep", "reverse", "base64_encode_tostring",
+        "base64_decode_tostring", "url_encode", "url_decode", "format_datetime",
+        "format_timespan", "format_bytes", "parse_url",
+    }
+
+    def _is_string_expr(self, node) -> bool:
+        """Static check: does this AST node produce a string? Used by
+        `+` to pick Kusto concat semantics when NEITHER operand is a
+        string literal (strColA + strColB)."""
+        from pyspark.sql import types as T
+
+        if isinstance(node, P.Lit):
+            return isinstance(node.value, str)
+        if isinstance(node, P.Call):
+            low = node.func.lower()
+            if low == "extract" and len(node.args) == 4:
+                ty = node.args[3]
+                return (
+                    isinstance(ty, P.Call)
+                    and len(ty.args) == 1
+                    and isinstance(ty.args[0], P.Ident)
+                    and ty.args[0].name.lower() == "string"
+                )
+            return low in self._STRING_FUNCS
+        if isinstance(node, P.Ident) and self._cur_schema is not None:
+            f = {x.name: x.dataType for x in self._cur_schema.fields}.get(
+                node.name
+            )
+            return isinstance(f, T.StringType)
+        if isinstance(node, P.Binary) and node.op == "+":
+            return self._is_string_expr(node.left) or self._is_string_expr(
+                node.right
+            )
+        return False
+
     def binary(self, node: P.Binary, agg: bool) -> Column:
         op = node.op
         le = self.expr(node.left, agg=agg)
@@ -861,8 +904,16 @@ class Translator:
         if op == "+":
             if isinstance(re, _Span):
                 return l + _interval(re.seconds)
-            if isinstance(le, str) or isinstance(re, str):
-                # Kusto + concatenates when an operand is a string
+            if (
+                isinstance(le, str)
+                or isinstance(re, str)
+                or self._is_string_expr(node.left)
+                or self._is_string_expr(node.right)
+            ):
+                # Kusto + concatenates whenever an operand is string-
+                # typed — literal OR a string column/expression (the
+                # schema check covers strColA + strColB, which numeric
+                # addition would null out)
                 return F.concat(l.cast("string"), r.cast("string"))
             return l + r
         if op == "-":
@@ -1554,7 +1605,10 @@ class Translator:
                 )
                 try:
                     others.append(self.pipeline(tab))
-                except Exception:
+                except UnknownTableError:
+                    # Kusto isfuzzy forgives ONLY unresolved table
+                    # references; genuine translation/semantic errors
+                    # in a leg still raise
                     if not a.get("isfuzzy"):
                         raise
                     continue  # isfuzzy=true: unresolvable legs drop out
@@ -1562,7 +1616,7 @@ class Translator:
                 nm = str(tab)
                 try:
                     others.append(self.table(tab).df)
-                except Exception:
+                except UnknownTableError:
                     if not a.get("isfuzzy"):
                         raise
                     continue

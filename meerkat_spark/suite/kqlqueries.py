@@ -540,12 +540,13 @@ def mv_expand_zip(spark, sf_dir):
     "kql_search_qualified",
     oracle="""
     SELECT event_id, event_type FROM events
-    WHERE lower(event_type) LIKE 'cli%' AND event_id < 2000
+    WHERE lower(event_type) LIKE '%cli%' AND event_id < 2000
     """,
 )
 def kql_search_qualified(spark, sf_dir):
-    """search with a column qualifier and Kusto's * term wildcard
-    (anchored LIKE) — `search Col:'cli*'`."""
+    """search with a column qualifier and Kusto's * term wildcard —
+    `search Col:'cli*'` matches the prefixed term anywhere in the
+    value (un-anchored LIKE, round-6 fix)."""
     return (
         MeerkatEngine(spark, sf_dir)
         .kql(

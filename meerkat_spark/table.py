@@ -280,8 +280,12 @@ class MeerkatTable:
     ) -> "MeerkatTable":
         """KQL `search` — substring match across all string columns, or
         one column when qualified (`search Col:'term'`). A `*` in the
-        term is Kusto's wildcard (anchored LIKE pattern); otherwise
-        plain substring containment."""
+        term is Kusto's wildcard; like the plain-term case the match is
+        un-anchored (`fail*` matches a 'fail'-prefixed term anywhere in
+        the value, not only values that start with it), so the LIKE
+        pattern is wrapped in '%'. Subset note: matching is substring-
+        based, not term-boundary-based, consistently for both the plain
+        and wildcard forms."""
         from functools import reduce
 
         str_cols = (
@@ -298,7 +302,7 @@ class MeerkatTable:
 
         if "*" in term:
             esc = term.replace("%", "\\%").replace("_", "\\_")
-            pat = esc.replace("*", "%")
+            pat = "%" + esc.replace("*", "%") + "%"
             if case_sensitive:
                 preds = [F.col(c).like(pat) for c in str_cols]
             else:

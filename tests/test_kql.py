@@ -256,7 +256,7 @@ CASES: dict[str, tuple[str, str]] = {
         "FROM grid LEFT JOIN per_bin USING (k) LEFT JOIN nd USING (k)) "
         "SELECT make_timestamp(k * 86400000000 + "
         "epoch_us(TIMESTAMP '2024-01-01')) AS t, \"count\", dcount, new_dcount, "
-        "sum(new_dcount) OVER (ORDER BY k) AS aggregated_dcount FROM j",
+        "CAST(sum(new_dcount) OVER (ORDER BY k) AS BIGINT) AS aggregated_dcount FROM j",
     ),
     "evaluate_rolling_percentile": (
         "events | evaluate rolling_percentile(value, 50, ts, 1d, 7)",
@@ -1483,6 +1483,12 @@ def test_search_qualifier_and_reorder_wildcards(spark):
     )
     assert col_hits == wild_hits > 0
     assert all_hits >= col_hits  # unqualified searches every string col
+    # wildcard terms are un-anchored: 'lick*' matches inside 'click'
+    # (the old fully-anchored LIKE found zero rows here)
+    mid_hits = (
+        eng.kql("events | search event_type:'lick*' | count").to_df().collect()[0][0]
+    )
+    assert mid_hits == col_hits
     # case_sensitive: fixture text is lowercase
     cs = (
         eng.kql("events | search kind=case_sensitive 'CLICK' | count")
@@ -2039,3 +2045,47 @@ def test_verbatim_strings_and_parse_kv_regex(spark):
         .collect()[0]
     )
     assert (row.x, row.y, row.z) == (1, "hi", None)
+
+
+def test_round6_advice_fixes(spark):
+    """Round-6 advice: numeric summarize hints parse; isfuzzy only
+    forgives unknown tables; string-column + string-column
+    concatenates; fractional timespans render Kusto's fixed 7-digit
+    field with carry."""
+    import pytest as _pt
+
+    from meerkat_spark.kql.lexer import KqlSyntaxError
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    # hint.num_partitions=64 must parse-and-ignore, not syntax-error
+    n = (
+        eng.kql(
+            "events | summarize hint.num_partitions=64 n=count() by event_type"
+        )
+        .to_df()
+        .count()
+    )
+    assert n > 0
+    # isfuzzy forgives unknown tables but NOT genuine semantic errors
+    ok = eng.kql("union isfuzzy=true nation, no_such_table | count")
+    assert ok.to_df().collect()[0][0] > 0
+    with _pt.raises((KqlSyntaxError, Exception), match="no_such_column|cannot|unsupported"):
+        eng.kql(
+            "union isfuzzy=true nation, (region | where no_such_column > 1) | count"
+        ).to_df().collect()
+    # string column + string column concatenates (was numeric-add null)
+    r = (
+        eng.kql(
+            "nation | extend s = n_name + n_name | where isnotempty(s) | count"
+        )
+        .to_df()
+        .collect()[0][0]
+    )
+    assert r > 0
+    # fixed 7-digit fraction, no dangling '.' on carry
+    row = eng.kql(
+        "print a = strcat('', 1.5s), b = strcat('', 0.99999996s), c = strcat('', 90s)"
+    ).to_df().collect()[0]
+    assert row.a == "00:00:01.5000000"
+    assert row.b == "00:00:01"
+    assert row.c == "00:01:30"
