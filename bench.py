@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per workload family (scan+agg, time binning, join,
-# top-k, window, explode, text dedup, text stats, vector search).
+# top-k, window, explode, text dedup, text stats, vector search, plus
+# the round-5 heavy corpus operators so their perf is tracked
+# round-over-round: span dedup, classifier gate, sentence chunking,
+# CDC media dedup, incremental rollup, stateful scan).
 HEADLINE = [
     "agg_pricing_summary",
     "summarize_bin_1h",
@@ -38,6 +41,12 @@ HEADLINE = [
     "asof_join_events",
     "embedding_neardup_lsh",
     "kql_flagship",
+    "span_dedup_stats",
+    "classifier_quality_gate",
+    "sentence_chunking",
+    "media_cdc_dedup",
+    "rollup_incremental",
+    "scan_funnel",
 ]
 
 

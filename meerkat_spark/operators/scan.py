@@ -163,6 +163,153 @@ def scan_steps(
             stacklevel=2,
         )
 
+    def _greedy_fast_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized greedy matcher over a WHOLE hash partition (many
+        groups at once — no python residuals, not concurrent: the
+        common case). The machine's matches are fully determined by
+        "first flag-k row after a position", so walk per MATCH with
+        numpy searchsorted over per-step flag-index arrays instead of
+        per ROW in Python; step-s run rows are exactly the flag-s rows
+        in [adv_s, adv_{s+1}) (no such row can carry flag s+1, else it
+        would BE adv_{s+1}). One lexsort orders the partition by
+        (group codes, order_by); group boundaries come from factorized
+        key codes — per-group pandas fixed costs (sort_values, frame
+        getitem, Arrow exchange per group) were the measured bottleneck
+        when applyInPandas fed thousands of small groups."""
+        import numpy as np
+
+        n = len(pdf)
+        lex_keys = []
+        for c in reversed(order_cols):
+            a = pdf[c].to_numpy()
+            if a.dtype == object:
+                a = a.astype(str)
+            lex_keys.append(a)
+        codes_list = [
+            pd.factorize(pdf[c], use_na_sentinel=False)[0] for c in group_keys
+        ]
+        for codes in reversed(codes_list):
+            lex_keys.append(codes)
+        order = np.lexsort(tuple(lex_keys))
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for codes in codes_list:
+            cs = codes[order]
+            change[1:] |= cs[1:] != cs[:-1]
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], n)
+        fl = np.empty((n, n_steps), dtype=bool)
+        for j, c in enumerate(flag_cols):
+            a = pdf[c].to_numpy()
+            if a.dtype != bool:
+                a = pdf[c].fillna(False).to_numpy(dtype=bool)
+            fl[:, j] = a
+        flags = fl[order]
+        step_idx = [np.flatnonzero(flags[:, k]) for k in range(n_steps)]
+        rows_parts: list[np.ndarray] = []
+        steps_parts: list[np.ndarray] = []
+        mids_parts: list[np.ndarray] = []
+        gmid_parts: list[np.ndarray] = []
+        emit_parts: list[np.ndarray] = []
+        gmid = 0  # global running match id (snapshot reset detection)
+        for g0, g1 in zip(gstarts, gends):
+            if unpartitioned and (g1 - g0) > max_unpartitioned_rows:
+                raise ValueError(
+                    f"scan_steps without partition_by on {g1 - g0:,} rows "
+                    f"(limit {max_unpartitioned_rows:,}): the single "
+                    "sequential partition would serialize the whole input "
+                    "through one worker. Pass partition_by=... (per user/"
+                    "session/device) or raise max_unpartitioned_rows."
+                )
+            p = int(g0)
+            mid = 0  # per-group match id (output contract)
+            while True:
+                adv: list[int] = []
+                nxt = p
+                ok = True
+                for k in range(n_steps):
+                    arr = step_idx[k]
+                    pos = np.searchsorted(arr, nxt)
+                    if pos == len(arr) or arr[pos] >= g1:
+                        ok = False
+                        break
+                    a = int(arr[pos])
+                    adv.append(a)
+                    nxt = a + 1
+                if not ok:
+                    break
+                for s in range(n_steps):
+                    arr = step_idx[s]
+                    lo = adv[s]
+                    hi = adv[s + 1] if s + 1 < n_steps else adv[s] + 1
+                    run = arr[np.searchsorted(arr, lo) : np.searchsorted(arr, hi)]
+                    rows_parts.append(run)
+                    steps_parts.append(np.full(len(run), s, dtype=np.int64))
+                    mids_parts.append(np.full(len(run), mid, dtype=np.int64))
+                    gmid_parts.append(np.full(len(run), gmid, dtype=np.int64))
+                    if outs[s] == "all":
+                        em = np.ones(len(run), dtype=bool)
+                    else:
+                        em = np.zeros(len(run), dtype=bool)
+                        if outs[s] == "last":
+                            em[-1] = True
+                    emit_parts.append(em)
+                p = adv[-1] + 1
+                mid += 1
+                gmid += 1
+        if rows_parts:
+            midx = np.concatenate(rows_parts)
+            msteps = np.concatenate(steps_parts)
+            mmids = np.concatenate(mids_parts)
+            mgmids = np.concatenate(gmid_parts)
+            emits = np.concatenate(emit_parts)
+        else:
+            midx = msteps = mmids = mgmids = np.zeros(0, dtype=np.int64)
+            emits = np.zeros(0, dtype=bool)
+        snaps: list[dict] = []
+        if var_names and len(midx):
+            # snapshots over MATCHED rows only (holds assign even when
+            # their output mode is 'none'); loop bounded by matched
+            # rows, not input rows. Assign arrays indexed in ORIGINAL
+            # row space via order[...]; dtype=object so datetime64
+            # cells surface as pd.Timestamp (Arrow-convertible).
+            acols = {
+                (s, v): pdf[assign_cols[(s, v)]].to_numpy(dtype=object)
+                for (s, v) in assign_cols
+            }
+            cur = {v: None for v in var_names}
+            prev = -1
+            for i in range(len(midx)):
+                if mgmids[i] != prev:
+                    cur = {v: None for v in var_names}
+                    prev = mgmids[i]
+                sv = step_var_names[int(msteps[i])]
+                if sv:
+                    cur = dict(cur)
+                    for v in sv:
+                        cur[v] = acols[(int(msteps[i]), v)][order[midx[i]]]
+                snaps.append(cur)
+        sel = order[midx[emits]]
+        out = pdf.iloc[sel][data_cols].copy()
+        for v in var_names:
+            out[v] = pd.Series(
+                [snaps[i][v] for i in np.flatnonzero(emits)],
+                index=out.index,
+                dtype=object,
+            )
+        out[match_id_col] = pd.Series(mmids[emits], index=out.index, dtype="int64")
+        out["step_index"] = pd.Series(msteps[emits], index=out.index, dtype="int64")
+        return out
+
+    def fast_mapper(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if not len(pdf):
+            return
+        yield _greedy_fast_partition(pdf)
+
     def machine(pdf: pd.DataFrame) -> pd.DataFrame:
         if unpartitioned and len(pdf) > max_unpartitioned_rows:
             raise ValueError(
@@ -350,6 +497,16 @@ def scan_steps(
         out["step_index"] = pd.Series(keep_step, index=out.index, dtype="int64")
         return out
 
+    if not has_py and not concurrent:
+        # one hash shuffle on the keys, whole partitions through ONE
+        # Arrow exchange each — groups are re-derived inside from
+        # factorized key codes (same co-location guarantee as groupBy,
+        # without per-group pandas/Arrow fixed costs)
+        return (
+            work.repartition(*group_keys)
+            .mapInPandas(fast_mapper, schema=out_schema)
+            .drop("__grp")
+        )
     return (
         work.groupBy(*group_keys)
         .applyInPandas(machine, schema=out_schema)

@@ -47,8 +47,15 @@ def duplicated_spans(
     globally-first occurrence (the one span dedup retains)."""
     if window < 2 or stride < 1:
         raise ValueError("window >= 2 and stride >= 1 required")
-    toks = _tokens(text_col)
-    n = F.size(toks)
+    # hash every token ONCE into an int64 array; anchor tests and
+    # window hashes then operate on longs (xxhash64 over the sliced
+    # int array) — no per-anchor window-size string building
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    n = F.size(th)
     # CONTENT-DEFINED window starts (winnowing/CDC anchoring): a
     # position anchors when its token's hash ≡ 0 (mod stride), so the
     # same content produces the same windows at ANY document offset —
@@ -58,31 +65,31 @@ def duplicated_spans(
     # anchor is missed (documented recall trade-off vs suffix arrays).
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.pmod(
-            F.xxhash64(F.element_at(toks, i + 1)), F.lit(stride)
-        )
-        == 0,
+        lambda i: F.pmod(F.element_at(th, i + 1), F.lit(stride)) == 0,
     )
     spans = F.transform(
         starts,
         lambda p: F.struct(
             p.alias("pos"),
-            F.xxhash64(
-                F.array_join(F.slice(toks, p + 1, window), " ")
-            ).alias("h"),
+            F.xxhash64(F.slice(th, p + 1, window)).alias("h"),
         ),
     )
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"),
+    from pyspark.sql import Window
+
+    exploded = toked.select(
+        "doc_id",
         F.explode(F.when(n >= window, spans)).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    per_hash = exploded.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.min(F.struct("doc_id", "pos")).alias("first"),
-    )
-    dups = per_hash.filter(F.col("n_occ") > 1)
+    # count + globally-first occurrence via ONE window pass over the
+    # span hash: a groupBy + join-back would re-evaluate the whole
+    # tokenize/slice/hash explode kernel on the join's probe side
+    # (no ReusedExchange across self-join inputs — measured 2x), while
+    # the window shuffles the (doc_id, pos, h) triples once
+    w = Window.partitionBy("h")
     return (
-        exploded.join(dups, "h")
+        exploded.withColumn("n_occ", F.count(F.lit(1)).over(w))
+        .withColumn("first", F.min(F.struct("doc_id", "pos")).over(w))
+        .filter(F.col("n_occ") > 1)
         .select(
             "doc_id",
             "pos",
