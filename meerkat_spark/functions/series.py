@@ -89,14 +89,51 @@ def series_fit_line(col: Column) -> Column:
     return fit(col)
 
 
-def series_decompose(col: Column, period: int) -> Column:
+def _detect_period_np(x: "np.ndarray", max_period: int = 0) -> tuple[int, float]:
+    """Dominant cycle of one series: periodogram over the least-squares
+    detrended values (rfft power spectrum), period = n/argmax rounded
+    to the nearest integer lag, score = candidate power / total power.
+    (0, 0.0) when nothing beats the flat spectrum or the candidate
+    falls outside [2, cap]. Shared by series_periods_detect and the
+    period=-1 autodetect mode of decompose/anomalies/forecast."""
+    n = len(x)
+    if n < 4:
+        return 0, 0.0
+    t = np.arange(n, dtype=np.float64)
+    slope, intercept = np.polyfit(t, x, 1)
+    d = x - (slope * t + intercept)
+    power = np.abs(np.fft.rfft(d)) ** 2
+    power[0] = 0.0  # DC
+    total = power.sum()
+    if total <= 0:
+        return 0, 0.0
+    k = int(power.argmax())
+    period = int(round(n / k)) if k > 0 else 0
+    cap = max_period if max_period > 0 else n // 2
+    if period > cap or period < 2:
+        return 0, 0.0
+    return period, round(float(power[k] / total), 6)
+
+
+def _resolve_period(x: "np.ndarray", period: int) -> int:
+    """Kusto period semantics: -1 = autodetect (periodogram; 1 when no
+    cycle is found → trend-only decomposition), else the explicit
+    value floored at 1."""
+    if period == -1:
+        return _detect_period_np(x)[0] or 1
+    return max(int(period), 1)
+
+
+def series_decompose(col: Column, period: int = -1) -> Column:
     """KQL series_decompose (moving-average STL-lite): per series →
     struct (baseline, seasonal, trend, residual), each an array the
     length of the input. trend = centered moving average over one
     period; seasonal = per-phase mean of the detrended series (zero
     when period <= 1 or the series is shorter than two periods);
     residual = series - trend - seasonal; baseline = trend + seasonal.
-    Deterministic numpy per row — row-local, shuffle-free."""
+    period=-1 (Kusto's default) autodetects per series via the
+    series_periods_detect periodogram. Deterministic numpy per row —
+    row-local, shuffle-free."""
 
     @F.pandas_udf(
         "baseline array<double>, seasonal array<double>, "
@@ -110,7 +147,7 @@ def series_decompose(col: Column, period: int) -> Column:
                 continue
             x = np.asarray(arr, dtype=np.float64)
             n = len(x)
-            w = max(int(period), 1)
+            w = _resolve_period(x, period)
             # centered moving average with edge padding (window w)
             pad = np.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
             trend = np.convolve(pad, np.full(w, 1.0 / w), mode="valid")
@@ -134,9 +171,10 @@ def series_decompose(col: Column, period: int) -> Column:
     return decomp(col)
 
 
-def series_decompose_anomalies(col: Column, period: int, threshold: float = 2.5) -> Column:
+def series_decompose_anomalies(col: Column, period: int = -1, threshold: float = 2.5) -> Column:
     """KQL series_decompose_anomalies: z-score flags (±1) over the
-    decomposition residual — seasonal spikes don't false-positive."""
+    decomposition residual — seasonal spikes don't false-positive.
+    period=-1 autodetects (Kusto default)."""
     dec = series_decompose(col, period)
     return series_outliers(dec.getField("residual"), threshold)
 
@@ -152,32 +190,15 @@ def series_periods_detect(col: Column, max_period: int = 0) -> Column:
     def detect(series: pd.Series) -> pd.DataFrame:
         periods, scores = [], []
         for arr in series:
-            if arr is None or len(arr) < 4:
+            if arr is None:
                 periods.append(0)
                 scores.append(0.0)
                 continue
-            x = np.asarray(arr, dtype=np.float64)
-            n = len(x)
-            # detrend (least-squares line) so the ramp doesn't read as a cycle
-            t = np.arange(n, dtype=np.float64)
-            slope, intercept = np.polyfit(t, x, 1)
-            d = x - (slope * t + intercept)
-            power = np.abs(np.fft.rfft(d)) ** 2
-            power[0] = 0.0  # DC
-            total = power.sum()
-            if total <= 0:
-                periods.append(0)
-                scores.append(0.0)
-                continue
-            k = int(power.argmax())
-            period = int(round(n / k)) if k > 0 else 0
-            cap = max_period if max_period > 0 else n // 2
-            if period > cap or period < 2:
-                periods.append(0)
-                scores.append(0.0)
-                continue
-            periods.append(period)
-            scores.append(round(float(power[k] / total), 6))
+            p, s = _detect_period_np(
+                np.asarray(arr, dtype=np.float64), max_period
+            )
+            periods.append(p)
+            scores.append(s)
         return pd.DataFrame({"period": periods, "score": scores})
 
     return detect(col)
@@ -319,7 +340,7 @@ def series_decompose_forecast(col: Column, points: int, period: int) -> Column:
                 continue
             x = np.asarray(arr, dtype=np.float64)
             n = len(x)
-            w = max(int(period), 1)
+            w = _resolve_period(x, period)
             pad = np.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
             trend = np.convolve(pad, np.full(w, 1.0 / w), mode="valid")
             if w > 1 and n >= 2 * w:

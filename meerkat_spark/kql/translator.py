@@ -253,7 +253,10 @@ _SCALARS: dict[str, Any] = {
     ),
     "series_fft": lambda a: SER.series_fft(_c(a[0])),
     "series_ifft": lambda a: SER.series_ifft(_c(a[0]), _c(a[1])),
-    "series_decompose": lambda a: SER.series_decompose(_c(a[0]), int(_raw(a[1]))),
+    # period -1 (the default) = Kusto's autodetect (periodogram)
+    "series_decompose": lambda a: SER.series_decompose(
+        _c(a[0]), int(_raw(a[1])) if len(a) > 1 else -1
+    ),
     "series_periods_detect": lambda a: SER.series_periods_detect(
         _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
     ),
@@ -264,10 +267,12 @@ _SCALARS: dict[str, Any] = {
     ),
     "series_fill_linear": lambda a: SER.series_fill_linear(_c(a[0])),
     "series_decompose_anomalies": lambda a: SER.series_decompose_anomalies(
-        _c(a[0]), int(_raw(a[1])), float(_raw(a[2])) if len(a) > 2 else 2.5
+        _c(a[0]),
+        int(_raw(a[1])) if len(a) > 1 else -1,
+        float(_raw(a[2])) if len(a) > 2 else 2.5,
     ),
     "series_decompose_forecast": lambda a: SER.series_decompose_forecast(
-        _c(a[0]), int(_raw(a[1])), int(_raw(a[2]))
+        _c(a[0]), int(_raw(a[1])), int(_raw(a[2])) if len(a) > 2 else -1
     ),
     # elementwise series arithmetic (JVM HOFs; scalar operands allowed)
     "series_add": lambda a: SER.series_add(_sern(a[0]), _sern(a[1])),
@@ -792,6 +797,27 @@ class Translator:
                 node.name
             )
             return isinstance(f, T.ArrayType)
+        if isinstance(node, P.Member) and self._cur_schema is not None:
+            # struct-member chains that resolve to an ARRAY field
+            # (e.g. series_decompose output: d.seasonal[1])
+            chain = [node.name]
+            b = node.base
+            while isinstance(b, P.Member):
+                chain.append(b.name)
+                b = b.base
+            if isinstance(b, P.Ident):
+                chain.append(b.name)
+                chain.reverse()
+                dt = {x.name: x.dataType for x in self._cur_schema.fields}.get(
+                    chain[0]
+                )
+                for nm in chain[1:]:
+                    if isinstance(dt, T.StructType) and nm in dt.fieldNames():
+                        dt = dt[nm].dataType
+                    else:
+                        return False
+                return isinstance(dt, T.ArrayType)
+            return False
         if isinstance(node, P.Index):
             # arr-of-arr: indexing an array literal of array literals
             if isinstance(node.base, P.DynamicLit):

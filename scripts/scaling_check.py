@@ -197,13 +197,15 @@ def main() -> None:
             ).count(),
         )
         # Boilerplate stress for the exact-Jaccard verifier: every doc
-        # gets the same long header, so each header shingle's document
-        # frequency equals the full corpus size. Without the
-        # max_shingle_df cap the inverted-index expansion would emit
-        # O(n²) candidate pairs from those shingles alone (1.8e9 pairs
-        # at ×1 — unrunnable); with the cap the hot shingles are
-        # dropped before expansion and work stays proportional to the
-        # genuine near-dup structure.
+        # shares one long header, but bodies are UNIQUE per doc (hash
+        # tokens of the replicated id) — so the only shared shingles
+        # are the hot header ones. Without the max_shingle_df cap the
+        # inverted-index expansion would emit O(n²) candidate pairs
+        # from those shingles alone (3.2e9 at ×16 — unrunnable); with
+        # the cap they are dropped before expansion and the work stays
+        # linear. (Replicating real texts instead would measure true
+        # near-dup OUTPUT, which is legitimately quadratic in the
+        # duplication factor — not what this stress isolates.)
         boiler = docs.select(
             "doc_id",
             F.concat(
@@ -211,7 +213,15 @@ def main() -> None:
                     "terms of service apply all rights reserved contact "
                     "the webmaster for takedown requests privacy policy "
                 ),
-                F.col("text"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(30)),
+                        lambda i: F.md5(
+                            F.concat(F.col("doc_id").cast("string"), i.cast("string"))
+                        ),
+                    ),
+                    " ",
+                ),
             ).alias("text"),
         )
         timed(

@@ -342,3 +342,46 @@ def test_series_fit_poly_and_fft(spark):
     assert r.lr2 < 1.0  # a line can't fit the parabola exactly
     # fft -> ifft roundtrips the series
     assert r.back == pytest.approx([1.0, 4.0, 9.0, 16.0, 25.0], abs=1e-6)
+
+
+def test_series_decompose_autodetect_period(spark):
+    """period=-1 (Kusto's default) autodetects per series via the
+    periodogram: a planted period-4 pattern decomposes identically to
+    the explicit period=4 call; a flat series degrades to trend-only
+    (w=1) instead of erroring. KQL surface: the period argument is
+    optional everywhere."""
+    import numpy as np
+
+    from meerkat_spark.functions.series import series_decompose
+
+    n = 64
+    ramp = np.linspace(0, 10, n)
+    season = np.tile([0.0, 5.0, 0.0, -5.0], n // 4)
+    x = (ramp + season).round(6).tolist()
+    flat = [3.0] * n
+    df = spark.createDataFrame([(1, x), (2, flat)], "id int, s array<double>")
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            series_decompose(F.col("s"), -1).alias("auto"),
+            series_decompose(F.col("s"), 4).alias("explicit"),
+        ).collect()
+    }
+    assert rows[1].auto.seasonal == rows[1].explicit.seasonal
+    assert rows[1].auto.trend == rows[1].explicit.trend
+    # flat series: no cycle -> trend-only, seasonal all zero
+    assert all(v == 0.0 for v in rows[2].auto.seasonal)
+    assert np.allclose(rows[2].auto.trend, 3.0)
+
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print s = dynamic([0.0,5.0,0.0,-5.0,0.0,5.0,0.0,-5.0,"
+        "0.0,5.0,0.0,-5.0,0.0,5.0,0.0,-5.0])"
+        " | extend d = series_decompose(s)"
+        " | project top = d.seasonal[1]"
+    ).to_df().collect()[0]
+    assert float(r.top) > 3.0
