@@ -284,6 +284,15 @@ def write_md(path: str, out: dict) -> None:
         "banding — the same guard minhash_lsh_pairs has) the same leg "
         "is ~3.6 s and sub-linear.",
         "",
+        "`jaccard_boiler` is the boilerplate stress for the EXACT-Jaccard "
+        "verifier: every doc shares one long header (each header shingle's "
+        "document frequency = corpus size) while bodies stay unique. "
+        "Without `max_shingle_df` the inverted-index expansion would emit "
+        "O(n²) candidate pairs from the header shingles alone (≈3.2e9 at "
+        "×16 — unrunnable); with the cap (text/dedup.py jaccard_pairs, "
+        "round 6) hot posting lists are dropped before pair expansion and "
+        "the measured exponent stays sub-linear.",
+        "",
         "Generated by `scripts/scaling_check.py` (re-run with "
         "`SCALING_MD=SCALING.md python scripts/scaling_check.py`).",
         "",
