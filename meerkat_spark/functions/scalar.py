@@ -1043,6 +1043,47 @@ def bag_merge(b1, b2) -> Column:
     return F.to_json(F.map_concat(m1, m2_new))
 
 
+def treepath(bag) -> Column:
+    """KQL treepath — every path expression into a dynamic bag, in
+    Kusto's bracket syntax: objects recurse per key (["['d']",
+    "['d']['e']", …]); an array contributes one representative "[0]"
+    path and recurses into its first element (the shape the Kusto docs
+    example shows). Arbitrary-JSON recursion → Arrow batch kernel."""
+    import pyspark.sql.types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def kern(s: pd.Series) -> pd.Series:
+        import json
+
+        def walk(v, prefix: str, out: list) -> None:
+            if isinstance(v, dict):
+                for k, sub in v.items():
+                    p = f"{prefix}['{k}']"
+                    out.append(p)
+                    walk(sub, p, out)
+            elif isinstance(v, list) and v:
+                p = f"{prefix}[0]"
+                out.append(p)
+                walk(v[0], p, out)
+
+        res = []
+        for x in s:
+            if x is None:
+                res.append(None)
+                continue
+            try:
+                v = json.loads(x) if isinstance(x, str) else x
+            except (ValueError, TypeError):
+                res.append([])
+                continue
+            paths: list = []
+            walk(v, "", paths)
+            res.append(paths)
+        return pd.Series(res)
+
+    return kern(_lit(bag))
+
+
 def bag_remove_keys(bag, keys) -> Column:
     """KQL bag_remove_keys — drop the listed keys from a property bag."""
     m = F.from_json(_c(bag), "map<string,string>")

@@ -679,6 +679,35 @@ def series_fit_poly(col: Column, degree: int = 1) -> Column:
     return fitp(_acol(col))
 
 
+def series_stats_dynamic(col: Column) -> Column:
+    """KQL series_stats_dynamic: per-series summary bag — min/min_idx,
+    max/max_idx, avg, stdev, variance (sample), sum. Indexes are
+    0-based first occurrences (Kusto). Pure JVM HOF arithmetic —
+    row-local, codegen, no Python. Null for empty/null series."""
+    c = col if isinstance(col, Column) else F.col(col)
+    arr = F.transform(c, lambda x: x.cast("double"))
+    n = F.size(arr)
+    mn = F.array_min(arr)
+    mx = F.array_max(arr)
+    s = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    avg = s / n
+    ss = F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x - avg) * (x - avg))
+    var = F.when(n > 1, ss / (n - 1)).otherwise(F.lit(0.0))
+    return F.when(
+        n > 0,
+        F.struct(
+            mn.alias("min"),
+            (F.array_position(arr, mn) - 1).cast("long").alias("min_idx"),
+            mx.alias("max"),
+            (F.array_position(arr, mx) - 1).cast("long").alias("max_idx"),
+            avg.alias("avg"),
+            F.sqrt(var).alias("stdev"),
+            var.alias("variance"),
+            s.alias("sum"),
+        ),
+    )
+
+
 def series_fft(col: Column) -> Column:
     """KQL series_fft — discrete Fourier transform of a real series →
     struct (real, imag) arrays. numpy FFT per row (row-local)."""

@@ -413,6 +413,42 @@ class Parser:
         node = self.op_parse()
         return OpNode("parse-where", node.args)
 
+    def _parse_json_literal(self) -> Any:
+        """Literal JSON value inside a dynamic({...}) bag: string,
+        number (negatives included), true/false/null, or a nested
+        bag/array of the same (recursive)."""
+        if self.at("PUNCT", "{"):
+            self.next()
+            bag: dict[str, Any] = {}
+            while not self.at("PUNCT", "}"):
+                kt = self.expect("STRING")
+                self.expect("PUNCT", ":")
+                bag[str(kt.value)] = self._parse_json_literal()
+                if self.at("PUNCT", ","):
+                    self.next()
+            self.expect("PUNCT", "}")
+            return bag
+        if self.at("PUNCT", "["):
+            self.next()
+            arr: list[Any] = []
+            while not self.at("PUNCT", "]"):
+                arr.append(self._parse_json_literal())
+                if self.at("PUNCT", ","):
+                    self.next()
+            self.expect("PUNCT", "]")
+            return arr
+        t = self.peek()
+        if t.kind in ("STRING", "NUMBER"):
+            self.next()
+            return t.value
+        if t.kind == "OP" and t.value == "-":
+            self.next()
+            return -self.expect("NUMBER").value
+        if t.kind == "IDENT" and str(t.value) in ("true", "false", "null"):
+            self.next()
+            return {"true": True, "false": False, "null": None}[str(t.value)]
+        raise KqlSyntaxError("dynamic bag values must be literals")
+
     def op_parse_kv(self) -> OpNode:
         """`parse-kv Expr as (key1:type, key2:type, …) with
         (pair_delimiter='…', kv_delimiter='…')` — extract declared keys
@@ -1440,36 +1476,11 @@ class Parser:
                     return DynamicLit(items)
                 if self.at("PUNCT", "{"):
                     # dynamic({"k": lit, …}) property-bag literal →
-                    # canonical JSON string (bags travel as JSON text)
-                    self.next()
+                    # canonical JSON string (bags travel as JSON text);
+                    # values recurse (nested bags/arrays supported)
                     import json as _json
 
-                    bag: dict[str, Any] = {}
-                    while not self.at("PUNCT", "}"):
-                        kt = self.expect("STRING")
-                        self.expect("PUNCT", ":")
-                        vt = self.peek()
-                        if vt.kind in ("STRING", "NUMBER"):
-                            self.next()
-                            bag[str(kt.value)] = vt.value
-                        elif vt.kind == "IDENT" and str(vt.value) in (
-                            "true",
-                            "false",
-                            "null",
-                        ):
-                            self.next()
-                            bag[str(kt.value)] = {
-                                "true": True,
-                                "false": False,
-                                "null": None,
-                            }[str(vt.value)]
-                        else:
-                            raise KqlSyntaxError(
-                                "dynamic bag values must be literals"
-                            )
-                        if self.at("PUNCT", ","):
-                            self.next()
-                    self.expect("PUNCT", "}")
+                    bag = self._parse_json_literal()
                     self.expect("PUNCT", ")")
                     return Lit(_json.dumps(bag, separators=(",", ":")))
                 e = self.parse_expr()

@@ -251,6 +251,7 @@ _SCALARS: dict[str, Any] = {
     "series_fit_poly": lambda a: SER.series_fit_poly(
         _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 1
     ),
+    "series_stats_dynamic": lambda a: SER.series_stats_dynamic(_c(a[0])),
     "series_fft": lambda a: SER.series_fft(_c(a[0])),
     "series_ifft": lambda a: SER.series_ifft(_c(a[0]), _c(a[1])),
     # period -1 (the default) = Kusto's autodetect (periodogram)
@@ -498,7 +499,11 @@ _SCALARS: dict[str, Any] = {
     "pack_array": lambda a: S.pack_array(*a),
     "pack": lambda a: S.pack(*a),
     "bag_pack": lambda a: S.pack(*a),
-    "bag_keys": lambda a: S.bag_keys(a[0]),
+    # translator _c: a literal bag arrives as a JSON *string*, which
+    # scalar.py's own _c would misread as a column name
+    "bag_keys": lambda a: S.bag_keys(_c(a[0])),
+    "treepath": lambda a: S.treepath(a[0]),
+    "make_string": lambda a: S.unicode_codepoints_to_string(_c(a[0])),
     "zip": lambda a: S.zip_arrays(*a),
     "array_sum": lambda a: S.array_sum(a[0]),
     "array_avg": lambda a: S.array_avg(a[0]),
@@ -529,6 +534,9 @@ _AGGS: dict[str, Any] = {
     # KQL percentiles are 0–100 percentages; the builder API is 0–1
     "percentile": lambda a: A.percentile(a[0], float(_raw(a[1])) / 100.0),
     "percentiles": lambda a: A.percentiles(a[0], *[float(_raw(p)) / 100.0 for p in a[1:]]),
+    "percentiles_array": lambda a: A.percentiles(
+        a[0], *[float(_raw(p)) / 100.0 for p in a[1:]]
+    ),
     "stdev": lambda a: A.stdev(a[0]),
     "stdevp": lambda a: A.stdevp(a[0]),
     "variance": lambda a: A.variance(a[0]),

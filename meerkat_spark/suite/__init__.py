@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "scan_funnel_time_bound",
     "search_term",
     "kql_parse_kv_regex",
+    "scalar_bag_stats_r6",
     # (c) oldest-evidence refreshes (last green in round 2)
     "agg_argmax_argmin",
     "agg_binary_all",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_rightouter",
     "join_rightsemi",
     "lookup_dim_chain",
-    "mv_expand_indexed",
 ]
 
 def _ordered(mapping: dict) -> dict:

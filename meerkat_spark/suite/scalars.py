@@ -999,3 +999,53 @@ def scalar_datetime_r5(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "scalar_bag_stats_r6",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             chr(72 + CAST(event_id % 26 AS INT)) || chr(105) AS s2
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_type,
+           min(s2) AS first_str,
+           CAST(2 AS BIGINT) AS nk,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           MIN(value) AS mn,
+           MAX(value) AS mx,
+           ROUND(AVG(value), 4) AS av,
+           ROUND(STDDEV_SAMP(value), 4) AS sd
+    FROM base GROUP BY event_type
+    """,
+)
+def scalar_bag_stats_r6(spark, sf_dir):
+    """Round-6 function additions in one oracle-backed query:
+    make_string (codepoints → string), bag_keys/bag_pack (key count is
+    analytic), percentiles_array (exact interpolated, array form), and
+    series_stats_dynamic over a per-group sorted series (sequential
+    fold over a SORTED array → deterministic; outputs rounded 4dp per
+    the registry determinism rules)."""
+    eng = MeerkatEngine(spark, sf_dir)
+    return (
+        eng.kql(
+            """events | where event_id < 2000
+               | extend s2 = make_string(pack_array(72 + event_id % 26, 105)),
+                        nk = array_length(bag_keys(bag_pack('k', event_id, 'j', value)))
+               | summarize first_str = min(s2),
+                           nk = take_any(nk),
+                           pa = percentiles_array(value, 25, 75),
+                           arr = array_sort_asc(make_list(value))
+                 by event_type
+               | extend st = series_stats_dynamic(arr)
+               | project event_type, first_str, nk,
+                         p25 = round(todouble(pa[0]), 4),
+                         p75 = round(todouble(pa[1]), 4),
+                         mn = st.min, mx = st.max,
+                         av = round(st.avg, 4),
+                         sd = round(st.stdev, 4)"""
+        )
+        .to_df()
+    )
