@@ -114,7 +114,8 @@ class Pipeline:
 @dataclass
 class Lambda:
     params: list[str]
-    body: Any
+    body: Any  # expr, or a Pipeline for tabular lambdas
+    tabular: list[str] = field(default_factory=list)  # params typed (*)
 
 
 @dataclass
@@ -183,6 +184,20 @@ class Parser:
                 self.expect("PUNCT", ")")
                 return OpNode("materialize", {"pipeline": pipe})
             self.i = save
+        # view () { pipeline } — a named parameter-less subquery; the
+        # `view` keyword only affects wildcard-union visibility in
+        # Kusto, so it binds like a plain pipeline let
+        if self.at_ident("view"):
+            save = self.i
+            self.next()
+            if self.at("PUNCT", "("):
+                self.next()
+                self.expect("PUNCT", ")")
+                self.expect("PUNCT", "{")
+                pipe = self.parse_pipeline()
+                self.expect("PUNCT", "}")
+                return pipe
+            self.i = save
         # lambda: (param[: type], …) { expr }
         if self.at("PUNCT", "("):
             save = self.i
@@ -207,20 +222,31 @@ class Parser:
     def _parse_lambda(self) -> Lambda:
         self.expect("PUNCT", "(")
         params = []
+        tabular: list[str] = []
         while not self.at("PUNCT", ")"):
-            params.append(str(self.expect("IDENT").value))
+            p = str(self.expect("IDENT").value)
+            params.append(p)
             if self.at("PUNCT", ":"):  # optional type annotation
                 self.next()
-                self.expect("IDENT")
+                if self.at("PUNCT", "("):
+                    # tabular parameter `T:(*)` (Kusto invoke functions)
+                    self.next()
+                    self.expect("OP", "*")
+                    self.expect("PUNCT", ")")
+                    tabular.append(p)
+                else:
+                    self.expect("IDENT")
             if self.at("PUNCT", ","):
                 self.next()
         self.expect("PUNCT", ")")
         if not self.at("PUNCT", "{"):
             raise KqlSyntaxError("not a lambda")
         self.expect("PUNCT", "{")
-        body = self.parse_expr()
+        # tabular lambdas have PIPELINE bodies (source references the
+        # tabular param); scalar lambdas have expression bodies
+        body = self.parse_pipeline() if tabular else self.parse_expr()
         self.expect("PUNCT", "}")
-        return Lambda(params, body)
+        return Lambda(params, body, tabular)
 
     def parse_pipeline(self) -> Pipeline:
         source = self.parse_source()
@@ -377,7 +403,40 @@ class Parser:
         return OpNode("project", {"cols": self.parse_named_exprs()})
 
     def op_extend(self) -> OpNode:
+        # multi-assign form: extend (a, b, ...) = struct_returning_fn(…)
+        if self.at("PUNCT", "("):
+            save = self.i
+            try:
+                self.next()
+                names = [str(self.expect("IDENT").value)]
+                while self.at("PUNCT", ","):
+                    self.next()
+                    names.append(str(self.expect("IDENT").value))
+                self.expect("PUNCT", ")")
+                self.expect("OP", "=")
+            except KqlSyntaxError:
+                self.i = save
+            else:
+                e = self.parse_expr()
+                rest = []
+                if self.at("PUNCT", ","):
+                    self.next()
+                    rest = self.parse_named_exprs()
+                return OpNode("extend", {"cols": rest, "multi": (names, e)})
         return OpNode("extend", {"cols": self.parse_named_exprs()})
+
+    def op_invoke(self) -> OpNode:
+        """`T | invoke f(args…)` — apply a let-bound tabular lambda
+        (first (*) parameter binds the piped table)."""
+        fname = str(self.expect("IDENT").value)
+        self.expect("PUNCT", "(")
+        args = []
+        while not self.at("PUNCT", ")"):
+            args.append(self.parse_expr())
+            if self.at("PUNCT", ","):
+                self.next()
+        self.expect("PUNCT", ")")
+        return OpNode("invoke", {"func": fname, "args": args})
 
     def op_project_away(self) -> OpNode:
         return OpNode("project-away", {"patterns": self.parse_name_list()})
@@ -656,8 +715,11 @@ class Parser:
     op_order = op_sort
 
     def op_take(self) -> OpNode:
-        n = self.expect("NUMBER").value
-        return OpNode("take", {"n": int(n)})
+        # row count may be a literal or a scalar expression (a lambda
+        # parameter / let-bound value), resolved at translate time
+        if self.at("NUMBER"):
+            return OpNode("take", {"n": int(self.next().value)})
+        return OpNode("take", {"n": self.parse_expr()})
 
     op_limit = op_take
 
@@ -761,7 +823,13 @@ class Parser:
                 tables.append(self.parse_pipeline())
                 self.expect("PUNCT", ")")
             else:
-                tables.append(str(self.expect("IDENT").value))
+                nm = str(self.expect("IDENT").value)
+                if self.at("OP", "*"):
+                    # wildcard union leg: `union nation*` — expanded
+                    # against the catalog at translate time
+                    self.next()
+                    nm += "*"
+                tables.append(nm)
             if self.at("PUNCT", ","):
                 self.next()
                 continue
@@ -803,7 +871,13 @@ class Parser:
                 self.next()
                 continue
             break
-        return OpNode("mv-expand", {"cols": cols, "index": index_name})
+        limit = None
+        if self.at_ident("limit"):
+            self.next()
+            limit = int(self.expect("NUMBER").value)
+        return OpNode(
+            "mv-expand", {"cols": cols, "index": index_name, "limit": limit}
+        )
 
     def op_mv_apply(self) -> OpNode:
         """mv-apply [elem =] arrayExpr [to typeof(T)] on ( op | op … ) —

@@ -1230,7 +1230,11 @@ class Translator:
             return MeerkatTable(self.engine.spark.range(1).select(*cols))
         if node.name == "union":
             # source-form `union T1, T2, …`: first operand is the base
-            tabs = node.args["tables"]
+            tabs = self._expand_union_tables(
+                node.args["tables"], node.args.get("isfuzzy", False)
+            )
+            if not tabs:
+                raise KqlSyntaxError("union: no tables resolved")
             first = tabs[0]
             base = (
                 MeerkatTable(self.pipeline(first))
@@ -1421,6 +1425,23 @@ class Translator:
     def ap_extend(self, t, a):
         from pyspark.sql import Window as W
 
+        if a.get("multi"):
+            # (a, b, …) = struct_fn(…): evaluate the struct ONCE, then
+            # project its fields onto the names in declaration order
+            names, e = a["multi"]
+            df = t.df.withColumn("__multi", _c(self.expr(e)))
+            fields = df.schema["__multi"].dataType.names
+            if len(names) > len(fields):
+                raise KqlSyntaxError(
+                    f"multi-assign extend: {len(names)} names but the "
+                    f"expression produces {len(fields)} fields"
+                )
+            for n, f in zip(names, fields):
+                df = df.withColumn(n, F.col("__multi").getField(f))
+            t = MeerkatTable(df.drop("__multi"))
+            if not a["cols"]:
+                return t
+
         named = {}
         for i, (name, e) in enumerate(a["cols"]):
             out_name = name or f"Column{i+1}"
@@ -1547,7 +1568,10 @@ class Translator:
         return t.sort(*orders)
 
     def ap_take(self, t, a):
-        return t.take(a["n"])
+        n = a["n"]
+        if not isinstance(n, int):
+            n = int(_raw(self.expr(n)))
+        return t.take(n)
 
     def ap_top(self, t, a):
         c = _c(self.expr(a["by"]))
@@ -1627,10 +1651,76 @@ class Translator:
             left_keys=left_keys,
         )
 
+    def ap_invoke(self, t, a):
+        """KQL `T | invoke f(args…)`: f is a let-bound lambda whose
+        first `(*)` (tabular) parameter binds the piped table; scalar
+        args inline like ordinary lambda calls; the pipeline body
+        translates with the tabular param bound as a table name."""
+        lam = self.lets.get(a["func"])
+        if not isinstance(lam, P.Lambda) or not lam.tabular:
+            raise KqlSyntaxError(
+                f"invoke: {a['func']!r} is not a let-bound tabular "
+                "lambda (declare it as e.g. `let f = (T:(*)) {{ T | ... }};`)"
+            )
+        tab = lam.tabular[0]
+        scal = [p for p in lam.params if p not in lam.tabular]
+        if len(a["args"]) != len(scal):
+            raise KqlSyntaxError(
+                f"invoke {a['func']}(): expects {len(scal)} scalar args, "
+                f"got {len(a['args'])}"
+            )
+        arg_vals = [self.expr(x) for x in a["args"]]
+        sentinel = object()
+        saved = {p: self.lets.get(p, sentinel) for p in scal}
+        saved_tab = self.let_tables.get(tab, sentinel)
+        try:
+            for p, v in zip(scal, arg_vals):
+                self.lets[p] = v
+            self.let_tables[tab] = t.df
+            return MeerkatTable(self.pipeline(lam.body))
+        finally:
+            for p, v in saved.items():
+                if v is sentinel:
+                    self.lets.pop(p, None)
+                else:
+                    self.lets[p] = v
+            if saved_tab is sentinel:
+                self.let_tables.pop(tab, None)
+            else:
+                self.let_tables[tab] = saved_tab
+
+    def _expand_union_tables(self, tables: list, isfuzzy: bool) -> list:
+        """Expand `T*` wildcard legs against the catalog AND let-bound
+        tables/pipelines (Kusto `union T*`), in name order."""
+        from meerkat_spark.catalog import TABLES
+
+        out: list = []
+        for tab in tables:
+            if isinstance(tab, str) and tab.endswith("*"):
+                pre = tab[:-1]
+                hits = sorted(
+                    set(
+                        [x for x in TABLES if x.startswith(pre)]
+                        + [x for x in self.let_tables if x.startswith(pre)]
+                        + [
+                            x
+                            for x, v in self.lets.items()
+                            if x.startswith(pre) and isinstance(v, P.Pipeline)
+                        ]
+                    )
+                )
+                if not hits and not isfuzzy:
+                    raise UnknownTableError(tab)
+                out.extend(hits)
+            else:
+                out.append(tab)
+        return out
+
     def ap_union(self, t, a):
         others = []
         names: list[str] = []
-        for i, tab in enumerate(a["tables"]):
+        tabs = self._expand_union_tables(a["tables"], a.get("isfuzzy", False))
+        for i, tab in enumerate(tabs):
             if isinstance(tab, P.Pipeline):
                 nm = (
                     str(tab.source.args.get("name"))
@@ -1672,10 +1762,26 @@ class Translator:
 
     def ap_mv_expand(self, t, a):
         index = a.get("index")
+        limit = a.get("limit")
         if len(a["cols"]) > 1:
-            return self._mv_expand_zip(t, a["cols"], index)
+            return self._mv_expand_zip(t, a["cols"], index, limit)
         (name, e, ty) = a["cols"][0]
-        if name is None and isinstance(e, P.Ident):
+        if limit is not None:
+            # Kusto `mv-expand … limit N`: at most N output rows per
+            # input record — slice the array BEFORE the explode, so
+            # the Generate never materializes the dropped elements
+            col_name = (
+                e.name if name is None and isinstance(e, P.Ident) else name or "Column1"
+            )
+            arr = (
+                F.col(e.name)
+                if name is None and isinstance(e, P.Ident)
+                else _c(self.expr(e))
+            )
+            out = t.extend(**{col_name: F.slice(arr, 1, limit)}).mv_expand(
+                col_name, index_col=index
+            )
+        elif name is None and isinstance(e, P.Ident):
             out = t.mv_expand(e.name, index_col=index)
             col_name = e.name
         else:
@@ -1692,7 +1798,7 @@ class Translator:
             )
         return out
 
-    def _mv_expand_zip(self, t, cols, index):
+    def _mv_expand_zip(self, t, cols, index, limit=None):
         """Multi-column mv-expand — Kusto ZIPS the arrays pairwise
         (element i of each array lands on the same output row, shorter
         arrays null-padded to the longest): one posexplode over the
@@ -1711,6 +1817,9 @@ class Translator:
         longest = F.greatest(
             *[F.coalesce(F.size(F.col(n)), F.lit(0)) for n in arr_names]
         )
+        if limit is not None:
+            # `limit N`: cap output rows per input record
+            longest = F.least(longest, F.lit(limit))
         # rows where every array is empty/null expand to nothing
         # (matching single-column explode semantics)
         df = df.withColumn(

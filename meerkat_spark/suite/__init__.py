@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "search_term",
     "kql_parse_kv_regex",
     "scalar_bag_stats_r6",
+    "kql_invoke_tabular",
     # (c) oldest-evidence refreshes (last green in round 2)
     "agg_argmax_argmin",
     "agg_binary_all",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_rightanti",
     "join_rightouter",
     "join_rightsemi",
-    "lookup_dim_chain",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -618,3 +618,28 @@ def kql_argmax_star(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "kql_invoke_tabular",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+    """,
+)
+def kql_invoke_tabular(spark, sf_dir):
+    """`T | invoke f(args)` with a tabular lambda (round 6): the first
+    (*) parameter binds the piped table, scalar params inline, and the
+    pipeline body translates with the param bound as a table — pure
+    front-end inlining, the physical plan is identical to writing the
+    body directly (TakeOrderedAndProject here)."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """let topk = (T:(*), k:long) {
+                 T | sort by o_totalprice desc, o_orderkey asc | take k
+               };
+               orders | invoke topk(5) | project o_orderkey, o_totalprice"""
+        )
+        .to_df()
+    )

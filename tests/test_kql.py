@@ -2089,3 +2089,38 @@ def test_round6_advice_fixes(spark):
     assert row.a == "00:00:01.5000000"
     assert row.b == "00:00:01"
     assert row.c == "00:01:30"
+
+
+def test_round6_operator_extensions(spark):
+    """Round-6 KQL surface: multi-assign extend, mv-expand limit,
+    view() lets, wildcard union, tabular-lambda invoke, expression
+    take."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print s = dynamic([1.0,2.0,3.0])"
+        " | extend (slope, interc) = series_fit_line(s), c = 7"
+        " | project slope, interc, c"
+    ).to_df().collect()[0]
+    assert abs(r.slope - 1.0) < 1e-6 and abs(r.interc - 1.0) < 1e-6 and r.c == 7
+    assert eng.kql("print a = dynamic([1,2,3,4]) | mv-expand a limit 2").to_df().count() == 2
+    assert (
+        eng.kql(
+            "print a = dynamic([1,2,3]), b = dynamic(['x','y']) | mv-expand a, b limit 2"
+        ).to_df().count() == 2
+    )
+    assert eng.kql(
+        "let v = view () { nation | project n_name }; v | count"
+    ).to_df().collect()[0][0] == 25
+    assert eng.kql("union nation* | count").to_df().collect()[0][0] == 25
+    assert eng.kql(
+        "let zoo_a = view () { nation | project n_name };"
+        "let zoo_b = view () { region | project n_name = r_name };"
+        "union zoo_* | count"
+    ).to_df().collect()[0][0] == 30
+    rows = eng.kql(
+        "let topk = (T:(*), k:long) { T | sort by o_totalprice desc,"
+        " o_orderkey asc | take k }; orders | invoke topk(3)"
+    ).to_df().collect()
+    assert len(rows) == 3
+    assert rows == sorted(rows, key=lambda r: (-r.o_totalprice, r.o_orderkey))
+    assert eng.kql("let k = 5; orders | take k").to_df().count() == 5
