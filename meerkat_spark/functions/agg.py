@@ -84,6 +84,41 @@ def percentiles(x, *ps: float, exact: bool = True) -> Column:
     return F.percentile_approx(_c(x), F.array(*[F.lit(p) for p in ps]))
 
 
+def percentilew(x, w, p: float) -> Column:
+    """Kusto percentilew — exact weighted percentile (lower-bound
+    variant): smallest value whose cumulative weight reaches p of the
+    total. Expression-level formulation so it composes inside any
+    summarize: sorted (value, weight) pairs via collect_list, then two
+    JVM folds (total weight, first crossing). Same per-group
+    memory caveat as exact percentile; the keyed-window operator form
+    (operators/sampling.py:percentilew_exact) is the bulk path."""
+    pairs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                _c(x).cast("double").alias("v"), _c(w).cast("double").alias("w")
+            )
+        )
+    )
+    total = F.aggregate(pairs, F.lit(0.0), lambda a, s: a + s["w"])
+    return F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0.0).alias("c"), F.lit(None).cast("double").alias("ans")
+        ),
+        lambda acc, s: F.struct(
+            (acc["c"] + s["w"]).alias("c"),
+            F.when(acc["ans"].isNotNull(), acc["ans"])
+            .when(acc["c"] + s["w"] >= F.lit(p) * total, s["v"])
+            .alias("ans"),
+        ),
+    )["ans"]
+
+
+def percentilesw(x, w, *ps: float) -> Column:
+    """Kusto percentilesw — array of exact weighted percentiles."""
+    return F.array(*[percentilew(x, w, p) for p in ps])
+
+
 def stdev(x) -> Column:
     return F.stddev_samp(_c(x))
 

@@ -146,7 +146,16 @@ _SCALARS: dict[str, Any] = {
     "totimespan": lambda a: (
         a[0]
         if isinstance(a[0], _Span)
-        else S.totimespan_str(_c(a[0]))
+        else (_unit_span_or_none(a[0]) or S.totimespan_str(_c(a[0])))
+        if isinstance(a[0], (Column, str))
+        else _Span(float(a[0]))
+    ),
+    # time() is Kusto's timespan constructor — same coercions, plus
+    # quoted unit-suffix literals ('1.5h') via the lexer's own regex
+    "time": lambda a: (
+        a[0]
+        if isinstance(a[0], _Span)
+        else (_unit_span_or_none(a[0]) or S.totimespan_str(_c(a[0])))
         if isinstance(a[0], (Column, str))
         else _Span(float(a[0]))
     ),
@@ -559,6 +568,12 @@ _AGGS: dict[str, Any] = {
     "binary_all_xor": lambda a: A.binary_all_xor(a[0]),
     "hll": lambda a: A.hll(a[0]),
     "hll_merge": lambda a: A.hll_merge(a[0]),
+    "dcount_hll": lambda a: A.dcount_hll(a[0]),
+    # KQL percentile scale is 0-100
+    "percentilew": lambda a: A.percentilew(a[0], a[1], float(_raw(a[2])) / 100.0),
+    "percentilesw": lambda a: A.percentilesw(
+        a[0], a[1], *[float(_raw(p)) / 100.0 for p in a[2:]]
+    ),
     "make_bag_if": lambda a: A.make_bag(
         F.when(_colify_pred(a[2]), _c(a[0])), F.when(_colify_pred(a[2]), _c(a[1]))
     ),
@@ -591,6 +606,19 @@ def _raw(x: Any):
     if isinstance(x, Column):
         raise KqlSyntaxError("expected a literal argument")
     return x
+
+
+def _unit_span_or_none(x: Any):
+    """Python-string unit-suffix timespan ('1.5h', '90s') → _Span, else
+    None (caller falls through to the [d.]hh:mm:ss column parser)."""
+    if not isinstance(x, str):
+        return None
+    from meerkat_spark.kql.lexer import _TIMESPAN_RE, TIMESPAN_SECONDS
+
+    m = _TIMESPAN_RE.fullmatch(x.strip())
+    if not m:
+        return None
+    return _Span(float(m.group("num")) * TIMESPAN_SECONDS[m.group("unit")])
 
 
 def _span_str(x: Any):
@@ -763,6 +791,11 @@ class Translator:
         if isinstance(node, P.Between):
             col = _c(self.expr(node.expr))
             lo, hi = self.expr(node.low), self.expr(node.high)
+            if isinstance(hi, _Span) and not isinstance(lo, _Span):
+                # Kusto range form (start .. duration): upper bound is
+                # start + duration
+                lo_c = _c(lo)
+                return col.between(lo_c, lo_c + _interval(hi.seconds))
             return col.between(_c(lo), _c(hi))
         if isinstance(node, P.Call):
             return self.call(node, agg=agg)

@@ -2124,3 +2124,43 @@ def test_round6_operator_extensions(spark):
     assert len(rows) == 3
     assert rows == sorted(rows, key=lambda r: (-r.o_totalprice, r.o_orderkey))
     assert eng.kql("let k = 5; orders | take k").to_df().count() == 5
+
+
+def test_round6_agg_and_time_extensions(spark):
+    """Round-6: percentilew/percentilesw as KQL summarize functions
+    (equal to the exact keyed-window operator), dcount_hll in KQL,
+    time() constructor, and the (start .. duration) between range."""
+    from meerkat_spark.operators.sampling import percentilew_exact
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    got = {
+        r.l_returnflag: r.p
+        for r in eng.kql(
+            "lineitem | summarize p = percentilew(l_extendedprice, l_quantity, 50)"
+            " by l_returnflag"
+        ).to_df().collect()
+    }
+    li = eng.table("lineitem").to_df()
+    exact = {
+        r.l_returnflag: r.p50_weighted
+        for r in percentilew_exact(
+            li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5
+        ).collect()
+    }
+    assert got == exact
+    arr = eng.kql(
+        "lineitem | summarize p = percentilesw(l_extendedprice, l_quantity, 25, 50, 75)"
+    ).to_df().collect()[0].p
+    assert len(arr) == 3 and arr[0] <= arr[1] <= arr[2]
+    total = eng.kql(
+        "events | summarize h = hll(user_id) by event_type"
+        " | summarize total = dcount_hll(hll_merge(h))"
+    ).to_df().collect()[0].total
+    n_users = eng.kql("events | summarize dcount(user_id)").to_df().collect()[0][0]
+    assert abs(total - n_users) / n_users < 0.1
+    r = eng.kql(
+        "print a = datetime(2024-03-15) between (datetime(2024-01-01) .. 90d),"
+        " b = datetime(2024-06-15) between (datetime(2024-01-01) .. 90d),"
+        " t = strcat('', time('1.5h'))"
+    ).to_df().collect()[0]
+    assert (r.a, r.b, r.t) == (True, False, "01:30:00")
