@@ -1209,17 +1209,37 @@ class Parser:
         return OpNode("reduce", {"col": col, "threshold": threshold})
 
     def op_evaluate(self) -> OpNode:
-        """`evaluate plugin(args)` — bag_unpack, pivot."""
+        """`evaluate plugin(args)` — bag_unpack, pivot, activity
+        analytics, … Args may be NAMED (`login = (Event == 'login')`,
+        the Kusto sequence_detect expr form); names land in `arg_names`
+        parallel to `args` (None for positional)."""
         plugin = str(self.expect("IDENT").value).lower()
         self.expect("PUNCT", "(")
         args = []
-        if not self.at("PUNCT", ")"):
+        arg_names: list = []
+
+        def one():
+            save = self.i
+            if self.at("IDENT"):
+                n = str(self.next().value)
+                if self.at("OP", "="):
+                    self.next()
+                    arg_names.append(n)
+                    args.append(self.parse_expr())
+                    return
+                self.i = save
+            arg_names.append(None)
             args.append(self.parse_expr())
+
+        if not self.at("PUNCT", ")"):
+            one()
             while self.at("PUNCT", ","):
                 self.next()
-                args.append(self.parse_expr())
+                one()
         self.expect("PUNCT", ")")
-        return OpNode("evaluate", {"plugin": plugin, "args": args})
+        return OpNode(
+            "evaluate", {"plugin": plugin, "args": args, "arg_names": arg_names}
+        )
 
     def op_make_series(self) -> OpNode:
         """make-series name=agg(...) [default=lit] on ts

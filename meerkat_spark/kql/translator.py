@@ -2173,6 +2173,7 @@ class Translator:
             "sliding_window_counts",
             "activity_counts_metrics",
             "activity_metrics",
+            "new_activity_metrics",
             "rolling_percentile",
             "session_count",
             "activity_engagement",
@@ -2235,6 +2236,15 @@ class Translator:
                     t.df, name_of(args[0]), name_of(args[1]),
                     dt_of(args[2]), dt_of(args[3]), secs_of(args[4]),
                 )
+            elif plugin == "new_activity_metrics":
+                if len(args) != 5:
+                    raise KqlSyntaxError(
+                        "new_activity_metrics(Id, Timeline, Start, End, Window)"
+                    )
+                out = TAgg.new_activity_metrics(
+                    t.df, name_of(args[0]), name_of(args[1]),
+                    dt_of(args[2]), dt_of(args[3]), secs_of(args[4]),
+                )
             elif plugin == "rolling_percentile":
                 if len(args) != 5:
                     raise KqlSyntaxError(
@@ -2259,15 +2269,28 @@ class Translator:
                     secs_of(args[4]), secs_of(args[5]),
                 )
             elif plugin == "activity_engagement":
-                if len(args) != 6:
+                # Kusto: Start/End are OPTIONAL — 4-arg form derives
+                # them from the data (one bounded min/max aggregate,
+                # the same one-row collect contract as toscalar)
+                if len(args) == 4:
+                    tl = name_of(args[1])
+                    lo, hi = t.df.agg(
+                        F.min(tl).alias("lo"), F.max(tl).alias("hi")
+                    ).collect()[0]
+                    start_v, end_v = lo, hi
+                    inner_i, outer_i = 2, 3
+                elif len(args) == 6:
+                    start_v, end_v = dt_of(args[2]), dt_of(args[3])
+                    inner_i, outer_i = 4, 5
+                else:
                     raise KqlSyntaxError(
-                        "activity_engagement(Id, Timeline, Start, End, "
+                        "activity_engagement(Id, Timeline, [Start, End,] "
                         "InnerWindow, OuterWindow)"
                     )
                 out = TAgg.activity_engagement(
                     t.df, name_of(args[0]), name_of(args[1]),
-                    dt_of(args[2]), dt_of(args[3]),
-                    secs_of(args[4]), secs_of(args[5]),
+                    start_v, end_v,
+                    secs_of(args[inner_i]), secs_of(args[outer_i]),
                 )
             elif plugin == "active_users_count":
                 if len(args) != 8:
@@ -2311,8 +2334,10 @@ class Translator:
                     )
                 expr_nodes = args[3:-1]
                 conds = [_c(self.expr(n)) for n in expr_nodes]
+                argnames = a.get("arg_names") or [None] * len(args)
                 names = [
-                    n.name if isinstance(n, P.Ident) else f"step_{i + 1}"
+                    argnames[3 + i]
+                    or (n.name if isinstance(n, P.Ident) else f"step_{i + 1}")
                     for i, n in enumerate(expr_nodes)
                 ]
                 out = TAgg.sequence_detect(

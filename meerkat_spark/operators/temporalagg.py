@@ -754,6 +754,70 @@ def funnel_sequence_completion(
     ).orderBy("t", "__pos").drop("__pos")
 
 
+def new_activity_metrics(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    start: _dt.datetime | str,
+    end: _dt.datetime | str,
+    bin_sec: int,
+) -> DataFrame:
+    """Kusto `evaluate new_activity_metrics(Id, Timeline, Start, End,
+    Window)` — COHORT retention: for every (from_bin, to_bin) pair with
+    to ≥ from, the cohort is the ids whose FIRST activity lands in
+    from_bin; `dcount_new_values` is the cohort size,
+    `dcount_retained_values` how many are active in to_bin,
+    `dcount_churn_values` the rest, rates = retained/new (6dp, Kusto's
+    from==to row is retention 1.0 by construction).
+
+    Shape: distinct (bin, id) once; cohorts from the min-bin-per-id
+    aggregate; retained = ONE equi-join on id (cohort × activity, both
+    keyed on id — co-partitioned shuffle, never a per-pair pass), then
+    a (from, to) groupBy. Pair count ≤ bins², rows not data."""
+    if bin_sec <= 0:
+        raise ValueError("bin must be positive")
+    s_us, e_us = _usec(start), _usec(end)
+    bin_us = bin_sec * 1_000_000
+    n_bins = (e_us - s_us) // bin_us
+    if n_bins < 0:
+        raise ValueError("end before start")
+    tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+    actives = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.floor(tau / F.lit(bin_us)).alias("__k"),
+        )
+        .filter((F.col("__k") >= 0) & (F.col("__k") <= F.lit(n_bins)))
+        .distinct()
+    )
+    cohort = actives.groupBy("__id").agg(F.min("__k").alias("__from"))
+    cohort_sizes = cohort.groupBy("__from").agg(
+        F.count(F.lit(1)).alias("dcount_new_values")
+    )
+    retained = (
+        cohort.join(actives, "__id")
+        .filter(F.col("__k") >= F.col("__from"))
+        .groupBy("__from", F.col("__k").alias("__to"))
+        .agg(F.count(F.lit(1)).alias("dcount_retained_values"))
+    )
+    new_c = F.col("dcount_new_values")
+    ret_c = F.col("dcount_retained_values")
+    ts_of = lambda k: F.timestamp_micros(k * F.lit(bin_us) + F.lit(s_us))  # noqa: E731
+    return (
+        retained.join(cohort_sizes, "__from")
+        .select(
+            ts_of(F.col("__from")).alias(f"from_{time_col}"),
+            ts_of(F.col("__to")).alias(f"to_{time_col}"),
+            new_c,
+            ret_c,
+            (new_c - ret_c).alias("dcount_churn_values"),
+            F.round(ret_c / new_c, 6).alias("retention_rate"),
+            F.round((new_c - ret_c) / new_c, 6).alias("churn_rate"),
+        )
+        .orderBy(f"from_{time_col}", f"to_{time_col}")
+    )
+
+
 def activity_metrics(
     df: DataFrame,
     id_col: str,

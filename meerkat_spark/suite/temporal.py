@@ -706,3 +706,47 @@ def rollup_incremental(spark, sf_dir):
     out.count()  # materialize before the temp store could be cleaned
     shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
     return out
+
+
+@register(
+    "new_activity_metrics_op",
+    oracle="""
+    WITH binned AS (
+      SELECT DISTINCT user_id,
+             CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 604800000000) AS BIGINT) AS k
+      FROM events
+    ), b AS (
+      SELECT * FROM binned WHERE k BETWEEN 0 AND 4
+    ), cohort AS (
+      SELECT user_id, min(k) AS f FROM b GROUP BY user_id
+    ), sizes AS (
+      SELECT f, count(*) AS n FROM cohort GROUP BY f
+    ), ret AS (
+      SELECT c.f, b.k AS t, count(*) AS r
+      FROM cohort c JOIN b ON b.user_id = c.user_id AND b.k >= c.f
+      GROUP BY c.f, b.k
+    )
+    SELECT make_timestamp(f * 604800000000 + epoch_us(TIMESTAMP '2024-01-01')) AS from_ts,
+           make_timestamp(t * 604800000000 + epoch_us(TIMESTAMP '2024-01-01')) AS to_ts,
+           CAST(n AS BIGINT) AS dcount_new_values,
+           CAST(r AS BIGINT) AS dcount_retained_values,
+           CAST(n - r AS BIGINT) AS dcount_churn_values,
+           ROUND(CAST(r AS DOUBLE) / n, 6) AS retention_rate,
+           ROUND(CAST(n - r AS DOUBLE) / n, 6) AS churn_rate
+    FROM ret JOIN sizes USING (f)
+    """,
+)
+def new_activity_metrics_op(spark, sf_dir):
+    """Kusto `evaluate new_activity_metrics`: cohort retention — for
+    every (from, to) weekly bin pair, the from-bin cohort (first-ever
+    activity there), how many stayed active at to, and the churn
+    complement (operators/temporalagg.py:new_activity_metrics)."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            """events | evaluate new_activity_metrics(user_id, ts,
+                 datetime(2024-01-01), datetime(2024-02-05), 7d)"""
+        )
+        .to_df()
+    )

@@ -2164,3 +2164,37 @@ def test_round6_agg_and_time_extensions(spark):
         " t = strcat('', time('1.5h'))"
     ).to_df().collect()[0]
     assert (r.a, r.b, r.t) == (True, False, "01:30:00")
+
+
+def test_round6_plugin_extensions(spark):
+    """Round-6 evaluate-plugin surface: named step exprs in
+    sequence_detect (Kusto's documented form), optional Start/End in
+    activity_engagement, and the new_activity_metrics cohort plugin."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    named = eng.kql(
+        "events | evaluate sequence_detect(ts, 1d, 1d,"
+        " saw = (event_type == 'view'), bought = (event_type == 'purchase'),"
+        " user_id)"
+    ).to_df()
+    assert {"saw_ts", "bought_ts"} <= set(named.columns) or {
+        "saw", "bought"
+    } <= set(named.columns)
+    short = eng.kql(
+        "events | evaluate activity_engagement(user_id, ts, 1d, 7d)"
+    ).to_df()
+    full = eng.kql(
+        "events | evaluate activity_engagement(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-30), 1d, 7d)"
+    ).to_df()
+    assert short.count() > 0 and full.count() > 0
+    nam = eng.kql(
+        "events | evaluate new_activity_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-29), 7d)"
+    ).to_df().collect()
+    # from==to rows are full retention by construction
+    diag = [r for r in nam if r.from_ts == r.to_ts]
+    assert diag and all(r.retention_rate == 1.0 and r.churn_rate == 0.0 for r in diag)
+    assert all(
+        r.dcount_retained_values + r.dcount_churn_values == r.dcount_new_values
+        for r in nam
+    )
