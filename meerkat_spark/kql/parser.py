@@ -987,8 +987,20 @@ class Parser:
         return OpNode("top-nested", {"levels": levels})
 
     def op_partition(self) -> OpNode:
-        """partition by col ( op | op … ) — run the subquery per value
-        of `col` (supported sub-ops: where, extend, summarize, top)."""
+        """partition [hint.*=v …] by col ( op | op … ) — run the
+        subquery per value of `col` (supported sub-ops: where, extend,
+        summarize, top). Hints (strategy, shufflekey, num_partitions)
+        parse-and-ignore: the Spark realization is always the shuffled
+        window/groupBy form, which IS Kusto's shuffle strategy."""
+        while self.at_ident("hint"):
+            self.next()
+            self.expect("PUNCT", ".")
+            self.expect("IDENT")
+            self.expect("OP", "=")
+            if self.at("NUMBER"):
+                self.next()
+            else:
+                self.expect("IDENT")
         self.expect_ident("by")
         col = str(self.expect("IDENT").value)
         self.expect("PUNCT", "(")
@@ -1064,7 +1076,13 @@ class Parser:
         nodes = node_id = None
         if self.at_ident("with"):
             self.next()
-            nodes = str(self.expect("IDENT").value)
+            if self.at("PUNCT", "("):
+                # inline nodes subquery: with (T | project …) on id
+                self.next()
+                nodes = self.parse_pipeline()
+                self.expect("PUNCT", ")")
+            else:
+                nodes = str(self.expect("IDENT").value)
             self.expect_ident("on")
             node_id = str(self.expect("IDENT").value)
         return OpNode(

@@ -2771,9 +2771,13 @@ class Translator:
         graph context is held for the (required) following graph-match.
         No materialization happens here — the 'graph' is a logical pair
         of DataFrames; pattern matching compiles to joins."""
-        nodes_df = (
-            self.table(a["nodes"]).to_df() if a.get("nodes") else None
-        )
+        nodes = a.get("nodes")
+        if nodes is None:
+            nodes_df = None
+        elif isinstance(nodes, P.Pipeline):
+            nodes_df = self.pipeline(nodes)
+        else:
+            nodes_df = self.table(nodes).to_df()
         self._graph = {
             "edges": t.to_df(),
             "src": a["src"],

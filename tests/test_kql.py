@@ -2198,3 +2198,26 @@ def test_round6_plugin_extensions(spark):
         r.dcount_retained_values + r.dcount_churn_values == r.dcount_new_values
         for r in nam
     )
+
+
+def test_make_graph_inline_nodes_and_partition_hints(spark):
+    """Round-6: make-graph accepts an inline nodes SUBQUERY (with
+    (T | ...) on id), and partition parses hint.* (ignored — the Spark
+    realization is already the shuffle strategy)."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    n = eng.kql(
+        "customer | take 50 | extend a = c_custkey % 20, b = c_custkey % 20"
+        " | make-graph a --> b with (customer"
+        "     | project nid = c_custkey % 20, seg = c_mktsegment"
+        "     | summarize take_any(seg) by nid) on nid"
+        " | graph-to-table nodes | count"
+    ).to_df().collect()[0][0]
+    assert n == 20
+    a = eng.kql(
+        "events | partition hint.strategy=shuffle by event_type"
+        " ( top 2 by value desc ) | count"
+    ).to_df().collect()[0][0]
+    b = eng.kql(
+        "events | partition by event_type ( top 2 by value desc ) | count"
+    ).to_df().collect()[0][0]
+    assert a == b > 0
