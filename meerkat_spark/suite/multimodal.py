@@ -107,7 +107,11 @@ def media_cdc_dedup(spark, sf_dir):
         )
     )
     corpus = media.select("media_id", "payload").unionByName(shifted)
-    chunks = cdc_chunks(corpus, min_size=16, avg_size=64, max_size=128)
+    # persist: per-blob stats AND the global dedup summary both read
+    # the chunk table — without it the FastCDC Arrow kernel (and the
+    # payload synthesis) would run once per consumer. Same pattern a
+    # production multi-pass chunk analysis uses at scale.
+    chunks = cdc_chunks(corpus, min_size=16, avg_size=64, max_size=128).persist()
     stats = cdc_dedup_stats(chunks)
     per_blob = (
         chunks.groupBy("media_id")
