@@ -47,6 +47,7 @@ HEADLINE = [
     "media_cdc_dedup",
     "rollup_incremental",
     "scan_funnel",
+    "fuzzy_dedup_pipeline",
 ]
 
 

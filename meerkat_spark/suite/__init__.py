@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "scalar_bag_stats_r6",
     "kql_invoke_tabular",
     "new_activity_metrics_op",
+    "fuzzy_dedup_pipeline",
     # (c) oldest-evidence refreshes (last green in round 2)
     "agg_argmax_argmin",
     "agg_binary_all",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_leftouter",
     "join_leftsemi",
     "join_rightanti",
-    "join_rightouter",
 ]
 
 def _ordered(mapping: dict) -> dict:

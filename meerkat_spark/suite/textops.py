@@ -1038,3 +1038,17 @@ def sentence_chunking(spark, sf_dir):
         "chunk_id",
         F.size(F.split("chunk_text", "\\s+")).cast("long").alias("n_tokens"),
     )
+
+
+@register("fuzzy_dedup_pipeline", oracle=None)
+def fuzzy_dedup_pipeline(spark, sf_dir):
+    """End-to-end fuzzy dedup in one call (text/dedup.py:fuzzy_dedup):
+    MinHash-LSH candidates → exact Jaccard verification of candidates
+    only → connected components → keep min-id representative per class.
+    Candidate generation is hash-dependent → rows-only; keeper/
+    ground-truth-component semantics are pytest-pinned
+    (tests/test_text.py::test_fuzzy_dedup_end_to_end)."""
+    from meerkat_spark.text.dedup import fuzzy_dedup
+
+    docs = _docs(spark, sf_dir)
+    return fuzzy_dedup(docs, threshold=0.8).select("doc_id").orderBy("doc_id")

@@ -431,3 +431,76 @@ def simhash_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------- fuzzy dedup
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard for specific candidate (id1, id2) pairs: one Arrow
+    kernel pass computes each doc's distinct shingle-hash array, the
+    pairs join it twice (both joins keyed on the doc id — co-keyed
+    shuffles), and the ratio is JVM array_intersect/array_union over
+    int64 arrays. Work is O(candidates), never corpus²."""
+    shingles_udf = _make_shingles_udf(shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_udf(F.col(text_col)).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    uni = F.size(F.array_union("sh1", "sh2"))
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(F.when(uni > 0, inter / uni).otherwise(1.0), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end fuzzy dedup — the standard training-data pipeline in
+    one call: MinHash-LSH candidate pairs (bucketed, exact-class star
+    routing) → EXACT Jaccard verification of candidates only (kills
+    LSH false positives) → connected components over the verified
+    near-dup graph → keep the min-id representative per class. Returns
+    `df` minus non-representative near-duplicates.
+
+    Scale: candidates are O(corpus) by LSH construction, verification
+    is O(candidates) co-keyed joins, components is O(graph diameter)
+    keyed rounds (pass checkpoint_dir on a real cluster). Exact
+    byte-identical duplicates never reach the verifier (the star
+    routing pairs them directly, jaccard 1 ≥ any threshold)."""
+    from meerkat_spark.operators.components import connected_components
+
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, n_perm=n_perm, bands=bands, shingle_k=shingle_k
+    )
+    verified = verify_pairs_jaccard(df, cands, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+    comps = connected_components(
+        verified, src="id1", dst="id2", checkpoint_dir=checkpoint_dir
+    )
+    drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

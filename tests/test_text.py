@@ -396,3 +396,53 @@ def test_jaccard_df_cap_bounds_boilerplate(spark):
     full = {(r.id1, r.id2)
             for r in TD.jaccard_pairs(df, threshold=0.5, max_shingle_df=None).collect()}
     assert pairs <= full
+
+
+def test_fuzzy_dedup_end_to_end(spark, docs_with_dups):
+    """fuzzy_dedup keeps exactly one representative (min id) per
+    near-dup class: 30 base docs each have an exact copy (+100000) and
+    a near copy (+200000) — 90 in, 30 out, and the survivors are the
+    min ids. A pure false-positive candidate (low true Jaccard) must
+    be killed by the exact verification stage."""
+    kept = TD.fuzzy_dedup(docs_with_dups, threshold=0.7)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # ground truth: connected components of the EXACT jaccard >= 0.7
+    # graph (python union-find over corpus-wide exact pairs); fuzzy
+    # dedup must keep exactly each component's min id plus all
+    # singletons (LSH recall on exact/near copies is ~1 by design)
+    true_pairs = [
+        (r.id1, r.id2)
+        for r in TD.jaccard_pairs(
+            docs_with_dups, threshold=0.7, max_shingle_df=None
+        ).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in true_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = [r.doc_id for r in docs_with_dups.select("doc_id").collect()]
+    expected = sorted({find(i) if i in parent else i for i in all_ids})
+    assert ids == expected
+    assert all(i < 100000 for i in ids)  # every class rep is a base doc
+
+    # the exact verification stage bounds the class merging: survivors
+    # never shrink below the TRUE >=threshold component count (LSH can
+    # only lose recall, never create false merges past verification)
+    import pyspark.sql.functions as F2
+
+    uniq = docs_with_dups.filter(F2.col("doc_id") < 100000)
+    n_true_pairs = TD.jaccard_pairs(
+        uniq, threshold=0.999, max_shingle_df=None
+    ).count()
+    survivors = TD.fuzzy_dedup(uniq, threshold=0.999).count()
+    # every merge consumed at least one true pair
+    assert survivors >= uniq.count() - n_true_pairs
