@@ -556,3 +556,34 @@ def test_in_subquery_compiles_to_broadcast_semi_join(eng, monkeypatch):
     nplan = plan_of(ndf)
     assert "BroadcastHashJoin" in nplan and "LeftAnti" in nplan
     assert ndf.count() == lit_notin
+
+
+def test_scan_fast_path_is_whole_partition(eng):
+    """The common scan case (no residuals, non-concurrent) must compile
+    to repartition + MapInPandas (one Arrow exchange per PARTITION),
+    not FlatMapGroupsInPandas (one per group — measured 4x slower on
+    thousands of small groups); residual/concurrent modes keep the
+    per-group machine."""
+    from pyspark.sql import functions as F2
+
+    from meerkat_spark.operators.scan import scan_steps
+
+    ev = eng.table("events").to_df().select("user_id", "ts", "event_id", "event_type")
+    fast = scan_steps(
+        ev,
+        steps=[F2.col("event_type") == "view", F2.col("event_type") == "purchase"],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+    )
+    plan = plan_of(fast)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+    slow = scan_steps(
+        ev,
+        steps=[F2.col("event_type") == "view", F2.col("event_type") == "purchase"],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        concurrent=True,
+    )
+    assert "FlatMapGroupsInPandas" in plan_of(slow)
