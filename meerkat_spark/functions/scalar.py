@@ -784,6 +784,112 @@ def parse_url(u) -> Column:
     )
 
 
+def parse_urlquery(q) -> Column:
+    """KQL parse_urlquery → bag {"Query Parameters": {k: v, …}} —
+    str_to_map on '&'/'=' with URL-decoded values, rendered as the
+    nested-JSON shape Kusto emits. Row-local codegen."""
+    c = _c(q)
+    m = F.str_to_map(F.regexp_replace(c, r"^.*\?", ""), F.lit("&"), F.lit("="))
+    decoded = F.transform_values(m, lambda k, v: F.url_decode(v))
+    return F.to_json(
+        F.create_map(F.lit("Query Parameters"), decoded)
+    )
+
+
+def punycode_from_string(s) -> Column:
+    """KQL punycode_from_string — encode a unicode string to its
+    punycode form (no xn-- prefix, per Kusto). Arrow kernel (python's
+    codec); null on failure."""
+
+    @F.pandas_udf("string")
+    def kern(vals: pd.Series) -> pd.Series:
+        def enc(x):
+            if x is None:
+                return None
+            try:
+                return x.encode("punycode").decode("ascii")
+            except (UnicodeError, ValueError):
+                return None
+
+        return vals.map(enc)
+
+    return kern(_lit(s))
+
+
+def punycode_to_string(s) -> Column:
+    """KQL punycode_to_string — decode a punycode string (no xn--
+    prefix); null on failure."""
+
+    @F.pandas_udf("string")
+    def kern(vals: pd.Series) -> pd.Series:
+        def dec(x):
+            if x is None:
+                return None
+            try:
+                return x.encode("ascii").decode("punycode")
+            except (UnicodeError, ValueError):
+                return None
+
+        return vals.map(dec)
+
+    return kern(_lit(s))
+
+
+def punycode_domain_from_string(s) -> Column:
+    """KQL punycode_domain_from_string — decode an IDNA (xn--) domain
+    to unicode, label-wise; labels without the ACE prefix pass through;
+    null on malformed input."""
+
+    @F.pandas_udf("string")
+    def kern(vals: pd.Series) -> pd.Series:
+        def dec(x):
+            if x is None:
+                return None
+            try:
+                out = []
+                for label in x.split("."):
+                    if label.lower().startswith("xn--"):
+                        out.append(
+                            label[4:].encode("ascii").decode("punycode")
+                        )
+                    else:
+                        out.append(label)
+                return ".".join(out)
+            except (UnicodeError, ValueError):
+                return None
+
+        return vals.map(dec)
+
+    return kern(_lit(s))
+
+
+def punycode_domain_to_string(s) -> Column:
+    """KQL punycode_domain_to_string — encode a unicode domain to its
+    IDNA (xn--) form, label-wise; ASCII labels pass through."""
+
+    @F.pandas_udf("string")
+    def kern(vals: pd.Series) -> pd.Series:
+        def enc(x):
+            if x is None:
+                return None
+            try:
+                out = []
+                for label in x.split("."):
+                    if label.isascii():
+                        out.append(label)
+                    else:
+                        out.append(
+                            "xn--" + label.encode("punycode").decode("ascii")
+                        )
+                return ".".join(out)
+            except (UnicodeError, ValueError):
+                return None
+
+        return vals.map(enc)
+
+    return kern(_lit(s))
+
+
 def parse_path(p) -> Column:
     """KQL parse_path → struct (Scheme omitted — plain paths):
     (DirectoryPath, Filename, Extension, AlternateDataStreamName

@@ -368,7 +368,13 @@ _SCALARS: dict[str, Any] = {
         _c(a[0]), a[1] if isinstance(a[1], str) else _c(a[1])
     ),
     "parse_url": lambda a: S.parse_url(_c(a[0])),
+    "parse_urlquery": lambda a: S.parse_urlquery(_c(a[0])),
     "parse_path": lambda a: S.parse_path(_c(a[0])),
+    "punycode_from_string": lambda a: S.punycode_from_string(_c(a[0])),
+    "punycode_to_string": lambda a: S.punycode_to_string(_c(a[0])),
+    "punycode_domain_from_string": lambda a: S.punycode_domain_from_string(_c(a[0])),
+    "punycode_domain_to_string": lambda a: S.punycode_domain_to_string(_c(a[0])),
+    "extractjson": lambda a: S.extract_json(str(a[0]), _c(a[1])),
     # bitwise (Kusto binary_* scalars; shifts take literal counts)
     "binary_and": lambda a: _c(a[0]).cast("long").bitwiseAND(_c(a[1]).cast("long")),
     "binary_or": lambda a: _c(a[0]).cast("long").bitwiseOR(_c(a[1]).cast("long")),
@@ -1066,6 +1072,20 @@ class Translator:
                 str(_raw(self.expr(node.args[0]))),
                 int(_raw(self.expr(node.args[1]))),
                 _c(self.expr(node.args[2])),
+            )
+            return base.try_cast(kql_to_spark(ty_node.args[0].name.lower()))
+        if name in ("extractjson", "extract_json") and len(node.args) == 3:
+            # extractjson(path, text, typeof(T)) — typed JSON capture
+            ty_node = node.args[2]
+            if not (
+                isinstance(ty_node, P.Call) and ty_node.func.lower() == "typeof"
+                and len(ty_node.args) == 1 and isinstance(ty_node.args[0], P.Ident)
+            ):
+                raise KqlSyntaxError("extractjson 3rd argument must be typeof(type)")
+            from meerkat_spark.types import kql_to_spark
+
+            base = S.extract_json(
+                str(_raw(self.expr(node.args[0]))), _c(self.expr(node.args[1]))
             )
             return base.try_cast(kql_to_spark(ty_node.args[0].name.lower()))
         if name == "bin_auto":

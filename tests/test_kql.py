@@ -2221,3 +2221,22 @@ def test_make_graph_inline_nodes_and_partition_hints(spark):
         "events | partition by event_type ( top 2 by value desc ) | count"
     ).to_df().collect()[0][0]
     assert a == b > 0
+
+
+def test_round6_url_punycode_json(spark):
+    """Round-6 string additions: parse_urlquery (Kusto's nested
+    'Query Parameters' bag, URL-decoded values), punycode raw + domain
+    codecs (label-wise xn-- handling), and typed extractjson."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print q = parse_urlquery('https://h/p?a=1&b=hello%20world'),"
+        " d = punycode_domain_from_string('xn--bcher-kva.com'),"
+        " e = punycode_domain_to_string('bücher.com'),"
+        " rt = punycode_to_string(punycode_from_string('münchen')),"
+        " j = extractjson('$.a', '{\"a\": 5}', typeof(long)),"
+        " js = extractjson('$.a.b', '{\"a\": {\"b\": \"z\"}}')"
+    ).to_df().collect()[0]
+    assert '"a":"1"' in r.q and "hello world" in r.q and "Query Parameters" in r.q
+    assert r.d == "bücher.com" and r.e == "xn--bcher-kva.com"
+    assert r.rt == "münchen"
+    assert r.j == 5 and r.js == "z"
