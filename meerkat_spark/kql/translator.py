@@ -22,6 +22,7 @@ from meerkat_spark.functions import agg as A
 from meerkat_spark.functions import scalar as S
 from meerkat_spark.functions import series as SER
 from meerkat_spark.catalog import UnknownTableError
+from meerkat_spark.functions import geo_s2 as _GEO_S2
 from meerkat_spark.kql import parser as P
 from meerkat_spark.kql.lexer import KqlSyntaxError
 from meerkat_spark.table import MeerkatTable
@@ -426,6 +427,12 @@ _SCALARS: dict[str, Any] = {
     "base64_decode_toarray": lambda a: S.base64_decode_toarray(_c(a[0])),
     "geo_point_to_geohash": lambda a: S.geo_point_to_geohash(
         _c(a[0]), _c(a[1]), int(_raw(a[2])) if len(a) > 2 else 5
+    ),
+    "geo_point_to_s2cell": lambda a: _GEO_S2.geo_point_to_s2cell(
+        _c(a[0]), _c(a[1]), int(_raw(a[2])) if len(a) > 2 else 12
+    ),
+    "geo_s2cell_to_central_point": lambda a: _GEO_S2.geo_s2cell_to_central_point(
+        _c(a[0])
     ),
     # KQL returns GeoJSON dynamic — this engine's dynamic is a JSON string
     "geo_geohash_to_central_point": lambda a: F.when(

@@ -995,3 +995,23 @@ def temperature_mix_op(spark, sf_dir):
     }
     out = temperature_mix(srcs, alpha=0.3)
     return out.select("doc_id", "mix_source")
+
+
+@register("geo_s2cell_ops", oracle=None)
+def geo_s2cell_ops(spark, sf_dir):
+    """S2 cell tokens over data-derived points (functions/geo_s2.py —
+    quadratic ST + Hilbert position, the public S2 scheme; the
+    Kusto-docs vector '88d9b' is pytest-pinned). Tokens are
+    S2-algorithm-specific → rows-only; the per-cell aggregation shape
+    is the geo-binning pattern (one shuffle on the token)."""
+    from meerkat_spark.functions.geo_s2 import geo_point_to_s2cell
+
+    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
+    lng = (F.col("event_id") % 360 - 180.0) + 0.5
+    lat = (F.col("user_id") % 170 - 85.0) + 0.25
+    return (
+        ev.select(geo_point_to_s2cell(lng, lat, 6).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cell")
+    )

@@ -2240,3 +2240,27 @@ def test_round6_url_punycode_json(spark):
     assert r.d == "bücher.com" and r.e == "xn--bcher-kva.com"
     assert r.rt == "münchen"
     assert r.j == 5 and r.js == "z"
+
+
+def test_geo_s2cell(spark):
+    """S2 cell tokens: the Kusto-docs vector (Miami @ level 8 ->
+    '88d9b'), default level 12, token->center->token roundtrip
+    stability, and null on out-of-range input."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print a = geo_point_to_s2cell(-80.195829, 25.802215, 8),"
+        " b = geo_point_to_s2cell(2.294481, 48.858370),"
+        " bad = geo_point_to_s2cell(200.0, 95.0, 8),"
+        " c = geo_s2cell_to_central_point('88d9b')"
+    ).to_df().collect()[0]
+    assert r.a == "88d9b"
+    assert r.b == "47e66ff" and r.bad is None
+    import json
+
+    pt = json.loads(r.c)
+    assert pt["type"] == "Point"
+    lng, lat = pt["coordinates"]
+    r2 = eng.kql(
+        f"print t = geo_point_to_s2cell({lng}, {lat}, 8)"
+    ).to_df().collect()[0]
+    assert r2.t == "88d9b"
