@@ -840,13 +840,22 @@ class Parser:
         )
 
     def op_mv_expand(self) -> OpNode:
-        """mv-expand [with_itemindex=ix] [name =] arrayExpr
-        [to typeof(type)]"""
+        """mv-expand [kind=bag|array] [bagexpansion=bag|array]
+        [with_itemindex=ix] [name =] arrayExpr [to typeof(type)]
+        [limit N]"""
         index_name = None
-        if self.at_ident("with_itemindex"):
-            self.next()
+        bag_mode = "bag"
+        while (
+            self.at_ident("with_itemindex")
+            or self.at_ident("kind")
+            or self.at_ident("bagexpansion")
+        ):
+            w = str(self.next().value).lower()
             self.expect("OP", "=")
-            index_name = str(self.expect("IDENT").value)
+            if w == "with_itemindex":
+                index_name = str(self.expect("IDENT").value)
+            else:  # kind / bagexpansion: how property BAGS expand
+                bag_mode = self.expect_ident("bag", "array")
         cols = []
         while True:
             save = self.i
@@ -876,7 +885,13 @@ class Parser:
             self.next()
             limit = int(self.expect("NUMBER").value)
         return OpNode(
-            "mv-expand", {"cols": cols, "index": index_name, "limit": limit}
+            "mv-expand",
+            {
+                "cols": cols,
+                "index": index_name,
+                "limit": limit,
+                "bag_mode": bag_mode,
+            },
         )
 
     def op_mv_apply(self) -> OpNode:

@@ -621,6 +621,65 @@ def _raw(x: Any):
     return x
 
 
+def _dyn_entries_udf(bag_mode: str):
+    """JSON-string dynamic → array<string> of expandable elements for
+    mv-expand: JSON arrays yield one element per item (scalars rendered
+    get_json_object-style — strings unquoted, numbers canonical, nested
+    as JSON); JSON objects yield one single-entry bag per property
+    (Kusto bagexpansion=bag) or a [key, value] pair array
+    (bagexpansion=array). Arrow batch kernel — exact value rendering
+    needs real JSON parsing."""
+    import json
+
+    import pandas as pd
+
+    from pyspark.sql import types as T2
+
+    def render(x):
+        if x is None:
+            return None
+        if isinstance(x, str):
+            return x
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        return json.dumps(x, separators=(",", ":"))
+
+    def kern(vals):
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                parsed = json.loads(v) if isinstance(v, str) else v
+            except (ValueError, TypeError):
+                out.append(None)
+                continue
+            if isinstance(parsed, list):
+                out.append([render(x) for x in parsed])
+            elif isinstance(parsed, dict):
+                if bag_mode == "array":
+                    out.append(
+                        [
+                            json.dumps([k, x], separators=(",", ":"))
+                            for k, x in parsed.items()
+                        ]
+                    )
+                else:
+                    out.append(
+                        [
+                            json.dumps({k: x}, separators=(",", ":"))
+                            for k, x in parsed.items()
+                        ]
+                    )
+            else:
+                out.append([render(parsed)])
+        return pd.Series(out)
+
+    kern.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    return F.pandas_udf(T2.ArrayType(T2.StringType()))(kern)
+
+
 def _unit_span_or_none(x: Any):
     """Python-string unit-suffix timespan ('1.5h', '90s') → _Span, else
     None (caller falls through to the [d.]hh:mm:ss column parser)."""
@@ -1820,35 +1879,38 @@ class Translator:
             t = MeerkatTable(base)
         return t.union(*others, kind=a["kind"])
 
+    def _explodable(self, df, col, bag_mode: str):
+        """Pass ARRAY columns through; JSON-string dynamics route
+        through the entries kernel so bags and arrays both explode."""
+        from pyspark.sql import types as T2
+
+        dt = df.select(col.alias("__x")).schema[0].dataType
+        if isinstance(dt, T2.StringType):
+            return _dyn_entries_udf(bag_mode)(col)
+        return col
+
     def ap_mv_expand(self, t, a):
         index = a.get("index")
         limit = a.get("limit")
+        bag_mode = a.get("bag_mode", "bag")
         if len(a["cols"]) > 1:
             return self._mv_expand_zip(t, a["cols"], index, limit)
         (name, e, ty) = a["cols"][0]
+        col_name = (
+            e.name if name is None and isinstance(e, P.Ident) else name or "Column1"
+        )
+        raw = (
+            F.col(e.name)
+            if name is None and isinstance(e, P.Ident)
+            else _c(self.expr(e))
+        )
+        arr = self._explodable(t.df, raw, bag_mode)
         if limit is not None:
             # Kusto `mv-expand … limit N`: at most N output rows per
             # input record — slice the array BEFORE the explode, so
             # the Generate never materializes the dropped elements
-            col_name = (
-                e.name if name is None and isinstance(e, P.Ident) else name or "Column1"
-            )
-            arr = (
-                F.col(e.name)
-                if name is None and isinstance(e, P.Ident)
-                else _c(self.expr(e))
-            )
-            out = t.extend(**{col_name: F.slice(arr, 1, limit)}).mv_expand(
-                col_name, index_col=index
-            )
-        elif name is None and isinstance(e, P.Ident):
-            out = t.mv_expand(e.name, index_col=index)
-            col_name = e.name
-        else:
-            col_name = name or "Column1"
-            out = t.extend(**{col_name: _c(self.expr(e))}).mv_expand(
-                col_name, index_col=index
-            )
+            arr = F.slice(arr, 1, limit)
+        out = t.extend(**{col_name: arr}).mv_expand(col_name, index_col=index)
         if ty is not None:
             # `to typeof(T)`: cast each exploded element (null-on-misfit)
             from meerkat_spark.types import kql_to_spark
@@ -2686,14 +2748,65 @@ class Translator:
 
     def ap_make_series(self, t, a):
         step = self.expr(a["step"])
-        if not isinstance(step, _Span):
-            raise KqlSyntaxError("make-series step must be a timespan")
-        step_s = int(step.seconds)
+        numeric = isinstance(step, (int, float)) and not isinstance(step, bool)
+        if not isinstance(step, _Span) and not numeric:
+            raise KqlSyntaxError("make-series step must be a timespan or number")
         ts_node = a["on"]
         if not isinstance(ts_node, P.Ident):
             raise KqlSyntaxError("make-series on-clause must be a column")
         ts = ts_node.name
         default = _c(self.expr(a["default"]))
+
+        if numeric:
+            # numeric axis (Kusto allows any numeric on-column): bin by
+            # floor division, spine = lo + k*step over an integer k
+            # sequence (sequence() itself only steps integrally)
+            stepv = float(step)
+            if stepv <= 0:
+                raise KqlSyntaxError("make-series step must be positive")
+
+            def nbin(c):
+                return F.floor(c.cast("double") / F.lit(stepv)) * F.lit(stepv)
+
+            binned = nbin(F.col(ts)).alias("__bin")
+            by_cols, by_names = [], []
+            for i, (name, e) in enumerate(a["by"]):
+                out_name = name or _default_key_name(e, i)
+                by_cols.append(_c(self.expr(e)).alias(out_name))
+                by_names.append(out_name)
+            aggs: dict[str, Column] = {}
+            for i, (name, e) in enumerate(a["aggs"]):
+                aggs[name or _default_agg_name(e, i)] = _c(self.expr(e, agg=True))
+            grouped = t.df.groupBy(*by_cols, binned).agg(
+                *[c.alias(n) for n, c in aggs.items()]
+            )
+            if a["from"] is not None:
+                lo = _c(self.expr(a["from"]))
+                hi = _c(self.expr(a["to"]))
+                bounds = t.df.sparkSession.range(1).select(
+                    nbin(lo).alias("__lo"), nbin(hi).alias("__hi")
+                )
+            else:
+                bounds = grouped.agg(
+                    F.min("__bin").alias("__lo"), F.max("__bin").alias("__hi")
+                )
+            spine = bounds.select(
+                F.col("__lo"),
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("__hi") - F.col("__lo")) / F.lit(stepv)
+                        ).cast("long"),
+                    )
+                ).alias("__k"),
+            ).select(
+                (F.col("__lo") + F.col("__k") * F.lit(stepv)).alias("__bin")
+            )
+            return self._make_series_assemble(
+                grouped, spine, by_names, aggs, default, ts
+            )
+        step_s = int(step.seconds)
 
         binned = S.bin_datetime(F.col(ts), step_s).alias("__bin")
         by_cols, by_names = [], []
@@ -2728,6 +2841,12 @@ class Translator:
                 )
             ).alias("__bin")
         )
+        return self._make_series_assemble(grouped, spine, by_names, aggs, default, ts)
+
+    def _make_series_assemble(self, grouped, spine, by_names, aggs, default, ts):
+        """Shared make-series tail: group × spine grid, left-join the
+        pre-aggregated bins, default-fill, collect dense ordered arrays
+        per group (the KQL make-series output shape)."""
         groups = grouped.select(*by_names).distinct() if by_names else None
         grid = groups.crossJoin(spine) if groups is not None else spine
         joined = grid.join(grouped, [*by_names, "__bin"], "left")
@@ -2736,7 +2855,6 @@ class Translator:
             F.col("__bin"),
             *[F.coalesce(F.col(n), default).alias(n) for n in aggs],
         )
-        # dense ordered arrays per group (the KQL make-series output shape)
         collect = filled.groupBy(*by_names) if by_names else filled.groupBy()
         pairs = F.array_sort(
             F.collect_list(F.struct(F.col("__bin"), *[F.col(n) for n in aggs]))

@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "kql_invoke_tabular",
     "new_activity_metrics_op",
     "fuzzy_dedup_pipeline",
+    "kql_make_series_numeric",
     # (c) oldest-evidence refreshes (last green in round 2)
     "agg_argmax_argmin",
     "agg_binary_all",
@@ -118,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_leftanti",
     "join_leftouter",
     "join_leftsemi",
-    "join_rightanti",
 ]
 
 def _ordered(mapping: dict) -> dict:

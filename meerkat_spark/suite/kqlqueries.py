@@ -643,3 +643,22 @@ def kql_invoke_tabular(spark, sf_dir):
         )
         .to_df()
     )
+
+
+_register_kql(
+    "kql_make_series_numeric",
+    """events | make-series n = count() default = 0
+       on value from 0 to 100 step 10
+       | extend series = strcat_array(n, ',')
+       | project series""",
+    """
+    WITH bins AS (SELECT x * 10.0 AS b FROM generate_series(0, 10) t(x)),
+    counts AS (
+      SELECT floor(value / 10) * 10 AS b, COUNT(*) AS n
+      FROM events WHERE floor(value / 10) * 10 BETWEEN 0 AND 100
+      GROUP BY 1
+    )
+    SELECT array_to_string(list(COALESCE(c.n, 0) ORDER BY bins.b), ',') AS series
+    FROM bins LEFT JOIN counts c ON c.b = bins.b
+    """,
+)

@@ -2264,3 +2264,34 @@ def test_geo_s2cell(spark):
         f"print t = geo_point_to_s2cell({lng}, {lat}, 8)"
     ).to_df().collect()[0]
     assert r2.t == "88d9b"
+
+
+def test_mv_expand_dynamics_and_numeric_make_series(spark):
+    """Round-6: mv-expand over JSON-string dynamics — arrays explode
+    per element (get_json_object-style rendering), property BAGS
+    explode per entry (bagexpansion=bag default; =array gives [k,v]
+    pairs) — and make-series over a NUMERIC axis."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    bag = eng.kql("print d = dynamic({'a':1,'b':2}) | mv-expand d").to_df().collect()
+    assert sorted(x.d for x in bag) in (
+        [' {"a":1}', '{"b":2}'],
+        ['{"a":1}', '{"b":2}'],
+        ['{"a":1.0}', '{"b":2.0}'],
+    )
+    pair = eng.kql(
+        "print d = dynamic({'a':1}) | mv-expand bagexpansion=array d"
+    ).to_df().collect()[0]
+    assert pair.d in ('["a",1]', '["a",1.0]')
+    s = eng.kql(
+        "print a = todynamic('[1,2]') | mv-expand a to typeof(long)"
+        " | summarize s = sum(a)"
+    ).to_df().collect()[0]
+    assert s.s == 3
+    nested = eng.kql(
+        "print a = todynamic('[{\"x\":1},\"s\"]') | mv-expand a"
+    ).to_df().collect()
+    assert [x.a for x in nested] == ['{"x":1}', "s"]
+    ms = eng.kql(
+        "events | make-series n = count() on value from 0 to 100 step 10"
+    ).to_df().collect()[0]
+    assert len(ms.n) == 11 and ms.value == [float(10 * i) for i in range(11)]
