@@ -518,7 +518,7 @@ _SCALARS: dict[str, Any] = {
     "set_union": lambda a: S.set_union(*a),
     "set_intersect": lambda a: S.set_intersect(a[0], a[1]),
     "set_difference": lambda a: S.set_difference(a[0], a[1]),
-    "pack_array": lambda a: S.pack_array(*a),
+    "pack_array": lambda a: _pack_array_dispatch(a),
     "pack": lambda a: S.pack(*a),
     "bag_pack": lambda a: S.pack(*a),
     # translator _c: a literal bag arrives as a JSON *string*, which
@@ -678,6 +678,24 @@ def _dyn_entries_udf(bag_mode: str):
 
     kern.__annotations__ = {"vals": pd.Series, "return": pd.Series}
     return F.pandas_udf(T2.ArrayType(T2.StringType()))(kern)
+
+
+def _pack_array_dispatch(a: list):
+    """pack_array: homogeneous args build a native ARRAY (typed, HOF-
+    indexable); an all-literal HETEROGENEOUS list (Kusto dynamic arrays
+    are untyped — pack_array(1, 'a', true)) becomes a JSON-string
+    dynamic literal, the engine's convention for mixed shapes."""
+    if all(not isinstance(x, Column) for x in a):
+        kinds = {
+            (bool if isinstance(x, bool) else float if isinstance(x, (int, float)) else type(x))
+            for x in a
+            if x is not None
+        }
+        if len(kinds) > 1:
+            import json
+
+            return F.lit(json.dumps(list(a), separators=(",", ":")))
+    return S.pack_array(*a)
 
 
 def _unit_span_or_none(x: Any):
@@ -904,6 +922,24 @@ class Translator:
             low = node.func.lower()
             if low == "split" and len(node.args) < 3:
                 return True
+            if low == "pack_array":
+                # heterogeneous literal pack_array compiles to a
+                # JSON-string dynamic, not a native array
+                vals = [n.value for n in node.args if isinstance(n, P.Lit)]
+                if len(vals) == len(node.args):
+                    kinds = {
+                        (
+                            bool
+                            if isinstance(v, bool)
+                            else float
+                            if isinstance(v, (int, float))
+                            else type(v)
+                        )
+                        for v in vals
+                        if v is not None
+                    }
+                    if len(kinds) > 1:
+                        return False
             return low in self._ARRAY_FUNCS
         if isinstance(node, P.Ident) and self._cur_schema is not None:
             f = {x.name: x.dataType for x in self._cur_schema.fields}.get(

@@ -2295,3 +2295,15 @@ def test_mv_expand_dynamics_and_numeric_make_series(spark):
         "events | make-series n = count() on value from 0 to 100 step 10"
     ).to_df().collect()[0]
     assert len(ms.n) == 11 and ms.value == [float(10 * i) for i in range(11)]
+
+
+def test_pack_array_heterogeneous_literals(spark):
+    """Kusto dynamic arrays are untyped: an all-literal mixed
+    pack_array compiles to a JSON-string dynamic (indexable via the
+    JSON path); homogeneous args keep the native typed array."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print x = pack_array(1, 'a', true), i = pack_array(1, 'a', true)[1],"
+        " n = array_length(pack_array(1, 2, 3))"
+    ).to_df().collect()[0]
+    assert r.x == '[1,"a",true]' and r.i == "a" and r.n == 3
