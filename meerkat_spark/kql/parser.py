@@ -1451,6 +1451,22 @@ class Parser:
                 # time — each term keeps the token-bloom prefilter path
                 self.next()
                 self.expect("PUNCT", "(")
+                if self.at("PUNCT", "("):
+                    # table subquery form: has_any ((T | project c)) —
+                    # resolved at translate time (bounded collect)
+                    save = self.i
+                    self.next()
+                    try:
+                        pipe = self.parse_pipeline()
+                        self.expect("PUNCT", ")")
+                        self.expect("PUNCT", ")")
+                        return Binary(
+                            "has_any_sub" if word == "has_any" else "has_all_sub",
+                            left,
+                            pipe,
+                        )
+                    except KqlSyntaxError:
+                        self.i = save
                 values = [self.parse_expr()]
                 while self.at("PUNCT", ","):
                     self.next()

@@ -872,7 +872,16 @@ class Translator:
                 else:
                     res = col.isin(vals)
                 return ~res if node.negated else res
-            vals = [self.expr(v) for v in node.values]
+            vals = []
+            for v in node.values:
+                ev = self.expr(v)
+                if isinstance(ev, list):
+                    # a dynamic([...]) value (literal or let-bound)
+                    # splices its elements: `x in (allowed)` where
+                    # allowed is a dynamic list
+                    vals.extend(ev)
+                else:
+                    vals.append(ev)
             if node.case_insensitive:
                 res = F.lower(col).isin([str(v).lower() for v in vals])
             else:
@@ -1024,6 +1033,29 @@ class Translator:
 
     def binary(self, node: P.Binary, agg: bool) -> Column:
         op = node.op
+        if op in ("has_any_sub", "has_all_sub"):
+            # has_any/has_all with a TABLE subquery: bounded collect of
+            # the first column (Kusto's own 256-value has_any limit),
+            # then the same or/and chain of term matches the literal
+            # form desugars to
+            sub = self.pipeline(node.right)
+            first = sub.columns[0]
+            rows = sub.select(first).distinct().limit(257).collect()
+            if len(rows) > 256:
+                raise KqlSyntaxError(
+                    "has_any/has_all subquery exceeds 256 values (Kusto limit)"
+                )
+            vals = [r[0] for r in rows if r[0] is not None]
+            lcol = _c(self.expr(node.left, agg=agg))
+            if not vals:
+                return F.lit(False)
+            preds = [
+                S.has_term(lcol, str(v), case_insensitive=True) for v in vals
+            ]
+            out = preds[0]
+            for p in preds[1:]:
+                out = (out | p) if op == "has_any_sub" else (out & p)
+            return out
         le = self.expr(node.left, agg=agg)
         re = self.expr(node.right, agg=agg)
         # timespan literal arithmetic stays python-side (_Span ops) so

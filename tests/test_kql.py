@@ -2307,3 +2307,30 @@ def test_pack_array_heterogeneous_literals(spark):
         " n = array_length(pack_array(1, 2, 3))"
     ).to_df().collect()[0]
     assert r.x == '[1,"a",true]' and r.i == "a" and r.n == 3
+
+
+def test_in_dynamic_lists_and_has_any_subquery(spark, duck):
+    """Round-6: in() splices dynamic-list values (literal or
+    let-bound); has_any/has_all accept a table subquery (bounded
+    collect, Kusto's 256-value limit)."""
+    register_views(duck, SF_ORACLE)
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql(
+        "let allowed = dynamic(['click','view']);"
+        " events | where event_type in (allowed)"
+        " | summarize n = count() by event_type | sort by event_type asc"
+    ).to_df()
+    assert not compare(
+        df,
+        duck,
+        "SELECT event_type, COUNT(*) AS n FROM events"
+        " WHERE event_type IN ('click','view') GROUP BY 1 ORDER BY 1",
+        "in_dynamic",
+    )
+    n_sub = eng.kql(
+        "documents | where text has_any ((print s = 'the')) | count"
+    ).to_df().collect()[0][0]
+    n_lit = eng.kql(
+        "documents | where text has_any ('the') | count"
+    ).to_df().collect()[0][0]
+    assert n_sub == n_lit > 0
