@@ -1663,6 +1663,91 @@ class Translator:
                     df.withColumn(out_name, col).drop("__cs_seg")
                 )
                 continue
+            if (
+                isinstance(e, P.Call)
+                and e.func.lower() == "row_number"
+                and len(e.args) == 2
+            ):
+                # row_number(start, restart): segment id from the
+                # running restart count, then a per-segment row_number
+                # (two window passes, like row_cumsum's restart form)
+                if not self.serialize_order:
+                    raise KqlSyntaxError("row_number() requires a serialized table")
+                start = int(_raw(self.expr(e.args[0])))
+                w = W.orderBy(*self.serialize_order).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+                restart = _colify_pred(self.expr(e.args[1]))
+                seg = F.sum(
+                    F.when(_c(restart).cast("boolean"), 1).otherwise(0)
+                ).over(w)
+                df = t.df.withColumn("__rn_seg", seg)
+                w2 = W.partitionBy("__rn_seg").orderBy(*self.serialize_order)
+                t = MeerkatTable(
+                    df.withColumn(
+                        out_name, F.row_number().over(w2) + F.lit(start - 1)
+                    ).drop("__rn_seg")
+                )
+                continue
+            if (
+                isinstance(e, P.Call)
+                and e.func.lower() == "row_window_session"
+                and len(e.args) in (3, 4)
+            ):
+                # row_window_session(Expr, MaxDuration, IdleTimeout
+                # [, restart]) → the session's FIRST Expr value per row.
+                # Sessions break on restart / idle gap > IdleTimeout;
+                # the MaxDuration cap is applied as aligned
+                # sub-buckets of the idle-session's start (documented
+                # subset of Kusto's greedy from-the-breaking-row
+                # restart — suite/windows.py pins the native
+                # session_window form for the aggregate shape).
+                if not self.serialize_order:
+                    raise KqlSyntaxError(
+                        "row_window_session() requires a serialized table"
+                    )
+                expr_c = _c(self.expr(e.args[0]))
+                max_dur = self.expr(e.args[1])
+                idle = self.expr(e.args[2])
+                if not isinstance(max_dur, _Span) or not isinstance(idle, _Span):
+                    raise KqlSyntaxError(
+                        "row_window_session windows must be timespans"
+                    )
+                w = W.orderBy(*self.serialize_order).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+                us = F.unix_micros(expr_c.cast("timestamp"))
+                gap_break = (
+                    us - F.lag(us).over(W.orderBy(*self.serialize_order))
+                ) > F.lit(int(idle.seconds * 1e6))
+                brk = F.coalesce(gap_break, F.lit(True))
+                if len(e.args) == 4:
+                    brk = brk | _c(
+                        _colify_pred(self.expr(e.args[3]))
+                    ).cast("boolean")
+                df = t.df.withColumn(
+                    "__ss_seg",
+                    F.sum(F.when(brk, 1).otherwise(0)).over(w),
+                )
+                wseg = W.partitionBy("__ss_seg").orderBy(*self.serialize_order)
+                seg_start = F.first(us).over(
+                    wseg.rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                sub = F.floor(
+                    (us - seg_start) / F.lit(int(max_dur.seconds * 1e6))
+                )
+                df = df.withColumn("__ss_sub", sub)
+                wfin = (
+                    W.partitionBy("__ss_seg", "__ss_sub")
+                    .orderBy(*self.serialize_order)
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                t = MeerkatTable(
+                    df.withColumn(out_name, F.first(expr_c).over(wfin)).drop(
+                        "__ss_seg", "__ss_sub"
+                    )
+                )
+                continue
             named[out_name] = _c(self.expr(e))
         return t.extend(**named) if named else t
 

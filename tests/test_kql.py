@@ -2334,3 +2334,32 @@ def test_in_dynamic_lists_and_has_any_subquery(spark, duck):
         "documents | where text has_any ('the') | count"
     ).to_df().collect()[0][0]
     assert n_sub == n_lit > 0
+
+
+def test_row_number_restart_and_row_window_session(spark, duck):
+    """Round-6 window forms: row_number(start, restart) re-numbers per
+    segment; row_window_session returns the session's first timestamp
+    (idle-gap breaks + optional restart; max-duration as aligned
+    sub-buckets, documented subset)."""
+    register_views(duck, SF_ORACLE)
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql(
+        "events | sort by event_type asc, event_id asc"
+        " | extend rn = row_number(1, event_type != prev(event_type))"
+        " | summarize starts = countif(rn == 1), mx = max(rn) by event_type"
+        " | sort by event_type asc"
+    ).to_df()
+    assert not compare(
+        df,
+        duck,
+        "SELECT event_type, CAST(1 AS BIGINT) AS starts,"
+        " COUNT(*) AS mx FROM events GROUP BY 1 ORDER BY 1",
+        "rn_restart",
+    )
+    r = eng.kql(
+        "events | sort by ts asc"
+        " | extend sid = row_window_session(ts, 365d, 1h)"
+        " | summarize n = dcount(sid), rows = count()"
+    ).to_df().collect()[0]
+    # sessions partition the stream: first-ts ids are <= row count and >= 1
+    assert 1 <= r.n <= r.rows
