@@ -730,6 +730,83 @@ def ipv4_is_private(ip) -> Column:
     )
 
 
+def parse_ipv4(ip) -> Column:
+    """KQL parse_ipv4 — dotted quad (optionally with a /prefix netmask,
+    which is APPLIED) → long; null for malformed input."""
+    c = _c(ip)
+    base = F.when(c.contains("/"), F.substring_index(c, "/", 1)).otherwise(c)
+    bits = F.when(
+        c.contains("/"), F.substring_index(c, "/", -1).cast("int")
+    ).otherwise(F.lit(32))
+    v = ipv4_to_long(base)
+    p = F.pow(F.lit(2.0), (F.lit(32) - bits).cast("double"))
+    return F.when(
+        v.isNotNull() & bits.between(0, 32),
+        (F.floor(v / p) * p).cast("long"),
+    )
+
+
+def parse_ipv4_mask(ip, prefix) -> Column:
+    """KQL parse_ipv4_mask — ip masked to `prefix` bits, as long."""
+    bits = _lit(prefix).cast("int")
+    v = ipv4_to_long(ip)
+    p = F.pow(F.lit(2.0), (F.lit(32) - bits).cast("double"))
+    return F.when(
+        v.isNotNull() & bits.between(0, 32), (F.floor(v / p) * p).cast("long")
+    )
+
+
+def _ipv4_term_ok(ip_lit: str) -> bool:
+    parts = ip_lit.split(".")
+    return len(parts) == 4 and all(
+        p.isdigit() and 0 <= int(p) <= 255 for p in parts
+    )
+
+
+def has_ipv4(text, ip_lit: str) -> Column:
+    """KQL has_ipv4 — true when the (validated) IPv4 literal appears as
+    a delimited term in the text; false for malformed search IPs."""
+    import re as _re
+
+    if not _ipv4_term_ok(ip_lit):
+        return F.lit(False)
+    pat = r"(^|[^0-9.])" + _re.escape(ip_lit) + r"($|[^0-9.])"
+    return _c(text).rlike(pat)
+
+
+def has_ipv4_prefix(text, prefix_lit: str) -> Column:
+    """KQL has_ipv4_prefix — a delimited IPv4 term starting with the
+    prefix ('10.1.' style) appears in the text."""
+    import re as _re
+
+    if not _re.fullmatch(r"[0-9.]+", prefix_lit or ""):
+        return F.lit(False)
+    pat = r"(^|[^0-9.])" + _re.escape(prefix_lit) + r"[0-9.]*"
+    return _c(text).rlike(pat)
+
+
+def has_any_ipv4(text, ips: list) -> Column:
+    """KQL has_any_ipv4 — any of the listed IPv4 literals as a term."""
+    preds = [has_ipv4(text, str(v)) for v in ips]
+    if not preds:
+        return F.lit(False)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def has_any_ipv4_prefix(text, prefixes: list) -> Column:
+    """KQL has_any_ipv4_prefix — any of the listed prefixes."""
+    preds = [has_ipv4_prefix(text, str(v)) for v in prefixes]
+    if not preds:
+        return F.lit(False)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
 def parse_version(v) -> Column:
     """KQL parse_version: 'a.b.c.d' → one sortable BIGINT
     (a*10^12 + b*10^8 + c*10^4 + d; missing parts are 0, parts capped

@@ -333,6 +333,16 @@ _SCALARS: dict[str, Any] = {
     "ipv4_to_long": lambda a: S.ipv4_to_long(_c(a[0])),
     "format_ipv4": lambda a: S.format_ipv4(_c(a[0])),
     "ipv4_compare": lambda a: S.ipv4_compare(_c(a[0]), _c(a[1])),
+    "parse_ipv4": lambda a: S.parse_ipv4(_c(a[0])),
+    "parse_ipv4_mask": lambda a: S.parse_ipv4_mask(_c(a[0]), _raw(a[1])),
+    "has_ipv4": lambda a: S.has_ipv4(_c(a[0]), str(_raw(a[1]))),
+    "has_ipv4_prefix": lambda a: S.has_ipv4_prefix(_c(a[0]), str(_raw(a[1]))),
+    "has_any_ipv4": lambda a: S.has_any_ipv4(
+        _c(a[0]), a[1] if isinstance(a[1], list) else [_raw(x) for x in a[1:]]
+    ),
+    "has_any_ipv4_prefix": lambda a: S.has_any_ipv4_prefix(
+        _c(a[0]), a[1] if isinstance(a[1], list) else [_raw(x) for x in a[1:]]
+    ),
     "ipv4_is_in_range": lambda a: S.ipv4_is_in_range(_c(a[0]), _c(a[1])),
     "ipv4_is_private": lambda a: S.ipv4_is_private(_c(a[0])),
     "ipv4_netmask_suffix": lambda a: S.ipv4_netmask_suffix(_c(a[0])),

@@ -2363,3 +2363,23 @@ def test_row_number_restart_and_row_window_session(spark, duck):
     ).to_df().collect()[0]
     # sessions partition the stream: first-ts ids are <= row count and >= 1
     assert 1 <= r.n <= r.rows
+
+
+def test_ipv4_parse_and_term_functions(spark):
+    """Round-6 IP additions: parse_ipv4 (netmask applied), 
+    parse_ipv4_mask, has_ipv4 / has_ipv4_prefix (delimited-term
+    semantics, malformed search IPs are false), and the has_any_*
+    variadic/dynamic forms."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print a = parse_ipv4('192.168.1.1'),"
+        " b = parse_ipv4('192.168.1.1/24'),"
+        " c = parse_ipv4_mask('192.168.1.1', 24),"
+        " bad = parse_ipv4('300.1.1.1'),"
+        " t1 = has_ipv4('src 10.1.2.3 dst', '10.1.2.3'),"
+        " t2 = has_ipv4('src 110.1.2.33', '10.1.2.3'),"
+        " t3 = has_ipv4_prefix('src 10.1.2.3', '10.1.'),"
+        " t4 = has_any_ipv4('src 10.1.2.3', dynamic(['10.9.9.9','10.1.2.3']))"
+    ).to_df().collect()[0]
+    assert (r.a, r.b, r.c, r.bad) == (3232235777, 3232235776, 3232235776, None)
+    assert (r.t1, r.t2, r.t3, r.t4) == (True, False, True, True)
