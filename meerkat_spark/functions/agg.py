@@ -92,10 +92,15 @@ def percentilew(x, w, p: float) -> Column:
     JVM folds (total weight, first crossing). Same per-group
     memory caveat as exact percentile; the keyed-window operator form
     (operators/sampling.py:percentilew_exact) is the bulk path."""
+    xv, wv = _c(x).cast("double"), _c(w).cast("double")
     pairs = F.sort_array(
         F.collect_list(
-            F.struct(
-                _c(x).cast("double").alias("v"), _c(w).cast("double").alias("w")
+            # Kusto aggregates ignore nulls: a null value or weight must
+            # not enter the fold (a null weight would null the running
+            # cumulative sum from that struct onward).
+            F.when(
+                xv.isNotNull() & wv.isNotNull(),
+                F.struct(xv.alias("v"), wv.alias("w")),
             )
         )
     )

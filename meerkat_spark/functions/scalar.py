@@ -770,7 +770,9 @@ def has_ipv4(text, ip_lit: str) -> Column:
 
     if not _ipv4_term_ok(ip_lit):
         return F.lit(False)
-    pat = r"(^|[^0-9.])" + _re.escape(ip_lit) + r"($|[^0-9.])"
+    # Kusto requires NON-ALPHANUMERIC delimiters around the complete IP
+    # term ('a10.1.2.3' does not match '10.1.2.3').
+    pat = r"(^|[^0-9A-Za-z.])" + _re.escape(ip_lit) + r"($|[^0-9A-Za-z.])"
     return _c(text).rlike(pat)
 
 
@@ -781,7 +783,20 @@ def has_ipv4_prefix(text, prefix_lit: str) -> Column:
 
     if not _re.fullmatch(r"[0-9.]+", prefix_lit or ""):
         return F.lit(False)
-    pat = r"(^|[^0-9.])" + _re.escape(prefix_lit) + r"[0-9.]*"
+    # Delimited term that starts with the prefix AND is a well-formed
+    # dotted quad: lookahead pins the prefix, the octet pattern
+    # validates the complete term, and both ends need non-alphanumeric
+    # delimiters (Kusto semantics).
+    octet = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+    pat = (
+        r"(^|[^0-9A-Za-z.])(?="
+        + _re.escape(prefix_lit)
+        + r")("
+        + octet
+        + r"\.){3}"
+        + octet
+        + r"($|[^0-9A-Za-z.])"
+    )
     return _c(text).rlike(pat)
 
 

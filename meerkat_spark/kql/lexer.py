@@ -75,7 +75,7 @@ def tokenize(text: str) -> list[Token]:
             j = text.find("\n", i)
             i = n if j < 0 else j
             continue
-        if ch == "@" and text[i + 1 : i + 2] in "'\"":
+        if ch == "@" and text[i + 1 : i + 2] and text[i + 1] in "'\"":
             # Kusto verbatim string: no backslash escapes; a doubled
             # quote character stands for itself
             q = text[i + 1]

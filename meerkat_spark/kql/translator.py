@@ -663,7 +663,10 @@ def _dyn_entries_udf(bag_mode: str):
             try:
                 parsed = json.loads(v) if isinstance(v, str) else v
             except (ValueError, TypeError):
-                out.append(None)
+                # Kusto passes non-dynamic scalars through as a single
+                # row (print s='hello' | mv-expand s → one row), so a
+                # non-JSON string expands to itself, not to nothing.
+                out.append([v])
                 continue
             if isinstance(parsed, list):
                 out.append([render(x) for x in parsed])

@@ -782,12 +782,15 @@ def new_activity_metrics(
     if n_bins < 0:
         raise ValueError("end before start")
     tau = F.unix_micros(F.col(time_col).cast("timestamp")) - F.lit(s_us)
+    # Kusto's Timeline bound is Start <= ts <= End — clip by TIMESTAMP,
+    # not bin index (a bin-index clip would admit events up to one full
+    # window past End through the trailing partial bin).
     actives = (
-        df.select(
+        df.filter((tau >= 0) & (tau <= F.lit(e_us - s_us)))
+        .select(
             F.col(id_col).alias("__id"),
             F.floor(tau / F.lit(bin_us)).alias("__k"),
         )
-        .filter((F.col("__k") >= 0) & (F.col("__k") <= F.lit(n_bins)))
         .distinct()
     )
     cohort = actives.groupBy("__id").agg(F.min("__k").alias("__from"))

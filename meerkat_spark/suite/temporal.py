@@ -711,13 +711,13 @@ def rollup_incremental(spark, sf_dir):
 @register(
     "new_activity_metrics_op",
     oracle="""
-    WITH binned AS (
+    WITH b AS (
       SELECT DISTINCT user_id,
              CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
                         / 604800000000) AS BIGINT) AS k
       FROM events
-    ), b AS (
-      SELECT * FROM binned WHERE k BETWEEN 0 AND 4
+      WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-01')
+        AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-02-05')
     ), cohort AS (
       SELECT user_id, min(k) AS f FROM b GROUP BY user_id
     ), sizes AS (

@@ -2383,3 +2383,39 @@ def test_ipv4_parse_and_term_functions(spark):
     ).to_df().collect()[0]
     assert (r.a, r.b, r.c, r.bad) == (3232235777, 3232235776, 3232235776, None)
     assert (r.t1, r.t2, r.t3, r.t4) == (True, False, True, True)
+
+
+def test_round7_advice_fixes(spark):
+    """Round-7 ADVICE fixes: (1) bare trailing '@' is a KqlSyntaxError,
+    not IndexError; (2) mv-expand over a non-JSON string scalar passes
+    the value through as one row (Kusto scalar pass-through), not zero
+    rows; (3) percentilew ignores null values/weights (Kusto aggregates
+    skip nulls); (4) has_ipv4 requires non-alphanumeric term delimiters
+    and has_ipv4_prefix validates the complete dotted quad."""
+    from meerkat_spark.kql import KqlSyntaxError
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    with pytest.raises(KqlSyntaxError):
+        eng.kql("print x = @")
+
+    rows = eng.kql("print s = 'hello' | mv-expand s").to_df().collect()
+    assert [r.s for r in rows] == ["hello"]
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, None), (None, 5.0), (3.0, 1.0), (100.0, 0.0)],
+        "v double, w double",
+    )
+    from meerkat_spark.functions.agg import percentilew
+
+    got = df.agg(percentilew(F.col("v"), F.col("w"), 0.5).alias("p")).collect()[0].p
+    # surviving pairs: (1,1),(3,1),(100,0) → total w=2, p50 crossing at v=1
+    assert got == 1.0
+
+    r = eng.kql(
+        "print t1 = has_ipv4('a10.1.2.3', '10.1.2.3'),"
+        " t2 = has_ipv4('x 10.1.2.3;y', '10.1.2.3'),"
+        " t3 = has_ipv4_prefix('src 10.1.999.3', '10.1.'),"
+        " t4 = has_ipv4_prefix('a10.1.2.3', '10.1.'),"
+        " t5 = has_ipv4_prefix('src 10.1.2.3,', '10.1.')"
+    ).to_df().collect()[0]
+    assert (r.t1, r.t2, r.t3, r.t4, r.t5) == (False, True, False, False, True)

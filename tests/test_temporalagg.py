@@ -507,3 +507,32 @@ def test_activity_metrics_known_answer(spark):
     assert got[2].retention_rate == 0.333333  # only u4 of 3 returns
     assert got[3].dcount_values == 1 and got[3].churn_rate == 1.0
     assert got[4].dcount_values == 0 and got[4].retention_rate == 0.0
+
+
+def test_new_activity_metrics_end_is_timestamp_bound(spark):
+    """Round-7 ADVICE fix: events strictly after `end` must NOT count,
+    even when they fall inside the trailing partial bin (the old
+    bin-index clip admitted up to one full window past end). An event
+    AT exactly `end` IS included (Kusto Timeline <= End)."""
+    from meerkat_spark.operators.temporalagg import new_activity_metrics
+
+    rows = [
+        ("u1", _t(1)),          # cohort week 0
+        ("u1", _t(8)),          # retained week 1
+        ("u2", _t(1)),
+        ("u2", _t(10, 12)),     # after end Jan 10 00:00 → excluded
+        ("u3", _t(10)),         # exactly at end → included, week 1 cohort
+    ]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    got = {
+        (r.from_ts.day, r.to_ts.day): (
+            r.dcount_new_values,
+            r.dcount_retained_values,
+        )
+        for r in new_activity_metrics(
+            df, "uid", "ts", _t(1), _t(10), 7 * 86400
+        ).collect()
+    }
+    # week0 cohort {u1,u2}: both active wk0; only u1 retained wk1.
+    # week1 cohort {u3} (event at end exactly).
+    assert got == {(1, 1): (2, 2), (1, 8): (2, 1), (8, 8): (1, 1)}
