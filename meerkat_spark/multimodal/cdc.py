@@ -27,12 +27,16 @@ for _i in range(256):
     _x = (_x * 6364136223846793005 + 1442695040888963407) & _M64
     _GEAR.append(_x)
 
+import numpy as _np
 
-def _chunk_bounds(data: bytes, min_size: int, avg_size: int, max_size: int):
-    """Boundary offsets via the gear hash: cut when the rolling hash's
-    low bits are zero (mask = avg_size-1, avg_size a power of two).
-    Pure-python 64-bit wraparound arithmetic (deterministic, no numpy
-    scalar overflow noise)."""
+_GEAR_NP = _np.array(_GEAR, dtype=_np.uint64)
+
+
+def _chunk_bounds_ref(data: bytes, min_size: int, avg_size: int, max_size: int):
+    """REFERENCE boundary finder (per-byte python loop): cut when the
+    rolling gear hash's low bits are zero (mask = avg_size-1, avg_size
+    a power of two). Kept as the differential-test twin of the
+    vectorized `_chunk_bounds`; not used in the hot path."""
     mask = avg_size - 1
     gear = _GEAR
     n = len(data)
@@ -48,6 +52,83 @@ def _chunk_bounds(data: bytes, min_size: int, avg_size: int, max_size: int):
             h = 0
     if start < n:
         bounds.append((start, n - start))
+    return bounds
+
+
+def _gear_hash_array(arr):
+    """Position-independent rolling gear hash for every byte position:
+    H[i] = sum_{j=0}^{63} gear[arr[i-j]] << j  (mod 2^64).
+
+    The per-step `<<1` means contributions older than 64 bytes shift
+    out of the 64-bit word, so H[i] equals the reset-at-chunk-start
+    hash whenever the chunk is already >= 64 bytes long — computable
+    position-independently. Built in 6 shift-and-add doubling steps
+    (window 1 → 2 → 4 → ... → 64), each a whole-array numpy op:
+    S_{2m}[i] = S_m[i] + (S_m[i-m] << m). uint64 wraparound is the
+    mod-2^64 arithmetic."""
+    import numpy as np
+
+    S = _GEAR_NP[arr]  # fancy-index allocates a fresh array — safe to mutate
+    m = 1
+    while m < 64:
+        # RHS materializes fully (the << temp) before the in-place add,
+        # so the overlapping views are safe: S[i] += S_old[i-m] << m.
+        S[m:] += S[:-m] << np.uint64(m)
+        m *= 2
+    return S
+
+
+def _chunk_bounds(data: bytes, min_size: int, avg_size: int, max_size: int):
+    """Vectorized boundary finder — exact same cuts as
+    `_chunk_bounds_ref` (differential-pinned in tests/test_multimodal).
+
+    Shape: ONE numpy pass builds the position-independent hash array +
+    candidate cut positions (density 1/avg_size); the sequential walk
+    then touches only candidates (searchsorted per chunk) plus, when
+    min_size < 64, a <=63-byte scalar prefix per chunk where the
+    reset-at-start hash differs from the position-independent one.
+    ~O(n) numpy work + O(chunks · log candidates) python — the per-byte
+    python loop (≈MB/s/core) is off the 100TB path."""
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        return []
+    mask = avg_size - 1
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cand = np.flatnonzero(
+        (_gear_hash_array(arr) & np.uint64(mask)) == np.uint64(0)
+    )
+    gear = _GEAR
+    bounds = []
+    start = 0
+    while start < n:
+        cut = None
+        hi = start + max_size - 1  # forced-cut position (length==max)
+        if min_size <= 63:
+            # chunk-local prefix: windows shorter than 64 bytes see the
+            # h=0 reset, so the precomputed hash array doesn't apply
+            h = 0
+            for i in range(start, min(start + 62, n - 1, hi) + 1):
+                h = ((h << 1) + gear[data[i]]) & _M64
+                length = i + 1 - start
+                if (length >= min_size and (h & mask) == 0) or (
+                    length >= max_size
+                ):
+                    cut = i
+                    break
+        if cut is None:
+            lo = start + max(min_size, 64) - 1
+            k = int(np.searchsorted(cand, lo))
+            if k < cand.size and cand[k] <= hi:
+                cut = int(cand[k])
+            elif hi <= n - 1:
+                cut = hi
+        if cut is None:
+            bounds.append((start, n - start))
+            break
+        bounds.append((start, cut + 1 - start))
+        start = cut + 1
     return bounds
 
 

@@ -65,6 +65,7 @@ def main() -> None:
     from meerkat_spark.text import analysis as TA
     from meerkat_spark.text import classifier, pii, spandedup, urlfilter
     from meerkat_spark.text import dedup as TD
+    from meerkat_spark.multimodal.cdc import cdc_chunks
     from meerkat_spark.text.chunk import chunk_documents, pack_chunks
 
     _bl_df = spark.createDataFrame(
@@ -235,6 +236,28 @@ def main() -> None:
             lambda: classifier.score_documents(
                 docs.select("doc_id", "text"), _w_df, bigrams=True
             ).count(),
+        )
+        # CDC chunking over ~32 KB synthetic blobs (doc text repeated —
+        # boundary discovery cost is per-byte regardless of content):
+        # exercises the round-7 vectorized gear-hash kernel at a
+        # realistic chunk config (the per-byte python loop it replaced
+        # measured ~5 MB/s/core; the numpy kernel ~40 MB/s/core).
+        blobs = docs.select(
+            "doc_id",
+            F.encode(
+                F.substring(F.repeat(F.col("text"), 40), 1, 32768), "utf-8"
+            ).alias("payload"),
+        )
+        timed(
+            "cdc_chunk",
+            n_docs,
+            lambda: cdc_chunks(
+                blobs, id_col="doc_id", min_size=512, avg_size=2048,
+                max_size=8192,
+            )
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("length").alias("b"))
+            .collect(),
         )
         docs.unpersist()
         emb.unpersist()

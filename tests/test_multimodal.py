@@ -109,3 +109,34 @@ def test_cdc_chunking_offset_invariant_dedup(spark):
     # deterministic across invocations
     again = cdc_chunks(df, min_size=512, avg_size=2048, max_size=8192)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, ch.collect()))
+
+
+def test_cdc_vectorized_bounds_match_reference():
+    """Round-7: the numpy gear-hash boundary finder must cut at exactly
+    the positions of the per-byte reference loop — every config class:
+    min_size below/above the 64-byte position-independence window,
+    constant bytes (gear[k] degenerate), repetitive blocks, tiny and
+    empty inputs, and max_size forced cuts."""
+    import random
+
+    from meerkat_spark.multimodal.cdc import _chunk_bounds, _chunk_bounds_ref
+
+    rng = random.Random(42)
+    configs = [
+        (16, 64, 128),       # suite fixture config (scalar-prefix path)
+        (512, 2048, 8192),   # pytest vector config
+        (2048, 8192, 65536), # production default (pure vector path)
+        (1, 64, 64),         # max-size-dominated
+        (100, 128, 150),     # min/max straddle the 64-byte window
+    ]
+    for n in [0, 1, 17, 63, 64, 65, 200, 1000, 5000, 30000]:
+        variants = [
+            bytes(rng.getrandbits(8) for _ in range(n)),
+            bytes([7]) * n,
+            (bytes(rng.getrandbits(8) for _ in range(max(1, n // 7))) * 8)[:n],
+        ]
+        for data in variants:
+            for cfg in configs:
+                assert _chunk_bounds(data, *cfg) == _chunk_bounds_ref(
+                    data, *cfg
+                ), (n, cfg)
