@@ -13,6 +13,7 @@ sourced from meerkat_spark.functions.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -26,6 +27,13 @@ from meerkat_spark.functions import geo_s2 as _GEO_S2
 from meerkat_spark.kql import parser as P
 from meerkat_spark.kql.lexer import KqlSyntaxError
 from meerkat_spark.table import MeerkatTable
+
+# Row ceiling for partition-less serialized windows (KQL `serialize`
+# semantics compile to a global Window.orderBy — one sort task). Same
+# hazard class as scan_steps' max_unpartitioned_rows guard.
+MAX_SERIALIZED_WINDOW_ROWS = int(
+    os.environ.get("MEERKAT_MAX_SERIALIZED_WINDOW_ROWS", "5000000")
+)
 
 
 # ---------------------------------------------------------------- scalars
@@ -1338,20 +1346,21 @@ class Translator:
             )
         w = W.orderBy(*self.serialize_order)
         name = node.func.lower()
+        g = self._guard_serialized
         if name == "row_number":
             start = int(_raw(self.expr(node.args[0]))) if node.args else 1
             rn = F.row_number().over(w)
-            return rn + F.lit(start - 1)
+            return g(rn + F.lit(start - 1), name)
         if name == "prev":
             col = _c(self.expr(node.args[0]))
             off = int(_raw(self.expr(node.args[1]))) if len(node.args) > 1 else 1
             dflt = _raw(self.expr(node.args[2])) if len(node.args) > 2 else None
-            return F.lag(col, off, dflt).over(w)
+            return g(F.lag(col, off, dflt).over(w), name)
         if name == "next":
             col = _c(self.expr(node.args[0]))
             off = int(_raw(self.expr(node.args[1]))) if len(node.args) > 1 else 1
             dflt = _raw(self.expr(node.args[2])) if len(node.args) > 2 else None
-            return F.lead(col, off, dflt).over(w)
+            return g(F.lead(col, off, dflt).over(w), name)
         if name == "row_cumsum":
             if len(node.args) > 1:
                 raise KqlSyntaxError(
@@ -1359,12 +1368,49 @@ class Translator:
                     "direct `extend name = row_cumsum(x, restart)` column"
                 )
             col = _c(self.expr(node.args[0]))
-            return F.sum(col).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            return g(
+                F.sum(col).over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+                name,
+            )
         if name == "row_rank_min":
-            return F.rank().over(w)
+            return g(F.rank().over(w), name)
         if name == "row_rank_dense":
-            return F.dense_rank().over(w)
+            return g(F.dense_rank().over(w), name)
         raise KqlSyntaxError(f"unsupported window function {name!r}")
+
+    def _guard_serialized(self, col: Column, name: str) -> Column:
+        """Partition-less serialized window = ONE global sort task —
+        the same at-scale hazard scan_steps guards (operators/
+        scan.py:155): faithful to KQL (`serialize` is one ordered
+        stream), but a silent bottleneck at 100×. Warn at compile
+        time; raise at runtime past the row threshold. The row_number
+        probe rides the SAME window spec, so Catalyst computes it in
+        the one pass the window already costs — no extra shuffle."""
+        import warnings
+
+        from pyspark.sql import Window as W
+
+        warnings.warn(
+            f"{name}() compiles a GLOBAL Window.orderBy (serialized "
+            "table, no partition key): a single-task sort at scale. "
+            "Use `partition by` for the parallel form; rows beyond "
+            f"{MAX_SERIALIZED_WINDOW_ROWS:,} raise at runtime "
+            "(MEERKAT_MAX_SERIALIZED_WINDOW_ROWS overrides).",
+            stacklevel=4,
+        )
+        probe = F.row_number().over(W.orderBy(*self.serialize_order))
+        ok = F.assert_true(
+            probe <= F.lit(MAX_SERIALIZED_WINDOW_ROWS),
+            F.lit(
+                f"{name}(): serialized window over more than "
+                f"{MAX_SERIALIZED_WINDOW_ROWS:,} rows with no partition "
+                "key — wrap in `partition by` or raise "
+                "MEERKAT_MAX_SERIALIZED_WINDOW_ROWS"
+            ),
+        )
+        return F.when(ok.isNull(), col)
 
     # ---------------------------------------------------------- pipeline
     def table(self, name: str) -> MeerkatTable:
@@ -1673,7 +1719,9 @@ class Translator:
                 )
                 col = F.sum(_c(self.expr(e.args[0]))).over(w2)
                 t = MeerkatTable(
-                    df.withColumn(out_name, col).drop("__cs_seg")
+                    df.withColumn(
+                        out_name, self._guard_serialized(col, "row_cumsum")
+                    ).drop("__cs_seg")
                 )
                 continue
             if (
@@ -1698,7 +1746,11 @@ class Translator:
                 w2 = W.partitionBy("__rn_seg").orderBy(*self.serialize_order)
                 t = MeerkatTable(
                     df.withColumn(
-                        out_name, F.row_number().over(w2) + F.lit(start - 1)
+                        out_name,
+                        self._guard_serialized(
+                            F.row_number().over(w2) + F.lit(start - 1),
+                            "row_number",
+                        ),
                     ).drop("__rn_seg")
                 )
                 continue
@@ -1756,9 +1808,12 @@ class Translator:
                     .rowsBetween(W.unboundedPreceding, W.currentRow)
                 )
                 t = MeerkatTable(
-                    df.withColumn(out_name, F.first(expr_c).over(wfin)).drop(
-                        "__ss_seg", "__ss_sub"
-                    )
+                    df.withColumn(
+                        out_name,
+                        self._guard_serialized(
+                            F.first(expr_c).over(wfin), "row_window_session"
+                        ),
+                    ).drop("__ss_seg", "__ss_sub")
                 )
                 continue
             named[out_name] = _c(self.expr(e))

@@ -2419,3 +2419,42 @@ def test_round7_advice_fixes(spark):
         " t5 = has_ipv4_prefix('src 10.1.2.3,', '10.1.')"
     ).to_df().collect()[0]
     assert (r.t1, r.t2, r.t3, r.t4, r.t5) == (False, True, False, False, True)
+
+
+def test_serialized_window_guard_warns_and_bounds(spark, monkeypatch):
+    """Round-7 mirror of tests/test_scan.py's guard: serialize-context
+    window functions compile a partition-less global Window.orderBy
+    (faithful KQL, single sort task at scale) — that must be loud
+    (compile-time warning pointing at `partition by`) and bounded
+    (rows beyond MAX_SERIALIZED_WINDOW_ROWS raise at runtime)."""
+    import warnings
+
+    from meerkat_spark.kql import translator as TR
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = eng.kql(
+            "events | sort by ts asc | extend rn = row_number(),"
+            " p = prev(value), cs = row_cumsum(value)"
+        ).to_df()
+        assert any("GLOBAL Window.orderBy" in str(x.message) for x in w)
+    assert out.count() > 0  # under the threshold: runs fine
+
+    monkeypatch.setattr(TR, "MAX_SERIALIZED_WINDOW_ROWS", 10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bounded = eng.kql(
+            "events | take 100 | sort by ts asc | extend rn = row_number()"
+        ).to_df()
+    with pytest.raises(Exception, match="partition by"):
+        bounded.collect()
+    # the restart/session forms carry the same guard
+    monkeypatch.setattr(TR, "MAX_SERIALIZED_WINDOW_ROWS", 5_000_000)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.kql(
+            "events | sort by ts asc"
+            " | extend s = row_window_session(ts, 1h, 5m)"
+        ).to_df().count()
+        assert any("row_window_session" in str(x.message) for x in w)
