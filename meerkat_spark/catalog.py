@@ -96,6 +96,11 @@ class Catalog:
             self._cache[name] = self._load(p)
         return self._cache[name]
 
+    def register(self, name: str, df: DataFrame) -> None:
+        """Register an in-memory DataFrame under a table name (ad-hoc
+        sources: tests, ingest buffers, query-time scratch tables)."""
+        self._cache[name] = df
+
     def _load(self, path: str) -> DataFrame:
         """Read parquet; nanosecond-timestamp columns (illegal for Spark's
         reader) arrive as long via spark.sql.legacy.parquet.nanosAsLong

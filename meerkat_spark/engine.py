@@ -39,6 +39,10 @@ class MeerkatEngine:
     def from_df(self, df: DataFrame) -> MeerkatTable:
         return MeerkatTable(df)
 
+    def register_table(self, name: str, df: DataFrame) -> None:
+        """Make an in-memory DataFrame queryable by name in kql()/sql()."""
+        self.catalog.register(name, df)
+
     def sql(self, query: str) -> MeerkatTable:
         self.catalog.register_views()
         return MeerkatTable(self.spark.sql(query))

@@ -1762,11 +1762,11 @@ class Translator:
                 # row_window_session(Expr, MaxDuration, IdleTimeout
                 # [, restart]) → the session's FIRST Expr value per row.
                 # Sessions break on restart / idle gap > IdleTimeout;
-                # the MaxDuration cap is applied as aligned
-                # sub-buckets of the idle-session's start (documented
-                # subset of Kusto's greedy from-the-breaking-row
-                # restart — suite/windows.py pins the native
-                # session_window form for the aggregate shape).
+                # the MaxDuration cap restarts GREEDILY at the first
+                # breaching row (Kusto-exact, round 7 — differential-
+                # pinned in tests/test_kql.py); set
+                # MEERKAT_ROW_WINDOW_SESSION_ALIGNED=1 for the aligned
+                # sub-bucket fast path (one window pass, no shuffle).
                 if not self.serialize_order:
                     raise KqlSyntaxError(
                         "row_window_session() requires a serialized table"
@@ -1794,26 +1794,68 @@ class Translator:
                     "__ss_seg",
                     F.sum(F.when(brk, 1).otherwise(0)).over(w),
                 )
-                wseg = W.partitionBy("__ss_seg").orderBy(*self.serialize_order)
-                seg_start = F.first(us).over(
-                    wseg.rowsBetween(W.unboundedPreceding, W.currentRow)
+                max_us = int(max_dur.seconds * 1e6)
+                if os.environ.get("MEERKAT_ROW_WINDOW_SESSION_ALIGNED") == "1":
+                    # documented FAST PATH (pure window, no extra
+                    # shuffle): MaxDuration as aligned sub-buckets of
+                    # the idle-segment start — an approximation of
+                    # Kusto's greedy restart, kept for pipelines that
+                    # prefer one window pass over exactness
+                    wseg = W.partitionBy("__ss_seg").orderBy(
+                        *self.serialize_order
+                    )
+                    seg_start = F.first(us).over(
+                        wseg.rowsBetween(W.unboundedPreceding, W.currentRow)
+                    )
+                    sub = F.floor((us - seg_start) / F.lit(max_us))
+                    df = df.withColumn("__ss_sub", sub)
+                    wfin = (
+                        W.partitionBy("__ss_seg", "__ss_sub")
+                        .orderBy(*self.serialize_order)
+                        .rowsBetween(W.unboundedPreceding, W.currentRow)
+                    )
+                    t = MeerkatTable(
+                        df.withColumn(
+                            out_name,
+                            self._guard_serialized(
+                                F.first(expr_c).over(wfin),
+                                "row_window_session",
+                            ),
+                        ).drop("__ss_seg", "__ss_sub")
+                    )
+                    continue
+                # DEFAULT: Kusto-exact greedy MaxDuration — a session
+                # restarts at the first row breaching session_start +
+                # MaxDuration (data-dependent). Idle/restart breaks stay
+                # window-computed; the greedy refinement distributes as
+                # one applyInPandas over __ss_seg groups
+                from meerkat_spark.operators.sessionize import (
+                    greedy_session_first,
                 )
-                sub = F.floor(
-                    (us - seg_start) / F.lit(int(max_dur.seconds * 1e6))
-                )
-                df = df.withColumn("__ss_sub", sub)
-                wfin = (
-                    W.partitionBy("__ss_seg", "__ss_sub")
-                    .orderBy(*self.serialize_order)
-                    .rowsBetween(W.unboundedPreceding, W.currentRow)
-                )
-                t = MeerkatTable(
-                    df.withColumn(
-                        out_name,
+
+                orig_cols = t.df.columns
+                df = (
+                    df.withColumn("__ss_us", us)
+                    .withColumn("__ss_val", expr_c)
+                    .withColumn(
+                        "__ss_ord",
                         self._guard_serialized(
-                            F.first(expr_c).over(wfin), "row_window_session"
+                            F.row_number().over(
+                                W.orderBy(*self.serialize_order)
+                            ),
+                            "row_window_session",
                         ),
-                    ).drop("__ss_seg", "__ss_sub")
+                    )
+                )
+                out_df = greedy_session_first(
+                    df, "__ss_seg", "__ss_ord", "__ss_us", "__ss_val",
+                    "__ss_out", max_us,
+                )
+                keep = [c for c in orig_cols if c != out_name]
+                t = MeerkatTable(
+                    out_df.select(
+                        *keep, F.col("__ss_out").alias(out_name)
+                    )
                 )
                 continue
             named[out_name] = _c(self.expr(e))

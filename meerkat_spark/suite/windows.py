@@ -377,3 +377,44 @@ def bag_unpack(spark, sf_dir):
     t = e.table("events").where(F.col("event_id") < 500)
     parsed = t.extend(_bag=F.from_json(F.col("props"), "k BIGINT"))
     return parsed.project("event_id", k=F.col("_bag.k")).to_df()
+
+
+@register(
+    "window_session_greedy",
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT epoch_us(ts) AS us,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 5
+    ), rec AS (
+      SELECT rn, us, us AS sess FROM src WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.us,
+             CASE WHEN s.us - r.us > 28800000000
+                    OR s.us - r.sess > 43200000000
+                  THEN s.us ELSE r.sess END
+      FROM src s JOIN rec r ON s.rn = r.rn + 1
+    )
+    SELECT make_timestamp(sess) AS sid, COUNT(*) AS n
+    FROM rec GROUP BY 1
+    """,
+)
+def window_session_greedy(spark, sf_dir):
+    """Round-7: KQL row_window_session with Kusto-EXACT greedy
+    MaxDuration — a session restarts at the first row breaching
+    session_start + MaxDuration (data-dependent, not aligned
+    sub-buckets of the idle-segment start). The DuckDB twin replays the
+    literal greedy recurrence as a recursive CTE (one step per row —
+    the scan-funnel oracle pattern). Engine path:
+    kql/translator.py row_window_session → operators/sessionize.py
+    greedy_session_first (idle breaks window-computed, greedy pass
+    distributed per idle segment via applyInPandas)."""
+    return (
+        _eng(spark, sf_dir)
+        .kql(
+            "events | where user_id < 5 | sort by ts asc, event_id asc"
+            " | extend sid = row_window_session(ts, 12h, 8h)"
+            " | summarize n = count() by sid"
+        )
+        .to_df()
+    )

@@ -2339,8 +2339,8 @@ def test_in_dynamic_lists_and_has_any_subquery(spark, duck):
 def test_row_number_restart_and_row_window_session(spark, duck):
     """Round-6 window forms: row_number(start, restart) re-numbers per
     segment; row_window_session returns the session's first timestamp
-    (idle-gap breaks + optional restart; max-duration as aligned
-    sub-buckets, documented subset)."""
+    (idle-gap breaks + optional restart; max-duration restarts greedily
+    at the breaching row — Kusto-exact since round 7)."""
     register_views(duck, SF_ORACLE)
     eng = MeerkatEngine(spark, SF_ORACLE)
     df = eng.kql(
@@ -2458,3 +2458,66 @@ def test_serialized_window_guard_warns_and_bounds(spark, monkeypatch):
             " | extend s = row_window_session(ts, 1h, 5m)"
         ).to_df().count()
         assert any("row_window_session" in str(x.message) for x in w)
+
+
+def test_row_window_session_greedy_max_duration(spark):
+    """Round-7: Kusto-exact greedy MaxDuration — the session restarts
+    at the FIRST row breaching session_start + MaxDuration (duration
+    == MaxDuration inclusive stays), NOT at aligned sub-buckets of the
+    idle-segment start. Boundary-straddling fixture + randomized
+    differential against a literal python reference."""
+    import datetime as dt
+    import random
+
+    base = dt.datetime(2024, 1, 1)
+    mins = [0, 10, 30, 35, 50]
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=m)) for i, m in enumerate(mins)],
+        "i long, ts timestamp",
+    )
+    df.createOrReplaceTempView("sess_fixture")
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    eng.register_table("sess_fixture", df)
+    out = (
+        eng.kql(
+            "sess_fixture | sort by ts asc"
+            " | extend sid = row_window_session(ts, 30m, 1h)"
+        )
+        .to_df()
+        .collect()
+    )
+    got = {r.i: (r.sid - base).total_seconds() / 60 for r in out}
+    # t=30 is exactly start+30m → stays; t=35 breaches → restarts there
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 35.0, 4: 35.0}
+
+    # randomized differential vs the literal greedy recurrence
+    rng = random.Random(11)
+    t, times = 0, []
+    for _ in range(300):
+        t += rng.choice([1, 3, 7, 20, 90, 200])  # seconds; idle=120s
+        times.append(t)
+    fx = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(times)],
+        "i long, ts timestamp",
+    )
+    eng.register_table("sess_rand", fx)
+    out = (
+        eng.kql(
+            "sess_rand | sort by ts asc"
+            " | extend sid = row_window_session(ts, 5m, 2m)"
+        )
+        .to_df()
+        .collect()
+    )
+    got = {r.i: (r.sid - base).total_seconds() for r in out}
+
+    def ref(times, max_s, idle_s):
+        sids, start, prev = {}, None, None
+        for i, s in enumerate(times):
+            if prev is None or s - prev > idle_s or s - start > max_s:
+                start = s
+            sids[i] = float(start)
+            prev = s
+        return sids
+
+    assert got == ref(times, 300, 120)
