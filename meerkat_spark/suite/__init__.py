@@ -24,8 +24,11 @@ ORACLE: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Register a (spark, sf_dir) -> DataFrame query; oracle=None means
-    the op is not SQL-expressible → driver records rows-only check."""
+    """Register a (spark, sf_dir) -> DataFrame query. oracle=None means
+    the op is not SQL-expressible; the DRIVER HAS NO ROWS-ONLY
+    FALLBACK — a windowed oracle-less query burns its slot with
+    `err: no_oracle` (CORRECTNESS_r06), so only oracle-backed names
+    belong in _PRIORITY; oracle-less ops are pinned by pytest."""
 
     def deco(fn):
         QUERIES[name] = fn
@@ -53,72 +56,72 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-6 rotation: after r1-r5, 172 distinct queries have driver
-# artifacts (171 green/rows-only, 1 red — activity_counts_metrics_op,
-# an oracle-side uncast HUGEINT now fixed). This window holds
-# (a) every query never graded by the driver (the 23 registered after
-# the round-5 window was frozen — restores the "every registered query
-# has a driver artifact" invariant), (b) re-grades for round-6 code or
-# oracle changes (the fixed activity_counts_metrics oracle; the scan
-# family, newly oracle-backed; search_term after the wildcard-anywhere
-# fix), (c) refreshes for oracle-backed queries whose newest green
-# evidence is round 2 (oldest-first). Exactly 50 entries — enforced by
-# tests/test_registry.py. New round-6 queries are appended to section
-# (b) as they land, displacing tail (c) refreshes.
+# Round-7 rotation — ALL 50 slots are oracle-backed (the driver has no
+# rows-only fallback; round 6 burned 5 slots on `err: no_oracle` rows).
+# (a) never-graded / NEWLY oracle-backed: the round-7 construction
+# oracles (span dedup at stride=1, planted fuzzy dedup, formula-built
+# sentence chunking, S2 known vectors, sketch-tolerance booleans for
+# approx dcount + dcount_intersect, composed training pipeline, knn
+# matmul twin, media metadata grid, stratified-contract counts, greedy
+# session via recursive CTE). (b) round-7 code-change re-grades (the
+# five ADVICE fixes + the serialized-window guard wrapper touching the
+# window_* plans). (c) oldest-evidence refreshes: the full round-2
+# cohort, then round-3 names alphabetically. Exactly 50 — enforced by
+# tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) never driver-graded: registered after the round-5 window
+    # (a) never graded / newly oracle-backed (round 7)
+    "geo_s2cell_ops",
+    "span_dedup_exact",
+    "fuzzy_dedup_planted",
+    "sentence_chunking_packed",
+    "window_session_greedy",
+    "agg_dcount_approx",
+    "agg_dcount_intersect",
+    "training_pipeline_end_to_end",
+    "knn_cosine_topk_fast",
+    "media_metadata_agg",
+    "stratified_sample_op",
+    # (b) round-7 fixes — re-grade
     "agg_percentilesw",
-    "scalar_series_elementwise",
-    "scalar_ip_ranges",
-    "scalar_special_math",
-    "scalar_tz_useragent",
-    "scalar_unit_convert",
-    "scalar_datetime_r5",
-    "url_blocklist_filter",
-    "diffpatterns_text_op",
-    "span_dedup_stats",
-    "classifier_quality_gate",
-    "sentence_chunking",
-    "kql_graph_to_table",
-    "kql_parse_kv_op",
-    "mv_expand_zip",
-    "kql_search_qualified",
-    "kql_pred_extensions",
-    "kql_argmax_star",
-    "media_cdc_dedup",
-    "geo_polygon_ops",
-    "temperature_mix_op",
-    "activity_metrics_op",
-    "rollup_incremental",
-    # (b) round-6 changes — re-grade
-    "activity_counts_metrics_op",
-    "scan_funnel",
-    "scan_funnel_latency",
-    "scan_funnel_time_bound",
-    "search_term",
-    "kql_parse_kv_regex",
-    "scalar_bag_stats_r6",
-    "kql_invoke_tabular",
     "new_activity_metrics_op",
-    "fuzzy_dedup_pipeline",
-    "kql_make_series_numeric",
-    # (c) oldest-evidence refreshes (last green in round 2)
-    "agg_argmax_argmin",
-    "agg_binary_all",
-    "agg_conditional",
-    "agg_dcount",
-    "agg_distinct_variants",
-    "agg_make_list_if",
-    "agg_make_set",
-    "agg_percentiles",
-    "agg_stats",
-    "agg_take_any",
-    "find_in_tables",
-    "join_fullouter",
-    "join_innerunique",
-    "join_leftanti",
-    "join_leftouter",
-    "join_leftsemi",
+    "scalar_ip_ranges",
+    "mv_expand_words",
+    "window_row_number",
+    "window_prev_next",
+    "window_cumsum",
+    "window_rank",
+    "window_session",
+    # (c) oldest-evidence refreshes (round-2 cohort, then round-3)
+    "join_rightanti",
+    "join_rightouter",
+    "join_rightsemi",
+    "lookup_dim_chain",
+    "mv_expand_indexed",
+    "parse_pattern",
+    "print_scalars",
+    "range_table",
+    "scalar_casts",
+    "scalar_conditional",
+    "scalar_datetime",
+    "scalar_math",
+    "scalar_string_funcs2",
+    "scalar_strings",
+    "union_inner_mismatched",
+    "union_outer",
+    "agg_percentiles_array",
+    "agg_pricing_summary",
+    "argmin_distance",
+    "bag_unpack",
+    "chunk_documents_op",
+    "dedup_events_by_key",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "knn_pairwise_label",
+    "kql_dynamic_union",
+    "kql_facet",
+    "kql_find",
+    "kql_fork",
+    "kql_join_summarize",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -111,14 +111,39 @@ def agg_dcount(spark, sf_dir):
     ).to_df()
 
 
-@register("agg_dcount_approx", oracle=None)
+@register(
+    "agg_dcount_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts_exact,
+           TRUE AS est_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_dcount_approx(spark, sf_dir):
-    """dcount in its native approximate (HLL) mode — rows-only check
-    (estimates differ across engines by design)."""
+    """Round-7 ORACLE-BACKED approximate dcount: the HLL estimate is
+    engine-specific but DETERMINISTIC for fixed data, so the graded
+    projection carries the exact-tracking column plus a boolean
+    asserting the estimate lands within the sketch's error envelope
+    (rsd=0.05 → 10% grading margin); the raw estimate itself stays out
+    of the hash. The oracle pins exact counts and TRUE — a wrong or
+    drifting sketch flips the boolean and fails the grade."""
     t = _eng(spark, sf_dir).table("lineitem")
-    return t.summarize(
-        {"d_parts": A.dcount("l_partkey", exact=False)}, by=["l_returnflag"]
+    out = t.summarize(
+        {
+            "d_est": A.dcount("l_partkey", exact=False),
+            "d_parts_exact": A.dcount("l_partkey", exact=True),
+        },
+        by=["l_returnflag"],
     ).to_df()
+    return out.select(
+        "l_returnflag",
+        F.col("d_parts_exact").cast("long").alias("d_parts_exact"),
+        (
+            F.abs(F.col("d_est") - F.col("d_parts_exact"))
+            <= 0.10 * F.col("d_parts_exact")
+        ).alias("est_within_10pct"),
+    )
 
 
 @register(
@@ -421,16 +446,40 @@ def agg_percentilew(spark, sf_dir):
     )
 
 
-@register("agg_dcount_intersect", oracle=None)
+@register(
+    "agg_dcount_intersect",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             (epoch_us(ts) // 604800000000) * 604800000000 AS wb,
+             bool_or(event_type = 'view') AS has_v,
+             bool_or(event_type = 'purchase') AS has_b
+      FROM events
+      GROUP BY user_id, (epoch_us(ts) // 604800000000) * 604800000000
+    )
+    SELECT make_timestamp(wb) AS ts,
+           CAST(count(*) FILTER (has_v) AS BIGINT) AS viewers_exact,
+           CAST(count(*) FILTER (has_v AND has_b) AS BIGINT)
+             AS viewers_buyers_exact,
+           TRUE AS s1_within_10pct, TRUE AS s2_within_10pct
+    FROM w GROUP BY wb ORDER BY ts
+    """,
+)
 def agg_dcount_intersect(spark, sf_dir):
     """`evaluate dcount_intersect` over weekly viewer/buyer HLL
-    sketches: inclusion-exclusion on Datasketches unions — estimates
-    (rows-only by design; tests/test_kql.py bounds them against the
-    exact intersection). Typed-null literals (long(null)) route the
-    sketch inputs."""
+    sketches — Kusto semantics: s1 = dcount(set1), s2 = dcount of the
+    INTERSECTION set1∩set2, by inclusion-exclusion on sketch unions.
+    Round-7 ORACLE-BACKED via the agg_dcount_approx pattern: the
+    estimates are engine-specific but deterministic, so the graded
+    projection carries the exact weekly viewer / viewer∩buyer dcounts
+    plus booleans asserting each estimate lands within 10% of exact
+    (at fixture cardinalities the Datasketches HLL is in sparse mode
+    and exact); the raw estimates stay out of the hash. Typed-null
+    literals (long(null)) route the sketch inputs."""
     from meerkat_spark.engine import MeerkatEngine
 
-    return MeerkatEngine(spark, sf_dir).kql(
+    eng = MeerkatEngine(spark, sf_dir)
+    est = eng.kql(
         """events
            | summarize viewers = hll(iff(event_type == 'view', user_id,
                                          long(null))),
@@ -438,9 +487,45 @@ def agg_dcount_intersect(spark, sf_dir):
                                         long(null)))
              by bin(ts, 7d)
            | evaluate dcount_intersect(viewers, buyers)
-           | project ts, s1, s2
-           | sort by ts asc"""
+           | project ts, s1, s2"""
     ).to_df()
+    ev = eng.table("events").to_df()
+    wb = (F.floor(F.unix_micros(F.col("ts")) / 604_800_000_000) * 604_800_000_000).cast("long")
+    exact = (
+        ev.groupBy("user_id", wb.alias("__wb"))
+        .agg(
+            F.max(F.col("event_type") == "view").alias("has_v"),
+            F.max(F.col("event_type") == "purchase").alias("has_b"),
+        )
+        .groupBy("__wb")
+        .agg(
+            F.count_if(F.col("has_v")).alias("viewers_exact"),
+            F.count_if(F.col("has_v") & F.col("has_b")).alias(
+                "viewers_buyers_exact"
+            ),
+        )
+        .select(F.timestamp_micros(F.col("__wb")).alias("ts"), "viewers_exact",
+                "viewers_buyers_exact")
+    )
+    return (
+        est.join(exact, "ts")
+        .select(
+            "ts",
+            F.col("viewers_exact").cast("long").alias("viewers_exact"),
+            F.col("viewers_buyers_exact").cast("long").alias(
+                "viewers_buyers_exact"
+            ),
+            (
+                F.abs(F.col("s1") - F.col("viewers_exact"))
+                <= 0.10 * F.col("viewers_exact")
+            ).alias("s1_within_10pct"),
+            (
+                F.abs(F.col("s2") - F.col("viewers_buyers_exact"))
+                <= 0.10 * F.col("viewers_buyers_exact")
+            ).alias("s2_within_10pct"),
+        )
+        .orderBy("ts")
+    )
 
 
 @register(

@@ -310,15 +310,36 @@ def train_holdout_split(spark, sf_dir):
     return hash_split(docs, "doc_id", train_pct=90, salt="v1")
 
 
-@register("stratified_sample_op", oracle=None)
+@register(
+    "stratified_sample_op",
+    oracle="""
+    SELECT event_type,
+           CAST(least(50, count(*)) AS BIGINT) AS n_sampled,
+           CAST(least(50, count(*)) AS BIGINT) AS n_distinct_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def stratified_sample_op(spark, sf_dir):
     """Per-stratum exact-N sampling (training-mixture control):
-    50 random events per event_type — keyed window, never global."""
+    50 random events per event_type — keyed window, never global.
+    Round-7 ORACLE-BACKED on the deterministic CONTRACT: per stratum,
+    exactly min(50, stratum size) rows, all distinct events (WHICH
+    rows is seeded-random, engine-defined — that selection stays out
+    of the graded projection; determinism-under-seed is pytest-pinned
+    in tests/test_mixing.py)."""
     from meerkat_spark.operators.sampling import exact_n_per_group
 
     e = _eng(spark, sf_dir).table("events").to_df()
-    return exact_n_per_group(e, "event_type", 50, seed=7).select(
+    samp = exact_n_per_group(e, "event_type", 50, seed=7).select(
         "event_id", "event_type"
+    )
+    return (
+        samp.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.count_distinct("event_id").alias("n_distinct_events"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -997,21 +1018,39 @@ def temperature_mix_op(spark, sf_dir):
     return out.select("doc_id", "mix_source")
 
 
-@register("geo_s2cell_ops", oracle=None)
+@register(
+    "geo_s2cell_ops",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, '1'), (1, '3'), (2, '5'), (3, '7'), (4, '9'), (5, 'b'),
+      (6, '88d9b'), (7, '47e66ff')
+    ) AS t(pid, cell)
+    """,
+)
 def geo_s2cell_ops(spark, sf_dir):
-    """S2 cell tokens over data-derived points (functions/geo_s2.py —
-    quadratic ST + Hilbert position, the public S2 scheme; the
-    Kusto-docs vector '88d9b' is pytest-pinned). Tokens are
-    S2-algorithm-specific → rows-only; the per-cell aggregation shape
-    is the geo-binning pattern (one shuffle on the token)."""
+    """Round-7 ORACLE-BACKED S2 cell tokens (functions/geo_s2.py —
+    quadratic ST + Hilbert position, the public S2 scheme), the
+    url_blocklist known-vector pattern: planted coordinates whose
+    tokens are INDEPENDENTLY known — the six S2 face-center cells at
+    level 0 (face f has cell id (2f+1)<<61, i.e. tokens
+    1/3/5/7/9/b — a structural fact of the published cell-id layout)
+    and the two Kusto-docs examples (Miami @ level 8 → '88d9b';
+    Eiffel Tower @ default level 12 → '47e66ff'). The VALUES twin
+    enumerates them, so a hash-free driver grade pins the whole
+    ST-projection + Hilbert-position pipeline at three levels."""
     from meerkat_spark.functions.geo_s2 import geo_point_to_s2cell
 
-    ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
-    lng = (F.col("event_id") % 360 - 180.0) + 0.5
-    lat = (F.col("user_id") % 170 - 85.0) + 0.25
-    return (
-        ev.select(geo_point_to_s2cell(lng, lat, 6).alias("cell"))
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("cell")
+    faces = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 90.0, 0.0), (2, 0.0, 90.0),
+         (3, 180.0, 0.0), (4, -90.0, 0.0), (5, 0.0, -90.0)],
+        "pid int, lng double, lat double",
+    ).select("pid", geo_point_to_s2cell(F.col("lng"), F.col("lat"), 0).alias("cell"))
+    miami = spark.range(1).select(
+        F.lit(6).cast("int").alias("pid"),
+        geo_point_to_s2cell(F.lit(-80.195829), F.lit(25.802215), 8).alias("cell"),
     )
+    eiffel = spark.range(1).select(
+        F.lit(7).cast("int").alias("pid"),
+        geo_point_to_s2cell(F.lit(2.294481), F.lit(48.858370), 12).alias("cell"),
+    )
+    return faces.unionByName(miami).unionByName(eiffel).orderBy("pid")

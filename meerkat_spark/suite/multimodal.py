@@ -69,16 +69,39 @@ def media_resize(spark, sf_dir):
     return resize(media, 32, 32).orderBy("media_id")
 
 
-@register("media_metadata_agg", oracle=None)
+@register(
+    "media_metadata_agg",
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             ['image/png','image/jpeg','audio/wav','video/mp4'][(i % 4) + 1]
+               AS mime,
+             64 * (1 + i % 4) AS width,
+             64 * (1 + (i // 4) % 4) AS height,
+             1000 * (i % 30) AS duration_ms
+      FROM UNNEST(range(0, 64)) AS t(i)
+    )
+    SELECT mime, CAST(count(*) AS BIGINT) AS n,
+           ROUND(avg(width * height), 6) AS avg_pixels,
+           CAST(max(duration_ms) AS INT) AS max_duration_ms
+    FROM m GROUP BY mime ORDER BY mime
+    """,
+)
 def media_metadata_agg(spark, sf_dir):
     """Metadata-only aggregation — never touches payload bytes (column
-    pruning; the scan reads the typed metadata columns only)."""
+    pruning; the scan reads the typed metadata columns only). Round-7
+    ORACLE-BACKED: the fixture's typed metadata is a closed-form
+    function of the media index (multimodal/binaryops.py:34-54), so
+    the DuckDB twin synthesizes the same mime/width/height/duration
+    grid from range(64) — payload stays engine-side and unread."""
     media = synthesize_media_table(spark, n=64)
     return (
         media.groupBy("mime")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
+            F.round(F.avg(F.col("width") * F.col("height")), 6).alias(
+                "avg_pixels"
+            ),
             F.max("duration_ms").alias("max_duration_ms"),
         )
         .orderBy("mime")

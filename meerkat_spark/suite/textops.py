@@ -615,15 +615,70 @@ def gopher_quality_filter(spark, sf_dir):
     ).drop("__mwl", "__hr", "__er")
 
 
-@register("training_pipeline_end_to_end", oracle=None)
+@register(
+    "training_pipeline_end_to_end",
+    oracle=r"""
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(trim(text)) > 0
+        AND length(regexp_split_to_array(trim(text), '\s+'))
+              BETWEEN 50 AND 100000
+        AND length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+              / length(regexp_split_to_array(trim(text), '\s+'))
+              BETWEEN 3 AND 10
+        AND (length(text) - length(replace(text, '#', ''))) * 1.0
+              / length(text) < 0.1
+        AND (length(text) - length(replace(text, '...', ''))) / 3.0
+              / length(regexp_split_to_array(trim(text), '\s+')) < 0.3
+        AND (text LIKE '% the %' OR text LIKE '% and %'
+             OR text LIKE '% to %' OR text LIKE '% of %')
+    ), dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS arr
+      FROM dedup
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) // 112 AS BIGINT) AS chunk_id,
+             CAST(least(128, len(arr) - s + 1) AS BIGINT) AS n_chunk_tokens
+      FROM toks, UNNEST(range(1, len(arr) + 1, 112)) AS u(s)
+      WHERE len(arr) > 0
+    ), packed AS (
+      SELECT CAST(doc_id % 64 AS INT) AS shard, n_chunk_tokens,
+             CAST(sum(n_chunk_tokens) OVER (
+               PARTITION BY doc_id % 64 ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chunk_tokens AS BIGINT) AS start
+      FROM chunks
+    ), sp AS (
+      SELECT shard, CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+             n_chunk_tokens
+      FROM packed
+    )
+    SELECT CASE WHEN substr(md5(concat(shard, '-', pack_id)), 1, 2) < 'f4'
+                THEN 'train' ELSE 'holdout' END AS split,
+           CAST(count(DISTINCT (shard, pack_id)) AS BIGINT) AS n_packs,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS tokens
+    FROM sp GROUP BY 1 ORDER BY 1
+    """,
+)
 def training_pipeline_end_to_end(spark, sf_dir):
     """Composite LLM-data pipeline as ONE lazy plan: Gopher quality
-    gate → exact dedup (min doc_id per fingerprint) → chunk → pack to
-    a token budget → deterministic hash split. Rows-only (the MinHash
-    and decontamination legs are covered by their own queries); the
-    point under test is that the stages COMPOSE into a single Catalyst
-    plan — no materialization between stages, shuffles only at the
-    dedup groupBy and the pack window."""
+    gate → exact dedup (min doc_id per text-equality class — the
+    fingerprint64 keys stand in for text equality) → 128-token chunking
+    (overlap 16) → pack to a 512-token budget over 64 modulus shards →
+    deterministic md5-prefix split (first two hex chars < 'f4' ≈ 95%
+    train — portable to the oracle, unlike xxhash64). Round-7
+    ORACLE-BACKED: every stage is SQL-expressible, so the DuckDB twin
+    composes the per-stage oracles end-to-end and grades the COMPOSED
+    result (the stage queries gopher_quality_filter/dedup_exact_keep/
+    chunk_documents_op grade the pieces individually). Shuffles only at
+    the dedup window and the pack window — both keyed."""
     from pyspark.sql import Window
 
     from meerkat_spark.suite.textops import gopher_quality_filter
@@ -643,14 +698,26 @@ def training_pipeline_end_to_end(spark, sf_dir):
     chunks = chunk_documents(deduped, "text", "doc_id", chunk_tokens=128, overlap=16)
     packed = pack_chunks(chunks, budget=512)
     split = F.when(
-        F.pmod(F.xxhash64("shard", "pack_id"), F.lit(100)) < 95, "train"
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("shard").cast("string"),
+                    F.col("pack_id").cast("string"),
+                )
+            ),
+            1,
+            2,
+        )
+        < "f4",
+        "train",
     ).otherwise("holdout")
     return (
         packed.withColumn("split", split)
         .groupBy("split")
         .agg(
             F.count_distinct("shard", "pack_id").alias("n_packs"),
-            F.sum("n_chunk_tokens").alias("tokens"),
+            F.sum("n_chunk_tokens").cast("long").alias("tokens"),
         )
         .orderBy("split")
     )
@@ -1052,3 +1119,202 @@ def fuzzy_dedup_pipeline(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return fuzzy_dedup(docs, threshold=0.8).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "span_dedup_exact",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, p AS pos,
+             array_to_string(list_slice(arr, p + 1, p + 12), chr(30)) AS h
+      FROM docs, UNNEST(range(0, len(arr) - 12 + 1)) AS u(p)
+      WHERE len(arr) >= 12
+    ), marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS n_occ,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+      FROM spans
+    ), dstat AS (
+      SELECT doc_id, count(*) AS nd, list(pos) AS plist
+      FROM marked WHERE n_occ > 1 AND rk > 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.nd, 0) AS BIGINT) AS n_dropped_spans,
+           CAST(CASE WHEN s.plist IS NULL THEN len(d.arr)
+                ELSE len(d.arr) - len(list_filter(
+                       list_distinct(flatten(list_transform(s.plist,
+                           p -> range(p, p + 12)))),
+                       x -> x < len(d.arr)))
+           END AS BIGINT) AS n_tokens_after
+    FROM docs d LEFT JOIN dstat s USING (doc_id)
+    """,
+)
+def span_dedup_exact(spark, sf_dir):
+    """Round-7 ORACLE-BACKED span dedup: at stride=1 every position
+    anchors (pmod(h,1)==0 — no hash-mod-stride dependence), so the
+    kept/dropped span set is fully determined by 12-token-window
+    EQUALITY and the DuckDB twin replays it with window SQL over the
+    unnested tokens (span key = the token window itself; the engine's
+    xxhash64 span ids only stand in for window equality). Output
+    deliberately projects no hashes: doc_id, dropped-span count, and
+    the post-removal clean token count."""
+    from meerkat_spark.text.spandedup import remove_duplicated_spans
+
+    docs = MeerkatEngine(spark, sf_dir).table("documents").to_df()
+    out = remove_duplicated_spans(docs, window=12, stride=1)
+    toks = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+    return out.select(
+        "doc_id",
+        "n_dropped_spans",
+        F.size(toks).cast("long").alias("n_tokens_after"),
+    )
+
+
+@register(
+    "fuzzy_dedup_planted",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+    UNION ALL
+    SELECT CAST(doc_id + 30000000 AS BIGINT) AS doc_id
+    FROM documents WHERE doc_id % 3 = 1
+    ORDER BY doc_id
+    """,
+)
+def fuzzy_dedup_planted(spark, sf_dir):
+    """Round-7 ORACLE-BACKED fuzzy dedup (the dedup_incremental_index
+    construction pattern): a fully SYNTHETIC corpus whose duplicate
+    structure is known by construction, so the expected survivor set is
+    hash-function-free. Every base doc's text is 30 unique md5 tokens
+    (identical formula both engines; cross-doc jaccard ~ 0); ids%3==0
+    get an exact copy (+10M), ids%6==0 a second copy (+20M — a 3-node
+    component exercising connected components), ids%3==1 a NEAR-MISS
+    (+30M: 15 shared + 15 fresh tokens, jaccard ~ 0.30 << 0.8 — an LSH
+    candidate at most, killed by exact-Jaccard verification). Exact
+    copies have identical minhash signatures (collide in every band /
+    star-routed), so fuzzy_dedup must keep: all base ids (min of their
+    component) + all near-misses, and drop every planted copy — which
+    the oracle enumerates directly."""
+    from meerkat_spark.text.dedup import fuzzy_dedup
+
+    ids = MeerkatEngine(spark, sf_dir).table("documents").to_df().select("doc_id")
+    base_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda j: F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("-"), j.cast("string"))
+            ),
+        ),
+    )
+    nm_text = F.concat_ws(
+        " ",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(15)),
+                lambda j: F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("-"), j.cast("string")
+                    )
+                ),
+            ),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(15)),
+                lambda j: F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("-nm-"),
+                        j.cast("string"),
+                    )
+                ),
+            ),
+        ),
+    )
+    # text FIRST, re-label SECOND: a single select would let Spark's
+    # lateral column alias resolution point the text formula's doc_id
+    # at the shifted id, silently breaking the copies
+    def _shift(src, pred, delta, text_expr):
+        return (
+            src.filter(pred)
+            .select("doc_id", text_expr.alias("text"))
+            .select(
+                (F.col("doc_id") + delta).cast("long").alias("doc_id"), "text"
+            )
+        )
+
+    base = ids.select(
+        F.col("doc_id").cast("long").alias("doc_id"), base_text.alias("text")
+    )
+    copy1 = _shift(ids, F.col("doc_id") % 3 == 0, 10_000_000, base_text)
+    copy2 = _shift(ids, F.col("doc_id") % 6 == 0, 20_000_000, base_text)
+    near = _shift(ids, F.col("doc_id") % 3 == 1, 30_000_000, nm_text)
+    corpus = base.unionByName(copy1).unionByName(copy2).unionByName(near)
+    return fuzzy_dedup(corpus, threshold=0.8).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "sentence_chunking_packed",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS d, 12 + doc_id % 5 AS k FROM documents
+    ), sent AS (
+      SELECT d, i, 1 + (d + 7 * i) % 9 AS n
+      FROM docs, UNNEST(range(1, k + 1)) AS u(i)
+    ), rec AS (
+      SELECT d, i, n, n AS run, 0 AS cid FROM sent WHERE i = 1
+      UNION ALL
+      SELECT s.d, s.i, s.n,
+             CASE WHEN r.run + s.n > 16 THEN s.n ELSE r.run + s.n END,
+             CASE WHEN r.run + s.n > 16 AND r.run > 0
+                  THEN r.cid + 1 ELSE r.cid END
+      FROM sent s JOIN rec r ON s.d = r.d AND s.i = r.i + 1
+    )
+    SELECT d AS doc_id, CAST(cid AS INT) AS chunk_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM rec GROUP BY d, cid
+    """,
+)
+def sentence_chunking_packed(spark, sf_dir):
+    """Round-7 ORACLE-BACKED sentence chunking: a CONSTRUCTED corpus
+    whose segmentation is unambiguous — sentence i of doc d has
+    1 + (d + 7i) % 9 tokens ('Aa bb … bb.'), terminators are '. '
+    followed by an uppercase opener, so the engine's lookbehind split
+    regex (text/chunk.py:_SENTENCE_SPLIT_RE) recovers exactly the
+    constructed sentences. The DuckDB twin recomputes the token counts
+    from the same formula and replays the greedy <=16-token pack as a
+    recursive CTE — grading BOTH the regex segmentation and the
+    run/reset fold of chunk_by_sentences. (The production corpus stays
+    rows-only as sentence_chunking: real punctuation needs the
+    non-RE2 lookbehind.)"""
+    from meerkat_spark.text.chunk import chunk_by_sentences
+
+    ids = MeerkatEngine(spark, sf_dir).table("documents").to_df().select("doc_id")
+    d = F.col("doc_id").cast("long")
+    k = (F.lit(12) + d % 5).cast("int")
+
+    def n_i(i):
+        return F.lit(1) + F.pmod(d + F.lit(7) * i, F.lit(9))
+
+    sents = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), n_i(i).cast("int")),
+                    lambda j: F.when(j == 1, "Aa").otherwise("bb"),
+                ),
+                " ",
+            ),
+            F.lit("."),
+        ),
+    )
+    docs = ids.select(d.alias("doc_id"), F.array_join(sents, " ").alias("text"))
+    out = chunk_by_sentences(docs, max_tokens=16)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk_text", "\\s+")).cast("long").alias("n_tokens"),
+    )
