@@ -161,9 +161,24 @@ def chunk_by_sentences(
         lambda acc: acc["out"],
     )
     exploded = df.select(
-        F.col(id_col), F.explode(packed).alias("x")
-    ).select(id_col, F.col("x.cid").alias("chunk_id"), F.col("x.s").alias("s"))
-    return (
-        exploded.groupBy(id_col, "chunk_id")
-        .agg(F.concat_ws(" ", F.collect_list("s")).alias("chunk_text"))
+        F.col(id_col), F.posexplode(packed).alias("__i", "x")
+    ).select(
+        id_col,
+        F.col("x.cid").alias("chunk_id"),
+        F.col("__i"),
+        F.col("x.s").alias("s"),
+    )
+    # collect_list gives NO intra-group order guarantee after the
+    # shuffle — reassemble by the captured sentence index, not arrival
+    # order (sort_array on (index, sentence) structs restores it)
+    return exploded.groupBy(id_col, "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__i"), F.col("s")))
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("chunk_text")
     )
