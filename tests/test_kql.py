@@ -2521,3 +2521,36 @@ def test_row_window_session_greedy_max_duration(spark):
         return sids
 
     assert got == ref(times, 300, 120)
+
+
+def test_s2_vectorized_matches_scalar_reference():
+    """Round-7: the whole-batch numpy S2 kernel must produce
+    bit-identical cell ids to the per-point scalar reference — a
+    lat/lng grid (face interiors, edges, poles, date line) at several
+    levels, plus invalid coordinates mapping to None."""
+    import numpy as np
+
+    from meerkat_spark.functions.geo_s2 import (
+        _MAX_LEVEL,
+        _point_to_cellid,
+        _points_to_cellids,
+    )
+
+    lngs, lats = [], []
+    for lng in [-180.0, -179.99, -90.0, -45.5, 0.0, 0.01, 44.9, 90.0, 135.0, 180.0]:
+        for lat in [-90.0, -89.9, -45.1, -0.01, 0.0, 35.69, 45.0, 89.9, 90.0]:
+            lngs.append(lng)
+            lats.append(lat)
+    rng = np.random.default_rng(5)
+    lngs += list(rng.uniform(-180, 180, 300))
+    lats += list(rng.uniform(-90, 90, 300))
+    for level in [0, 1, 8, 12, 30]:
+        ids, valid = _points_to_cellids(lngs, lats, level)
+        assert valid.all()
+        for k, (lg, la) in enumerate(zip(lngs, lats)):
+            ref = _point_to_cellid(lg, la, level)
+            assert int(ids[k]) == ref, (lg, la, level, int(ids[k]), ref)
+    ids, valid = _points_to_cellids(
+        [200.0, float("nan"), 10.0], [95.0, 10.0, float("nan")], 8
+    )
+    assert list(valid) == [False, False, False]
