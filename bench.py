@@ -48,6 +48,14 @@ HEADLINE = [
     "rollup_incremental",
     "scan_funnel",
     "fuzzy_dedup_pipeline",
+    # round-7 additions: the stride=1 exact span dedup (heavier than
+    # the stride=4 production config — every position anchors), the
+    # planted-corpus fuzzy dedup (synthesized corpus + full LSH->
+    # verify->components pass), and the greedy sessionizer
+    # (applyInPandas over idle segments)
+    "span_dedup_exact",
+    "fuzzy_dedup_planted",
+    "window_session_greedy",
 ]
 
 
