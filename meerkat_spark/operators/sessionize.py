@@ -45,7 +45,14 @@ def greedy_session_first(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ord_col).reset_index(drop=True)
-        us = pdf[us_col].to_numpy(dtype="int64")
+        # null times: the translator's idle-break coalesces a null gap
+        # to TRUE, so null-ts rows always arrive as single-row segments
+        # — the fill value never influences a multi-row walk
+        us = (
+            pd.to_numeric(pdf[us_col], errors="coerce")
+            .fillna(0)
+            .to_numpy(dtype="int64")
+        )
         vals = pdf[val_col]
         n = len(us)
         out = np.empty(n, dtype=object)

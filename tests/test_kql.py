@@ -2554,3 +2554,33 @@ def test_s2_vectorized_matches_scalar_reference():
         [200.0, float("nan"), 10.0], [95.0, 10.0, float("nan")], 8
     )
     assert list(valid) == [False, False, False]
+
+
+def test_row_window_session_null_timestamps(spark):
+    """Null Expr rows break into their own single-row sessions (the
+    idle gap against a null is indeterminate → Kusto starts fresh);
+    the greedy kernel must not crash on the null microsecond value."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base),
+        (1, base + dt.timedelta(minutes=1)),
+        (2, None),
+        (3, base + dt.timedelta(minutes=2)),
+    ]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    eng.register_table("sess_nulls", df)
+    out = (
+        eng.kql(
+            "sess_nulls | sort by i asc"
+            " | extend sid = row_window_session(ts, 1h, 30m)"
+        )
+        .to_df()
+        .collect()
+    )
+    got = {r.i: r.sid for r in out}
+    assert got[0] == base and got[1] == base
+    assert got[2] is None  # its own session; first Expr value is null
+    assert got[3] == base + dt.timedelta(minutes=2)  # fresh after null
