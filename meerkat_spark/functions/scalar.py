@@ -2297,3 +2297,114 @@ def datetime_diff_boundaries(part: str, dt1, dt2) -> Column:
             "long"
         )
     raise ValueError(f"datetime_diff: unsupported part {part!r}")
+
+
+# ---------------------------------------------------------------- round 7
+def make_timespan(*parts) -> Column:
+    """KQL make_timespan — (hour, minute) / (hour, minute, second) /
+    (day, hour, minute, second) → timespan (the engine's seconds-double
+    representation, same as totimespan)."""
+    cols = [_c(p).cast("double") for p in parts]
+    if len(cols) == 2:
+        d, h, m, s = F.lit(0.0), cols[0], cols[1], F.lit(0.0)
+    elif len(cols) == 3:
+        d, h, m, s = F.lit(0.0), cols[0], cols[1], cols[2]
+    elif len(cols) == 4:
+        d, h, m, s = cols
+    else:
+        raise ValueError("make_timespan takes 2-4 arguments")
+    return d * 86400.0 + h * 3600.0 + m * 60.0 + s
+
+
+def unixtime_milliseconds_todatetime(x) -> Column:
+    """Epoch milliseconds (int or real) → datetime (µs precision)."""
+    return F.timestamp_micros((_c(x).cast("double") * 1e3).cast("long"))
+
+
+def unixtime_microseconds_todatetime(x) -> Column:
+    return F.timestamp_micros(_c(x).cast("long"))
+
+
+def unixtime_nanoseconds_todatetime(x) -> Column:
+    """Epoch nanoseconds → datetime; sub-µs digits are truncated
+    (engine datetime precision is µs — SURVEY-sanctioned delta)."""
+    return F.timestamp_micros((_c(x).cast("double") / 1e3).cast("long"))
+
+
+def bag_has_key(bag, key) -> Column:
+    """KQL bag_has_key — TOP-LEVEL key presence in a property bag
+    (JSON object). Kusto also accepts '$.a.b' JSONPath keys; the
+    nested form is served by get_json_object when the key starts with
+    '$' (presence = non-null leaf, a documented subset: a null-valued
+    nested key reads as absent)."""
+    k = _c(key) if isinstance(key, Column) else F.lit(key)
+    top = F.array_contains(F.coalesce(bag_keys(bag), F.array()), k)
+    if not isinstance(key, Column) and str(key).startswith("$"):
+        return F.get_json_object(_c(bag), str(key)).isNotNull()
+    return top
+
+
+def bag_set_key(bag, key, value) -> Column:
+    """KQL bag_set_key — upsert a TOP-LEVEL key: merge semantics where
+    the (key, value) pair wins over the existing bag entry
+    (bag_merge keeps the FIRST bag's key on conflict, so packing the
+    new pair first implements the upsert). Values round-trip as JSON
+    strings, the bag_merge convention."""
+    return bag_merge(pack(key, value), _c(bag))
+
+
+def hash_sha1(x) -> Column:
+    return F.sha1(_c(x).cast("string"))
+
+
+def hash_combine(*hashes) -> Column:
+    """KQL hash_combine — combine hash values. Kusto's mixing function
+    is unpublished (its hashes are engine-specific anyway, like this
+    engine's xxhash64-based hash()); combining by xxhash64 over the
+    ordered value tuple is deterministic, order-sensitive, and stays in
+    codegen without ANSI-mode overflow."""
+    return F.xxhash64(*[_c(h).cast("long") for h in hashes])
+
+
+def ipv4_is_match(a, b, prefix: int = 32) -> Column:
+    """KQL ipv4_is_match(ip1, ip2[, prefix]) — equality under the
+    EFFECTIVE prefix: min of each ip's own '/suffix' (default 32) and
+    the prefix argument. Null for malformed input."""
+    ca, cb = _c(a), _c(b)
+
+    def base_bits(c):
+        base = F.when(c.contains("/"), F.substring_index(c, "/", 1)).otherwise(c)
+        bits = F.when(
+            c.contains("/"), F.substring_index(c, "/", -1).cast("int")
+        ).otherwise(F.lit(32))
+        return base, bits
+
+    base_a, bits_a = base_bits(ca)
+    base_b, bits_b = base_bits(cb)
+    eff = F.least(bits_a, bits_b, F.lit(int(prefix)))
+    ok = eff.between(0, 32)
+    p = F.pow(F.lit(2.0), (F.lit(32) - eff).cast("double"))
+    la, lb = ipv4_to_long(base_a), ipv4_to_long(base_b)
+    return F.when(
+        ok & la.isNotNull() & lb.isNotNull(),
+        F.floor(la / p) == F.floor(lb / p),
+    )
+
+
+def base64_encode_fromarray(arr) -> Column:
+    """KQL base64_encode_fromarray — byte array (dynamic of 0..255
+    ints) → base64 string: hex-render each byte JVM-side, unhex to
+    binary, base64. Null when any element is out of byte range."""
+    a = _c(arr)
+    valid = F.forall(a, lambda x: x.cast("long").between(0, 255))
+    hexstr = F.array_join(
+        F.transform(a, lambda x: F.lpad(F.hex(x.cast("long")), 2, "0")), ""
+    )
+    return F.when(valid, F.base64(F.unhex(hexstr)))
+
+
+def isutf8(x) -> Column:
+    """KQL isutf8 — Spark strings are UTF-8 by construction, so any
+    non-null string value is valid UTF-8 (bytes that were not valid
+    UTF-8 could not have become a string column)."""
+    return _c(x).isNotNull()

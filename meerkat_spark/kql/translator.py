@@ -49,6 +49,21 @@ def _fn_bin(args: list[Any]) -> Column:
     return S.bin_numeric(x, size)
 
 
+def _make_timespan_literal(args) -> float:
+    """Seconds for literal make_timespan args — (h,m) / (h,m,s) /
+    (d,h,m,s), the Kusto arities."""
+    vals = [float(x) for x in args]
+    if len(vals) == 2:
+        d, h, m, s = 0.0, vals[0], vals[1], 0.0
+    elif len(vals) == 3:
+        d, h, m, s = 0.0, vals[0], vals[1], vals[2]
+    elif len(vals) == 4:
+        d, h, m, s = vals
+    else:
+        raise KqlSyntaxError("make_timespan takes 2-4 arguments")
+    return d * 86400.0 + h * 3600.0 + m * 60.0 + s
+
+
 class _Span:
     """Marker for timespan values flowing through translation. Supports
     the literal arithmetic KQL allows on timespans (-5m, 2h + 30m,
@@ -127,6 +142,18 @@ _SCALARS: dict[str, Any] = {
     "format_datetime": lambda a: S.format_datetime(_c(a[0]), str(a[1])),
     "todatetime": lambda a: S.todatetime(_c(a[0])),
     "unixtime_seconds_todatetime": lambda a: S.unixtime_seconds_todatetime(_c(a[0])),
+    # round-7 gap closure
+    "unixtime_milliseconds_todatetime": lambda a: S.unixtime_milliseconds_todatetime(_c(a[0])),
+    "unixtime_microseconds_todatetime": lambda a: S.unixtime_microseconds_todatetime(_c(a[0])),
+    "unixtime_nanoseconds_todatetime": lambda a: S.unixtime_nanoseconds_todatetime(_c(a[0])),
+    "weekofyear": lambda a: S.week_of_year(_c(a[0])),  # deprecated Kusto alias
+    # literal args → a true _Span (usable as bin()/session steps);
+    # column args → the engine's seconds-double column form
+    "make_timespan": lambda a: (
+        _Span(_make_timespan_literal(a))
+        if all(not isinstance(x, Column) for x in a)
+        else S.make_timespan(*a)
+    ),
     "datetime_add": lambda a: S.datetime_add_col(str(a[0]), _c(a[1]), _c(a[2])),
     "datetime_diff": lambda a: S.datetime_diff_boundaries(
         str(a[0]), _c(a[1]), _c(a[2])
@@ -199,6 +226,8 @@ _SCALARS: dict[str, Any] = {
     "hash": lambda a: S.hash_xx(_c(a[0]), int(a[1]) if len(a) > 1 else None),
     "hash_sha256": lambda a: S.hash_sha256(_c(a[0])),
     "hash_md5": lambda a: F.md5(_c(a[0])),
+    "hash_sha1": lambda a: S.hash_sha1(_c(a[0])),
+    "hash_combine": lambda a: S.hash_combine(*[_c(x) for x in a]),
     "url_encode": lambda a: S.url_encode(_c(a[0])),
     "url_decode": lambda a: S.url_decode(_c(a[0])),
     "strcat_array": lambda a: S.strcat_array(_c(a[0]), a[1] if isinstance(a[1], str) else _c(a[1])),
@@ -341,6 +370,9 @@ _SCALARS: dict[str, Any] = {
     "ipv4_to_long": lambda a: S.ipv4_to_long(_c(a[0])),
     "format_ipv4": lambda a: S.format_ipv4(_c(a[0])),
     "ipv4_compare": lambda a: S.ipv4_compare(_c(a[0]), _c(a[1])),
+    "ipv4_is_match": lambda a: S.ipv4_is_match(
+        _c(a[0]), _c(a[1]), int(_raw(a[2])) if len(a) > 2 else 32
+    ),
     "parse_ipv4": lambda a: S.parse_ipv4(_c(a[0])),
     "parse_ipv4_mask": lambda a: S.parse_ipv4_mask(_c(a[0]), _raw(a[1])),
     "has_ipv4": lambda a: S.has_ipv4(_c(a[0]), str(_raw(a[1]))),
@@ -443,6 +475,7 @@ _SCALARS: dict[str, Any] = {
     ),
     "bitset_count_ones": lambda a: S.bitset_count_ones(_c(a[0])),
     "base64_decode_toarray": lambda a: S.base64_decode_toarray(_c(a[0])),
+    "base64_encode_fromarray": lambda a: S.base64_encode_fromarray(a[0]),
     "geo_point_to_geohash": lambda a: S.geo_point_to_geohash(
         _c(a[0]), _c(a[1]), int(_raw(a[2])) if len(a) > 2 else 5
     ),
@@ -481,10 +514,15 @@ _SCALARS: dict[str, Any] = {
     ),
     "bag_merge": lambda a: S.bag_merge(_c(a[0]), _c(a[1])),
     "bag_remove_keys": lambda a: S.bag_remove_keys(_c(a[0]), _c(a[1])),
+    "bag_has_key": lambda a: S.bag_has_key(
+        _c(a[0]), a[1] if isinstance(a[1], str) else _c(a[1])
+    ),
+    "bag_set_key": lambda a: S.bag_set_key(_c(a[0]), a[1], a[2]),
     # round-4 string/byte surface
     "tohex": lambda a: S.tohex(_c(a[0]), int(_raw(a[1])) if len(a) > 1 else None),
     "string_size": lambda a: S.string_size(_c(a[0])),
     "isascii": lambda a: S.isascii(_c(a[0])),
+    "isutf8": lambda a: S.isutf8(_c(a[0])),
     "indexof_regex": lambda a: S.indexof_regex(_c(a[0]), str(_raw(a[1]))),
     "new_guid": lambda a: S.new_guid(),
     "unicode_codepoints_from_string": lambda a: S.unicode_codepoints_from_string(_c(a[0])),
@@ -539,6 +577,7 @@ _SCALARS: dict[str, Any] = {
     "pack_array": lambda a: _pack_array_dispatch(a),
     "pack": lambda a: S.pack(*a),
     "bag_pack": lambda a: S.pack(*a),
+    "pack_dictionary": lambda a: S.pack(*a),  # deprecated Kusto alias
     # translator _c: a literal bag arrives as a JSON *string*, which
     # scalar.py's own _c would misread as a column name
     "bag_keys": lambda a: S.bag_keys(_c(a[0])),

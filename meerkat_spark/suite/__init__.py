@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "knn_cosine_topk_fast",
     "media_metadata_agg",
     "stratified_sample_op",
+    "scalar_r7_gap",
     # (b) round-7 fixes — re-grade
     "agg_percentilesw",
     "new_activity_metrics_op",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "kql_facet",
     "kql_find",
     "kql_fork",
-    "kql_join_summarize",
 ]
 
 def _ordered(mapping: dict) -> dict:

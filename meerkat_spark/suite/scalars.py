@@ -1049,3 +1049,46 @@ def scalar_bag_stats_r6(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "scalar_r7_gap",
+    oracle=r"""
+    SELECT event_id,
+           (event_id % 24) * 3600.0 + (event_id % 60) * 60.0
+             + (event_id % 7) AS mts_sec,
+           make_timestamp((1546300800000 + event_id) * 1000) AS dt_ms,
+           make_timestamp(1546300800123456 + event_id) AS dt_us,
+           (event_id % 256 = 0) AS m24,
+           TRUE AS m16,
+           base64(from_hex(lpad(lower(hex(event_id % 256)), 2, '0')
+                           || '4142')) AS b64,
+           TRUE AS ut
+    FROM events
+    """,
+)
+def scalar_r7_gap(spark, sf_dir):
+    """Round-7 scalar gap closure, oracle-backed on the analytically
+    reproducible members: make_timespan over columns (seconds-double
+    form), unixtime milli/micro todatetime, ipv4_is_match under
+    prefixes 16/24 with a constructed ip, base64_encode_fromarray
+    (from_hex twin), isutf8. The engine-specific ones (hash_combine
+    xxhash64 mix) and bag mutators stay pytest-pinned
+    (test_round7_scalar_gap_closure)."""
+    eng = MeerkatEngine(spark, sf_dir)
+    return eng.kql(
+        """events
+           | extend oct = toint(event_id % 256)
+           | extend ip = strcat('192.168.', tostring(oct), '.7')
+           | project event_id,
+               mts_sec = make_timespan(event_id % 24, event_id % 60,
+                                       event_id % 7),
+               dt_ms = unixtime_milliseconds_todatetime(1546300800000
+                                                        + event_id),
+               dt_us = unixtime_microseconds_todatetime(1546300800123456
+                                                        + event_id),
+               m24 = ipv4_is_match(ip, '192.168.0.0', 24),
+               m16 = ipv4_is_match(ip, '192.168.0.0', 16),
+               b64 = base64_encode_fromarray(pack_array(oct, 65, 66)),
+               ut = isutf8(ip)"""
+    ).to_df()

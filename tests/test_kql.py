@@ -2584,3 +2584,53 @@ def test_row_window_session_null_timestamps(spark):
     assert got[0] == base and got[1] == base
     assert got[2] is None  # its own session; first Expr value is null
     assert got[3] == base + dt.timedelta(minutes=2)  # fresh after null
+
+
+def test_round7_scalar_gap_closure(spark):
+    """Round-7 Kusto scalar additions: make_timespan (literal → true
+    timespan, column → seconds), unixtime milli/micro/nano variants,
+    bag_has_key/bag_set_key, pack_dictionary + weekofyear aliases,
+    hash_sha1/hash_combine, ipv4_is_match effective-prefix rules,
+    base64_encode_fromarray (roundtrip with decode_toarray), isutf8."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print mts = format_timespan(make_timespan(1, 2, 30, 45), 'd.hh:mm:ss'),"
+        " u1 = unixtime_milliseconds_todatetime(1546300800123),"
+        " u2 = unixtime_microseconds_todatetime(1546300800123456),"
+        " u3 = unixtime_nanoseconds_todatetime(1546300800123456700),"
+        " w = weekofyear(datetime(2020-12-31)),"
+        " bk = bag_has_key(dynamic({'a': 1, 'b': null}), 'b'),"
+        " bk2 = bag_has_key(dynamic({'a': 1}), 'z'),"
+        " bs = bag_set_key(dynamic({'a': 1, 'b': 2}), 'a', 9),"
+        " pd = pack_dictionary('x', 1),"
+        " s1 = hash_sha1('abc'),"
+        " hc = hash_combine(hash('a'), hash('b')),"
+        " m1 = ipv4_is_match('192.168.1.5', '192.168.1.9', 24),"
+        " m2 = ipv4_is_match('192.168.1.5', '192.168.2.5', 24),"
+        " m3 = ipv4_is_match('192.168.1.5/16', '192.168.99.1'),"
+        " b64 = base64_encode_fromarray(dynamic([72, 105, 33])),"
+        " ut = isutf8('héllo')"
+    ).to_df().collect()[0]
+    import datetime as dt
+
+    assert r.mts == "1.02:30:45"
+    assert r.u1 == dt.datetime(2019, 1, 1, 0, 0, 0, 123000)
+    assert r.u2 == dt.datetime(2019, 1, 1, 0, 0, 0, 123456)
+    assert r.u3 == dt.datetime(2019, 1, 1, 0, 0, 0, 123456)
+    assert r.w == 53
+    assert r.bk is True and r.bk2 is False
+    import json
+
+    assert json.loads(r.bs) == {"a": "9", "b": "2.0"}  # string round-trip bags
+    assert json.loads(r.pd) == {"x": 1}
+    assert r.s1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert isinstance(r.hc, int)
+    assert (r.m1, r.m2, r.m3) == (True, False, True)
+    assert r.b64 == "SGkh"
+    assert r.ut is True
+    # hash_combine is order-sensitive and deterministic
+    r2 = eng.kql(
+        "print a = hash_combine(hash('a'), hash('b')),"
+        " b = hash_combine(hash('b'), hash('a'))"
+    ).to_df().collect()[0]
+    assert r2.a == r.hc and r2.a != r2.b
