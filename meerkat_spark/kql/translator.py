@@ -809,6 +809,11 @@ class Translator:
         # `serialize` record the frozen order here; row_number()/prev()/
         # next()/row_cumsum()/row_rank_* then window over it.
         self.serialize_order: list[Column] | None = None
+        # inside a `partition by col (subquery)` scope: window functions
+        # compile KEYED on these columns (Kusto runs the subquery per
+        # partition — row_number() restarts per key, and the window is
+        # shuffle-parallel instead of a global single-task sort)
+        self._partition_cols: list[Column] | None = None
         # DataFrames persist()ed by materialize() during this query —
         # surfaced to the engine so the NEXT query (or an explicit
         # clear_materialized()) can unpersist them; otherwise every
@@ -1383,7 +1388,12 @@ class Translator:
                 f"{node.func}() requires a serialized table — add `| serialize` "
                 "or `| sort by …` first"
             )
-        w = W.orderBy(*self.serialize_order)
+        if self._partition_cols:
+            w = W.partitionBy(*self._partition_cols).orderBy(
+                *self.serialize_order
+            )
+        else:
+            w = W.orderBy(*self.serialize_order)
         name = node.func.lower()
         g = self._guard_serialized
         if name == "row_number":
@@ -1419,6 +1429,19 @@ class Translator:
             return g(F.dense_rank().over(w), name)
         raise KqlSyntaxError(f"unsupported window function {name!r}")
 
+    def _ser_window_by(self, *extra):
+        """Window spec for the serialize context: keyed by the
+        enclosing `partition by` columns (if any) plus `extra` segment
+        columns, ordered by the frozen serialize order."""
+        from pyspark.sql import Window as W
+
+        keys = list(self._partition_cols or []) + [
+            F.col(c) if isinstance(c, str) else c for c in extra
+        ]
+        if keys:
+            return W.partitionBy(*keys).orderBy(*self.serialize_order)
+        return W.orderBy(*self.serialize_order)
+
     def _guard_serialized(self, col: Column, name: str) -> Column:
         """Partition-less serialized window = ONE global sort task —
         the same at-scale hazard scan_steps guards (operators/
@@ -1431,6 +1454,9 @@ class Translator:
 
         from pyspark.sql import Window as W
 
+        if self._partition_cols:
+            # partition-by scope: the window is keyed — no hazard
+            return col
         warnings.warn(
             f"{name}() compiles a GLOBAL Window.orderBy (serialized "
             "table, no partition key): a single-task sort at scale. "
@@ -1743,7 +1769,7 @@ class Translator:
                     raise KqlSyntaxError(
                         "row_cumsum() requires a serialized table"
                     )
-                w = W.orderBy(*self.serialize_order).rowsBetween(
+                w = self._ser_window_by().rowsBetween(
                     W.unboundedPreceding, W.currentRow
                 )
                 restart = _colify_pred(self.expr(e.args[1]))
@@ -1751,10 +1777,8 @@ class Translator:
                     F.when(_c(restart).cast("boolean"), 1).otherwise(0)
                 ).over(w)
                 df = t.df.withColumn("__cs_seg", seg)
-                w2 = (
-                    W.partitionBy("__cs_seg")
-                    .orderBy(*self.serialize_order)
-                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                w2 = self._ser_window_by("__cs_seg").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
                 )
                 col = F.sum(_c(self.expr(e.args[0]))).over(w2)
                 t = MeerkatTable(
@@ -1774,7 +1798,7 @@ class Translator:
                 if not self.serialize_order:
                     raise KqlSyntaxError("row_number() requires a serialized table")
                 start = int(_raw(self.expr(e.args[0])))
-                w = W.orderBy(*self.serialize_order).rowsBetween(
+                w = self._ser_window_by().rowsBetween(
                     W.unboundedPreceding, W.currentRow
                 )
                 restart = _colify_pred(self.expr(e.args[1]))
@@ -1782,7 +1806,7 @@ class Translator:
                     F.when(_c(restart).cast("boolean"), 1).otherwise(0)
                 ).over(w)
                 df = t.df.withColumn("__rn_seg", seg)
-                w2 = W.partitionBy("__rn_seg").orderBy(*self.serialize_order)
+                w2 = self._ser_window_by("__rn_seg")
                 t = MeerkatTable(
                     df.withColumn(
                         out_name,
@@ -1817,12 +1841,12 @@ class Translator:
                     raise KqlSyntaxError(
                         "row_window_session windows must be timespans"
                     )
-                w = W.orderBy(*self.serialize_order).rowsBetween(
+                w = self._ser_window_by().rowsBetween(
                     W.unboundedPreceding, W.currentRow
                 )
                 us = F.unix_micros(expr_c.cast("timestamp"))
                 gap_break = (
-                    us - F.lag(us).over(W.orderBy(*self.serialize_order))
+                    us - F.lag(us).over(self._ser_window_by())
                 ) > F.lit(int(idle.seconds * 1e6))
                 brk = F.coalesce(gap_break, F.lit(True))
                 if len(e.args) == 4:
@@ -1840,19 +1864,15 @@ class Translator:
                     # the idle-segment start — an approximation of
                     # Kusto's greedy restart, kept for pipelines that
                     # prefer one window pass over exactness
-                    wseg = W.partitionBy("__ss_seg").orderBy(
-                        *self.serialize_order
-                    )
+                    wseg = self._ser_window_by("__ss_seg")
                     seg_start = F.first(us).over(
                         wseg.rowsBetween(W.unboundedPreceding, W.currentRow)
                     )
                     sub = F.floor((us - seg_start) / F.lit(max_us))
                     df = df.withColumn("__ss_sub", sub)
-                    wfin = (
-                        W.partitionBy("__ss_seg", "__ss_sub")
-                        .orderBy(*self.serialize_order)
-                        .rowsBetween(W.unboundedPreceding, W.currentRow)
-                    )
+                    wfin = self._ser_window_by(
+                        "__ss_seg", "__ss_sub"
+                    ).rowsBetween(W.unboundedPreceding, W.currentRow)
                     t = MeerkatTable(
                         df.withColumn(
                             out_name,
@@ -1879,15 +1899,17 @@ class Translator:
                     .withColumn(
                         "__ss_ord",
                         self._guard_serialized(
-                            F.row_number().over(
-                                W.orderBy(*self.serialize_order)
-                            ),
+                            F.row_number().over(self._ser_window_by()),
                             "row_window_session",
                         ),
                     )
                 )
                 out_df = greedy_session_first(
-                    df, "__ss_seg", "__ss_ord", "__ss_us", "__ss_val",
+                    df,
+                    # segment numbers restart per partition-by key, so
+                    # the group key must include the partition columns
+                    list(self._partition_cols or []) + ["__ss_seg"],
+                    "__ss_ord", "__ss_us", "__ss_val",
                     "__ss_out", max_us,
                 )
                 keep = [c for c in orig_cols if c != out_name]
@@ -1974,7 +1996,7 @@ class Translator:
     def ap_distinct(self, t, a):
         return t.distinct(*a["cols"])
 
-    def ap_sort(self, t, a):
+    def _sort_orders(self, a) -> list[Column]:
         orders = []
         for e, direction, nulls in a["orders"]:
             c = _c(self.expr(e))
@@ -1985,6 +2007,10 @@ class Translator:
             else:
                 c = c.asc_nulls_last() if nulls == "last" else c.asc_nulls_first()
             orders.append(c)
+        return orders
+
+    def ap_sort(self, t, a):
+        orders = self._sort_orders(a)
         self.serialize_order = orders  # sort serializes the table (KQL)
         return t.sort(*orders)
 
@@ -2269,17 +2295,46 @@ class Translator:
         """KQL `partition by col ( subquery )` — windowable sub-ops run
         per partition of the column: top-k → per-partition window,
         summarize → groupBy including the partition column, where/extend
-        → row-local (partitioning is a no-op for them). One shuffle on
-        the partition column at most."""
+        → row-local, and (r7) `sort by` + window functions → KEYED
+        windows (row_number()/prev()/row_cumsum()/row_window_session()
+        restart per partition, shuffling on the key — the scale path
+        the partition-less serialize guard points users at). One
+        shuffle on the partition column at most."""
         from pyspark.sql import Window as W
 
         col = a["col"]
         cur = t
-        for op in a["ops"]:
+        saved_order = self.serialize_order
+        saved_pc = self._partition_cols
+        # windowable sub-ops compile KEYED on the partition column —
+        # row_number()/prev()/row_cumsum()/row_window_session() restart
+        # per partition (Kusto runs the subquery per partition) and the
+        # window shuffles on the key instead of a global sort
+        self._partition_cols = [col]
+        try:
+            return self._ap_partition_ops(cur, col, a["ops"])
+        finally:
+            self.serialize_order = saved_order
+            self._partition_cols = saved_pc
+
+    def _ap_partition_ops(self, cur, col, ops):
+        from pyspark.sql import Window as W
+
+        for op in ops:
             if op.name == "where":
                 cur = cur.where(_c(self.expr(op.args["pred"])))
             elif op.name == "extend":
                 cur = self.ap_extend(cur, op.args)
+            elif op.name in ("sort", "serialize"):
+                # serializes the PER-PARTITION stream for the window
+                # forms; no global sort is materialized (partition-by
+                # output order is undefined, keyed windows sort within
+                # their own partitions)
+                self.serialize_order = (
+                    self._sort_orders(op.args)
+                    if op.name == "sort"
+                    else self.serialize_order
+                )
             elif op.name == "top":
                 c = _c(self.expr(op.args["by"]))
                 order = c.asc_nulls_first() if op.args["dir"] == "asc" else c.desc_nulls_last()

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 def greedy_session_first(
     df: DataFrame,
-    seg_col: str,
+    seg_col: str | list[str],
     ord_col: str,
     us_col: str,
     val_col: str,
@@ -75,4 +75,5 @@ def greedy_session_first(
         pdf[out_name] = pd.Series(out, index=pdf.index)
         return pdf
 
-    return df.groupBy(seg_col).applyInPandas(fn, schema)
+    seg_cols = [seg_col] if isinstance(seg_col, str) else list(seg_col)
+    return df.groupBy(*seg_cols).applyInPandas(fn, schema)

@@ -2634,3 +2634,55 @@ def test_round7_scalar_gap_closure(spark):
         " b = hash_combine(hash('b'), hash('a'))"
     ).to_df().collect()[0]
     assert r2.a == r.hc and r2.a != r2.b
+
+
+def test_partition_by_window_functions_keyed(spark, duck):
+    """Round-7: window functions inside `partition by col (sort by … |
+    extend …)` compile KEYED on the partition column — row_number
+    restarts per key (Kusto runs the subquery per partition), no
+    global-window warning fires, and the plan contains no
+    partition-less Window."""
+    import warnings
+
+    register_views(duck, SF_ORACLE)
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = eng.kql(
+            "events | partition by user_id ("
+            " sort by ts asc, event_id asc"
+            " | extend rn = row_number(), pv = prev(value),"
+            "   cs = row_cumsum(value))"
+            " | project event_id, user_id, rn, pv, cs"
+        ).to_df()
+        assert not any("GLOBAL Window" in str(x.message) for x in w)
+    assert not compare(
+        df,
+        duck,
+        """
+        SELECT event_id, user_id,
+               CAST(row_number() OVER w AS INT) AS rn,
+               lag(value) OVER w AS pv,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "partition_windows",
+    )
+    # greedy sessionizer keyed per partition: per-user results equal
+    # the single-user global query
+    whole = eng.kql(
+        "events | where user_id < 3 | partition by user_id ("
+        " sort by ts asc, event_id asc"
+        " | extend sid = row_window_session(ts, 12h, 8h))"
+        " | summarize n = dcount(sid) by user_id | sort by user_id asc"
+    ).to_df().collect()
+    for r in whole:
+        solo = eng.kql(
+            f"events | where user_id == {r.user_id}"
+            " | sort by ts asc, event_id asc"
+            " | extend sid = row_window_session(ts, 12h, 8h)"
+            " | summarize n = dcount(sid)"
+        ).to_df().collect()[0]
+        assert solo.n == r.n, r.user_id
