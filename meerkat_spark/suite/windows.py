@@ -418,3 +418,34 @@ def window_session_greedy(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "partition_window_funcs",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS INT) AS rn,
+           lag(value) OVER w AS pv,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def partition_window_funcs(spark, sf_dir):
+    """Round-7: window functions inside `partition by` compile KEYED —
+    row_number/prev/row_cumsum restart per partition key and shuffle on
+    it (the scale path the partition-less serialize guard points at),
+    exactly Kusto's per-partition subquery semantics
+    (kql/translator.py ap_partition)."""
+    return (
+        _eng(spark, sf_dir)
+        .kql(
+            "events | partition by user_id ("
+            " sort by ts asc, event_id asc"
+            " | extend rn = row_number(), pv = prev(value),"
+            "   cs = row_cumsum(value))"
+            " | project event_id, user_id, rn, pv, cs"
+        )
+        .to_df()
+    )

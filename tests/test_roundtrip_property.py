@@ -52,3 +52,30 @@ def test_ingest_roundtrip_random(spark, tmp_path_factory, rows):
         assert math.isclose(got.v, r["v"], rel_tol=0, abs_tol=0) or got.v == r["v"]
         assert got.s == r["s"]
         assert got._ts is not None and got._dedup is not None
+
+
+def test_lexer_never_crashes_on_garbage():
+    """Property: arbitrary input may be REJECTED (KqlSyntaxError) but
+    must never escape as IndexError/ValueError/etc. — the round-7
+    trailing-'@' crash class (lexer.py). Deterministic corpus: every
+    prefix of real queries + tail-truncated operator soup + all single
+    and doubled punctuation."""
+    from meerkat_spark.kql.lexer import KqlSyntaxError, tokenize
+
+    seeds = [
+        "events | where a == 1 | summarize n=count() by b",
+        "print x = strcat('a', \"b\"), y = @'c:\\path', z = 1.5e3",
+        "T | extend d = dynamic({'k': [1, 'x', null]}) | mv-expand d",
+        "range x from 1 to 10 step 3 | project-away x",
+    ]
+    probes = set()
+    for q in seeds:
+        probes.update(q[:i] for i in range(len(q) + 1))
+    punct = "@'\"`|(){}[]<>=!~+-*/%.,;: \t\n"
+    probes.update(punct)
+    probes.update(a + b for a in punct for b in punct)
+    for text in probes:
+        try:
+            tokenize(text)
+        except KqlSyntaxError:
+            pass  # rejection is fine; any other exception is the bug
