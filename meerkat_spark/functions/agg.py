@@ -193,3 +193,116 @@ def hll_merge(sketch_col) -> Column:
 
 def dcount_hll(sketch_col) -> Column:
     return F.hll_sketch_estimate(_c(sketch_col))
+
+
+# ------------------------------------------------------------- round 7
+def _schema_shape(v):
+    """Recursive type shape of one parsed JSON value (Kusto buildschema
+    vocabulary: long/real/string/bool; arrays keyed 'indexer')."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "real"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        s = None
+        for x in v:
+            s = _schema_merge(s, _schema_shape(x))
+        return {"indexer": s if s is not None else "dynamic"}
+    if isinstance(v, dict):
+        out = {}
+        for k, x in v.items():
+            sh = _schema_shape(x)
+            if sh is not None:
+                out[k] = sh
+        return out
+    return "dynamic"
+
+
+def _schema_merge(a, b):
+    """Merge two shapes: equal → itself; dict alternatives merge
+    per key; differing scalars become a SORTED list of alternatives
+    (deterministic rendering)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a == b:
+        return a
+    la = a if isinstance(a, list) else [a]
+    lb = b if isinstance(b, list) else [b]
+    dicts = [x for x in la + lb if isinstance(x, dict)]
+    scalars = []
+    for x in la + lb:
+        if not isinstance(x, dict) and x not in scalars:
+            scalars.append(x)
+    merged = []
+    if dicts:
+        d = {}
+        for x in dicts:
+            for k, v in x.items():
+                d[k] = _schema_merge(d.get(k), v)
+        merged.append(d)
+    merged.extend(sorted(scalars))
+    return merged[0] if len(merged) == 1 else merged
+
+
+def buildschema(x) -> Column:
+    """Kusto buildschema — minimal schema admitting every dynamic
+    value of the group. Two-phase distributed shape: an Arrow kernel
+    maps each row to its type-shape JSON (row-local), collect_set
+    dedups shapes map-side (distinct shapes, not rows — tiny), and a
+    row-local Arrow kernel folds the shape set into the final schema.
+    Canonical rendering (sorted keys/alternatives) keeps the output
+    deterministic across partitionings."""
+    import json
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    def row_shape(vals):
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                parsed = json.loads(v) if isinstance(v, str) else v
+            except (ValueError, TypeError):
+                parsed = v  # non-JSON scalar → its own type
+            out.append(
+                json.dumps(_schema_shape(parsed), sort_keys=True,
+                           separators=(",", ":"))
+            )
+        return pd.Series(out)
+
+    def merge_shapes(shape_sets):
+        out = []
+        for shapes in shape_sets:
+            s = None
+            for sh in (shapes if shapes is not None else []):
+                if sh is not None:
+                    s = _schema_merge(s, json.loads(sh))
+            out.append(
+                json.dumps(s, sort_keys=True, separators=(",", ":"))
+                if s is not None
+                else None
+            )
+        return pd.Series(out)
+
+    # `from __future__ import annotations` stringifies hints, so bind
+    # the pandas signature explicitly before wrapping
+    row_shape.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    merge_shapes.__annotations__ = {
+        "shape_sets": pd.Series,
+        "return": pd.Series,
+    }
+    row_udf = F.pandas_udf(T.StringType())(row_shape)
+    merge_udf = F.pandas_udf(T.StringType())(merge_shapes)
+    return merge_udf(F.collect_set(row_udf(_c(x))))

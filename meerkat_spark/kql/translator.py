@@ -620,6 +620,11 @@ _AGGS: dict[str, Any] = {
     "stdevp": lambda a: A.stdevp(a[0]),
     "variance": lambda a: A.variance(a[0]),
     "variancep": lambda a: A.variancep(a[0]),
+    # round-7 conditional variants (Kusto aggregates ignore nulls, so
+    # the when() filter composes exactly)
+    "stdevif": lambda a: A.stdev(F.when(_colify_pred(a[1]), _c(a[0]))),
+    "varianceif": lambda a: A.variance(F.when(_colify_pred(a[1]), _c(a[0]))),
+    "hll_if": lambda a: A.hll(F.when(_colify_pred(a[1]), _c(a[0]))),
     "make_list": lambda a: (
         F.slice(A.make_list(a[0]), 1, int(_raw(a[1])))
         if len(a) > 1
@@ -638,6 +643,7 @@ _AGGS: dict[str, Any] = {
     "binary_all_xor": lambda a: A.binary_all_xor(a[0]),
     "hll": lambda a: A.hll(a[0]),
     "hll_merge": lambda a: A.hll_merge(a[0]),
+    "buildschema": lambda a: A.buildschema(a[0]),
     "dcount_hll": lambda a: A.dcount_hll(a[0]),
     # KQL percentile scale is 0-100
     "percentilew": lambda a: A.percentilew(a[0], a[1], float(_raw(a[2])) / 100.0),

@@ -557,3 +557,35 @@ def agg_percentilesw(spark, sf_dir):
     return percentilesw_exact(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9]
     )
+
+
+@register(
+    "agg_conditional_r7",
+    oracle="""
+    SELECT user_id,
+           round(stddev_samp(CASE WHEN event_type = 'click' THEN value END),
+                 6) AS sd,
+           round(var_samp(CASE WHEN event_type = 'click' THEN value END),
+                 6) AS va,
+           TRUE AS hll_if_exact
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_conditional_r7(spark, sf_dir):
+    """Round-7 conditional aggregates: stdevif/varianceif (exact
+    DuckDB twins) and hll_if graded via the sketch-tolerance-boolean
+    pattern (estimate == exact dcountif at fixture cardinalities —
+    sparse-mode HLL)."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    out = MeerkatEngine(spark, sf_dir).kql(
+        "events | summarize"
+        " sd = round(stdevif(value, event_type == 'click'), 6),"
+        " va = round(varianceif(value, event_type == 'click'), 6),"
+        " e = dcount_hll(hll_if(user_id, event_type == 'click')),"
+        " x = dcountif(user_id, event_type == 'click')"
+        " by user_id"
+    ).to_df()
+    return out.select(
+        "user_id", "sd", "va", (F.col("e") == F.col("x")).alias("hll_if_exact")
+    )

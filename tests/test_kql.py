@@ -2686,3 +2686,49 @@ def test_partition_by_window_functions_keyed(spark, duck):
             " | summarize n = dcount(sid)"
         ).to_df().collect()[0]
         assert solo.n == r.n, r.user_id
+
+
+def test_round7_agg_gap_closure(spark, duck):
+    """Round-7 aggregate additions: stdevif/varianceif (oracle
+    differential), hll_if (estimate equals dcountif on the fixture
+    cardinalities), buildschema (known-answer merged schema)."""
+    register_views(duck, SF_ORACLE)
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql(
+        "events | summarize sd = round(stdevif(value, event_type == 'click'), 6),"
+        " va = round(varianceif(value, event_type == 'click'), 6)"
+        " by user_id | sort by user_id asc"
+    ).to_df()
+    assert not compare(
+        df,
+        duck,
+        "SELECT user_id, round(stddev_samp(CASE WHEN event_type='click'"
+        " THEN value END), 6) AS sd, round(var_samp(CASE WHEN"
+        " event_type='click' THEN value END), 6) AS va"
+        " FROM events GROUP BY user_id ORDER BY user_id",
+        "stdevif",
+    )
+    r = eng.kql(
+        "events | summarize e = dcount_hll(hll_if(user_id,"
+        " event_type == 'view')), x = dcountif(user_id,"
+        " event_type == 'view')"
+    ).to_df().collect()[0]
+    assert r.e == r.x  # sparse-mode HLL is exact at fixture cardinality
+
+    import json
+
+    # parse_json of raw strings keeps integer-ness (the dynamic()
+    # literal path renders numbers as real — engine convention)
+    r = eng.kql(
+        'datatable (j: string) ['
+        ' \'{"x": 1, "y": "a"}\','
+        ' \'{"x": 2.5, "z": [1, "b"]}\','
+        ' \'{"y": true}\''
+        '] | extend d = parse_json(j) | summarize s = buildschema(d)'
+    ).to_df().collect()[0]
+    got = json.loads(r.s)
+    assert got == {
+        "x": ["long", "real"],
+        "y": ["bool", "string"],
+        "z": {"indexer": ["long", "string"]},
+    }
