@@ -89,3 +89,65 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, ts_us long, session_start_us long"
+SESSION_STATE_SCHEMA = "sess_us long, prev_us long"
+
+
+def _make_sessionizer(max_us: int, idle_us: int):
+    def _sessionize(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Greedy event-time sessionization, continued across
+        micro-batches: same recurrence as the batch
+        row_window_session (operators/sessionize.py) — new session on
+        idle gap > idle_us OR time - session_start > max_us."""
+        (uid,) = key
+        sess, prev = state.get if state.exists else (None, None)
+        out_ts: list[int] = []
+        out_sid: list[int] = []
+        for pdf in pdfs:
+            for t in sorted(int(x) for x in pdf["ts_us"]):
+                if prev is None or t - prev > idle_us or t - sess > max_us:
+                    sess = t
+                prev = t
+                out_ts.append(t)
+                out_sid.append(sess)
+        if prev is not None:
+            state.update((int(sess), int(prev)))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(out_ts),
+                "ts_us": out_ts,
+                "session_start_us": out_sid,
+            }
+        )
+
+    return _sessionize
+
+
+def streaming_greedy_sessions(
+    stream_df: DataFrame,
+    max_duration_ms: int,
+    idle_ms: int,
+) -> DataFrame:
+    """Streaming twin of the batch greedy row_window_session: per-key
+    session-start assignment with Kusto's exact MaxDuration restart,
+    state = TWO longs per key (session start + previous event time) —
+    sharded by the groupBy key, O(active keys) regardless of stream
+    length. Events are processed in event-time order WITHIN each
+    micro-batch (sorted in-kernel); cross-batch order is the source's
+    delivery order — pair with a watermark + ordered source for strict
+    event-time semantics (the standard structured-streaming contract).
+    Input schema: (user_id long, ts_us long)."""
+    fn = _make_sessionizer(
+        int(max_duration_ms) * 1000, int(idle_ms) * 1000
+    )
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

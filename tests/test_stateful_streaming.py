@@ -98,3 +98,67 @@ def test_state_ttl_restarts_session(spark, tmp_path):
     emitted = {(r.n_events, r.total_value) for r in rows}
     assert (2, 10.0) in emitted  # fresh session: only batch-2 rows
     assert (3, 20.0) not in emitted  # stale state did NOT carry over
+
+
+def test_streaming_greedy_sessions_match_batch_recurrence(spark, tmp_path):
+    """Round-7: the streaming sessionizer continues the greedy
+    idle/max-duration recurrence ACROSS micro-batches and reproduces
+    the literal batch reference exactly (sessions that straddle the
+    batch boundary must not restart)."""
+    import os
+
+    from meerkat_spark.streaming.stateful import streaming_greedy_sessions
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    ck = str(tmp_path / "sess_ck")
+    MIN = 60_000_000  # one minute in µs
+    batch1 = [(1, 0 * MIN), (1, 10 * MIN), (2, 0 * MIN)]
+    batch2 = [(1, 30 * MIN), (1, 35 * MIN), (2, 200 * MIN)]
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, ts_us long").write.mode(
+            "append"
+        ).parquet(src)
+
+    write(batch1)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_greedy_sessions(
+        stream, max_duration_ms=30 * 60_000, idle_ms=60 * 60_000
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("greedy_sessions")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(batch2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM greedy_sessions").collect()
+    finally:
+        q.stop()
+    got = {(r.user_id, r.ts_us): r.session_start_us for r in rows}
+
+    def ref(times, max_us, idle_us):
+        sids, sess, prev = {}, None, None
+        for t in times:
+            if prev is None or t - prev > idle_us or t - sess > max_us:
+                sess = t
+            sids[t] = sess
+            prev = t
+        return sids
+
+    for uid, times in {
+        1: [0, 10 * MIN, 30 * MIN, 35 * MIN],
+        2: [0, 200 * MIN],
+    }.items():
+        expect = ref(times, 30 * 60_000_000, 60 * 60_000_000)
+        for t, sid in expect.items():
+            assert got[(uid, t)] == sid, (uid, t)
+    # user 1: t=30min is exactly start+max → stays; 35min restarts —
+    # the boundary straddles the two micro-batches
+    assert got[(1, 30 * MIN)] == 0 and got[(1, 35 * MIN)] == 35 * MIN
