@@ -211,3 +211,99 @@ def digest_percentrank(
 
     xcol = F.col(value) if isinstance(value, str) else F.lit(value).cast("double")
     return df.withColumn(out_col, extract(F.col(digest_col), xcol))
+
+
+# ---------------------------------------------------- KQL expression forms
+def _digest_json(m: np.ndarray, w: np.ndarray) -> str:
+    import json
+
+    return json.dumps(
+        {"means": [float(x) for x in m], "weights": [float(x) for x in w]},
+        separators=(",", ":"),
+    )
+
+
+def tdigest_agg(x, compression: float = 100.0):
+    """KQL `tdigest(x)` inside summarize — returns the digest as a
+    dynamic (JSON {means, weights}), storable and re-mergeable with
+    merge_tdigest / readable with percentile_tdigest. Expression form
+    collects the group's values then compresses row-locally (same
+    per-group memory caveat as exact percentile — the mapInPandas
+    operator `tdigest_sketch` is the bulk path with map-side combine)."""
+
+    def kern(arrs):
+        out = []
+        for arr in arrs:
+            v = np.asarray(
+                [x for x in (arr if arr is not None else []) if x is not None],
+                dtype=float,
+            )
+            if not len(v):
+                out.append(None)
+                continue
+            m, w = compress(v, np.ones(len(v)), compression)
+            out.append(_digest_json(m, w))
+        return pd.Series(out)
+
+    kern.__annotations__ = {"arrs": pd.Series, "return": pd.Series}
+    c = x if hasattr(x, "cast") else F.col(x)
+    return F.pandas_udf("string")(kern)(F.collect_list(c.cast("double")))
+
+
+def merge_tdigest_agg(d, compression: float = 100.0):
+    """KQL `merge_tdigest(d)` — merge stored digests (merge IS the
+    build on concatenated centroid sets)."""
+    import json
+
+    def kern(arrs):
+        out = []
+        for arr in arrs:
+            ms, ws = [], []
+            for dj in arr if arr is not None else []:
+                if dj is None:
+                    continue
+                parsed = json.loads(dj)
+                ms.extend(parsed["means"])
+                ws.extend(parsed["weights"])
+            if not ms:
+                out.append(None)
+                continue
+            m, w = compress(
+                np.asarray(ms, dtype=float),
+                np.asarray(ws, dtype=float),
+                compression,
+            )
+            out.append(_digest_json(m, w))
+        return pd.Series(out)
+
+    kern.__annotations__ = {"arrs": pd.Series, "return": pd.Series}
+    c = d if hasattr(d, "cast") else F.col(d)
+    return F.pandas_udf("string")(kern)(F.collect_list(c))
+
+
+def percentile_tdigest_col(d, p: float):
+    """KQL `percentile_tdigest(digest, p)` — read a quantile out of a
+    stored digest (row-local Arrow kernel; p on Kusto's 0-100 scale)."""
+    import json
+
+    q = float(p) / 100.0
+
+    def kern(vals):
+        out = []
+        for dj in vals:
+            if dj is None:
+                out.append(None)
+                continue
+            parsed = json.loads(dj)
+            out.append(
+                quantile(
+                    np.asarray(parsed["means"], dtype=float),
+                    np.asarray(parsed["weights"], dtype=float),
+                    q,
+                )
+            )
+        return pd.Series(out, dtype="float64")
+
+    kern.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    c = d if hasattr(d, "cast") else F.col(d)
+    return F.pandas_udf("double")(kern)(c)

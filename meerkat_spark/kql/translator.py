@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from meerkat_spark.functions import agg as A
 from meerkat_spark.functions import scalar as S
+from meerkat_spark.functions import tdigest as _TD
 from meerkat_spark.functions import series as SER
 from meerkat_spark.catalog import UnknownTableError
 from meerkat_spark.functions import geo_s2 as _GEO_S2
@@ -523,6 +524,9 @@ _SCALARS: dict[str, Any] = {
     "string_size": lambda a: S.string_size(_c(a[0])),
     "isascii": lambda a: S.isascii(_c(a[0])),
     "isutf8": lambda a: S.isutf8(_c(a[0])),
+    "percentile_tdigest": lambda a: _TD.percentile_tdigest_col(
+        _c(a[0]), float(_raw(a[1]))
+    ),
     "indexof_regex": lambda a: S.indexof_regex(_c(a[0]), str(_raw(a[1]))),
     "new_guid": lambda a: S.new_guid(),
     "unicode_codepoints_from_string": lambda a: S.unicode_codepoints_from_string(_c(a[0])),
@@ -644,6 +648,9 @@ _AGGS: dict[str, Any] = {
     "hll": lambda a: A.hll(a[0]),
     "hll_merge": lambda a: A.hll_merge(a[0]),
     "buildschema": lambda a: A.buildschema(a[0]),
+    "tdigest": lambda a: _TD.tdigest_agg(_c(a[0])),
+    "tdigest_merge": lambda a: _TD.merge_tdigest_agg(_c(a[0])),
+    "merge_tdigest": lambda a: _TD.merge_tdigest_agg(_c(a[0])),
     "dcount_hll": lambda a: A.dcount_hll(a[0]),
     # KQL percentile scale is 0-100
     "percentilew": lambda a: A.percentilew(a[0], a[1], float(_raw(a[2])) / 100.0),

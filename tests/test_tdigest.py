@@ -91,3 +91,39 @@ def test_digest_percentrank_inverts_percentiles(spark):
     ranked = TD.digest_percentrank(digests, 2000.0)
     for r in ranked.collect():
         assert 47.0 <= r.percentrank <= 53.0
+
+
+def test_tdigest_kql_expression_forms(spark):
+    """Round-7 KQL surface: summarize tdigest() → stored digest
+    dynamic; percentile_tdigest reads quantiles within the sketch
+    tolerance; merge_tdigest over per-shard digests ~= the whole-group
+    digest (merge is the build)."""
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "events | summarize td = tdigest(value) by event_type"
+        " | extend p50 = percentile_tdigest(td, 50),"
+        "   p95 = percentile_tdigest(td, 95)"
+        " | join kind=inner (events | summarize e50 ="
+        "   percentile(value, 50), e95 = percentile(value, 95)"
+        "   by event_type) on event_type"
+        " | project event_type, p50, p95, e50, e95"
+    ).to_df().collect()
+    assert len(r) > 0
+    for row in r:
+        assert abs(row.p50 - row.e50) <= 0.05 * (abs(row.e50) + 1), row
+        assert abs(row.p95 - row.e95) <= 0.05 * (abs(row.e95) + 1), row
+
+    m = eng.kql(
+        "events | extend shard = user_id % 4"
+        " | summarize td = tdigest(value) by event_type, shard"
+        " | summarize td = merge_tdigest(td) by event_type"
+        " | extend p50 = percentile_tdigest(td, 50)"
+        " | join kind=inner (events | summarize e50 ="
+        "   percentile(value, 50) by event_type) on event_type"
+        " | project event_type, p50, e50"
+    ).to_df().collect()
+    for row in m:
+        assert abs(row.p50 - row.e50) <= 0.07 * (abs(row.e50) + 1), row
