@@ -747,3 +747,152 @@ def series_ifft(real_col, imag_col) -> Column:
         return pd.Series(out)
 
     return ifft(_acol(real_col), _acol(imag_col))
+
+
+# ---------------------------------------------------------------- round 7
+def series_fit_line_dynamic(col: Column) -> Column:
+    """KQL series_fit_line_dynamic — the dynamic-bag form of
+    series_fit_line: {rsquare, slope, variance, rvariance,
+    interception, line_fit[]} (same least-squares math; variance =
+    population variance of the series, rvariance of the residuals,
+    Kusto's documented fields)."""
+    import json
+
+    @F.pandas_udf("string")
+    def fitd(series: pd.Series) -> pd.Series:
+        out = []
+        for arr in series:
+            if arr is None or len(arr) < 2:
+                out.append(None)
+                continue
+            y = np.asarray(arr, dtype=np.float64)
+            x = np.arange(len(y), dtype=np.float64)
+            slope, intercept = np.polyfit(x, y, 1)
+            pred = slope * x + intercept
+            ss_res = float(((y - pred) ** 2).sum())
+            ss_tot = float(((y - y.mean()) ** 2).sum())
+            r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0
+            out.append(
+                json.dumps(
+                    {
+                        "rsquare": round(r2, 6),
+                        "slope": round(float(slope), 6),
+                        "variance": round(float(y.var()), 6),
+                        "rvariance": round(ss_res / len(y), 6),
+                        "interception": round(float(intercept), 6),
+                        "line_fit": [round(float(v), 6) for v in pred],
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        return pd.Series(out)
+
+    return fitd(col)
+
+
+def series_fit_2lines_dynamic(col: Column) -> Column:
+    """KQL series_fit_2lines_dynamic — dynamic-bag form of
+    series_fit_2lines: {rsquare, split_idx, variance, rvariance,
+    line_fit[], left: {...}, right: {...}} (documented-subset fields;
+    same prefix-sum split search as the struct form)."""
+    import json
+
+    @F.pandas_udf("string")
+    def fit2d(series: pd.Series) -> pd.Series:
+        out = []
+        for arr in series:
+            if arr is None or len(arr) < 4:
+                out.append(None)
+                continue
+            y = np.asarray(arr, dtype=np.float64)
+            n = len(y)
+            x = np.arange(n, dtype=np.float64)
+            best = (None, 1e300)
+            for k in range(2, n - 1):
+                a1, b1 = np.polyfit(x[:k], y[:k], 1)
+                a2, b2 = np.polyfit(x[k:], y[k:], 1)
+                p = np.concatenate([a1 * x[:k] + b1, a2 * x[k:] + b2])
+                rss = float(((y - p) ** 2).sum())
+                if rss < best[1]:
+                    best = ((k, a1, b1, a2, b2, p), rss)
+            (k, a1, b1, a2, b2, pred), ss_res = best
+            ss_tot = float(((y - y.mean()) ** 2).sum())
+            r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0
+
+            def seg(a, b, ys, ps):
+                st = float(((ys - ys.mean()) ** 2).sum())
+                sr = float(((ys - ps) ** 2).sum())
+                return {
+                    "slope": round(float(a), 6),
+                    "interception": round(float(b), 6),
+                    "rsquare": round(1.0 - sr / st if st > 0 else 1.0, 6),
+                }
+
+            out.append(
+                json.dumps(
+                    {
+                        "rsquare": round(r2, 6),
+                        "split_idx": k,
+                        "variance": round(float(y.var()), 6),
+                        "rvariance": round(ss_res / n, 6),
+                        "line_fit": [round(float(v), 6) for v in pred],
+                        "left": seg(a1, b1, y[:k], pred[:k]),
+                        "right": seg(a2, b2, y[k:], pred[k:]),
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        return pd.Series(out)
+
+    return fit2d(col)
+
+
+def series_periods_validate(col: Column, *periods: int) -> Column:
+    """KQL series_periods_validate — score the GIVEN candidate periods
+    with the same detrended-periodogram metric series_periods_detect
+    uses (score = spectral power at the candidate frequency / total;
+    0 for periods outside [2, n/2])."""
+    import json
+
+    plist = [int(p) for p in periods]
+
+    @F.pandas_udf("string")
+    def validate(series: pd.Series) -> pd.Series:
+        out = []
+        for arr in series:
+            if arr is None or len(arr) < 4:
+                out.append(
+                    json.dumps(
+                        {"periods": plist, "scores": [0.0] * len(plist)},
+                        separators=(",", ":"),
+                    )
+                )
+                continue
+            y = np.asarray(arr, dtype=np.float64)
+            n = len(y)
+            t = np.arange(n, dtype=np.float64)
+            slope, intercept = np.polyfit(t, y, 1)
+            d = y - (slope * t + intercept)
+            power = np.abs(np.fft.rfft(d)) ** 2
+            power[0] = 0.0
+            total = float(power.sum())
+            scores = []
+            for p in plist:
+                if total <= 0 or p < 2 or p > n // 2:
+                    scores.append(0.0)
+                    continue
+                k = int(round(n / p))
+                scores.append(
+                    round(float(power[k] / total), 6)
+                    if 0 < k < len(power)
+                    else 0.0
+                )
+            out.append(
+                json.dumps(
+                    {"periods": plist, "scores": scores},
+                    separators=(",", ":"),
+                )
+            )
+        return pd.Series(out)
+
+    return validate(col)

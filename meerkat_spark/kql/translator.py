@@ -309,6 +309,13 @@ _SCALARS: dict[str, Any] = {
     "series_periods_detect": lambda a: SER.series_periods_detect(
         _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 0
     ),
+    "series_periods_validate": lambda a: SER.series_periods_validate(
+        _c(a[0]), *[int(_raw(p)) for p in a[1:]]
+    ),
+    "series_fit_line_dynamic": lambda a: SER.series_fit_line_dynamic(_c(a[0])),
+    "series_fit_2lines_dynamic": lambda a: SER.series_fit_2lines_dynamic(
+        _c(a[0])
+    ),
     "series_fill_forward": lambda a: SER.series_fill_forward(_c(a[0])),
     "series_fill_backward": lambda a: SER.series_fill_backward(_c(a[0])),
     "series_fill_const": lambda a: SER.series_fill_const(

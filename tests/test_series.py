@@ -385,3 +385,51 @@ def test_series_decompose_autodetect_period(spark):
         " | project top = d.seasonal[1]"
     ).to_df().collect()[0]
     assert float(r.top) > 3.0
+
+
+def test_series_dynamic_fit_and_periods_validate(spark):
+    """Round-7: dynamic-bag fit variants agree with the struct forms
+    field-for-field; series_periods_validate scores the true period of
+    a synthetic sine near detect's score and an off period at ~0."""
+    import json
+
+    from meerkat_spark.engine import MeerkatEngine
+    from tests.conftest import SF_ORACLE
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "range i from 0 to 47 step 1"
+        " | extend y = 2.5 * todouble(i) + 7.0 + iff(i % 2 == 0, 0.5, -0.5)"
+        " | summarize ys = make_list(y)"
+        " | extend f = series_fit_line(ys), d = series_fit_line_dynamic(ys)"
+        " | project slope = f.slope, rsq = f.rsquare, d"
+    ).to_df().collect()[0]
+    d = json.loads(r.d)
+    assert d["slope"] == r.slope and d["rsquare"] == r.rsq
+    assert len(d["line_fit"]) == 48 and abs(d["interception"] - 7.0) < 0.2
+
+    r = eng.kql(
+        "range i from 0 to 95 step 1"
+        " | extend y = sin(2.0 * pi() * todouble(i) / 12.0)"
+        " | summarize ys = make_list(y)"
+        " | extend det = series_periods_detect(ys),"
+        "   val = series_periods_validate(ys, 12, 5)"
+        " | project p = det.period, s = det.score, val"
+    ).to_df().collect()[0]
+    v = json.loads(r.val)
+    assert r.p == 12 and v["periods"] == [12, 5]
+    assert v["scores"][0] == r.s and v["scores"][0] > 0.9
+    assert v["scores"][1] < 0.05
+
+    r = eng.kql(
+        "range i from 0 to 39 step 1"
+        " | extend y = iff(i < 20, todouble(i), 100.0 - 3.0 * todouble(i))"
+        " | summarize ys = make_list(y)"
+        " | extend f = series_fit_2lines(ys),"
+        "   d = series_fit_2lines_dynamic(ys)"
+        " | project si = f.split_idx, d"
+    ).to_df().collect()[0]
+    d = json.loads(r.d)
+    assert d["split_idx"] == r.si
+    assert abs(d["left"]["slope"] - 1.0) < 0.05
+    assert abs(d["right"]["slope"] + 3.0) < 0.05
