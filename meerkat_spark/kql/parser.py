@@ -360,6 +360,16 @@ class Parser:
             term = str(self.expect("STRING").value)
             return OpNode("find", {"tables": tables, "pred": None, "term": term})
         name = str(self.expect("IDENT").value)
+        # Kusto cross-cluster qualifiers: cluster('c').database('d').T —
+        # a single-catalog engine resolves the TABLE and parses the
+        # qualifiers through (the standard migration shim: qualified
+        # queries run unmodified against the local catalog)
+        while name in ("cluster", "database") and self.at("PUNCT", "("):
+            self.next()
+            self.expect("STRING")
+            self.expect("PUNCT", ")")
+            self.expect("PUNCT", ".")
+            name = str(self.expect("IDENT").value)
         return OpNode("table", {"name": name})
 
     # -- operators

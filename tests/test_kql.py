@@ -2732,3 +2732,27 @@ def test_round7_agg_gap_closure(spark, duck):
         "y": ["bool", "string"],
         "z": {"indexer": ["long", "string"]},
     }
+
+
+def test_cluster_database_qualifiers(spark, duck):
+    """Kusto cross-cluster source qualifiers resolve to the local
+    catalog: cluster('x').database('y').T ≡ T (the migration shim —
+    qualified production queries run unmodified)."""
+    register_views(duck, SF_ORACLE)
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql(
+        "cluster('help').database('Samples').events"
+        " | where user_id < 3 | summarize n = count() by user_id"
+        " | sort by user_id asc"
+    ).to_df()
+    assert not compare(
+        df,
+        duck,
+        "SELECT user_id, count(*) AS n FROM events WHERE user_id < 3"
+        " GROUP BY user_id ORDER BY user_id",
+        "qualified_source",
+    )
+    df2 = eng.kql(
+        "database('Samples').events | count"
+    ).to_df().collect()[0]
+    assert df2[0] > 0
