@@ -587,3 +587,32 @@ def test_scan_fast_path_is_whole_partition(eng):
         concurrent=True,
     )
     assert "FlatMapGroupsInPandas" in plan_of(slow)
+
+
+def test_round7_query_plan_shapes(eng, spark):
+    """Round-7 plan assertions: (1) training-pipeline dedup compiles
+    WindowGroupLimit partial+final (map-side top-1 per fingerprint —
+    the rank filter never shuffles whole duplicate classes); (2)
+    span_dedup_exact shuffles ONLY on keyed exchanges (span hash /
+    doc id) — no global-order exchange; (3) partition-by window
+    functions compile a keyed Window (no partition-less Window in the
+    plan)."""
+    from meerkat_spark.suite.textops import (
+        span_dedup_exact,
+        training_pipeline_end_to_end,
+    )
+
+    plan = plan_of(training_pipeline_end_to_end(spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+    plan = plan_of(span_dedup_exact(spark, SF))
+    assert "rangepartitioning" not in plan  # no global sort exchange
+    assert "hashpartitioning" in plan  # keyed shuffles only
+
+    df = eng.kql(
+        "events | partition by user_id (sort by ts asc, event_id asc"
+        " | extend rn = row_number())"
+    ).to_df()
+    plan = plan_of(df)
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows and all("windowspecdefinition(user_id" in ln for ln in windows)
