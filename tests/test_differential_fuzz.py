@@ -97,6 +97,42 @@ def _gen_case(seed: int) -> tuple[str, str]:
         kql.append(f"| where {kp}")
         sql_where.append(sp)
     where = (" WHERE " + " AND ".join(sql_where)) if sql_where else ""
+    shape = rng.random()
+    if shape < 0.15:
+        # time-binned aggregation (bin → time_bucket twin)
+        unit_k, unit_s = rng.choice(
+            [("1h", "1 hour"), ("1d", "1 day"), ("6h", "6 hours")]
+        )
+        kql.append(
+            f"| summarize n = count(), s = round(sum(value), 2)"
+            f" by event_type, b = bin(ts, {unit_k})"
+        )
+        sql = (
+            "SELECT event_type,"
+            f" time_bucket(INTERVAL '{unit_s}', ts) AS b,"
+            " COUNT(*) AS n, ROUND(SUM(value), 2) AS s"
+            f" FROM events{where} GROUP BY 1, 2"
+        )
+        return " ".join(kql), sql
+    if shape < 0.3:
+        # self-join per-user rollup: totals joined back to rows
+        t = rng.choice(["click", "view", "purchase"])
+        n_take = rng.randrange(10, 60)
+        kql.append(
+            "| join kind=inner (events | where event_type =="
+            f" '{t}' | summarize u_n = count() by user_id) on user_id"
+        )
+        kql.append("| project event_id, user_id, u_n")
+        kql.append(f"| sort by event_id asc | take {n_take}")
+        sql = (
+            "SELECT event_id, e.user_id AS user_id, u_n"
+            f" FROM (SELECT * FROM events{where}) e"
+            " JOIN (SELECT user_id, COUNT(*) AS u_n FROM events WHERE"
+            f" event_type = '{t}' GROUP BY user_id) g"
+            " ON e.user_id = g.user_id"
+            f" ORDER BY event_id LIMIT {n_take}"
+        )
+        return " ".join(kql), sql
     name, kexpr, sexpr = _gen_proj(rng)
     kql.append(f"| extend {name} = {kexpr}")
     if rng.random() < 0.6:
