@@ -2317,8 +2317,13 @@ def make_timespan(*parts) -> Column:
 
 
 def unixtime_milliseconds_todatetime(x) -> Column:
-    """Epoch milliseconds (int or real) → datetime (µs precision)."""
-    return F.timestamp_micros((_c(x).cast("double") * 1e3).cast("long"))
+    """Epoch milliseconds (int or real) → datetime (µs precision).
+    DECIMAL arithmetic, not double: epoch-scale integers exceed
+    float64's exact-integer range, so a double round-trip could shift
+    the microsecond."""
+    return F.timestamp_micros(
+        F.floor(_c(x).cast("decimal(31,7)") * 1000).cast("long")
+    )
 
 
 def unixtime_microseconds_todatetime(x) -> Column:
@@ -2327,8 +2332,12 @@ def unixtime_microseconds_todatetime(x) -> Column:
 
 def unixtime_nanoseconds_todatetime(x) -> Column:
     """Epoch nanoseconds → datetime; sub-µs digits are truncated
-    (engine datetime precision is µs — SURVEY-sanctioned delta)."""
-    return F.timestamp_micros((_c(x).cast("double") / 1e3).cast("long"))
+    (engine datetime precision is µs — SURVEY-sanctioned delta).
+    DECIMAL division keeps the integer nanos exact (float64 is ~128 ns
+    off at 2019 epoch scale)."""
+    return F.timestamp_micros(
+        F.floor(_c(x).cast("decimal(28,0)") / 1000).cast("long")
+    )
 
 
 def bag_has_key(bag, key) -> Column:

@@ -119,7 +119,17 @@ def tokenize(text: str) -> list[Token]:
                 i = m.end()
                 continue
             m = _NUMBER_RE.match(text, i)
-            tokens.append(Token("NUMBER", float(m.group()), i))
+            # integral literals stay python ints (Kusto: bare integers
+            # are long) — float() would silently corrupt epoch-scale
+            # ids beyond 2^53 (e.g. nanosecond timestamps in where
+            # clauses); decimal-point / exponent forms are real
+            txt = m.group()
+            val = (
+                float(txt)
+                if ("." in txt or "e" in txt or "E" in txt)
+                else int(txt)
+            )
+            tokens.append(Token("NUMBER", val, i))
             i = m.end()
             continue
         m = _IDENT_RE.match(text, i)
