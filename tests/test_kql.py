@@ -2598,6 +2598,8 @@ def test_round7_scalar_gap_closure(spark):
         " u1 = unixtime_milliseconds_todatetime(1546300800123),"
         " u2 = unixtime_microseconds_todatetime(1546300800123456),"
         " u3 = unixtime_nanoseconds_todatetime(1546300800123456700),"
+        " u4 = unixtime_nanoseconds_todatetime(1546300800999999001),"
+        " big = 9007199254740993,"
         " w = weekofyear(datetime(2020-12-31)),"
         " bk = bag_has_key(dynamic({'a': 1, 'b': null}), 'b'),"
         " bk2 = bag_has_key(dynamic({'a': 1}), 'z'),"
@@ -2617,6 +2619,10 @@ def test_round7_scalar_gap_closure(spark):
     assert r.u1 == dt.datetime(2019, 1, 1, 0, 0, 0, 123000)
     assert r.u2 == dt.datetime(2019, 1, 1, 0, 0, 0, 123456)
     assert r.u3 == dt.datetime(2019, 1, 1, 0, 0, 0, 123456)
+    # 2^53+1-class literals and epoch-nanos boundaries survive exactly
+    # (the round-7 integral-literal + decimal-arithmetic fixes)
+    assert r.u4 == dt.datetime(2019, 1, 1, 0, 0, 0, 999999)
+    assert r.big == 9007199254740993
     assert r.w == 53
     assert r.bk is True and r.bk2 is False
     import json
