@@ -98,7 +98,28 @@ def _gen_case(seed: int) -> tuple[str, str]:
         sql_where.append(sp)
     where = (" WHERE " + " AND ".join(sql_where)) if sql_where else ""
     shape = rng.random()
-    if shape < 0.15:
+    if shape < 0.12:
+        # datetime scalar pipeline (trunc/add/part twins)
+        k = rng.randrange(1, 48)
+        unit_k, unit_s = rng.choice(
+            [("hour", "HOUR"), ("day", "DAY"), ("minute", "MINUTE")]
+        )
+        n_take = rng.randrange(10, 50)
+        kql.append(
+            "| project event_id, d0 = startofday(ts),"
+            f" da = datetime_add('{unit_k}', {k}, ts),"
+            " hh = hourofday(ts), dow = dayofmonth(ts)"
+        )
+        kql.append(f"| sort by event_id asc | take {n_take}")
+        sql = (
+            "SELECT event_id, date_trunc('day', ts) AS d0,"
+            f" ts + INTERVAL {k} {unit_s} AS da,"
+            " CAST(hour(ts) AS INT) AS hh,"
+            " CAST(day(ts) AS INT) AS dow"
+            f" FROM events{where} ORDER BY event_id LIMIT {n_take}"
+        )
+        return " ".join(kql), sql
+    if shape < 0.25:
         # time-binned aggregation (bin → time_bucket twin)
         unit_k, unit_s = rng.choice(
             [("1h", "1 hour"), ("1d", "1 day"), ("6h", "6 hours")]
