@@ -98,7 +98,28 @@ def _gen_case(seed: int) -> tuple[str, str]:
         sql_where.append(sp)
     where = (" WHERE " + " AND ".join(sql_where)) if sql_where else ""
     shape = rng.random()
-    if shape < 0.12:
+    if shape < 0.1:
+        # string scalar pipeline — the 0-based/1-based trap zone:
+        # KQL substring/indexof are 0-based, SQL's are 1-based
+        i, n = rng.randrange(0, 4), rng.randrange(1, 5)
+        ch = rng.choice(["c", "i", "e", "u", "zz"])
+        n_take = rng.randrange(10, 50)
+        kql.append(
+            f"| project event_id, ss = substring(event_type, {i}, {n}),"
+            f" ix = indexof(event_type, '{ch}'),"
+            f" rp = replace_string(event_type, '{ch}', '#'),"
+            " lo = tolower(strcat(event_type, '_X'))"
+        )
+        kql.append(f"| sort by event_id asc | take {n_take}")
+        sql = (
+            f"SELECT event_id, substr(event_type, {i + 1}, {n}) AS ss,"
+            f" CAST(strpos(event_type, '{ch}') - 1 AS BIGINT) AS ix,"
+            f" replace(event_type, '{ch}', '#') AS rp,"
+            " lower(event_type || '_X') AS lo"
+            f" FROM events{where} ORDER BY event_id LIMIT {n_take}"
+        )
+        return " ".join(kql), sql
+    if shape < 0.2:
         # datetime scalar pipeline (trunc/add/part twins)
         k = rng.randrange(1, 48)
         unit_k, unit_s = rng.choice(
