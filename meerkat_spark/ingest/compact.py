@@ -75,3 +75,24 @@ def compact_table(
     for day in list_day_partitions(path):
         results[day] = compact_partition(spark, path, day, target_files)
     return results
+
+
+def apply_retention(
+    path: str, keep_after_day: str, dry_run: bool = False
+) -> list[str]:
+    """Retention/TTL maintenance: DROP whole day partitions older than
+    `keep_after_day` ('YYYY-MM-DD'; partitions with _ts_day <
+    keep_after_day are removed). Deleting by partition directory is the
+    append-only store's TTL primitive — no row-level delete exists
+    (reference README.md:3, no UPDATE/DELETE): retention is a metadata
+    operation touching zero live data files, O(expired partitions)
+    regardless of table size. Returns the dropped day list."""
+    dropped = []
+    for day in list_day_partitions(path):
+        if day < keep_after_day:
+            dropped.append(day)
+            if not dry_run:
+                shutil.rmtree(
+                    os.path.join(path, f"{DAY_COL}={day}"), ignore_errors=True
+                )
+    return dropped

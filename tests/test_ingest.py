@@ -179,3 +179,41 @@ def test_rollup_incremental_lifecycle(spark, tmp_path):
     q = rollup_query(spark, path, days=["2024-01-02"])
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and q.count() == 2
+
+
+def test_retention_drops_expired_day_partitions(spark, tmp_path):
+    """Round-7 TTL maintenance: partitions strictly before the
+    retention floor are dropped whole (a directory-level operation —
+    the append-only store's only delete primitive); newer partitions
+    and their rows survive byte-identically. dry_run reports without
+    deleting."""
+    import datetime as dt
+
+    from meerkat_spark.ingest import IngestConfig, ingest_rows
+    from meerkat_spark.ingest.batch import read_table
+    from meerkat_spark.ingest.compact import apply_retention, list_day_partitions
+
+    path = str(tmp_path / "ttl_tbl")
+    rows = []
+    for day in (1, 5, 10, 20):
+        for i in range(3):
+            rows.append(
+                {
+                    "k": day * 100 + i,
+                    "_ts": dt.datetime(2024, 1, day, 12, 0, i),
+                    "_dedup": day * 100 + i,
+                }
+            )
+    ingest_rows(spark, rows, IngestConfig(path=path))
+    assert len(list_day_partitions(path)) == 4
+
+    preview = apply_retention(path, "2024-01-08", dry_run=True)
+    assert preview == ["2024-01-01", "2024-01-05"]
+    assert len(list_day_partitions(path)) == 4  # dry run deletes nothing
+
+    dropped = apply_retention(path, "2024-01-08")
+    assert dropped == ["2024-01-01", "2024-01-05"]
+    assert list_day_partitions(path) == ["2024-01-10", "2024-01-20"]
+    back = read_table(spark, path)
+    assert back.count() == 6
+    assert back.agg({"_ts": "min"}).collect()[0][0] >= dt.datetime(2024, 1, 10)
