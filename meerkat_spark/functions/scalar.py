@@ -149,11 +149,14 @@ def strlen(x) -> Column:
 
 
 def substring(x, start, length=None) -> Column:
-    """KQL substring is 0-based; Spark 1-based."""
+    """KQL substring is 0-based; Spark 1-based. A NEGATIVE requested
+    index is treated as 0 (Kusto semantics — Spark's substr would
+    index from the string end instead)."""
     c = _c(x)
+    s1 = F.greatest(_lit(start).cast("int"), F.lit(0)) + 1
     if length is None:
-        return c.substr(_lit(start) + 1, F.length(c))
-    return c.substr(_lit(start) + 1, _lit(length))
+        return c.substr(s1, F.length(c))
+    return c.substr(s1, F.greatest(_lit(length).cast("int"), F.lit(0)))
 
 
 def strcat(*parts) -> Column:

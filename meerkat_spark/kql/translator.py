@@ -1215,9 +1215,23 @@ class Translator:
         if op == "*":
             return l * r
         if op == "/":
-            return l / r
+            # Kusto `/` is ALWAYS real division (long/long yields real)
+            # with IEEE zero semantics: x/0 → ±inf, 0/0 → NaN — Spark's
+            # ANSI mode raises DIVIDE_BY_ZERO instead, so the zero
+            # branch is made explicit. (IEEE -0.0 divisor sign is not
+            # distinguished — documented micro-delta.)
+            ld, rd = l.cast("double"), r.cast("double")
+            return (
+                F.when(ld.isNull() | rd.isNull(), F.lit(None).cast("double"))
+                .when(rd != 0.0, ld / rd)
+                .when(ld > 0, F.lit(float("inf")))
+                .when(ld < 0, F.lit(float("-inf")))
+                .otherwise(F.lit(float("nan")))
+            )
         if op == "%":
-            return l % r
+            # zero divisor: null (ANSI would raise; Kusto modulo of a
+            # zero divisor has no defined finite result)
+            return F.when(_c(r).cast("double") != 0.0, l % r)
         if op in ("has", "has_cs"):
             # Kusto string operators coerce a dynamic operand to its
             # JSON text; array-shaped left sides render via to_json

@@ -2762,3 +2762,23 @@ def test_cluster_database_qualifiers(spark, duck):
         "database('Samples').events | count"
     ).to_df().collect()[0]
     assert df2[0] > 0
+
+
+def test_kusto_division_and_substring_semantics(spark):
+    """Round-7: Kusto `/` is ALWAYS real division with IEEE zero
+    semantics (7/2 = 3.5; x/0 = ±inf; 0/0 = NaN — Spark ANSI would
+    raise), % with a zero divisor yields null, and substring clamps a
+    negative requested index to 0 rather than indexing from the end."""
+    import math
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print dv = 7 / 2, pinf = 1.0 / 0.0, ninf = -1.0 / 0.0,"
+        " nn = 0.0 / 0.0, dnull = 5 / int(null), md = 5 % 0,"
+        " s1 = substring('hello', -2, 3), s2 = substring('hello', 0, -1)"
+    ).to_df().collect()[0]
+    assert r.dv == 3.5
+    assert r.pinf == float("inf") and r.ninf == float("-inf")
+    assert math.isnan(r.nn)
+    assert r.dnull is None and r.md is None
+    assert r.s1 == "hel" and r.s2 == ""
