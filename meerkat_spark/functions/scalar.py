@@ -106,7 +106,18 @@ def datetime_diff(part: str, ts1, ts2) -> Column:
 
 
 def todatetime(x) -> Column:
-    return _c(x).try_cast("timestamp")
+    """KQL todatetime — ISO forms via the native cast, plus the
+    US-style M/d/yyyy[ H:m[:s]] layouts Kusto also accepts; null on
+    misparse (never an error)."""
+    c = _c(x)
+    iso = c.try_cast("timestamp")
+    us = F.coalesce(
+        *[
+            F.try_to_timestamp(c.cast("string"), F.lit(p))
+            for p in ("M/d/yyyy H:m:s", "M/d/yyyy H:m", "M/d/yyyy")
+        ]
+    )
+    return F.coalesce(iso, us)
 
 
 def format_datetime(ts, fmt: str) -> Column:
@@ -160,7 +171,16 @@ def substring(x, start, length=None) -> Column:
 
 
 def strcat(*parts) -> Column:
-    return F.concat(*[_c(p) if isinstance(p, Column) else F.lit(p) for p in parts])
+    """Kusto strcat IGNORES null arguments (strcat('a', null, 'b') →
+    'ab') — concat_ws('') gives exactly that; Spark's concat would
+    null the whole result."""
+    return F.concat_ws(
+        "",
+        *[
+            (_c(p) if isinstance(p, Column) else F.lit(p)).cast("string")
+            for p in parts
+        ],
+    )
 
 
 def strcat_delim(delim: str, *parts) -> Column:
@@ -377,12 +397,22 @@ def case(*args) -> Column:
     return expr.otherwise(_lit(args[-1]))
 
 
+def _hex_to_long(c: Column) -> Column:
+    """'0x1a'-style hex strings → long (Kusto toint/tolong accept
+    hex-prefixed literals); null when not a hex form."""
+    s = F.lower(c.cast("string"))
+    hexpart = F.regexp_extract(s, r"^0x([0-9a-f]{1,16})$", 1)
+    return F.when(hexpart != "", F.conv(hexpart, 16, 10).cast("long"))
+
+
 def toint(x) -> Column:
-    return _c(x).try_cast("int")
+    c = _c(x)
+    return F.coalesce(c.try_cast("int"), _hex_to_long(c).cast("int"))
 
 
 def tolong(x) -> Column:
-    return _c(x).try_cast("long")
+    c = _c(x)
+    return F.coalesce(c.try_cast("long"), _hex_to_long(c))
 
 
 def todouble(x) -> Column:

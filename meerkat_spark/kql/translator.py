@@ -279,6 +279,9 @@ _SCALARS: dict[str, Any] = {
     "long": lambda a: _c(a[0]).cast("long"),
     "int": lambda a: _c(a[0]).cast("int"),
     "real": lambda a: _c(a[0]).cast("double"),
+    "string": lambda a: _c(a[0]).cast("string"),
+    "bool": lambda a: _c(a[0]).cast("boolean"),
+    "datetime_null": lambda a: _c(a[0]).cast("timestamp"),
     "toint": lambda a: S.toint(_c(a[0])),
     "tolong": lambda a: S.tolong(_c(a[0])),
     "todouble": lambda a: S.todouble(_c(a[0])),

@@ -275,3 +275,53 @@ def embedding_quantize_int8(spark, sf_dir):
             "qnorm2"
         ),
     )
+
+
+@register(
+    "knn_recall_gate",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS INT) AS n_queries,
+           TRUE AS lsh_ok, TRUE AS ivf_ok
+    """,
+)
+def knn_recall_gate(spark, sf_dir):
+    """Round-7 ORACLE-BACKED recall gate for the two approximate ANN
+    paths (previously rows-only): both indexes are deterministically
+    seeded (LSH hyperplanes from a fixed (plane, dim) hash; IVF
+    k-means on a deterministic bounded sample), so mean recall@5 vs
+    the exact brute-force top-k is a constant of the fixture. The
+    graded row asserts the contract — mean recall >= 0.3, the
+    tests/test_similarity.py threshold — as construction booleans: a
+    recall regression in either index flips a boolean and the driver
+    records a hash mismatch. Fully distributed (semi-join hit counts,
+    single-row aggregate; no driver collect)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = knn.brute_force_topk(emb, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(approx, name):
+        return (
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    lsh_h = hits(knn.lsh_topk(emb, queries, k=TOP_K, n_planes=None, dim=64), "lh")
+    ivf_h = hits(knn.ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4), "ih")
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(lsh_h, "query_id", "left")
+        .join(ivf_h, "query_id", "left")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        (F.avg(F.coalesce(F.col("lh"), F.lit(0)) / TOP_K) >= 0.3).alias("lsh_ok"),
+        (F.avg(F.coalesce(F.col("ih"), F.lit(0)) / TOP_K) >= 0.3).alias("ivf_ok"),
+    )

@@ -184,11 +184,40 @@ def text_quality_lang(spark, sf_dir):
 
 @register(
     "lang_id_accuracy",
-    oracle=None,
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), cnt AS (
+      SELECT lang,
+             len(list_filter(tk, t -> list_contains(
+               ['the','a','an','of','and','or','to','in','is','it',
+                'that','for','on','with','as','was','at','by','be'], t))) AS en_n,
+             len(list_filter(tk, t -> list_contains(
+               ['le','la','les','de','des','et','un','une','en','est'], t))) AS fr_n,
+             len(list_filter(tk, t -> list_contains(
+               ['der','die','das','und','ein','eine','zu','ist','von','mit'], t))) AS de_n
+      FROM toks
+    )
+    SELECT lang,
+           CASE WHEN en_n >= fr_n AND en_n >= de_n AND en_n > 0 THEN 'en'
+                WHEN fr_n >= de_n AND fr_n > 0 THEN 'fr'
+                WHEN de_n > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cnt GROUP BY 1, 2 ORDER BY lang, lang_pred
+    """,
 )
 def lang_id_accuracy(spark, sf_dir):
-    """Language-ID agreement with the labeled lang column — rows-only
-    (the heuristic is engine-defined)."""
+    """Language-ID confusion matrix vs the labeled lang column —
+    round-7 ORACLE-BACKED: the heuristic (text/analysis.py:94) is a
+    pure Column expression over fixed stopword lists (whitespace
+    tokens, per-language stopword hit counts, en >= fr >= de tiebreak),
+    so the DuckDB twin replicates it verbatim with list_filter over
+    string_split_regex. The full confusion matrix is graded, not just
+    an accuracy scalar."""
     d = _docs(spark, sf_dir)
     pred = TA.language_id(F.col("text"))
     return (

@@ -2782,3 +2782,32 @@ def test_kusto_division_and_substring_semantics(spark):
     assert math.isnan(r.nn)
     assert r.dnull is None and r.md is None
     assert r.s1 == "hel" and r.s2 == ""
+
+
+def test_round7_cast_and_strcat_fidelity(spark):
+    """Round-7 fidelity batch: strcat ignores null args (Kusto: null
+    contributes nothing, the result is never nulled), todatetime also
+    accepts Kusto's US-style M/d/yyyy layouts and returns null (not an
+    error) on misparse, toint/tolong accept 0x-prefixed hex strings,
+    and string()/bool() act as type casts."""
+    import datetime as dt
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print sc = strcat('a', int(null), 'b'),"
+        " scn = strcat('x', tostring(int(null)), 'y'),"
+        " d1 = todatetime('8/14/2026 10:30:00'),"
+        " d2 = todatetime('8/14/2026'),"
+        " d3 = todatetime('2026-08-14T10:30:00'),"
+        " dbad = todatetime('not a date'),"
+        " h1 = toint('0x1A'), h2 = tolong('0xff'),"
+        " hbad = toint('0xZZ'),"
+        " st = string(42), bl = bool(1)"
+    ).to_df().collect()[0]
+    assert r.sc == "ab" and r.scn == "xy"
+    assert r.d1 == dt.datetime(2026, 8, 14, 10, 30)
+    assert r.d2 == dt.datetime(2026, 8, 14)
+    assert r.d3 == dt.datetime(2026, 8, 14, 10, 30)
+    assert r.dbad is None
+    assert r.h1 == 26 and r.h2 == 255 and r.hbad is None
+    assert r.st == "42" and r.bl is True

@@ -87,6 +87,7 @@ _BOUNDED_CROSS = {
     "kql_make_series",
     "series_forecast_op",
     "knn_cosine_topk",
+    "knn_recall_gate",
     "argmin_distance",
 }
 
