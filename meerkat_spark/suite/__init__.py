@@ -86,6 +86,9 @@ _PRIORITY: list[str] = [
     "partition_window_funcs",
     "lang_id_accuracy",
     "knn_recall_gate",
+    "agg_tdigest",
+    "agg_hll_sketch",
+    "agg_make_bag",
     # (b) round-7 fixes — re-grade (the percentilew-null and
     # new_activity_metrics end-bound fixes are provable no-ops on the
     # null-free / Jan-bounded fixtures and are pytest-pinned, so those
@@ -122,9 +125,6 @@ _PRIORITY: list[str] = [
     "dedup_events_by_key",
     "dedup_exact_groups",
     "dedup_exact_keep",
-    "knn_pairwise_label",
-    "kql_dynamic_union",
-    "kql_facet",
 ]
 
 def _ordered(mapping: dict) -> dict:

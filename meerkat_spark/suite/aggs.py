@@ -331,11 +331,23 @@ def agg_distinct_variants(spark, sf_dir):
     ).to_df()
 
 
-@register("agg_hll_sketch", oracle=None)
+@register(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS est_within_10pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_hll_sketch(spark, sf_dir):
     """KQL hll()/hll_merge()/dcount_hll() — two-level sketch merge:
-    per-group HLL sketches, unioned, then estimated. Rows-only (sketch
-    estimates are engine-specific)."""
+    per-group HLL sketches, unioned, then estimated. Round-7
+    ORACLE-BACKED via the sketch-tolerance pattern: the merged-sketch
+    estimate is deterministic for fixed data, so the graded projection
+    carries the exact distinct count plus a boolean asserting the
+    estimate within 10% (measured error 0.45% at sf0.01). A broken
+    merge (double-count, dropped register) flips the boolean."""
     e = _eng(spark, sf_dir)
     per_flag = (
         e.table("lineitem")
@@ -345,20 +357,51 @@ def agg_hll_sketch(spark, sf_dir):
     merged = per_flag.groupBy("l_returnflag").agg(
         A.hll_merge("sk").alias("sk_merged")
     )
-    return merged.select(
-        "l_returnflag", A.dcount_hll("sk_merged").alias("approx_parts")
+    exact = (
+        e.table("lineitem")
+        .to_df()
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    )
+    return (
+        merged.select(
+            "l_returnflag", A.dcount_hll("sk_merged").alias("approx_parts")
+        )
+        .join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("exact_parts").cast("long").alias("exact_parts"),
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("est_within_10pct"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
 @register(
     "agg_make_bag",
-    oracle=None,
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           array_to_string(list(CAST(event_id AS VARCHAR)
+                                ORDER BY CAST(event_id AS VARCHAR)), ',') AS keys_cat,
+           ROUND(SUM(value), 4) AS vsum
+    FROM events WHERE event_id < 50
+    GROUP BY event_type ORDER BY event_type
+    """,
 )
 def agg_make_bag(spark, sf_dir):
-    """KQL make_bag — JSON object aggregation (rows-only: JSON key order
-    is engine-specific)."""
+    """KQL make_bag — JSON object aggregation. Round-7 ORACLE-BACKED:
+    the raw JSON string's key order is collect-order-nondeterministic,
+    so the graded projection round-trips the bag through from_json and
+    grades order-free derivations — key count, lexically sorted key
+    list, 4dp value sum (event value has <=4 decimal digits, so the
+    true sum never sits on a rounding boundary). This exercises
+    make_bag's content AND the to_json/from_json dynamic round-trip."""
     t = _eng(spark, sf_dir).table("events")
-    return (
+    bags = (
         t.where(F.col("event_id") < 50)
         .summarize(
             {"bag": A.make_bag(F.col("event_id").cast("string"), "value")},
@@ -366,27 +409,64 @@ def agg_make_bag(spark, sf_dir):
         )
         .to_df()
     )
+    m = F.from_json("bag", "map<string,double>")
+    return bags.select(
+        "event_type",
+        F.size(m).cast("long").alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_cat"),
+        F.round(
+            F.aggregate(F.map_values(m), F.lit(0.0), lambda a, v: a + v), 4
+        ).alias("vsum"),
+    ).orderBy("event_type")
 
 
-@register("agg_tdigest", oracle=None)
+@register(
+    "agg_tdigest",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_within_1pct, TRUE AS p95_within_1pct,
+           TRUE AS p99_within_1pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_tdigest(spark, sf_dir):
     """Mergeable t-digest percentile sketch (SURVEY.md §2.2.2 T2): one
     stored digest per l_returnflag — map-side pre-digest per partition,
     one merge shuffle of O(compression) centroids per key — then p50/
-    p95/p99 extracted from the sketch. Rows-only (sketch estimates are
-    approximate by design); rank-error ≤0.5% vs exact asserted in
-    tests/test_tdigest.py."""
+    p95/p99 extracted from the sketch. Round-7 ORACLE-BACKED via the
+    sketch-tolerance pattern (agg_dcount_approx): the digest is
+    deterministic for fixed data, so booleans asserting each estimate
+    within 1% relative of Spark's EXACT percentile are constants of
+    the fixture (measured error <=0.08% at sf0.01; rank-error <=0.5%
+    pinned in tests/test_tdigest.py). The exact percentile values stay
+    out of the hash — interpolated doubles rounded at a decimal
+    boundary are the one cross-engine hazard — while the group keys
+    and exact row counts are graded directly."""
     from meerkat_spark.functions import tdigest as td
 
     df = _eng(spark, sf_dir).table("lineitem").to_df()
     sk = td.tdigest_sketch(df, "l_extendedprice", by=["l_returnflag"])
+    est = td.digest_percentiles(sk, [0.5, 0.95, 0.99]).select(
+        "l_returnflag",
+        F.col("p5").alias("p50_est"),
+        F.col("p95").alias("p95_est"),
+        F.col("p99").alias("p99_est"),
+    )
+    exact = df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_extendedprice", 0.5).alias("e50"),
+        F.percentile("l_extendedprice", 0.95).alias("e95"),
+        F.percentile("l_extendedprice", 0.99).alias("e99"),
+    )
+    tol = lambda e, x: (F.abs(F.col(e) - F.col(x)) <= 0.01 * F.abs(F.col(x)))
     return (
-        td.digest_percentiles(sk, [0.5, 0.95, 0.99])
+        est.join(exact, "l_returnflag")
         .select(
             "l_returnflag",
-            F.round("p5", 2).alias("p50_est"),
-            F.round("p95", 2).alias("p95_est"),
-            F.round("p99", 2).alias("p99_est"),
+            "n",
+            tol("p50_est", "e50").alias("p50_within_1pct"),
+            tol("p95_est", "e95").alias("p95_within_1pct"),
+            tol("p99_est", "e99").alias("p99_within_1pct"),
         )
         .orderBy("l_returnflag")
     )
