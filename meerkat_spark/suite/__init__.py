@@ -56,75 +56,72 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-7 rotation — ALL 50 slots are oracle-backed (the driver has no
+# Round-8 rotation — ALL 50 slots are oracle-backed (the driver has no
 # rows-only fallback; round 6 burned 5 slots on `err: no_oracle` rows).
-# (a) never-graded / NEWLY oracle-backed: the round-7 construction
-# oracles (span dedup at stride=1, planted fuzzy dedup, formula-built
-# sentence chunking, S2 known vectors, sketch-tolerance booleans for
-# approx dcount + dcount_intersect, composed training pipeline, knn
-# matmul twin, media metadata grid, stratified-contract counts, greedy
-# session via recursive CTE). (b) round-7 code-change re-grades (the
-# five ADVICE fixes + the serialized-window guard wrapper touching the
-# window_* plans). (c) oldest-evidence refreshes: the full round-2
-# cohort, then round-3 names alphabetically. Exactly 50 — enforced by
+# (a) NEWLY oracle-backed (round 8): the last convertible rows-only
+# kernels (VERDICT r7 'missing' #1 + ask #5) — planted-hamming simhash,
+# planted-blob CDC counts, literal-feature-id classifier, getschema
+# VALUES twin. (b) round-7 code-change re-grades: 935e0d5/8ece44b
+# touched division/substring/cast/strcat scalar paths. (c) oldest-
+# evidence refreshes: the full round-3 cohort (23 names, last graded
+# r3), then the oldest round-4 names alphabetically (the rest of the
+# r4 cohort rotates in next round). Exactly 50 — enforced by
 # tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) never graded / newly oracle-backed (round 7)
-    "geo_s2cell_ops",
-    "span_dedup_exact",
-    "fuzzy_dedup_planted",
-    "sentence_chunking_packed",
-    "window_session_greedy",
-    "agg_dcount_approx",
-    "agg_dcount_intersect",
-    "training_pipeline_end_to_end",
-    "knn_cosine_topk_fast",
-    "media_metadata_agg",
-    "stratified_sample_op",
-    "scalar_r7_gap",
-    "agg_conditional_r7",
-    "partition_window_funcs",
-    "lang_id_accuracy",
-    "knn_recall_gate",
-    "agg_tdigest",
-    "agg_hll_sketch",
-    "agg_make_bag",
-    # (b) round-7 fixes — re-grade (the percentilew-null and
-    # new_activity_metrics end-bound fixes are provable no-ops on the
-    # null-free / Jan-bounded fixtures and are pytest-pinned, so those
-    # two slots go to the never-graded queries above instead)
-    "scalar_ip_ranges",
-    "mv_expand_words",
-    "window_row_number",
-    "window_prev_next",
-    "window_cumsum",
-    "window_rank",
-    "window_session",
-    # (c) oldest-evidence refreshes (round-2 cohort, then round-3)
-    "join_rightanti",
-    "join_rightouter",
-    "join_rightsemi",
-    "lookup_dim_chain",
-    "mv_expand_indexed",
-    "parse_pattern",
-    "print_scalars",
-    "range_table",
-    "scalar_casts",
-    "scalar_conditional",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_string_funcs2",
+    # (a) newly oracle-backed (round 8)
+    "simhash_dedup_planted",
+    "cdc_dedup_planted",
+    "classifier_gate_exact",
+    "getschema_op",
+    # (b) round-7 scalar-fidelity commits — re-grade
     "scalar_strings",
-    "union_inner_mismatched",
-    "union_outer",
-    "agg_percentiles_array",
-    "agg_pricing_summary",
-    "argmin_distance",
-    "bag_unpack",
-    "chunk_documents_op",
-    "dedup_events_by_key",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
+    "scalar_math",
+    "scalar_casts",
+    # (c) oldest-evidence refreshes: full round-3 cohort
+    "knn_pairwise_label",
+    "kql_dynamic_union",
+    "kql_facet",
+    "kql_find",
+    "kql_fork",
+    "kql_join_summarize",
+    "kql_let_topk",
+    "kql_make_series",
+    "kql_string_pipeline",
+    "make_series_daily",
+    "mv_apply_topwords",
+    "ngram_jaccard_pairs",
+    "pii_redact",
+    "pivot_event_types",
+    "range_datetime_table",
+    "salted_join_skew",
+    "series_stats_daily",
+    "text_has_indexed",
+    "text_remove_boilerplate",
+    "text_stats",
+    "top_nested",
+    "train_holdout_split",
+    "window_session_native",
+    # (c cont.) oldest round-4 names, alphabetical
+    "agg_round3_variants",
+    "asof_join_events",
+    "dedup_components",
+    "embedding_neardup_pairs",
+    "fork_legs",
+    "geo_bbox_distance",
+    "knn_cosine_topk",
+    "kql_autocluster",
+    "kql_datatable",
+    "kql_flagship",
+    "kql_narrow",
+    "kql_top_hitters",
+    "make_series_arrays",
+    "mix_datasets_op",
+    "pack_chunks_op",
+    "range_join_price_bands",
+    "sample_distinct_hash_op",
+    "sample_hash_op",
+    "scalar_array_ops",
+    "scalar_arrays",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -108,6 +108,108 @@ def media_metadata_agg(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_dedup_planted",
+    oracle="""
+    SELECT CAST(15 AS BIGINT) AS n_blobs,
+           CAST(127686 AS BIGINT) AS total_bytes,
+           true AS recon_ok, true AS copy_pairs_ok, true AS shared_ok
+    """,
+)
+def cdc_dedup_planted(spark, sf_dir):
+    """ORACLE-BACKED content-defined chunking (VERDICT r7 'missing' #1:
+    planted-blob construction counts). Corpus: 12 blobs that share one
+    8192-byte payload S behind unique random prefixes of different
+    lengths (128+37i), plus byte-identical copies of blobs 0/4/8 at
+    id+1000. Graded contract — every value exact by construction, no
+    chunk-hash value in the output:
+      n_blobs, total_bytes  - sum(length) over the chunk table must
+                              equal the formula sum 127686 exactly
+                              (chunks tile each blob);
+      recon_ok      - per blob: chunks are contiguous (each offset ==
+                      end of the previous chunk) and cover [0, len);
+      copy_pairs_ok - a byte-identical copy produces the IDENTICAL
+                      (chunk_idx, offset, length, chunk_hash) rows —
+                      chunking is a pure function of the bytes;
+      shared_ok     - offset-invariance: global dup_bytes (total -
+                      distinct) >= 90000, i.e. the chunker re-finds S
+                      behind every distinct prefix (measured 112029;
+                      floor leaves resync headroom of ~2 chunks/blob).
+    The pipeline under test is the production one: the vectorized gear
+    boundary kernel (multimodal/cdc.py _chunk_bounds) via mapInPandas +
+    JVM-side slice hashing + the ONE chunk-hash dedup aggregation."""
+    import numpy as np
+
+    from meerkat_spark.multimodal.cdc import cdc_chunks, cdc_dedup_stats
+    from pyspark.sql import Window
+
+    S = np.random.RandomState(999).randint(0, 256, 8192, dtype=np.uint8).tobytes()
+    rows = []
+    for i in range(12):
+        pre = (
+            np.random.RandomState(1000 + i)
+            .randint(0, 256, 128 + 37 * i, dtype=np.uint8)
+            .tobytes()
+        )
+        blob = pre + S
+        rows.append((i, bytearray(blob)))
+        if i % 4 == 0:
+            rows.append((i + 1000, bytearray(blob)))
+    corpus = spark.createDataFrame(rows, "media_id long, payload binary")
+    chunks = cdc_chunks(
+        corpus, min_size=64, avg_size=256, max_size=1024
+    ).persist()
+
+    # expected blob length from the construction formula
+    exp_len = F.lit(8192 + 128) + F.lit(37) * F.when(
+        F.col("media_id") >= 1000, F.col("media_id") - 1000
+    ).otherwise(F.col("media_id"))
+    w = Window.partitionBy("media_id").orderBy("offset")
+    tiled = chunks.withColumn(
+        "contig",
+        F.col("offset")
+        == F.coalesce(F.lag(F.col("offset") + F.col("length")).over(w), F.lit(0)),
+    )
+    per_blob = tiled.groupBy("media_id").agg(
+        F.sum("length").alias("blob_bytes"),
+        (
+            F.bool_and("contig")
+            & (F.max(F.col("offset") + F.col("length")) == F.first(exp_len))
+        ).alias("blob_ok"),
+    )
+    recon = per_blob.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        F.sum("blob_bytes").cast("long").alias("total_bytes"),
+        F.bool_and("blob_ok").alias("recon_ok"),
+    )
+
+    # copy pairs: the copy's chunk rows must match the base's exactly
+    base_c = chunks.filter((F.col("media_id") < 1000) & (F.col("media_id") % 4 == 0))
+    copy_c = chunks.filter(F.col("media_id") >= 1000).withColumn(
+        "media_id", F.col("media_id") - 1000
+    )
+    keys = ["media_id", "chunk_idx", "offset", "length", "chunk_hash"]
+    matched = base_c.join(copy_c, keys, "inner")
+    pairs_ok = (
+        base_c.agg(F.count(F.lit(1)).alias("nb"))
+        .crossJoin(copy_c.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("nm")))
+        .select(
+            ((F.col("nb") == F.col("nc")) & (F.col("nb") == F.col("nm"))).alias(
+                "copy_pairs_ok"
+            )
+        )
+    )
+    shared = cdc_dedup_stats(chunks).select(
+        ((F.col("total_bytes") - F.col("distinct_bytes")) >= 90000).alias("shared_ok")
+    )
+    return (
+        recon.crossJoin(pairs_ok)
+        .crossJoin(shared)
+        .select("n_blobs", "total_bytes", "recon_ok", "copy_pairs_ok", "shared_ok")
+    )
+
+
 @register("media_cdc_dedup", oracle=None)
 def media_cdc_dedup(spark, sf_dir):
     """Content-defined chunking over binary payloads (multimodal/

@@ -595,10 +595,25 @@ def find_in_tables(spark, sf_dir):
     return docs.union(ev_leg).to_df()
 
 
-@register("getschema_op", oracle=None)
+@register(
+    "getschema_op",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('event_id',   CAST(0 AS INT), 'bigint',        'long'),
+      ('ts',         CAST(1 AS INT), 'timestamp',     'datetime'),
+      ('user_id',    CAST(2 AS INT), 'bigint',        'long'),
+      ('event_type', CAST(3 AS INT), 'string',        'string'),
+      ('value',      CAST(4 AS INT), 'double',        'real'),
+      ('props',      CAST(5 AS INT), 'string',        'string')
+    ) AS t(ColumnName, ColumnOrdinal, DataType, ColumnType)
+    ORDER BY ColumnOrdinal
+    """,
+)
 def getschema_op(spark, sf_dir):
-    """KQL getschema over events (rows-only check: engine-specific type
-    name strings are not meaningfully SQL-comparable)."""
+    """KQL getschema over events. Oracle is the VALUES twin of the
+    events table's fixed parquet schema (driver-generated; identical at
+    every SF): DataType = Spark simpleString, ColumnType = the KQL
+    type mapping (types.py spark_to_kql)."""
     return _eng(spark, sf_dir).table("events").getschema().to_df()
 
 

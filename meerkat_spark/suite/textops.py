@@ -130,8 +130,68 @@ def dedup_minhash_lsh(spark, sf_dir):
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3, 16-bit chunk banding).
-    Rows-only; cross-checked in pytest."""
+    Rows-only; cross-checked in pytest. Oracle-backed twin:
+    simhash_dedup_planted (planted hamming-0 pairs, known answer)."""
     return TD.simhash_pairs(_docs(spark, sf_dir)).orderBy("id1", "id2")
+
+
+@register(
+    "simhash_dedup_planted",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id1,
+           CAST(doc_id + 10000000 AS BIGINT) AS id2,
+           CAST(0 AS BIGINT) AS hamming
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY id1
+    """,
+)
+def simhash_dedup_planted(spark, sf_dir):
+    """ORACLE-BACKED SimHash dedup (the fuzzy_dedup_planted
+    construction pattern): a synthetic corpus whose detected-pair set
+    is known WITHOUT computing any hash. Every base doc is 30 unique
+    md5 tokens (cross-doc hamming ~ Binomial(64, 1/2) — never ≤ 3);
+    ids%3==0 get a REVERSED-ORDER copy at +10M. SimHash is a bag-of-
+    words signature (majority vote per bit over token hashes —
+    text/dedup.py simhash64), so a reordered copy has the IDENTICAL
+    fingerprint: hamming 0, detected through every 16-bit chunk band.
+    The pipeline under test is the real one (vectorized signature
+    kernel -> chunk banding -> hamming verify); only the corpus is
+    planted, so the expected (id1, id2, hamming=0) set is enumerable
+    in SQL."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    base_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda j: F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("-"), j.cast("string"))
+            ),
+        ),
+    )
+    rev_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(30), F.lit(1), F.lit(-1)),
+            lambda j: F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("-"), j.cast("string"))
+            ),
+        ),
+    )
+    base = ids.select(
+        F.col("doc_id").cast("long").alias("doc_id"), base_text.alias("text")
+    )
+    # text FIRST, re-label SECOND (lateral-alias capture trap: a single
+    # select would resolve the text formula's doc_id to the shifted id)
+    copies = (
+        ids.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", rev_text.alias("text"))
+        .select((F.col("doc_id") + 10_000_000).cast("long").alias("doc_id"), "text")
+    )
+    corpus = base.unionByName(copies)
+    return (
+        TD.simhash_pairs(corpus, max_hamming=3)
+        .select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id1", "id2")
+    )
 
 
 @register(
@@ -1115,6 +1175,94 @@ def classifier_quality_gate(spark, sf_dir):
     return out.select(
         "doc_id", F.round("score", 6).alias("score"), F.round("prob", 6).alias("prob")
     )
+
+
+# Classifier-oracle vocabulary: docs are formula-built token sequences
+# over these 8 words (step s = 1 + doc_id%3), so every unigram AND
+# every in-doc bigram string is known to BOTH engines. Weights are
+# multiples of 0.25 -> every contribution and partial sum is an exact
+# dyadic double -> the dot product is order-independent across
+# partitionings/engines. OOV features (unweighted bigrams) contribute
+# exactly 0 on both sides.
+_CLF_WORDS = ["data", "query", "fast", "slow", "spam", "clean", "noise", "signal"]
+_CLF_UNI_W = [1.5, 0.75, 2.0, -1.25, -3.0, 0.5, -0.75, 1.0]
+# one weighted bigram per step pattern (step1/step2/step3 docs each
+# exercise the bigram-weight join path)
+_CLF_BI_W = [("data query", 0.5), ("fast spam", -1.5), ("spam signal", 1.25)]
+
+
+@register(
+    "classifier_gate_exact",
+    oracle="""
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS d, 5 + doc_id % 7 AS n,
+             1 + doc_id % 3 AS s
+      FROM documents
+    ), toks AS (
+      SELECT d, n, i,
+             ['data','query','fast','slow','spam','clean','noise','signal']
+               [1 + CAST((d + i * s) % 8 AS INT)] AS tok
+      FROM docs, UNNEST(range(1, n + 1)) AS u(i)
+    ), wmap(w_tok, wt) AS (VALUES
+      ('data', 1.5), ('query', 0.75), ('fast', 2.0), ('slow', -1.25),
+      ('spam', -3.0), ('clean', 0.5), ('noise', -0.75), ('signal', 1.0),
+      ('data query', 0.5), ('fast spam', -1.5), ('spam signal', 1.25)
+    ), feats AS (
+      SELECT d, n, tok AS f FROM toks
+      UNION ALL
+      SELECT d, n, tok || ' ' || lead(tok) OVER (PARTITION BY d ORDER BY i)
+      FROM toks QUALIFY lead(tok) OVER (PARTITION BY d ORDER BY i) IS NOT NULL
+    ), dots AS (
+      SELECT d, n, SUM(COALESCE(wt, 0.0)) AS dot
+      FROM feats LEFT JOIN wmap ON f = w_tok
+      GROUP BY d, n
+    )
+    SELECT d AS doc_id,
+           ROUND(dot / (2 * n - 1), 6) AS score,
+           ROUND(1.0 / (1.0 + EXP(-(dot / (2 * n - 1)))), 6) AS prob
+    FROM dots ORDER BY doc_id
+    """,
+)
+def classifier_gate_exact(spark, sf_dir):
+    """ORACLE-BACKED hashing-trick classifier scoring (the xxhash64-
+    literal trick from VERDICT r7 'missing' #1): the weight table is
+    built by hashing a FIXED vocabulary with the very same
+    pmod(xxhash64(tok), dim) the scorer applies to document tokens, so
+    Spark's feature-id join reduces to a token-string lookup the DuckDB
+    twin replays verbatim (w(t_j) summed over unigrams + bigrams,
+    mean-pooled over 2n-1 features, sigmoid). Docs are formula-built
+    from the same vocabulary; unweighted bigrams are OOV on both sides
+    (contribute 0). No feature-id collisions at dim=2^18 for this
+    vocabulary (asserted in tests/test_text.py). Exercises the REAL
+    production path: explode -> broadcast weight join -> doc-key sum
+    (text/classifier.py score_documents, bigrams=True)."""
+    from meerkat_spark.text.classifier import score_documents
+
+    dim = 1 << 18
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = (F.lit(5) + F.col("doc_id") % 7).alias("n")
+    s = (F.lit(1) + F.col("doc_id") % 3)
+    words_arr = F.array(*[F.lit(w) for w in _CLF_WORDS])
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda j: F.element_at(
+                words_arr, (F.pmod(F.col("doc_id") + j * s, F.lit(8)) + 1).cast("int")
+            ),
+        ),
+    )
+    docs = ids.select(F.col("doc_id").cast("long").alias("doc_id"), text.alias("text"))
+    wdf = spark.createDataFrame(
+        list(zip(_CLF_WORDS, _CLF_UNI_W)) + _CLF_BI_W, "tok string, weight double"
+    )
+    weights = wdf.select(
+        F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("feature_id"), "weight"
+    )
+    out = score_documents(docs, weights, dim=dim, bigrams=True)
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), F.round("prob", 6).alias("prob")
+    ).orderBy("doc_id")
 
 
 @register("sentence_chunking", oracle=None)

@@ -80,6 +80,7 @@ def test_windowed_oracleless_queries_return_hashable_columns(spark, registry):
 _BOUNDED_CROSS = {
     "diffpatterns_text_op",
     "media_cdc_dedup",
+    "cdc_dedup_planted",
     "temperature_mix_op",
     "print_scalars",
     "make_series_daily",

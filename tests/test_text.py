@@ -446,3 +446,34 @@ def test_fuzzy_dedup_end_to_end(spark, docs_with_dups):
     survivors = TD.fuzzy_dedup(uniq, threshold=0.999).count()
     # every merge consumed at least one true pair
     assert survivors >= uniq.count() - n_true_pairs
+
+
+def test_classifier_oracle_vocab_collision_free(spark):
+    """classifier_gate_exact's oracle replays the hashed-feature join
+    at the token-string level; that is exact only if (a) the 11
+    weighted tokens map to 11 DISTINCT feature ids mod 2^18 and (b) no
+    unweighted in-doc bigram collides with a weighted id (it must
+    contribute exactly 0). Both are fixed properties of xxhash64 —
+    asserted here so a vocab edit can't silently break the oracle."""
+    from meerkat_spark.suite.textops import _CLF_BI_W, _CLF_UNI_W, _CLF_WORDS
+
+    dim = 1 << 18
+    weighted = list(_CLF_WORDS) + [b for b, _ in _CLF_BI_W]
+    # every bigram a formula-built doc can contain: step s in {1,2,3}
+    doc_bigrams = {
+        f"{_CLF_WORDS[i]} {_CLF_WORDS[(i + s) % 8]}"
+        for s in (1, 2, 3)
+        for i in range(8)
+    }
+    toks = sorted(set(weighted) | doc_bigrams)
+    ids = dict(
+        spark.createDataFrame([(t,) for t in toks], "tok string")
+        .select("tok", F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("fid"))
+        .collect()
+    )
+    wids = {ids[t] for t in weighted}
+    assert len(wids) == len(weighted), "weighted feature ids collide"
+    unweighted = [t for t in toks if t not in weighted]
+    hits = [t for t in unweighted if ids[t] in wids]
+    assert not hits, f"unweighted doc features collide with weighted ids: {hits}"
+    assert len(_CLF_UNI_W) == len(_CLF_WORDS)
