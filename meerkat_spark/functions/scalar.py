@@ -189,8 +189,13 @@ def strcat_delim(delim: str, *parts) -> Column:
 
 def split(x, delim: str, index: int | None = None) -> Column:
     """KQL split returns dynamic array; optional requested index
-    (0-based; out-of-range or negative → null, Kusto's contract)."""
-    arr = F.split(_c(x), F.lit(delim), -1)
+    (0-based; out-of-range or negative → null, Kusto's contract).
+    Kusto's delimiter is a LITERAL string while Spark's F.split takes a
+    regex — escape it, or split('a|b', '|') explodes per character
+    (caught by the r8 mv-expand fuzzer)."""
+    import re
+
+    arr = F.split(_c(x), F.lit(re.escape(delim)), -1)
     if index is not None:
         if index < 0:
             return F.lit(None).cast("string")

@@ -35,17 +35,29 @@ from meerkat_spark.similarity import knn
 def build_ivf_index(
     emb: DataFrame,
     path: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_factor: int = 64,
     n_iter: int = 5,
 ) -> None:
     """Train centroids, assign the corpus, persist both under `path`:
-    centroids.parquet (n_cells rows) + assigned/ partitioned by cell_id."""
+    centroids.parquet (n_cells rows) + assigned/ partitioned by cell_id.
+
+    `n_cells=None` (default) picks ~sqrt(corpus), the classic IVF
+    balance point: probe cost per query is n_probe * (corpus/n_cells)
+    candidates + an n_cells centroid argmax, so a FIXED cell count
+    makes probes grow LINEARLY with the corpus (the 0.42 ivf_probe
+    exponent VERDICT r7 flagged), while sqrt-scaling keeps both terms
+    at O(sqrt(corpus)) — at 100TB/1e9 vectors that is ~32k cells whose
+    centroid table (a few MB) still broadcasts/collects trivially. The
+    count() that sizes it is one cheap aggregate over the build scan's
+    input — the build already pays a full corpus pass to assign cells."""
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), knn._to_double(F.col(vec_col)).alias("cv")
     )
+    if n_cells is None:
+        n_cells = int(min(max(round(c.count() ** 0.5), 4), 1 << 16))
     cents = knn._train_centroids_sample(c, n_cells, train_factor, n_iter)
 
     def assign_cells(batches):

@@ -209,7 +209,39 @@ class MeerkatTable:
             left, right = right, left
         if broadcast_right:
             right = F.broadcast(right)
-        return self._wrap(left.join(right, on, JOIN_KIND_MAP[k]))
+        how = JOIN_KIND_MAP[k]
+        joined = left.join(right, on, how)
+        # Kusto name-collision rule: both sides' columns survive the
+        # join, and a right column whose name collides with a left one
+        # is suffixed `1` (then 2, ... until free): `T1 | join T2 on
+        # $left.k == $right.k` yields k and k1. Spark instead keeps two
+        # ambiguous same-name attributes — resolve via per-side
+        # references and alias Kusto-style. Semi/anti output only one
+        # side (nothing to rename); the plain-name `on key` form keeps
+        # Spark's single merged key column (documented subset — many
+        # suite oracles pin that shape) but still renames colliding
+        # NON-key right columns, which were unreferencable before.
+        if how not in ("left_semi", "left_anti"):
+            merged = (
+                [] if isinstance(on, Column) else ([on] if isinstance(on, str) else list(on))
+            )
+            l_cols = [c for c in left.columns if c not in merged]
+            r_cols = [c for c in right.columns if c not in merged]
+            if set(l_cols) & set(r_cols):
+                taken = set(merged) | set(l_cols) | set(r_cols)
+                sel = [F.col(c) for c in merged] + [left[c] for c in l_cols]
+                for c in r_cols:
+                    if c in l_cols:
+                        i = 1
+                        while f"{c}{i}" in taken:
+                            i += 1
+                        new = f"{c}{i}"
+                        taken.add(new)
+                        sel.append(right[c].alias(new))
+                    else:
+                        sel.append(right[c])
+                joined = joined.select(*sel)
+        return self._wrap(joined)
 
     def lookup(
         self, dim: "MeerkatTable | DataFrame", on: str | list[str], kind: str = "leftouter"

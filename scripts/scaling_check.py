@@ -134,11 +134,13 @@ def main() -> None:
             lambda: neardup.neardup_pairs_lsh(emb, threshold=0.4).count(),
         )
 
+        # default build: n_cells=None -> ~sqrt(corpus) cells (the r8
+        # change; probe candidates grow O(sqrt n) instead of O(n))
         idx_path = tempfile.mkdtemp(prefix="mk_ivf_scale_")
         timed(
             "ivf_build",
             n_vecs,
-            lambda: ivf_index.build_ivf_index(emb, idx_path, n_cells=16),
+            lambda: ivf_index.build_ivf_index(emb, idx_path),
         )
         timed(
             "ivf_probe",
@@ -148,6 +150,22 @@ def main() -> None:
             ).count(),
         )
         shutil.rmtree(idx_path, ignore_errors=True)
+        # fixed-cell contrast row: the pre-r8 configuration whose probe
+        # cost is linear in the corpus (kept to document the difference)
+        idx_path16 = tempfile.mkdtemp(prefix="mk_ivf16_scale_")
+        timed(
+            "ivf_build_c16",
+            n_vecs,
+            lambda: ivf_index.build_ivf_index(emb, idx_path16, n_cells=16),
+        )
+        timed(
+            "ivf_probe_c16",
+            n_vecs,
+            lambda: ivf_index.ivf_search(
+                spark, idx_path16, q_df, k=5, n_probe=2
+            ).count(),
+        )
+        shutil.rmtree(idx_path16, ignore_errors=True)
 
         timed(
             "pii_redact",

@@ -217,3 +217,180 @@ def test_random_pipeline_matches_duckdb(spark, duck, seed):
     df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
     probs = compare(df, duck, sql, f"fuzz{seed}")
     assert not probs, (kql, sql, probs)
+
+
+# ---------------------------------------------------------------- joins
+# Round-8 shape growth (VERDICT r7 ask #7): the join on-clause /
+# kind-dispatch paths are the translator's branchiest surface. Both
+# legs are KEY-DISTINCT summaries, so innerunique == inner and every
+# kind is deterministic; group-by tails make output order irrelevant.
+
+N_JOIN_CASES = 60
+_JOIN_KINDS = [
+    "inner",
+    "innerunique",
+    "leftouter",
+    "rightouter",
+    "fullouter",
+    "leftsemi",
+    "leftanti",
+    "rightsemi",
+    "rightanti",
+]
+
+
+def _gen_join_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(10_000 + seed)
+    kind = _JOIN_KINDS[seed % len(_JOIN_KINDS)]
+    kp_l, sp_l = _gen_pred(rng)
+    kp_r, sp_r = _gen_pred(rng)
+    rename = rng.random() < 0.5  # right key renamed -> $right.uid path
+    rkey = "uid" if rename else "user_id"
+    right_leg = (
+        f"events | where {kp_r} "
+        + (f"| project uid = user_id, value " if rename else "")
+        + f"| summarize r_n = count() by {rkey}"
+    )
+    on = f"$left.user_id == $right.{rkey}"
+    kql = (
+        f"events | where {kp_l} "
+        "| summarize l_n = count(), l_s = round(sum(value), 2) by user_id "
+        f"| join kind={kind} ({right_leg}) on {on} "
+    )
+    # Kusto keeps both key columns (right one suffixed when names
+    # collide); project down to an explicit set per kind
+    rkey_out = rkey if rename else "user_id1"
+    if kind in ("inner", "innerunique", "leftouter"):
+        kql += "| project user_id, l_n, l_s, r_n"
+        sel = "SELECT l.user_id AS user_id, l_n, l_s, r_n"
+        jt = {"leftouter": "LEFT JOIN"}.get(kind, "JOIN")
+        sql_tail = f"{sel} FROM l {jt} r ON l.user_id = r.uid"
+    elif kind == "rightouter":
+        kql += f"| project user_id = {rkey_out}, r_n, l_n"
+        sql_tail = (
+            "SELECT r.uid AS user_id, r_n, l_n FROM l RIGHT JOIN r ON l.user_id = r.uid"
+        )
+    elif kind == "fullouter":
+        kql += f"| project k = coalesce(user_id, {rkey_out}), l_n, r_n"
+        sql_tail = (
+            "SELECT COALESCE(l.user_id, r.uid) AS k, l_n, r_n "
+            "FROM l FULL JOIN r ON l.user_id = r.uid"
+        )
+    elif kind in ("leftsemi", "leftanti"):
+        kql += "| project user_id, l_n, l_s"
+        neg = "NOT " if kind == "leftanti" else ""
+        sql_tail = (
+            "SELECT user_id, l_n, l_s FROM l WHERE "
+            f"{neg}EXISTS (SELECT 1 FROM r WHERE r.uid = l.user_id)"
+        )
+    else:  # rightsemi / rightanti keep RIGHT rows
+        kql += f"| project {rkey}, r_n" if rename else "| project user_id, r_n"
+        neg = "NOT " if kind == "rightanti" else ""
+        sql_tail = (
+            f"SELECT uid AS {rkey if rename else 'user_id'}, r_n FROM r WHERE "
+            f"{neg}EXISTS (SELECT 1 FROM l WHERE l.user_id = r.uid)"
+        )
+    sql = (
+        "WITH l AS (SELECT user_id, COUNT(*) AS l_n, ROUND(SUM(value), 2) AS l_s "
+        f"FROM events WHERE {sp_l} GROUP BY user_id), "
+        "r AS (SELECT user_id AS uid, COUNT(*) AS r_n "
+        f"FROM events WHERE {sp_r} GROUP BY user_id) "
+        + sql_tail
+    )
+    return kql, sql
+
+
+@pytest.mark.parametrize("seed", range(N_JOIN_CASES))
+def test_random_join_matches_duckdb(spark, duck, seed):
+    register_views(duck, SF_ORACLE)
+    kql, sql = _gen_join_case(seed)
+    df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
+    probs = compare(df, duck, sql, f"jfuzz{seed}")
+    assert not probs, (kql, sql, probs)
+
+
+# ------------------------------------------------------------ mv-expand
+# Round-8 shape growth: mv-expand variants (plain / with_itemindex /
+# limit / multi-column zip) over formula-built string arrays, each with
+# an aggregation tail so comparison is order-insensitive.
+
+N_MV_CASES = 60
+
+
+def _gen_mv_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(20_000 + seed)
+    kp, sp = _gen_pred(rng)
+    where_k = f"| where {kp} "
+    where_s = f" WHERE {sp}"
+    k = rng.randrange(2, 9)
+    j = rng.randrange(1, 5)
+    arr_k = (
+        f"arr = split(strcat(event_type, '-', tostring(user_id % {k}), "
+        f"'-', substring(event_type, 0, {j})), '-')"
+    )
+    arr_s = (
+        f"string_split(event_type || '-' || CAST(user_id % {k} AS VARCHAR) "
+        f"|| '-' || substr(event_type, 1, {j}), '-')"
+    )
+    variant = seed % 4
+    if variant == 0:  # plain expand, count by element
+        kql = (
+            f"events {where_k}| extend {arr_k} "
+            "| mv-expand arr to typeof(string) "
+            "| summarize n = count() by arr"
+        )
+        sql = (
+            "SELECT item AS arr, COUNT(*) AS n FROM (SELECT unnest("
+            f"{arr_s}) AS item FROM events{where_s}) GROUP BY 1"
+        )
+    elif variant == 1:  # with_itemindex (0-based in Kusto)
+        kql = (
+            f"events {where_k}| extend {arr_k} "
+            "| mv-expand with_itemindex=ix arr to typeof(string) "
+            "| summarize n = count(), d = dcount(arr) by ix"
+        )
+        sql = (
+            "WITH b AS (SELECT "
+            f"{arr_s} AS arr FROM events{where_s}) "
+            "SELECT CAST(i AS BIGINT) AS ix, COUNT(*) AS n, "
+            "COUNT(DISTINCT arr[CAST(i + 1 AS INT)]) AS d "
+            "FROM b, UNNEST(range(len(arr))) AS r(i) GROUP BY 1"
+        )
+    elif variant == 2:  # per-row limit
+        lim = rng.randrange(1, 4)
+        kql = (
+            f"events {where_k}| extend {arr_k} "
+            f"| mv-expand arr to typeof(string) limit {lim} "
+            "| summarize n = count() by arr"
+        )
+        sql = (
+            "SELECT item AS arr, COUNT(*) AS n FROM (SELECT unnest("
+            f"({arr_s})[1:{lim}]) AS item FROM events{where_s}) GROUP BY 1"
+        )
+    else:  # multi-column zip over equal-length arrays (no padding)
+        m = rng.randrange(2, 6)
+        kql = (
+            f"events {where_k}"
+            f"| extend a = split(strcat(event_type, '-', tostring(event_id % {m})), '-'), "
+            f"b = split(strcat(tostring(user_id % {k}), '|', event_type), '|') "
+            "| mv-expand a to typeof(string), b to typeof(string) "
+            "| summarize n = count() by a, b"
+        )
+        sql = (
+            "WITH src AS (SELECT "
+            f"string_split(event_type || '-' || CAST(event_id % {m} AS VARCHAR), '-') AS aa, "
+            f"string_split(CAST(user_id % {k} AS VARCHAR) || '|' || event_type, '|') AS bb "
+            f"FROM events{where_s}) "
+            "SELECT aa[CAST(i + 1 AS INT)] AS a, bb[CAST(i + 1 AS INT)] AS b, "
+            "COUNT(*) AS n FROM src, UNNEST(range(len(aa))) AS r(i) GROUP BY 1, 2"
+        )
+    return kql, sql
+
+
+@pytest.mark.parametrize("seed", range(N_MV_CASES))
+def test_random_mvexpand_matches_duckdb(spark, duck, seed):
+    register_views(duck, SF_ORACLE)
+    kql, sql = _gen_mv_case(seed)
+    df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
+    probs = compare(df, duck, sql, f"mfuzz{seed}")
+    assert not probs, (kql, sql, probs)

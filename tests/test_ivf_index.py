@@ -54,3 +54,22 @@ def test_index_matches_inline_ivf_shape(spark, tmp_path):
     assert persisted.columns == inline.columns
     # probing ALL cells makes both exact: identical neighbor sets
     assert _topk_sets(persisted) == _topk_sets(inline)
+
+
+def test_default_n_cells_scales_sqrt(spark, tmp_path):
+    """n_cells=None sizes the index at ~sqrt(corpus) (clamped to
+    [4, 65536]) — the r8 scale fix: fixed cell counts make probe cost
+    linear in the corpus; sqrt keeps centroid-scan and cell-scan both
+    O(sqrt n). Pin the sizing so a refactor can't silently regress the
+    default back to a constant."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    idx = str(tmp_path / "ivf_default")
+    build_ivf_index(emb, idx)
+    got = spark.read.parquet(f"{idx}/centroids").count()
+    assert got == int(min(max(round(n**0.5), 4), 1 << 16))
+    # search still returns k results per query against the default index
+    q = emb.filter(F.col("vec_id") < 4)
+    out = ivf_search(spark, idx, q, k=3, n_probe=4)
+    per_q = {r.query_id for r in out.collect()}
+    assert len(per_q) == 4
