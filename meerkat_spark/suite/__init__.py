@@ -65,14 +65,15 @@ def load_all() -> None:
 # touched division/substring/cast/strcat scalar paths. (c) oldest-
 # evidence refreshes: the full round-3 cohort (23 names, last graded
 # r3), then the oldest round-4 names alphabetically (the rest of the
-# r4 cohort rotates in next round). Exactly 50 — enforced by
-# tests/test_registry.py.
+# r4 cohort — from scalar_arrays on — rotates in next round). Exactly
+# 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) newly oracle-backed (round 8)
     "simhash_dedup_planted",
     "cdc_dedup_planted",
     "classifier_gate_exact",
     "getschema_op",
+    "ivf_persisted_recall",
     # (b) round-7 scalar-fidelity commits — re-grade
     "scalar_strings",
     "scalar_math",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "sample_distinct_hash_op",
     "sample_hash_op",
     "scalar_array_ops",
-    "scalar_arrays",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -325,3 +325,39 @@ def knn_recall_gate(spark, sf_dir):
         (F.avg(F.coalesce(F.col("lh"), F.lit(0)) / TOP_K) >= 0.3).alias("lsh_ok"),
         (F.avg(F.coalesce(F.col("ih"), F.lit(0)) / TOP_K) >= 0.3).alias("ivf_ok"),
     )
+
+
+@register(
+    "ivf_persisted_recall",
+    oracle="""
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rank
+    FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id
+    """,
+)
+def ivf_persisted_recall(spark, sf_dir):
+    """ORACLE-BACKED persisted-IVF lifecycle (r8 — the build-once/
+    search-many path of similarity/ivf_index.py, previously pytest-only
+    at the driver): plant an exact COPY (+1M) of every 10th embedding,
+    build the index at the r8 sqrt(corpus) default cell count, then
+    top-1 search with n_probe=1 using the copies as queries. An
+    identical vector lands in the SAME cell as its source (same argmax
+    against the same centroids), so even a single probed cell must
+    return the source as the exact top-1 with cosine 1.0 — a recall
+    contract that is construction-exact while still exercising
+    centroid training, the partitioned assignment write, partition-
+    pruned probing, and the rerank window."""
+    import tempfile
+
+    from meerkat_spark.similarity.ivf_index import build_ivf_index, ivf_search
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    path = tempfile.mkdtemp(prefix="mk_ivf_suite_")
+    build_ivf_index(corpus, path)  # n_cells=None -> sqrt(corpus) default
+    res = ivf_search(spark, path, copies, k=1, n_probe=1)
+    return res.orderBy("query_id")

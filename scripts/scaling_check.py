@@ -342,6 +342,15 @@ def write_md(path: str, out: dict) -> None:
         "row-local (zero shuffle), so wall time tracks bytes/cores and "
         "the exponent stays near the job floor.",
         "",
+        "`ivf_build`/`ivf_probe` measure the PERSISTED IVF index at the "
+        "round-8 default `n_cells ≈ sqrt(corpus)`; the `_c16` rows keep "
+        "the old fixed-16-cell configuration for contrast. Sqrt-scaling "
+        "trades build cost (assignment argmax is an n×n_cells matmul → "
+        "O(n^1.5) work, the ~0.8 build exponent) for probe cost that "
+        "stays O(sqrt n) per query (probe exponent ≈ 0.1, was 0.42 at "
+        "fixed cells in round 7) — the right side of the trade for a "
+        "build-once/search-many index.",
+        "",
         "Generated by `scripts/scaling_check.py` (re-run with "
         "`SCALING_MD=SCALING.md python scripts/scaling_check.py`).",
         "",

@@ -394,3 +394,136 @@ def test_random_mvexpand_matches_duckdb(spark, duck, seed):
     df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
     probs = compare(df, duck, sql, f"mfuzz{seed}")
     assert not probs, (kql, sql, probs)
+
+
+# Multi-key on-clauses (comma-separated $left/$right equalities) — the
+# remaining join-translator branch the single-key fuzzer doesn't reach.
+
+N_MKJOIN_CASES = 30
+_MK_KINDS = ["inner", "leftouter", "leftsemi", "leftanti"]
+
+
+def _gen_multikey_join_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(30_000 + seed)
+    kind = _MK_KINDS[seed % len(_MK_KINDS)]
+    kp_l, sp_l = _gen_pred(rng)
+    kp_r, sp_r = _gen_pred(rng)
+    kql = (
+        f"events | where {kp_l} "
+        "| summarize l_n = count() by user_id, event_type "
+        f"| join kind={kind} (events | where {kp_r} "
+        "| project uid = user_id, et = event_type, value "
+        "| summarize r_n = count() by uid, et) "
+        "on $left.user_id == $right.uid, $left.event_type == $right.et "
+    )
+    if kind in ("inner", "leftouter"):
+        kql += "| project user_id, event_type, l_n, r_n"
+        jt = "LEFT JOIN" if kind == "leftouter" else "JOIN"
+        tail = (
+            "SELECT l.user_id AS user_id, l.event_type AS event_type, l_n, r_n "
+            f"FROM l {jt} r ON l.user_id = r.uid AND l.event_type = r.et"
+        )
+    else:
+        kql += "| project user_id, event_type, l_n"
+        neg = "NOT " if kind == "leftanti" else ""
+        tail = (
+            "SELECT user_id, event_type, l_n FROM l WHERE "
+            f"{neg}EXISTS (SELECT 1 FROM r WHERE r.uid = l.user_id "
+            "AND r.et = l.event_type)"
+        )
+    sql = (
+        "WITH l AS (SELECT user_id, event_type, COUNT(*) AS l_n "
+        f"FROM events WHERE {sp_l} GROUP BY user_id, event_type), "
+        "r AS (SELECT user_id AS uid, event_type AS et, COUNT(*) AS r_n "
+        f"FROM events WHERE {sp_r} GROUP BY user_id, event_type) " + tail
+    )
+    return kql, sql
+
+
+@pytest.mark.parametrize("seed", range(N_MKJOIN_CASES))
+def test_random_multikey_join_matches_duckdb(spark, duck, seed):
+    register_views(duck, SF_ORACLE)
+    kql, sql = _gen_multikey_join_case(seed)
+    df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
+    probs = compare(df, duck, sql, f"mkfuzz{seed}")
+    assert not probs, (kql, sql, probs)
+
+
+# Serialized window functions — row_number/prev/next/row_cumsum over a
+# randomized sorted pipeline (the serialize-context translator pass).
+# Each case filters to a FEW users so the partition-less window stays
+# tiny, matching the guard's intended use, and sorts by a TOTAL order
+# (ts, event_id) so cross-engine row order is identical.
+
+N_WIN_CASES = 30
+
+
+def _gen_window_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(40_000 + seed)
+    uid_mod, uid_r = rng.randrange(17, 41), rng.randrange(0, 5)
+    where_k = f"user_id % {uid_mod} == {uid_r}"
+    where_s = f"user_id % {uid_mod} = {uid_r}"
+    variant = seed % 3
+    if variant == 0:  # row_number + prev with default/offset
+        off = rng.randrange(1, 4)
+        kql = (
+            f"events | where {where_k} | sort by ts asc, event_id asc "
+            f"| extend rn = row_number(), pv = prev(value, {off}), "
+            "nx = next(event_type) "
+            "| project event_id, rn, pv, nx"
+        )
+        sql = (
+            "SELECT event_id, CAST(row_number() OVER w AS INT) AS rn, "
+            f"lag(value, {off}) OVER w AS pv, "
+            "lead(event_type) OVER w AS nx "
+            f"FROM events WHERE {where_s} "
+            "WINDOW w AS (ORDER BY ts, event_id)"
+        )
+    elif variant == 1:  # cumsum + restart on a deterministic flag
+        # restart-form row_cumsum is a DIRECT extend column only (the
+        # translator's documented subset), so no round() wrapper; the
+        # prefix sum runs in the identical total order on both engines
+        # and the harness compares floats at 1e-9
+        kql = (
+            f"events | where {where_k} | sort by ts asc, event_id asc "
+            "| extend cum = row_cumsum(value, event_id % 7 == 0) "
+            "| project event_id, cum"
+        )
+        sql = (
+            "WITH s AS (SELECT ts, event_id, value, "
+            "SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) "
+            "OVER (ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp "
+            f"FROM events WHERE {where_s}) "
+            "SELECT event_id, SUM(value) OVER (PARTITION BY grp "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM s"
+        )
+    else:  # row_number with start/restart
+        start = rng.randrange(0, 10)
+        kql = (
+            f"events | where {where_k} | sort by ts asc, event_id asc "
+            f"| extend rn = row_number({start}, event_type == 'click') "
+            "| project event_id, rn"
+        )
+        sql = (
+            "WITH s AS (SELECT ts, event_id, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "OVER (ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp "
+            f"FROM events WHERE {where_s}) "
+            f"SELECT event_id, CAST({start} - 1 + row_number() OVER "
+            "(PARTITION BY grp ORDER BY ts, event_id) AS INT) AS rn "
+            "FROM s"
+        )
+    return kql, sql
+
+
+@pytest.mark.parametrize("seed", range(N_WIN_CASES))
+def test_random_window_matches_duckdb(spark, duck, seed):
+    register_views(duck, SF_ORACLE)
+    kql, sql = _gen_window_case(seed)
+    df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
+    probs = compare(df, duck, sql, f"wfuzz{seed}")
+    assert not probs, (kql, sql, probs)

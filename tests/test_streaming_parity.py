@@ -257,3 +257,55 @@ def test_interval_join_batch_stream_parity(spark, replayed, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_session_window_batch_stream_parity(spark, replayed, tmp_path):
+    """Native session_window (30m gap) counts per user: streaming
+    append mode over the late-arrival replay == the identical batch
+    session_window aggregation. Late rows inside the watermark MERGE
+    sessions exactly as batch does."""
+    chunk_dir, base = replayed
+    stream = _read_stream(spark, chunk_dir)
+    out = (
+        stream.withWatermark("ts", "72 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "user_id",
+            "n",
+        )
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_parity")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.ss, r.se, r.user_id, r.n)
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+    }
+    batch = _load_events(spark)
+    want = {
+        (r.ss, r.se, r.user_id, r.n)
+        for r in batch.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "user_id",
+            "n",
+        )
+        .collect()
+    }
+    # the sentinel row (+10 days past the data) forms its own session
+    # in the STREAM only — drop the sessions starting past the last
+    # real event from the stream side before comparing
+    max_real = max(w[1] for w in want)
+    got = {t for t in got if t[0] <= max_real}
+    assert got == want
