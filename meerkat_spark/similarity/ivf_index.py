@@ -96,7 +96,15 @@ def ivf_search(
 ) -> DataFrame:
     """Top-k over a persisted IVF index. The probed cell_ids land in the
     scan as partition filters, so only n_probe/n_cells of the corpus is
-    read — the plan property tests/test_ivf_index.py asserts."""
+    read — the plan property tests/test_ivf_index.py asserts.
+
+    Recall/cost knob: with the sqrt(corpus) build default, a FIXED
+    n_probe reads a shrinking fraction of the corpus as it grows
+    (n_probe * sqrt(n) rows per query — the scale win), at gradually
+    lower recall for near-boundary queries. Hold recall roughly
+    constant by scaling n_probe with ~sqrt(n_cells) (FAISS practice);
+    exact-duplicate and in-cell matches are probe-count-independent
+    (suite ivf_persisted_recall pins that contract at n_probe=1)."""
     out_schema = "query_id long, neighbor_id long, sim double, rank int"
     cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
     q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)

@@ -2,7 +2,10 @@
 Brute-force cosine top-k is the oracle-checked exact baseline (DuckDB
 list_cosine_similarity in double precision matches the engine's
 zip_with/aggregate double fold); LSH and IVF variants are rows-only
-with recall tests in pytest."""
+with recall tests in pytest, plus construction oracles: knn_recall_gate
+(recall@5 floor for both approximate indexes) and ivf_persisted_recall
+(exact copies return their source at top-1 through the persisted
+index)."""
 
 from __future__ import annotations
 
