@@ -364,3 +364,31 @@ def ivf_persisted_recall(spark, sf_dir):
     build_ivf_index(corpus, path)  # n_cells=None -> sqrt(corpus) default
     res = ivf_search(spark, path, copies, k=1, n_probe=1)
     return res.orderBy("query_id")
+
+
+@register(
+    "semdedup_planted",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def semdedup_planted(spark, sf_dir):
+    """ORACLE-BACKED SemDeDup (similarity/semdedup.py — the published
+    cluster-then-compare semantic dedup, arXiv:2303.09540): plant an
+    exact COPY (+1M) of every 10th embedding; identical vectors always
+    share a cluster (same centroid argmax) and have cosine 1.0 >= 0.9,
+    so every copy must be dropped (min-id keeper keeps the base), while
+    the fixture's natural max pairwise cosine is ~0.51 << 0.9, so every
+    base row must survive. Exercises the real pipeline: exact-dup star
+    routing -> bounded-cluster assignment -> per-cluster numpy pairwise
+    -> connected components -> anti-join keeper."""
+    from meerkat_spark.similarity.semdedup import semdedup
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding").unionByName(copies)
+    out = semdedup(corpus, threshold=0.9, target_cluster=64)
+    return out.select("vec_id").orderBy("vec_id")

@@ -133,6 +133,16 @@ def main() -> None:
             n_vecs,
             lambda: neardup.neardup_pairs_lsh(emb, threshold=0.4).count(),
         )
+        # SemDeDup: replication is its adversarial case too — every
+        # vector occurs N× byte-identically, so without exact-dup star
+        # routing one cluster would hold the whole class and pay c²
+        from meerkat_spark.similarity.semdedup import semdedup_pairs
+
+        timed(
+            "semdedup",
+            n_vecs,
+            lambda: semdedup_pairs(emb, threshold=0.9).count(),
+        )
 
         # default build: n_cells=None -> ~sqrt(corpus) cells (the r8
         # change; probe candidates grow O(sqrt n) instead of O(n))
