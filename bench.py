@@ -56,6 +56,11 @@ HEADLINE = [
     "span_dedup_exact",
     "fuzzy_dedup_planted",
     "window_session_greedy",
+    # round-8 additions: SemDeDup (cluster-then-compare semantic dedup
+    # — star routing + bounded-cluster pairwise) and the persisted-IVF
+    # build->search lifecycle at the sqrt(corpus) cell default
+    "semdedup_planted",
+    "ivf_persisted_recall",
 ]
 
 

@@ -1495,3 +1495,49 @@ def sentence_chunking_packed(spark, sf_dir):
         "chunk_id",
         F.size(F.split("chunk_text", "\\s+")).cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "classifier_train_gate",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS separable_learned
+    FROM documents
+    """,
+)
+def classifier_train_gate(spark, sf_dir):
+    """ORACLE-BACKED in-engine classifier TRAINING (r8 —
+    text/classifier.py train_logreg; closes the 'training out of
+    scope' gap with a no-ML-lib full-batch GD trainer whose every
+    epoch is one broadcast weight join + one feature-key agg). The
+    corpus is formula-built from the documents fixture: even doc_ids
+    get positive-vocab text, odd get negative-vocab, plus a unique md5
+    filler token per doc (OOV noise the model must ignore). A linearly
+    separable corpus MUST train to 100% gate accuracy — graded as a
+    construction boolean over the fixture's exact row count."""
+    from meerkat_spark.text.classifier import score_documents, train_logreg
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    pos = F.concat_ws(
+        " ",
+        F.lit("great clean signal data"),
+        F.md5(F.col("doc_id").cast("string")),
+    )
+    neg = F.concat_ws(
+        " ",
+        F.lit("spam junk noise garbage"),
+        F.md5(F.col("doc_id").cast("string")),
+    )
+    df = ids.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, pos).otherwise(neg).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("double").alias("y"),
+    )
+    w = train_logreg(df, n_epochs=12, lr=2.0, bigrams=False)
+    scores = score_documents(df, w, bigrams=False)
+    joined = scores.join(df.select("doc_id", "y"), "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.bool_and(
+            ((F.col("prob") >= 0.5).cast("int") == F.col("y").cast("int"))
+        ).alias("separable_learned"),
+    )

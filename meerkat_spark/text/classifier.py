@@ -91,6 +91,82 @@ def score_documents(
     )
 
 
+def train_logreg(
+    df: DataFrame,
+    label_col: str = "y",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 18,
+    bigrams: bool = True,
+    lr: float = 0.5,
+    n_epochs: int = 5,
+    l2: float = 0.0,
+) -> DataFrame:
+    """In-engine logistic-regression training for the hashing-trick
+    gate (r8): full-batch gradient descent where EVERY epoch is one
+    broadcast weight join + one feature-key aggregation — the same
+    distributed shape as scoring, so training a corpus gate needs no
+    ML library and no driver-side data.
+
+    Model: p = sigmoid(w·x / n_features) (mean pooling, matching
+    score_documents). Gradient per feature j:
+    dL/dw_j = sum_docs (tf_j / n) * (p - y) + l2 * w_j.
+
+    Scale shape: the hashed feature table is computed ONCE and
+    persisted (one explode + one groupBy); per epoch the weight table
+    (bounded by distinct hashed features <= dim — MBs) broadcasts,
+    per-doc probabilities are a doc-key agg, and the gradient is a
+    feature-key agg. localCheckpoint per epoch cuts the iterative
+    lineage exactly like connected components. 100 TB corpus =
+    n_epochs passes over a persisted sparse feature table, nothing
+    all-pairs, nothing driver-sized."""
+    feats = hash_features(df, text_col, id_col, dim, bigrams)
+    n_per_doc = feats.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    labels = df.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).cast("double").alias("y")
+    )
+    base = (
+        feats.join(n_per_doc, "doc_id")
+        .join(labels, "doc_id")
+        .select("doc_id", "feature_id", (F.col("tf") / F.col("n")).alias("x"), "y")
+        .persist()
+    )
+    base.count()  # materialize once; reused every epoch
+    spark = df.sparkSession
+    weights = spark.createDataFrame([], "feature_id long, weight double")
+    for _ in range(int(n_epochs)):
+        scored = base.join(F.broadcast(weights), "feature_id", "left").select(
+            "doc_id",
+            "feature_id",
+            "x",
+            "y",
+            (F.col("x") * F.coalesce(F.col("weight"), F.lit(0.0))).alias("c"),
+        )
+        p = scored.groupBy("doc_id").agg(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.sum("c")))).alias("p"),
+            F.first("y").alias("y"),
+        )
+        grad = (
+            scored.select("doc_id", "feature_id", "x")
+            .join(p, "doc_id")
+            .groupBy("feature_id")
+            .agg(F.sum(F.col("x") * (F.col("p") - F.col("y"))).alias("g"))
+        )
+        weights = (
+            grad.join(weights, "feature_id", "left")
+            .select(
+                "feature_id",
+                (
+                    F.coalesce(F.col("weight"), F.lit(0.0)) * (1.0 - lr * l2)
+                    - F.lit(lr) * F.col("g")
+                ).alias("weight"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    base.unpersist()
+    return weights
+
+
 def filter_by_score(
     df: DataFrame,
     weights: DataFrame,

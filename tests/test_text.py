@@ -477,3 +477,27 @@ def test_classifier_oracle_vocab_collision_free(spark):
     hits = [t for t in unweighted if ids[t] in wids]
     assert not hits, f"unweighted doc features collide with weighted ids: {hits}"
     assert len(_CLF_UNI_W) == len(_CLF_WORDS)
+
+
+def test_train_logreg_learns_separable_gate(spark):
+    """In-engine LR training (text/classifier.py train_logreg): on a
+    linearly separable planted corpus the trained weights must gate
+    with 100% train accuracy, positives get positive scores, and the
+    weight table stays bounded by the distinct hashed features."""
+    from meerkat_spark.text.classifier import score_documents, train_logreg
+
+    pos = ["great clean signal data", "excellent data quality signal"]
+    neg = ["spam junk noise garbage", "junk garbage noise spam words"]
+    rows = [
+        (i, (pos if i % 2 == 0 else neg)[(i // 2) % 2] + f" doc{i}", float(i % 2 == 0))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    w = train_logreg(df, n_epochs=15, lr=2.0, bigrams=False)
+    n_feats = w.count()
+    assert 0 < n_feats < 200  # bounded by distinct hashed features
+    scores = score_documents(df, w, bigrams=False)
+    out = scores.join(df.select("doc_id", "y"), "doc_id").collect()
+    acc = sum(1 for r in out if (r.prob >= 0.5) == (r.y == 1.0)) / len(out)
+    assert acc == 1.0
+    assert all(r.score > 0 for r in out if r.y == 1.0)
