@@ -2075,7 +2075,20 @@ class Translator:
         right_df = self.pipeline(a["right"])
         kind = a["kind"]
         on = a["on"]
+        # Expression on-clauses reference the sides through subquery
+        # ALIASES, not dataset-col attributes: with `let hot = …;
+        # hot | join (hot) on $left.k == $right.k` both sides carry the
+        # SAME attribute ids and dataset refs raise AMBIGUOUS_SELF_JOIN.
+        LAL, RAL = "__jl", "__jr"
+
+        def _q(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
+        side_aliases = (LAL, RAL)
         if all(isinstance(k, str) for k in on):
+            # plain-name form keeps Spark's merged-key join; the frames
+            # are still aliased so the collision-rename select (and a
+            # self-joined let table) can reference sides by qualifier
             cond = on
             left_keys = list(on)
         else:
@@ -2094,7 +2107,9 @@ class Translator:
             for k0 in on:
                 for k in [k0] if isinstance(k0, str) else _flat_eqs(k0):
                     if isinstance(k, str):
-                        conds.append(t.df[k] == right_df[k])
+                        conds.append(
+                            F.col(f"{LAL}.{_q(k)}") == F.col(f"{RAL}.{_q(k)}")
+                        )
                         left_keys.append(k)
                         continue
                     if not (
@@ -2109,13 +2124,15 @@ class Translator:
                         )
                     lcol = k.left.name.split(".", 1)[1]
                     rcol = k.right.name.split(".", 1)[1]
-                    conds.append(t.df[lcol] == right_df[rcol])
+                    conds.append(
+                        F.col(f"{LAL}.{_q(lcol)}") == F.col(f"{RAL}.{_q(rcol)}")
+                    )
                     left_keys.append(lcol)
             cond = conds[0]
             for c in conds[1:]:
                 cond = cond & c
         if kind == "lookup":
-            return t.lookup(right_df, on=cond)
+            return t.lookup(right_df, on=cond, side_aliases=side_aliases)
         if a.get("shufflekey"):
             # hint.shufflekey=col — explicit co-partitioning of both
             # sides on the declared key (the Kusto skew/colocation hint);
@@ -2133,6 +2150,7 @@ class Translator:
             kind=kind,
             broadcast_right=a.get("broadcast", False),
             left_keys=left_keys,
+            side_aliases=side_aliases,
         )
 
     def ap_invoke(self, t, a):

@@ -662,3 +662,20 @@ _register_kql(
     FROM bins LEFT JOIN counts c ON c.b = bins.b
     """,
 )
+
+
+_register_kql(
+    "kql_selfjoin_materialize",
+    """let hot = materialize(events
+         | summarize n = count() by user_id | where n >= 8);
+       hot | join kind=inner (hot) on $left.user_id == $right.user_id
+       | project user_id, n, n1
+       | sort by user_id asc""",
+    """
+    WITH hot AS (SELECT user_id, COUNT(*) AS n FROM events
+                 GROUP BY user_id HAVING COUNT(*) >= 8)
+    SELECT a.user_id AS user_id, a.n AS n, b.n AS n1
+    FROM hot a JOIN hot b ON a.user_id = b.user_id
+    ORDER BY user_id
+    """,
+)

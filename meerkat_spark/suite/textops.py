@@ -1541,3 +1541,56 @@ def classifier_train_gate(spark, sf_dir):
             ((F.col("prob") >= 0.5).cast("int") == F.col("y").cast("int"))
         ).alias("separable_learned"),
     )
+
+
+@register(
+    "lm_perplexity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             CASE WHEN i = 1 THEN '^' ELSE ts[CAST(i - 1 AS INT)] END AS v,
+             ts[CAST(i AS INT)] AS w
+      FROM tok, UNNEST(range(1, len(ts) + 1)) AS r(i)
+    ), bi AS (
+      SELECT v, w, COUNT(*) AS c_vw FROM pairs GROUP BY v, w
+    ), ctx AS (
+      SELECT v, COUNT(*) AS c_v FROM pairs GROUP BY v
+    ), vs AS (
+      SELECT COUNT(DISTINCT w) + 1.0 AS V FROM pairs
+    ), scored AS (
+      SELECT p.doc_id,
+             ln((b.c_vw + 1.0) / (c.c_v + (SELECT V FROM vs))) AS logp
+      FROM pairs p JOIN bi b USING (v, w) JOIN ctx c USING (v)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(logp), 6) AS avg_logp,
+           ROUND(EXP(-AVG(logp)), 4) AS perplexity
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def lm_perplexity_score(spark, sf_dir):
+    """ORACLE-BACKED bigram-LM perplexity (r8 — text/lm.py, the
+    CCNet-style LM quality signal trained IN-ENGINE): add-1-smoothed
+    bigram model = two count aggregations; scoring = one co-keyed join
+    + doc-key log-prob aggregate. Fully SQL-replayable (counts + log
+    arithmetic, no hashing), so the DuckDB twin retrains the identical
+    model and must match every doc's perplexity to 4dp."""
+    from meerkat_spark.text.lm import perplexity_scores, train_bigram_lm
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    bi, ctx, vocab = train_bigram_lm(docs)
+    out = perplexity_scores(docs, bi, ctx, vocab)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 4).alias("perplexity"),
+    ).orderBy("doc_id")

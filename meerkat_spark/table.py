@@ -186,12 +186,19 @@ class MeerkatTable:
         kind: str = "innerunique",
         broadcast_right: bool = False,
         left_keys: list[str] | None = None,
+        side_aliases: tuple[str, str] | None = None,
     ) -> "MeerkatTable":
         """KQL `join kind=…` — all eight kinds + innerunique default.
 
         innerunique (the KQL default) dedups the LEFT side on the join
         keys before an inner join. rightsemi/rightanti swap sides onto
         Spark's left_semi/left_anti (Spark has no right-semi variants).
+
+        `side_aliases=(l, r)` wraps each side in a subquery alias and
+        expects `on` to reference columns as `l.col` / `r.col` — the
+        SELF-JOIN form (`let hot = …; hot | join (hot) on k`): with
+        dataset-col references Spark cannot attribute the two identical
+        attribute ids and raises AMBIGUOUS_SELF_JOIN.
         """
         right = other.df if isinstance(other, MeerkatTable) else other
         left = self.df
@@ -205,6 +212,9 @@ class MeerkatTable:
                     "innerunique with an expression join needs left_keys=[...]"
                 )
             left = left.dropDuplicates(keys)
+        if side_aliases:
+            left = left.alias(side_aliases[0])
+            right = right.alias(side_aliases[1])
         if k in ("rightsemi", "rightanti"):
             left, right = right, left
         if broadcast_right:
@@ -228,8 +238,24 @@ class MeerkatTable:
             l_cols = [c for c in left.columns if c not in merged]
             r_cols = [c for c in right.columns if c not in merged]
             if set(l_cols) & set(r_cols):
+
+                def _q(name: str) -> str:
+                    return "`" + name.replace("`", "``") + "`"
+
+                def _lref(c: str) -> Column:
+                    if side_aliases:
+                        return F.col(f"{side_aliases[0]}.{_q(c)}")
+                    return left[c]
+
+                def _rref(c: str) -> Column:
+                    if side_aliases:
+                        return F.col(f"{side_aliases[1]}.{_q(c)}")
+                    return right[c]
+
                 taken = set(merged) | set(l_cols) | set(r_cols)
-                sel = [F.col(c) for c in merged] + [left[c] for c in l_cols]
+                sel = [F.col(c) for c in merged] + [
+                    _lref(c).alias(c) for c in l_cols
+                ]
                 for c in r_cols:
                     if c in l_cols:
                         i = 1
@@ -237,21 +263,30 @@ class MeerkatTable:
                             i += 1
                         new = f"{c}{i}"
                         taken.add(new)
-                        sel.append(right[c].alias(new))
+                        sel.append(_rref(c).alias(new))
                     else:
-                        sel.append(right[c])
+                        sel.append(_rref(c).alias(c))
                 joined = joined.select(*sel)
         return self._wrap(joined)
 
     def lookup(
-        self, dim: "MeerkatTable | DataFrame", on: str | list[str], kind: str = "leftouter"
+        self,
+        dim: "MeerkatTable | DataFrame",
+        on: str | list[str] | Column,
+        kind: str = "leftouter",
+        side_aliases: tuple[str, str] | None = None,
     ) -> "MeerkatTable":
         """KQL `lookup` — dimension enrich; right side is broadcast
         (dimension tables are small by contract, so the join is
-        shuffle-free at any fact-table scale)."""
+        shuffle-free at any fact-table scale). `side_aliases` as in
+        join(): expression `on` built against subquery aliases."""
         right = dim.df if isinstance(dim, MeerkatTable) else dim
+        left = self.df
+        if side_aliases:
+            left = left.alias(side_aliases[0])
+            right = right.alias(side_aliases[1])
         how = "left" if kind == "leftouter" else "inner"
-        return self._wrap(self.df.join(F.broadcast(right), on, how))
+        return self._wrap(left.join(F.broadcast(right), on, how))
 
     def union(
         self, *others: "MeerkatTable | DataFrame", kind: str = "outer"

@@ -2811,3 +2811,37 @@ def test_round7_cast_and_strcat_fidelity(spark):
     assert r.dbad is None
     assert r.h1 == 26 and r.h2 == 255 and r.hbad is None
     assert r.st == "42" and r.bl is True
+
+
+def test_self_join_and_materialize(spark):
+    """r8: self-joins of the same let table (with and without
+    materialize()) must resolve — Spark raises AMBIGUOUS_SELF_JOIN for
+    dataset-col references on identical attribute ids; the translator
+    now builds every join through subquery aliases. The raw-table form
+    and the key-shorthand form (merged key + collision rename) are both
+    covered; n1 is the Kusto-renamed right-side n."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    r = eng.kql(
+        "let hot = materialize(events | summarize n = count() by user_id"
+        " | where n > 2); hot | join kind=inner (hot) on user_id | count"
+    ).to_df().collect()[0][0]
+    r2 = eng.kql(
+        "let t = events | summarize n = count() by user_id;"
+        " t | join kind=inner (t) on $left.user_id == $right.user_id"
+        " | project user_id, n, n1 | count"
+    ).to_df().collect()[0][0]
+    assert r == r2 > 0
+    r3 = eng.kql(
+        "events | join kind=inner (events) on $left.event_id =="
+        " $right.event_id | count"
+    ).to_df().collect()[0][0]
+    assert r3 == 1000
+    # renamed right column carries the same values on the diagonal
+    rows = eng.kql(
+        "let t = events | summarize n = count() by user_id;"
+        " t | join kind=inner (t) on $left.user_id == $right.user_id"
+        " | project user_id, n, n1"
+    ).to_df().collect()
+    assert rows and all(x.n == x.n1 for x in rows)

@@ -501,3 +501,31 @@ def test_train_logreg_learns_separable_gate(spark):
     acc = sum(1 for r in out if (r.prob >= 0.5) == (r.y == 1.0)) / len(out)
     assert acc == 1.0
     assert all(r.score > 0 for r in out if r.y == 1.0)
+
+
+def test_lm_perplexity_filter(spark):
+    """Bigram-LM perplexity (text/lm.py): repetitive in-distribution
+    docs score LOWER perplexity than a gibberish doc of unseen tokens;
+    the CCNet-style gate keeps exactly the under-threshold rows; short
+    docs (<2 tokens) get no score and are filtered by the gate."""
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.text.lm import (
+        lm_quality_filter,
+        perplexity_scores,
+        train_bigram_lm,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zxq wvu tsr qpo nml kji hgf"))  # unseen everything
+    rows.append((101, ""))  # empty -> 0 bigrams -> no score row
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bigram_lm(df)
+    scores = {r.doc_id: r for r in perplexity_scores(df, *model).collect()}
+    assert scores[0].perplexity < scores[100].perplexity
+    assert scores[0].n_bigrams == 9
+    assert 101 not in scores  # nothing to score
+    thr = (scores[0].perplexity + scores[100].perplexity) / 2
+    kept = {r.doc_id for r in lm_quality_filter(df, thr, model=model).collect()}
+    assert kept == set(range(20))  # gibberish over threshold, empty unscored
