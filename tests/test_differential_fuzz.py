@@ -527,3 +527,67 @@ def test_random_window_matches_duckdb(spark, duck, seed):
     df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
     probs = compare(df, duck, sql, f"wfuzz{seed}")
     assert not probs, (kql, sql, probs)
+
+
+# Union shapes — outer/inner over randomized legs with mismatched
+# projections (the schema-union translator path), aggregated tails.
+
+N_UNION_CASES = 30
+
+
+def _gen_union_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(50_000 + seed)
+    kp1, sp1 = _gen_pred(rng)
+    kp2, sp2 = _gen_pred(rng)
+    variant = seed % 3
+    if variant == 0:
+        # same-schema union outer + agg
+        kql = (
+            f"union (events | where {kp1}), (events | where {kp2}) "
+            "| summarize n = count(), s = round(sum(value), 2) by event_type"
+        )
+        sql = (
+            "SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS s "
+            f"FROM (SELECT * FROM events WHERE {sp1} "
+            f"UNION ALL SELECT * FROM events WHERE {sp2}) GROUP BY event_type"
+        )
+    elif variant == 1:
+        # mismatched projections: union outer null-pads missing columns
+        kql = (
+            f"union (events | where {kp1} | project event_type, value), "
+            f"(events | where {kp2} | project event_type, user_id) "
+            "| summarize n = count(), nv = countif(isnotnull(value)), "
+            "nu = countif(isnotnull(user_id)) by event_type"
+        )
+        sql = (
+            "SELECT event_type, COUNT(*) AS n, "
+            "COUNT(value) AS nv, COUNT(user_id) AS nu FROM ("
+            f"SELECT event_type, value, NULL AS user_id FROM events WHERE {sp1} "
+            "UNION ALL "
+            f"SELECT event_type, NULL AS value, user_id FROM events WHERE {sp2}"
+            ") GROUP BY event_type"
+        )
+    else:
+        # union inner: only SHARED columns survive
+        kql = (
+            f"union kind=inner (events | where {kp1} "
+            "| project event_type, value), "
+            f"(events | where {kp2} | project event_type, user_id) "
+            "| summarize n = count() by event_type"
+        )
+        sql = (
+            "SELECT event_type, COUNT(*) AS n FROM ("
+            f"SELECT event_type FROM events WHERE {sp1} "
+            f"UNION ALL SELECT event_type FROM events WHERE {sp2}"
+            ") GROUP BY event_type"
+        )
+    return kql, sql
+
+
+@pytest.mark.parametrize("seed", range(N_UNION_CASES))
+def test_random_union_matches_duckdb(spark, duck, seed):
+    register_views(duck, SF_ORACLE)
+    kql, sql = _gen_union_case(seed)
+    df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
+    probs = compare(df, duck, sql, f"ufuzz{seed}")
+    assert not probs, (kql, sql, probs)
