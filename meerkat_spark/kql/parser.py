@@ -354,11 +354,20 @@ class Parser:
             self.expect("PUNCT", ")")
             if self.at_ident("where"):
                 self.next()
-                return OpNode(
-                    "find", {"tables": tables, "pred": self.parse_expr(), "term": None}
-                )
-            term = str(self.expect("STRING").value)
-            return OpNode("find", {"tables": tables, "pred": None, "term": term})
+                args = {"tables": tables, "pred": self.parse_expr(), "term": None}
+            else:
+                term = str(self.expect("STRING").value)
+                args = {"tables": tables, "pred": None, "term": term}
+            # optional Kusto output clause: project col1, col2, …
+            args["project"] = None
+            if self.at_ident("project"):
+                self.next()
+                cols = [str(self.expect("IDENT").value)]
+                while self.at("PUNCT", ","):
+                    self.next()
+                    cols.append(str(self.expect("IDENT").value))
+                args["project"] = cols
+            return OpNode("find", args)
         name = str(self.expect("IDENT").value)
         # Kusto cross-cluster qualifiers: cluster('c').database('d').T —
         # a single-catalog engine resolves the TABLE and parses the
@@ -1052,13 +1061,19 @@ class Parser:
         return OpNode("top-hitters", {"n": n, "col": col, "by": by})
 
     def op_fork(self) -> OpNode:
-        """fork name1 = ( op | op … ) name2 = ( … ) — named output legs
+        """fork [name1 =] ( op | op … ) [name2 =] ( … ) — output legs
         off one shared parent; legs are unioned (outer) with a
-        `fork_leg` column carrying the leg name."""
+        `fork_leg` column carrying the leg name. Unnamed legs get
+        Kusto's auto names (Result, Result_1, …)."""
         legs = []
-        while self.at("IDENT"):
-            name = str(self.expect("IDENT").value)
-            self.expect("OP", "=")
+        n_anon = 0
+        while self.at("IDENT") or self.at("PUNCT", "("):
+            if self.at("IDENT"):
+                name = str(self.expect("IDENT").value)
+                self.expect("OP", "=")
+            else:
+                name = "Result" if n_anon == 0 else f"Result_{n_anon}"
+                n_anon += 1
             self.expect("PUNCT", "(")
             ops = []
             while True:
@@ -1070,7 +1085,9 @@ class Parser:
             self.expect("PUNCT", ")")
             legs.append((name, ops))
         if not legs:
-            raise KqlSyntaxError("fork requires at least one `name = ( ops )` leg")
+            raise KqlSyntaxError(
+                "fork requires at least one `[name =] ( ops )` leg"
+            )
         return OpNode("fork", {"legs": legs})
 
     def op_facet(self) -> OpNode:

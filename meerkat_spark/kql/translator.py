@@ -1294,6 +1294,24 @@ class Translator:
                 if cname in fields:
                     return F.lit(spark_to_kql(fields[cname]))
             raise KqlSyntaxError("gettype() expects a single column name")
+        if name == "percentile_tdigest" and len(node.args) == 3:
+            # percentile_tdigest(td, p, typeof(T)) — Kusto's typed form;
+            # the sketch stores doubles, so the typeof is a result cast
+            ty_node = node.args[2]
+            if not (
+                isinstance(ty_node, P.Call) and ty_node.func.lower() == "typeof"
+                and len(ty_node.args) == 1 and isinstance(ty_node.args[0], P.Ident)
+            ):
+                raise KqlSyntaxError(
+                    "percentile_tdigest 3rd argument must be typeof(type)"
+                )
+            from meerkat_spark.types import kql_to_spark
+
+            base = _TD.percentile_tdigest_col(
+                _c(self.expr(node.args[0])),
+                float(_raw(self.expr(node.args[1]))),
+            )
+            return base.try_cast(kql_to_spark(ty_node.args[0].name.lower()))
         if name == "extract" and len(node.args) == 4:
             # extract(regex, group, text, typeof(T)) — typed capture
             ty_node = node.args[3]
@@ -1672,6 +1690,16 @@ class Translator:
                     t = MeerkatTable(df.filter(_c(self.expr(pred)))).project_away(
                         *sorted(pred_idents - set(t.df.columns))
                     )
+                proj = node.args.get("project")
+                if proj:
+                    # Kusto `find … project c1, c2`: declared columns
+                    # only; a column a table lacks reads as null
+                    df = t.df
+                    cols = [
+                        F.col(c) if c in df.columns else F.lit(None).alias(c)
+                        for c in proj
+                    ]
+                    t = MeerkatTable(df.select(*cols))
                 legs.append(
                     MeerkatTable(t.df.select(F.lit(tbl).alias("source_"), "*"))
                 )

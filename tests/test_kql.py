@@ -2845,3 +2845,34 @@ def test_self_join_and_materialize(spark):
         " | project user_id, n, n1"
     ).to_df().collect()
     assert rows and all(x.n == x.n1 for x in rows)
+
+
+def test_fork_unnamed_find_project_tdigest_typed(spark):
+    """r8 gap closures from the surface probe: (1) unnamed fork legs
+    get Kusto's auto names (Result, Result_1); (2) `find … project
+    c1, c2` restricts output to the declared columns, null-padding
+    tables that lack one; (3) percentile_tdigest accepts the typed
+    third argument typeof(T) as a result cast."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    forked = eng.kql(
+        "events | fork (where value > 50 | count) (where value <= 50 | count)"
+    ).to_df().collect()
+    legs = {r.fork_leg for r in forked}
+    assert legs == {"Result", "Result_1"}
+
+    found = eng.kql(
+        "find in (events, documents) where doc_id > 498 or value > 99.9"
+        " project event_id, doc_id"
+    ).to_df()
+    assert set(found.columns) == {"source_", "event_id", "doc_id"}
+    rows = found.collect()
+    assert any(r.source_ == "documents" and r.event_id is None for r in rows)
+
+    p = eng.kql(
+        "events | summarize t = tdigest(user_id)"
+        " | project p = percentile_tdigest(t, 50, typeof(long))"
+    ).to_df()
+    assert dict(p.dtypes)["p"] == "bigint"
+    assert p.collect()[0].p is not None
