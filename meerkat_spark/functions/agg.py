@@ -164,8 +164,41 @@ def make_set_if(x, pred: Column, sort: bool = True) -> Column:
 
 
 def make_bag(k, v) -> Column:
-    """KQL make_bag — collect entries into a JSON object (dynamic)."""
+    """(k, v) pair-collection convenience form — collect entries into a
+    JSON object (dynamic). The Kusto-faithful aggregate over EXISTING
+    bags is make_bag_merge below (KQL make_bag maps to that)."""
     return F.to_json(F.map_from_entries(F.collect_list(F.struct(_c(k), _c(v)))))
+
+
+def make_bag_merge(bag, max_size: int | None = None) -> Column:
+    """Kusto make_bag(bag [, maxSize]) — merge property bags across
+    rows into one dynamic. Key conflicts: first encountered bag wins
+    (Kusto documents the winner as arbitrary; the fold order is the
+    collected row order). maxSize caps the number of KEYS kept, in
+    merge order. One collect + a JVM fold — no Python, no shuffle
+    beyond the aggregation itself."""
+    bags = F.collect_list(_c(bag))
+    merged = F.aggregate(
+        bags,
+        F.expr("map()").cast("map<string,string>"),
+        # coalesce: a null/unparseable bag (or make_bag_if's filtered
+        # when()-null) must be a no-op, not a null-propagating poison
+        lambda acc, b: F.map_concat(
+            acc,
+            F.map_filter(
+                F.coalesce(
+                    F.from_json(b, "map<string,string>"),
+                    F.expr("map()").cast("map<string,string>"),
+                ),
+                lambda k, v: ~F.array_contains(F.map_keys(acc), k),
+            ),
+        ),
+    )
+    if max_size is not None:
+        merged = F.map_from_entries(
+            F.slice(F.map_entries(merged), 1, int(max_size))
+        )
+    return F.to_json(merged)
 
 
 # bitwise --------------------------------------------------------------

@@ -550,15 +550,33 @@ def bag_keys(x) -> Column:
 
 
 def pack(*kv) -> Column:
-    """KQL pack(k1, v1, k2, v2, …) / bag_pack → JSON string."""
+    """KQL pack(k1, v1, k2, v2, …) / bag_pack → JSON string.
+
+    Literal keys build a typed struct (values keep their JSON types).
+    COMPUTED keys (pack(strcat(...), v)) are legal Kusto too — those
+    fall back to a runtime map, whose values serialize as strings
+    (consistent with the engine's map<string,string> bag convention
+    used by bag_merge/make_bag)."""
     if len(kv) % 2:
         raise ValueError("pack needs key/value pairs")
-    cols = []
+    if not any(isinstance(kv[i], Column) for i in range(0, len(kv), 2)):
+        cols = []
+        for i in range(0, len(kv), 2):
+            key, val = kv[i], kv[i + 1]
+            cols.append(
+                (_lit(val) if not isinstance(val, Column) else val).alias(str(key))
+            )
+        return F.to_json(F.struct(*cols))
+    ks, vs = [], []
     for i in range(0, len(kv), 2):
-        key = kv[i]
-        val = kv[i + 1]
-        cols.append((_lit(val) if not isinstance(val, Column) else val).alias(str(key)))
-    return F.to_json(F.struct(*cols))
+        key, val = kv[i], kv[i + 1]
+        ks.append(
+            (key if isinstance(key, Column) else F.lit(str(key))).cast("string")
+        )
+        vs.append(
+            (val if isinstance(val, Column) else _lit(val)).cast("string")
+        )
+    return F.to_json(F.map_from_arrays(F.array(*ks), F.array(*vs)))
 
 
 def parse_json_get(x, path: str) -> Column:

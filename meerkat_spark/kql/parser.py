@@ -690,7 +690,7 @@ class Parser:
         aggs = []
         by = []
         if not self.at_ident("by"):
-            aggs = self.parse_named_exprs()
+            aggs = self._parse_summarize_exprs()
         if self.at_ident("by"):
             self.next()
             by = self.parse_named_exprs()
@@ -698,6 +698,47 @@ class Parser:
             "summarize",
             {"aggs": aggs, "by": by, "shuffle_keys": shuffle_keys},
         )
+
+    def _parse_summarize_exprs(self) -> list[tuple]:
+        """Like parse_named_exprs but also accepts Kusto's multi-assign
+        aggregate form `(n1, n2, …) = arg_min(e, e1, …)` — the name
+        slot becomes a TUPLE of output names."""
+        cols: list[tuple] = []
+        while True:
+            if self.at("PUNCT", "("):
+                save = self.i
+                try:
+                    self.next()
+                    names = [str(self.expect("IDENT").value)]
+                    while self.at("PUNCT", ","):
+                        self.next()
+                        names.append(str(self.expect("IDENT").value))
+                    self.expect("PUNCT", ")")
+                    self.expect("OP", "=")
+                except KqlSyntaxError:
+                    self.i = save
+                else:
+                    cols.append((tuple(names), self.parse_expr()))
+                    if self.at("PUNCT", ","):
+                        self.next()
+                        continue
+                    break
+                # fell back: not a multi-assign — parse as plain expr
+            save = self.i
+            name = None
+            if self.at("IDENT"):
+                n = str(self.next().value)
+                if self.at("OP", "="):
+                    self.next()
+                    name = n
+                else:
+                    self.i = save
+            cols.append((name, self.parse_expr()))
+            if self.at("PUNCT", ","):
+                self.next()
+                continue
+            break
+        return cols
 
     def op_count(self) -> OpNode:
         alias = "Count"

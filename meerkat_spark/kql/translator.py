@@ -651,7 +651,11 @@ _AGGS: dict[str, Any] = {
     ),
     "make_list_if": lambda a: A.make_list_if(a[0], a[1]),
     "make_set_if": lambda a: A.make_set_if(a[0], a[1]),
-    "make_bag": lambda a: A.make_bag(a[0], a[1]),
+    # Kusto signature: make_bag(bag [, maxSize]) — merges EXISTING
+    # property bags (the (k, v) pair form is the API-only convenience)
+    "make_bag": lambda a: A.make_bag_merge(
+        a[0], int(_raw(a[1])) if len(a) > 1 else None
+    ),
     "binary_all_and": lambda a: A.binary_all_and(a[0]),
     "binary_all_or": lambda a: A.binary_all_or(a[0]),
     "binary_all_xor": lambda a: A.binary_all_xor(a[0]),
@@ -667,8 +671,10 @@ _AGGS: dict[str, Any] = {
     "percentilesw": lambda a: A.percentilesw(
         a[0], a[1], *[float(_raw(p)) / 100.0 for p in a[2:]]
     ),
-    "make_bag_if": lambda a: A.make_bag(
-        F.when(_colify_pred(a[2]), _c(a[0])), F.when(_colify_pred(a[2]), _c(a[1]))
+    # Kusto signature: make_bag_if(bag, predicate [, maxSize])
+    "make_bag_if": lambda a: A.make_bag_merge(
+        F.when(_colify_pred(a[1]), _c(a[0])),
+        int(_raw(a[2])) if len(a) > 2 else None,
     ),
     # collect_list drops nulls; boxing values in a struct keeps them
     # (a struct with a null field is itself non-null). Sorted for the
@@ -2003,7 +2009,38 @@ class Translator:
             t = MeerkatTable(t.df.repartition(*[F.col(k) for k in a["shuffle_keys"]]))
         aggs: dict[str, Column] = {}
         star_aliases: list[str] = []
+        multi_expand: list[tuple[str, tuple[str, ...]]] = []
         for i, (name, e) in enumerate(a["aggs"]):
+            # Kusto multi-assign: (m, t) = arg_min(value, ts) — output
+            # names map positionally onto [ordering expr, expr1, …];
+            # realized as ONE min_by/max_by over a struct, expanded
+            # after the groupBy (same machinery as arg_max(ord, *))
+            if isinstance(name, tuple):
+                if not (
+                    isinstance(e, P.Call)
+                    and e.func.lower() in ("arg_max", "arg_min", "take_any", "any")
+                ):
+                    raise KqlSyntaxError(
+                        "summarize multi-assign supports arg_min/arg_max/"
+                        "take_any aggregates"
+                    )
+                fname = e.func.lower()
+                exprs = [_c(self.expr(x, agg=False)) for x in e.args]
+                if len(name) != len(exprs):
+                    raise KqlSyntaxError(
+                        f"summarize ({', '.join(name)}) = {fname}(…): "
+                        f"{len(name)} names for {len(exprs)} output columns"
+                    )
+                row = F.struct(*[c.alias(n) for n, c in zip(name, exprs)])
+                if fname in ("arg_max", "arg_min"):
+                    fn = F.max_by if fname == "arg_max" else F.min_by
+                    agg_col = fn(row, exprs[0])
+                else:
+                    agg_col = F.any_value(row, ignoreNulls=True)
+                alias = f"__multi{i}"
+                aggs[alias] = agg_col
+                multi_expand.append((alias, tuple(name)))
+                continue
             # arg_max(ord, *) / arg_min(ord, *): Kusto returns the WHOLE
             # winning row — aggregate a struct of every column, expanded
             # back to flat columns after the groupBy
@@ -2052,6 +2089,11 @@ class Translator:
                 for f in df.schema[alias].dataType.fields
                 if f.name not in others
             ]
+            out = MeerkatTable(df.select(*others, *flat))
+        for alias, names in multi_expand:
+            df = out.df
+            others = [c for c in df.columns if c != alias]
+            flat = [F.col(f"{alias}.`{n}`").alias(n) for n in names]
             out = MeerkatTable(df.select(*others, *flat))
         return out
 

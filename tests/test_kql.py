@@ -2876,3 +2876,43 @@ def test_fork_unnamed_find_project_tdigest_typed(spark):
     ).to_df()
     assert dict(p.dtypes)["p"] == "bigint"
     assert p.collect()[0].p is not None
+
+
+def test_make_bag_kusto_form_and_summarize_multi_assign(spark):
+    """r8: (1) KQL make_bag(bag [, maxSize]) merges EXISTING property
+    bags (Kusto signature — the (k,v) form is API-only), first bag
+    wins on key conflict, null bags are no-ops (make_bag_if); (2)
+    summarize multi-assign `(m, t) = arg_min(e, e1)` maps output names
+    positionally via one min_by struct."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    import json
+
+    b = eng.kql(
+        "print d = dynamic({'a': 1}) | union (print d = dynamic({'a': 2, 'b': 3}))"
+        " | summarize m = make_bag(d)"
+    ).to_df().collect()[0].m
+    bag = json.loads(b)
+    assert set(bag) == {"a", "b"}  # both keys; winner of 'a' is first-seen
+    bif = eng.kql(
+        "range x from 1 to 4 step 1 | extend d = pack('k', x)"
+        " | summarize m = make_bag_if(d, x == 3)"
+    ).to_df().collect()[0].m
+    assert json.loads(bif) == {"k": "3"}
+    capped = eng.kql(
+        "range x from 1 to 5 step 1 | extend d = pack(strcat('k', x), x)"
+        " | summarize m = make_bag(d, 2)"
+    ).to_df().collect()[0].m
+    assert len(json.loads(capped)) == 2
+
+    row = eng.kql(
+        "events | summarize (m, t) = arg_min(value, ts)"
+    ).to_df().collect()[0]
+    assert row.m is not None and row.t is not None
+    base = eng.kql("events | summarize m2 = min(value)").to_df().collect()[0]
+    assert row.m == base.m2
+    per_type = eng.kql(
+        "events | summarize (mx, id) = arg_max(value, event_id) by event_type"
+    ).to_df()
+    assert set(per_type.columns) == {"event_type", "mx", "id"}
