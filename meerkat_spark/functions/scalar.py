@@ -579,6 +579,44 @@ def pack(*kv) -> Column:
     return F.to_json(F.map_from_arrays(F.array(*ks), F.array(*vs)))
 
 
+def bag_zip(keys, values) -> Column:
+    """KQL bag_zip(keys, values) — build a bag from parallel arrays.
+    Kusto semantics: keys without a matching value get null; surplus
+    values are ignored (keys array drives the length). Values follow
+    the engine's string bag convention."""
+    ks = F.transform(_c(keys), lambda k: k.cast("string"))
+    vs = _c(values)
+    paired = F.transform(
+        ks,
+        lambda k, i: F.struct(
+            k.alias("key"),
+            F.try_element_at(vs, i + 1).cast("string").alias("value"),
+        ),
+    )
+    return F.to_json(F.map_from_entries(paired))
+
+
+def dynamic_to_json(d) -> Column:
+    """KQL dynamic_to_json — canonical JSON with sorted keys. Subset:
+    TOP-LEVEL object keys are sorted (nested bags pass through
+    verbatim; arrays/scalars are already canonical)."""
+    m = F.from_json(_c(d), "map<string,string>")
+    sorted_obj = F.to_json(F.map_from_entries(F.sort_array(F.map_entries(m))))
+    return F.coalesce(sorted_obj, _c(d))
+
+
+def format_number(x, precision) -> Column:
+    """KQL format_number — thousands separators + fixed decimals
+    (Spark's format_number has the identical contract)."""
+    return F.format_number(_c(x), int(_raw_int(precision)))
+
+
+def _raw_int(v) -> int:
+    if isinstance(v, Column):
+        raise ValueError("format_number precision must be a literal")
+    return int(v)
+
+
 def parse_json_get(x, path: str) -> Column:
     """Dynamic member access d.x / d['x'] → get_json_object(d, '$.x')."""
     return F.get_json_object(_c(x), f"$.{path}")

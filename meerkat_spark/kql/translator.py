@@ -590,6 +590,9 @@ _SCALARS: dict[str, Any] = {
     "set_difference": lambda a: S.set_difference(a[0], a[1]),
     "pack_array": lambda a: _pack_array_dispatch(a),
     "pack": lambda a: S.pack(*a),
+    "bag_zip": lambda a: S.bag_zip(_c(a[0]), _c(a[1])),
+    "dynamic_to_json": lambda a: S.dynamic_to_json(_c(a[0])),
+    "format_number": lambda a: S.format_number(_c(a[0]), _raw(a[1])),
     "bag_pack": lambda a: S.pack(*a),
     "pack_dictionary": lambda a: S.pack(*a),  # deprecated Kusto alias
     # translator _c: a literal bag arrives as a JSON *string*, which

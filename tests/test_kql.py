@@ -2916,3 +2916,24 @@ def test_make_bag_kusto_form_and_summarize_multi_assign(spark):
         "events | summarize (mx, id) = arg_max(value, event_id) by event_type"
     ).to_df()
     assert set(per_type.columns) == {"event_type", "mx", "id"}
+
+
+def test_bag_zip_dynamic_to_json_format_number(spark):
+    """r8 probe-sweep scalar closures: bag_zip (keys drive length,
+    missing values -> null, surplus ignored), dynamic_to_json (sorted
+    top-level keys), format_number (grouped + fixed decimals)."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    r = eng.kql(
+        "print b = bag_zip(dynamic(['a','b','c']), dynamic([1,2])),"
+        " j = dynamic_to_json(dynamic({'b':1,'a':2})),"
+        " f = format_number(1234.5678, 2),"
+        " f0 = format_number(1234567.0, 0)"
+    ).to_df().collect()[0]
+    import json
+
+    assert json.loads(r.b) == {"a": "1", "b": "2", "c": None}
+    assert r.j == '{"a":"2","b":"1"}'  # keys sorted
+    assert r.f == "1,234.57"
+    assert r.f0 == "1,234,567"
