@@ -101,6 +101,40 @@ def main() -> None:
     print(f"duplicated spans dropped: {n_spans}; sentence chunks: {n_chunks}")
     print(f"temperature-mixed language counts: {mix_counts}")
 
+    # 7. (r8) bigram-LM perplexity gate — the CCNet-style signal,
+    # trained in-engine on the surviving docs (two count aggs), then
+    # one co-keyed scoring join; keep the lowest-perplexity 80%
+    from meerkat_spark.text.lm import perplexity_scores, train_bigram_lm
+
+    model = train_bigram_lm(despanned)
+    ppl = perplexity_scores(despanned, *model)
+    cut = ppl.approxQuantile("perplexity", [0.8], 0.01)[0]
+    from meerkat_spark.text.lm import lm_quality_filter
+
+    lm_gated = lm_quality_filter(despanned, cut, model=model)
+    print(f"LM perplexity gate (p80={cut:.1f}): {lm_gated.count()} docs kept")
+
+    # 8. (r8) in-engine classifier TRAINING — no ML library: labels
+    # from the quality gate itself, full-batch GD, then the trained
+    # gate rescores the corpus (demonstrates the train->score loop)
+    from meerkat_spark.text.classifier import score_documents, train_logreg
+
+    labeled = despanned.select(
+        "doc_id", "text", (F.col("doc_id") % 2 == 0).cast("double").alias("y")
+    )
+    w_trained = train_logreg(labeled, n_epochs=3, lr=1.0, bigrams=False)
+    print(f"trained weight table: {w_trained.count()} features")
+
+    # 9. (r8) SemDeDup over the embeddings table — cluster-then-compare
+    # semantic dedup (exact-dup star routing + bounded clusters)
+    from meerkat_spark.similarity.semdedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    kept_vecs = semdedup(emb, threshold=0.95).count()
+    print(f"semdedup: {emb.count()} vectors → {kept_vecs} kept")
+
 
 if __name__ == "__main__":
     main()

@@ -679,3 +679,19 @@ _register_kql(
     ORDER BY user_id
     """,
 )
+
+
+_register_kql(
+    "summarize_multiassign",
+    """events
+       | extend v2 = value + event_id * 0.000001
+       | summarize (m, t) = arg_min(v2, ts) by event_type
+       | project event_type, m = round(m, 6), t
+       | sort by event_type asc""",
+    """
+    SELECT event_type,
+           ROUND(MIN(value + event_id * 0.000001), 6) AS m,
+           arg_min(ts, value + event_id * 0.000001) AS t
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
