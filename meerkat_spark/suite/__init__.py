@@ -61,15 +61,17 @@ def load_all() -> None:
 # (a) NEWLY oracle-backed (round 8): the last convertible rows-only
 # kernels (VERDICT r7 'missing' #1 + ask #5) — planted-hamming simhash,
 # planted-blob CDC counts, literal-feature-id classifier, getschema
-# VALUES twin — plus the three NEW r8 operators' construction oracles
-# (persisted-IVF recall, SemDeDup, in-engine LR training gate).
+# VALUES twin — plus the NEW r8 operators' oracles (persisted-IVF
+# recall, SemDeDup, in-engine LR training gate, bigram-LM perplexity,
+# materialized self-join, summarize multi-assign).
 # (b) round-7 code-change re-grades: 935e0d5/8ece44b
 # touched division/substring/cast/strcat scalar paths. (c) oldest-
 # evidence refreshes: the full round-3 cohort (23 names, last graded
 # r3), then the oldest round-4 names alphabetically (the rest of the
-# r4 cohort — sample_distinct_hash_op, sample_hash_op, scalar_arrays
-# on alphabetically — rotates in next round). Exactly 50 — enforced
-# by tests/test_registry.py.
+# r4 cohort — pack_chunks_op, range_join_price_bands,
+# sample_distinct_hash_op, sample_hash_op, scalar_array_ops,
+# scalar_arrays onward — rotates in next round). Exactly 50 —
+# enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) newly oracle-backed (round 8)
     "simhash_dedup_planted",
@@ -79,6 +81,9 @@ _PRIORITY: list[str] = [
     "ivf_persisted_recall",
     "semdedup_planted",
     "classifier_train_gate",
+    "lm_perplexity_score",
+    "kql_selfjoin_materialize",
+    "summarize_multiassign",
     # (b) round-7 scalar-fidelity commits — re-grade
     "scalar_strings",
     "scalar_math",
@@ -122,9 +127,6 @@ _PRIORITY: list[str] = [
     "kql_top_hitters",
     "make_series_arrays",
     "mix_datasets_op",
-    "pack_chunks_op",
-    "range_join_price_bands",
-    "scalar_array_ops",
 ]
 
 def _ordered(mapping: dict) -> dict:
