@@ -303,6 +303,19 @@ _SCALARS: dict[str, Any] = {
         _c(a[0]), int(_raw(a[1])) if len(a) > 1 else 1
     ),
     "series_stats_dynamic": lambda a: SER.series_stats_dynamic(_c(a[0])),
+    # multi-assign form: extend (mn, mn_i, mx, mx_i, av, var, sd) =
+    # series_stats(s) — a struct in Kusto's documented column order
+    "series_stats": lambda a: (
+        lambda d: F.struct(
+            d["min"].alias("series_min"),
+            d["min_idx"].alias("series_min_idx"),
+            d["max"].alias("series_max"),
+            d["max_idx"].alias("series_max_idx"),
+            d["avg"].alias("series_avg"),
+            d["variance"].alias("series_variance"),
+            d["stdev"].alias("series_stdev"),
+        )
+    )(SER.series_stats_dynamic(_c(a[0]))),
     "series_fft": lambda a: SER.series_fft(_c(a[0])),
     "series_ifft": lambda a: SER.series_ifft(_c(a[0]), _c(a[1])),
     # period -1 (the default) = Kusto's autodetect (periodogram)

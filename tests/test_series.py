@@ -433,3 +433,20 @@ def test_series_dynamic_fit_and_periods_validate(spark):
     assert d["split_idx"] == r.si
     assert abs(d["left"]["slope"] - 1.0) < 0.05
     assert abs(d["right"]["slope"] + 3.0) < 0.05
+
+
+def test_series_stats_multi_assign(spark):
+    """r8: series_stats multi-assign form (Kusto column order min,
+    min_idx, max, max_idx, avg, variance, stdev) via the extend
+    multi-assign struct machinery; the _dynamic bag form is unchanged."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    r = eng.kql(
+        "range x from 1 to 1 step 1 | extend s = dynamic([1.0, 5.0, 3.0])"
+        " | extend (mn, mni, mx, mxi, av, va, sd) = series_stats(s)"
+        " | project mn, mni, mx, mxi, av, va, sd"
+    ).to_df().collect()[0]
+    assert (r.mn, r.mni, r.mx, r.mxi, r.av, r.va, r.sd) == (
+        1.0, 0, 5.0, 1, 3.0, 4.0, 2.0
+    )
