@@ -307,3 +307,65 @@ def percentile_tdigest_col(d, p: float):
     kern.__annotations__ = {"vals": pd.Series, "return": pd.Series}
     c = d if hasattr(d, "cast") else F.col(d)
     return F.pandas_udf("double")(kern)(c)
+
+
+def percentrank_tdigest_col(d, x):
+    """KQL `percentrank_tdigest(digest, value)` — estimated percent
+    rank (0-100) of value within a stored JSON digest (row-local
+    Arrow kernel; the interpolated-CDF `rank` above)."""
+    import json
+
+    def kern(vals, xs):
+        out = []
+        for dj, xv in zip(vals, xs):
+            if dj is None or xv is None:
+                out.append(None)
+                continue
+            parsed = json.loads(dj)
+            out.append(
+                100.0
+                * rank(
+                    np.asarray(parsed["means"], dtype=float),
+                    np.asarray(parsed["weights"], dtype=float),
+                    float(xv),
+                )
+            )
+        return pd.Series(out, dtype="float64")
+
+    kern.__annotations__ = {
+        "vals": pd.Series, "xs": pd.Series, "return": pd.Series
+    }
+    c = d if hasattr(d, "cast") else F.col(d)
+    xc = x if hasattr(x, "cast") else F.lit(x)
+    return F.pandas_udf("double")(kern)(c, xc.cast("double"))
+
+
+def rank_tdigest_col(d, x):
+    """KQL `rank_tdigest(digest, value)` — approximate absolute rank
+    (1-based position) of value: round(CDF(value) * total weight),
+    clamped to [1, n] once the value is within the digest's range."""
+    import json
+
+    def kern(vals, xs):
+        out = []
+        for dj, xv in zip(vals, xs):
+            if dj is None or xv is None:
+                out.append(None)
+                continue
+            parsed = json.loads(dj)
+            w = np.asarray(parsed["weights"], dtype=float)
+            cdf = rank(
+                np.asarray(parsed["means"], dtype=float), w, float(xv)
+            )
+            total = float(w.sum())
+            out.append(
+                float(min(max(round(cdf * total), 1 if cdf > 0 else 0), total))
+            )
+        return pd.Series(out, dtype="float64")
+
+    kern.__annotations__ = {
+        "vals": pd.Series, "xs": pd.Series, "return": pd.Series
+    }
+    c = d if hasattr(d, "cast") else F.col(d)
+    xc = x if hasattr(x, "cast") else F.lit(x)
+    return F.pandas_udf("double")(kern)(c, xc.cast("double")).cast("long")

@@ -75,6 +75,13 @@ def tokenize(text: str) -> list[Token]:
             j = text.find("\n", i)
             i = n if j < 0 else j
             continue
+        if ch in "hH" and text[i + 1 : i + 2] and text[i + 1] in "'\"@":
+            # Kusto obfuscated string literal h'…' / h"…" / h@'…':
+            # semantically a plain string (the h only hides the value
+            # in Kusto's telemetry) — strip the prefix and re-lex
+            i += 1
+            ch = text[i]
+            # falls through to the verbatim / quoted branches below
         if ch == "@" and text[i + 1 : i + 2] and text[i + 1] in "'\"":
             # Kusto verbatim string: no backslash escapes; a doubled
             # quote character stands for itself

@@ -1670,7 +1670,8 @@ class Parser:
                 return Lit(False)
             if low == "null":
                 return Lit(None)
-            if low == "datetime" and self.at("PUNCT", "("):
+            if low in ("datetime", "date") and self.at("PUNCT", "("):
+                # date(...) is Kusto's documented alias for datetime(...)
                 return DateTimeLit(self._raw_parens())
             if low == "dynamic" and self.at("PUNCT", "("):
                 # dynamic([v1, v2, …]) literal array | dynamic(scalar)

@@ -272,6 +272,10 @@ _SCALARS: dict[str, Any] = {
     "iif": lambda a: F.when(_colify_pred(a[0]), _c(a[1])).otherwise(_c(a[2])),
     "case": lambda a: S.case(*a),
     "coalesce": lambda a: F.coalesce(*[_c(x) for x in a]),
+    # single-catalog context shims (cluster()/database() source
+    # qualifiers resolve locally; these report that local context)
+    "current_database": lambda a: F.lit("default"),
+    "current_cluster_endpoint": lambda a: F.lit("local"),
     "min_of": lambda a: S.min_of(*a),
     "max_of": lambda a: S.max_of(*a),
     # casts
@@ -550,6 +554,10 @@ _SCALARS: dict[str, Any] = {
     "percentile_tdigest": lambda a: _TD.percentile_tdigest_col(
         _c(a[0]), float(_raw(a[1]))
     ),
+    "percentrank_tdigest": lambda a: _TD.percentrank_tdigest_col(
+        _c(a[0]), _c(a[1])
+    ),
+    "rank_tdigest": lambda a: _TD.rank_tdigest_col(_c(a[0]), _c(a[1])),
     "indexof_regex": lambda a: S.indexof_regex(_c(a[0]), str(_raw(a[1]))),
     "new_guid": lambda a: S.new_guid(),
     "unicode_codepoints_from_string": lambda a: S.unicode_codepoints_from_string(_c(a[0])),
@@ -886,6 +894,10 @@ class Translator:
         if isinstance(node, P.Timespan):
             return _Span(node.seconds)
         if isinstance(node, P.DateTimeLit):
+            # datetime(null) is Kusto's typed null literal, not a parse
+            # of the string 'null' (which would raise under ANSI cast)
+            if node.text.strip().lower() == "null":
+                return F.lit(None).cast("timestamp")
             return F.lit(node.text).cast("timestamp")
         if isinstance(node, P.DynamicLit):
             vals = [self.expr(i) for i in node.items]
@@ -943,13 +955,28 @@ class Translator:
         if isinstance(node, P.Index):
             base = self.expr(node.base)
             idx = self.expr(node.index)
+            # d['key'] bracket member access (Kusto: same as d.key —
+            # the form for keys that aren't valid identifiers)
+            if isinstance(idx, str):
+                return F.get_json_object(_c(base), f"$['{idx}']")
             if self._is_array_expr(node.base):
                 # real ARRAY values index natively (0-based KQL →
                 # 1-based try_element_at; negative = from end)
+                if isinstance(idx, Column):
+                    # computed index: a[i] — 0-based non-negative
+                    # column form (negative computed indexes are not
+                    # representable without a per-row branch; Kusto's
+                    # common form is the loop/zip variable)
+                    return F.try_element_at(_c(base), idx.cast("int") + 1)
                 i = int(idx)
                 return F.try_element_at(
                     _c(base), F.lit(i + 1 if i >= 0 else i)
                 )
+            if isinstance(idx, Column):
+                # computed index over a JSON-string dynamic: parse to
+                # an array of raw JSON fragments first
+                arr = F.from_json(_c(base), "array<string>")
+                return F.try_element_at(arr, idx.cast("int") + 1)
             # JSON-string dynamics go through the JSON path
             return F.get_json_object(_c(base), f"$[{int(idx)}]")
         if isinstance(node, P.Unary):

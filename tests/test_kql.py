@@ -2937,3 +2937,33 @@ def test_bag_zip_dynamic_to_json_format_number(spark):
     assert r.j == '{"a":"2","b":"1"}'  # keys sorted
     assert r.f == "1,234.57"
     assert r.f0 == "1,234,567"
+
+
+def test_r8_literal_and_index_closures(spark):
+    """r8 probe-sweep closures #2: h'...' obfuscated literals lex as
+    plain strings; d['key with space'] bracket member access; computed
+    array index a[i]; datetime(null)/date() literal forms;
+    percentrank_tdigest/rank_tdigest read CDF/rank out of a digest."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    r = eng.kql(
+        "print s = h'secret', b = parse_json('{\"k y\":1}')['k y'],"
+        " n = datetime(null), d = date(2024-01-15)"
+    ).to_df().collect()[0]
+    assert r.s == "secret" and r.b == "1" and r.n is None
+    assert str(r.d).startswith("2024-01-15")
+
+    idx = eng.kql(
+        "range i from 0 to 2 step 1 | extend a = dynamic([10, 20, 30])"
+        " | project v = a[i] | sort by v asc"
+    ).to_df().collect()
+    assert [x.v for x in idx] == [10, 20, 30]
+
+    td = eng.kql(
+        "events | summarize t = tdigest(value)"
+        " | project p = percentrank_tdigest(t, 50.0), r = rank_tdigest(t, 50.0)"
+    ).to_df().collect()[0]
+    # value ~ Uniform(0, 100): CDF(50) within a loose band, rank ~ p% of n
+    assert 40.0 <= td.p <= 75.0
+    assert abs(td.r - td.p * 10) <= 30  # n=1000 rows at sf0.001
