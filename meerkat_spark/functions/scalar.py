@@ -576,14 +576,31 @@ def pack(*kv) -> Column:
         vs.append(
             (val if isinstance(val, Column) else _lit(val)).cast("string")
         )
-    return F.to_json(F.map_from_arrays(F.array(*ks), F.array(*vs)))
+    entries = F.array(
+        *[F.struct(k.alias("key"), v.alias("value")) for k, v in zip(ks, vs)]
+    )
+    return F.to_json(F.map_from_entries(_bag_entries(entries)))
+
+
+def _bag_entries(entries: Column) -> Column:
+    """Null-key and duplicate-key tolerant entry list for bag builds.
+    Spark's default mapKeyDedupPolicy=EXCEPTION raises on either;
+    Kusto skips null keys and tolerates duplicates (first key wins,
+    the engine's bag_merge convention)."""
+    nonnull = F.filter(entries, lambda e: e["key"].isNotNull())
+    return F.filter(
+        nonnull,
+        lambda e, i: ~F.exists(
+            F.slice(nonnull, F.lit(1), i), lambda p: p["key"] == e["key"]
+        ),
+    )
 
 
 def bag_zip(keys, values) -> Column:
     """KQL bag_zip(keys, values) — build a bag from parallel arrays.
     Kusto semantics: keys without a matching value get null; surplus
-    values are ignored (keys array drives the length). Values follow
-    the engine's string bag convention."""
+    values are ignored (keys array drives the length); null keys are
+    skipped. Values follow the engine's string bag convention."""
     ks = F.transform(_c(keys), lambda k: k.cast("string"))
     vs = _c(values)
     paired = F.transform(
@@ -593,7 +610,7 @@ def bag_zip(keys, values) -> Column:
             F.try_element_at(vs, i + 1).cast("string").alias("value"),
         ),
     )
-    return F.to_json(F.map_from_entries(paired))
+    return F.to_json(F.map_from_entries(_bag_entries(paired)))
 
 
 def dynamic_to_json(d) -> Column:

@@ -963,20 +963,26 @@ class Translator:
                 # real ARRAY values index natively (0-based KQL →
                 # 1-based try_element_at; negative = from end)
                 if isinstance(idx, Column):
-                    # computed index: a[i] — 0-based non-negative
-                    # column form (negative computed indexes are not
-                    # representable without a per-row branch; Kusto's
-                    # common form is the loop/zip variable)
-                    return F.try_element_at(_c(base), idx.cast("int") + 1)
+                    # computed index: a[i] — per-row branch mirrors the
+                    # literal path (0-based KQL → 1-based element_at;
+                    # negative passes through for from-end semantics)
+                    i = idx.cast("int")
+                    return F.when(
+                        i >= 0, F.try_element_at(_c(base), i + 1)
+                    ).otherwise(F.try_element_at(_c(base), i))
                 i = int(idx)
                 return F.try_element_at(
                     _c(base), F.lit(i + 1 if i >= 0 else i)
                 )
             if isinstance(idx, Column):
                 # computed index over a JSON-string dynamic: parse to
-                # an array of raw JSON fragments first
+                # an array of raw JSON fragments first (same per-row
+                # negative-index branch as the native-array path)
                 arr = F.from_json(_c(base), "array<string>")
-                return F.try_element_at(arr, idx.cast("int") + 1)
+                i = idx.cast("int")
+                return F.when(
+                    i >= 0, F.try_element_at(arr, i + 1)
+                ).otherwise(F.try_element_at(arr, i))
             # JSON-string dynamics go through the JSON path
             return F.get_json_object(_c(base), f"$[{int(idx)}]")
         if isinstance(node, P.Unary):
@@ -2134,10 +2140,17 @@ class Translator:
             ]
             out = MeerkatTable(df.select(*others, *flat))
         for alias, names in multi_expand:
+            # splice the flat columns at the alias's positional slot so
+            # KQL column-order fidelity holds when a multi-assign is
+            # mixed with other aggregates
             df = out.df
-            others = [c for c in df.columns if c != alias]
-            flat = [F.col(f"{alias}.`{n}`").alias(n) for n in names]
-            out = MeerkatTable(df.select(*others, *flat))
+            cols: list[Column] = []
+            for c in df.columns:
+                if c == alias:
+                    cols.extend(F.col(f"{alias}.`{n}`").alias(n) for n in names)
+                else:
+                    cols.append(F.col(f"`{c}`"))
+            out = MeerkatTable(df.select(*cols))
         return out
 
     def ap_count(self, t, a):

@@ -58,9 +58,12 @@ def semdedup_pairs(
     c = emb.select(
         F.col(id_col).alias("id"), knn._to_double(F.col(vec_col)).alias("cv")
     )
-    # exact-dup routing: one narrow shuffle keyed on the vector hash
-    # (id + hash only — vectors don't travel twice)
-    w = Window.partitionBy("__h")
+    # exact-dup routing: one shuffle keyed on (hash, vector value) —
+    # the value is in the key so a 64-bit hash collision between two
+    # different vectors can never star-route a non-duplicate (the
+    # module contract is "loses recall, never correctness"); the hash
+    # prefix keeps comparator work cheap within each bucket
+    w = Window.partitionBy("__h", "cv")
     marked = c.withColumn("__h", F.xxhash64("cv")).withColumn(
         "__rep", F.min("id").over(w)
     )

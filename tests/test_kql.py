@@ -2967,3 +2967,57 @@ def test_r8_literal_and_index_closures(spark):
     # value ~ Uniform(0, 100): CDF(50) within a loose band, rank ~ p% of n
     assert 40.0 <= td.p <= 75.0
     assert abs(td.r - td.p * 10) <= 30  # n=1000 rows at sf0.001
+
+
+def test_r9_negative_computed_index(spark):
+    """ADVICE r8: computed array index a[i] must mirror the literal
+    path's Kusto from-end semantics for negative i (per-row branch),
+    in both the native-array and JSON-dynamic branches."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    r = eng.kql(
+        "range i from -2 to 1 step 1"
+        " | extend a = dynamic([10, 20, 30])"
+        " | project i, v = a[i] | sort by i asc"
+    ).to_df().collect()
+    # i=-2 -> second-from-end (20); i=-1 -> last (30); i=0 -> 10; i=1 -> 20
+    assert [(x.i, x.v) for x in r] == [(-2, 20), (-1, 30), (0, 10), (1, 20)]
+
+    j = eng.kql(
+        "range i from -1 to 0 step 1"
+        " | extend a = parse_json('[\"x\",\"y\",\"z\"]')"
+        " | extend a = tostring(a)"
+        " | project i, v = a[i] | sort by i asc"
+    ).to_df().collect()
+    assert [x.v.strip('"') for x in j] == ["z", "x"]
+
+
+def test_r9_pack_bagzip_key_edge_cases(spark):
+    """ADVICE r8: computed-key pack() must tolerate duplicate keys
+    (first wins, bag_merge convention) and skip null keys instead of
+    raising DUPLICATE_MAP_KEY / NULL_MAP_KEY; bag_zip likewise."""
+    from meerkat_spark.engine import MeerkatEngine
+    import json
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    r = eng.kql(
+        "print p = pack(strcat('k', '1'), 10, strcat('k', '1'), 20,"
+        " datetime(null), 99),"
+        " z = bag_zip(dynamic(['a', 'a', 'b']), dynamic([1, 2, 3]))"
+    ).to_df().collect()[0]
+    assert json.loads(r.p) == {"k1": "10"}
+    assert json.loads(r.z) == {"a": "1", "b": "3"}
+
+
+def test_r9_multiassign_column_order(spark):
+    """ADVICE r8: multi-assign output columns splice at the declared
+    position, not appended after the other aggregates."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    df = eng.kql(
+        "events | summarize c = count(), (m, t) = arg_min(value, ts),"
+        " mx = max(value) by event_type"
+    ).to_df()
+    assert df.columns == ["event_type", "c", "m", "t", "mx"]
