@@ -56,77 +56,73 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-8 rotation — ALL 50 slots are oracle-backed (the driver has no
-# rows-only fallback; round 6 burned 5 slots on `err: no_oracle` rows).
-# (a) NEWLY oracle-backed (round 8): the last convertible rows-only
-# kernels (VERDICT r7 'missing' #1 + ask #5) — planted-hamming simhash,
-# planted-blob CDC counts, literal-feature-id classifier, getschema
-# VALUES twin — plus the NEW r8 operators' oracles (persisted-IVF
-# recall, SemDeDup, in-engine LR training gate, bigram-LM perplexity,
-# materialized self-join, summarize multi-assign).
-# (b) round-7 code-change re-grades: 935e0d5/8ece44b
-# touched division/substring/cast/strcat scalar paths. (c) oldest-
-# evidence refreshes: the full round-3 cohort (23 names, last graded
-# r3), then the oldest round-4 names alphabetically (the rest of the
-# r4 cohort — pack_chunks_op, range_join_price_bands,
-# sample_distinct_hash_op, sample_hash_op, scalar_array_ops,
-# scalar_arrays onward — rotates in next round). Exactly 50 —
-# enforced by tests/test_registry.py.
+# Round-9 rotation (VERDICT r8 ask #1) — ALL 50 slots are oracle-backed
+# (the driver has no rows-only fallback; round 6 burned 5 slots on
+# `err: no_oracle` rows).
+# (a) round-9 code-change re-grades (fixes preempt staleness): the
+# ADVICE fixes touched semdedup star routing (hash-collision byte
+# verify) and summarize multi-assign column splicing; the scalar
+# pack/bag_zip/computed-index fixes land in the r4-stale scalar_*
+# names already in (b).
+# (b) the 17 r4-stale oracle-backed names — after this round no green
+# grade is older than r5.
+# (c) the oldest r5-stale names alphabetically (31 of 42 fit; the
+# remainder — sequence_detect_op onward — rotates in next round).
+# Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) newly oracle-backed (round 8)
-    "simhash_dedup_planted",
-    "cdc_dedup_planted",
-    "classifier_gate_exact",
-    "getschema_op",
-    "ivf_persisted_recall",
+    # (a) round-9 code-change re-grades
     "semdedup_planted",
-    "classifier_train_gate",
-    "lm_perplexity_score",
-    "kql_selfjoin_materialize",
     "summarize_multiassign",
-    # (b) round-7 scalar-fidelity commits — re-grade
-    "scalar_strings",
-    "scalar_math",
-    "scalar_casts",
-    # (c) oldest-evidence refreshes: full round-3 cohort
-    "knn_pairwise_label",
-    "kql_dynamic_union",
-    "kql_facet",
-    "kql_find",
-    "kql_fork",
-    "kql_join_summarize",
-    "kql_let_topk",
-    "kql_make_series",
-    "kql_string_pipeline",
-    "make_series_daily",
-    "mv_apply_topwords",
-    "ngram_jaccard_pairs",
-    "pii_redact",
-    "pivot_event_types",
-    "range_datetime_table",
-    "salted_join_skew",
-    "series_stats_daily",
-    "text_has_indexed",
-    "text_remove_boilerplate",
-    "text_stats",
-    "top_nested",
-    "train_holdout_split",
-    "window_session_native",
-    # (c cont.) oldest round-4 names, alphabetical
-    "agg_round3_variants",
-    "asof_join_events",
-    "dedup_components",
-    "embedding_neardup_pairs",
-    "fork_legs",
-    "geo_bbox_distance",
-    "knn_cosine_topk",
-    "kql_autocluster",
-    "kql_datatable",
-    "kql_flagship",
-    "kql_narrow",
-    "kql_top_hitters",
-    "make_series_arrays",
-    "mix_datasets_op",
+    # (b) r4-stale oracle-backed cohort (all 17)
+    "pack_chunks_op",
+    "range_join_price_bands",
+    "sample_distinct_hash_op",
+    "sample_hash_op",
+    "scalar_array_ops",
+    "scalar_arrays",
+    "scalar_datetime_extended",
+    "scalar_dynamic_json",
+    "scalar_extract_regex",
+    "scalar_misc",
+    "scalar_predicates",
+    "scalar_strings_extended",
+    "stratified_sample_hash_op",
+    "summarize_bin_1h",
+    "text_decontaminate_pairs",
+    "text_repetition",
+    "top_nested_with_others",
+    # (c) oldest r5-stale names, alphabetical (first 31)
+    "active_users_count_op",
+    "activity_engagement_op",
+    "agg_percentilew",
+    "count_op",
+    "dedup_incremental_index",
+    "distinct_op",
+    "embedding_quantize_int8",
+    "extend_compute",
+    "funnel_completion_op",
+    "funnel_sequence_op",
+    "geohash_roundtrip",
+    "gopher_quality_filter",
+    "ipv4_lookup_op",
+    "join_inner_agg",
+    "kql_basket",
+    "kql_diffpatterns",
+    "kql_externaldata",
+    "kql_graph_match",
+    "kql_graph_shortest_paths",
+    "kql_reduce_by",
+    "kql_union_withsource",
+    "project_away_rename",
+    "project_keep_wildcard",
+    "retention_matrix_op",
+    "rolling_percentile_op",
+    "rows_near_errors",
+    "scalar_format_fns",
+    "scalar_ipv6_family",
+    "scalar_round5_extras",
+    "scalar_series_similarity",
+    "scalar_string_bytes",
 ]
 
 def _ordered(mapping: dict) -> dict:
