@@ -65,6 +65,26 @@ HEADLINE = [
 ]
 
 
+def cpu_probe() -> float:
+    """Fixed single-process CPU workload (min-of-5): calibrates the
+    HOST, not the engine. Round-over-round bench totals on this
+    infrastructure swing 1.1-1.5x with zero plan changes (BASELINE.md
+    r4/r5/r8/r9 notes — co-tenant hosts of varying speed); recording a
+    deterministic probe alongside the suite lets a later session
+    separate 'host is slower' from 'query regressed': same probe +
+    slower query = real regression."""
+    import numpy as np
+
+    a = np.arange(640_000, dtype=np.float64).reshape(800, 800) / 640_000.0
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        b = a @ a
+        np.sort(b.ravel())
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -138,6 +158,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
                 "guard_warnings": guard_warnings,
+                "cpu_probe_sec": cpu_probe(),
             }
         )
     )

@@ -32,6 +32,26 @@ from pyspark.sql import Window as W
 from meerkat_spark.similarity import knn
 
 
+def _cluster_centroids(cents: np.ndarray, n_super: int, n_iter: int = 10):
+    """Group the n_cells centroids into n_super superclusters (spherical
+    k-means over the CENTROID matrix — n_cells points, driver numpy,
+    trivial at any corpus size). Returns (supercents [n_super, dim],
+    super_of_cell [n_cells] int64). Deterministic: init = every
+    (n_cells//n_super)-th centroid in index order."""
+    n_cells = len(cents)
+    step = max(n_cells // n_super, 1)
+    sc = cents[::step][:n_super].copy()
+    n_super = len(sc)
+    for _ in range(n_iter):
+        assign = (cents @ sc.T).argmax(axis=1)
+        for j in range(n_super):
+            members = cents[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                sc[j] = m / max(np.linalg.norm(m), 1e-12)
+    return sc, (cents @ sc.T).argmax(axis=1).astype(np.int64)
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -40,6 +60,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     train_factor: int = 64,
     n_iter: int = 5,
+    two_level: bool = False,
 ) -> None:
     """Train centroids, assign the corpus, persist both under `path`:
     centroids.parquet (n_cells rows) + assigned/ partitioned by cell_id.
@@ -52,13 +73,31 @@ def build_ivf_index(
     at O(sqrt(corpus)) — at 100TB/1e9 vectors that is ~32k cells whose
     centroid table (a few MB) still broadcasts/collects trivially. The
     count() that sizes it is one cheap aggregate over the build scan's
-    input — the build already pays a full corpus pass to assign cells."""
+    input — the build already pays a full corpus pass to assign cells.
+
+    `two_level=True` (IMI-style, after FAISS's multi-index idea) routes
+    the assignment matmul through ~sqrt(n_cells) superclusters: per row,
+    argmax over n_super supercentroids, then argmax over ONLY that
+    supercluster's member cells — O(n * n^0.25) assignment work instead
+    of the flat O(n * sqrt(n)). Assignment becomes approximate in the
+    usual IVF sense (a vector near a supercluster boundary may land in
+    a near- rather than nearest cell); search applies the IDENTICAL
+    routing, so identical vectors always meet in the same cell and the
+    exact-duplicate recall contract (ivf_persisted_recall) holds."""
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), knn._to_double(F.col(vec_col)).alias("cv")
     )
     if n_cells is None:
         n_cells = int(min(max(round(c.count() ** 0.5), 4), 1 << 16))
     cents = knn._train_centroids_sample(c, n_cells, train_factor, n_iter)
+    supercents = super_of_cell = None
+    if two_level:
+        n_super = int(max(round(len(cents) ** 0.5), 2))
+        supercents, super_of_cell = _cluster_centroids(cents, n_super)
+        # member cell ids per supercluster, for the grouped argmax
+        members = [
+            np.flatnonzero(super_of_cell == g) for g in range(len(supercents))
+        ]
 
     def assign_cells(batches):
         import pandas as pd  # noqa: F401 — worker-side
@@ -69,7 +108,20 @@ def build_ivf_index(
             C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
             pdf = pdf[["neighbor_id", "cv"]].copy()
-            pdf["cell_id"] = (Cn @ cents.T).argmax(axis=1).astype("int64")
+            if supercents is None:
+                pdf["cell_id"] = (Cn @ cents.T).argmax(axis=1).astype("int64")
+            else:
+                sup = (Cn @ supercents.T).argmax(axis=1)
+                cell = np.empty(len(Cn), dtype=np.int64)
+                for g in range(len(supercents)):
+                    idx = np.flatnonzero(sup == g)
+                    if not len(idx):
+                        continue
+                    mem = members[g]
+                    # rows routed to g compete only among g's cells:
+                    # |rows| x |mem| matmul, ~n/n_super x n_cells/n_super
+                    cell[idx] = mem[(Cn[idx] @ cents[mem].T).argmax(axis=1)]
+                pdf["cell_id"] = cell
             yield pdf
 
     assigned = c.mapInPandas(
@@ -79,10 +131,18 @@ def build_ivf_index(
         os.path.join(path, "assigned")
     )
     spark = emb.sparkSession
-    cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
-    spark.createDataFrame(cent_rows, "cell_id long, centroid array<double>").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "centroids"))
+    sup_col = super_of_cell if super_of_cell is not None else np.zeros(len(cents), np.int64)
+    cent_rows = [
+        (i, [float(x) for x in cents[i]], int(sup_col[i])) for i in range(len(cents))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell_id long, centroid array<double>, super_id long"
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    if supercents is not None:
+        sup_rows = [(g, [float(x) for x in supercents[g]]) for g in range(len(supercents))]
+        spark.createDataFrame(
+            sup_rows, "super_id long, centroid array<double>"
+        ).write.mode("overwrite").parquet(os.path.join(path, "supercentroids"))
 
 
 def ivf_search(
@@ -112,11 +172,36 @@ def ivf_search(
         # empty index or empty query set → empty result, not a crash
         return spark.createDataFrame([], out_schema)
     cents = np.zeros((len(cents_rows), len(cents_rows[0].centroid)))
+    super_of_cell = np.zeros(len(cents_rows), dtype=np.int64)
     for r in cents_rows:
         cents[r.cell_id] = r.centroid
+        super_of_cell[r.cell_id] = getattr(r, "super_id", 0) or 0
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    top_cells = np.argsort(-(Qn @ cents.T), axis=1)[:, :n_probe]
+    sup_dir = os.path.join(path, "supercentroids")
+    if os.path.isdir(sup_dir):
+        # Two-level index: probe selection MUST mirror the build routing
+        # (super argmax -> cell argmax within that super) so identical
+        # vectors meet in the same cell. Probe the top n_probe
+        # superclusters, then the best n_probe cells among their members.
+        sup_rows = spark.read.parquet(sup_dir).collect()
+        supercents = np.zeros((len(sup_rows), cents.shape[1]))
+        for r in sup_rows:
+            supercents[r.super_id] = r.centroid
+        s_probe = min(n_probe, len(supercents))
+        top_sup = np.argsort(-(Qn @ supercents.T), axis=1)[:, :s_probe]
+        rows = []
+        for i in range(len(Qn)):
+            mem = np.flatnonzero(np.isin(super_of_cell, top_sup[i]))
+            if not len(mem):  # probed superclusters lost all cells in training
+                mem = np.arange(len(cents))
+            order = mem[np.argsort(-(Qn[i] @ cents[mem].T))][:n_probe]
+            rows.append(order)
+        top_cells = np.stack(
+            [np.pad(r, (0, n_probe - len(r)), constant_values=r[0]) for r in rows]
+        )
+    else:
+        top_cells = np.argsort(-(Qn @ cents.T), axis=1)[:, :n_probe]
     probed = sorted({int(c) for row in top_cells for c in row})
 
     q_cells = spark.createDataFrame(

@@ -591,3 +591,221 @@ def test_random_union_matches_duckdb(spark, duck, seed):
     df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
     probs = compare(df, duck, sql, f"ufuzz{seed}")
     assert not probs, (kql, sql, probs)
+
+
+# Serialize-assignment shapes (VERDICT r8 ask #6): the hand-written
+# translator surface at translator.py `_window_call`/serialize — multi-
+# assignment `| serialize a = …, b = …`, 3-arg prev/next defaults,
+# row_number start offsets, rank-over-ties, and window-over-window
+# (extend consuming a serialize-computed column).
+
+N_SER_CASES = 60
+
+
+def _gen_serialize_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(60_000 + seed)
+    uid_mod, uid_r = rng.randrange(17, 41), rng.randrange(0, 5)
+    where_k = f"user_id % {uid_mod} == {uid_r}"
+    where_s = f"user_id % {uid_mod} = {uid_r}"
+    variant = seed % 3
+    if variant == 0:
+        # serialize MULTI-assignment with 3-arg prev/next defaults and a
+        # row_number start offset — each default randomly typed to its col
+        start = rng.randrange(0, 20)
+        off_p, off_n = rng.randrange(1, 4), rng.randrange(1, 4)
+        dp = round(rng.uniform(-9, 9), 2)
+        ds = rng.choice(["none", "zz", ""])
+        kql = (
+            f"events | where {where_k} | sort by ts asc, event_id asc "
+            f"| serialize rn = row_number({start}), "
+            f"pv = prev(value, {off_p}, {dp}), "
+            f"nx = next(event_type, {off_n}, '{ds}') "
+            "| project event_id, rn, pv, nx"
+        )
+        sql = (
+            f"SELECT event_id, CAST(row_number() OVER w + {start} - 1 AS INT) AS rn, "
+            f"lag(value, {off_p}, {dp}) OVER w AS pv, "
+            f"lead(event_type, {off_n}, '{ds}') OVER w AS nx "
+            f"FROM events WHERE {where_s} "
+            "WINDOW w AS (ORDER BY ts, event_id)"
+        )
+    elif variant == 1:
+        # rank functions over a TIED sort key: row_rank_min/dense depend
+        # only on the key values, so the under-tie row order being free
+        # doesn't matter — deterministic on both engines
+        k = rng.randrange(2, 7)
+        kql = (
+            f"events | where {where_k} | extend g = user_id % {k} "
+            "| sort by g asc "
+            "| serialize r1 = row_rank_min(), r2 = row_rank_dense() "
+            "| project event_id, g, r1, r2"
+        )
+        sql = (
+            f"SELECT event_id, user_id % {k} AS g, "
+            "CAST(rank() OVER w AS INT) AS r1, "
+            "CAST(dense_rank() OVER w AS INT) AS r2 "
+            f"FROM events WHERE {where_s} "
+            f"WINDOW w AS (ORDER BY user_id % {k})"
+        )
+    else:
+        # window-over-window: an extend consuming a serialize-computed
+        # prefix sum (same total order both engines → identical IEEE
+        # accumulation; harness compares at 1e-9)
+        start = rng.randrange(1, 5)
+        kql = (
+            f"events | where {where_k} | sort by ts asc, event_id asc "
+            f"| serialize cum = row_cumsum(value), rn = row_number({start}) "
+            "| extend diff = cum - prev(cum, 1, 0.0) "
+            "| project event_id, cum, rn, diff"
+        )
+        sql = (
+            "WITH s AS (SELECT ts, event_id, "
+            "SUM(value) OVER (ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            f"CAST(row_number() OVER (ORDER BY ts, event_id) + {start} - 1 "
+            "AS INT) AS rn "
+            f"FROM events WHERE {where_s}) "
+            "SELECT event_id, cum, rn, "
+            "cum - lag(cum, 1, 0.0) OVER (ORDER BY ts, event_id) AS diff "
+            "FROM s"
+        )
+    return kql, sql
+
+
+@pytest.mark.parametrize("seed", range(N_SER_CASES))
+def test_random_serialize_matches_duckdb(spark, duck, seed):
+    import warnings
+
+    register_views(duck, SF_ORACLE)
+    kql, sql = _gen_serialize_case(seed)
+    with warnings.catch_warnings():
+        # partition-less serialize windows warn by design (the at-scale
+        # guard); the fuzz keeps row counts tiny via the user_id filter
+        warnings.simplefilter("ignore", UserWarning)
+        df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
+    probs = compare(df, duck, sql, f"sfuzz{seed}")
+    assert not probs, (kql, sql, probs)
+
+
+# make-series / series-ops shapes (VERDICT r8 stretch ask): sweep the
+# grid axes the single-query suite entries pin one point each of — agg
+# kind × step × date window × by-clause — plus elementwise series ops
+# and the fill family over null-defaulted grids. The engine's dense
+# arrays are posexploded to (group?, idx, v) rows so the harness
+# compares NUMBERS (1e-9), not string renderings.
+
+N_SERIES_CASES = 45
+
+
+def _gen_series_case(seed: int):
+    """Returns (kql, sql, by). Steps all divide 86400s so the engine's
+    epoch-aligned bin_datetime() lands exactly on the midnight-aligned
+    from/to bounds; the DuckDB twin anchors time_bucket at `frm` (same
+    alignment) and indexes grid points by (b - frm) / step."""
+    rng = random.Random(70_000 + seed)
+    d0 = rng.randrange(1, 12)
+    d1 = rng.randrange(d0 + 4, 29)
+    frm, to = f"2024-01-{d0:02d}", f"2024-01-{d1:02d}"
+    step_k, step_s, step_sec = rng.choice(
+        [
+            ("1d", "1 day", 86400),
+            ("12h", "12 hours", 43200),
+            ("6h", "6 hours", 21600),
+            ("3h", "3 hours", 10800),
+        ]
+    )
+    by = rng.random() < 0.6
+    variant = seed % 3
+    if variant == 0:
+        agg_k, agg_s, dflt = rng.choice(
+            [
+                ("count()", "COUNT(*)", "0"),
+                ("round(sum(value), 2)", "ROUND(SUM(value), 2)", "0"),
+                ("dcount(user_id)", "COUNT(DISTINCT user_id)", "0"),
+            ]
+        )
+        kql_tail = ""
+        val_sql = f"CAST(COALESCE(a.v, {dflt}) AS DOUBLE)"
+    elif variant == 1:
+        agg_k, agg_s = "count()", "COUNT(*)"
+        k = rng.randrange(2, 6)
+        op_k, op_s = rng.choice(
+            [
+                (f"series_add(n, {k})", "(x + %d)" % k),
+                (f"series_subtract(n, {k})", "(x - %d)" % k),
+                (f"series_multiply(n, {k})", "(x * %d)" % k),
+                (f"series_abs(series_subtract(n, {k}))", "abs(x - %d)" % k),
+            ]
+        )
+        kql_tail = f" | extend n = {op_k}"
+        val_sql = op_s.replace("x", "CAST(COALESCE(a.v, 0) AS DOUBLE)")
+    else:
+        agg_k, agg_s = "round(sum(value), 2)", "ROUND(SUM(value), 2)"
+        part = "PARTITION BY g.g " if by else ""
+        fill_k, fill_s = rng.choice(
+            [
+                (
+                    "series_fill_forward(n)",
+                    f"last_value(a.v IGNORE NULLS) OVER ({part}ORDER BY g.b "
+                    "ROWS UNBOUNDED PRECEDING)",
+                ),
+                (
+                    "series_fill_backward(n)",
+                    f"first_value(a.v IGNORE NULLS) OVER ({part}ORDER BY g.b "
+                    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",
+                ),
+                ("series_fill_const(n, -1.5)", "COALESCE(a.v, -1.5)"),
+            ]
+        )
+        kql_tail = f" | extend n = {fill_k}"
+        val_sql = f"ROUND({fill_s}, 6)"  # engine fill kernels round to 6dp
+    dflt_k = "real(null)" if variant == 2 else "0"
+    kql = (
+        f"events | make-series n = {agg_k} default = {dflt_k} on ts "
+        f"from datetime({frm}) to datetime({to}) step {step_k}"
+        + (" by event_type" if by else "")
+        + kql_tail
+    )
+    bucket = f"time_bucket(INTERVAL '{step_s}', ts, TIMESTAMP '{frm}')"
+    if by:
+        sql = (
+            "WITH pts AS (SELECT unnest(generate_series("
+            f"TIMESTAMP '{frm}', TIMESTAMP '{to}', INTERVAL '{step_s}')) AS b), "
+            "agg AS (SELECT event_type AS g, "
+            f"{bucket} AS b, {agg_s} AS v FROM events GROUP BY 1, 2), "
+            "grid AS (SELECT t.g, p.b FROM "
+            "(SELECT DISTINCT event_type AS g FROM events) t CROSS JOIN pts p) "
+            "SELECT g.g AS event_type, "
+            f"CAST((epoch(g.b) - epoch(TIMESTAMP '{frm}')) / {step_sec} AS INT)"
+            f" AS idx, {val_sql} AS v "
+            "FROM grid g LEFT JOIN agg a ON a.g = g.g AND a.b = g.b"
+        )
+    else:
+        sql = (
+            "WITH pts AS (SELECT unnest(generate_series("
+            f"TIMESTAMP '{frm}', TIMESTAMP '{to}', INTERVAL '{step_s}')) AS b), "
+            f"agg AS (SELECT {bucket} AS b, {agg_s} AS v "
+            "FROM events GROUP BY 1) "
+            "SELECT "
+            f"CAST((epoch(g.b) - epoch(TIMESTAMP '{frm}')) / {step_sec} AS INT)"
+            f" AS idx, {val_sql} AS v "
+            "FROM pts g LEFT JOIN agg a ON a.b = g.b"
+        )
+    return kql, sql, by
+
+
+@pytest.mark.parametrize("seed", range(N_SERIES_CASES))
+def test_random_series_matches_duckdb(spark, duck, seed):
+    from pyspark.sql import functions as F
+
+    register_views(duck, SF_ORACLE)
+    kql, sql, by = _gen_series_case(seed)
+    df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
+    sel = (["event_type"] if by else []) + [F.posexplode("n").alias("idx", "v0")]
+    df = df.select(*sel).select(
+        *(["event_type"] if by else []),
+        "idx",
+        F.col("v0").cast("double").alias("v"),
+    )
+    probs = compare(df, duck, sql, f"series_fuzz{seed}")
+    assert not probs, (kql, sql, probs)

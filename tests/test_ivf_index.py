@@ -56,6 +56,36 @@ def test_index_matches_inline_ivf_shape(spark, tmp_path):
     assert _topk_sets(persisted) == _topk_sets(inline)
 
 
+def test_two_level_exact_dup_contract_and_recall(spark, tmp_path):
+    """IMI-style two-level build (super argmax -> in-group cell argmax,
+    O(n * n^0.25) assignment work instead of flat O(n * sqrt n)).
+    Search mirrors the routing, so an identical query/corpus vector pair
+    ALWAYS meets in the same cell: top-1 at n_probe=1 must be the
+    planted exact duplicate at sim 1.0."""
+    import os
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dups = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    idx = str(tmp_path / "ivf2l")
+    build_ivf_index(emb.unionByName(dups), idx, n_cells=16, two_level=True)
+    assert os.path.isdir(f"{idx}/supercentroids")
+
+    q = emb.filter(F.col("vec_id") < 10)
+    out = {r.query_id: r for r in ivf_search(spark, idx, q, k=1, n_probe=1).collect()}
+    assert len(out) == 10
+    for qid, r in out.items():
+        assert r.neighbor_id == qid + 100000 and r.sim == 1.0, r
+
+    # non-degenerate recall on ordinary (non-dup) queries with probes
+    q2 = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 28))
+    exact = _topk_sets(knn.brute_force_topk(emb.unionByName(dups), q2, k=5))
+    approx = _topk_sets(ivf_search(spark, idx, q2, k=5, n_probe=4))
+    recalls = [len(exact[qid] & approx.get(qid, set())) / 5 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
 def test_default_n_cells_scales_sqrt(spark, tmp_path):
     """n_cells=None sizes the index at ~sqrt(corpus) (clamped to
     [4, 65536]) — the r8 scale fix: fixed cell counts make probe cost

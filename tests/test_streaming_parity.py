@@ -259,6 +259,68 @@ def test_interval_join_batch_stream_parity(spark, replayed, tmp_path):
     assert got == want
 
 
+def test_greedy_session_batch_stream_parity(spark, tmp_path):
+    """VERDICT r8 ask #7: the applyInPandasWithState greedy sessionizer
+    (streaming_greedy_sessions) == the engine's batch row_window_session
+    (Kusto MaxDuration semantics, 12h max / 8h idle), replayed as
+    ordered micro-batches. The greedy recurrence is order-dependent, so
+    the replay is event-time ordered (the operator's documented
+    contract: ordered source; in-batch order is sorted in-kernel)."""
+    import pandas as pd
+
+    from meerkat_spark.engine import MeerkatEngine
+    from meerkat_spark.streaming.stateful import streaming_greedy_sessions
+
+    ev = _load_events(spark).filter(F.col("user_id") < 20).toPandas()
+    ev = ev.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    arr = pd.DataFrame(
+        {
+            "user_id": ev["user_id"].astype("int64"),
+            "ts_us": ev["ts"].astype("int64") // 1000,  # ns -> us
+        }
+    )
+    chunk_dir = str(tmp_path / "sess_chunks")
+    _write_replay_chunks(spark, arr, chunk_dir, n_chunks=6)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    out = streaming_greedy_sessions(
+        stream, max_duration_ms=12 * 3600 * 1000, idle_ms=8 * 3600 * 1000
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("greedy_parity")
+        .option("checkpointLocation", str(tmp_path / "ck_greedy"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [
+        (r.user_id, r.ts_us, r.session_start_us)
+        for r in spark.sql("SELECT * FROM greedy_parity").collect()
+    ]
+    assert len(got) == len(arr)  # one output row per input row
+
+    batch = (
+        MeerkatEngine(spark, "/root/testdata/sf0.001")
+        .kql(
+            "events | where user_id < 20 | partition by user_id ("
+            " sort by ts asc, event_id asc"
+            " | extend sid = row_window_session(ts, 12h, 8h))"
+            " | project user_id, ts, sid"
+        )
+        .to_df()
+        .collect()
+    )
+    to_us = lambda t: pd.Timestamp(t).value // 1000  # noqa: E731
+    want = [(r.user_id, to_us(r.ts), to_us(r.sid)) for r in batch]
+    assert sorted(got) == sorted(want)
+
+
 def test_session_window_batch_stream_parity(spark, replayed, tmp_path):
     """Native session_window (30m gap) counts per user: streaming
     append mode over the late-arrival replay == the identical batch
