@@ -127,9 +127,14 @@ def build_ivf_index(
     assigned = c.mapInPandas(
         assign_cells, "neighbor_id long, cv array<double>, cell_id long"
     )
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
-        os.path.join(path, "assigned")
-    )
+    # Cluster rows by cell BEFORE the partitioned write: without this,
+    # every input task writes one file into every cell directory it
+    # touches — O(tasks * n_cells) small files (~5.7k at the x16 scaling
+    # leg; at 1000 executors * 32k cells it would be tens of millions).
+    # One shuffle keyed on cell_id makes it O(n_cells) files total.
+    assigned.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(path, "assigned"))
     spark = emb.sparkSession
     sup_col = super_of_cell if super_of_cell is not None else np.zeros(len(cents), np.int64)
     cent_rows = [

@@ -63,16 +63,24 @@ def load_all() -> None:
 # ADVICE fixes touched semdedup star routing (hash-collision byte
 # verify) and summarize multi-assign column splicing; the scalar
 # pack/bag_zip/computed-index fixes land in the r4-stale scalar_*
-# names already in (b).
+# names already in (b); the r9 two-level IVF change touches
+# ivf_index.py, so ivf_persisted_recall re-grades and the new
+# ivf_two_level_recall + dsir_importance_score + the two planted BPE
+# queries grade fresh.
 # (b) the 17 r4-stale oracle-backed names — after this round no green
 # grade is older than r5.
-# (c) the oldest r5-stale names alphabetically (31 of 42 fit; the
-# remainder — sequence_detect_op onward — rotates in next round).
+# (c) the oldest r5-stale names alphabetically (26 of 42 fit; the
+# remainder — scalar_format_fns onward — rotates in next round).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) round-9 code-change re-grades
     "semdedup_planted",
     "summarize_multiassign",
+    "ivf_persisted_recall",
+    "ivf_two_level_recall",
+    "dsir_importance_score",
+    "bpe_merges_planted",
+    "bpe_tokenize_planted",
     # (b) r4-stale oracle-backed cohort (all 17)
     "pack_chunks_op",
     "range_join_price_bands",
@@ -91,7 +99,7 @@ _PRIORITY: list[str] = [
     "text_decontaminate_pairs",
     "text_repetition",
     "top_nested_with_others",
-    # (c) oldest r5-stale names, alphabetical (first 31)
+    # (c) oldest r5-stale names, alphabetical (first 26)
     "active_users_count_op",
     "activity_engagement_op",
     "agg_percentilew",
@@ -118,11 +126,6 @@ _PRIORITY: list[str] = [
     "retention_matrix_op",
     "rolling_percentile_op",
     "rows_near_errors",
-    "scalar_format_fns",
-    "scalar_ipv6_family",
-    "scalar_round5_extras",
-    "scalar_series_similarity",
-    "scalar_string_bytes",
 ]
 
 def _ordered(mapping: dict) -> dict:

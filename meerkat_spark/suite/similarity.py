@@ -367,6 +367,39 @@ def ivf_persisted_recall(spark, sf_dir):
 
 
 @register(
+    "ivf_two_level_recall",
+    oracle="""
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rank
+    FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id
+    """,
+)
+def ivf_two_level_recall(spark, sf_dir):
+    """ORACLE-BACKED two-level (IMI-style) IVF lifecycle (r9 — the
+    build-cost headroom path VERDICT r8 flagged): same planted-copy
+    construction as ivf_persisted_recall, but the corpus assignment
+    routes through ~sqrt(n_cells) superclusters (O(n*n^0.25) work
+    instead of the flat O(n*sqrt n) matmul). Search mirrors the
+    two-level routing, so an identical query/corpus pair ALWAYS meets
+    in the same cell and the exact top-1 cosine-1.0 contract holds at
+    n_probe=1 even though the assignment itself is IVF-approximate."""
+    import tempfile
+
+    from meerkat_spark.similarity.ivf_index import build_ivf_index, ivf_search
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    path = tempfile.mkdtemp(prefix="mk_ivf2l_suite_")
+    build_ivf_index(corpus, path, two_level=True)
+    res = ivf_search(spark, path, copies, k=1, n_probe=1)
+    return res.orderBy("query_id")
+
+
+@register(
     "semdedup_planted",
     oracle="""
     SELECT CAST(vec_id AS BIGINT) AS vec_id

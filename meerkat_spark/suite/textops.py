@@ -1594,3 +1594,126 @@ def lm_perplexity_score(spark, sf_dir):
         F.round("avg_logp", 6).alias("avg_logp"),
         F.round("perplexity", 4).alias("perplexity"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dsir_importance_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), words AS (
+      SELECT doc_id, lang, unnest(ts) AS w FROM tok
+    ), rc AS (
+      SELECT w, COUNT(*) AS c_r FROM words GROUP BY w
+    ), tc AS (
+      SELECT w, COUNT(*) AS c_t FROM words WHERE lang = 'en' GROUP BY w
+    ), tot AS (
+      SELECT (SELECT SUM(c_t) FROM tc) * 1.0 AS n_t,
+             (SELECT SUM(c_r) FROM rc) * 1.0 AS n_r,
+             (SELECT COUNT(*) + 1 FROM rc) * 1.0 AS v
+    ), wt AS (
+      SELECT r.w,
+             ln((COALESCE(t.c_t, 0) + 1.0) / (tot.n_t + tot.v))
+             - ln((r.c_r + 1.0) / (tot.n_r + tot.v)) AS logw
+      FROM rc r LEFT JOIN tc t USING (w) CROSS JOIN tot
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(wt.logw), 4) AS logw_sum,
+           ROUND(AVG(wt.logw), 6) AS logw_avg
+    FROM words d JOIN wt USING (w)
+    GROUP BY d.doc_id ORDER BY doc_id
+    """,
+)
+def dsir_importance_score(spark, sf_dir):
+    """ORACLE-BACKED DSIR importance weights (r9 — text/dsir.py, the
+    published data-selection-via-importance-resampling estimator, Xie
+    et al. 2023, rebuilt with exact word-unigram features): target =
+    the corpus's lang='en' slice, raw = the whole corpus; per-doc
+    importance weight = sum over tokens of log p_target(w) - log
+    q_raw(w) under add-1 smoothing. Target is a subset of raw, so the
+    union vocabulary equals the raw vocabulary and the DuckDB twin
+    retrains the identical model — every doc's weight must match (sum
+    4dp, avg 6dp; same rounding convention as lm_perplexity_score)."""
+    from meerkat_spark.text.dsir import dsir_log_weights, dsir_scores
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    weights = dsir_log_weights(docs.filter(F.col("lang") == "en"), docs)
+    out = dsir_scores(docs, weights)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("logw_sum", 4).alias("logw_sum"),
+        F.round("logw_avg", 6).alias("logw_avg"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "bpe_merges_planted",
+    oracle="""
+    SELECT CAST(c0 AS INT) AS rank, c1 AS left, c2 AS right,
+           CAST(c3 AS BIGINT) AS pair_count
+    FROM (VALUES (1, 'a', 'b', 20), (2, 'ab', 'ab', 8),
+                 (3, 'ab', 'c', 4), (4, 'b', 'c', 2)) t(c0, c1, c2, c3)
+    ORDER BY rank
+    """,
+)
+def bpe_merges_planted(spark, sf_dir):
+    """ORACLE-BACKED BPE merge training (r9 — text/bpe.py, Sennrich et
+    al. 2016 learned from the word-frequency table: one corpus pass,
+    then each merge = one pair-count agg + one bounded top-1 collect +
+    one JVM array-fold rewrite). Planted corpus with an analytic merge
+    sequence: 8x'abab' + 4x'abc' + 2x'bc' char-tokenizes to pair counts
+    (a,b)=20 > (b,a)=8 > (b,c)=6, and the greedy rewrites force exactly
+    (a,b,20) -> (ab,ab,8) -> (ab,c,4) -> (b,c,2) — the VALUES twin is
+    the construction's closed-form answer (getschema_op precedent)."""
+    from meerkat_spark.text.bpe import bpe_merge_table, train_bpe
+
+    texts = spark.range(14).select(
+        F.when(F.col("id") < 8, "abab")
+        .when(F.col("id") < 12, "abc")
+        .otherwise("bc")
+        .alias("text")
+    )
+    merges = train_bpe(texts, n_merges=4)
+    return bpe_merge_table(spark, merges).orderBy("rank")
+
+
+@register(
+    "bpe_tokenize_planted",
+    oracle="""
+    SELECT c0 AS word, c1 AS toks
+    FROM (VALUES ('abab', 'abab'), ('abcb', 'abc b'),
+                 ('bab', 'b ab'), ('cab', 'c ab')) t(c0, c1)
+    ORDER BY word
+    """,
+)
+def bpe_tokenize_planted(spark, sf_dir):
+    """ORACLE-BACKED BPE encoding (r9 — text/bpe.py apply_bpe): train
+    the 4-merge planted vocabulary (see bpe_merges_planted: (a,b) ->
+    (ab,ab) -> (ab,c) -> (b,c)), then tokenize UNSEEN words; the greedy
+    rank-order encode gives closed-form answers — 'abcb' -> [abc, b]
+    (merge1 fuses ab, merge3 fuses abc, the trailing b has no partner),
+    'bab' -> [b, ab], 'cab' -> [c, ab], 'abab' -> [abab] (merge2)."""
+    from meerkat_spark.text.bpe import apply_bpe, train_bpe
+
+    corpus = spark.range(14).select(
+        F.when(F.col("id") < 8, "abab")
+        .when(F.col("id") < 12, "abc")
+        .otherwise("bc")
+        .alias("text")
+    )
+    merges = train_bpe(corpus, n_merges=4)
+    words = spark.createDataFrame(
+        [("abab",), ("abcb",), ("bab",), ("cab",)], "text string"
+    )
+    out = apply_bpe(words, merges)
+    return out.select(
+        F.col("text").alias("word"),
+        F.array_join("bpe_tokens", " ").alias("toks"),
+    ).orderBy("word")

@@ -83,14 +83,23 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     rows_at: dict[str, dict[int, int]] = {}
 
+    # min-of-N per kernel (SPARK_GRAFT_SCALE_RUNS, default 1; the
+    # SCALING.md artifact runs use 2): host co-tenancy noise is strictly
+    # additive and intermittent — one burst landing on a single-shot
+    # ×16 leg fabricates a super-linear exponent (observed: chunk_pack
+    # 0.5 s -> 15.3 s, fitted 2.39, same code same data minutes apart).
+    scale_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
+
     def timed(name: str, n_rows: int, fn):
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        results.setdefault(name, {})[n_rows] = round(dt, 2)
+        best = float("inf")
+        for _ in range(scale_runs):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        results.setdefault(name, {})[n_rows] = round(best, 2)
         rows_at.setdefault(name, {})[n_rows] = n_rows
-        print(f"  {name:16s} n={n_rows:>7d}  {dt:6.1f}s "
-              f"({n_rows / dt:,.0f} rows/s)", flush=True)
+        print(f"  {name:16s} n={n_rows:>7d}  {best:6.1f}s "
+              f"({n_rows / best:,.0f} rows/s)", flush=True)
 
     q_pdf = (
         emb0.filter(F.col("vec_id") < 8)
@@ -371,24 +380,34 @@ def write_md(path: str, out: dict) -> None:
         "",
         "`ivf_build`/`ivf_probe` measure the PERSISTED IVF index at the "
         "round-8 default `n_cells ≈ sqrt(corpus)`; the `_c16` rows keep "
-        "the old fixed-16-cell configuration for contrast. Sqrt-scaling "
-        "trades build cost (assignment argmax is an n×n_cells matmul → "
-        "O(n^1.5) work, the ~0.8 build exponent) for probe cost that "
-        "stays O(sqrt n) per query (probe exponent ≈ 0.1, was 0.42 at "
-        "fixed cells in round 7) — the right side of the trade for a "
-        "build-once/search-many index.",
+        "the old fixed-16-cell configuration for contrast. Probe cost "
+        "stays O(sqrt n) per query (exponent ≈ 0, was 0.42 at fixed "
+        "cells in round 7). Build: round 9 clusters assignment rows on "
+        "cell_id before the partitioned write (one keyed shuffle → "
+        "O(n_cells) files instead of O(tasks×n_cells); the pre-fix "
+        "build exponent ~0.6-0.8 was FILE-CREATION cost, not compute), "
+        "after which build wall time at these SFs sits near the job "
+        "floor.",
         "",
         "`ivf_build_2l`/`ivf_probe_2l` measure the round-9 two-level "
         "(IMI-style) build at the same sqrt(corpus) cell count: vectors "
         "first argmax over ~n_cells^0.5 supercentroids, then over only "
-        "that supercluster's member cells — O(n·n^0.25) assignment work "
+        "that supercluster's member cells — O(n·n^0.25) assignment FLOPs "
         "instead of the flat O(n·sqrt n), addressing the r8 build-cost "
-        "flag. Search mirrors the routing, so identical vectors always "
-        "meet in the same cell (the exact-dup recall contract holds; "
-        "tests/test_ivf_index.py pins it).",
+        "flag. At replication scale both builds are write/floor-bound "
+        "(the flop asymmetry is the 1e9-vector story); the rows pin "
+        "that the routed build costs no more than the flat one while "
+        "search mirrors the routing, so identical vectors always meet "
+        "in the same cell (the exact-dup recall contract holds; "
+        "tests/test_ivf_index.py and the ivf_two_level_recall oracle "
+        "pin it).",
         "",
         "Generated by `scripts/scaling_check.py` (re-run with "
-        "`SCALING_MD=SCALING.md python scripts/scaling_check.py`).",
+        "`SCALING_MD=SCALING.md python scripts/scaling_check.py`); "
+        "artifact figures are the per-kernel/per-N MINIMUM over "
+        "independent runs (`scripts/scaling_merge.py`) — host "
+        "co-tenancy noise is additive, so min is the unbiased "
+        "kernel-shape estimator.",
         "",
     ]
     with open(path, "w") as f:

@@ -809,3 +809,72 @@ def test_random_series_matches_duckdb(spark, duck, seed):
     )
     probs = compare(df, duck, sql, f"series_fuzz{seed}")
     assert not probs, (kql, sql, probs)
+
+
+# Numeric-axis make-series (the second ap_make_series branch: bin by
+# floor division, integer-k spine) — value in [0, 100] binned at a
+# random numeric step, optionally grouped.
+
+N_NSERIES_CASES = 15
+
+
+def _gen_nseries_case(seed: int):
+    rng = random.Random(80_000 + seed)
+    step = rng.choice([5, 10, 20, 25, 2.5])
+    lo = rng.choice([0, 10, 25])
+    hi = rng.choice([80, 90, 100])
+    by = rng.random() < 0.5
+    agg_k, agg_s = rng.choice(
+        [("count()", "COUNT(*)"), ("dcount(user_id)", "COUNT(DISTINCT user_id)")]
+    )
+    kql = (
+        f"events | make-series n = {agg_k} default = 0 on value "
+        f"from {lo} to {hi} step {step}" + (" by event_type" if by else "")
+    )
+    # engine spine: nbin(lo) + k*step for k in 0..floor((nbin(hi)-nbin(lo))/step)
+    import math
+
+    blo = math.floor(lo / step) * step
+    bhi = math.floor(hi / step) * step
+    n_pts = int(math.floor((bhi - blo) / step)) + 1
+    bucket = f"FLOOR(value / {step}) * {step}"
+    if by:
+        sql = (
+            f"WITH pts AS (SELECT {blo} + (g - 1) * {step} AS b "
+            f"FROM generate_series(1, {n_pts}) t(g)), "
+            f"agg AS (SELECT event_type AS g, {bucket} AS b, {agg_s} AS v "
+            "FROM events GROUP BY 1, 2), "
+            "grid AS (SELECT t.g, p.b FROM "
+            "(SELECT DISTINCT event_type AS g FROM events) t CROSS JOIN pts p) "
+            "SELECT g.g AS event_type, "
+            f"CAST((g.b - {blo}) / {step} AS INT) AS idx, "
+            "CAST(COALESCE(a.v, 0) AS DOUBLE) AS v "
+            "FROM grid g LEFT JOIN agg a ON a.g = g.g AND a.b = g.b"
+        )
+    else:
+        sql = (
+            f"WITH pts AS (SELECT {blo} + (g - 1) * {step} AS b "
+            f"FROM generate_series(1, {n_pts}) t(g)), "
+            f"agg AS (SELECT {bucket} AS b, {agg_s} AS v FROM events GROUP BY 1) "
+            f"SELECT CAST((g.b - {blo}) / {step} AS INT) AS idx, "
+            "CAST(COALESCE(a.v, 0) AS DOUBLE) AS v "
+            "FROM pts g LEFT JOIN agg a ON a.b = g.b"
+        )
+    return kql, sql, by
+
+
+@pytest.mark.parametrize("seed", range(N_NSERIES_CASES))
+def test_random_numeric_series_matches_duckdb(spark, duck, seed):
+    from pyspark.sql import functions as F
+
+    register_views(duck, SF_ORACLE)
+    kql, sql, by = _gen_nseries_case(seed)
+    df = MeerkatEngine(spark, SF_ORACLE).kql(kql).to_df()
+    sel = (["event_type"] if by else []) + [F.posexplode("n").alias("idx", "v0")]
+    df = df.select(*sel).select(
+        *(["event_type"] if by else []),
+        "idx",
+        F.col("v0").cast("double").alias("v"),
+    )
+    probs = compare(df, duck, sql, f"nseries_fuzz{seed}")
+    assert not probs, (kql, sql, probs)

@@ -90,6 +90,9 @@ _BOUNDED_CROSS = {
     "knn_cosine_topk",
     "knn_recall_gate",
     "argmin_distance",
+    # r9: DSIR weights crossJoin a broadcast SINGLE-ROW totals
+    # aggregate (n_t, n_r, |V|) — the whitelisted 1-row-cross shape
+    "dsir_importance_score",
 }
 
 
