@@ -13,7 +13,6 @@ import json
 import os
 import sys
 import time
-import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -62,6 +61,14 @@ HEADLINE = [
     # build->search lifecycle at the sqrt(corpus) cell default
     "semdedup_planted",
     "ivf_persisted_recall",
+    # round-10 additions (VERDICT r9 ask #6 + #7): the two r9 operators
+    # that had no wall-time tracking — DSIR importance weighting (fit +
+    # score, collect-free) and BPE train+encode on the planted vocab —
+    # plus the int8-quantized IVF lifecycle (coarse int8 scoring +
+    # float rerank) so its cost is tracked beside the float index
+    "dsir_importance_score",
+    "bpe_tokenize_planted",
+    "ivf_quantized_recall",
 ]
 
 
@@ -91,6 +98,41 @@ def sf_of(path: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def run_headline(
+    spark, sf_dir: str, runs: int, names: list[str] | None = None
+) -> tuple[dict[str, float], dict[str, dict[str, int]]]:
+    """Time each headline query (min-of-`runs`, noop sink) and return
+    (timings, warning_map). warning_map attributes every Python warning
+    raised during a query's runs to (query, warning-category) — VERDICT
+    r9 'what's wrong' #3: an aggregate count hid which queries warned
+    and would hide a NEW warning class entirely. The expected set is
+    pinned by tests/test_registry.py so drift fails CI."""
+    import warnings
+
+    from meerkat_spark import suite  # noqa: F811 — callable standalone
+
+    qs = suite.queries()
+    timings: dict[str, float] = {}
+    warn_map: dict[str, dict[str, int]] = {}
+    for name in names or HEADLINE:
+        best = float("inf")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            for _ in range(runs):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        for w in caught:
+            cat = w.category.__name__
+            warn_map.setdefault(name, {})[cat] = (
+                warn_map.get(name, {}).get(cat, 0) + 1
+            )
+    return timings, warn_map
 
 
 def main() -> None:
@@ -128,25 +170,7 @@ def main() -> None:
     # single-run figure is unusable for round-over-round comparison.
     # min (not mean) because noise on this host is strictly additive.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    # The repo's own serialized-window guard (translator.py
-    # _guard_serialized) warns by design on the partition-less
-    # window_session_greedy query; capture-and-count instead of
-    # spilling UserWarnings into the artifact tail (VERDICT r8
-    # 'what's wrong' #1) — the count still surfaces in the JSON.
-    guard_warnings = 0
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        for name in HEADLINE:
-            best = float("inf")
-            for _ in range(runs):
-                t0 = time.time()
-                qs[name](spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-        guard_warnings = len(caught)
+    timings, warn_map = run_headline(spark, SF_DIR, runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -157,7 +181,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_of(SF_DIR),
-                "guard_warnings": guard_warnings,
+                # total kept for round-over-round comparability; the
+                # map attributes every warning to (query, category)
+                "guard_warnings": sum(
+                    c for per_q in warn_map.values() for c in per_q.values()
+                ),
+                "guard_warning_map": warn_map,
                 "cpu_probe_sec": cpu_probe(),
             }
         )

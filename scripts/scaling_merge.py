@@ -43,7 +43,19 @@ def main() -> None:
     base = runs[0]
     merged: dict[str, dict[str, float]] = {}
     for r in runs:
+        # ADVICE r10: min-merging runs from a different corpus or a
+        # different code revision (kernel set drift) silently produces
+        # a SCALING.md that mixes incomparable measurements — fail
+        # loudly instead.
         assert r["replications"] == base["replications"], "replication mismatch"
+        assert r["sf_dir"] == base["sf_dir"], (
+            f"sf_dir mismatch: {r['sf_dir']} != {base['sf_dir']} — "
+            "runs measured different corpora"
+        )
+        assert set(r["seconds"]) == set(base["seconds"]), (
+            "kernel-set mismatch (stale-revision capture?): "
+            f"{sorted(set(r['seconds']) ^ set(base['seconds']))}"
+        )
         for k, pts in r["seconds"].items():
             for n, t in pts.items():
                 cur = merged.setdefault(k, {})

@@ -213,3 +213,23 @@ def test_default_n_cells_scales_sqrt(spark, tmp_path):
     out = ivf_search(spark, idx, q, k=3, n_probe=4)
     per_q = {r.query_id for r in out.collect()}
     assert len(per_q) == 4
+
+
+def test_build_routes_to_hierarchical_above_flat_bound(spark, tmp_path):
+    """build_ivf_index must select the hierarchical trainer exactly when
+    the flat sample collect would exceed FLAT_TRAIN_MAX_ROWS — the
+    scale rule that keeps small builds on the cheap single-collect path
+    while a sqrt(corpus) build at real scale never collects
+    n_cells*train_factor rows."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+
+    knn._LAST_TRAIN_COLLECTS.clear()
+    build_ivf_index(emb, str(tmp_path / "flat"), n_cells=16, train_factor=64)
+    assert [lbl for lbl, _ in knn._LAST_TRAIN_COLLECTS] == ["flat_sample"]
+
+    knn._LAST_TRAIN_COLLECTS.clear()
+    # 130 * 512 = 66560 > 65536 -> hierarchical (sample rows are capped
+    # by the 500-row corpus, so this stays cheap to run)
+    build_ivf_index(emb, str(tmp_path / "hier"), n_cells=130, train_factor=512)
+    labels = [lbl for lbl, _ in knn._LAST_TRAIN_COLLECTS]
+    assert "hier_centroids" in labels, labels

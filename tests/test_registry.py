@@ -138,3 +138,24 @@ def test_scaling_exponents_stay_sublinear():
     assert len(rows) >= 10, f"SCALING.md table missing/short: {rows}"
     hot = [(k, e) for k, e in rows if e > 1.2]
     assert not hot, f"super-linear scaling exponents (all-pairs risk): {hot}"
+
+
+def test_bench_warning_attribution_pins_expected_set(spark):
+    """VERDICT r9 'what's wrong' #3: bench warnings are attributed per
+    (query, category), and the expected set is pinned so a NEW warning
+    class (broadcast-threshold, state-leak, ...) fails CI instead of
+    hiding inside an aggregate count. ResourceWarning is GC-timed py4j
+    socket noise — allowed anywhere, never asserted present. The only
+    expected deliberate warning is the serialized-window guard
+    (UserWarning) on window_session_greedy."""
+    import bench
+
+    timings, warn_map = bench.run_headline(spark, SF_SMOKE, runs=1)
+    assert set(timings) == set(bench.HEADLINE)
+    deliberate = {
+        (name, cat)
+        for name, per in warn_map.items()
+        for cat in per
+        if cat != "ResourceWarning"
+    }
+    assert deliberate == {("window_session_greedy", "UserWarning")}, deliberate
