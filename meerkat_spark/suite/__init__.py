@@ -56,76 +56,75 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-9 rotation (VERDICT r8 ask #1) — ALL 50 slots are oracle-backed
+# Round-10 rotation (VERDICT r9 ask #4) — ALL 50 slots are oracle-backed
 # (the driver has no rows-only fallback; round 6 burned 5 slots on
 # `err: no_oracle` rows).
-# (a) round-9 code-change re-grades (fixes preempt staleness): the
-# ADVICE fixes touched semdedup star routing (hash-collision byte
-# verify) and summarize multi-assign column splicing; the scalar
-# pack/bag_zip/computed-index fixes land in the r4-stale scalar_*
-# names already in (b); the r9 two-level IVF change touches
-# ivf_index.py, so ivf_persisted_recall re-grades and the new
-# ivf_two_level_recall + dsir_importance_score + the two planted BPE
-# queries grade fresh.
-# (b) the 17 r4-stale oracle-backed names — after this round no green
-# grade is older than r5.
-# (c) the oldest r5-stale names alphabetically (26 of 42 fit; the
-# remainder — scalar_format_fns onward — rotates in next round).
+# (a) round-10 code-change re-grades: ivf_index.py/knn.py changed
+# (hierarchical training, empty-super fix, quantized lifecycle), so
+# both persisted-IVF names re-grade and the new ivf_quantized_recall
+# grades fresh; text/bpe.py changed (local trainer + broadcast
+# encode + apply_bpe auto-routing), so both planted BPE names
+# re-grade. The translator in()-expression change re-grades through
+# where_project in (b).
+# (b) the 16 names whose newest green is r5 (scalar_format_fns onward
+# per the r9 queue) — after this round no green grade is older than r6.
+# (c) the oldest r6-stale names alphabetically (29 of 44 fit; the
+# remainder — mv_expand_zip onward — rotates in next round).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) round-9 code-change re-grades
-    "semdedup_planted",
-    "summarize_multiassign",
+    # (a) round-10 code-change re-grades
     "ivf_persisted_recall",
     "ivf_two_level_recall",
-    "dsir_importance_score",
+    "ivf_quantized_recall",
     "bpe_merges_planted",
     "bpe_tokenize_planted",
-    # (b) r4-stale oracle-backed cohort (all 17)
-    "pack_chunks_op",
-    "range_join_price_bands",
-    "sample_distinct_hash_op",
-    "sample_hash_op",
-    "scalar_array_ops",
-    "scalar_arrays",
-    "scalar_datetime_extended",
-    "scalar_dynamic_json",
-    "scalar_extract_regex",
-    "scalar_misc",
-    "scalar_predicates",
-    "scalar_strings_extended",
-    "stratified_sample_hash_op",
-    "summarize_bin_1h",
-    "text_decontaminate_pairs",
-    "text_repetition",
-    "top_nested_with_others",
-    # (c) oldest r5-stale names, alphabetical (first 26)
-    "active_users_count_op",
-    "activity_engagement_op",
-    "agg_percentilew",
-    "count_op",
-    "dedup_incremental_index",
-    "distinct_op",
-    "embedding_quantize_int8",
-    "extend_compute",
-    "funnel_completion_op",
-    "funnel_sequence_op",
-    "geohash_roundtrip",
-    "gopher_quality_filter",
-    "ipv4_lookup_op",
-    "join_inner_agg",
-    "kql_basket",
-    "kql_diffpatterns",
-    "kql_externaldata",
-    "kql_graph_match",
-    "kql_graph_shortest_paths",
-    "kql_reduce_by",
-    "kql_union_withsource",
-    "project_away_rename",
-    "project_keep_wildcard",
-    "retention_matrix_op",
-    "rolling_percentile_op",
-    "rows_near_errors",
+    # (b) r5-stale oracle-backed cohort (all 16)
+    "scalar_format_fns",
+    "scalar_ipv6_family",
+    "scalar_round5_extras",
+    "scalar_series_similarity",
+    "scalar_string_bytes",
+    "sequence_detect_op",
+    "series_fit_line_oracle",
+    "session_count_op",
+    "sliding_window_counts_op",
+    "sort_take_asc",
+    "text_language_id_oracle",
+    "text_quality_score_oracle",
+    "tfidf_top_terms",
+    "top_orders",
+    "vocab_top_tokens",
+    "where_project",
+    # (c) oldest r6-stale names, alphabetical (first 29)
+    "activity_counts_metrics_op",
+    "activity_metrics_op",
+    "agg_argmax_argmin",
+    "agg_binary_all",
+    "agg_conditional",
+    "agg_dcount",
+    "agg_distinct_variants",
+    "agg_make_list_if",
+    "agg_make_set",
+    "agg_percentiles",
+    "agg_percentilesw",
+    "agg_stats",
+    "agg_take_any",
+    "diffpatterns_text_op",
+    "find_in_tables",
+    "geo_polygon_ops",
+    "join_fullouter",
+    "join_innerunique",
+    "join_leftanti",
+    "join_leftouter",
+    "join_leftsemi",
+    "kql_argmax_star",
+    "kql_graph_to_table",
+    "kql_invoke_tabular",
+    "kql_make_series_numeric",
+    "kql_parse_kv_op",
+    "kql_parse_kv_regex",
+    "kql_pred_extensions",
+    "kql_search_qualified",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -371,3 +371,84 @@ def test_session_window_batch_stream_parity(spark, replayed, tmp_path):
     max_real = max(w[1] for w in want)
     got = {t for t in got if t[0] <= max_real}
     assert got == want
+
+
+def test_incremental_dedup_index_batch_stream_parity(spark, tmp_path):
+    """VERDICT r9 stretch #8: the incremental MinHash dedup index
+    (text/dedup_index.py) fed by a replayed file stream keeps exactly
+    the docs the identical per-batch pipeline keeps when run in plain
+    batch over the same ordered chunks — streaming adds replay
+    machinery (foreachBatch over micro-batches), not semantics. Each
+    step dedups the incoming batch against the persisted index AND
+    itself (drop every candidate id2: collides with the index or an
+    earlier same-batch doc), then appends only the keepers' postings."""
+    import pandas as pd
+
+    from meerkat_spark.text.dedup_index import (
+        build_minhash_index,
+        extend_minhash_index,
+        incremental_dedup_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+        .toPandas()
+    )
+    # exact copies of every 3rd doc appended at the tail -> they arrive
+    # in LATER micro-batches than their originals (cross-batch dups)
+    copies = docs.iloc[::3].copy()
+    copies["doc_id"] += 100_000
+    arr = pd.concat([docs, copies], ignore_index=True)
+    chunk_dir = str(tmp_path / "chunks")
+    _write_replay_chunks(spark, arr, chunk_dir, n_chunks=4)
+
+    # seed corpus already in the index: copies of the first 5 docs, so
+    # those originals must be dropped as dups OF THE INDEX on arrival
+    seed = docs.iloc[:5].copy()
+    seed["doc_id"] += 200_000
+    seed_df = spark.createDataFrame(seed)
+    idx_stream, idx_batch = str(tmp_path / "idx_s"), str(tmp_path / "idx_b")
+    build_minhash_index(seed_df, idx_stream)
+    build_minhash_index(seed_df, idx_batch)
+
+    def step(batch_df, idx_path: str) -> set[int]:
+        pairs = incremental_dedup_pairs(batch_df, idx_path)
+        drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
+        keepers = batch_df.join(drops, "doc_id", "left_anti")
+        extend_minhash_index(keepers, idx_path)
+        return {r.doc_id for r in keepers.select("doc_id").collect()}
+
+    stream_keepers: set[int] = set()
+    schema = spark.createDataFrame(arr.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _eid: stream_keepers.update(step(df, idx_stream))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch_keepers: set[int] = set()
+    chunks = sorted(
+        f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+    )
+    assert len(chunks) == 4
+    for f in chunks:
+        bdf = spark.read.parquet(os.path.join(chunk_dir, f))
+        batch_keepers.update(step(bdf, idx_batch))
+
+    assert stream_keepers == batch_keepers
+    # the planted contracts: seed-dup originals dropped, late exact
+    # copies dropped (their originals or the seed are in the index)
+    assert not (set(docs.iloc[:5]["doc_id"]) & stream_keepers)
+    kept_copies = {d for d in stream_keepers if d >= 100_000}
+    assert not kept_copies, kept_copies
