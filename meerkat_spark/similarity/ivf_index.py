@@ -310,6 +310,12 @@ def ivf_search(
             coarse.withColumn("rq", F.row_number().over(wq))
             .filter(F.col("rq") <= refine_n)
             .select("query_id", "neighbor_id")
+            # materialize the (tiny: <= n_queries*refine_n rows)
+            # candidate table ONCE — both consumers below (the id
+            # collect for the pushdown filter and the broadcast rerank
+            # join) would otherwise each re-execute the whole coarse
+            # scoring scan
+            .localCheckpoint(eager=True)
         )
         # bounded collect (≤ n_queries * refine_n ids, and n_queries is
         # already hard-capped by queries_to_pdf): the literal isin below
