@@ -1,0 +1,206 @@
+"""Product quantization (PQ) for memory-bounded ANN over embedding
+columns (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+Search" — the FAISS `PQx` index family): split the dimension into `m`
+subspaces, train `k` centroids per subspace on a bounded deterministic
+sample, and store each vector as `m` small codes (one centroid id per
+subspace) — dim*4 bytes become m bytes (e.g. 64-dim float32 -> 8 bytes
+at m=8, a 32x compression vs the 4x of scalar int8).
+
+Scale design (the same discipline as ivf_index.py / quantize.py):
+- training: per-subspace k-means on a hash-ordered bounded sample,
+  driver numpy — the codebook is m*k*dsub floats (KB), independent of
+  corpus size; the collect is hard-capped like the IVF trainer's.
+- encode: ONE row-local mapInPandas pass — per batch, an (n, k) gemm
+  per subspace and an argmin; zero shuffle, codes ship as
+  array<smallint>.
+- search (ADC, asymmetric distance computation): per query build an
+  m x k lookup table of subspace inner products (driver numpy, tiny),
+  then score stored codes by LUT gather inside mapInPandas — the
+  corpus scan reads ONLY the m-byte code column, never the floats.
+  Queries stay full-precision (the "asymmetric" in ADC), so ranking
+  quality beats symmetric code-vs-code distance at the same bitrate.
+
+Determinism: the training sample is hash-ordered (xxhash64 of the id),
+k-means init is every row in order — identical vectors therefore
+encode to identical codes (same codebook, same argmin, ties broken by
+first index), which is the construction-exact contract the
+pq_codes_planted suite oracle pins. The BLAS last-ulp caveat
+documented for IVF routing (ivf_index.py build docstring) applies here
+too and has the same never-observed status.
+
+Reference anchor: the reference has no vector surface (storage-only
+Rust); PQ is LLM-pipeline extension surface beside knn.py/quantize.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from meerkat_spark.similarity import knn
+
+# Hard cap on training rows collected to the driver (the knn trainer
+# contract): k * train_factor rows at m-independent cost.
+MAX_PQ_TRAIN_ROWS = 1 << 18
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_factor: int = 64,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Train per-subspace codebooks; returns (m, k_eff, dsub) float64.
+    dim must divide by m. k_eff <= k when the sample is smaller than k
+    (tiny corpora). L2 k-means per subspace (PQ quantizes raw
+    subvectors, not directions — unlike the spherical coarse trainer)."""
+    train_n = min(k * train_factor, MAX_PQ_TRAIN_ROWS)
+    sample = (
+        emb.select(
+            F.col(id_col).alias("pid"), knn._to_double(F.col(vec_col)).alias("pv")
+        )
+        .withColumn("hk", F.xxhash64(F.col("pid")))
+        .orderBy("hk")
+        .limit(train_n)
+        .select("pv")
+        .collect()
+    )
+    X = np.stack([np.asarray(r.pv, dtype=np.float64) for r in sample])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k_eff = min(k, len(X))
+    books = np.empty((m, k_eff, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:k_eff].copy()  # hash order ⇒ pseudo-random init
+        for _ in range(n_iter):
+            # ||s - c||^2 argmin == argmax(2 s.c - ||c||^2)
+            assign = (2 * S @ C.T - (C * C).sum(axis=1)).argmax(axis=1)
+            for c in range(k_eff):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _encode_matrix(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) int32 codes: per-subspace L2 argmin."""
+    m, _, dsub = books.shape
+    codes = np.empty((len(X), m), dtype=np.int32)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = books[j]
+        codes[:, j] = (2 * S @ C.T - (C * C).sum(axis=1)).argmax(axis=1)
+    return codes
+
+
+def encode_pq(
+    emb: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint>) — one row-local Arrow pass; the
+    codebook (KB) ships in the UDF closure."""
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = _encode_matrix(X, books)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes.astype(np.int16))}
+            )
+
+    c = emb.select(id_col, knn._to_double(F.col(vec_col)).alias(vec_col))
+    return c.mapInPandas(enc, f"{id_col} long, codes array<smallint>")
+
+
+def adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k by inner product: (query_id,
+    neighbor_id, score, rank). The query matrix is collected bounded
+    (knn.queries_to_pdf contract) and turned into per-query m x k
+    LUTs; the corpus side reads ONLY (id, codes) and scores each row
+    with an m-gather LUT sum — no floats, no shuffle before the final
+    per-query top-k."""
+    q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
+    m, k_eff, dsub = books.shape
+    if not len(q_pdf):
+        return codes_df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
+    Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    qids = q_pdf["query_id"].to_numpy()
+    # LUT[q, j, c] = <Q[q] subspace j, centroid c>
+    lut = np.empty((len(Q), m, k_eff))
+    for j in range(m):
+        lut[:, j, :] = Q[:, j * dsub : (j + 1) * dsub] @ books[j].T
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            rows = {"query_id": [], "neighbor_id": [], "score": []}
+            for qi, qid in enumerate(qids):
+                s = lut[qi, np.arange(m), C].sum(axis=1)  # (n,)
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], s[mask]
+                if len(cand_ids) > k:
+                    part = np.argpartition(-cand_s, k)[:k]
+                    cand_ids, cand_s = cand_ids[part], cand_s[part]
+                rows["query_id"].extend([int(qid)] * len(cand_ids))
+                rows["neighbor_id"].extend(cand_ids.tolist())
+                rows["score"].extend(cand_s.tolist())
+            yield pd.DataFrame(rows)
+
+    scored = codes_df.select(id_col, "codes").mapInPandas(
+        score, "query_id long, neighbor_id long, score double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", round_dp).alias("score"), "rank"
+        )
+    )
+
+
+def reconstruct_pq(codes_df: DataFrame, books: np.ndarray) -> DataFrame:
+    """(id, recon array<double>) — decode codes back to the centroid
+    concatenation (for error measurement / debugging)."""
+
+    def dec(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            parts = [books[j][C[:, j]] for j in range(books.shape[0])]
+            R = np.concatenate(parts, axis=1)
+            out = pdf.iloc[:, :1].copy()
+            out["recon"] = list(R)
+            yield out
+
+    first = codes_df.columns[0]
+    return codes_df.mapInPandas(dec, f"{first} long, recon array<double>")

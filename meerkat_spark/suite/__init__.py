@@ -68,16 +68,21 @@ def load_all() -> None:
 # where_project in (b).
 # (b) the 16 names whose newest green is r5 (scalar_format_fns onward
 # per the r9 queue) — after this round no green grade is older than r6.
-# (c) the oldest r6-stale names alphabetically (29 of 44 fit; the
-# remainder — mv_expand_zip onward — rotates in next round).
+# (c) the oldest r6-stale names alphabetically (27 of 44 fit; the
+# remainder — kql_pred_extensions onward — rotates in next round;
+# never-graded new names outrank stale re-grades, so the two r10
+# registrations pq_codes_planted / kql_in_expr_subquery take the last
+# two slots).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) round-10 code-change re-grades
+    # (a) round-10 code-change re-grades + new registrations
     "ivf_persisted_recall",
     "ivf_two_level_recall",
     "ivf_quantized_recall",
     "bpe_merges_planted",
     "bpe_tokenize_planted",
+    "pq_codes_planted",
+    "kql_in_expr_subquery",
     # (b) r5-stale oracle-backed cohort (all 16)
     "scalar_format_fns",
     "scalar_ipv6_family",
@@ -123,8 +128,6 @@ _PRIORITY: list[str] = [
     "kql_make_series_numeric",
     "kql_parse_kv_op",
     "kql_parse_kv_regex",
-    "kql_pred_extensions",
-    "kql_search_qualified",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -695,3 +695,22 @@ _register_kql(
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
+
+# r10 — the in()-subquery-as-EXPRESSION path (translator registers a
+# broadcast membership join with a boolean marker column when the
+# subquery exceeds the 10k-literal bound; at sf0.01 orders has 15,000
+# distinct o_orderkey values, so the driver grade exercises the JOIN
+# path, while sf0.001 folds to the literal — both must match the same
+# DuckDB IN-subquery twin).
+_register_kql(
+    "kql_in_expr_subquery",
+    """events
+       | extend known = event_id in ((orders | project o_orderkey))
+       | summarize n = count() by known
+       | sort by known asc""",
+    """
+    SELECT (event_id IN (SELECT o_orderkey FROM orders)) AS known,
+           COUNT(*) AS n
+    FROM events GROUP BY known ORDER BY known
+    """,
+)

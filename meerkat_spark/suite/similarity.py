@@ -436,6 +436,53 @@ def ivf_quantized_recall(spark, sf_dir):
 
 
 @register(
+    "pq_codes_planted",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(vec_id + 1000000 AS BIGINT) AS copy_id,
+           TRUE AS codes_match
+    FROM embeddings WHERE vec_id % 10 = 0 ORDER BY vec_id
+    """,
+)
+def pq_codes_planted(spark, sf_dir):
+    """ORACLE-BACKED product quantization (r10 — similarity/pq.py,
+    Jegou et al. 2011): plant an exact copy (+1M) of every 10th
+    embedding, train per-subspace codebooks on the combined corpus
+    (bounded hash-ordered sample, driver k-means — deterministic init),
+    encode everything in one row-local Arrow pass, and assert each
+    copy's m codes are byte-identical to its source's. Identical
+    vectors MUST quantize identically (same codebook, same argmin,
+    first-index ties) — construction-exact while exercising training,
+    the encode kernel, and the code join."""
+    from meerkat_spark.similarity.pq import encode_pq, train_pq
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    books = train_pq(corpus, m=8, k=256)
+    codes = encode_pq(corpus, books)
+    src = codes.filter(F.col("vec_id") < 1_000_000).select(
+        F.col("vec_id"), F.col("codes").alias("src_codes")
+    )
+    cp = codes.filter(F.col("vec_id") >= 1_000_000).select(
+        (F.col("vec_id") - 1_000_000).alias("vec_id"),
+        F.col("vec_id").alias("copy_id"),
+        F.col("codes").alias("copy_codes"),
+    )
+    return (
+        src.join(F.broadcast(cp), "vec_id")
+        .select(
+            "vec_id",
+            "copy_id",
+            (F.col("src_codes") == F.col("copy_codes")).alias("codes_match"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "semdedup_planted",
     oracle="""
     SELECT CAST(vec_id AS BIGINT) AS vec_id
