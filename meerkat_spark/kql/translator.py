@@ -1837,15 +1837,16 @@ class Translator:
         ]
         if not joins:
             saved = self._in_join_ok
+            base = len(self._pending_in_joins)
             self._in_join_ok = True
             try:
                 pred = _c(self.expr(a["pred"]))
             finally:
                 self._in_join_ok = saved
-            if self._pending_in_joins:
+            if len(self._pending_in_joins) > base:
                 # nested in()-subquery (under or/iff/...) too large for
                 # a literal: membership join, filter on the marker
-                df, drops = self._consume_in_joins(t.df)
+                df, drops = self._consume_in_joins(t.df, base)
                 return MeerkatTable(df.filter(pred).drop(*drops))
             return t.where(pred)
         rest = [c for c in conjuncts if c not in joins]
@@ -1865,16 +1866,21 @@ class Translator:
     # to the join path (documented extension).
     _IN_LITERAL_MAX = 10_000
 
-    def _consume_in_joins(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
-        """Apply every pending in()-subquery membership join to `df`:
-        each becomes a broadcast LEFT join against the distinct value
-        set plus a boolean marker column reproducing isin's null
-        semantics (null LHS -> null, hit -> true/false, negation
-        included) — the expression that registered the join references
-        the marker. Returns (joined df, marker columns to drop after
-        the consuming operator projects)."""
+    def _consume_in_joins(
+        self, df: DataFrame, base: int = 0
+    ) -> tuple[DataFrame, list[str]]:
+        """Apply the in()-subquery membership joins registered SINCE
+        `base` to `df` (a consumer snapshots len(_pending_in_joins)
+        before its expr calls, so a nested subquery's where/extend
+        can't consume an OUTER operator's pending joins against the
+        wrong table): each becomes a broadcast LEFT join against the
+        distinct value set plus a boolean marker column reproducing
+        isin's null semantics (null LHS -> null, hit -> true/false,
+        negation included) — the expression that registered the join
+        references the marker. Returns (joined df, marker columns to
+        drop after the consuming operator projects)."""
         drops: list[str] = []
-        for j in self._pending_in_joins:
+        for j in self._pending_in_joins[base:]:
             right = j["vals"].withColumn("__in_hit", F.lit(True))
             lhs = F.lower(j["col"]) if j["ci"] else j["col"]
             joined = df.join(
@@ -1888,7 +1894,7 @@ class Translator:
                 "__in_val", "__in_hit"
             )
             drops.append(j["marker"])
-        self._pending_in_joins = []
+        del self._pending_in_joins[base:]
         return df, drops
 
     def _in_subquery_filter(self, df, node: P.InList):
@@ -1923,6 +1929,7 @@ class Translator:
     def ap_project(self, t, a):
         cols = []
         saved = self._in_join_ok
+        base = len(self._pending_in_joins)
         self._in_join_ok = True
         try:
             for i, (name, e) in enumerate(a["cols"]):
@@ -1935,13 +1942,15 @@ class Translator:
                     cols.append(_c(c).alias(f"Column{i+1}"))
         finally:
             self._in_join_ok = saved
-        if self._pending_in_joins:
-            df, _ = self._consume_in_joins(t.df)
+        if len(self._pending_in_joins) > base:
+            df, _ = self._consume_in_joins(t.df, base)
             return MeerkatTable(df.select(*cols))  # select drops markers
         return MeerkatTable(t.df.select(*cols))
 
     def ap_extend(self, t, a):
         from pyspark.sql import Window as W
+
+        in_base = len(self._pending_in_joins)
 
         if a.get("multi"):
             # (a, b, …) = struct_fn(…): evaluate the struct ONCE, then
@@ -2132,8 +2141,8 @@ class Translator:
                 named[out_name] = _c(self.expr(e))
             finally:
                 self._in_join_ok = saved
-        if self._pending_in_joins:
-            df, drops = self._consume_in_joins(t.df)
+        if len(self._pending_in_joins) > in_base:
+            df, drops = self._consume_in_joins(t.df, in_base)
             out = MeerkatTable(df).extend(**named)
             return MeerkatTable(out.df.drop(*drops))
         return t.extend(**named) if named else t

@@ -152,8 +152,6 @@ def _train_bpe_local(
     - a lazy max-heap keyed (-count, left, right) reproduces the exact
       in-engine tie-break; stale entries are discarded on pop by
       comparing against the live count."""
-    import heapq
-
     wf = word_freqs(df, text_col)
     if min_word_freq > 1:
         wf = wf.filter(F.col("freq") >= min_word_freq)
@@ -164,8 +162,24 @@ def _train_bpe_local(
             "words; raise min_word_freq to bound the vocabulary tail before "
             "local BPE training"
         )
-    words: list[list[str]] = [list(r.word) for r in rows]
-    freqs: list[int] = [int(r.freq) for r in rows]
+    return _train_bpe_from_freqs(
+        [(r.word, int(r.freq)) for r in rows], n_merges, min_pair_count
+    )
+
+
+def _train_bpe_from_freqs(
+    word_freq_rows: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int = 1,
+) -> list[tuple[int, str, str, int]]:
+    """The pure heap-based merge loop over an in-memory word-frequency
+    table — split from the Spark wrapper so the tie-break/overlap
+    semantics can be fuzzed directly against the reference
+    implementation (tests/test_bpe.py) without a corpus scan per seed."""
+    import heapq
+
+    words: list[list[str]] = [list(w) for w, _ in word_freq_rows]
+    freqs: list[int] = [f for _, f in word_freq_rows]
 
     pair_counts: dict[tuple[str, str], int] = {}
     occurs_in: dict[tuple[str, str], set[int]] = {}

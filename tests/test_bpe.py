@@ -218,3 +218,23 @@ def test_thousand_merge_vocab_trains_and_encodes_fast(spark):
     # compile a 1000-merge chain in this budget
     assert train_s < 60, train_s
     assert encode_s < 60, encode_s
+
+
+def test_local_heap_trainer_fuzz_vs_reference():
+    """50-seed pure-driver fuzz of the heap trainer against the
+    dict-based reference: random small-alphabet vocabularies maximize
+    overlap/tie/decrement traffic through the lazy heap (the failure
+    modes incremental pair maintenance can have). No Spark involved —
+    the heap loop is fuzzed through its pure entry point."""
+    from meerkat_spark.text.bpe import _train_bpe_from_freqs
+
+    for seed in range(50):
+        rng = random.Random(seed)
+        freqs: dict[str, int] = {}
+        for _ in range(rng.randrange(5, 40)):
+            w = "".join(rng.choice("aab") for _ in range(rng.randrange(1, 9)))
+            freqs[w] = freqs.get(w, 0) + rng.randrange(1, 9)
+        n = rng.randrange(1, 12)
+        got = _train_bpe_from_freqs(sorted(freqs.items()), n)
+        want = _py_bpe(freqs, n)
+        assert got == want, (seed, got, want)

@@ -3100,3 +3100,32 @@ def test_in_subquery_expression_large_uses_join_not_collect(spark, monkeypatch):
     )
     assert got[0][0] == len(keys) - n_in
     assert max(sizes) <= 10_001, f"driver collect of {max(sizes)} rows"
+
+
+def test_in_expression_join_path_equals_literal_path(spark, monkeypatch):
+    """Null-semantics equivalence: forcing the expression-context in()
+    membership JOIN on a small subquery (threshold monkeypatched to 3)
+    must produce byte-identical results to the literal isin path —
+    including null LHS rows (null stays null: countif drops them,
+    extend stores null) and negation."""
+    from meerkat_spark.kql.translator import Translator
+
+    kql = """events
+       | extend uid = iff(event_id % 13 == 0, int(null), user_id)
+       | extend hit = uid in ((events | where value > 30 and user_id % 7 == 0 | project user_id)),
+                miss = uid !in ((events | where value > 30 and user_id % 7 == 0 | project user_id))
+       | summarize n_hit = countif(hit), n_miss = countif(miss),
+                   n_null_hit = countif(isnull(hit)),
+                   n_null_miss = countif(isnull(miss))"""
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    literal = eng.kql(kql).to_df().collect()
+
+    monkeypatch.setattr(Translator, "_IN_LITERAL_MAX", 3)
+    eng2 = MeerkatEngine(spark, SF_ORACLE)
+    joined = eng2.kql(kql).to_df().collect()
+
+    assert literal == joined, (literal, joined)
+    r = literal[0]
+    assert r.n_null_hit > 0 and r.n_null_hit == r.n_null_miss  # nulls stayed null
+    assert r.n_hit > 0 and r.n_miss > 0
