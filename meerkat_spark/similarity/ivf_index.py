@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -75,6 +76,7 @@ def build_ivf_index(
     n_iter: int = 5,
     two_level: bool = False,
     quantize: bool = False,
+    pq_m: int | None = None,
 ) -> None:
     """Train centroids, assign the corpus, persist both under `path`:
     centroids.parquet (n_cells rows) + assigned/ partitioned by cell_id.
@@ -114,7 +116,19 @@ def build_ivf_index(
     scale-invariant, so not even q_scale is read — 8x less scoring IO
     per probe than the float column) and reranks a small refined set in
     float via a neighbor_id-pushdown read that Parquet row-group stats
-    can prune because of the in-partition sort."""
+    can prune because of the in-partition sort.
+
+    `pq_m=m` builds the IVFPQ composition instead (the FAISS
+    billion-scale shape): per-subspace PQ codebooks train on a bounded
+    sample (similarity/pq.py), every vector stores m sub-byte codes
+    beside the floats, and search scores candidates by ADC lookup-table
+    gather over ONLY the m-byte code column (dim*8 bytes -> m bytes of
+    scoring IO, e.g. 64x at m=8/dim64) before the float rerank.
+    Identical vectors encode to identical codes, so the planted
+    exact-dup contract survives (ivfpq_recall). Mutually exclusive
+    with quantize."""
+    if quantize and pq_m:
+        raise ValueError("choose ONE of quantize (SQ8) or pq_m (IVFPQ)")
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), knn._to_double(F.col(vec_col)).alias("cv")
     )
@@ -130,6 +144,18 @@ def build_ivf_index(
         cents = knn._train_centroids_hierarchical(c, n_cells, train_factor, n_iter)
     else:
         cents = knn._train_centroids_sample(c, n_cells, train_factor, n_iter)
+    pq_books = None
+    if pq_m:
+        from meerkat_spark.similarity import pq as pqmod
+
+        # train on L2-NORMALIZED vectors — the stored codes quantize
+        # directions, so search-side ADC approximates cosine
+        nrm = F.greatest(knn.norm(F.col("cv")), F.lit(1e-12))
+        emb_n = c.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.transform("cv", lambda x: x / nrm).alias("embedding"),
+        )
+        pq_books = pqmod.train_pq(emb_n, m=int(pq_m))
     supercents = super_of_cell = None
     if two_level:
         n_super = int(max(round(len(cents) ** 0.5), 2))
@@ -174,11 +200,23 @@ def build_ivf_index(
                 ).astype(np.int8)
                 pdf["q"] = list(codes)
                 pdf["q_scale"] = scale
+            if pq_books is not None:
+                from meerkat_spark.similarity.pq import _encode_matrix
+
+                # encode the NORMALIZED vectors: the search-side ADC
+                # scores <normalized query, reconstruction>, which then
+                # approximates cosine (identical vectors still encode
+                # identically — same normalization, same argmin)
+                pdf["codes"] = list(
+                    _encode_matrix(Cn, pq_books).astype(np.int16)
+                )
             yield pdf
 
     a_schema = "neighbor_id long, cv array<double>, cell_id long"
     if quantize:
         a_schema += ", q array<tinyint>, q_scale double"
+    if pq_books is not None:
+        a_schema += ", codes array<smallint>"
     assigned = c.mapInPandas(assign_cells, a_schema)
     # Cluster rows by cell BEFORE the partitioned write: without this,
     # every input task writes one file into every cell directory it
@@ -186,7 +224,7 @@ def build_ivf_index(
     # leg; at 1000 executors * 32k cells it would be tens of millions).
     # One shuffle keyed on cell_id makes it O(n_cells) files total.
     assigned = assigned.repartition("cell_id")
-    if quantize:
+    if quantize or pq_books is not None:
         # neighbor_id order inside each cell file ⇒ Parquet row-group
         # min/max stats make the rerank's neighbor_id pushdown prune
         assigned = assigned.sortWithinPartitions("cell_id", "neighbor_id")
@@ -194,6 +232,15 @@ def build_ivf_index(
         os.path.join(path, "assigned")
     )
     spark = emb.sparkSession
+    if pq_books is not None:
+        book_rows = [
+            (j, ci, [float(x) for x in pq_books[j, ci]])
+            for j in range(pq_books.shape[0])
+            for ci in range(pq_books.shape[1])
+        ]
+        spark.createDataFrame(
+            book_rows, "sub_id int, cent_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(os.path.join(path, "pq_codebooks"))
     sup_col = super_of_cell if super_of_cell is not None else np.zeros(len(cents), np.int64)
     cent_rows = [
         (i, [float(x) for x in cents[i]], int(sup_col[i])) for i in range(len(cents))
@@ -289,20 +336,62 @@ def ivf_search(
     assigned = assigned_all.filter(
         F.col("cell_id").isin(probed)  # -> partition pruning on the index layout
     )
-    if "q" in assigned_all.columns:
+    pq_dir = os.path.join(path, "pq_codebooks")
+    is_pq = os.path.isdir(pq_dir) and "codes" in assigned_all.columns
+    if is_pq or "q" in assigned_all.columns:
         refine_n = refine or max(8 * k, 32)
-        qcos = knn.cosine_pandas_udf()
-        coarse = (
-            assigned.select("cell_id", "neighbor_id", "q")
-            .join(F.broadcast(q_cells), "cell_id")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                qcos(F.col("qv"), F.col("q").cast("array<double>")).alias("sim_q"),
+        if is_pq:
+            # IVFPQ coarse pass: per-query ADC lookup tables built
+            # driver-side from the tiny codebook table; scoring gathers
+            # LUT entries over ONLY the m-byte code column.
+            book_rows = spark.read.parquet(pq_dir).collect()
+            m = max(r.sub_id for r in book_rows) + 1
+            k_eff = max(r.cent_id for r in book_rows) + 1
+            dsub = len(book_rows[0].centroid)
+            books = np.zeros((m, k_eff, dsub))
+            for r in book_rows:
+                books[r.sub_id, r.cent_id] = r.centroid
+            lut = np.empty((len(q_pdf), m, k_eff))
+            qidx = {}
+            for i in range(len(q_pdf)):
+                qidx[int(q_pdf["query_id"][i])] = i
+                lut[i] = np.einsum(
+                    "sd,skd->sk", Qn[i].reshape(m, dsub), books.reshape(m, k_eff, dsub)
+                )
+
+            @F.pandas_udf("double")
+            def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+                C = np.stack(codes.to_numpy()).astype(np.int64)
+                qi = np.array([qidx[int(q)] for q in qid.to_numpy()])
+                s = lut[qi[:, None], np.arange(m)[None, :], C].sum(axis=1)
+                return pd.Series(s)
+
+            coarse = (
+                assigned.select("cell_id", "neighbor_id", "codes")
+                .join(
+                    F.broadcast(q_cells.select("query_id", "cell_id")), "cell_id"
+                )
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    adc(F.col("query_id"), F.col("codes")).alias("sim_q"),
+                )
+                .dropDuplicates(["query_id", "neighbor_id"])
             )
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
+        else:
+            qcos = knn.cosine_pandas_udf()
+            coarse = (
+                assigned.select("cell_id", "neighbor_id", "q")
+                .join(F.broadcast(q_cells), "cell_id")
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    qcos(F.col("qv"), F.col("q").cast("array<double>")).alias("sim_q"),
+                )
+                .dropDuplicates(["query_id", "neighbor_id"])
+            )
         wq = W.partitionBy("query_id").orderBy(
             F.col("sim_q").desc(), F.col("neighbor_id").asc()
         )

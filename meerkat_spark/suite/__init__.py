@@ -68,17 +68,18 @@ def load_all() -> None:
 # where_project in (b).
 # (b) the 16 names whose newest green is r5 (scalar_format_fns onward
 # per the r9 queue) — after this round no green grade is older than r6.
-# (c) the oldest r6-stale names alphabetically (27 of 44 fit; the
-# remainder — kql_pred_extensions onward — rotates in next round;
-# never-graded new names outrank stale re-grades, so the two r10
-# registrations pq_codes_planted / kql_in_expr_subquery take the last
-# two slots).
+# (c) the oldest r6-stale names alphabetically (26 of 44 fit; the
+# remainder — kql_parse_kv_regex onward — rotates in next round;
+# never-graded new names outrank stale re-grades, so the three r10
+# registrations pq_codes_planted / kql_in_expr_subquery / ivfpq_recall
+# take the last three slots).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) round-10 code-change re-grades + new registrations
     "ivf_persisted_recall",
     "ivf_two_level_recall",
     "ivf_quantized_recall",
+    "ivfpq_recall",
     "bpe_merges_planted",
     "bpe_tokenize_planted",
     "pq_codes_planted",
@@ -127,7 +128,6 @@ _PRIORITY: list[str] = [
     "kql_invoke_tabular",
     "kql_make_series_numeric",
     "kql_parse_kv_op",
-    "kql_parse_kv_regex",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -436,6 +436,41 @@ def ivf_quantized_recall(spark, sf_dir):
 
 
 @register(
+    "ivfpq_recall",
+    oracle="""
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rank
+    FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id
+    """,
+)
+def ivfpq_recall(spark, sf_dir):
+    """ORACLE-BACKED IVFPQ lifecycle (r10 — the FAISS billion-scale
+    composition: IVF cell routing + per-subspace PQ codes + float
+    rerank): same planted-copy construction as ivf_persisted_recall,
+    built with pq_m=8 so the assigned table stores 8 sub-byte codes of
+    the NORMALIZED vector beside the floats. Search scores candidates
+    by per-query ADC lookup-table gather over only the code column
+    (dim*8 -> m bytes of scoring IO), then float-reranks the refined
+    set. An exact copy encodes to identical codes, ties the ADC
+    ceiling, survives the coarse cut, and must rerank to top-1 at
+    cosine 1.0 with n_probe=1."""
+    import tempfile
+
+    from meerkat_spark.similarity.ivf_index import build_ivf_index, ivf_search
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    path = tempfile.mkdtemp(prefix="mk_ivfpq_suite_")
+    build_ivf_index(corpus, path, pq_m=8)
+    res = ivf_search(spark, path, copies, k=1, n_probe=1)
+    return res.orderBy("query_id")
+
+
+@register(
     "pq_codes_planted",
     oracle="""
     SELECT CAST(vec_id AS BIGINT) AS vec_id,

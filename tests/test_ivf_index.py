@@ -233,3 +233,36 @@ def test_build_routes_to_hierarchical_above_flat_bound(spark, tmp_path):
     build_ivf_index(emb, str(tmp_path / "hier"), n_cells=130, train_factor=512)
     labels = [lbl for lbl, _ in knn._LAST_TRAIN_COLLECTS]
     assert "hier_centroids" in labels, labels
+
+
+def test_ivfpq_recall_and_mutual_exclusion(spark, tmp_path):
+    """IVFPQ composition (pq_m=8): planted exact dups rerank to top-1
+    at sim 1.0 through the ADC coarse pass; approximate recall on
+    ordinary queries stays above the floor; quantize and pq_m are
+    mutually exclusive."""
+    import os
+
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_index(emb.unionByName(dups), idx, n_cells=16, pq_m=8)
+    assert os.path.isdir(f"{idx}/pq_codebooks")
+
+    q = emb.filter(F.col("vec_id") < 10)
+    out = {r.query_id: r for r in ivf_search(spark, idx, q, k=1, n_probe=1).collect()}
+    assert len(out) == 10
+    for qid, r in out.items():
+        assert r.neighbor_id == qid + 100000 and r.sim == 1.0, r
+
+    q2 = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 28))
+    exact = _topk_sets(knn.brute_force_topk(emb.unionByName(dups), q2, k=5))
+    approx = _topk_sets(ivf_search(spark, idx, q2, k=5, n_probe=4))
+    recalls = [len(exact[qid] & approx.get(qid, set())) / 5 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+    with pytest.raises(ValueError, match="ONE of"):
+        build_ivf_index(emb, str(tmp_path / "x"), quantize=True, pq_m=8)
