@@ -1865,6 +1865,22 @@ class Translator:
     # broadcast semi join. Kusto's own 1M-value in() cap does not apply
     # to the join path (documented extension).
     _IN_LITERAL_MAX = 10_000
+    # Above this many distinct values the membership join drops the
+    # broadcast hint (a forced broadcast of an unbounded subquery —
+    # e.g. a billion-row id list at 100TB — would OOM every executor);
+    # the plain equi-join lets AQE pick broadcast/shuffle from runtime
+    # stats. Sized so the broadcast stays ~tens of MB. The size check
+    # is a bounded limit(N+1).count() probe, paid once at translation.
+    _IN_BROADCAST_MAX = 2_000_000
+
+    def _in_join_side(self, vals_df):
+        """Broadcast-hint the membership set only when a bounded count
+        probe proves it small enough to ship."""
+        big = (
+            vals_df.limit(self._IN_BROADCAST_MAX + 1).count()
+            > self._IN_BROADCAST_MAX
+        )
+        return vals_df if big else F.broadcast(vals_df)
 
     def _consume_in_joins(
         self, df: DataFrame, base: int = 0
@@ -1881,11 +1897,11 @@ class Translator:
         drop after the consuming operator projects)."""
         drops: list[str] = []
         for j in self._pending_in_joins[base:]:
-            right = j["vals"].withColumn("__in_hit", F.lit(True))
-            lhs = F.lower(j["col"]) if j["ci"] else j["col"]
-            joined = df.join(
-                F.broadcast(right), on=lhs == F.col("__in_val"), how="left"
+            right = self._in_join_side(
+                j["vals"].withColumn("__in_hit", F.lit(True))
             )
+            lhs = F.lower(j["col"]) if j["ci"] else j["col"]
+            joined = df.join(right, on=lhs == F.col("__in_val"), how="left")
             hit = F.coalesce(F.col("__in_hit"), F.lit(False))
             val = F.when(
                 j["col"].isNull(), F.lit(None).cast("boolean")
@@ -1917,14 +1933,15 @@ class Translator:
             if node.case_insensitive
             else F.col("__in_val")
         )
+        side = self._in_join_side(right)
         if node.negated:
             # match the literal path's null semantics: null LHS rows
             # are dropped by ~isin, while a bare anti join would keep
             # them
             return df.filter(col.isNotNull()).join(
-                F.broadcast(right), on=lhs == rhs, how="left_anti"
+                side, on=lhs == rhs, how="left_anti"
             )
-        return df.join(F.broadcast(right), on=lhs == rhs, how="left_semi")
+        return df.join(side, on=lhs == rhs, how="left_semi")
 
     def ap_project(self, t, a):
         cols = []

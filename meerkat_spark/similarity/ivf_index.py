@@ -351,6 +351,9 @@ def ivf_search(
             books = np.zeros((m, k_eff, dsub))
             for r in book_rows:
                 books[r.sub_id, r.cent_id] = r.centroid
+            from meerkat_spark.similarity.pq import _guard_lut
+
+            _guard_lut(len(q_pdf), m, k_eff)
             lut = np.empty((len(q_pdf), m, k_eff))
             qidx = {}
             for i in range(len(q_pdf)):

@@ -45,6 +45,24 @@ from meerkat_spark.similarity import knn
 # contract): k * train_factor rows at m-independent cost.
 MAX_PQ_TRAIN_ROWS = 1 << 18
 
+# Hard cap on per-query ADC lookup-table entries (n_queries * m * k
+# doubles): the LUT ships in every task closure, so an uncapped query
+# batch at the 65k queries_to_pdf bound with m=8/k=256 would serialize
+# ~1 GB per task. 2^24 entries = 128 MB — raise and tell the caller to
+# split the query batch instead of silently shipping gigabytes.
+MAX_ADC_LUT_ENTRIES = 1 << 24
+
+
+def _guard_lut(n_queries: int, m: int, k_eff: int) -> None:
+    entries = n_queries * m * k_eff
+    if entries > MAX_ADC_LUT_ENTRIES:
+        raise ValueError(
+            f"ADC lookup table would hold {entries} entries "
+            f"({n_queries} queries x {m} subspaces x {k_eff} centroids) > "
+            f"{MAX_ADC_LUT_ENTRIES}; split the query batch — the LUT ships "
+            "in every task closure"
+        )
+
 
 def train_pq(
     emb: DataFrame,
@@ -148,6 +166,7 @@ def adc_topk(
         )
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     qids = q_pdf["query_id"].to_numpy()
+    _guard_lut(len(Q), m, k_eff)
     # LUT[q, j, c] = <Q[q] subspace j, centroid c>
     lut = np.empty((len(Q), m, k_eff))
     for j in range(m):

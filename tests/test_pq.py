@@ -112,3 +112,13 @@ def test_adc_self_code_scores_source_at_top(spark):
         out.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(1 for qid, s in out.items() if qid - 100_000 in s)
     assert hits >= 0.8 * len(out), (hits, len(out))
+
+
+def test_adc_lut_guard_raises():
+    from meerkat_spark.similarity.pq import _guard_lut
+
+    import pytest
+
+    _guard_lut(1000, 8, 256)  # fine: ~2M entries
+    with pytest.raises(ValueError, match="split the query batch"):
+        _guard_lut(65_536, 8, 256)
