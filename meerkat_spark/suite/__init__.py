@@ -68,11 +68,11 @@ def load_all() -> None:
 # where_project in (b).
 # (b) the 16 names whose newest green is r5 (scalar_format_fns onward
 # per the r9 queue) — after this round no green grade is older than r6.
-# (c) the oldest r6-stale names alphabetically (26 of 44 fit; the
-# remainder — kql_parse_kv_regex onward — rotates in next round;
-# never-graded new names outrank stale re-grades, so the three r10
+# (c) the oldest r6-stale names alphabetically (25 of 44 fit; the
+# remainder — kql_parse_kv_op onward — rotates in next round;
+# never-graded new names outrank stale re-grades, so the four r10
 # registrations pq_codes_planted / kql_in_expr_subquery / ivfpq_recall
-# take the last three slots).
+# / embedding_neardup_incremental take the last four slots).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) round-10 code-change re-grades + new registrations
@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "bpe_tokenize_planted",
     "pq_codes_planted",
     "kql_in_expr_subquery",
+    "embedding_neardup_incremental",
     # (b) r5-stale oracle-backed cohort (all 16)
     "scalar_format_fns",
     "scalar_ipv6_family",
@@ -127,7 +128,6 @@ _PRIORITY: list[str] = [
     "kql_graph_to_table",
     "kql_invoke_tabular",
     "kql_make_series_numeric",
-    "kql_parse_kv_op",
 ]
 
 def _ordered(mapping: dict) -> dict:

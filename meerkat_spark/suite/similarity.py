@@ -436,6 +436,41 @@ def ivf_quantized_recall(spark, sf_dir):
 
 
 @register(
+    "embedding_neardup_incremental",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS id1,
+           CAST(vec_id + 1000000 AS BIGINT) AS id2,
+           CAST(1.0 AS DOUBLE) AS sim, FALSE AS id1_is_new
+    FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id2
+    """,
+)
+def embedding_neardup_incremental(spark, sf_dir):
+    """ORACLE-BACKED incremental embedding near-dup index (r10 —
+    similarity/neardup_index.py, the vector twin of the text MinHash
+    index): build the sign-LSH band-posting index over the corpus,
+    then probe a NEW batch of exact copies (+1M of every 10th vector)
+    without re-hashing the corpus. Identical vectors share every band
+    code, so each copy must surface exactly its source as a verified
+    new-vs-indexed pair at cosine 1.0; at threshold 0.95 no
+    non-identical pair on this corpus verifies (construction-exact,
+    same contract family as semdedup_planted)."""
+    import tempfile
+
+    from meerkat_spark.similarity.neardup_index import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="mk_ndx_suite_")
+    build_neardup_index(emb, path, threshold=0.95)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    return incremental_neardup_pairs(copies, path, threshold=0.95).orderBy("id2")
+
+
+@register(
     "ivfpq_recall",
     oracle="""
     SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,

@@ -452,3 +452,75 @@ def test_incremental_dedup_index_batch_stream_parity(spark, tmp_path):
     assert not (set(docs.iloc[:5]["doc_id"]) & stream_keepers)
     kept_copies = {d for d in stream_keepers if d >= 100_000}
     assert not kept_copies, kept_copies
+
+
+def test_incremental_neardup_index_batch_stream_parity(spark, tmp_path):
+    """Streaming twin for the EMBEDDING near-dup index
+    (similarity/neardup_index.py — same protocol as the MinHash text
+    index parity above): a replayed file stream of embedding batches
+    keeps exactly the vectors the identical per-batch pipeline keeps
+    in plain batch. Drop rule per batch: any id2 of a verified pair
+    (collides with the index or an earlier same-batch vector)."""
+    import pandas as pd
+
+    from meerkat_spark.similarity.neardup_index import (
+        build_neardup_index,
+        extend_neardup_index,
+        incremental_neardup_pairs,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    copies = emb.iloc[::4].copy()
+    copies["vec_id"] += 100_000
+    arr = pd.concat([emb, copies], ignore_index=True)
+    arr["embedding"] = arr["embedding"].map(list)
+    chunk_dir = str(tmp_path / "vchunks")
+    _write_replay_chunks(spark, arr, chunk_dir, n_chunks=3)
+
+    seed = emb.iloc[:5].copy()
+    seed["vec_id"] += 200_000
+    seed["embedding"] = seed["embedding"].map(list)
+    seed_df = spark.createDataFrame(seed)
+    idx_s, idx_b = str(tmp_path / "vidx_s"), str(tmp_path / "vidx_b")
+    build_neardup_index(seed_df, idx_s, threshold=0.95)
+    build_neardup_index(seed_df, idx_b, threshold=0.95)
+
+    def step(batch_df, idx_path: str) -> set[int]:
+        pairs = incremental_neardup_pairs(batch_df, idx_path, threshold=0.95)
+        drops = pairs.select(F.col("id2").alias("vec_id")).distinct()
+        keepers = batch_df.join(drops, "vec_id", "left_anti")
+        extend_neardup_index(keepers, idx_path)
+        return {r.vec_id for r in keepers.select("vec_id").collect()}
+
+    stream_keepers: set[int] = set()
+    schema = spark.createDataFrame(arr.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _eid: stream_keepers.update(step(df, idx_s))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_ndx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch_keepers: set[int] = set()
+    for f in sorted(
+        x for x in os.listdir(chunk_dir) if x.endswith(".parquet")
+    ):
+        batch_keepers.update(
+            step(spark.read.parquet(os.path.join(chunk_dir, f)), idx_b)
+        )
+
+    assert stream_keepers == batch_keepers
+    assert not (set(seed["vec_id"] - 200_000) & stream_keepers)  # seed dups drop
+    assert not {v for v in stream_keepers if v >= 100_000}  # late copies drop
