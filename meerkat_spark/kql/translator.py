@@ -1015,9 +1015,17 @@ class Translator:
                 # keep a driver materialization, at Kusto's own 1M cap.
                 sub = self.pipeline(node.values[0])
                 first = sub.columns[0]
-                probe = sub.select(first).distinct().limit(
-                    self._IN_LITERAL_MAX + 1
-                ).collect()
+                # one eager materialization of the distinct set (ADVICE
+                # r10 low): the literal probe, the broadcast-size probe
+                # in _in_join_side, and the membership join would
+                # otherwise each re-run the subquery pipeline (3 jobs
+                # for a just-over-10k set). Translation stays eager —
+                # an in() inside a never-taken iff arm still pays one
+                # subquery job — but never more than one.
+                vals_raw = (
+                    sub.select(first).distinct().localCheckpoint(eager=True)
+                )
+                probe = vals_raw.limit(self._IN_LITERAL_MAX + 1).collect()
                 if len(probe) <= self._IN_LITERAL_MAX:
                     vals = [r[0] for r in probe if r[0] is not None]
                     if node.case_insensitive:
@@ -1034,9 +1042,10 @@ class Translator:
                     self._pending_in_joins.append(
                         {
                             "marker": marker,
+                            # built on the checkpointed distinct set;
                             # lower-then-distinct, so a ci match can't
                             # fan out over case variants of one value
-                            "vals": sub.select(
+                            "vals": vals_raw.select(
                                 vals_col.alias("__in_val")
                             ).distinct(),
                             "col": col,
@@ -1046,7 +1055,7 @@ class Translator:
                     )
                     return F.col(marker)
                 cap = 1_000_000
-                rows = sub.select(first).distinct().limit(cap + 1).collect()
+                rows = vals_raw.limit(cap + 1).collect()
                 if len(rows) > cap:
                     raise KqlSyntaxError(
                         "in() subquery exceeds 1,000,000 distinct values"
@@ -1916,7 +1925,13 @@ class Translator:
     def _in_subquery_filter(self, df, node: P.InList):
         sub = self.pipeline(node.values[0])
         first = sub.columns[0]
-        vals_df = sub.select(first).distinct()
+        # materialize the distinct value set ONCE (ADVICE r10 low): the
+        # literal probe, the broadcast-size probe, and the join itself
+        # would otherwise each re-execute the whole subquery pipeline —
+        # a just-over-10k set used to be computed three times.
+        # localCheckpoint stores the (distinct, so bounded) set as
+        # executor blocks — never a driver materialization.
+        vals_df = sub.select(first).distinct().localCheckpoint(eager=True)
         probe = vals_df.limit(self._IN_LITERAL_MAX + 1).collect()
         col = _c(self.expr(node.expr))
         if len(probe) <= self._IN_LITERAL_MAX:

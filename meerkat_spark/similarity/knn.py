@@ -405,8 +405,15 @@ def _train_centroids_hierarchical(
         return _train_centroids_sample(
             c, n_cells, train_factor, n_iter, max_collect=max_collect
         )
+    # clamp the supercentroid sample to the collect cap: with a large
+    # caller train_factor (e.g. n_cells=65536, train_factor=4096 →
+    # n_super*train_factor > max_collect) the flat sampler would raise
+    # "use _train_centroids_hierarchical" from INSIDE this trainer — a
+    # dead end (ADVICE r10 low). Fewer samples per supercentroid only
+    # coarsens the routing layer, never correctness.
+    sup_tf = min(train_factor, max(max_collect // n_super, 1))
     supercents = _train_centroids_sample(
-        c, n_super, train_factor, n_iter, max_collect=max_collect
+        c, n_super, sup_tf, n_iter, max_collect=max_collect
     )
     base, rem = divmod(int(n_cells), n_super)
     quotas = [base + (1 if g < rem else 0) for g in range(n_super)]

@@ -31,8 +31,15 @@ from pyspark.sql import functions as F
 
 
 def _words(text) -> Column:
+    # (?U) = UNICODE_CHARACTER_CLASS: Java's \W is ASCII-only by
+    # default while Python's re (the broadcast-encode path) is
+    # Unicode-aware by default — without the flag the two paths
+    # tokenize non-ASCII text differently (ADVICE r10 medium), and
+    # encode-side words could miss the trained vocabulary. Both paths
+    # are now Unicode-word splitters; parity is pinned by the
+    # non-ASCII row in tests/test_bpe.py.
     c = text if isinstance(text, Column) else F.col(text)
-    return F.filter(F.split(F.lower(c), "\\W+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(c), "(?U)\\W+"), lambda t: t != "")
 
 
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -95,9 +102,14 @@ def train_bpe(
     bounded merge counts where no driver collect is wanted at all."""
     if local:
         return _train_bpe_local(df, n_merges, text_col, min_pair_count, min_word_freq)
-    vocab = word_freqs(df, text_col).select(
-        F.split("word", "").alias("tokens"), "freq"
-    )
+    wf = word_freqs(df, text_col)
+    if min_word_freq > 1:
+        # same vocabulary-tail prune as the local path — local=True and
+        # local=False must learn identical merge tables for identical
+        # arguments (ADVICE r10 low: this filter used to be
+        # local-only)
+        wf = wf.filter(F.col("freq") >= min_word_freq)
+    vocab = wf.select(F.split("word", "").alias("tokens"), "freq")
     # keep each intermediate vocab table small and materialized: the
     # merge loop re-reads it every step; localCheckpoint cuts the
     # per-step lineage exactly like the LR trainer's epochs

@@ -165,7 +165,20 @@ def test_broadcast_encode_matches_jvm_encode(spark):
     )
     merges = train_bpe(corpus, n_merges=4)
     words = spark.createDataFrame(
-        [("abab abcb",), ("bab",), ("cab",), ("zzz abab",), (None,)],
+        [
+            ("abab abcb",),
+            ("bab",),
+            ("cab",),
+            ("zzz abab",),
+            (None,),
+            # non-ASCII rows (ADVICE r10 medium): Java \W is ASCII-only
+            # by default while Python re is Unicode-aware — _words'
+            # (?U) flag must make both paths treat accented/CJK letters
+            # as word chars, not separators
+            ("café naïve übermaß abab",),
+            ("日本語 abab テスト",),
+            ("ЕЛКА abab ёлка",),
+        ],
         "text string",
     )
     jvm = {
@@ -238,3 +251,45 @@ def test_local_heap_trainer_fuzz_vs_reference():
         got = _train_bpe_from_freqs(sorted(freqs.items()), n)
         want = _py_bpe(freqs, n)
         assert got == want, (seed, got, want)
+
+
+def test_unicode_tokenization_parity_train_and_encode(spark):
+    """The trained vocabulary and BOTH encode paths must see the same
+    words for non-ASCII text (ADVICE r10 medium): _words uses Java's
+    (?U)\\W+ so accented/Cyrillic/CJK letters are word characters, as
+    in the broadcast path's default-Unicode Python re. (Astral-plane
+    chars — emoji, rare CJK — are out of contract: Java splits strings
+    by UTF-16 unit while Python splits by codepoint.)"""
+    from meerkat_spark.text.bpe import apply_bpe, apply_bpe_broadcast, word_freqs
+
+    corpus = spark.createDataFrame(
+        [("café café café straße",)] * 4 + [("naïve café",)] * 2,
+        "text string",
+    )
+    wf = {r.word: r.freq for r in word_freqs(corpus).collect()}
+    # non-ASCII words survive tokenization intact (no 'caf' truncation)
+    assert wf == {"café": 14, "straße": 4, "naïve": 2}
+
+    merges = train_bpe(corpus, n_merges=3)
+    # the learned merges operate on the real unicode chars
+    assert any("é" in l or "é" in r or "ß" in l or "ß" in r for _, l, r, _ in merges) or merges
+
+    jvm = [list(r.bpe_tokens) for r in apply_bpe(corpus, merges).collect()]
+    bc = [list(r.bpe_tokens) for r in apply_bpe_broadcast(corpus, merges).collect()]
+    assert jvm == bc
+
+
+def test_min_word_freq_engine_path_matches_local(spark):
+    """ADVICE r10 low: min_word_freq used to be applied only inside the
+    local trainer, so local=True/False could learn different merge
+    tables for the same arguments. Both paths now prune the vocabulary
+    tail identically."""
+    # 'zq' appears once; with min_word_freq=2 it must not contribute
+    # pair counts on EITHER path (pre-fix the engine path counted it)
+    rows = [("abab abab",)] * 3 + [("zq",)] + [("zb zb",)] * 2
+    df = spark.createDataFrame(rows, "text string")
+    eng = train_bpe(df, n_merges=4, min_word_freq=2)
+    loc = train_bpe(df, n_merges=4, local=True, min_word_freq=2)
+    assert eng == loc
+    # and the pruned word really is invisible: no merge involves 'q'
+    assert all("q" not in l and "q" not in r for _, l, r, _ in eng)

@@ -266,3 +266,60 @@ def test_ivfpq_recall_and_mutual_exclusion(spark, tmp_path):
 
     with pytest.raises(ValueError, match="ONE of"):
         build_ivf_index(emb, str(tmp_path / "x"), quantize=True, pq_m=8)
+
+
+def test_rerank_pushdown_size_gate(spark, tmp_path, monkeypatch):
+    """ADVICE r10 medium / VERDICT r10 'what's wrong' #1: above
+    RERANK_LITERAL_MAX distinct candidate ids the float rerank must
+    switch from the literal isin pushdown (a multi-million-literal
+    Catalyst `In` at the caps) to a broadcast semi-join on the
+    checkpointed candidate table — with identical results. Forced here
+    by shrinking the threshold below the candidate count."""
+    import meerkat_spark.similarity.ivf_index as ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    idx = str(tmp_path / "ivfq_gate")
+    build_ivf_index(emb.unionByName(dups), idx, n_cells=16, quantize=True)
+    q = emb.filter(F.col("vec_id") < 10)
+
+    # default threshold: literal path, no semi join in the plan
+    out_lit = ivf_search(spark, idx, q, k=1, n_probe=1)
+    plan_lit = out_lit._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan_lit, plan_lit[:2000]
+    res_lit = {r.query_id: (r.neighbor_id, r.sim) for r in out_lit.collect()}
+
+    # threshold below the candidate count: broadcast semi-join path,
+    # and no literal In wider than the gate
+    monkeypatch.setattr(ivf, "RERANK_LITERAL_MAX", 4)
+    out_join = ivf_search(spark, idx, q, k=1, n_probe=1)
+    plan_join = out_join._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan_join, plan_join[:2000]
+    res_join = {r.query_id: (r.neighbor_id, r.sim) for r in out_join.collect()}
+
+    assert res_lit == res_join
+    for qid, (nid, sim) in res_join.items():
+        assert nid == qid + 100000 and sim == 1.0
+
+
+def test_hierarchical_super_sample_clamped(spark):
+    """ADVICE r10 low: a large caller train_factor used to make the
+    hierarchical trainer's OWN supercentroid sample exceed max_collect
+    and raise 'use _train_centroids_hierarchical' from inside itself.
+    The super sample is now clamped to the collect cap instead."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    # n_super = sqrt(256) = 16; 16 * 10_000 = 160k > max_collect=20k
+    # would have raised pre-fix; the clamp caps the sample at 20k rows
+    knn._LAST_TRAIN_COLLECTS.clear()
+    cents = knn._train_centroids_hierarchical(
+        c, n_cells=256, train_factor=10_000, n_iter=1, max_collect=20_000
+    )
+    assert 1 <= len(cents) <= 256
+    for label, rows in knn._LAST_TRAIN_COLLECTS:
+        assert rows <= 20_000, (label, rows)
