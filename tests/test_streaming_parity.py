@@ -384,11 +384,8 @@ def test_incremental_dedup_index_batch_stream_parity(spark, tmp_path):
     earlier same-batch doc), then appends only the keepers' postings."""
     import pandas as pd
 
-    from meerkat_spark.text.dedup_index import (
-        build_minhash_index,
-        extend_minhash_index,
-        incremental_dedup_pairs,
-    )
+    from meerkat_spark.ingest.neardup_maintenance import ingest_minhash_batch
+    from meerkat_spark.text.dedup_index import build_minhash_index
 
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -414,10 +411,9 @@ def test_incremental_dedup_index_batch_stream_parity(spark, tmp_path):
     build_minhash_index(seed_df, idx_batch)
 
     def step(batch_df, idx_path: str) -> set[int]:
-        pairs = incremental_dedup_pairs(batch_df, idx_path)
-        drops = pairs.select(F.col("id2").alias("doc_id")).distinct()
-        keepers = batch_df.join(drops, "doc_id", "left_anti")
-        extend_minhash_index(keepers, idx_path)
+        # the packaged maintenance entry point (ingest/
+        # neardup_maintenance.py) IS the per-batch pipeline under test
+        keepers, _pairs = ingest_minhash_batch(batch_df, idx_path)
         return {r.doc_id for r in keepers.select("doc_id").collect()}
 
     stream_keepers: set[int] = set()
@@ -463,11 +459,8 @@ def test_incremental_neardup_index_batch_stream_parity(spark, tmp_path):
     (collides with the index or an earlier same-batch vector)."""
     import pandas as pd
 
-    from meerkat_spark.similarity.neardup_index import (
-        build_neardup_index,
-        extend_neardup_index,
-        incremental_neardup_pairs,
-    )
+    from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
+    from meerkat_spark.similarity.neardup_index import build_neardup_index
 
     emb = (
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -490,10 +483,9 @@ def test_incremental_neardup_index_batch_stream_parity(spark, tmp_path):
     build_neardup_index(seed_df, idx_b, threshold=0.95)
 
     def step(batch_df, idx_path: str) -> set[int]:
-        pairs = incremental_neardup_pairs(batch_df, idx_path, threshold=0.95)
-        drops = pairs.select(F.col("id2").alias("vec_id")).distinct()
-        keepers = batch_df.join(drops, "vec_id", "left_anti")
-        extend_neardup_index(keepers, idx_path)
+        # the packaged maintenance entry point (ingest/
+        # neardup_maintenance.py) IS the per-batch pipeline under test
+        keepers, _pairs = ingest_neardup_batch(batch_df, idx_path, threshold=0.95)
         return {r.vec_id for r in keepers.select("vec_id").collect()}
 
     stream_keepers: set[int] = set()
