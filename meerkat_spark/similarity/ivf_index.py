@@ -88,6 +88,7 @@ def build_ivf_index(
     two_level: bool = False,
     quantize: bool = False,
     pq_m: int | None = None,
+    pq_rotate: bool = False,
 ) -> None:
     """Train centroids, assign the corpus, persist both under `path`:
     centroids.parquet (n_cells rows) + assigned/ partitioned by cell_id.
@@ -137,9 +138,19 @@ def build_ivf_index(
     scoring IO, e.g. 64x at m=8/dim64) before the float rerank.
     Identical vectors encode to identical codes, so the planted
     exact-dup contract survives (ivfpq_recall). Mutually exclusive
-    with quantize."""
+    with quantize.
+
+    `pq_rotate=True` (OPQ-lite, with pq_m only) trains/encodes on
+    opq_rotation(dim)-rotated vectors — a fixed deterministic
+    orthogonal basis that spreads correlated-dimension energy across
+    subspaces (pq.opq_rotation docstring). The flag is persisted in
+    pq_meta so search regenerates the identical rotation; cell ROUTING
+    stays unrotated (rotation preserves inner products, but the
+    centroids were trained unrotated)."""
     if quantize and pq_m:
         raise ValueError("choose ONE of quantize (SQ8) or pq_m (IVFPQ)")
+    if pq_rotate and not pq_m:
+        raise ValueError("pq_rotate requires pq_m (it is an IVFPQ option)")
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), knn._to_double(F.col(vec_col)).alias("cv")
     )
@@ -166,7 +177,7 @@ def build_ivf_index(
             F.col("neighbor_id").alias("vec_id"),
             F.transform("cv", lambda x: x / nrm).alias("embedding"),
         )
-        pq_books = pqmod.train_pq(emb_n, m=int(pq_m))
+        pq_books = pqmod.train_pq(emb_n, m=int(pq_m), rotate=pq_rotate)
     supercents = super_of_cell = None
     if two_level:
         n_super = int(max(round(len(cents) ** 0.5), 2))
@@ -183,12 +194,18 @@ def build_ivf_index(
     # cells x 768 dims the matrix is ~200 MB, a per-task killer), while
     # a broadcast ships once per executor over the torrent protocol.
     sc = emb.sparkSession.sparkContext
+    pq_rot = None
+    if pq_books is not None and pq_rotate:
+        from meerkat_spark.similarity.pq import opq_rotation
+
+        pq_rot = opq_rotation(pq_books.shape[0] * pq_books.shape[2])
     bc_route = sc.broadcast(
         {
             "cents": cents,
             "supercents": supercents,
             "members": members if two_level else None,
             "pq_books": pq_books,
+            "pq_rot": pq_rot,
         }
     )
 
@@ -198,6 +215,7 @@ def build_ivf_index(
         rt = bc_route.value
         cents_v, supercents_v = rt["cents"], rt["supercents"]
         members_v, pq_books_v = rt["members"], rt["pq_books"]
+        pq_rot_v = rt["pq_rot"]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -238,7 +256,7 @@ def build_ivf_index(
                 # approximates cosine (identical vectors still encode
                 # identically — same normalization, same argmin)
                 pdf["codes"] = list(
-                    _encode_matrix(Cn, pq_books_v).astype(np.int16)
+                    _encode_matrix(Cn, pq_books_v, pq_rot_v).astype(np.int16)
                 )
             yield pdf
 
@@ -271,6 +289,12 @@ def build_ivf_index(
         spark.createDataFrame(
             book_rows, "sub_id int, cent_id int, centroid array<double>"
         ).write.mode("overwrite").parquet(os.path.join(path, "pq_codebooks"))
+        # persist the OPQ flag only — the rotation itself is
+        # regenerated deterministically from the dimension at search
+        # time (opq_rotation), like knn._hyperplanes
+        spark.createDataFrame(
+            [(bool(pq_rotate),)], "rotated boolean"
+        ).write.mode("overwrite").parquet(os.path.join(path, "pq_meta"))
     sup_col = super_of_cell if super_of_cell is not None else np.zeros(len(cents), np.int64)
     cent_rows = [
         (i, [float(x) for x in cents[i]], int(sup_col[i])) for i in range(len(cents))
@@ -381,15 +405,23 @@ def ivf_search(
             books = np.zeros((m, k_eff, dsub))
             for r in book_rows:
                 books[r.sub_id, r.cent_id] = r.centroid
-            from meerkat_spark.similarity.pq import _guard_lut
+            from meerkat_spark.similarity.pq import _guard_lut, opq_rotation
 
+            meta_dir = os.path.join(path, "pq_meta")
+            rotated = False
+            if os.path.isdir(meta_dir):
+                rotated = bool(spark.read.parquet(meta_dir).collect()[0].rotated)
+            # rotate the QUERIES into the codebook's basis (OPQ-lite);
+            # cell routing above stays unrotated — the coarse centroids
+            # were trained in the original basis
+            Qr = Qn @ opq_rotation(m * dsub) if rotated else Qn
             _guard_lut(len(q_pdf), m, k_eff)
             lut = np.empty((len(q_pdf), m, k_eff))
             qidx = {}
             for i in range(len(q_pdf)):
                 qidx[int(q_pdf["query_id"][i])] = i
                 lut[i] = np.einsum(
-                    "sd,skd->sk", Qn[i].reshape(m, dsub), books.reshape(m, k_eff, dsub)
+                    "sd,skd->sk", Qr[i].reshape(m, dsub), books.reshape(m, k_eff, dsub)
                 )
             # broadcast, don't close over: the LUT is up to ~128 MB at
             # the _guard_lut cap — as a closure it ships inside EVERY

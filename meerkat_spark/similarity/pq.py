@@ -53,6 +53,33 @@ MAX_PQ_TRAIN_ROWS = 1 << 18
 MAX_ADC_LUT_ENTRIES = 1 << 24
 
 
+# Fixed seed for the OPQ-lite rotation — one deterministic orthogonal
+# basis per dimension, regenerable anywhere (build, search, a later
+# session) without storing the matrix, exactly like knn._hyperplanes
+# regenerates LSH planes from their index.
+OPQ_SEED = 0x9E3779B9
+
+
+def opq_rotation(dim: int, seed: int = OPQ_SEED) -> np.ndarray:
+    """OPQ-lite (Ge et al. 2013 'Optimized Product Quantization'
+    reduced to its zeroth iteration, as in FAISS's OPQ pre-transform
+    with random init): a FIXED random orthogonal rotation applied
+    before the subspace split. When embedding dimensions are
+    correlated or energy is concentrated in a few dims, a plain PQ
+    split wastes whole codebooks on near-constant subvectors; a random
+    rotation spreads variance across subspaces and typically recovers
+    several recall points at the same bitrate — without the iterative
+    codebook/rotation alternation of full OPQ (which would need
+    multiple corpus passes). Deterministic: QR of a seeded Gaussian
+    matrix, sign-fixed so the factorization is unique; rotation
+    preserves inner products, so ADC scores and the exact-duplicate
+    contract are unchanged."""
+    rng = np.random.default_rng(seed ^ dim)
+    A = rng.standard_normal((dim, dim))
+    Q, R = np.linalg.qr(A)
+    return Q * np.sign(np.diag(R))
+
+
 def _guard_lut(n_queries: int, m: int, k_eff: int) -> None:
     entries = n_queries * m * k_eff
     if entries > MAX_ADC_LUT_ENTRIES:
@@ -72,11 +99,14 @@ def train_pq(
     vec_col: str = "embedding",
     train_factor: int = 64,
     n_iter: int = 10,
+    rotate: bool = False,
 ) -> np.ndarray:
     """Train per-subspace codebooks; returns (m, k_eff, dsub) float64.
     dim must divide by m. k_eff <= k when the sample is smaller than k
     (tiny corpora). L2 k-means per subspace (PQ quantizes raw
-    subvectors, not directions — unlike the spherical coarse trainer)."""
+    subvectors, not directions — unlike the spherical coarse trainer).
+    rotate=True trains on opq_rotation(dim)-rotated vectors (OPQ-lite);
+    encode_pq/adc_topk must then be called with the same flag."""
     train_n = min(k * train_factor, MAX_PQ_TRAIN_ROWS)
     sample = (
         emb.select(
@@ -89,6 +119,8 @@ def train_pq(
         .collect()
     )
     X = np.stack([np.asarray(r.pv, dtype=np.float64) for r in sample])
+    if rotate:
+        X = X @ opq_rotation(X.shape[1])
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -109,8 +141,13 @@ def train_pq(
     return books
 
 
-def _encode_matrix(X: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """(n, dim) -> (n, m) int32 codes: per-subspace L2 argmin."""
+def _encode_matrix(
+    X: np.ndarray, books: np.ndarray, rot: np.ndarray | None = None
+) -> np.ndarray:
+    """(n, dim) -> (n, m) int32 codes: per-subspace L2 argmin.
+    rot (the OPQ-lite basis) is applied before the subspace split."""
+    if rot is not None:
+        X = X @ rot
     m, _, dsub = books.shape
     codes = np.empty((len(X), m), dtype=np.int32)
     for j in range(m):
@@ -125,16 +162,22 @@ def encode_pq(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotate: bool = False,
 ) -> DataFrame:
-    """(id, codes array<smallint>) — one row-local Arrow pass; the
-    codebook (KB) ships in the UDF closure."""
+    """(id, codes array<smallint>) — one row-local Arrow pass. The
+    codebook (+ OPQ rotation when rotate=True) ships as a broadcast
+    variable, not a closure capture — at dim 768 the rotation alone is
+    ~4.7 MB, a per-task re-ship as a closure."""
+    rot = opq_rotation(books.shape[0] * books.shape[2]) if rotate else None
+    bc = emb.sparkSession.sparkContext.broadcast((books, rot))
 
     def enc(batches):
+        books_v, rot_v = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = _encode_matrix(X, books)
+            codes = _encode_matrix(X, books_v, rot_v)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes.astype(np.int16))}
             )
@@ -151,13 +194,16 @@ def adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    rotate: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k by inner product: (query_id,
     neighbor_id, score, rank). The query matrix is collected bounded
     (knn.queries_to_pdf contract) and turned into per-query m x k
     LUTs; the corpus side reads ONLY (id, codes) and scores each row
     with an m-gather LUT sum — no floats, no shuffle before the final
-    per-query top-k."""
+    per-query top-k. rotate=True applies the OPQ-lite rotation to the
+    queries driver-side (rotation preserves inner products, so scores
+    rank identically to rotating both sides in float)."""
     q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
     m, k_eff, dsub = books.shape
     if not len(q_pdf):
@@ -165,22 +211,28 @@ def adc_topk(
             [], "query_id long, neighbor_id long, score double, rank int"
         )
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    if rotate:
+        Q = Q @ opq_rotation(Q.shape[1])
     qids = q_pdf["query_id"].to_numpy()
     _guard_lut(len(Q), m, k_eff)
     # LUT[q, j, c] = <Q[q] subspace j, centroid c>
     lut = np.empty((len(Q), m, k_eff))
     for j in range(m):
         lut[:, j, :] = Q[:, j * dsub : (j + 1) * dsub] @ books[j].T
+    # broadcast, not closure capture: the LUT is up to ~128 MB at the
+    # _guard_lut cap (same task-binary discipline as ivf_search's ADC)
+    bc = codes_df.sparkSession.sparkContext.broadcast((lut, qids))
 
     def score(batches):
+        lut_v, qids_v = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
             C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
             rows = {"query_id": [], "neighbor_id": [], "score": []}
-            for qi, qid in enumerate(qids):
-                s = lut[qi, np.arange(m), C].sum(axis=1)  # (n,)
+            for qi, qid in enumerate(qids_v):
+                s = lut_v[qi, np.arange(m), C].sum(axis=1)  # (n,)
                 mask = ids != qid
                 cand_ids, cand_s = ids[mask], s[mask]
                 if len(cand_ids) > k:

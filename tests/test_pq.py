@@ -122,3 +122,79 @@ def test_adc_lut_guard_raises():
     _guard_lut(1000, 8, 256)  # fine: ~2M entries
     with pytest.raises(ValueError, match="split the query batch"):
         _guard_lut(65_536, 8, 256)
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic():
+    from meerkat_spark.similarity.pq import opq_rotation
+
+    R1, R2 = opq_rotation(32), opq_rotation(32)
+    assert np.array_equal(R1, R2)  # regenerable anywhere, no storage
+    assert np.allclose(R1 @ R1.T, np.eye(32), atol=1e-10)
+    # different dims -> different (correctly sized) bases
+    assert opq_rotation(16).shape == (16, 16)
+
+
+def test_opq_recovers_recall_on_correlated_dims(spark):
+    """OPQ-lite's raison d'etre (VERDICT r10 ask #7): when embedding
+    energy concentrates in a few dimensions, plain PQ wastes whole
+    codebooks on near-constant subvectors; the fixed rotation spreads
+    variance across subspaces and must recover recall@10 at the same
+    bitrate. Construction: 4 signal dims (scale 10) + 28 noise dims
+    (scale 0.05), m=8 -> unrotated PQ spends 7 of 8 codebooks on
+    noise."""
+    rng = np.random.default_rng(1234)
+    n, dim = 400, 32
+    X = np.concatenate(
+        [10.0 * rng.standard_normal((n, 4)), 0.05 * rng.standard_normal((n, 28))],
+        axis=1,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = {}
+    for r in knn.brute_force_topk(emb, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rotate: bool) -> float:
+        books = train_pq(emb, m=8, k=16, rotate=rotate)
+        codes = encode_pq(emb, books, rotate=rotate)
+        approx = {}
+        for r in adc_topk(codes, q, books, k=10, rotate=rotate).collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(exact[qid] & approx.get(qid, set())) / 10 for qid in exact
+        ) / len(exact)
+
+    r_plain, r_opq = recall(False), recall(True)
+    assert r_opq >= r_plain, (r_plain, r_opq)
+    # and the rotation should be a real improvement on this geometry,
+    # not a tie (guards against the flag silently not being applied)
+    assert r_opq >= r_plain + 0.05, (r_plain, r_opq)
+
+
+def test_ivfpq_rotated_planted_contract(spark, tmp_path):
+    """pq_rotate=True through the full persisted IVFPQ lifecycle:
+    rotation is deterministic and persisted as a flag (pq_meta), so
+    identical vectors still encode identically and the planted
+    exact-dup contract holds end-to-end; pq_rotate without pq_m
+    raises."""
+    import pytest
+
+    from meerkat_spark.similarity.ivf_index import build_ivf_index, ivf_search
+
+    emb = _emb(spark)
+    dups = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    idx = str(tmp_path / "ivfpq_opq")
+    build_ivf_index(emb.unionByName(dups), idx, n_cells=16, pq_m=8, pq_rotate=True)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = {r.query_id: r for r in ivf_search(spark, idx, q, k=1, n_probe=1).collect()}
+    assert len(out) == 10
+    for qid, r in out.items():
+        assert r.neighbor_id == qid + 100000 and r.sim == 1.0, r
+
+    with pytest.raises(ValueError, match="pq_rotate"):
+        build_ivf_index(emb, str(tmp_path / "bad"), pq_rotate=True)
