@@ -69,6 +69,9 @@ HEADLINE = [
     "dsir_importance_score",
     "bpe_tokenize_planted",
     "ivf_quantized_recall",
+    # round-11 addition (VERDICT r10 ask #4): the IVFPQ lifecycle
+    # (codebook train + ADC coarse + float rerank) beside its SQ8 twin
+    "ivfpq_recall",
 ]
 
 
@@ -151,6 +154,17 @@ def main() -> None:
         "org.apache.spark.sql.execution.window.WindowExec",
         jvm.org.apache.logging.log4j.Level.ERROR,
     )
+    # DAGScheduler's "Broadcasting large task binary" warnings polluted
+    # the BENCH_r10 tail (VERDICT r10 'what's wrong' #3). The root cause
+    # — LUT/centroid matrices in UDF closures — is fixed (they ship as
+    # broadcast variables now); raising the level keeps the artifact
+    # tail the JSON line only even if a borderline closure reappears,
+    # while the plan/closure-size contract stays CI-enforced in
+    # tests/test_plans.py.
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
     qs = suite.queries()
 
     # Warmup on the smallest SF (not timed): one JVM-only query for
@@ -173,24 +187,65 @@ def main() -> None:
     timings, warn_map = run_headline(spark, SF_DIR, runs)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(SF_DIR),
-                # total kept for round-over-round comparability; the
-                # map attributes every warning to (query, category)
-                "guard_warnings": sum(
-                    c for per_q in warn_map.values() for c in per_q.values()
-                ),
-                "guard_warning_map": warn_map,
-                "cpu_probe_sec": cpu_probe(),
-            }
-        )
+    probe = cpu_probe()
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        # total kept for round-over-round comparability; the
+        # map attributes every warning to (query, category)
+        "guard_warnings": sum(
+            c for per_q in warn_map.values() for c in per_q.values()
+        ),
+        "guard_warning_map": warn_map,
+        "cpu_probe_sec": probe,
+    }
+    out.update(normalized_ratios(timings, probe))
+    print(json.dumps(out))
+
+
+def normalized_ratios(
+    timings: dict[str, float], probe: float, base_path: str | None = None
+) -> dict[str, object]:
+    """Probe-normalized per-query regression gate (VERDICT r10 ask #8):
+    round-over-round bench totals on this infrastructure swing with
+    host speed (the r9->r10 dispute), so raw per-query ratios vs
+    BENCH_LOCAL are undecidable without the host probe. With BOTH
+    sides probe-stamped, the normalized ratio
+        (t_query / base_query) / (probe_session / base_probe)
+    cancels host speed; entries above NORMALIZED_REGRESSION_GATE are
+    surfaced in `normalized_regressions` — the one-line read for the
+    next host-drift dispute. Baselines without a probe stamp (legacy
+    entries) are skipped rather than mis-normalized."""
+    base_path = base_path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    if not os.path.isfile(base_path):
+        return {}
+    try:
+        with open(base_path) as f:
+            base = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    base_q = base.get("queries", {})
+    base_probes = base.get("probe_per_query", {})
+    default_probe = base.get("cpu_probe_sec")
+    ratios: dict[str, float] = {}
+    for name, t in timings.items():
+        bq = base_q.get(name)
+        bp = base_probes.get(name, default_probe)
+        if not bq or not bp or not probe:
+            continue
+        ratios[name] = round((t / bq) / (probe / bp), 3)
+    gate = float(os.environ.get("SPARK_GRAFT_REGRESSION_GATE", "1.5"))
+    return {
+        "ratio_normalized": ratios,
+        "normalized_regressions": sorted(
+            n for n, r in ratios.items() if r > gate
+        ),
+    }
 
 
 if __name__ == "__main__":

@@ -8,6 +8,9 @@ exact brute force plus on-disk scoring footprint.
   IVFPQ  — build_ivf_index(pq_m=8)           + m PQ codes, ADC
            lookup-table scoring reads only `codes` (1 B/subspace),
            float rerank
+  +OPQ   — build_ivf_index(pq_m=8,           same bitrate, codes in a
+           pq_rotate=True)                   fixed rotated basis that
+           spreads correlated-dim energy across subspaces
 
 Every variant keeps the same partitioned-by-cell layout, so probes
 prune at the directory level; the variants trade scoring IO for a
@@ -47,6 +50,7 @@ def main() -> None:
         "float": {},
         "sq8": {"quantize": True},
         "ivfpq": {"pq_m": 8},
+        "ivfpq+opq": {"pq_m": 8, "pq_rotate": True},
     }
     print(f"{'variant':8s} {'build_s':>8s} {'search_s':>9s} {'recall@5':>9s}")
     for name, kwargs in variants.items():

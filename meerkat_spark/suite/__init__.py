@@ -56,78 +56,76 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-10 rotation (VERDICT r9 ask #4) — ALL 50 slots are oracle-backed
+# Round-11 rotation (VERDICT r10 ask #5) — ALL 50 slots are oracle-backed
 # (the driver has no rows-only fallback; round 6 burned 5 slots on
 # `err: no_oracle` rows).
-# (a) round-10 code-change re-grades: ivf_index.py/knn.py changed
-# (hierarchical training, empty-super fix, quantized lifecycle), so
-# both persisted-IVF names re-grade and the new ivf_quantized_recall
-# grades fresh; text/bpe.py changed (local trainer + broadcast
-# encode + apply_bpe auto-routing), so both planted BPE names
-# re-grade. The translator in()-expression change re-grades through
-# where_project in (b).
-# (b) the 16 names whose newest green is r5 (scalar_format_fns onward
-# per the r9 queue) — after this round no green grade is older than r6.
-# (c) the oldest r6-stale names alphabetically (25 of 44 fit; the
-# remainder — kql_parse_kv_op onward — rotates in next round;
-# never-graded new names outrank stale re-grades, so the four r10
-# registrations pq_codes_planted / kql_in_expr_subquery / ivfpq_recall
-# / embedding_neardup_incremental take the last four slots).
+# (a) round-11 code-change re-grades + new registration:
+# ivf_index.py/knn.py changed (rerank isin size gate, broadcast
+# matrices, trainer clamp, OPQ plumbing) -> all four persisted-IVF
+# names re-grade; pq.py changed (OPQ, broadcast LUT) ->
+# pq_codes_planted; text/bpe.py changed (unicode tokenization parity,
+# min_word_freq on the engine path) -> both planted BPE names; the
+# translator in() localCheckpoint change -> kql_in_expr_subquery; the
+# new keeper-lifecycle query grades fresh.
+# (b) the 19 names whose newest green is r6 (kql_parse_kv_op onward —
+# after this round no green grade is older than r7).
+# (c) the oldest r7-stale names alphabetically (22 of 47 fit; the
+# remainder — lookup_dim_chain onward — rotates in next round).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) round-10 code-change re-grades + new registrations
+    # (a) round-11 code-change re-grades + new registration
+    "embedding_neardup_lifecycle",
     "ivf_persisted_recall",
     "ivf_two_level_recall",
     "ivf_quantized_recall",
     "ivfpq_recall",
+    "pq_codes_planted",
     "bpe_merges_planted",
     "bpe_tokenize_planted",
-    "pq_codes_planted",
     "kql_in_expr_subquery",
-    "embedding_neardup_incremental",
-    # (b) r5-stale oracle-backed cohort (all 16)
-    "scalar_format_fns",
-    "scalar_ipv6_family",
-    "scalar_round5_extras",
-    "scalar_series_similarity",
-    "scalar_string_bytes",
-    "sequence_detect_op",
-    "series_fit_line_oracle",
-    "session_count_op",
-    "sliding_window_counts_op",
-    "sort_take_asc",
-    "text_language_id_oracle",
-    "text_quality_score_oracle",
-    "tfidf_top_terms",
-    "top_orders",
-    "vocab_top_tokens",
-    "where_project",
-    # (c) oldest r6-stale names, alphabetical (first 29)
-    "activity_counts_metrics_op",
-    "activity_metrics_op",
-    "agg_argmax_argmin",
-    "agg_binary_all",
-    "agg_conditional",
-    "agg_dcount",
-    "agg_distinct_variants",
-    "agg_make_list_if",
-    "agg_make_set",
-    "agg_percentiles",
-    "agg_percentilesw",
-    "agg_stats",
-    "agg_take_any",
-    "diffpatterns_text_op",
-    "find_in_tables",
-    "geo_polygon_ops",
-    "join_fullouter",
-    "join_innerunique",
-    "join_leftanti",
-    "join_leftouter",
-    "join_leftsemi",
-    "kql_argmax_star",
-    "kql_graph_to_table",
-    "kql_invoke_tabular",
-    "kql_make_series_numeric",
+    # (b) r6-stale oracle-backed cohort (all 19)
+    "kql_parse_kv_op",
+    "kql_parse_kv_regex",
+    "kql_pred_extensions",
+    "kql_search_qualified",
+    "mv_expand_zip",
+    "new_activity_metrics_op",
+    "rollup_incremental",
+    "scalar_bag_stats_r6",
+    "scalar_datetime_r5",
+    "scalar_series_elementwise",
+    "scalar_special_math",
+    "scalar_tz_useragent",
+    "scalar_unit_convert",
+    "scan_funnel",
+    "scan_funnel_latency",
+    "scan_funnel_time_bound",
+    "search_term",
+    "temperature_mix_op",
+    "url_blocklist_filter",
+    # (c) oldest r7-stale names, alphabetical (first 22)
+    "agg_conditional_r7",
+    "agg_dcount_approx",
+    "agg_dcount_intersect",
+    "agg_hll_sketch",
+    "agg_make_bag",
+    "agg_percentiles_array",
+    "agg_pricing_summary",
+    "agg_tdigest",
+    "argmin_distance",
+    "bag_unpack",
+    "chunk_documents_op",
+    "dedup_events_by_key",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "fuzzy_dedup_planted",
+    "geo_s2cell_ops",
+    "join_rightanti",
+    "join_rightouter",
+    "join_rightsemi",
+    "knn_cosine_topk_fast",
+    "knn_recall_gate",
+    "lang_id_accuracy",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -76,6 +76,15 @@ def main() -> None:
     # the 100TB shape (train once, encode everything)
     _bpe_merges = train_bpe(docs0.select("text"), n_merges=300, local=True)
 
+    # fixed PQ codebooks trained ONCE on the base corpus (r11 — VERDICT
+    # r10 ask #4): pq_encode / pq_adc then measure the two
+    # corpus-proportional IVFPQ kernels (row-local encode; ADC
+    # LUT-gather scoring + per-query top-k) at a constant codebook —
+    # train cost is corpus-independent by construction (bounded sample)
+    from meerkat_spark.similarity import pq as PQ
+
+    _pq_books = PQ.train_pq(emb0, m=8, k=64)
+
     _bl_df = spark.createDataFrame(
         [(f"site{i}.com",) for i in range(0, 50, 3)], "domain string"
     )
@@ -318,6 +327,21 @@ def main() -> None:
             .collect(),
         )
         timed(
+            "pq_encode",
+            n_vecs,
+            lambda: PQ.encode_pq(emb, _pq_books)
+            .selectExpr("sum(size(codes)) as n")
+            .collect(),
+        )
+        _codes = PQ.encode_pq(emb, _pq_books).cache()
+        _codes.count()  # materialize outside the timed ADC section
+        timed(
+            "pq_adc",
+            n_vecs,
+            lambda: PQ.adc_topk(_codes, q_df, _pq_books, k=5).count(),
+        )
+        _codes.unpersist()
+        timed(
             "classifier",
             n_docs,
             lambda: classifier.score_documents(
@@ -444,6 +468,17 @@ def write_md(path: str, out: dict) -> None:
         "vocabulary trained once from the base corpus — the 100 TB "
         "shape is train-once/encode-everything, so the kernel isolates "
         "row-local encode throughput (zero shuffle).",
+        "",
+        "`pq_encode`/`pq_adc` (round 11 — VERDICT r10 ask #4) time the "
+        "two corpus-proportional IVFPQ kernels at FIXED codebooks "
+        "(m=8, k=64, trained once from the base corpus — training cost "
+        "is corpus-independent by construction, bounded sample): encode "
+        "is one row-local mapInPandas argmin pass (zero shuffle); ADC "
+        "scores the m-byte code column by broadcast lookup-table gather "
+        "plus one per-query top-k shuffle. Both must track rows "
+        "linearly (exponent near the job floor at these SFs) — a "
+        "super-linear reading here would mean the LUT or code gather "
+        "stopped being row-local.",
         "",
         "Generated by `scripts/scaling_check.py` (re-run with "
         "`SCALING_MD=SCALING.md python scripts/scaling_check.py`); "

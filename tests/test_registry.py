@@ -159,3 +159,31 @@ def test_bench_warning_attribution_pins_expected_set(spark):
         if cat != "ResourceWarning"
     }
     assert deliberate == {("window_session_greedy", "UserWarning")}, deliberate
+
+
+def test_bench_normalized_ratio_gate(tmp_path):
+    """VERDICT r10 ask #8: with probe-stamped baselines, the bench
+    emits per-query probe-normalized ratios and surfaces entries above
+    the 1.5x gate — host drift cancels, real regressions don't."""
+    import json
+
+    import bench
+
+    base = {
+        "queries": {"q_fast": 1.0, "q_slow": 1.0, "q_legacy": 1.0},
+        "probe_per_query": {"q_fast": 0.010, "q_slow": 0.010},
+        # q_legacy has no per-entry probe and no default -> skipped
+    }
+    p = tmp_path / "BENCH_LOCAL.json"
+    p.write_text(json.dumps(base))
+    # session host is 2x slower by probe (0.020): a 2x wall time is
+    # ratio 1.0 (pure drift), a 4x wall time is ratio 2.0 (regression)
+    out = bench.normalized_ratios(
+        {"q_fast": 2.0, "q_slow": 4.0, "q_legacy": 2.0, "q_new": 1.0},
+        probe=0.020,
+        base_path=str(p),
+    )
+    assert out["ratio_normalized"] == {"q_fast": 1.0, "q_slow": 2.0}
+    assert out["normalized_regressions"] == ["q_slow"]
+    # no baseline file -> quietly empty (first round on a new machine)
+    assert bench.normalized_ratios({"q": 1.0}, 0.01, str(tmp_path / "nope.json")) == {}
