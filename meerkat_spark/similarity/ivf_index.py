@@ -378,11 +378,19 @@ def ivf_search(
         top_cells = np.argsort(-(Qn @ cents.T), axis=1)[:, :n_probe]
     probed = sorted({int(c) for row in top_cells for c in row})
 
+    # distinct (query, cell) probes — the two-level path PADS short
+    # cell lists by repeating the first cell, and a duplicate probe row
+    # would duplicate every candidate pair downstream. With unique
+    # probes, each corpus vector lives in exactly ONE cell partition,
+    # so the cell equi-joins below emit each (query, neighbor) pair at
+    # most once BY CONSTRUCTION — no dedup shuffle of the full coarse
+    # candidate set is needed (r11: replaced the dropDuplicates that
+    # re-shuffled n_queries * n_probe * corpus/n_cells rows).
     q_cells = spark.createDataFrame(
         [
             (int(q_pdf["query_id"][i]), [float(x) for x in q_pdf["qv"][i]], int(c))
             for i in range(len(q_pdf))
-            for c in top_cells[i]
+            for c in dict.fromkeys(int(x) for x in top_cells[i])
         ],
         "query_id long, qv array<double>, cell_id long",
     )
@@ -449,7 +457,6 @@ def ivf_search(
                     "neighbor_id",
                     adc(F.col("query_id"), F.col("codes")).alias("sim_q"),
                 )
-                .dropDuplicates(["query_id", "neighbor_id"])
             )
         else:
             qcos = knn.cosine_pandas_udf()
@@ -462,7 +469,6 @@ def ivf_search(
                     "neighbor_id",
                     qcos(F.col("qv"), F.col("q").cast("array<double>")).alias("sim_q"),
                 )
-                .dropDuplicates(["query_id", "neighbor_id"])
             )
         wq = W.partitionBy("query_id").orderBy(
             F.col("sim_q").desc(), F.col("neighbor_id").asc()
@@ -512,7 +518,6 @@ def ivf_search(
             .select(
                 "query_id", "neighbor_id", knn.cosine(F.col("qv"), F.col("cv")).alias("sim")
             )
-            .dropDuplicates(["query_id", "neighbor_id"])
         )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

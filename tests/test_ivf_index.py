@@ -323,3 +323,33 @@ def test_hierarchical_super_sample_clamped(spark):
     assert 1 <= len(cents) <= 256
     for label, rows in knn._LAST_TRAIN_COLLECTS:
         assert rows <= 20_000, (label, rows)
+
+
+def test_search_pairs_unique_under_padded_probes(spark, tmp_path):
+    """r11: the coarse candidate joins no longer carry a
+    dropDuplicates shuffle — pair uniqueness must hold BY CONSTRUCTION
+    (one cell per vector, distinct (query, cell) probes). The
+    adversarial case is the two-level path with n_probe larger than a
+    probed supercluster's member-cell count, where the old code PADDED
+    the probe list by repeating the first cell."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf2l_pad")
+    # tiny cell count -> few cells per supercluster -> padding certain
+    build_ivf_index(emb, idx, n_cells=4, two_level=True)
+    q = emb.filter(F.col("vec_id") < 12)
+    out = ivf_search(spark, idx, q, k=50, n_probe=8).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate (query, neighbor) pairs"
+    # ranks stay dense 1..n per query (a duplicate would shift them)
+    by_q: dict[int, list[int]] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+
+    # quantized variant through the same padded-probe geometry
+    idxq = str(tmp_path / "ivfq_pad")
+    build_ivf_index(emb, idxq, n_cells=4, quantize=True)
+    outq = ivf_search(spark, idxq, q, k=20, n_probe=8).collect()
+    pq_pairs = [(r.query_id, r.neighbor_id) for r in outq]
+    assert len(pq_pairs) == len(set(pq_pairs))
