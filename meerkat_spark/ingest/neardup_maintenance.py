@@ -73,11 +73,24 @@ def ingest_minhash_batch(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    verify_jaccard: float | None = None,
+    corpus: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Text twin of ingest_neardup_batch over the incremental MinHash
     index (text/dedup_index.py): same drop rule, same keeper append,
     same eager pin before the extend write. Returns
-    (keepers, dropped_pairs)."""
+    (keepers, dropped_pairs).
+
+    By default every band-collision candidate drops its id2 (the
+    high-recall keeper the parity tests pin — right when the banding
+    params are tuned to the target threshold). `verify_jaccard=t`
+    instead verifies candidates with EXACT shingle Jaccard
+    (text/dedup.py verify_pairs_jaccard — O(candidates), never
+    corpus²) and drops only pairs at >= t. The MinHash index stores
+    postings, not text (its design premise: corpus text is never
+    re-read), so verification needs `corpus` = an (id, text) DataFrame
+    covering the already-indexed ids; new-batch texts are supplied
+    automatically."""
     from meerkat_spark.text.dedup_index import (
         extend_minhash_index,
         incremental_dedup_pairs,
@@ -85,7 +98,26 @@ def ingest_minhash_batch(
 
     pairs = incremental_dedup_pairs(
         new_docs, path, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=True)
+    )
+    if verify_jaccard is not None:
+        from meerkat_spark.text.dedup import verify_pairs_jaccard
+
+        if corpus is None:
+            raise ValueError(
+                "verify_jaccard needs `corpus` (id, text) for the indexed "
+                "side — the MinHash index stores postings, not text"
+            )
+        texts = corpus.select(
+            F.col(id_col), F.col(text_col)
+        ).unionByName(new_docs.select(id_col, text_col)).dropDuplicates([id_col])
+        flags = pairs.select("id1", "id2", "id1_is_new")
+        pairs = (
+            verify_pairs_jaccard(texts, flags, text_col=text_col, id_col=id_col)
+            .filter(F.col("jaccard") >= float(verify_jaccard))
+            .join(flags, ["id1", "id2"])
+            .select("id1", "id2", "jaccard", "id1_is_new")
+        )
+    pairs = pairs.localCheckpoint(eager=True)
     drops = pairs.select(F.col("id2").alias(id_col)).distinct()
     keepers = new_docs.join(drops, id_col, "left_anti").localCheckpoint(
         eager=True

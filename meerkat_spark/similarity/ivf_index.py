@@ -338,13 +338,44 @@ def ivf_search(
     lower recall for near-boundary queries. Hold recall roughly
     constant by scaling n_probe with ~sqrt(n_cells) (FAISS practice);
     exact-duplicate and in-cell matches are probe-count-independent
-    (suite ivf_persisted_recall pins that contract at n_probe=1)."""
+    (suite ivf_persisted_recall pins that contract at n_probe=1).
+
+    PQ indexes build one m x k ADC lookup table PER QUERY; above the
+    MAX_ADC_LUT_ENTRIES broadcast bound the query batch auto-splits
+    into guard-sized chunks searched sequentially and unioned (ranks
+    are per-query, so the union is exact) — batch size degrades to
+    more passes over the probed cells instead of raising."""
     out_schema = "query_id long, neighbor_id long, sim double, rank int"
     cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
     q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
     if not cents_rows or not len(q_pdf):
         # empty index or empty query set → empty result, not a crash
         return spark.createDataFrame([], out_schema)
+    pq_book_dir = os.path.join(path, "pq_codebooks")
+    if os.path.isdir(pq_book_dir):
+        from meerkat_spark.similarity.pq import MAX_ADC_LUT_ENTRIES
+
+        # codebook table has exactly m * k_eff rows — the per-query
+        # LUT entry count, known without reading a single vector
+        lut_per_q = spark.read.parquet(pq_book_dir).count()
+        max_q = max(MAX_ADC_LUT_ENTRIES // max(lut_per_q, 1), 1)
+        if len(q_pdf) > max_q and len(q_pdf) * lut_per_q > MAX_ADC_LUT_ENTRIES:
+            out = None
+            for start in range(0, len(q_pdf), max_q):
+                chunk = q_pdf.iloc[start : start + max_q]
+                chunk_df = spark.createDataFrame(
+                    [
+                        (int(r.query_id), [float(x) for x in r.qv])
+                        for r in chunk.itertuples()
+                    ],
+                    f"{id_col} long, {vec_col} array<double>",
+                )
+                res = ivf_search(
+                    spark, path, chunk_df, k=k, n_probe=n_probe,
+                    id_col=id_col, vec_col=vec_col, refine=refine,
+                )
+                out = res if out is None else out.unionByName(res)
+            return out
     cents = np.zeros((len(cents_rows), len(cents_rows[0].centroid)))
     super_of_cell = np.zeros(len(cents_rows), dtype=np.int64)
     for r in cents_rows:

@@ -66,15 +66,16 @@ def load_all() -> None:
 # pq_codes_planted; text/bpe.py changed (unicode tokenization parity,
 # min_word_freq on the engine path) -> both planted BPE names; the
 # translator in() localCheckpoint change -> kql_in_expr_subquery; the
-# new keeper-lifecycle query grades fresh.
+# two new keeper-lifecycle queries grade fresh.
 # (b) the 19 names whose newest green is r6 (kql_parse_kv_op onward —
 # after this round no green grade is older than r7).
-# (c) the oldest r7-stale names alphabetically (22 of 47 fit; the
-# remainder — lookup_dim_chain onward — rotates in next round).
+# (c) the oldest r7-stale names alphabetically (21 of 47 fit; the
+# remainder — lang_id_accuracy onward — rotates in next round).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) round-11 code-change re-grades + new registration
+    # (a) round-11 code-change re-grades + new registrations
     "embedding_neardup_lifecycle",
+    "minhash_keeper_lifecycle",
     "ivf_persisted_recall",
     "ivf_two_level_recall",
     "ivf_quantized_recall",
@@ -125,7 +126,6 @@ _PRIORITY: list[str] = [
     "join_rightsemi",
     "knn_cosine_topk_fast",
     "knn_recall_gate",
-    "lang_id_accuracy",
 ]
 
 def _ordered(mapping: dict) -> dict:

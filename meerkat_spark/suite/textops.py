@@ -1717,3 +1717,80 @@ def bpe_tokenize_planted(spark, sf_dir):
         F.col("text").alias("word"),
         F.array_join("bpe_tokens", " ").alias("toks"),
     ).orderBy("word")
+
+
+@register(
+    "minhash_keeper_lifecycle",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE trim(coalesce(text, '')) <> ''
+    )
+    SELECT 1 AS batch, CAST(doc_id + 10000000 AS BIGINT) AS dropped_id
+    FROM d WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT 2 AS batch, CAST(doc_id + 20000000 AS BIGINT) AS dropped_id
+    FROM d WHERE doc_id % 10 = 5
+    UNION ALL
+    SELECT 2 AS batch, CAST(doc_id + 30000000 AS BIGINT) AS dropped_id
+    FROM d WHERE doc_id % 4 = 2
+    ORDER BY batch, dropped_id
+    """,
+)
+def minhash_keeper_lifecycle(spark, sf_dir):
+    """ORACLE-BACKED two-batch keeper lifecycle over the incremental
+    MinHash text index (r11 — the text twin of
+    embedding_neardup_lifecycle, through the SAME packaged maintenance
+    entry point ingest/neardup_maintenance.py): seed the index with
+    the even-id half of the corpus; batch 1 = all odd docs (fresh) +
+    exact copies (+10M) of every 10th doc (even -> collide with the
+    SEED); batch 2 = copies (+20M) of doc_id%10==5 (odd -> collide
+    only with BATCH-1 KEEPERS, proving the extend appended them) +
+    copies (+30M) of doc_id%4==2 (even -> collide with the seed).
+
+    Hash-function-free oracle via `verify_jaccard=1.0`: exact text
+    copies produce identical signatures (collide in every band) and
+    verify at exact Jaccard 1.0, while no distinct-text pair on this
+    corpus shares a full shingle set (checked construction property,
+    same contract family as dedup_incremental_index) — so the dropped
+    set is exactly the planted copies, which the DuckDB twin
+    enumerates directly."""
+    import tempfile
+
+    from meerkat_spark.ingest.neardup_maintenance import ingest_minhash_batch
+    from meerkat_spark.text.dedup_index import build_minhash_index
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select("doc_id", "text")
+    )
+    path = tempfile.mkdtemp(prefix="mk_mkl_suite_")
+    seed = d.filter(F.col("doc_id") % 2 == 0)
+    build_minhash_index(seed, path)
+
+    def copies(mod, rem, offset):
+        return d.filter(F.col("doc_id") % mod == rem).select(
+            (F.col("doc_id") + offset).cast("long").alias("doc_id"), "text"
+        )
+
+    all_texts = d  # indexed ids' texts for the exact-Jaccard verify
+    batch1 = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        copies(10, 0, 10_000_000)
+    )
+    k1, pairs1 = ingest_minhash_batch(
+        batch1, path, verify_jaccard=1.0, corpus=all_texts
+    )
+    all_texts = all_texts.unionByName(k1.select("doc_id", "text"))
+    batch2 = copies(10, 5, 20_000_000).unionByName(copies(4, 2, 30_000_000))
+    _k2, pairs2 = ingest_minhash_batch(
+        batch2, path, verify_jaccard=1.0, corpus=all_texts
+    )
+    dropped = (
+        pairs1.select(F.lit(1).alias("batch"), F.col("id2").alias("dropped_id"))
+        .unionByName(
+            pairs2.select(F.lit(2).alias("batch"), F.col("id2").alias("dropped_id"))
+        )
+        .distinct()
+    )
+    return dropped.orderBy("batch", "dropped_id")

@@ -353,3 +353,31 @@ def test_search_pairs_unique_under_padded_probes(spark, tmp_path):
     outq = ivf_search(spark, idxq, q, k=20, n_probe=8).collect()
     pq_pairs = [(r.query_id, r.neighbor_id) for r in outq]
     assert len(pq_pairs) == len(set(pq_pairs))
+
+
+def test_pq_query_batch_autosplits_above_lut_guard(spark, tmp_path, monkeypatch):
+    """r11: a PQ query batch whose combined ADC LUT would exceed the
+    broadcast bound auto-splits into guard-sized chunks and unions the
+    per-chunk results — identical output to the unsplit search, no
+    raise. Forced by shrinking MAX_ADC_LUT_ENTRIES below the batch."""
+    import meerkat_spark.similarity.pq as pqmod
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    idx = str(tmp_path / "ivfpq_split")
+    build_ivf_index(emb.unionByName(dups), idx, n_cells=16, pq_m=8)
+    q = emb.filter(F.col("vec_id") < 10)
+
+    whole = {(r.query_id, r.rank): r.neighbor_id
+             for r in ivf_search(spark, idx, q, k=1, n_probe=1).collect()}
+
+    # codebooks hold m*k_eff rows; cap the LUT at ~3 queries' worth
+    lut_per_q = spark.read.parquet(f"{idx}/pq_codebooks").count()
+    monkeypatch.setattr(pqmod, "MAX_ADC_LUT_ENTRIES", 3 * lut_per_q)
+    split = {(r.query_id, r.rank): r.neighbor_id
+             for r in ivf_search(spark, idx, q, k=1, n_probe=1).collect()}
+    assert split == whole
+    for (qid, rank), nid in split.items():
+        assert rank == 1 and nid == qid + 100000
