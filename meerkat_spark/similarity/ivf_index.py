@@ -77,6 +77,94 @@ def _cluster_centroids(cents: np.ndarray, n_super: int, n_iter: int = 10):
 
 
 
+def _assign_and_write(
+    c: DataFrame,
+    path: str,
+    bc_route,
+    quantize: bool,
+    has_pq: bool,
+    mode: str,
+) -> None:
+    """Route every (neighbor_id, cv) row to its cell with one
+    shuffle-free Arrow matmul pass (+ optional SQ8/PQ encode) and write
+    the result partitioned by cell_id. Shared by the initial build
+    (mode='overwrite') and incremental extension (mode='append') so the
+    two paths can never diverge in routing or encoding."""
+
+    def assign_cells(batches):
+        import pandas as pd  # noqa: F401 — worker-side
+
+        rt = bc_route.value
+        cents_v, supercents_v = rt["cents"], rt["supercents"]
+        members_v, pq_books_v = rt["members"], rt["pq_books"]
+        pq_rot_v = rt["pq_rot"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            pdf = pdf[["neighbor_id", "cv"]].copy()
+            if supercents_v is None:
+                pdf["cell_id"] = (Cn @ cents_v.T).argmax(axis=1).astype("int64")
+            else:
+                sup = (Cn @ supercents_v.T).argmax(axis=1)
+                cell = np.empty(len(Cn), dtype=np.int64)
+                for g in range(len(supercents_v)):
+                    idx = np.flatnonzero(sup == g)
+                    if not len(idx):
+                        continue
+                    mem = members_v[g]
+                    # rows routed to g compete only among g's cells:
+                    # |rows| x |mem| matmul, ~n/n_super x n_cells/n_super
+                    cell[idx] = mem[(Cn[idx] @ cents_v[mem].T).argmax(axis=1)]
+                pdf["cell_id"] = cell
+            if quantize:
+                # symmetric per-vector int8 (quantize.py formula, same
+                # half-up rounding): scale = max|v|/127, q = clip(
+                # floor(v/scale + 0.5), ±127). All-zero vectors keep
+                # q_scale=0 / q=0 (un-rankable by cosine either way).
+                scale = np.abs(C).max(axis=1) / 127.0
+                safe = np.where(scale > 0, scale, 1.0)
+                codes = np.clip(
+                    np.floor(C / safe[:, None] + 0.5), -127, 127
+                ).astype(np.int8)
+                pdf["q"] = list(codes)
+                pdf["q_scale"] = scale
+            if pq_books_v is not None:
+                from meerkat_spark.similarity.pq import _encode_matrix
+
+                # encode the NORMALIZED vectors: the search-side ADC
+                # scores <normalized query, reconstruction>, which then
+                # approximates cosine (identical vectors still encode
+                # identically — same normalization, same argmin)
+                pdf["codes"] = list(
+                    _encode_matrix(Cn, pq_books_v, pq_rot_v).astype(np.int16)
+                )
+            yield pdf
+
+    a_schema = "neighbor_id long, cv array<double>, cell_id long"
+    if quantize:
+        a_schema += ", q array<tinyint>, q_scale double"
+    if has_pq:
+        a_schema += ", codes array<smallint>"
+    assigned = c.mapInPandas(assign_cells, a_schema)
+    # Cluster rows by cell BEFORE the partitioned write: without this,
+    # every input task writes one file into every cell directory it
+    # touches — O(tasks * n_cells) small files (~5.7k at the x16 scaling
+    # leg; at 1000 executors * 32k cells it would be tens of millions).
+    # One shuffle keyed on cell_id makes it O(n_cells) files total.
+    # (Append mode adds ONE file per touched cell per batch — compact
+    # with rebuild when batch count grows large.)
+    assigned = assigned.repartition("cell_id")
+    if quantize or has_pq:
+        # neighbor_id order inside each cell file ⇒ Parquet row-group
+        # min/max stats make the rerank's neighbor_id pushdown prune
+        assigned = assigned.sortWithinPartitions("cell_id", "neighbor_id")
+    assigned.write.mode(mode).partitionBy("cell_id").parquet(
+        os.path.join(path, "assigned")
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -209,76 +297,7 @@ def build_ivf_index(
         }
     )
 
-    def assign_cells(batches):
-        import pandas as pd  # noqa: F401 — worker-side
-
-        rt = bc_route.value
-        cents_v, supercents_v = rt["cents"], rt["supercents"]
-        members_v, pq_books_v = rt["members"], rt["pq_books"]
-        pq_rot_v = rt["pq_rot"]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
-            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-            pdf = pdf[["neighbor_id", "cv"]].copy()
-            if supercents_v is None:
-                pdf["cell_id"] = (Cn @ cents_v.T).argmax(axis=1).astype("int64")
-            else:
-                sup = (Cn @ supercents_v.T).argmax(axis=1)
-                cell = np.empty(len(Cn), dtype=np.int64)
-                for g in range(len(supercents_v)):
-                    idx = np.flatnonzero(sup == g)
-                    if not len(idx):
-                        continue
-                    mem = members_v[g]
-                    # rows routed to g compete only among g's cells:
-                    # |rows| x |mem| matmul, ~n/n_super x n_cells/n_super
-                    cell[idx] = mem[(Cn[idx] @ cents_v[mem].T).argmax(axis=1)]
-                pdf["cell_id"] = cell
-            if quantize:
-                # symmetric per-vector int8 (quantize.py formula, same
-                # half-up rounding): scale = max|v|/127, q = clip(
-                # floor(v/scale + 0.5), ±127). All-zero vectors keep
-                # q_scale=0 / q=0 (un-rankable by cosine either way).
-                scale = np.abs(C).max(axis=1) / 127.0
-                safe = np.where(scale > 0, scale, 1.0)
-                codes = np.clip(
-                    np.floor(C / safe[:, None] + 0.5), -127, 127
-                ).astype(np.int8)
-                pdf["q"] = list(codes)
-                pdf["q_scale"] = scale
-            if pq_books_v is not None:
-                from meerkat_spark.similarity.pq import _encode_matrix
-
-                # encode the NORMALIZED vectors: the search-side ADC
-                # scores <normalized query, reconstruction>, which then
-                # approximates cosine (identical vectors still encode
-                # identically — same normalization, same argmin)
-                pdf["codes"] = list(
-                    _encode_matrix(Cn, pq_books_v, pq_rot_v).astype(np.int16)
-                )
-            yield pdf
-
-    a_schema = "neighbor_id long, cv array<double>, cell_id long"
-    if quantize:
-        a_schema += ", q array<tinyint>, q_scale double"
-    if pq_books is not None:
-        a_schema += ", codes array<smallint>"
-    assigned = c.mapInPandas(assign_cells, a_schema)
-    # Cluster rows by cell BEFORE the partitioned write: without this,
-    # every input task writes one file into every cell directory it
-    # touches — O(tasks * n_cells) small files (~5.7k at the x16 scaling
-    # leg; at 1000 executors * 32k cells it would be tens of millions).
-    # One shuffle keyed on cell_id makes it O(n_cells) files total.
-    assigned = assigned.repartition("cell_id")
-    if quantize or pq_books is not None:
-        # neighbor_id order inside each cell file ⇒ Parquet row-group
-        # min/max stats make the rerank's neighbor_id pushdown prune
-        assigned = assigned.sortWithinPartitions("cell_id", "neighbor_id")
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
-        os.path.join(path, "assigned")
-    )
+    _assign_and_write(c, path, bc_route, bool(quantize), pq_books is not None, "overwrite")
     spark = emb.sparkSession
     if pq_books is not None:
         book_rows = [
@@ -307,6 +326,83 @@ def build_ivf_index(
         spark.createDataFrame(
             sup_rows, "super_id long, centroid array<double>"
         ).write.mode("overwrite").parquet(os.path.join(path, "supercentroids"))
+
+
+def extend_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to a persisted IVF index with the
+    IDENTICAL routing and encoding the build used — the incremental
+    ingest path a growing corpus needs (the index twin of
+    extend_neardup_index / extend_minhash_index):
+
+    - centroids, supercentroid routing, PQ codebooks and the OPQ flag
+      are all reloaded from the index directory (nothing retrained, so
+      an exact copy of an already-indexed vector lands in the same
+      cell with the same codes — the planted recall contracts survive
+      extension);
+    - the batch pays one shuffle-free Arrow assignment pass + one
+      cell-keyed shuffle, and appends ONE file per touched cell —
+      existing cell files are never rewritten. Rebuild (or re-train)
+      when drift or file-count warrants compaction;
+    - centroids stay fixed, so heavy extension skews cell sizes the
+      same way FAISS IVF appends do — probe cost grows with the
+      appended mass, recall contracts are unaffected.
+
+    New ids must not collide with indexed ids (caller contract shared
+    with every incremental index in this repo)."""
+    spark = emb.sparkSession
+    cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    if not cents_rows:
+        raise ValueError(f"no centroids at {path} — build_ivf_index first")
+    cents = np.zeros((len(cents_rows), len(cents_rows[0].centroid)))
+    super_of_cell = np.zeros(len(cents_rows), dtype=np.int64)
+    for r in cents_rows:
+        cents[r.cell_id] = r.centroid
+        super_of_cell[r.cell_id] = getattr(r, "super_id", 0) or 0
+    supercents = members = None
+    sup_dir = os.path.join(path, "supercentroids")
+    if os.path.isdir(sup_dir):
+        sup_rows = spark.read.parquet(sup_dir).collect()
+        supercents = np.zeros((len(sup_rows), cents.shape[1]))
+        for r in sup_rows:
+            supercents[r.super_id] = r.centroid
+        members = [
+            np.flatnonzero(super_of_cell == g) for g in range(len(supercents))
+        ]
+    pq_books = pq_rot = None
+    pq_dir = os.path.join(path, "pq_codebooks")
+    if os.path.isdir(pq_dir):
+        book_rows = spark.read.parquet(pq_dir).collect()
+        m = max(r.sub_id for r in book_rows) + 1
+        k_eff = max(r.cent_id for r in book_rows) + 1
+        pq_books = np.zeros((m, k_eff, len(book_rows[0].centroid)))
+        for r in book_rows:
+            pq_books[r.sub_id, r.cent_id] = r.centroid
+        meta_dir = os.path.join(path, "pq_meta")
+        if os.path.isdir(meta_dir) and bool(
+            spark.read.parquet(meta_dir).collect()[0].rotated
+        ):
+            from meerkat_spark.similarity.pq import opq_rotation
+
+            pq_rot = opq_rotation(pq_books.shape[0] * pq_books.shape[2])
+    quantize = "q" in spark.read.parquet(os.path.join(path, "assigned")).columns
+    bc_route = spark.sparkContext.broadcast(
+        {
+            "cents": cents,
+            "supercents": supercents,
+            "members": members,
+            "pq_books": pq_books,
+            "pq_rot": pq_rot,
+        }
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), knn._to_double(F.col(vec_col)).alias("cv")
+    )
+    _assign_and_write(c, path, bc_route, quantize, pq_books is not None, "append")
 
 
 def ivf_search(

@@ -637,3 +637,44 @@ def semdedup_planted(spark, sf_dir):
     corpus = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding").unionByName(copies)
     out = semdedup(corpus, threshold=0.9, target_cluster=64)
     return out.select("vec_id").orderBy("vec_id")
+
+
+@register(
+    "ivf_extend_recall",
+    oracle="""
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rank
+    FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id
+    """,
+)
+def ivf_extend_recall(spark, sf_dir):
+    """ORACLE-BACKED incremental IVF extension (r11 —
+    extend_ivf_index: append a batch to a persisted index with the
+    PERSISTED routing, nothing retrained): build the index on the
+    even-id half of the corpus, then EXTEND it with the odd half plus
+    exact copies (+1M) of every 10th vector (even — their sources
+    live in the original build). An appended copy routes to its
+    source's cell because centroids are reloaded, so search over the
+    extended index must return the source as top-1 at cosine 1.0 with
+    n_probe=1 — the ivf_persisted_recall contract carried through the
+    append path."""
+    import tempfile
+
+    from meerkat_spark.similarity.ivf_index import (
+        build_ivf_index,
+        extend_ivf_index,
+        ivf_search,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="mk_ivfx_suite_")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    extend_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1).unionByName(copies), path
+    )
+    res = ivf_search(spark, path, copies, k=1, n_probe=1)
+    return res.orderBy("query_id")

@@ -381,3 +381,40 @@ def test_pq_query_batch_autosplits_above_lut_guard(spark, tmp_path, monkeypatch)
     assert split == whole
     for (qid, rank), nid in split.items():
         assert rank == 1 and nid == qid + 100000
+
+
+def test_extend_index_same_routing_all_variants(spark, tmp_path):
+    """r11 extend_ivf_index: an appended batch routes and encodes with
+    the PERSISTED state (centroids / super routing / PQ books / OPQ
+    flag / SQ8 detection), so an exact copy of an indexed vector lands
+    in its source's cell and comes back top-1 at sim 1.0 through every
+    index variant — the planted contract must survive extension."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    copies = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 20)).select(
+        (F.col("vec_id") + 100000).cast("long").alias("vec_id"), "embedding"
+    )
+    fresh = emb.filter(F.col("vec_id") % 2 == 1)
+    variants = {
+        "float2l": {"two_level": True},
+        "sq8": {"quantize": True},
+        "opq": {"pq_m": 8, "pq_rotate": True},
+    }
+    for name, kwargs in variants.items():
+        idx = str(tmp_path / name)
+        build_ivf_index(base, idx, n_cells=8, **kwargs)
+        from meerkat_spark.similarity.ivf_index import extend_ivf_index
+
+        extend_ivf_index(fresh.unionByName(copies), idx)
+        q = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 20))
+        out = {
+            r.query_id: r
+            for r in ivf_search(spark, idx, q, k=1, n_probe=1).collect()
+        }
+        assert len(out) == 10, name
+        for qid, r in out.items():
+            assert r.neighbor_id == qid + 100000 and r.sim == 1.0, (name, r)
+        # appended fresh vectors are searchable too
+        q2 = fresh.filter(F.col("vec_id") < 9)
+        got = ivf_search(spark, idx, q2, k=3, n_probe=8)
+        assert got.count() > 0, name
