@@ -124,3 +124,77 @@ def ingest_minhash_batch(
     )
     extend_minhash_index(keepers, path, id_col=id_col, text_col=text_col)
     return keepers, pairs
+
+
+def _parquet_file_count(root: str) -> int:
+    import os
+
+    return sum(
+        1
+        for dirpath, _dirs, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _compact_dir(
+    spark, dir_path: str, part_col: str | None, target_rows_per_file: int
+) -> tuple[int, int]:
+    """Rewrite one parquet directory with bounded file counts and swap
+    it in atomically (same tmp-write + rename pair as
+    ingest/compact.py — an object-store deployment would commit a
+    manifest instead). Partitioned dirs repartition on the partition
+    column (one task → one file per partition value); flat dirs
+    repartition to ceil(rows / target_rows_per_file) files. Returns
+    (files_before, files_after)."""
+    import os
+    import shutil
+    import uuid
+
+    before = _parquet_file_count(dir_path)
+    df = spark.read.parquet(dir_path)
+    tmp = dir_path + f".compact-{uuid.uuid4().hex[:8]}"
+    if part_col:
+        w = df.repartition(part_col).write.partitionBy(part_col)
+    else:
+        n_files = max(1, -(-df.count() // target_rows_per_file))
+        w = df.repartition(n_files).write
+    w.mode("overwrite").parquet(tmp)
+    old = dir_path + ".old"
+    os.rename(dir_path, old)
+    os.rename(tmp, dir_path)
+    shutil.rmtree(old)
+    return before, _parquet_file_count(dir_path)
+
+
+def compact_neardup_index(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> dict[str, tuple[int, int]]:
+    """Small-file maintenance for the sign-LSH embedding index: every
+    extend/ingest batch appends ONE file per touched band partition
+    (plus one vectors file), so after B batches a probe of one band
+    opens B files. Rewrites postings back to one file per band and the
+    vectors table to ~target_rows_per_file rows per file; contents are
+    unchanged (pinned by tests). Returns
+    {dir: (files_before, files_after)}. The params table (1 row) is
+    left alone."""
+    import os
+
+    return {
+        "postings": _compact_dir(
+            spark, os.path.join(path, "postings"), "band_id", target_rows_per_file
+        ),
+        "vectors": _compact_dir(
+            spark, os.path.join(path, "vectors"), None, target_rows_per_file
+        ),
+    }
+
+
+def compact_minhash_index(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> dict[str, tuple[int, int]]:
+    """Text twin: the MinHash index is a single band_id-partitioned
+    postings table at `path` — rewrite to one file per band."""
+    return {
+        "postings": _compact_dir(spark, path, "band_id", target_rows_per_file)
+    }

@@ -405,6 +405,40 @@ def extend_ivf_index(
     _assign_and_write(c, path, bc_route, quantize, pq_books is not None, "append")
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Small-file maintenance after extend_ivf_index appends: each
+    append adds one file per touched cell, so after B batches a probe
+    opens B files per probed cell. Rewrites the assigned table back to
+    one file per cell — re-applying the in-partition neighbor_id sort
+    that quantized/PQ rerank row-group pruning depends on (append
+    interleaves sorted runs, which widens row-group min/max stats) —
+    and swaps it in atomically. Returns (files_before, files_after)."""
+    import shutil
+    import uuid
+
+    def count_files(root: str) -> int:
+        return sum(
+            1
+            for dirpath, _dirs, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    a_dir = os.path.join(path, "assigned")
+    before = count_files(a_dir)
+    df = spark.read.parquet(a_dir)
+    out = df.repartition("cell_id")
+    if "q" in df.columns or "codes" in df.columns:
+        out = out.sortWithinPartitions("cell_id", "neighbor_id")
+    tmp = a_dir + f".compact-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
+    old = a_dir + ".old"
+    os.rename(a_dir, old)
+    os.rename(tmp, a_dir)
+    shutil.rmtree(old)
+    return before, count_files(a_dir)
+
+
 def ivf_search(
     spark: SparkSession,
     path: str,
