@@ -78,3 +78,51 @@ def streaming_window_counts(
             "n",
         )
     )
+
+
+def start_neardup_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keepers_path: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming front-end for the incremental embedding near-dup
+    KEEPER loop (ingest/neardup_maintenance.ingest_neardup_batch): each
+    micro-batch is deduped against the persisted sign-LSH index AND
+    itself, only the keepers' postings/vectors are appended, and
+    (optionally) the keepers land in a parquet table at `keepers_path`.
+    Semantics are EXACTLY the per-batch job's — streaming adds replay
+    machinery, not new rules — which is what the batch-vs-stream parity
+    test pins (tests/test_streaming_parity.py drives the same packaged
+    step under foreachBatch).
+
+    Micro-batches run the keeper step SEQUENTIALLY (Structured
+    Streaming's foreachBatch guarantee), which the index append
+    requires: batch N must see batch N-1's postings. The index must
+    already exist (build_neardup_index seeds the params/planes)."""
+    from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
+
+    def _step(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        keepers, _pairs = ingest_neardup_batch(
+            batch_df, index_path, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if keepers_path:
+            keepers.write.mode("append").parquet(keepers_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()

@@ -516,3 +516,60 @@ def test_incremental_neardup_index_batch_stream_parity(spark, tmp_path):
     assert stream_keepers == batch_keepers
     assert not (set(seed["vec_id"] - 200_000) & stream_keepers)  # seed dups drop
     assert not {v for v in stream_keepers if v >= 100_000}  # late copies drop
+
+
+def test_start_neardup_ingest_stream_api(spark, tmp_path):
+    """r11: the packaged writeStream front-end
+    (streaming/ingest.start_neardup_ingest_stream) must produce the
+    same keeper set as the plain per-batch loop over the same ordered
+    chunks, and land keepers in the optional parquet sink."""
+    import pandas as pd
+
+    from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
+    from meerkat_spark.similarity.neardup_index import build_neardup_index
+    from meerkat_spark.streaming.ingest import start_neardup_ingest_stream
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    copies = emb.iloc[::5].copy()
+    copies["vec_id"] += 100_000
+    arr = pd.concat([emb, copies], ignore_index=True)
+    arr["embedding"] = arr["embedding"].map(list)
+    chunk_dir = str(tmp_path / "schunks")
+    _write_replay_chunks(spark, arr, chunk_dir, n_chunks=3)
+
+    seed = emb.iloc[:5].copy()
+    seed["vec_id"] += 200_000
+    seed["embedding"] = seed["embedding"].map(list)
+    seed_df = spark.createDataFrame(seed)
+    idx_s, idx_b = str(tmp_path / "sidx"), str(tmp_path / "bidx")
+    build_neardup_index(seed_df, idx_s, threshold=0.95)
+    build_neardup_index(seed_df, idx_b, threshold=0.95)
+
+    schema = spark.createDataFrame(arr.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    keepers_path = str(tmp_path / "keepers")
+    q = start_neardup_ingest_stream(
+        stream, idx_s, str(tmp_path / "ck"), threshold=0.95,
+        keepers_path=keepers_path,
+    )
+    q.awaitTermination(300)
+    stream_keepers = {
+        r.vec_id for r in spark.read.parquet(keepers_path).collect()
+    }
+
+    batch_keepers: set[int] = set()
+    for f in sorted(x for x in os.listdir(chunk_dir) if x.endswith(".parquet")):
+        bdf = spark.read.parquet(os.path.join(chunk_dir, f))
+        k, _ = ingest_neardup_batch(bdf, idx_b, threshold=0.95)
+        batch_keepers.update(r.vec_id for r in k.select("vec_id").collect())
+
+    assert stream_keepers == batch_keepers
+    assert not {d for d in stream_keepers if 100_000 <= d < 200_000}  # copies dropped
