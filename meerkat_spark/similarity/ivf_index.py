@@ -41,6 +41,12 @@ from meerkat_spark.similarity import knn
 # semi-join on the already-checkpointed candidate table — identical
 # semantics, no plan bloat. Same threshold as the KQL translator's
 # in()-subquery routing (kql/translator.py _IN_LITERAL_MAX).
+# Task-binary note (r11, measured at sf0.1): the rerank job's ~1-2 MiB
+# task binaries are dominated by the serialized scan+join plan and are
+# present on BOTH sides of this gate (the 2,115-literal In and the
+# semi-join variant ship within ~1 MiB of each other), so the gate is
+# sized for plan-construction safety, not binary size; bench pins the
+# DAGScheduler logger accordingly.
 RERANK_LITERAL_MAX = 10_000
 
 
