@@ -70,15 +70,16 @@ def load_all() -> None:
 # grade fresh.
 # (b) the 19 names whose newest green is r6 (kql_parse_kv_op onward —
 # after this round no green grade is older than r7).
-# (c) the oldest r7-stale names alphabetically (20 of 47 fit; the
-# remainder — join_rightanti, lang_id_accuracy onward — rotates in
-# next round).
+# (c) the oldest r7-stale names alphabetically (19 of 47 fit; the
+# remainder — join_rightanti, join_rightouter, lang_id_accuracy —
+# rotates in next round).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) round-11 code-change re-grades + new registrations
     "embedding_neardup_lifecycle",
     "minhash_keeper_lifecycle",
     "ivf_extend_recall",
+    "fuzzy_dedup_best_quality",
     "ivf_persisted_recall",
     "ivf_two_level_recall",
     "ivf_quantized_recall",
@@ -124,7 +125,6 @@ _PRIORITY: list[str] = [
     "dedup_exact_keep",
     "fuzzy_dedup_planted",
     "geo_s2cell_ops",
-    "join_rightouter",
     "join_rightsemi",
     "knn_cosine_topk_fast",
     "knn_recall_gate",

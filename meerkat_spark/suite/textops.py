@@ -1794,3 +1794,55 @@ def minhash_keeper_lifecycle(spark, sf_dir):
         .distinct()
     )
     return dropped.orderBy("batch", "dropped_id")
+
+
+@register(
+    "fuzzy_dedup_best_quality",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE trim(coalesce(text, '')) <> ''
+        AND doc_id % 10 = 0
+    )
+    SELECT CAST(CASE WHEN (doc_id + 1000000) % 7 > doc_id % 7
+                     THEN doc_id + 1000000 ELSE doc_id END AS BIGINT) AS kept_id
+    FROM d ORDER BY kept_id
+    """,
+)
+def fuzzy_dedup_best_quality(spark, sf_dir):
+    """ORACLE-BACKED quality-aware keeper (r11 — fuzzy_dedup
+    keeper='max_score'): production dedup keeps the BEST class member,
+    not the smallest id. Construction: plant an exact copy (+1M) of
+    every 10th doc and give every row the deterministic score
+    doc_id % 7; each planted class {orig, copy} keeps its higher-score
+    member (1M % 7 = 1, so copy score = (orig+1) % 7 — never a tie,
+    and the copy wins except when orig % 7 == 6), which the DuckDB
+    twin computes directly. Threshold 1.0: exact copies share the
+    full shingle set (rounded Jaccard exactly 1.0) while NO
+    distinct-text pair on this corpus does (checked construction
+    property, the dedup_incremental_index contract family — real
+    near-dups at 0.9 would merge planted classes into corpus classes
+    and break the enumeration). Result: the kept member of every
+    planted class."""
+    from meerkat_spark.text.dedup import fuzzy_dedup
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select("doc_id", "text")
+    )
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).cast("long").alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(copies).withColumn(
+        "score", (F.col("doc_id") % 7).cast("long")
+    )
+    kept = fuzzy_dedup(
+        corpus, threshold=1.0, keeper="max_score", score_col="score"
+    )
+    return (
+        kept.filter(
+            (F.col("doc_id") >= 1_000_000) | (F.col("doc_id") % 10 == 0)
+        )
+        .select(F.col("doc_id").alias("kept_id"))
+        .orderBy("kept_id")
+    )

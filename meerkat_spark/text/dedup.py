@@ -476,13 +476,27 @@ def fuzzy_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     checkpoint_dir: str | None = None,
+    keeper: str = "min_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup — the standard training-data pipeline in
     one call: MinHash-LSH candidate pairs (bucketed, exact-class star
     routing) → EXACT Jaccard verification of candidates only (kills
     LSH false positives) → connected components over the verified
-    near-dup graph → keep the min-id representative per class. Returns
-    `df` minus non-representative near-duplicates.
+    near-dup graph → keep ONE representative per class. Returns `df`
+    minus non-representative near-duplicates.
+
+    Keeper policy:
+    - "min_id" (default): the class's smallest id — cheapest (it IS
+      the component label, zero extra work) and the right choice when
+      ids encode arrival order.
+    - "max_score": the class member with the highest `score_col`
+      (ties broken by smallest id) — what production pipelines
+      actually want: when near-duplicates differ (one copy truncated,
+      one boilerplate-wrapped), keep the best-quality one, e.g.
+      text/analysis.quality_score or a classifier score. Costs one
+      extra per-class row_number over the CLASS MEMBERS ONLY (the
+      duplicate-graph nodes, a small fraction of the corpus).
 
     Scale: candidates are O(corpus) by LSH construction, verification
     is O(candidates) co-keyed joins, components is O(graph diameter)
@@ -491,6 +505,10 @@ def fuzzy_dedup(
     routing pairs them directly, jaccard 1 ≥ any threshold)."""
     from meerkat_spark.operators.components import connected_components
 
+    if keeper not in ("min_id", "max_score"):
+        raise ValueError(f"unknown keeper policy {keeper!r}")
+    if keeper == "max_score" and not score_col:
+        raise ValueError("keeper='max_score' needs score_col")
     cands = minhash_lsh_pairs(
         df, text_col, id_col, n_perm=n_perm, bands=bands, shingle_k=shingle_k
     )
@@ -500,7 +518,25 @@ def fuzzy_dedup(
     comps = connected_components(
         verified, src="id1", dst="id2", checkpoint_dir=checkpoint_dir
     )
-    drop = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
+    if keeper == "min_id":
+        drop = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window as W
+
+        scored = comps.join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+            ),
+            "id",
+        )
+        w = W.partitionBy("component").orderBy(
+            F.col("__score").desc(), F.col("id").asc()
+        )
+        drop = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(drop, id_col, "left_anti")

@@ -529,3 +529,61 @@ def test_lm_perplexity_filter(spark):
     thr = (scores[0].perplexity + scores[100].perplexity) / 2
     kept = {r.doc_id for r in lm_quality_filter(df, thr, model=model).collect()}
     assert kept == set(range(20))  # gibberish over threshold, empty unscored
+
+
+def test_fuzzy_dedup_max_score_keeper(spark, docs_with_dups):
+    """r11 keeper='max_score': each near-dup class keeps its
+    highest-score member (ties -> smallest id) instead of the min id;
+    singletons are untouched; bad arguments raise."""
+    import pyspark.sql.functions as F2
+
+    # deterministic score that usually prefers the +100000 exact copy
+    scored = docs_with_dups.withColumn(
+        "score", (F2.col("doc_id") % 13).cast("long")
+    )
+    kept = TD.fuzzy_dedup(
+        scored, threshold=0.7, keeper="max_score", score_col="score"
+    )
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+
+    # ground truth components from exact jaccard (same as the min-id test)
+    true_pairs = [
+        (r.id1, r.id2)
+        for r in TD.jaccard_pairs(
+            docs_with_dups, threshold=0.7, max_shingle_df=None
+        ).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in true_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict = {}
+    all_ids = [r.doc_id for r in docs_with_dups.select("doc_id").collect()]
+    for i in all_ids:
+        groups.setdefault(find(i) if i in parent else i, []).append(i)
+    expected = {
+        max(members, key=lambda i: (i % 13, -i)) for members in groups.values()
+    }
+    assert ids == expected
+    # the policy genuinely differs from min_id on this fixture
+    min_ids = {
+        r.doc_id
+        for r in TD.fuzzy_dedup(scored, threshold=0.7).select("doc_id").collect()
+    }
+    assert ids != min_ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="score_col"):
+        TD.fuzzy_dedup(scored, keeper="max_score")
+    with _pytest.raises(ValueError, match="keeper"):
+        TD.fuzzy_dedup(scored, keeper="median")
