@@ -250,3 +250,52 @@ def temperature_mix(
         k: (sources[k], w) for k, w in weights.items() if w > 0
     }
     return mix_datasets(live, id_col=id_col, salt=salt, granularity=granularity)
+
+
+def select_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Token-budget corpus selection — the knob LLM data pipelines
+    actually tune ("300B tokens of web, 30B of code"): per stratum,
+    keep a deterministic pseudo-random subset whose token count just
+    reaches that stratum's budget.
+
+    Mechanics: order each stratum by the canonical salted md5 of the
+    id (a stable corpus shuffle — adding documents later never evicts
+    an already-selected one whose hash position is unchanged, the same
+    stability contract as hash_split), take the running token sum, and
+    keep every document that STARTS before the budget is exhausted
+    (cum - n_tok < budget) — so the crossing document is kept and the
+    selected token count is the smallest prefix total >= budget.
+    Strata absent from `budgets` are dropped (budget 0).
+
+    Engine-independent: the hash, the ordering, and the window cumsum
+    are all exactly SQL-replayable (the select_token_budget suite
+    oracle re-runs them in DuckDB bit-for-bit).
+
+    Scale: one keyed window per stratum — a distributed sort WITHIN
+    each stratum's partitions, never a global sort. For a single
+    giant stratum at the 100 TB extreme, the refinement is a
+    histogram cut (bucket the hash into 2^k bins, one aggregation for
+    per-bin token totals, driver picks the boundary bin, exact sort
+    only inside it); the window form is exact and is the contract."""
+    h = _salted_md5(id_col, salt)
+    pairs = [x for kv in budgets.items() for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
+    mapping = F.create_map(*pairs) if pairs else F.create_map()
+    w = (
+        W.partitionBy(stratum_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.withColumn("__budget", mapping[F.col(stratum_col)])
+        .filter(F.col("__budget").isNotNull())
+        .withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") - F.col(token_col) < F.col("__budget"))
+        .drop("__budget", "__cum")
+    )

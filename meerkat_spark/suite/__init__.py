@@ -70,9 +70,9 @@ def load_all() -> None:
 # grade fresh.
 # (b) the 19 names whose newest green is r6 (kql_parse_kv_op onward —
 # after this round no green grade is older than r7).
-# (c) the oldest r7-stale names alphabetically (19 of 47 fit; the
-# remainder — join_rightanti, join_rightouter, lang_id_accuracy —
-# rotates in next round).
+# (c) the oldest r7-stale names alphabetically (18 of 47 fit; the
+# remainder — join_rightanti, join_rightouter, join_rightsemi,
+# lang_id_accuracy — rotates in next round).
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) round-11 code-change re-grades + new registrations
@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "minhash_keeper_lifecycle",
     "ivf_extend_recall",
     "fuzzy_dedup_best_quality",
+    "select_token_budget_op",
     "ivf_persisted_recall",
     "ivf_two_level_recall",
     "ivf_quantized_recall",
@@ -125,7 +126,6 @@ _PRIORITY: list[str] = [
     "dedup_exact_keep",
     "fuzzy_dedup_planted",
     "geo_s2cell_ops",
-    "join_rightsemi",
     "knn_cosine_topk_fast",
     "knn_recall_gate",
 ]

@@ -1846,3 +1846,46 @@ def fuzzy_dedup_best_quality(spark, sf_dir):
         .select(F.col("doc_id").alias("kept_id"))
         .orderBy("kept_id")
     )
+
+
+@register(
+    "select_token_budget_op",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || 'budget') AS h
+      FROM documents
+    ), b AS (
+      SELECT * FROM (VALUES ('en', 2000), ('zh', 800)) AS t(lang, budget)
+    ), c AS (
+      SELECT d.doc_id, d.lang, d.n_tok, b.budget,
+             SUM(d.n_tok) OVER (PARTITION BY d.lang
+                                ORDER BY d.h, d.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d JOIN b USING (lang)
+    )
+    SELECT doc_id, lang, n_tok FROM c
+    WHERE cum - n_tok < budget ORDER BY lang, doc_id
+    """,
+)
+def select_token_budget_op(spark, sf_dir):
+    """ORACLE-BACKED token-budget selection (r11 —
+    operators/sampling.select_token_budget): per-stratum deterministic
+    hash-ordered prefix whose running token count first reaches the
+    stratum budget (keep 2000 'en' tokens + 800 'zh' tokens; 'de',
+    'es', 'fr' have no budget and drop entirely). The DuckDB twin
+    replays the identical salted-md5 ordering and window cumsum
+    bit-for-bit — same hash contract as hash_split."""
+    from meerkat_spark.operators.sampling import select_token_budget
+    from meerkat_spark.text.analysis import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tok")
+    )
+    kept = select_token_budget(
+        docs, {"en": 2000, "zh": 800}, stratum_col="lang",
+        token_col="n_tok", id_col="doc_id",
+    )
+    return kept.select("doc_id", "lang", "n_tok").orderBy("lang", "doc_id")

@@ -64,3 +64,49 @@ def test_temperature_mix_flattens_and_binds(spark):
     a = {r.doc_id for r in out.collect()}
     b = {r.doc_id for r in temperature_mix(srcs, alpha=0.0).collect()}
     assert a == b
+
+
+def test_select_token_budget_semantics_and_stability(spark):
+    """r11 select_token_budget: per stratum the kept set is the
+    minimal hash-ordered prefix reaching the budget (total >= budget,
+    removing the last-kept doc drops below); strata without budgets
+    vanish; growing the corpus never evicts previously selected docs
+    that keep their hash position (append-stability, the hash_split
+    contract)."""
+    from meerkat_spark.operators.sampling import _salted_md5, select_token_budget
+    from meerkat_spark.text.analysis import token_count
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", token_count(F.col("text")).alias("n_tok"))
+    )
+    budgets = {"en": 1500, "fr": 600}
+    kept = select_token_budget(docs, budgets, token_col="n_tok").cache()
+    sums = {r.lang: r.s for r in kept.groupBy("lang").agg(F.sum("n_tok").alias("s")).collect()}
+    assert set(sums) == {"en", "fr"}  # unbudgeted strata dropped
+    for lang, budget in budgets.items():
+        assert sums[lang] >= budget, (lang, sums[lang])
+        # minimality: dropping the hash-last kept doc goes below budget
+        last = (
+            kept.filter(F.col("lang") == lang)
+            .withColumn("h", _salted_md5("doc_id", "budget"))
+            .orderBy(F.col("h").desc(), F.col("doc_id").desc())
+            .limit(1)
+            .collect()[0]
+        )
+        assert sums[lang] - last.n_tok < budget, (lang, sums[lang], last.n_tok)
+
+    # append-stability: selecting from HALF the corpus then from the
+    # whole corpus — every doc selected from the half that the full
+    # run also selects is fine, but more strongly: the full-corpus
+    # selection restricted to the half-corpus ids equals selecting the
+    # prefix among those ids' hash positions; minimal check = no doc
+    # selected from the full corpus that exists in the half was
+    # selected there with a LOWER hash position and dropped now.
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    kept_half = {r.doc_id for r in select_token_budget(half, budgets, token_col="n_tok").collect()}
+    kept_full = {r.doc_id for r in kept.collect()}
+    # a doc kept in the FULL run and present in half must be kept in
+    # the half run too: the half corpus has strictly fewer competitors
+    # before any hash position, so prefixes only grow
+    assert {d for d in kept_full if d % 2 == 0} <= kept_half
