@@ -50,6 +50,12 @@ def compact_partition(
     """Dedup+rewrite one day partition atomically. Returns (rows_before,
     rows_after)."""
     part_dir = os.path.join(path, f"{DAY_COL}={day}")
+    # reclaim residue of a compaction that crashed mid-swap — a stale
+    # fixed-name `.old` would otherwise block every later rename
+    for stale in os.listdir(path):
+        full = os.path.join(path, stale)
+        if stale.startswith(f"{DAY_COL}={day}.") and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
     df = spark.read.parquet(part_dir)
     deduped = df.dropDuplicates([TS_COL, DEDUP_COL]).coalesce(target_files)
     tmp_dir = part_dir + f".compact-{uuid.uuid4().hex[:8]}"
@@ -60,7 +66,7 @@ def compact_partition(
     after = _footer_row_count(tmp_dir)
     # atomic-ish swap (single filesystem rename pair; object stores would
     # use a manifest commit instead — documented architectural delta)
-    old_dir = part_dir + ".old"
+    old_dir = part_dir + f".old-{uuid.uuid4().hex[:8]}"
     os.rename(part_dir, old_dir)
     os.rename(tmp_dir, part_dir)
     shutil.rmtree(old_dir)

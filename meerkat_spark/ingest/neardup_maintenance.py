@@ -30,8 +30,30 @@ generalization of that maintenance loop for LLM-training corpora.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _skip_already_indexed(
+    new_batch: DataFrame, indexed_ids: DataFrame, id_col: str
+) -> DataFrame:
+    """Replay-idempotence guard (VERDICT r11 'what's wrong' #1): drop
+    batch rows whose id is ALREADY in the index before probing. Under
+    Structured Streaming's at-least-once foreachBatch, a crash after
+    the index append but before the checkpoint commit replays the
+    epoch — and because the candidate probe filters self-pairs
+    (id1 == id2), a replayed keeper would sail past its own indexed
+    copy and be appended AGAIN. Anti-joining on the indexed id set
+    makes the whole keeper step idempotent per ROW, which also heals
+    partial replays (only the rows that did not commit re-process).
+
+    Cost: one column-pruned read of the indexed ids + an anti-join —
+    a small fraction of the band-probe join the batch already pays
+    (the probe scans bands x ids; this scans ids once)."""
+    idx = indexed_ids.select(F.col(indexed_ids.columns[0]).alias(id_col)).distinct()
+    return new_batch.join(idx, id_col, "left_anti")
 
 
 def ingest_neardup_batch(
@@ -51,12 +73,27 @@ def ingest_neardup_batch(
       partner: an indexed vector when id1_is_new is false, an
       earlier same-batch keeper when true).
 
-    New ids must not collide with indexed ids (index contract)."""
+    REPLAY-IDEMPOTENT: batch rows whose id is already in the index's
+    vectors table are skipped up front, so re-running the same batch —
+    a foreachBatch epoch replay, a retried job — appends NOTHING and
+    returns empty keepers (rows dropped by the original run were never
+    indexed, so they re-drop and re-report as pairs — a report, not a
+    mutation). A fresh id that
+    REUSES an indexed id is therefore silently treated as already
+    ingested: ids must still be assigned append-only (index contract),
+    the anti-join turns a violation from index corruption into a
+    no-op."""
     from meerkat_spark.similarity.neardup_index import (
         extend_neardup_index,
         incremental_neardup_pairs,
     )
 
+    spark = new_emb.sparkSession
+    new_emb = _skip_already_indexed(
+        new_emb,
+        spark.read.parquet(os.path.join(path, "vectors")).select("vec_id"),
+        id_col,
+    )
     pairs = incremental_neardup_pairs(
         new_emb, path, threshold=threshold, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
@@ -90,15 +127,33 @@ def ingest_minhash_batch(
     postings, not text (its design premise: corpus text is never
     re-read), so verification needs `corpus` = an (id, text) DataFrame
     covering the already-indexed ids; new-batch texts are supplied
-    automatically."""
+    automatically. Coverage is ENFORCED, not assumed: a candidate
+    whose indexed-side text is missing from `corpus` raises instead of
+    being silently kept (the inner join inside verify_pairs_jaccard
+    would drop an uncovered true duplicate without a trace).
+
+    REPLAY-IDEMPOTENT like ingest_neardup_batch: already-indexed ids
+    (present in the band-0 postings — one partition-pruned read) are
+    skipped up front, so re-running a batch appends nothing. The one
+    replay residue this cannot see is an EMPTY-TEXT doc (no postings
+    at all); such docs are always keepers and append no postings, so
+    the index still cannot be corrupted by their replay."""
     from meerkat_spark.text.dedup_index import (
         extend_minhash_index,
         incremental_dedup_pairs,
     )
 
+    spark = new_docs.sparkSession
+    new_docs = _skip_already_indexed(
+        new_docs,
+        spark.read.parquet(path).filter(F.col("band_id") == 0).select("doc_id"),
+        id_col,
+    )
+    # pin the RAW candidates before any verify consumer — the coverage
+    # probe and the verify join would each re-run the band-probe scan
     pairs = incremental_dedup_pairs(
         new_docs, path, id_col=id_col, text_col=text_col
-    )
+    ).localCheckpoint(eager=True)
     if verify_jaccard is not None:
         from meerkat_spark.text.dedup import verify_pairs_jaccard
 
@@ -110,14 +165,28 @@ def ingest_minhash_batch(
         texts = corpus.select(
             F.col(id_col), F.col(text_col)
         ).unionByName(new_docs.select(id_col, text_col)).dropDuplicates([id_col])
+        missing = (
+            pairs.filter(~F.col("id1_is_new"))
+            .select(F.col("id1").alias(id_col))
+            .distinct()
+            .join(texts.select(id_col), id_col, "left_anti")
+            .limit(5)
+            .collect()
+        )
+        if missing:
+            raise ValueError(
+                "verify_jaccard coverage violation: candidate indexed ids "
+                f"missing from `corpus`: {sorted(r[0] for r in missing)} — "
+                "an uncovered true duplicate would be silently kept"
+            )
         flags = pairs.select("id1", "id2", "id1_is_new")
         pairs = (
             verify_pairs_jaccard(texts, flags, text_col=text_col, id_col=id_col)
             .filter(F.col("jaccard") >= float(verify_jaccard))
             .join(flags, ["id1", "id2"])
             .select("id1", "id2", "jaccard", "id1_is_new")
+            .localCheckpoint(eager=True)
         )
-    pairs = pairs.localCheckpoint(eager=True)
     drops = pairs.select(F.col("id2").alias(id_col)).distinct()
     keepers = new_docs.join(drops, id_col, "left_anti").localCheckpoint(
         eager=True
@@ -137,22 +206,53 @@ def _parquet_file_count(root: str) -> int:
     )
 
 
+def _sweep_stale_swaps(dir_path: str) -> None:
+    """Remove leftovers of a compaction that crashed mid-swap: stale
+    `<dir>.old-*` (renamed-out originals whose rmtree never ran) and
+    `<dir>.compact-*` (tmp rewrites that never swapped in). Without
+    the sweep a crashed run's residue accumulates; with the r11 fixed
+    `.old` name it outright BLOCKED every later compaction (the
+    os.rename onto an existing dir raises — ADVICE r11)."""
+    import os
+    import shutil
+
+    parent, base = os.path.dirname(dir_path) or ".", os.path.basename(dir_path)
+    for name in os.listdir(parent):
+        if (
+            name == base + ".old"  # pre-r12 fixed-name residue
+            or name.startswith(base + ".old-")
+            or name.startswith(base + ".compact-")
+        ):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def _compact_dir(
-    spark, dir_path: str, part_col: str | None, target_rows_per_file: int
+    spark,
+    dir_path: str,
+    part_col: str | None,
+    target_rows_per_file: int,
+    dedup_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Rewrite one parquet directory with bounded file counts and swap
     it in atomically (same tmp-write + rename pair as
     ingest/compact.py — an object-store deployment would commit a
     manifest instead). Partitioned dirs repartition on the partition
     column (one task → one file per partition value); flat dirs
-    repartition to ceil(rows / target_rows_per_file) files. Returns
+    repartition to ceil(rows / target_rows_per_file) files.
+    `dedup_cols` ([] = full row) additionally drops duplicate rows —
+    the healing pass for the one replay residue the ingest anti-join
+    can leave (a crash BETWEEN a multi-job extend's commits re-appends
+    the already-committed table's rows on replay). Returns
     (files_before, files_after)."""
     import os
     import shutil
     import uuid
 
+    _sweep_stale_swaps(dir_path)
     before = _parquet_file_count(dir_path)
     df = spark.read.parquet(dir_path)
+    if dedup_cols is not None:
+        df = df.dropDuplicates(dedup_cols or None)
     tmp = dir_path + f".compact-{uuid.uuid4().hex[:8]}"
     if part_col:
         w = df.repartition(part_col).write.partitionBy(part_col)
@@ -160,7 +260,9 @@ def _compact_dir(
         n_files = max(1, -(-df.count() // target_rows_per_file))
         w = df.repartition(n_files).write
     w.mode("overwrite").parquet(tmp)
-    old = dir_path + ".old"
+    # unique .old name: a crash between the two renames must never
+    # block the NEXT compaction (the sweep above reclaims the space)
+    old = dir_path + f".old-{uuid.uuid4().hex[:8]}"
     os.rename(dir_path, old)
     os.rename(tmp, dir_path)
     shutil.rmtree(old)
@@ -174,18 +276,19 @@ def compact_neardup_index(
     extend/ingest batch appends ONE file per touched band partition
     (plus one vectors file), so after B batches a probe of one band
     opens B files. Rewrites postings back to one file per band and the
-    vectors table to ~target_rows_per_file rows per file; contents are
-    unchanged (pinned by tests). Returns
-    {dir: (files_before, files_after)}. The params table (1 row) is
-    left alone."""
+    vectors table to ~target_rows_per_file rows per file; the CONTENT
+    SET is unchanged (pinned by tests) — exact duplicate rows left by
+    a crash-between-commits replay are healed here (dedup_cols)."""
     import os
 
     return {
         "postings": _compact_dir(
-            spark, os.path.join(path, "postings"), "band_id", target_rows_per_file
+            spark, os.path.join(path, "postings"), "band_id",
+            target_rows_per_file, dedup_cols=[],
         ),
         "vectors": _compact_dir(
-            spark, os.path.join(path, "vectors"), None, target_rows_per_file
+            spark, os.path.join(path, "vectors"), None,
+            target_rows_per_file, dedup_cols=["vec_id"],
         ),
     }
 
@@ -194,7 +297,10 @@ def compact_minhash_index(
     spark, path: str, target_rows_per_file: int = 1_000_000
 ) -> dict[str, tuple[int, int]]:
     """Text twin: the MinHash index is a single band_id-partitioned
-    postings table at `path` — rewrite to one file per band."""
+    postings table at `path` — rewrite to one file per band (and heal
+    crash-replay duplicate rows, see _compact_dir)."""
     return {
-        "postings": _compact_dir(spark, path, "band_id", target_rows_per_file)
+        "postings": _compact_dir(
+            spark, path, "band_id", target_rows_per_file, dedup_cols=[]
+        )
     }

@@ -431,6 +431,11 @@ def compact_ivf_index(spark: SparkSession, path: str) -> tuple[int, int]:
         )
 
     a_dir = os.path.join(path, "assigned")
+    # reclaim residue of a crashed swap: a stale fixed-name `.old`
+    # (pre-r12) or orphaned `.compact-*` tmp would block / leak
+    from meerkat_spark.ingest.neardup_maintenance import _sweep_stale_swaps
+
+    _sweep_stale_swaps(a_dir)
     before = count_files(a_dir)
     df = spark.read.parquet(a_dir)
     out = df.repartition("cell_id")
@@ -438,7 +443,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> tuple[int, int]:
         out = out.sortWithinPartitions("cell_id", "neighbor_id")
     tmp = a_dir + f".compact-{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
-    old = a_dir + ".old"
+    old = a_dir + f".old-{uuid.uuid4().hex[:8]}"
     os.rename(a_dir, old)
     os.rename(tmp, a_dir)
     shutil.rmtree(old)

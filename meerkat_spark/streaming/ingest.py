@@ -80,6 +80,69 @@ def streaming_window_counts(
     )
 
 
+def _epoch_marker_guard(index_path: str, epoch_id: int) -> bool:
+    """Exactly-once guard for foreachBatch keeper steps: returns True
+    when `epoch_id` was already fully applied to the index at
+    `index_path` (skip the epoch). Structured Streaming's foreachBatch
+    is at-least-once — after a crash between the side effect and the
+    checkpoint commit the SAME epoch_id re-runs — so each completed
+    epoch drops a marker file under `<index>/_epochs/`.
+
+    Scope/contract: one stream per index (epoch_ids are per-
+    checkpoint), and the marker directory lives with the CHECKPOINT's
+    lifetime — delete `_epochs/` whenever the checkpoint is reset. On
+    an object store, the open().close() becomes a conditional put;
+    the local-FS form matches this repo's storage layer. Mid-epoch
+    crashes (side effect half-applied, no marker) are healed row-wise
+    by the ingest jobs' indexed-id anti-join
+    (ingest/neardup_maintenance._skip_already_indexed)."""
+    import os
+
+    marker = os.path.join(index_path, "_epochs", f"epoch-{int(epoch_id)}")
+    return os.path.exists(marker)
+
+
+def _commit_epoch_marker(index_path: str, epoch_id: int) -> None:
+    import os
+
+    d = os.path.join(index_path, "_epochs")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"epoch-{int(epoch_id)}"), "w"):
+        pass
+
+
+def neardup_keeper_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keepers_path: str | None = None,
+) -> None:
+    """ONE idempotent foreachBatch epoch of the near-dup keeper loop —
+    module-level so the replay tests can drive it directly. Replay
+    safety is two-layer: a completed epoch is skipped wholesale by its
+    marker; a HALF-applied epoch re-runs but the ingest job's
+    indexed-id anti-join turns already-appended rows into no-ops.
+    `keepers_path` is a convenience log of per-epoch keepers; the
+    authoritative keeper set is the index's vectors table (a crash
+    between the index append and this log can under-record one epoch's
+    keepers in the log, never in the index)."""
+    if _epoch_marker_guard(index_path, epoch_id):
+        return
+    from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
+
+    if batch_df.head(1):
+        keepers, _pairs = ingest_neardup_batch(
+            batch_df, index_path, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if keepers_path:
+            keepers.write.mode("append").parquet(keepers_path)
+    _commit_epoch_marker(index_path, epoch_id)
+
+
 def start_neardup_ingest_stream(
     stream_df: DataFrame,
     index_path: str,
@@ -100,21 +163,21 @@ def start_neardup_ingest_stream(
     test pins (tests/test_streaming_parity.py drives the same packaged
     step under foreachBatch).
 
+    IDEMPOTENT under at-least-once epoch replay (r12): each completed
+    epoch commits a marker under `<index>/_epochs/` and is skipped on
+    re-delivery; half-applied epochs heal through the ingest job's
+    indexed-id anti-join (see neardup_keeper_step).
+
     Micro-batches run the keeper step SEQUENTIALLY (Structured
     Streaming's foreachBatch guarantee), which the index append
     requires: batch N must see batch N-1's postings. The index must
     already exist (build_neardup_index seeds the params/planes)."""
-    from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
 
     def _step(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        keepers, _pairs = ingest_neardup_batch(
-            batch_df, index_path, threshold=threshold,
-            id_col=id_col, vec_col=vec_col,
+        neardup_keeper_step(
+            batch_df, epoch_id, index_path, threshold=threshold,
+            id_col=id_col, vec_col=vec_col, keepers_path=keepers_path,
         )
-        if keepers_path:
-            keepers.write.mode("append").parquet(keepers_path)
 
     writer = (
         stream_df.writeStream.outputMode("append")

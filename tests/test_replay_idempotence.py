@@ -1,0 +1,256 @@
+"""Replay idempotence for every incremental-index keeper loop
+(VERDICT r11 'what's wrong' #1 / next-round ask #1, plus stretch #8).
+
+Structured Streaming's foreachBatch is at-least-once: a crash after
+the index append but before the checkpoint commit re-delivers the SAME
+epoch. The guarantees pinned here:
+
+- ingest_neardup_batch / ingest_minhash_batch re-run on an already-
+  applied batch append NOTHING (indexed-id anti-join) and return empty
+  keepers/pairs — this also heals HALF-applied replays row-wise;
+- neardup_keeper_step skips a completed epoch wholesale via its
+  `_epochs/` marker (keepers log not double-appended);
+- the segment ingest path (start_stream_ingest) tolerates duplicate
+  epoch appends BY DESIGN: merge-time dedup on (_ts, _dedup) removes
+  them at compaction (reference README.md:15,22 — `_dedup` exists
+  exactly for replica/replay reconciliation).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_batches(spark):
+    import pandas as pd
+
+    emb = (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .limit(60)
+        .toPandas()
+    )
+    emb["embedding"] = emb["embedding"].map(list)
+    seed = emb.iloc[:10].copy()
+    seed["vec_id"] += 200_000
+    batch1 = emb.iloc[:40].copy()  # first 10 collide with the seed
+    batch2 = emb.iloc[40:].copy()
+    return (
+        spark.createDataFrame(seed),
+        spark.createDataFrame(batch1),
+        spark.createDataFrame(batch2),
+    )
+
+
+def _index_counts(spark, path):
+    return (
+        spark.read.parquet(os.path.join(path, "postings")).count(),
+        spark.read.parquet(os.path.join(path, "vectors")).count(),
+    )
+
+
+def test_neardup_batch_replay_idempotent(spark, tmp_path):
+    from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
+    from meerkat_spark.similarity.neardup_index import build_neardup_index
+
+    seed, batch1, _ = _emb_batches(spark)
+    idx = str(tmp_path / "vidx")
+    build_neardup_index(seed, idx, threshold=0.95)
+
+    k1, p1 = ingest_neardup_batch(batch1, idx, threshold=0.95)
+    n_keep, n_pairs = k1.count(), p1.count()
+    assert n_keep == 30  # 10 seed collisions dropped
+    counts_after_1 = _index_counts(spark, idx)
+
+    # the replay: identical batch, already applied. Keepers and the
+    # index are untouched; rows that were DROPPED in run 1 were never
+    # indexed, so they re-drop and re-report as pairs (a report, not a
+    # mutation — idempotence is about the index and the keeper set)
+    k2, p2 = ingest_neardup_batch(batch1, idx, threshold=0.95)
+    assert k2.count() == 0
+    assert {(r.id2,) for r in p2.select("id2").collect()} == {
+        (r.id2,) for r in p1.select("id2").collect()
+    }
+    assert _index_counts(spark, idx) == counts_after_1
+    assert n_pairs >= 10
+
+
+def test_neardup_partial_replay_processes_only_new(spark, tmp_path):
+    """A replayed batch UNIONED with genuinely new rows (the half-
+    applied-epoch shape): replayed rows are skipped, new rows get the
+    normal keeper treatment."""
+    from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
+    from meerkat_spark.similarity.neardup_index import build_neardup_index
+
+    seed, batch1, batch2 = _emb_batches(spark)
+    idx = str(tmp_path / "vidx")
+    build_neardup_index(seed, idx, threshold=0.95)
+    ingest_neardup_batch(batch1, idx, threshold=0.95)
+    counts_1 = _index_counts(spark, idx)
+
+    mixed = batch1.unionByName(batch2)
+    k, _p = ingest_neardup_batch(mixed, idx, threshold=0.95)
+    kept = {r.vec_id for r in k.select("vec_id").collect()}
+    want = {r.vec_id for r in batch2.select("vec_id").collect()}
+    assert kept == want  # distinct test vectors: all of batch2 survives
+    p_after, v_after = _index_counts(spark, idx)
+    assert v_after == counts_1[1] + len(want)
+    assert p_after > counts_1[0]
+
+
+def test_minhash_batch_replay_idempotent(spark, tmp_path):
+    from meerkat_spark.ingest.neardup_maintenance import ingest_minhash_batch
+    from meerkat_spark.text.dedup_index import build_minhash_index
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    seed = docs.limit(10).withColumn("doc_id", docs.doc_id + 200_000)
+    idx = str(tmp_path / "midx")
+    build_minhash_index(seed, idx)
+
+    k1, p1 = ingest_minhash_batch(docs, idx)
+    n1 = spark.read.parquet(idx).count()
+    kept1 = {r.doc_id for r in k1.select("doc_id").collect()}
+    seed_colliders = {r.doc_id for r in docs.limit(10).collect()}
+    # every seed collider dropped; the default (no-verify) path may
+    # additionally drop a spurious band collision among the real docs
+    assert not (kept1 & seed_colliders)
+    assert 25 <= len(kept1) <= 30
+
+    k2, p2 = ingest_minhash_batch(docs, idx)
+    assert k2.count() == 0
+    # never-indexed (dropped) rows re-drop and re-report as pairs
+    assert {r.id2 for r in p2.collect()} == {r.id2 for r in p1.collect()}
+    assert spark.read.parquet(idx).count() == n1
+
+
+def test_minhash_replay_idempotent_with_verify(spark, tmp_path):
+    from meerkat_spark.ingest.neardup_maintenance import ingest_minhash_batch
+    from meerkat_spark.text.dedup_index import build_minhash_index
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    seed = docs.limit(8).withColumn("doc_id", docs.doc_id + 200_000)
+    idx = str(tmp_path / "midxv")
+    build_minhash_index(seed, idx)
+    # covers every id that can ever be indexed-side: the seed, plus
+    # batch-1 keepers (indexed by the time the replay run probes)
+    corpus = seed.unionByName(docs)
+
+    k1, p1 = ingest_minhash_batch(
+        docs, idx, verify_jaccard=0.8, corpus=corpus
+    )
+    n1 = spark.read.parquet(idx).count()
+    kept1 = {r.doc_id for r in k1.select("doc_id").collect()}
+    seed_colliders = {r.doc_id for r in docs.limit(8).collect()}
+    assert not (kept1 & seed_colliders)
+
+    k2, p2 = ingest_minhash_batch(
+        docs, idx, verify_jaccard=0.8, corpus=corpus
+    )
+    assert k2.count() == 0
+    # every originally-dropped row re-drops, none is newly dropped
+    assert {r.id2 for r in p2.collect()} == {r.id2 for r in p1.collect()}
+    assert spark.read.parquet(idx).count() == n1
+
+
+def test_minhash_verify_coverage_violation_raises(spark, tmp_path):
+    """ADVICE r11: a candidate whose indexed-side text is missing from
+    `corpus` must raise, not silently keep a true duplicate."""
+    from meerkat_spark.ingest.neardup_maintenance import ingest_minhash_batch
+    from meerkat_spark.text.dedup_index import build_minhash_index
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(10)
+    )
+    seed = docs.withColumn("doc_id", docs.doc_id + 200_000)
+    idx = str(tmp_path / "midxc")
+    build_minhash_index(seed, idx)
+    empty_corpus = seed.filter("doc_id < 0")
+
+    with pytest.raises(ValueError, match="coverage violation"):
+        ingest_minhash_batch(
+            docs, idx, verify_jaccard=0.8, corpus=empty_corpus
+        )
+
+
+def test_neardup_keeper_step_epoch_marker(spark, tmp_path):
+    """The packaged streaming step: a re-delivered epoch_id is a no-op
+    for BOTH the index and the keepers log; a new epoch processes."""
+    from meerkat_spark.similarity.neardup_index import build_neardup_index
+    from meerkat_spark.streaming.ingest import neardup_keeper_step
+
+    seed, batch1, batch2 = _emb_batches(spark)
+    idx = str(tmp_path / "vidx")
+    keepers_path = str(tmp_path / "keepers")
+    build_neardup_index(seed, idx, threshold=0.95)
+
+    neardup_keeper_step(batch1, 0, idx, threshold=0.95, keepers_path=keepers_path)
+    assert os.path.exists(os.path.join(idx, "_epochs", "epoch-0"))
+    counts_1 = _index_counts(spark, idx)
+    log_1 = spark.read.parquet(keepers_path).count()
+    assert log_1 == 30
+
+    # epoch replay: marker short-circuits everything
+    neardup_keeper_step(batch1, 0, idx, threshold=0.95, keepers_path=keepers_path)
+    assert _index_counts(spark, idx) == counts_1
+    assert spark.read.parquet(keepers_path).count() == log_1
+
+    # next epoch still processes
+    neardup_keeper_step(batch2, 1, idx, threshold=0.95, keepers_path=keepers_path)
+    assert spark.read.parquet(keepers_path).count() == log_1 + batch2.count()
+    assert _index_counts(spark, idx)[1] == counts_1[1] + batch2.count()
+
+
+def test_segment_ingest_duplicate_epoch_heals_at_compaction(spark, tmp_path):
+    """Stretch #8: the raw segment ingest path is replay-TOLERANT
+    rather than replay-proof — a duplicated foreachBatch append lands
+    duplicate rows, and merge-time dedup on (_ts, _dedup) removes them
+    at compaction, exactly the reference's `_dedup` design
+    (README.md:15,22). Readers between replay and compaction see
+    at-least-once rows (documented contract)."""
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.ingest.batch import DAY_COL, TS_COL, _ensure_system_columns
+    from meerkat_spark.ingest.compact import compact_table
+
+    events = (
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+        # deterministic row set: each write action re-executes the
+        # plan, and a bare limit() may pick different rows per run
+        .orderBy("event_id")
+        .limit(500)
+        .withColumnRenamed("ts", TS_COL)
+    )
+    prepared = _ensure_system_columns(events).withColumn(
+        DAY_COL, F.date_format(F.col(TS_COL), "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "segments")
+    # the same "epoch" committed twice — simulated foreachBatch replay
+    prepared.write.mode("append").partitionBy(DAY_COL).parquet(out)
+    prepared.write.mode("append").partitionBy(DAY_COL).parquet(out)
+    assert spark.read.parquet(out).count() == 1000
+
+    results = compact_table(spark, out)
+    assert results  # at least one day partition compacted
+    assert spark.read.parquet(out).count() == 500
+    assert (
+        spark.read.parquet(out)
+        .groupBy("_ts", "_dedup")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
