@@ -110,3 +110,54 @@ def test_select_token_budget_semantics_and_stability(spark):
     # the half run too: the half corpus has strictly fewer competitors
     # before any hash position, so prefixes only grow
     assert {d for d in kept_full if d % 2 == 0} <= kept_half
+
+
+def test_select_token_budget_histogram_cut_matches_window(spark):
+    """r12 (VERDICT r11 ask #3): above the per-stratum row threshold,
+    select_token_budget switches to the histogram-cut plan — the kept
+    set is BIT-IDENTICAL to the window form, and the plan contains no
+    single-partition window (every Window partitions by (stratum,
+    hash-prefix bin); the fully-kept bins are a plain filter)."""
+    from meerkat_spark.operators.sampling import select_token_budget
+    from meerkat_spark.text.analysis import token_count
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", token_count(F.col("text")).alias("n_tok"))
+    )
+    budgets = {"en": 1500, "fr": 600, "zh": 10**9}  # zh: budget > total
+    window_out = select_token_budget(
+        docs, budgets, token_col="n_tok", histogram_threshold=None
+    )
+    hist_out = select_token_budget(
+        docs, budgets, token_col="n_tok",
+        histogram_threshold=0,  # force EVERY stratum down the cut path
+        histogram_hex_digits=1,  # 16 bins — boundary bins are non-trivial
+    )
+    a = {tuple(r) for r in window_out.collect()}
+    b = {tuple(r) for r in hist_out.collect()}
+    assert a == b and a  # identical, non-empty
+    # zh (budget above the stratum total) must be kept whole
+    n_zh = docs.filter("lang = 'zh'").count()
+    assert sum(1 for r in b if r[1] == "zh") == n_zh
+
+    # plan shape: every windowspecdefinition partitions by BOTH the
+    # stratum and the bin column — no single-partition stratum window
+    plan = hist_out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan  # the boundary-bin window exists
+    for spec in specs:
+        assert "__bin" in spec, spec
+
+    # mixed routing: a threshold between the stratum sizes sends big
+    # strata down the cut path and small ones down the window path,
+    # still bit-identical
+    sizes = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    mid = sorted(sizes[s] for s in budgets)[1]
+    mixed = select_token_budget(
+        docs, budgets, token_col="n_tok",
+        histogram_threshold=mid - 1, histogram_hex_digits=1,
+    )
+    assert {tuple(r) for r in mixed.collect()} == a
