@@ -303,7 +303,16 @@ def build_ivf_index(
         }
     )
 
-    _assign_and_write(c, path, bc_route, bool(quantize), pq_books is not None, "overwrite")
+    try:
+        _assign_and_write(
+            c, path, bc_route, bool(quantize), pq_books is not None, "overwrite"
+        )
+    finally:
+        # the write action above is the broadcast's only consumer —
+        # free the (up to ~200 MB) routing matrices from driver and
+        # executors instead of accumulating one block per build
+        # (ADVICE r11: long-lived sessions leak broadcast blocks)
+        bc_route.destroy()
     spark = emb.sparkSession
     if pq_books is not None:
         book_rows = [
@@ -408,7 +417,10 @@ def extend_ivf_index(
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), knn._to_double(F.col(vec_col)).alias("cv")
     )
-    _assign_and_write(c, path, bc_route, quantize, pq_books is not None, "append")
+    try:
+        _assign_and_write(c, path, bc_route, quantize, pq_books is not None, "append")
+    finally:
+        bc_route.destroy()  # single-consumer broadcast, see build
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -448,6 +460,76 @@ def compact_ivf_index(spark: SparkSession, path: str) -> tuple[int, int]:
     os.rename(tmp, a_dir)
     shutil.rmtree(old)
     return before, count_files(a_dir)
+
+
+def ivf_index_stats(
+    spark: SparkSession,
+    path: str,
+    skew_rebuild_ratio: float = 8.0,
+    files_per_cell_compact: float = 4.0,
+) -> dict:
+    """Skew/drift telemetry for a persisted IVF index + a routing
+    recommendation (VERDICT r11 ask #4). extend_ivf_index deliberately
+    freezes centroids, so heavy appends can (a) multiply small files
+    per cell — every batch adds one file per touched cell, probe cost
+    grows with file count — and (b) skew cell SIZES when the appended
+    distribution drifted from the trained one — a probed fat cell
+    scans many times the sqrt(n) rows the build promised.
+
+    Cost: one metadata walk for file counts + one count aggregation
+    over the cell_id PARTITION column (satisfied from parquet footers,
+    no data columns read) — safe to run after every extend.
+
+    Returns {n_cells, n_rows, rows_max, rows_mean, skew_ratio,
+    files_total, files_per_cell_max, recommendation} where
+    recommendation is:
+    - 'rebuild'  when rows_max/rows_mean > skew_rebuild_ratio — the
+      frozen centroids no longer balance the data; compaction cannot
+      fix probe cost, re-train (build_ivf_index) instead;
+    - 'compact'  when max files in one cell > files_per_cell_compact —
+      layout debt only; compact_ivf_index restores one file per cell;
+    - 'ok'       otherwise.
+    The default thresholds: 8x mean is where a 1-probe search reads
+    ~8x its budgeted rows (one probed cell dominating wall time), and
+    4 files/cell is one compaction per ~4 extend batches — both are
+    operator knobs, not contracts."""
+    a_dir = os.path.join(path, "assigned")
+    counts = (
+        spark.read.parquet(a_dir)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    rows = {int(r.cell_id): int(r["count"]) for r in counts}
+    files_per_cell: dict[int, int] = {}
+    for name in os.listdir(a_dir):
+        if name.startswith("cell_id="):
+            cell = int(name.split("=", 1)[1])
+            d = os.path.join(a_dir, name)
+            files_per_cell[cell] = sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    n_rows = sum(rows.values())
+    rows_max = max(rows.values(), default=0)
+    rows_mean = n_rows / max(len(rows), 1)
+    skew = rows_max / rows_mean if rows_mean else 0.0
+    files_max = max(files_per_cell.values(), default=0)
+    if skew > skew_rebuild_ratio:
+        rec = "rebuild"
+    elif files_max > files_per_cell_compact:
+        rec = "compact"
+    else:
+        rec = "ok"
+    return {
+        "n_cells": len(rows),
+        "n_rows": n_rows,
+        "rows_max": rows_max,
+        "rows_mean": round(rows_mean, 2),
+        "skew_ratio": round(skew, 3),
+        "files_total": sum(files_per_cell.values()),
+        "files_per_cell_max": files_max,
+        "recommendation": rec,
+    }
 
 
 def ivf_search(
@@ -493,12 +575,15 @@ def ivf_search(
         # empty index or empty query set → empty result, not a crash
         return spark.createDataFrame([], out_schema)
     pq_book_dir = os.path.join(path, "pq_codebooks")
+    book_rows = None
     if os.path.isdir(pq_book_dir):
         from meerkat_spark.similarity.pq import MAX_ADC_LUT_ENTRIES
 
-        # codebook table has exactly m * k_eff rows — the per-query
-        # LUT entry count, known without reading a single vector
-        lut_per_q = spark.read.parquet(pq_book_dir).count()
+        # ONE codebook collect per search (tiny table: m * k_eff rows
+        # = the per-query LUT entry count) — reused by the ADC branch
+        # below instead of a second read+collect
+        book_rows = spark.read.parquet(pq_book_dir).collect()
+        lut_per_q = len(book_rows)
         max_q = max(MAX_ADC_LUT_ENTRIES // max(lut_per_q, 1), 1)
         if len(q_pdf) > max_q and len(q_pdf) * lut_per_q > MAX_ADC_LUT_ENTRIES:
             out = None
@@ -576,9 +661,9 @@ def ivf_search(
         refine_n = refine or max(8 * k, 32)
         if is_pq:
             # IVFPQ coarse pass: per-query ADC lookup tables built
-            # driver-side from the tiny codebook table; scoring gathers
-            # LUT entries over ONLY the m-byte code column.
-            book_rows = spark.read.parquet(pq_dir).collect()
+            # driver-side from the tiny codebook table (collected ONCE
+            # at the top); scoring gathers LUT entries over ONLY the
+            # m-byte code column.
             m = max(r.sub_id for r in book_rows) + 1
             k_eff = max(r.cent_id for r in book_rows) + 1
             dsub = len(book_rows[0].centroid)
@@ -656,6 +741,12 @@ def ivf_search(
             # scoring scan
             .localCheckpoint(eager=True)
         )
+        if is_pq:
+            # the eager checkpoint above fully consumed the ADC pass —
+            # the float rerank never touches the LUT, so free the (up
+            # to ~128 MB) broadcast now instead of leaking one block
+            # per search call (ADVICE r11)
+            bc_lut.destroy()
         # size-gated pushdown: probe the distinct candidate-id count
         # with a bounded limit(N+1) collect (cheap — cand is already
         # checkpointed). Small sets keep the literal isin, which pushes

@@ -418,3 +418,58 @@ def test_extend_index_same_routing_all_variants(spark, tmp_path):
         q2 = fresh.filter(F.col("vec_id") < 9)
         got = ivf_search(spark, idx, q2, k=3, n_probe=8)
         assert got.count() > 0, name
+
+
+def test_ivf_index_stats_skew_and_file_telemetry(spark, tmp_path):
+    """r12 (VERDICT r11 ask #4): extend freezes centroids, so the
+    maintenance loop needs telemetry. Pins: healthy build -> 'ok';
+    repeated extends -> file-count debt -> 'compact' (and
+    compact_ivf_index clears it); a 10x-skewed extend (one cell
+    swallows the whole append) -> 'rebuild'."""
+    from meerkat_spark.similarity.ivf_index import (
+        compact_ivf_index,
+        extend_ivf_index,
+        ivf_index_stats,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id < 400"), idx, n_cells=8)
+    s0 = ivf_index_stats(spark, idx)
+    assert s0["recommendation"] == "ok"
+    assert s0["n_cells"] <= 8 and s0["files_per_cell_max"] == 1
+
+    # five small extends -> some cell accumulates > 4 files
+    for i in range(5):
+        batch = (
+            emb.filter("vec_id < 400")
+            .withColumn("vec_id", F.col("vec_id") + F.lit(1000 * (i + 1)))
+        )
+        extend_ivf_index(batch, idx)
+    s1 = ivf_index_stats(spark, idx)
+    assert s1["recommendation"] == "compact"
+    assert s1["files_per_cell_max"] > 4
+    assert s1["n_rows"] == 6 * 400
+
+    compact_ivf_index(spark, idx)
+    s2 = ivf_index_stats(spark, idx)
+    assert s2["files_per_cell_max"] == 1
+    assert s2["recommendation"] == "ok"
+    assert s2["n_rows"] == s1["n_rows"]
+
+    # skewed append: 10x the corpus, every row a copy of ONE vector
+    # (fresh ids) -> one cell swallows it all -> rebuild, not compact
+    one = emb.filter("vec_id = 0").select("embedding").first()[0]
+    skew_df = spark.range(20_000, 44_000).select(
+        F.col("id").alias("vec_id"),
+        F.lit([float(x) for x in one]).alias("embedding"),
+    )
+    extend_ivf_index(skew_df, idx)
+    # with n_cells=8 the max/mean ratio asymptotes to 8, so exercise
+    # the rebuild route through the threshold KNOB (it is an operator
+    # knob, not a contract — the default 8x targets sqrt-n cell counts)
+    s3 = ivf_index_stats(spark, idx, skew_rebuild_ratio=5.0)
+    assert s3["recommendation"] == "rebuild"
+    assert s3["skew_ratio"] > 5.0
+    # and rebuild outranks the file-count debt the append also created
+    assert s3["files_per_cell_max"] >= 2
