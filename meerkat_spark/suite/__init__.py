@@ -56,78 +56,80 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-11 rotation (VERDICT r10 ask #5) — ALL 50 slots are oracle-backed
+# Round-12 rotation (VERDICT r11 ask #2) — ALL 50 slots are oracle-backed
 # (the driver has no rows-only fallback; round 6 burned 5 slots on
 # `err: no_oracle` rows).
-# (a) round-11 code-change re-grades + new registration:
-# ivf_index.py/knn.py changed (rerank isin size gate, broadcast
-# matrices, trainer clamp, OPQ plumbing) -> all four persisted-IVF
-# names re-grade; pq.py changed (OPQ, broadcast LUT) ->
-# pq_codes_planted; text/bpe.py changed (unicode tokenization parity,
-# min_word_freq on the engine path) -> both planted BPE names; the
-# translator in() localCheckpoint change -> kql_in_expr_subquery; the
-# two new keeper-lifecycle queries and the new ivf_extend_recall
-# grade fresh.
-# (b) the 19 names whose newest green is r6 (kql_parse_kv_op onward —
-# after this round no green grade is older than r7).
-# (c) the oldest r7-stale names alphabetically (18 of 47 fit; the
-# remainder — join_rightanti, join_rightouter, join_rightsemi,
-# lang_id_accuracy — rotates in next round).
+# (a) round-12 new registrations: the three KQL `evaluate` plugin
+# queries (fuzzy_dedup / select_token_budget / knn through the KQL
+# front-end) grade fresh.
+# (b) round-12 code-change re-grades: the keeper-lifecycle pair
+# (replay-idempotence anti-join in ingest_neardup_batch /
+# ingest_minhash_batch); select_token_budget_op (histogram-cut
+# routing added); all five persisted-IVF names (broadcast destroy,
+# one-collect codebooks, compact swap naming, ivf_index_stats);
+# kql_in_expr_subquery (in() literal path no longer checkpoints);
+# agg_pricing_summary (r11's worst normalized ratio, 1.20x —
+# adjudication re-grade, VERDICT ask #7).
+# (c) the FULL 29-name r7-stale cohort (oldest green grade anywhere in
+# the registry — after this round no oracle-backed grade is older
+# than r8).
+# (d) fill to 50 with the oldest r8-stale names, alphabetical.
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) round-11 code-change re-grades + new registrations
+    # (a) new registrations
+    "kql_evaluate_fuzzy_dedup",
+    "kql_evaluate_token_budget",
+    "kql_evaluate_knn",
+    # (b) code-change re-grades
     "embedding_neardup_lifecycle",
     "minhash_keeper_lifecycle",
-    "ivf_extend_recall",
-    "fuzzy_dedup_best_quality",
     "select_token_budget_op",
     "ivf_persisted_recall",
     "ivf_two_level_recall",
     "ivf_quantized_recall",
     "ivfpq_recall",
-    "pq_codes_planted",
-    "bpe_merges_planted",
-    "bpe_tokenize_planted",
+    "ivf_extend_recall",
     "kql_in_expr_subquery",
-    # (b) r6-stale oracle-backed cohort (all 19)
-    "kql_parse_kv_op",
-    "kql_parse_kv_regex",
-    "kql_pred_extensions",
-    "kql_search_qualified",
-    "mv_expand_zip",
-    "new_activity_metrics_op",
-    "rollup_incremental",
-    "scalar_bag_stats_r6",
-    "scalar_datetime_r5",
-    "scalar_series_elementwise",
-    "scalar_special_math",
-    "scalar_tz_useragent",
-    "scalar_unit_convert",
-    "scan_funnel",
-    "scan_funnel_latency",
-    "scan_funnel_time_bound",
-    "search_term",
-    "temperature_mix_op",
-    "url_blocklist_filter",
-    # (c) oldest r7-stale names, alphabetical (first 22)
-    "agg_conditional_r7",
-    "agg_dcount_approx",
-    "agg_dcount_intersect",
-    "agg_hll_sketch",
-    "agg_make_bag",
-    "agg_percentiles_array",
     "agg_pricing_summary",
-    "agg_tdigest",
-    "argmin_distance",
-    "bag_unpack",
-    "chunk_documents_op",
-    "dedup_events_by_key",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "fuzzy_dedup_planted",
-    "geo_s2cell_ops",
-    "knn_cosine_topk_fast",
-    "knn_recall_gate",
+    # (c) the full r7-stale cohort (29 names)
+    "join_rightanti",
+    "join_rightouter",
+    "join_rightsemi",
+    "lang_id_accuracy",
+    "lookup_dim_chain",
+    "media_metadata_agg",
+    "mv_expand_indexed",
+    "mv_expand_words",
+    "parse_pattern",
+    "partition_window_funcs",
+    "print_scalars",
+    "range_table",
+    "scalar_conditional",
+    "scalar_datetime",
+    "scalar_ip_ranges",
+    "scalar_r7_gap",
+    "scalar_string_funcs2",
+    "sentence_chunking_packed",
+    "span_dedup_exact",
+    "stratified_sample_op",
+    "training_pipeline_end_to_end",
+    "union_inner_mismatched",
+    "union_outer",
+    "window_cumsum",
+    "window_prev_next",
+    "window_rank",
+    "window_row_number",
+    "window_session",
+    "window_session_greedy",
+    # (d) oldest r8-stale names, alphabetical (first 8 of 47)
+    "agg_round3_variants",
+    "asof_join_events",
+    "cdc_dedup_planted",
+    "classifier_gate_exact",
+    "classifier_train_gate",
+    "dedup_components",
+    "embedding_neardup_pairs",
+    "fork_legs",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -714,3 +714,107 @@ _register_kql(
     FROM events GROUP BY known ORDER BY known
     """,
 )
+
+# r12 — the LLM-pipeline operators exposed as KQL `evaluate` plugins
+# (VERDICT r11 ask #6): the DataFrame API was complete but the KQL
+# surface — the reference's actual query-language commitment
+# (README.md:34) — could not reach them. These three reuse the proven
+# oracle patterns of fuzzy_dedup_planted / select_token_budget_op /
+# knn_cosine_topk_fast.
+
+# Synthetic planted corpus built ENTIRELY in KQL (the fuzzy_dedup_
+# planted construction, 8 md5 tokens): every base doc's tokens are
+# unique to it (cross-doc jaccard ~ 0), ids%3==0 get an exact copy
+# (+10M, identical signature — dropped), ids%3==1 a near miss (+30M,
+# 4 shared + 4 fresh tokens, 3-word-shingle jaccard ~ 0.2 << 0.8 —
+# an LSH candidate at most, killed by exact-Jaccard verification), so
+# the survivor set is hash-function-free and the oracle enumerates it.
+_TOK = "hash_md5(strcat(tostring(doc_id), '-{j}'))"
+_BASE_TEXT = ", ' ', ".join(_TOK.format(j=j) for j in range(1, 9))
+_NM_TEXT = ", ' ', ".join(
+    [_TOK.format(j=j) for j in range(1, 5)]
+    + [_TOK.format(j=f"nm-{j}") for j in range(5, 9)]
+)
+_register_kql(
+    "kql_evaluate_fuzzy_dedup",
+    f"""let base = documents
+         | project doc_id = tolong(doc_id)
+         | extend text = strcat({_BASE_TEXT});
+       base
+       | union kind=outer (base | where doc_id % 3 == 0
+                           | project doc_id = doc_id + 10000000, text)
+       | union kind=outer (base | where doc_id % 3 == 1
+                           | extend nm = strcat({_NM_TEXT})
+                           | project doc_id = doc_id + 30000000, text = nm)
+       | evaluate fuzzy_dedup(doc_id, text, 0.8)
+       | project doc_id
+       | sort by doc_id asc""",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+    UNION ALL
+    SELECT CAST(doc_id + 30000000 AS BIGINT) AS doc_id
+    FROM documents WHERE doc_id % 3 = 1
+    ORDER BY doc_id
+    """,
+)
+
+# Token counts computed in-query with the SAME split the
+# kql_string_pipeline oracle already pins (split(text,' ') ==
+# string_split), then the budget selection through the plugin — the
+# DuckDB twin replays the salted-md5 ordering + window cumsum
+# bit-for-bit (the select_token_budget_op contract).
+_register_kql(
+    "kql_evaluate_token_budget",
+    """documents
+       | extend n_tok = array_length(split(text, ' '))
+       | evaluate select_token_budget(lang, n_tok, doc_id, 'en', 2000, 'zh', 800)
+       | project doc_id, lang, n_tok
+       | sort by lang asc, doc_id asc""",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || 'budget') AS h
+      FROM documents
+    ), b AS (
+      SELECT * FROM (VALUES ('en', 2000), ('zh', 800)) AS t(lang, budget)
+    ), c AS (
+      SELECT d.doc_id, d.lang, d.n_tok, b.budget,
+             SUM(d.n_tok) OVER (PARTITION BY d.lang
+                                ORDER BY d.h, d.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d JOIN b USING (lang)
+    )
+    SELECT doc_id, lang, n_tok FROM c
+    WHERE cum - n_tok < budget ORDER BY lang, doc_id
+    """,
+)
+
+# Brute-force cosine top-k through the plugin (query rows = QueryCond,
+# corpus = the whole table) — the knn_cosine_topk_fast twin.
+_register_kql(
+    "kql_evaluate_knn",
+    """embeddings
+       | evaluate knn(vec_id, embedding, 5, vec_id < 8)
+       | project query_id, neighbor_id, sim = round(sim, 6), rank = toint(rank)
+       | sort by query_id asc, rank asc""",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         sims AS (
+           SELECT query_id, neighbor_id,
+                  list_cosine_similarity(qv, cv) AS sim_raw
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, sim_raw,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim_raw DESC, neighbor_id) AS rank
+           FROM sims
+         )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 6) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)

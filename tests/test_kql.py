@@ -3129,3 +3129,75 @@ def test_in_expression_join_path_equals_literal_path(spark, monkeypatch):
     r = literal[0]
     assert r.n_null_hit > 0 and r.n_null_hit == r.n_null_miss  # nulls stayed null
     assert r.n_hit > 0 and r.n_miss > 0
+
+
+def test_evaluate_llm_pipeline_plugins(spark):
+    """r12: the LLM-pipeline ops reached through `evaluate` plugins —
+    thin shims over the same engine code the DataFrame API uses, so
+    semantics are pinned by equivalence to the direct calls."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+
+    # knn plugin == direct brute_force_topk_vectorized
+    from meerkat_spark.similarity import knn
+
+    out = eng.kql(
+        "embeddings | evaluate knn(vec_id, embedding, 3, vec_id < 4)"
+    ).to_df()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    direct = knn.brute_force_topk_vectorized(
+        emb, knn.queries_to_pdf(emb.filter("vec_id < 4")), k=3
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+    # select_token_budget plugin == direct call with the same budgets
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.operators.sampling import select_token_budget
+
+    out2 = eng.kql(
+        "documents | extend n_tok = array_length(split(text, ' ')) "
+        "| evaluate select_token_budget(lang, n_tok, doc_id, 'en', 500) "
+        "| project doc_id"
+    ).to_df()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct2 = select_token_budget(
+        docs.withColumn(
+            "n_tok", F.array_size(F.split("text", " ", -1)).cast("long")
+        ),
+        {"en": 500},
+    ).select("doc_id")
+    assert {r.doc_id for r in out2.collect()} == {
+        r.doc_id for r in direct2.collect()
+    }
+
+    # fuzzy_dedup plugin: exact planted copy dropped, originals kept
+    out3 = eng.kql(
+        "let b = documents | where doc_id < 30 | project doc_id, text; "
+        "b | union kind=outer (b | where doc_id == 0 "
+        "| project doc_id = tolong(doc_id + 900000), text) "
+        "| evaluate fuzzy_dedup(doc_id, text, 0.99) | project doc_id"
+    ).to_df()
+    kept = {r.doc_id for r in out3.collect()}
+    assert 900000 not in kept and 0 in kept
+
+
+def test_evaluate_llm_plugin_arg_errors(spark):
+    import pytest as _pytest
+
+    from meerkat_spark.engine import MeerkatEngine
+    from meerkat_spark.kql import KqlSyntaxError
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    bad = [
+        "documents | evaluate fuzzy_dedup(doc_id)",
+        "documents | evaluate select_token_budget(lang, n_tok, doc_id)",
+        "documents | evaluate select_token_budget(lang, n_tok, doc_id, 'en')",
+        "embeddings | evaluate knn(vec_id, embedding, 3)",
+    ]
+    for q in bad:
+        with _pytest.raises(KqlSyntaxError):
+            eng.kql(q)
