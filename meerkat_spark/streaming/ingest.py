@@ -143,6 +143,72 @@ def neardup_keeper_step(
     _commit_epoch_marker(index_path, epoch_id)
 
 
+def minhash_keeper_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_jaccard: float | None = None,
+    corpus: DataFrame | None = None,
+    keepers_path: str | None = None,
+) -> None:
+    """Text twin of neardup_keeper_step: one idempotent foreachBatch
+    epoch of the MinHash keeper loop over the incremental text index
+    (text/dedup_index.py). Same two-layer replay safety: epoch marker
+    for committed epochs, indexed-id anti-join inside
+    ingest_minhash_batch for half-applied ones."""
+    if _epoch_marker_guard(index_path, epoch_id):
+        return
+    from meerkat_spark.ingest.neardup_maintenance import ingest_minhash_batch
+
+    if batch_df.head(1):
+        keepers, _pairs = ingest_minhash_batch(
+            batch_df, index_path, id_col=id_col, text_col=text_col,
+            verify_jaccard=verify_jaccard, corpus=corpus,
+        )
+        if keepers_path:
+            keepers.write.mode("append").parquet(keepers_path)
+    _commit_epoch_marker(index_path, epoch_id)
+
+
+def start_minhash_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keepers_path: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming front-end for the incremental MinHash TEXT keeper
+    loop — the document-corpus twin of start_neardup_ingest_stream
+    (ingest_minhash_batch under foreachBatch; micro-batches run
+    sequentially so batch N sees batch N-1's postings; idempotent
+    under epoch replay via `_epochs/` markers + the indexed-id
+    anti-join). The index must already exist (build_minhash_index).
+    The verify_jaccard mode needs a corpus side-input and is a
+    batch-job concern — the streaming path runs the default
+    high-recall band-collision keeper."""
+
+    def _step(batch_df: DataFrame, epoch_id: int) -> None:
+        minhash_keeper_step(
+            batch_df, epoch_id, index_path,
+            id_col=id_col, text_col=text_col, keepers_path=keepers_path,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
 def start_neardup_ingest_stream(
     stream_df: DataFrame,
     index_path: str,

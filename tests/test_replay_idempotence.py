@@ -254,3 +254,29 @@ def test_segment_ingest_duplicate_epoch_heals_at_compaction(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_minhash_keeper_step_epoch_marker(spark, tmp_path):
+    """Text twin of the epoch-marker test: a re-delivered epoch is a
+    no-op for the postings table and the keepers log."""
+    from meerkat_spark.streaming.ingest import minhash_keeper_step
+    from meerkat_spark.text.dedup_index import build_minhash_index
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    seed = docs.limit(10).withColumn("doc_id", docs.doc_id + 200_000)
+    idx = str(tmp_path / "midx")
+    keepers_path = str(tmp_path / "keepers")
+    build_minhash_index(seed, idx)
+
+    minhash_keeper_step(docs, 0, idx, keepers_path=keepers_path)
+    assert os.path.exists(os.path.join(idx, "_epochs", "epoch-0"))
+    n1 = spark.read.parquet(idx).count()
+    log_1 = spark.read.parquet(keepers_path).count()
+
+    minhash_keeper_step(docs, 0, idx, keepers_path=keepers_path)
+    assert spark.read.parquet(idx).count() == n1
+    assert spark.read.parquet(keepers_path).count() == log_1

@@ -573,3 +573,58 @@ def test_start_neardup_ingest_stream_api(spark, tmp_path):
 
     assert stream_keepers == batch_keepers
     assert not {d for d in stream_keepers if 100_000 <= d < 200_000}  # copies dropped
+
+
+def test_start_minhash_ingest_stream_api(spark, tmp_path):
+    """r12: the text-index writeStream front-end
+    (streaming/ingest.start_minhash_ingest_stream) produces the same
+    keeper set as the plain per-batch loop over the same ordered
+    chunks — the document twin of the embedding stream API test."""
+    import pandas as pd
+
+    from meerkat_spark.ingest.neardup_maintenance import ingest_minhash_batch
+    from meerkat_spark.streaming.ingest import start_minhash_ingest_stream
+    from meerkat_spark.text.dedup_index import build_minhash_index
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+        .toPandas()
+    )
+    copies = docs.iloc[::4].copy()
+    copies["doc_id"] += 100_000
+    arr = pd.concat([docs, copies], ignore_index=True)
+    chunk_dir = str(tmp_path / "tchunks")
+    _write_replay_chunks(spark, arr, chunk_dir, n_chunks=3)
+
+    seed = docs.iloc[:5].copy()
+    seed["doc_id"] += 200_000
+    seed_df = spark.createDataFrame(seed)
+    idx_s, idx_b = str(tmp_path / "tidx_s"), str(tmp_path / "tidx_b")
+    build_minhash_index(seed_df, idx_s)
+    build_minhash_index(seed_df, idx_b)
+
+    schema = spark.createDataFrame(arr.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    keepers_path = str(tmp_path / "tkeepers")
+    q = start_minhash_ingest_stream(
+        stream, idx_s, str(tmp_path / "tck"), keepers_path=keepers_path
+    )
+    q.awaitTermination(300)
+    stream_keepers = {
+        r.doc_id for r in spark.read.parquet(keepers_path).collect()
+    }
+
+    batch_keepers: set[int] = set()
+    for f in sorted(x for x in os.listdir(chunk_dir) if x.endswith(".parquet")):
+        bdf = spark.read.parquet(os.path.join(chunk_dir, f))
+        k, _ = ingest_minhash_batch(bdf, idx_b)
+        batch_keepers.update(r.doc_id for r in k.select("doc_id").collect())
+
+    assert stream_keepers == batch_keepers
+    assert not {d for d in stream_keepers if 100_000 <= d < 200_000}
