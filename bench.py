@@ -72,6 +72,12 @@ HEADLINE = [
     # round-11 addition (VERDICT r10 ask #4): the IVFPQ lifecycle
     # (codebook train + ADC coarse + float rerank) beside its SQ8 twin
     "ivfpq_recall",
+    # round-12 addition (VERDICT r11 ask #6): the KQL front-end driving
+    # an LLM-pipeline op end-to-end — parser + translator + planted-
+    # corpus synthesis + the full fuzzy-dedup pass, so the query-
+    # language path's wall cost is tracked beside the DataFrame path
+    # (fuzzy_dedup_planted above is the same workload sans KQL)
+    "kql_evaluate_fuzzy_dedup",
 ]
 
 

@@ -341,6 +341,125 @@ def build_ivf_index(
         spark.createDataFrame(
             sup_rows, "super_id long, centroid array<double>"
         ).write.mode("overwrite").parquet(os.path.join(path, "supercentroids"))
+    # pre-seed the metadata cache from the arrays already in hand: the
+    # dominant lifecycle is build-then-search (and extend), which would
+    # otherwise immediately re-collect the tables just written. The
+    # cached value is exactly what a cold _load_index_meta read
+    # reconstructs (pinned by tests/test_ivf_index.py).
+    _seed_meta_cache(
+        path,
+        {
+            "cents": np.asarray(cents, dtype=np.float64),
+            "super_of_cell": np.asarray(sup_col, dtype=np.int64),
+            "supercents": (
+                np.asarray(supercents, dtype=np.float64)
+                if supercents is not None
+                else None
+            ),
+            "books": pq_books,
+            "rotated": bool(pq_rotate) if pq_books is not None else None,
+        },
+    )
+
+
+_META_CACHE: dict[str, tuple[tuple, dict]] = {}
+_META_CACHE_MAX = 8
+
+
+def _meta_signature(path: str) -> tuple:
+    """Freshness signature of an index's METADATA tables (file name +
+    mtime_ns + size for centroids/supercentroids/pq_codebooks/pq_meta).
+    The big `assigned` table is deliberately excluded — extends append
+    to it without touching the routing metadata, and searches read it
+    lazily every time."""
+    sig = []
+    for sub in ("centroids", "supercentroids", "pq_codebooks", "pq_meta"):
+        d = os.path.join(path, sub)
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                st = os.stat(os.path.join(d, f))
+                sig.append((sub, f, st.st_mtime_ns, st.st_size))
+    return tuple(sig)
+
+
+def _seed_meta_cache(path: str, meta: dict) -> None:
+    if len(_META_CACHE) >= _META_CACHE_MAX and path not in _META_CACHE:
+        _META_CACHE.pop(next(iter(_META_CACHE)))
+    _META_CACHE[path] = (_meta_signature(path), meta)
+
+
+def _load_index_meta(spark: SparkSession, path: str) -> dict:
+    """Load (and CACHE, keyed on the metadata files' signature) the
+    driver-side routing state of a persisted index: centroid matrix,
+    supercentroid routing, PQ codebooks, OPQ flag. An index handle is
+    read-many — repeat searches against the same index were paying 2-4
+    driver collects of identical small tables per call (also the
+    dominant source of pyspark's per-collect unclosed-socket
+    ResourceWarnings in the bench composites, VERDICT r11 ask #5).
+    The signature invalidates on any rebuild; extends don't rewrite
+    metadata, so hits stay correct by construction."""
+    sig = _meta_signature(path)
+    hit = _META_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    dim = len(cents_rows[0].centroid) if cents_rows else 0
+    cents = np.zeros((len(cents_rows), dim))
+    super_of_cell = np.zeros(len(cents_rows), dtype=np.int64)
+    for r in cents_rows:
+        cents[r.cell_id] = r.centroid
+        super_of_cell[r.cell_id] = getattr(r, "super_id", 0) or 0
+    supercents = None
+    sup_dir = os.path.join(path, "supercentroids")
+    if os.path.isdir(sup_dir):
+        sup_rows = spark.read.parquet(sup_dir).collect()
+        supercents = np.zeros((len(sup_rows), cents.shape[1]))
+        for r in sup_rows:
+            supercents[r.super_id] = r.centroid
+    books = rotated = None
+    pq_dir = os.path.join(path, "pq_codebooks")
+    if os.path.isdir(pq_dir):
+        book_rows = spark.read.parquet(pq_dir).collect()
+        m = max(r.sub_id for r in book_rows) + 1
+        k_eff = max(r.cent_id for r in book_rows) + 1
+        books = np.zeros((m, k_eff, len(book_rows[0].centroid)))
+        for r in book_rows:
+            books[r.sub_id, r.cent_id] = r.centroid
+        rotated = False
+        meta_dir = os.path.join(path, "pq_meta")
+        if os.path.isdir(meta_dir):
+            rotated = bool(
+                spark.read.parquet(meta_dir).collect()[0].rotated
+            )
+    meta = {
+        "cents": cents,
+        "super_of_cell": super_of_cell,
+        "supercents": supercents,
+        "books": books,
+        "rotated": rotated,
+    }
+    if len(_META_CACHE) >= _META_CACHE_MAX and path not in _META_CACHE:
+        _META_CACHE.pop(next(iter(_META_CACHE)))
+    _META_CACHE[path] = (sig, meta)
+    return meta
+
+
+def _cached_meta_matches_cold_read(spark: SparkSession, path: str) -> bool:
+    """Test hook: assert the build-time pre-seeded cache equals a cold
+    re-read of the metadata tables (field-by-field numpy equality)."""
+    seeded = _META_CACHE.get(path)
+    if seeded is None:
+        return False
+    _META_CACHE.pop(path)
+    cold = _load_index_meta(spark, path)
+    warm = seeded[1]
+    for key in ("cents", "super_of_cell", "supercents", "books"):
+        a, b = warm.get(key), cold.get(key)
+        if (a is None) != (b is None):
+            return False
+        if a is not None and not np.allclose(a, b):
+            return False
+    return warm.get("rotated") == cold.get("rotated")
 
 
 def extend_ivf_index(
@@ -370,40 +489,20 @@ def extend_ivf_index(
     New ids must not collide with indexed ids (caller contract shared
     with every incremental index in this repo)."""
     spark = emb.sparkSession
-    cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
-    if not cents_rows:
+    meta = _load_index_meta(spark, path)
+    cents, super_of_cell = meta["cents"], meta["super_of_cell"]
+    if not len(cents):
         raise ValueError(f"no centroids at {path} — build_ivf_index first")
-    cents = np.zeros((len(cents_rows), len(cents_rows[0].centroid)))
-    super_of_cell = np.zeros(len(cents_rows), dtype=np.int64)
-    for r in cents_rows:
-        cents[r.cell_id] = r.centroid
-        super_of_cell[r.cell_id] = getattr(r, "super_id", 0) or 0
-    supercents = members = None
-    sup_dir = os.path.join(path, "supercentroids")
-    if os.path.isdir(sup_dir):
-        sup_rows = spark.read.parquet(sup_dir).collect()
-        supercents = np.zeros((len(sup_rows), cents.shape[1]))
-        for r in sup_rows:
-            supercents[r.super_id] = r.centroid
+    supercents, members = meta["supercents"], None
+    if supercents is not None:
         members = [
             np.flatnonzero(super_of_cell == g) for g in range(len(supercents))
         ]
-    pq_books = pq_rot = None
-    pq_dir = os.path.join(path, "pq_codebooks")
-    if os.path.isdir(pq_dir):
-        book_rows = spark.read.parquet(pq_dir).collect()
-        m = max(r.sub_id for r in book_rows) + 1
-        k_eff = max(r.cent_id for r in book_rows) + 1
-        pq_books = np.zeros((m, k_eff, len(book_rows[0].centroid)))
-        for r in book_rows:
-            pq_books[r.sub_id, r.cent_id] = r.centroid
-        meta_dir = os.path.join(path, "pq_meta")
-        if os.path.isdir(meta_dir) and bool(
-            spark.read.parquet(meta_dir).collect()[0].rotated
-        ):
-            from meerkat_spark.similarity.pq import opq_rotation
+    pq_books, pq_rot = meta["books"], None
+    if pq_books is not None and meta["rotated"]:
+        from meerkat_spark.similarity.pq import opq_rotation
 
-            pq_rot = opq_rotation(pq_books.shape[0] * pq_books.shape[2])
+        pq_rot = opq_rotation(pq_books.shape[0] * pq_books.shape[2])
     quantize = "q" in spark.read.parquet(os.path.join(path, "assigned")).columns
     bc_route = spark.sparkContext.broadcast(
         {
@@ -569,21 +668,19 @@ def ivf_search(
     are per-query, so the union is exact) — batch size degrades to
     more passes over the probed cells instead of raising."""
     out_schema = "query_id long, neighbor_id long, sim double, rank int"
-    cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    # driver-side routing state via the signature-keyed cache — repeat
+    # searches of one index pay ZERO metadata collects after the first
+    meta = _load_index_meta(spark, path)
+    cents, super_of_cell = meta["cents"], meta["super_of_cell"]
     q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
-    if not cents_rows or not len(q_pdf):
+    if not len(cents) or not len(q_pdf):
         # empty index or empty query set → empty result, not a crash
         return spark.createDataFrame([], out_schema)
-    pq_book_dir = os.path.join(path, "pq_codebooks")
-    book_rows = None
-    if os.path.isdir(pq_book_dir):
+    if meta["books"] is not None:
         from meerkat_spark.similarity.pq import MAX_ADC_LUT_ENTRIES
 
-        # ONE codebook collect per search (tiny table: m * k_eff rows
-        # = the per-query LUT entry count) — reused by the ADC branch
-        # below instead of a second read+collect
-        book_rows = spark.read.parquet(pq_book_dir).collect()
-        lut_per_q = len(book_rows)
+        # m * k_eff = the per-query LUT entry count
+        lut_per_q = meta["books"].shape[0] * meta["books"].shape[1]
         max_q = max(MAX_ADC_LUT_ENTRIES // max(lut_per_q, 1), 1)
         if len(q_pdf) > max_q and len(q_pdf) * lut_per_q > MAX_ADC_LUT_ENTRIES:
             out = None
@@ -602,23 +699,14 @@ def ivf_search(
                 )
                 out = res if out is None else out.unionByName(res)
             return out
-    cents = np.zeros((len(cents_rows), len(cents_rows[0].centroid)))
-    super_of_cell = np.zeros(len(cents_rows), dtype=np.int64)
-    for r in cents_rows:
-        cents[r.cell_id] = r.centroid
-        super_of_cell[r.cell_id] = getattr(r, "super_id", 0) or 0
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    sup_dir = os.path.join(path, "supercentroids")
-    if os.path.isdir(sup_dir):
+    if meta["supercents"] is not None:
         # Two-level index: probe selection MUST mirror the build routing
         # (super argmax -> cell argmax within that super) so identical
         # vectors meet in the same cell. Probe the top n_probe
         # superclusters, then the best n_probe cells among their members.
-        sup_rows = spark.read.parquet(sup_dir).collect()
-        supercents = np.zeros((len(sup_rows), cents.shape[1]))
-        for r in sup_rows:
-            supercents[r.super_id] = r.centroid
+        supercents = meta["supercents"]
         s_probe = min(n_probe, len(supercents))
         top_sup = np.argsort(-(Qn @ supercents.T), axis=1)[:, :s_probe]
         rows = []
@@ -655,31 +743,21 @@ def ivf_search(
     assigned = assigned_all.filter(
         F.col("cell_id").isin(probed)  # -> partition pruning on the index layout
     )
-    pq_dir = os.path.join(path, "pq_codebooks")
-    is_pq = os.path.isdir(pq_dir) and "codes" in assigned_all.columns
+    is_pq = meta["books"] is not None and "codes" in assigned_all.columns
     if is_pq or "q" in assigned_all.columns:
         refine_n = refine or max(8 * k, 32)
         if is_pq:
             # IVFPQ coarse pass: per-query ADC lookup tables built
-            # driver-side from the tiny codebook table (collected ONCE
-            # at the top); scoring gathers LUT entries over ONLY the
-            # m-byte code column.
-            m = max(r.sub_id for r in book_rows) + 1
-            k_eff = max(r.cent_id for r in book_rows) + 1
-            dsub = len(book_rows[0].centroid)
-            books = np.zeros((m, k_eff, dsub))
-            for r in book_rows:
-                books[r.sub_id, r.cent_id] = r.centroid
+            # driver-side from the cached codebooks; scoring gathers
+            # LUT entries over ONLY the m-byte code column.
+            books = meta["books"]
+            m, k_eff, dsub = books.shape
             from meerkat_spark.similarity.pq import _guard_lut, opq_rotation
 
-            meta_dir = os.path.join(path, "pq_meta")
-            rotated = False
-            if os.path.isdir(meta_dir):
-                rotated = bool(spark.read.parquet(meta_dir).collect()[0].rotated)
             # rotate the QUERIES into the codebook's basis (OPQ-lite);
             # cell routing above stays unrotated — the coarse centroids
             # were trained in the original basis
-            Qr = Qn @ opq_rotation(m * dsub) if rotated else Qn
+            Qr = Qn @ opq_rotation(m * dsub) if meta["rotated"] else Qn
             _guard_lut(len(q_pdf), m, k_eff)
             lut = np.empty((len(q_pdf), m, k_eff))
             qidx = {}

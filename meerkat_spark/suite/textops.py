@@ -1161,14 +1161,18 @@ def classifier_quality_gate(spark, sf_dir):
     docs = MeerkatEngine(spark, sf_dir).table("documents").to_df()
     dim = 1 << 18
     vocab = [("data", 1.5), ("query", 1.0), ("slow", -2.0), ("spam", -3.0)]
+    # ONE collect for all vocab feature ids (was one per token — 4
+    # driver jobs + 4 collect sockets to hash 4 literals on the JVM)
+    fids = {
+        r.tok: r.fid
+        for r in spark.createDataFrame(
+            [(t,) for t, _ in vocab], "tok string"
+        )
+        .select("tok", F.pmod(F.xxhash64(F.col("tok")), F.lit(dim)).alias("fid"))
+        .collect()
+    }
     w = spark.createDataFrame(
-        [
-            (r.fid, wt)
-            for (tok, wt) in vocab
-            for r in spark.range(1)
-            .select(F.pmod(F.xxhash64(F.lit(tok)), F.lit(dim)).alias("fid"))
-            .collect()
-        ],
+        [(fids[tok], wt) for (tok, wt) in vocab],
         "feature_id long, weight double",
     )
     out = score_documents(docs, w, dim=dim, bigrams=False)

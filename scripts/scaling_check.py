@@ -149,6 +149,28 @@ def main() -> None:
             .mode("overwrite")
             .save(),
         )
+        # token-budget selection on the HISTOGRAM-CUT path (r12 —
+        # threshold forced low so every stratum takes it at every N):
+        # binning aggregation is linear/map-side-combinable, the exact
+        # sort touches only the boundary bin, so the exponent must stay
+        # near the aggregation floor even as strata grow 16x. Budgets
+        # are FIXED (the production shape: a token target does not grow
+        # with the crawl), so the boundary bin moves earlier as N grows.
+        from meerkat_spark.operators.sampling import select_token_budget
+
+        tok_docs = docs.select(
+            "doc_id", "lang", TA.token_count(F.col("text")).alias("n_tok")
+        )
+        budgets = {
+            lang: 100_000 for lang in ("en", "zh", "de", "fr", "es")
+        }
+        timed(
+            "token_budget",
+            n_docs,
+            lambda: select_token_budget(
+                tok_docs, budgets, histogram_threshold=10_000
+            ).count(),
+        )
         timed(
             "knn_brute_vec",
             n_vecs,
@@ -468,6 +490,17 @@ def write_md(path: str, out: dict) -> None:
         "vocabulary trained once from the base corpus — the 100 TB "
         "shape is train-once/encode-everything, so the kernel isolates "
         "row-local encode throughput (zero shuffle).",
+        "",
+        "`token_budget` (round 12 — VERDICT r11 ask #3) times "
+        "select_token_budget on its HISTOGRAM-CUT path (threshold "
+        "forced low so every stratum takes it at every N): one "
+        "map-side-combinable per-(stratum, hash-prefix-bin) token "
+        "aggregation, a driver boundary-bin pick over ≤16^4 bins per "
+        "stratum, a plain filter for the fully-kept bins, and an exact "
+        "window sort over ONLY the boundary bin — no single-partition "
+        "window anywhere, so the exponent must track the aggregation "
+        "floor as strata grow 16x (budgets stay fixed, the production "
+        "shape: token targets do not grow with the crawl).",
         "",
         "`pq_encode`/`pq_adc` (round 11 — VERDICT r10 ask #4) time the "
         "two corpus-proportional IVFPQ kernels at FIXED codebooks "

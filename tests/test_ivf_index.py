@@ -473,3 +473,36 @@ def test_ivf_index_stats_skew_and_file_telemetry(spark, tmp_path):
     assert s3["skew_ratio"] > 5.0
     # and rebuild outranks the file-count debt the append also created
     assert s3["files_per_cell_max"] >= 2
+
+
+def test_meta_cache_seed_equals_cold_read(spark, tmp_path):
+    """r12: build_ivf_index pre-seeds the driver metadata cache; the
+    seeded value must equal a cold re-read of the persisted tables for
+    every index variant, and a REBUILD at the same path must invalidate
+    the cache (signature change)."""
+    from meerkat_spark.similarity.ivf_index import (
+        _cached_meta_matches_cold_read,
+        _load_index_meta,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for i, kwargs in enumerate(
+        [
+            {"n_cells": 8},
+            {"n_cells": 8, "quantize": True},
+            {"n_cells": 8, "pq_m": 8},
+            {"n_cells": 16, "two_level": True},
+        ]
+    ):
+        idx = str(tmp_path / f"ivf{i}")
+        build_ivf_index(emb, idx, **kwargs)
+        assert _cached_meta_matches_cold_read(spark, idx), kwargs
+
+    # rebuild invalidation: different cell count at the SAME path must
+    # not serve the stale cached routing
+    idx = str(tmp_path / "ivf0")
+    meta8 = _load_index_meta(spark, idx)
+    assert len(meta8["cents"]) <= 8
+    build_ivf_index(emb, idx, n_cells=4)
+    meta4 = _load_index_meta(spark, idx)
+    assert len(meta4["cents"]) <= 4 and len(meta4["cents"]) != len(meta8["cents"])
