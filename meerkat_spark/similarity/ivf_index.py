@@ -631,6 +631,39 @@ def ivf_index_stats(
     }
 
 
+def maintain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    skew_rebuild_ratio: float = 8.0,
+    files_per_cell_compact: float = 4.0,
+) -> dict:
+    """One-call maintenance policy over ivf_index_stats: runs the
+    compaction itself when the diagnosis is layout debt ('compact' —
+    compact_ivf_index rewrites to one file per cell), but only REPORTS
+    'rebuild' — re-training replaces the routing and therefore the
+    search results near cell boundaries, a semantic change the
+    operator must opt into (call build_ivf_index on the source
+    corpus). Returns the stats dict plus {action, files_before,
+    files_after} describing what was done."""
+    stats = ivf_index_stats(
+        spark,
+        path,
+        skew_rebuild_ratio=skew_rebuild_ratio,
+        files_per_cell_compact=files_per_cell_compact,
+    )
+    out = dict(stats)
+    if stats["recommendation"] == "compact":
+        before, after = compact_ivf_index(spark, path)
+        out.update(
+            {"action": "compacted", "files_before": before, "files_after": after}
+        )
+    elif stats["recommendation"] == "rebuild":
+        out["action"] = "rebuild_required"  # deliberate no-op, see above
+    else:
+        out["action"] = "none"
+    return out
+
+
 def ivf_search(
     spark: SparkSession,
     path: str,

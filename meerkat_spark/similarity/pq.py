@@ -167,7 +167,15 @@ def encode_pq(
     """(id, codes array<smallint>) — one row-local Arrow pass. The
     codebook (+ OPQ rotation when rotate=True) ships as a broadcast
     variable, not a closure capture — at dim 768 the rotation alone is
-    ~4.7 MB, a per-task re-ship as a closure."""
+    ~4.7 MB, a per-task re-ship as a closure.
+
+    Broadcast lifetime (ADVICE r11): the broadcast must outlive the
+    RETURNED lazy DataFrame, so it cannot be destroyed here. It is
+    referenced only through the returned plan's closure — once the
+    caller drops the DataFrame, Spark's ContextCleaner reclaims the
+    blocks; only a retained plan pins them. The persisted-index paths
+    (ivf_index.py) own their consuming action and destroy their
+    broadcasts eagerly instead."""
     rot = opq_rotation(books.shape[0] * books.shape[2]) if rotate else None
     bc = emb.sparkSession.sparkContext.broadcast((books, rot))
 

@@ -80,34 +80,53 @@ def streaming_window_counts(
     )
 
 
-def _epoch_marker_guard(index_path: str, epoch_id: int) -> bool:
+def _epoch_marker(index_path: str, epoch_id: int, stream_id: str | None) -> str:
+    """Marker path for one applied epoch. epoch_ids are scoped to ONE
+    checkpoint, so the marker name carries a `stream_id` namespace
+    (the keeper steps derive it from the checkpoint path): re-pointing
+    a stream at a fresh checkpoint restarts epoch_ids at 0, and
+    without the namespace those would wrongly read as already
+    applied. Deleting a checkpoint IN PLACE still requires clearing
+    `<index>/_epochs/` (documented contract)."""
+    import os
+
+    ns = f"{stream_id}-" if stream_id else ""
+    return os.path.join(index_path, "_epochs", f"epoch-{ns}{int(epoch_id)}")
+
+
+def _stream_id_of(checkpoint: str) -> str:
+    import hashlib
+
+    return hashlib.sha1(checkpoint.encode()).hexdigest()[:10]
+
+
+def _epoch_marker_guard(
+    index_path: str, epoch_id: int, stream_id: str | None = None
+) -> bool:
     """Exactly-once guard for foreachBatch keeper steps: returns True
     when `epoch_id` was already fully applied to the index at
     `index_path` (skip the epoch). Structured Streaming's foreachBatch
     is at-least-once — after a crash between the side effect and the
     checkpoint commit the SAME epoch_id re-runs — so each completed
-    epoch drops a marker file under `<index>/_epochs/`.
-
-    Scope/contract: one stream per index (epoch_ids are per-
-    checkpoint), and the marker directory lives with the CHECKPOINT's
-    lifetime — delete `_epochs/` whenever the checkpoint is reset. On
-    an object store, the open().close() becomes a conditional put;
-    the local-FS form matches this repo's storage layer. Mid-epoch
-    crashes (side effect half-applied, no marker) are healed row-wise
-    by the ingest jobs' indexed-id anti-join
+    epoch drops a marker file under `<index>/_epochs/`. On an object
+    store, the open().close() becomes a conditional put; the local-FS
+    form matches this repo's storage layer. Mid-epoch crashes (side
+    effect half-applied, no marker) are healed row-wise by the ingest
+    jobs' indexed-id anti-join
     (ingest/neardup_maintenance._skip_already_indexed)."""
     import os
 
-    marker = os.path.join(index_path, "_epochs", f"epoch-{int(epoch_id)}")
-    return os.path.exists(marker)
+    return os.path.exists(_epoch_marker(index_path, epoch_id, stream_id))
 
 
-def _commit_epoch_marker(index_path: str, epoch_id: int) -> None:
+def _commit_epoch_marker(
+    index_path: str, epoch_id: int, stream_id: str | None = None
+) -> None:
     import os
 
-    d = os.path.join(index_path, "_epochs")
-    os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, f"epoch-{int(epoch_id)}"), "w"):
+    marker = _epoch_marker(index_path, epoch_id, stream_id)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w"):
         pass
 
 
@@ -119,6 +138,7 @@ def neardup_keeper_step(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keepers_path: str | None = None,
+    stream_id: str | None = None,
 ) -> None:
     """ONE idempotent foreachBatch epoch of the near-dup keeper loop —
     module-level so the replay tests can drive it directly. Replay
@@ -129,7 +149,7 @@ def neardup_keeper_step(
     authoritative keeper set is the index's vectors table (a crash
     between the index append and this log can under-record one epoch's
     keepers in the log, never in the index)."""
-    if _epoch_marker_guard(index_path, epoch_id):
+    if _epoch_marker_guard(index_path, epoch_id, stream_id):
         return
     from meerkat_spark.ingest.neardup_maintenance import ingest_neardup_batch
 
@@ -140,7 +160,7 @@ def neardup_keeper_step(
         )
         if keepers_path:
             keepers.write.mode("append").parquet(keepers_path)
-    _commit_epoch_marker(index_path, epoch_id)
+    _commit_epoch_marker(index_path, epoch_id, stream_id)
 
 
 def minhash_keeper_step(
@@ -152,13 +172,14 @@ def minhash_keeper_step(
     verify_jaccard: float | None = None,
     corpus: DataFrame | None = None,
     keepers_path: str | None = None,
+    stream_id: str | None = None,
 ) -> None:
     """Text twin of neardup_keeper_step: one idempotent foreachBatch
     epoch of the MinHash keeper loop over the incremental text index
     (text/dedup_index.py). Same two-layer replay safety: epoch marker
     for committed epochs, indexed-id anti-join inside
     ingest_minhash_batch for half-applied ones."""
-    if _epoch_marker_guard(index_path, epoch_id):
+    if _epoch_marker_guard(index_path, epoch_id, stream_id):
         return
     from meerkat_spark.ingest.neardup_maintenance import ingest_minhash_batch
 
@@ -169,7 +190,7 @@ def minhash_keeper_step(
         )
         if keepers_path:
             keepers.write.mode("append").parquet(keepers_path)
-    _commit_epoch_marker(index_path, epoch_id)
+    _commit_epoch_marker(index_path, epoch_id, stream_id)
 
 
 def start_minhash_ingest_stream(
@@ -191,10 +212,13 @@ def start_minhash_ingest_stream(
     batch-job concern — the streaming path runs the default
     high-recall band-collision keeper."""
 
+    sid = _stream_id_of(checkpoint)
+
     def _step(batch_df: DataFrame, epoch_id: int) -> None:
         minhash_keeper_step(
             batch_df, epoch_id, index_path,
             id_col=id_col, text_col=text_col, keepers_path=keepers_path,
+            stream_id=sid,
         )
 
     writer = (
@@ -239,10 +263,13 @@ def start_neardup_ingest_stream(
     requires: batch N must see batch N-1's postings. The index must
     already exist (build_neardup_index seeds the params/planes)."""
 
+    sid = _stream_id_of(checkpoint)
+
     def _step(batch_df: DataFrame, epoch_id: int) -> None:
         neardup_keeper_step(
             batch_df, epoch_id, index_path, threshold=threshold,
             id_col=id_col, vec_col=vec_col, keepers_path=keepers_path,
+            stream_id=sid,
         )
 
     writer = (

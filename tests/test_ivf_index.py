@@ -506,3 +506,47 @@ def test_meta_cache_seed_equals_cold_read(spark, tmp_path):
     build_ivf_index(emb, idx, n_cells=4)
     meta4 = _load_index_meta(spark, idx)
     assert len(meta4["cents"]) <= 4 and len(meta4["cents"]) != len(meta8["cents"])
+
+
+def test_maintain_ivf_index_policy(spark, tmp_path):
+    """r12: the one-call maintenance wrapper COMPACTS on file debt,
+    only REPORTS rebuild (re-training changes near-boundary results —
+    operator opt-in), and no-ops on a healthy index."""
+    from meerkat_spark.similarity.ivf_index import (
+        extend_ivf_index,
+        ivf_search,
+        maintain_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id < 400"), idx, n_cells=8)
+    assert maintain_ivf_index(spark, idx)["action"] == "none"
+
+    for i in range(5):
+        extend_ivf_index(
+            emb.filter("vec_id < 400").withColumn(
+                "vec_id", F.col("vec_id") + F.lit(1000 * (i + 1))
+            ),
+            idx,
+        )
+    q = emb.filter("vec_id < 4")
+    before = {tuple(r) for r in ivf_search(spark, idx, q, k=3, n_probe=8).collect()}
+    res = maintain_ivf_index(spark, idx)
+    assert res["action"] == "compacted"
+    assert res["files_after"] < res["files_before"]
+    # compaction is result-preserving
+    after = {tuple(r) for r in ivf_search(spark, idx, q, k=3, n_probe=8).collect()}
+    assert before == after
+    assert maintain_ivf_index(spark, idx)["action"] == "none"
+
+    one = emb.filter("vec_id = 0").select("embedding").first()[0]
+    extend_ivf_index(
+        spark.range(20_000, 44_000).select(
+            F.col("id").alias("vec_id"),
+            F.lit([float(x) for x in one]).alias("embedding"),
+        ),
+        idx,
+    )
+    res = maintain_ivf_index(spark, idx, skew_rebuild_ratio=5.0)
+    assert res["action"] == "rebuild_required"

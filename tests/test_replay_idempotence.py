@@ -280,3 +280,35 @@ def test_minhash_keeper_step_epoch_marker(spark, tmp_path):
     minhash_keeper_step(docs, 0, idx, keepers_path=keepers_path)
     assert spark.read.parquet(idx).count() == n1
     assert spark.read.parquet(keepers_path).count() == log_1
+
+
+def test_epoch_marker_stream_namespace(spark, tmp_path):
+    """r12 hardening: epoch_ids are per-checkpoint, so markers carry a
+    checkpoint-derived stream namespace — re-pointing a stream at a
+    fresh checkpoint restarts epoch_ids at 0 and must NOT read the old
+    stream's epoch-0 as already applied."""
+    from meerkat_spark.similarity.neardup_index import build_neardup_index
+    from meerkat_spark.streaming.ingest import (
+        _stream_id_of,
+        neardup_keeper_step,
+    )
+
+    seed, batch1, batch2 = _emb_batches(spark)
+    idx = str(tmp_path / "vidx")
+    build_neardup_index(seed, idx, threshold=0.95)
+
+    sid_a = _stream_id_of(str(tmp_path / "ck_a"))
+    sid_b = _stream_id_of(str(tmp_path / "ck_b"))
+    assert sid_a != sid_b
+
+    neardup_keeper_step(batch1, 0, idx, threshold=0.95, stream_id=sid_a)
+    v1 = _index_counts(spark, idx)[1]
+    # same epoch id, DIFFERENT stream (fresh checkpoint): must process —
+    # batch2's new ids land; batch1 replays heal via the anti-join
+    neardup_keeper_step(
+        batch1.unionByName(batch2), 0, idx, threshold=0.95, stream_id=sid_b
+    )
+    assert _index_counts(spark, idx)[1] == v1 + batch2.count()
+    # and the same (stream, epoch) IS skipped
+    neardup_keeper_step(batch1, 0, idx, threshold=0.95, stream_id=sid_a)
+    assert _index_counts(spark, idx)[1] == v1 + batch2.count()
