@@ -487,7 +487,14 @@ def extend_ivf_index(
       appended mass, recall contracts are unaffected.
 
     New ids must not collide with indexed ids (caller contract shared
-    with every incremental index in this repo)."""
+    with every incremental index in this repo). Unlike the keeper-loop
+    indexes, extend is a plain batch append with NO built-in replay
+    anti-join (it would cost a full id-column scan of the assigned
+    table per batch); a retried/replayed extend therefore leaves
+    duplicate neighbor_id rows — ivf_index_stats reports them
+    (n_duplicate_rows) and maintain_ivf_index / compact_ivf_index
+    (dedup=True) heal them exactly (replay rows are byte-identical
+    under the frozen routing)."""
     spark = emb.sparkSession
     meta = _load_index_meta(spark, path)
     cents, super_of_cell = meta["cents"], meta["super_of_cell"]
@@ -522,14 +529,25 @@ def extend_ivf_index(
         bc_route.destroy()  # single-consumer broadcast, see build
 
 
-def compact_ivf_index(spark: SparkSession, path: str) -> tuple[int, int]:
+def compact_ivf_index(
+    spark: SparkSession, path: str, dedup: bool = False
+) -> tuple[int, int]:
     """Small-file maintenance after extend_ivf_index appends: each
     append adds one file per touched cell, so after B batches a probe
     opens B files per probed cell. Rewrites the assigned table back to
     one file per cell — re-applying the in-partition neighbor_id sort
     that quantized/PQ rerank row-group pruning depends on (append
     interleaves sorted runs, which widens row-group min/max stats) —
-    and swaps it in atomically. Returns (files_before, files_after)."""
+    and swaps it in atomically. Returns (files_before, files_after).
+
+    `dedup=True` additionally drops duplicate neighbor_id rows — the
+    healing pass for a REPLAYED extend_ivf_index batch (extend is a
+    plain batch append with an ids-are-append-only contract; a retried
+    job re-appends its rows, and a duplicated id would then rank twice
+    in every search's top-k). Replay rows are byte-identical by
+    construction (frozen routing/encoding), so keeping any one row per
+    id is exact; the extra id-keyed shuffle is why it's opt-in —
+    ivf_index_stats reports `n_duplicate_rows` to route here."""
     import shutil
     import uuid
 
@@ -549,6 +567,8 @@ def compact_ivf_index(spark: SparkSession, path: str) -> tuple[int, int]:
     _sweep_stale_swaps(a_dir)
     before = count_files(a_dir)
     df = spark.read.parquet(a_dir)
+    if dedup:
+        df = df.dropDuplicates(["neighbor_id"])
     out = df.repartition("cell_id")
     if "q" in df.columns or "codes" in df.columns:
         out = out.sortWithinPartitions("cell_id", "neighbor_id")
@@ -593,11 +613,15 @@ def ivf_index_stats(
     4 files/cell is one compaction per ~4 extend batches — both are
     operator knobs, not contracts."""
     a_dir = os.path.join(path, "assigned")
-    counts = (
-        spark.read.parquet(a_dir)
-        .groupBy("cell_id")
-        .count()
-        .collect()
+    assigned = spark.read.parquet(a_dir)
+    counts = assigned.groupBy("cell_id").count().collect()
+    # replayed-extend residue: duplicate neighbor_id rows rank twice in
+    # every search top-k — one id-column aggregate detects them; the
+    # py4j single-cell fetch avoids a collect socket (see components)
+    n_dup = int(
+        assigned.select(
+            (F.count("neighbor_id") - F.countDistinct("neighbor_id")).alias("d")
+        )._jdf.first().get(0)
     )
     rows = {int(r.cell_id): int(r["count"]) for r in counts}
     files_per_cell: dict[int, int] = {}
@@ -615,13 +639,14 @@ def ivf_index_stats(
     files_max = max(files_per_cell.values(), default=0)
     if skew > skew_rebuild_ratio:
         rec = "rebuild"
-    elif files_max > files_per_cell_compact:
+    elif n_dup > 0 or files_max > files_per_cell_compact:
         rec = "compact"
     else:
         rec = "ok"
     return {
         "n_cells": len(rows),
         "n_rows": n_rows,
+        "n_duplicate_rows": n_dup,
         "rows_max": rows_max,
         "rows_mean": round(rows_mean, 2),
         "skew_ratio": round(skew, 3),
@@ -653,7 +678,9 @@ def maintain_ivf_index(
     )
     out = dict(stats)
     if stats["recommendation"] == "compact":
-        before, after = compact_ivf_index(spark, path)
+        before, after = compact_ivf_index(
+            spark, path, dedup=stats["n_duplicate_rows"] > 0
+        )
         out.update(
             {"action": "compacted", "files_before": before, "files_after": after}
         )

@@ -550,3 +550,40 @@ def test_maintain_ivf_index_policy(spark, tmp_path):
     )
     res = maintain_ivf_index(spark, idx, skew_rebuild_ratio=5.0)
     assert res["action"] == "rebuild_required"
+
+
+def test_extend_replay_detected_and_healed(spark, tmp_path):
+    """r12: a replayed extend_ivf_index batch duplicates assigned rows
+    — the same neighbor would rank TWICE in a top-k. ivf_index_stats
+    must report the duplicates, maintain_ivf_index must heal them via
+    dedup compaction, and the healed search must equal the pre-replay
+    search."""
+    from meerkat_spark.similarity.ivf_index import (
+        extend_ivf_index,
+        ivf_index_stats,
+        maintain_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id < 300"), idx, n_cells=8)
+    batch = emb.filter("vec_id >= 300 and vec_id < 400")
+    extend_ivf_index(batch, idx)
+    q = emb.filter("vec_id < 4")
+    clean = {tuple(r) for r in ivf_search(spark, idx, q, k=5, n_probe=8).collect()}
+
+    extend_ivf_index(batch, idx)  # the replay
+    s = ivf_index_stats(spark, idx)
+    assert s["n_duplicate_rows"] == batch.count()
+    assert s["recommendation"] == "compact"
+    # the hazard is real: a duplicated id ranks twice
+    dup_res = ivf_search(spark, idx, q, k=5, n_probe=8)
+    pairs = dup_res.groupBy("query_id", "neighbor_id").count()
+    assert pairs.filter("count > 1").count() > 0
+
+    res = maintain_ivf_index(spark, idx)
+    assert res["action"] == "compacted"
+    s2 = ivf_index_stats(spark, idx)
+    assert s2["n_duplicate_rows"] == 0 and s2["recommendation"] == "ok"
+    healed = {tuple(r) for r in ivf_search(spark, idx, q, k=5, n_probe=8).collect()}
+    assert healed == clean
