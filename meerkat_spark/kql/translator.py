@@ -3426,7 +3426,13 @@ class Translator:
                 )
             ).alias("Column", "Value")
             return MeerkatTable(df.select("Row", stack))
-        if plugin in ("fuzzy_dedup", "select_token_budget", "knn"):
+        if plugin in (
+            "fuzzy_dedup",
+            "select_token_budget",
+            "knn",
+            "semdedup",
+            "decontaminate",
+        ):
             # r12: the LLM-pipeline operators exposed through the KQL
             # front-end (VERDICT r11 ask #6) — `evaluate`-style plugins
             # are the reference's declared extension point (SURVEY
@@ -3494,6 +3500,56 @@ class Translator:
                         stratum_col=col_name(args[0]),
                         token_col=col_name(args[1]),
                         id_col=col_name(args[2]),
+                    )
+                )
+            if plugin == "semdedup":
+                # evaluate semdedup(IdCol, VecCol [, Threshold=0.9
+                #   [, TargetCluster=64]]) → T minus semantic
+                # near-duplicates (similarity/semdedup.py: cluster-then-
+                # compare, exact-dup collision routing, bounded cells)
+                from meerkat_spark.similarity.semdedup import semdedup
+
+                if not 2 <= len(args) <= 4:
+                    raise KqlSyntaxError(
+                        "semdedup(IdCol, VecCol [, Threshold [, TargetCluster]])"
+                    )
+                thr = (
+                    float(_raw(self.expr(args[2]))) if len(args) > 2 else 0.9
+                )
+                tc = int(_raw(self.expr(args[3]))) if len(args) > 3 else 64
+                return MeerkatTable(
+                    semdedup(
+                        t.to_df(),
+                        threshold=thr,
+                        target_cluster=tc,
+                        id_col=col_name(args[0]),
+                        vec_col=col_name(args[1]),
+                    )
+                )
+            if plugin == "decontaminate":
+                # evaluate decontaminate(IdCol, TextCol, BenchmarkTable
+                #   [, K=3 [, MinShared=1]]) → T minus documents whose
+                # k-gram overlap with the benchmark reaches MinShared
+                # (text/decontaminate.py: hashed grams, df-capped
+                # posting lists — never corpus x benchmark)
+                from meerkat_spark.text.decontaminate import decontaminate
+
+                if len(args) < 3 or not isinstance(args[2], P.Ident):
+                    raise KqlSyntaxError(
+                        "decontaminate(IdCol, TextCol, BenchmarkTable "
+                        "[, K [, MinShared]])"
+                    )
+                bench = self.table(args[2].name).df
+                k_ = int(_raw(self.expr(args[3]))) if len(args) > 3 else 3
+                ms = int(_raw(self.expr(args[4]))) if len(args) > 4 else 1
+                return MeerkatTable(
+                    decontaminate(
+                        t.to_df(),
+                        bench,
+                        text_col=col_name(args[1]),
+                        id_col=col_name(args[0]),
+                        k=k_,
+                        min_shared=ms,
                     )
                 )
             # evaluate knn(IdCol, VecCol, K, QueryCond) → brute-force

@@ -3201,3 +3201,54 @@ def test_evaluate_llm_plugin_arg_errors(spark):
     for q in bad:
         with _pytest.raises(KqlSyntaxError):
             eng.kql(q)
+
+
+def test_evaluate_semdedup_and_decontaminate_plugins(spark):
+    """r12: semdedup / decontaminate through the KQL front-end equal
+    the direct engine calls (same code path, arg-mapping shim only).
+    decontaminate's benchmark side is a let-bound table argument."""
+    from meerkat_spark.engine import MeerkatEngine
+    from meerkat_spark.similarity.semdedup import semdedup
+    from meerkat_spark.text.decontaminate import decontaminate
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    out = eng.kql(
+        "let e = embeddings | project vec_id, embedding; "
+        "e | union kind=outer (e | where vec_id < 10 "
+        "| project vec_id = tolong(vec_id + 900000), embedding) "
+        "| evaluate semdedup(vec_id, embedding, 0.99) | project vec_id"
+    ).to_df()
+    copies = emb.filter("vec_id < 10").selectExpr(
+        "CAST(vec_id + 900000 AS LONG) vec_id", "embedding"
+    )
+    direct = semdedup(
+        emb.selectExpr("CAST(vec_id AS LONG) vec_id", "embedding")
+        .unionByName(copies),
+        threshold=0.99,
+    ).select("vec_id")
+    assert {r.vec_id for r in out.collect()} == {
+        r.vec_id for r in direct.collect()
+    }
+    assert not {v for v in {r.vec_id for r in out.collect()} if v >= 900000}
+
+    out2 = eng.kql(
+        "let bench = documents | where doc_id % 50 == 0 "
+        "| project doc_id, text; "
+        "documents | project doc_id, text "
+        "| evaluate decontaminate(doc_id, text, bench, 13, 1) "
+        "| project doc_id"
+    ).to_df()
+    bench = docs.filter("doc_id % 50 = 0").select("doc_id", "text")
+    direct2 = decontaminate(
+        docs.select("doc_id", "text"), bench, k=13, min_shared=1
+    ).select("doc_id")
+    got, want = (
+        {r.doc_id for r in out2.collect()},
+        {r.doc_id for r in direct2.collect()},
+    )
+    assert got == want
+    # the planted contamination is real: benchmark members self-overlap
+    assert not ({r.doc_id for r in bench.select("doc_id").collect()} & got)
