@@ -22,9 +22,13 @@ Lifecycle:
 - extend_neardup_index(new_emb, path): append the batch's postings +
   vectors so the next batch sees it (call after keeping/deduping).
 
-At 100 TB: postings are bands x 16 bytes per vector; the join shuffles
-only the NEW batch's postings (the stored side is partitioned by
-band_id); verification touches candidates only, never all-pairs.
+At 100 TB: postings are bands x 16 bytes per vector. In the
+micro-batch regime the NEW batch's postings broadcast, so the probe
+scans the stored postings IN PLACE — zero shuffle of the index per
+batch at any index size (plan-pinned by tests/test_neardup_index.py);
+a backfill above the broadcast threshold degrades to a both-sides
+sort-merge shuffle — chunk it. Verification touches candidates only,
+never all-pairs.
 """
 
 from __future__ import annotations

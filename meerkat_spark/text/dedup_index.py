@@ -17,9 +17,14 @@ Lifecycle:
   postings so the next batch sees it.
 
 At 100TB: the index is ~bands × 16 bytes per doc — a small fraction of
-the text; the join shuffles only the NEW batch's postings (the stored
-side is already partitioned by band_id, and band_hash carries the
-collision selectivity).
+the text. In the micro-batch regime (the keeper loops' shape) the NEW
+batch's postings land under the broadcast threshold, so the probe is a
+BroadcastHashJoin with the new side as build: the stored postings are
+scanned IN PLACE — zero shuffle of the index, per batch, at any index
+size (plan-pinned by tests/test_dedup_index.py). A backfill batch
+above the broadcast threshold degrades to a sort-merge join that
+shuffles BOTH sides — split giant backfills into broadcastable chunks
+(the sequential foreachBatch loop does exactly that).
 """
 
 from __future__ import annotations

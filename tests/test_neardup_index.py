@@ -82,3 +82,27 @@ def test_params_persist_so_extensions_match_build_planes(spark, tmp_path):
     one = _copies(emb.filter(F.col("vec_id") == 0), 1, 5_000_000)  # 1-row batch
     pairs = incremental_neardup_pairs(one, idx, threshold=0.95).collect()
     assert len(pairs) == 1 and pairs[0].id1 == 0 and pairs[0].sim == 1.0
+
+
+def test_probe_join_broadcasts_new_side_stored_unshuffled(spark, tmp_path):
+    """r12 plan pin (embedding twin of the MinHash-index test): the
+    micro-batch probe broadcasts the NEW postings; the stored postings
+    are scanned in place — no SortMergeJoin, no shuffle of the index."""
+    from meerkat_spark.similarity.neardup_index import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    idx = str(tmp_path / "vidx")
+    build_neardup_index(emb.filter("vec_id < 200"), idx, threshold=0.95)
+    batch = emb.filter("vec_id >= 200 and vec_id < 260")
+    plan = (
+        incremental_neardup_pairs(batch, idx, threshold=0.95)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
