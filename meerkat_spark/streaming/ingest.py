@@ -233,6 +233,83 @@ def start_minhash_ingest_stream(
     return writer.start()
 
 
+def ivf_ingest_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    maintain_every: int = 10,
+    stream_id: str | None = None,
+    maintain_kwargs: dict | None = None,
+) -> None:
+    """ONE idempotent foreachBatch epoch of IVF index ingestion:
+    extend with the frozen build routing, then every `maintain_every`
+    epochs run maintain_ivf_index (compacts small-file/duplicate debt;
+    a 'rebuild' diagnosis is only reported — see maintain_ivf_index).
+    Replay safety differs from the keeper loops: extend has NO per-row
+    anti-join (it would scan the full id column per batch), so a
+    HALF-applied epoch's re-run leaves duplicate rows — which the
+    periodic maintenance pass detects (n_duplicate_rows) and heals
+    exactly. Complete epochs are skipped wholesale by their marker.
+    `maintain_kwargs` passes threshold overrides through to
+    maintain_ivf_index (files_per_cell_compact, skew_rebuild_ratio)."""
+    maintain_kwargs = maintain_kwargs or {}
+    if _epoch_marker_guard(index_path, epoch_id, stream_id):
+        return
+    from meerkat_spark.similarity.ivf_index import (
+        extend_ivf_index,
+        maintain_ivf_index,
+    )
+
+    if batch_df.head(1):
+        extend_ivf_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+    if maintain_every and int(epoch_id) % int(maintain_every) == 0:
+        maintain_ivf_index(batch_df.sparkSession, index_path, **maintain_kwargs)
+    _commit_epoch_marker(index_path, epoch_id, stream_id)
+
+
+def start_ivf_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    maintain_every: int = 10,
+    trigger_once: bool = True,
+    maintain_kwargs: dict | None = None,
+) -> StreamingQuery:
+    """Streaming ingestion into a persisted IVF ANN index — the
+    searchable-index twin of the dedup keeper streams: each micro-batch
+    extends the index under the build-time routing (identical vectors
+    land in identical cells, so recall contracts survive streaming),
+    and the built-in maintenance cadence keeps file-count and
+    replay-duplicate debt bounded while the stream runs. The index
+    must already exist (build_ivf_index trains the routing; streaming
+    never re-trains — watch ivf_index_stats' skew_ratio and rebuild
+    offline when the appended distribution drifts)."""
+    sid = _stream_id_of(checkpoint)
+
+    def _step(batch_df: DataFrame, epoch_id: int) -> None:
+        ivf_ingest_step(
+            batch_df, epoch_id, index_path,
+            id_col=id_col, vec_col=vec_col,
+            maintain_every=maintain_every, stream_id=sid,
+            maintain_kwargs=maintain_kwargs,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
 def start_neardup_ingest_stream(
     stream_df: DataFrame,
     index_path: str,

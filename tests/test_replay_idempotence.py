@@ -312,3 +312,40 @@ def test_epoch_marker_stream_namespace(spark, tmp_path):
     # and the same (stream, epoch) IS skipped
     neardup_keeper_step(batch1, 0, idx, threshold=0.95, stream_id=sid_a)
     assert _index_counts(spark, idx)[1] == v1 + batch2.count()
+
+
+def test_ivf_ingest_step_epoch_marker(spark, tmp_path):
+    """r12: a re-delivered IVF ingest epoch is skipped wholesale by its
+    marker (no duplicate rows); a half-applied replay (simulated by a
+    bare double-extend) is detected and healed by the step's own
+    maintenance cadence."""
+    from meerkat_spark.similarity.ivf_index import (
+        build_ivf_index,
+        extend_ivf_index,
+        ivf_index_stats,
+    )
+    from meerkat_spark.streaming.ingest import ivf_ingest_step
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "iidx")
+    build_ivf_index(emb.filter("vec_id < 200"), idx, n_cells=8)
+    batch = emb.filter("vec_id >= 200 and vec_id < 260")
+
+    ivf_ingest_step(batch, 1, idx, maintain_every=0)
+    n1 = ivf_index_stats(spark, idx)["n_rows"]
+    assert n1 == 260
+    ivf_ingest_step(batch, 1, idx, maintain_every=0)  # complete-epoch replay
+    assert ivf_index_stats(spark, idx)["n_rows"] == n1
+
+    # half-applied shape: the extend landed but the marker never
+    # committed — the re-delivered epoch re-extends (duplicates), and
+    # its maintenance pass heals them in the same step
+    extend_ivf_index(batch.withColumn("vec_id", batch.vec_id + 1000), idx)
+    ivf_ingest_step(
+        batch.withColumn("vec_id", batch.vec_id + 1000), 2, idx, maintain_every=1
+    )
+    s = ivf_index_stats(spark, idx)
+    assert s["n_duplicate_rows"] == 0
+    assert s["n_rows"] == n1 + 60

@@ -628,3 +628,63 @@ def test_start_minhash_ingest_stream_api(spark, tmp_path):
 
     assert stream_keepers == batch_keepers
     assert not {d for d in stream_keepers if 100_000 <= d < 200_000}
+
+
+def test_start_ivf_ingest_stream_api(spark, tmp_path):
+    """r12: streaming IVF ingestion equals the batch extend loop over
+    the same ordered chunks (same frozen routing — identical vectors,
+    identical cells), search results match, and the maintenance
+    cadence keeps per-cell file debt bounded."""
+    import pandas as pd
+
+    from meerkat_spark.similarity.ivf_index import (
+        build_ivf_index,
+        extend_ivf_index,
+        ivf_index_stats,
+        ivf_search,
+    )
+    from meerkat_spark.streaming.ingest import start_ivf_ingest_stream
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    emb["embedding"] = emb["embedding"].map(list)
+    seed = emb.iloc[:100]
+    arr = emb.iloc[100:400].copy()
+    chunk_dir = str(tmp_path / "ichunks")
+    _write_replay_chunks(spark, arr, chunk_dir, n_chunks=6)
+
+    seed_df = spark.createDataFrame(seed)
+    idx_s, idx_b = str(tmp_path / "iidx_s"), str(tmp_path / "iidx_b")
+    build_ivf_index(seed_df, idx_s, n_cells=8)
+    build_ivf_index(seed_df, idx_b, n_cells=8)
+
+    schema = spark.createDataFrame(arr.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    q = start_ivf_ingest_stream(
+        stream, idx_s, str(tmp_path / "ick"), maintain_every=1
+    )
+    q.awaitTermination(300)
+
+    for f in sorted(x for x in os.listdir(chunk_dir) if x.endswith(".parquet")):
+        extend_ivf_index(spark.read.parquet(os.path.join(chunk_dir, f)), idx_b)
+
+    s_s, s_b = ivf_index_stats(spark, idx_s), ivf_index_stats(spark, idx_b)
+    assert s_s["n_rows"] == s_b["n_rows"] == 400
+    assert s_s["n_duplicate_rows"] == 0
+    # the in-stream maintenance compacted whenever file debt crossed
+    # the 4-files/cell default; the batch loop never compacted (6
+    # appends + the build = up to 7 files in a hot cell)
+    assert s_b["files_per_cell_max"] >= 5
+    assert s_s["files_per_cell_max"] < s_b["files_per_cell_max"]
+
+    queries = spark.createDataFrame(emb.iloc[:8])
+    out_s = {tuple(r) for r in ivf_search(spark, idx_s, queries, k=3, n_probe=8).collect()}
+    out_b = {tuple(r) for r in ivf_search(spark, idx_b, queries, k=3, n_probe=8).collect()}
+    assert out_s == out_b
