@@ -304,3 +304,62 @@ def compact_minhash_index(
             spark, path, "band_id", target_rows_per_file, dedup_cols=[]
         )
     }
+
+
+def _hash_chunks(df: DataFrame, id_col: str, chunk_rows: int):
+    """Deterministic hash-partition of a batch into ~chunk_rows pieces
+    (pmod(xxhash64(id), k) — stable across runs/retries, so a crashed
+    backfill resumes idempotently through the ingest anti-join)."""
+    n = df.count()
+    k = max(1, -(-n // chunk_rows))
+    part = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(k))
+    return k, part
+
+
+def backfill_neardup_index(
+    new_emb: DataFrame,
+    path: str,
+    chunk_rows: int = 2_000_000,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int]]:
+    """Ingest a batch too large to broadcast by splitting it into
+    deterministic hash chunks and running the keeper loop per chunk —
+    the operational form of the module-docstring advice (the probe
+    join stays in the broadcast regime, the stored index is never
+    shuffled; one source scan per chunk, so pre-checkpoint expensive
+    sources). Keeper choice across chunks is ARRIVAL-ORDER (chunk i's
+    keepers are indexed before chunk i+1 probes), the same contract as
+    the streaming keeper loop — NOT the one-shot batch's global min-id
+    rule. Returns [(rows_in, rows_kept)] per chunk."""
+    k, part = _hash_chunks(new_emb, id_col, chunk_rows)
+    out = []
+    for i in range(k):
+        chunk = new_emb.filter(part == i)
+        keepers, _ = ingest_neardup_batch(
+            chunk, path, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+        out.append((chunk.count(), keepers.count()))
+    return out
+
+
+def backfill_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    chunk_rows: int = 2_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[int, int]]:
+    """Text twin of backfill_neardup_index (same chunking, same
+    arrival-order keeper contract, same resume-through-anti-join
+    idempotence)."""
+    k, part = _hash_chunks(new_docs, id_col, chunk_rows)
+    out = []
+    for i in range(k):
+        chunk = new_docs.filter(part == i)
+        keepers, _ = ingest_minhash_batch(
+            chunk, path, id_col=id_col, text_col=text_col
+        )
+        out.append((chunk.count(), keepers.count()))
+    return out

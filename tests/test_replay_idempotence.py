@@ -349,3 +349,69 @@ def test_ivf_ingest_step_epoch_marker(spark, tmp_path):
     s = ivf_index_stats(spark, idx)
     assert s["n_duplicate_rows"] == 0
     assert s["n_rows"] == n1 + 60
+
+
+def test_backfill_chunked_equals_streamed_chunks(spark, tmp_path):
+    """r12: the chunked backfill ingests exactly what sequentially
+    streaming the same hash chunks would (arrival-order keeper
+    contract), never re-appends on a resumed/replayed run, and drops
+    cross-chunk duplicates through the index."""
+    from meerkat_spark.ingest.neardup_maintenance import (
+        backfill_minhash_index,
+        ingest_minhash_batch,
+    )
+    from meerkat_spark.text.dedup_index import build_minhash_index
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    # plant cross-chunk duplicates: exact copies with shifted ids land
+    # in different hash chunks than their originals
+    copies = docs.filter("doc_id % 4 = 0").withColumn(
+        "doc_id", docs.doc_id + 500_000
+    )
+    batch = docs.unionByName(copies).localCheckpoint(eager=True)
+
+    seed = docs.limit(5).withColumn("doc_id", docs.doc_id + 900_000)
+    idx_a, idx_b = str(tmp_path / "bidx_a"), str(tmp_path / "bidx_b")
+    build_minhash_index(seed, idx_a)
+    build_minhash_index(seed, idx_b)
+
+    per_chunk = backfill_minhash_index(batch, idx_a, chunk_rows=40)
+    assert len(per_chunk) >= 3  # actually chunked
+    assert sum(n for n, _ in per_chunk) == batch.count()
+
+    # the manual equivalent: same hash chunks, same order
+    k = len(per_chunk)
+    part = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(k))
+    for i in range(k):
+        ingest_minhash_batch(batch.filter(part == i), idx_b)
+    a = spark.read.parquet(idx_a)
+    b = spark.read.parquet(idx_b)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    # resume/replay: the whole backfill again is a no-op for the index
+    n = a.count()
+    again = backfill_minhash_index(batch, idx_a, chunk_rows=40)
+    assert all(kept == 0 for _, kept in again)
+    assert spark.read.parquet(idx_a).count() == n
+
+
+def test_backfill_neardup_smoke(spark, tmp_path):
+    from meerkat_spark.ingest.neardup_maintenance import backfill_neardup_index
+    from meerkat_spark.similarity.neardup_index import build_neardup_index
+
+    seed, batch1, batch2 = _emb_batches(spark)
+    idx = str(tmp_path / "vidx")
+    build_neardup_index(seed, idx, threshold=0.95)
+    per_chunk = backfill_neardup_index(
+        batch1.unionByName(batch2), idx, chunk_rows=20, threshold=0.95
+    )
+    assert len(per_chunk) == 3
+    assert sum(n for n, _ in per_chunk) == 60
+    # 10 seed collisions dropped regardless of which chunk they landed in
+    assert sum(kept for _, kept in per_chunk) == 50
+    assert _index_counts(spark, idx)[1] == 10 + 50
