@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+# above this many entries a driver-side lookup (budgets, split
+# fractions) joins as a broadcast DataFrame instead of a create_map of
+# literals — a 10k-entry literal map bloats the Catalyst plan exactly
+# like an oversized `isin` (the kql in() lesson)
+_LITERAL_MAP_MAX = 500
+
+
 def _salted_md5(id_col, salt: str) -> "F.Column":
     """THE canonical salted hash every deterministic sampling/splitting
     operator orders or buckets by — one definition so the bit-exact
@@ -302,13 +309,31 @@ def select_token_budget(
 
     The two paths are EXACTLY equivalent (pinned by pytest); the
     window form below the threshold is the oracle contract.
-    `histogram_threshold=None` forces the window form."""
+    `histogram_threshold=None` forces the window form.
+
+    Many-strata regime: above _LITERAL_MAP_MAX budget entries
+    (per-domain caps can run to tens of thousands of strata) the
+    budget lookup switches from a create_map of literals — which bloats
+    the Catalyst plan exactly like an oversized `isin` — to a
+    broadcast-join against a budgets DataFrame; semantics identical,
+    pinned by pytest."""
     h = _salted_md5(id_col, salt)
-    pairs = [x for kv in budgets.items() for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
-    mapping = F.create_map(*pairs) if pairs else F.create_map()
-    scoped = df.withColumn("__budget", mapping[F.col(stratum_col)]).filter(
-        F.col("__budget").isNotNull()
-    )
+    if len(budgets) <= _LITERAL_MAP_MAX:
+        pairs = [
+            x for kv in budgets.items() for x in (F.lit(kv[0]), F.lit(int(kv[1])))
+        ]
+        mapping = F.create_map(*pairs) if pairs else F.create_map()
+        scoped = df.withColumn("__budget", mapping[F.col(stratum_col)]).filter(
+            F.col("__budget").isNotNull()
+        )
+    else:
+        bdf = df.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in budgets.items()],
+            f"{stratum_col} string, __budget long",
+        )
+        scoped = df.join(F.broadcast(bdf), stratum_col).select(
+            *df.columns, "__budget"
+        )
 
     def window_form(src: DataFrame) -> DataFrame:
         w = (
@@ -319,7 +344,10 @@ def select_token_budget(
         return (
             src.withColumn("__cum", F.sum(token_col).over(w))
             .filter(F.col("__cum") - F.col(token_col) < F.col("__budget"))
-            .drop("__budget", "__cum")
+            # string-key joins upstream (broadcast budget/decision
+            # tables) move the join key first — restore the caller's
+            # column order on every leaf
+            .select(*df.columns)
         )
 
     if histogram_threshold is None or not budgets:
@@ -333,11 +361,25 @@ def select_token_budget(
 
     out = None
     if len(big) < len(sizes):
-        out = window_form(scoped.filter(~F.col(stratum_col).isin(big)))
+        if len(big) <= _LITERAL_MAP_MAX:
+            small = scoped.filter(~F.col(stratum_col).isin(big))
+        else:
+            big_df = df.sparkSession.createDataFrame(
+                [(s,) for s in big], f"{stratum_col} string"
+            )
+            small = scoped.join(F.broadcast(big_df), stratum_col, "left_anti")
+        out = window_form(small)
 
     # -- histogram-cut path for the big strata --
     binc = F.conv(F.substring(h, 1, histogram_hex_digits), 16, 10).cast("int")
-    bigdf = scoped.filter(F.col(stratum_col).isin(big)).withColumn("__bin", binc)
+    if len(big) <= _LITERAL_MAP_MAX:
+        bigdf = scoped.filter(F.col(stratum_col).isin(big))
+    else:
+        big_df = df.sparkSession.createDataFrame(
+            [(s,) for s in big], f"{stratum_col} string"
+        )
+        bigdf = scoped.join(F.broadcast(big_df), stratum_col, "left_semi")
+    bigdf = bigdf.withColumn("__bin", binc)
     hist: dict[str, dict[int, int]] = {}
     for r in (
         bigdf.groupBy(stratum_col, "__bin")
@@ -360,35 +402,38 @@ def select_token_budget(
             keep_all.append(s)
         else:
             cut_bin[s] = boundary
-    cut_pairs = [
-        x for s, b in cut_bin.items() for x in (F.lit(s), F.lit(b))
-    ]
-    cutmap = F.create_map(*cut_pairs) if cut_pairs else F.create_map()
-    # bins strictly before the boundary: kept whole, NO window/sort.
-    # cutmap[...] is null for keep_all strata → `< null` is null →
-    # the isin() arm decides; null for the boundary-== filter → false.
-    fulls = bigdf.filter(
-        (F.col(stratum_col).isin(keep_all) if keep_all else F.lit(False))
-        | (F.col("__bin") < cutmap[F.col(stratum_col)])
-    ).drop("__bin", "__budget")
+    # one broadcast DECISION TABLE instead of per-stratum literal maps
+    # (a create_map over 10k domain strata would bloat the plan exactly
+    # like an oversized isin): (stratum, boundary bin, remaining budget
+    # in it, keep-whole flag). Bins before the boundary are kept whole
+    # — a plain filter, NO window/sort; keep_all strata (total under
+    # budget) keep every bin; bins after the boundary drop.
+    spark = df.sparkSession
+    dec = spark.createDataFrame(
+        [
+            (s, cut_bin.get(s), remaining.get(s), s in keep_all)
+            for s in big
+        ],
+        f"{stratum_col} string, __cut int, __rem long, __keep_all boolean",
+    )
+    decided = bigdf.join(F.broadcast(dec), stratum_col).select(
+        *bigdf.columns, "__cut", "__rem", "__keep_all"
+    )
+    fulls = decided.filter(
+        F.col("__keep_all") | (F.col("__bin") < F.col("__cut"))
+    ).select(*df.columns)
     out = fulls if out is None else out.unionByName(fulls)
     if cut_bin:
-        rem_pairs = [
-            x for s, v in remaining.items() for x in (F.lit(s), F.lit(v))
-        ]
-        remmap = F.create_map(*rem_pairs)
         wb = (
             W.partitionBy(stratum_col, "__bin")
             .orderBy(h.asc(), F.col(id_col).asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         boundary_rows = (
-            bigdf.filter(F.col("__bin") == cutmap[F.col(stratum_col)])
+            decided.filter(F.col("__bin") == F.col("__cut"))
             .withColumn("__cum", F.sum(token_col).over(wb))
-            .filter(
-                F.col("__cum") - F.col(token_col) < remmap[F.col(stratum_col)]
-            )
-            .drop("__bin", "__budget", "__cum")
+            .filter(F.col("__cum") - F.col(token_col) < F.col("__rem"))
+            .select(*df.columns)
         )
         out = out.unionByName(boundary_rows)
     return out

@@ -161,3 +161,41 @@ def test_select_token_budget_histogram_cut_matches_window(spark):
         histogram_threshold=mid - 1, histogram_hex_digits=1,
     )
     assert {tuple(r) for r in mixed.collect()} == a
+
+
+def test_select_token_budget_many_strata_broadcast_path(spark):
+    """r12: above _LITERAL_MAP_MAX strata the budget lookup and the
+    histogram decision table ride broadcast joins instead of literal
+    create_maps (plan-bloat class of an oversized isin). Semantics are
+    unchanged: identical kept set to the literal-map form."""
+    from meerkat_spark.operators import sampling
+    from meerkat_spark.operators.sampling import select_token_budget
+
+    df = (
+        spark.range(6000)
+        .selectExpr(
+            "id AS doc_id",
+            "concat('s', CAST(id % 600 AS STRING)) AS lang",
+            "CAST(5 + id % 7 AS LONG) AS n_tok",
+        )
+    )
+    budgets = {f"s{i}": 40 for i in range(600)}  # 600 > _LITERAL_MAP_MAX
+    assert len(budgets) > sampling._LITERAL_MAP_MAX
+
+    got = select_token_budget(df, budgets, token_col="n_tok")
+    # identical kept set through the literal-map form (threshold lifted)
+    old = sampling._LITERAL_MAP_MAX
+    sampling._LITERAL_MAP_MAX = 10_000
+    try:
+        want = select_token_budget(df, budgets, token_col="n_tok")
+        a = {tuple(r) for r in got.collect()}
+        b = {tuple(r) for r in want.collect()}
+    finally:
+        sampling._LITERAL_MAP_MAX = old
+    assert a == b and a
+    # and through the histogram path too (forced), still identical
+    hist = select_token_budget(
+        df, budgets, token_col="n_tok",
+        histogram_threshold=0, histogram_hex_digits=1,
+    )
+    assert {tuple(r) for r in hist.collect()} == a
