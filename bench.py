@@ -78,6 +78,12 @@ HEADLINE = [
     # language path's wall cost is tracked beside the DataFrame path
     # (fuzzy_dedup_planted above is the same workload sans KQL)
     "kql_evaluate_fuzzy_dedup",
+    # round-13 additions (VERDICT r12 ask #7): the two remaining
+    # r12-introduced KQL plugin queries get wall-time history — the
+    # token-budget selector (single-pass histogram aggregation) and
+    # brute-force kNN through the KQL front-end
+    "kql_evaluate_token_budget",
+    "kql_evaluate_knn",
 ]
 
 
@@ -173,17 +179,21 @@ def main() -> None:
     )
     qs = suite.queries()
 
-    # Warmup on the smallest SF (not timed): one JVM-only query for
-    # codegen/JIT, one Arrow/pandas-UDF query so the Python worker pool
-    # spawns before any timed query — worker startup is session cost,
-    # not per-query cost, and the first timed UDF query shouldn't be
-    # charged for it.
-    qs["agg_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    qs["text_stats"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warmup (not timed): ONE full untimed pass over the headline list
+    # at SF_DIR itself. The old two-query sf0.001 warmup spawned the
+    # Python worker pool but never touched the sf0.1 parquet or the
+    # other 29 query shapes, so the first timed block absorbed all
+    # session cold-start — first-touch page-cache reads plus per-shape
+    # JVM JIT/codegen — and the driver's BENCH_r12 flagged the first
+    # five bench-order queries at 1.6-2.4x baseline while queries 6-31
+    # ran at/below it (VERDICT r12 'what's wrong' #1/#3). A full pass
+    # warms the page cache for every input table AND compiles every
+    # query shape once, so timed results no longer depend on bench
+    # order. Skippable for quick local loops via
+    # SPARK_GRAFT_BENCH_WARMUP=0 (timings are then cold-contaminated —
+    # never record those).
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        run_headline(spark, SF_DIR, 1)
 
     # Min-of-3 per query: this host's co-tenancy noise swings identical
     # code 2x between single runs (BASELINE.md round-4 note), so a

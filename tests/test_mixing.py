@@ -199,3 +199,98 @@ def test_select_token_budget_many_strata_broadcast_path(spark):
         histogram_threshold=0, histogram_hex_digits=1,
     )
     assert {tuple(r) for r in hist.collect()} == a
+
+
+def test_select_token_budget_single_stats_pass(spark, monkeypatch):
+    """r13 (VERDICT r12 ask #5): routing + histogram share ONE
+    aggregation ACTION over the corpus. The old form paid a separate
+    groupBy().count() size probe before the histogram aggregation —
+    two full corpus scans on the big-strata path and a pure-overhead
+    probe scan on the small path. Collect-spy (the in()-subquery
+    precedent, tests/test_kql.py): building the operator fires exactly
+    one collect whether routing lands on the window or the histogram
+    path, zero when histogram_threshold=None pins the window form —
+    and that one collect's rows are the skinny per-stratum stats with
+    the bin list NULLed for small strata (never a per-bin row set)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from meerkat_spark.operators.sampling import select_token_budget
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "lang", "CAST(5 + doc_id % 7 AS LONG) AS n_tok")
+    )
+    budgets = {"en": 1500, "fr": 600}
+    calls: list[list] = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        calls.append(rows)
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+
+    # small strata -> window routing: the single stats action only
+    select_token_budget(docs, budgets, token_col="n_tok")
+    assert len(calls) == 1
+    # ... whose payload is one skinny row per stratum, bins NULLed
+    assert len(calls[0]) == 2
+    assert all(r[2] is None for r in calls[0]), calls[0]
+
+    # big strata (threshold 0) -> histogram routing: STILL one action,
+    # now carrying the bin structs for the (big) strata
+    calls.clear()
+    select_token_budget(
+        docs, budgets, token_col="n_tok",
+        histogram_threshold=0, histogram_hex_digits=1,
+    )
+    assert len(calls) == 1
+    assert all(r[2] is not None for r in calls[0]), calls[0]
+
+    # explicit window form: no stats action at all
+    calls.clear()
+    select_token_budget(docs, budgets, token_col="n_tok", histogram_threshold=None)
+    assert calls == []
+
+
+def test_select_token_budget_nonstring_stratum_broadcast(spark):
+    """r13 (ADVICE r12): the >_LITERAL_MAP_MAX broadcast-lookup path
+    hardcoded a `{col} string` DDL schema, so a LONG stratum column
+    joined through implicit casts (or broke). The lookup frames now
+    carry the input column's actual dtype; kept set identical to the
+    literal-map form on an integer stratum key."""
+    from meerkat_spark.operators import sampling
+    from meerkat_spark.operators.sampling import select_token_budget
+
+    df = spark.range(6000).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 600 AS LONG) AS bucket",
+        "CAST(5 + id % 7 AS LONG) AS n_tok",
+    )
+    budgets = {i: 40 for i in range(600)}  # int keys, 600 > literal max
+    assert len(budgets) > sampling._LITERAL_MAP_MAX
+
+    got = select_token_budget(
+        df, budgets, stratum_col="bucket", token_col="n_tok"
+    )
+    # the broadcast lookup key must be the column's own type — no cast
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "cast(bucket" not in plan.lower(), plan
+    old = sampling._LITERAL_MAP_MAX
+    sampling._LITERAL_MAP_MAX = 10_000
+    try:
+        want = select_token_budget(
+            df, budgets, stratum_col="bucket", token_col="n_tok"
+        )
+        a = {tuple(r) for r in got.collect()}
+        b = {tuple(r) for r in want.collect()}
+    finally:
+        sampling._LITERAL_MAP_MAX = old
+    assert a == b and a
+    # histogram routing over the integer stratum: same kept set
+    hist = select_token_budget(
+        df, budgets, stratum_col="bucket", token_col="n_tok",
+        histogram_threshold=0, histogram_hex_digits=1,
+    )
+    assert {tuple(r) for r in hist.collect()} == a
