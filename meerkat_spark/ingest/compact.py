@@ -50,12 +50,15 @@ def compact_partition(
     """Dedup+rewrite one day partition atomically. Returns (rows_before,
     rows_after)."""
     part_dir = os.path.join(path, f"{DAY_COL}={day}")
-    # reclaim residue of a compaction that crashed mid-swap — a stale
-    # fixed-name `.old` would otherwise block every later rename
-    for stale in os.listdir(path):
-        full = os.path.join(path, stale)
-        if stale.startswith(f"{DAY_COL}={day}.") and os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
+    # reclaim residue of a compaction that crashed mid-swap. The shared
+    # sweep (ADVICE r12, high) restores the newest `.old-*` copy FIRST
+    # when the live partition is missing (a crash between the two
+    # renames makes that residue the only copy — deleting it destroyed
+    # the partition), and only deletes residue while the live dir
+    # exists. Same single-writer-per-table contract as the sweep.
+    from meerkat_spark.ingest.neardup_maintenance import _sweep_stale_swaps
+
+    _sweep_stale_swaps(part_dir)
     df = spark.read.parquet(part_dir)
     deduped = df.dropDuplicates([TS_COL, DEDUP_COL]).coalesce(target_files)
     tmp_dir = part_dir + f".compact-{uuid.uuid4().hex[:8]}"

@@ -212,11 +212,41 @@ def _sweep_stale_swaps(dir_path: str) -> None:
     `<dir>.compact-*` (tmp rewrites that never swapped in). Without
     the sweep a crashed run's residue accumulates; with the r11 fixed
     `.old` name it outright BLOCKED every later compaction (the
-    os.rename onto an existing dir raises — ADVICE r11)."""
+    os.rename onto an existing dir raises — ADVICE r11).
+
+    CRASH RECOVERY FIRST (ADVICE r12, high): a compaction that died
+    BETWEEN its two renames (live dir already renamed to `.old-*`, tmp
+    not yet renamed in) leaves NO live directory — the `.old-*` residue
+    is then the ONLY copy of the data, and sweeping it would destroy
+    the table. If the live dir is missing and `.old*` residue exists,
+    the newest residue is renamed BACK into place before anything is
+    reclaimed; residue is only ever deleted while a live directory
+    exists (it is then redundant by construction).
+
+    SINGLE-WRITER CONTRACT (ADVICE r12): one maintenance run per
+    directory at a time. The sweep cannot tell another *concurrent*
+    run's in-flight `.compact-*` tmp from a crashed run's residue —
+    concurrent compactions of the same directory would reclaim each
+    other's tmp writes. Callers serialize maintenance per table (the
+    keeper loops already do: one foreachBatch writer per index)."""
     import os
     import shutil
 
     parent, base = os.path.dirname(dir_path) or ".", os.path.basename(dir_path)
+    olds = [
+        name
+        for name in os.listdir(parent)
+        if name == base + ".old" or name.startswith(base + ".old-")
+    ]
+    if not os.path.isdir(dir_path) and olds:
+        newest = max(
+            olds, key=lambda n: os.path.getmtime(os.path.join(parent, n))
+        )
+        os.rename(os.path.join(parent, newest), dir_path)
+    if not os.path.isdir(dir_path):
+        # no live dir and nothing restorable: never delete — any
+        # `.compact-*` residue may be the only surviving write
+        return
     for name in os.listdir(parent):
         if (
             name == base + ".old"  # pre-r12 fixed-name residue

@@ -111,3 +111,81 @@ def test_ivf_index_compaction_preserves_search(spark, tmp_path):
     assert after == before
     for (qid, rank), (nid, sim) in after.items():
         assert rank == 1 and nid == qid + 100_000 and sim == 1.0
+
+
+def test_sweep_restores_live_dir_after_crash_between_renames(spark, tmp_path):
+    """r13 (ADVICE r12, high): a compaction that crashes BETWEEN
+    os.rename(dir, old) and os.rename(tmp, dir) leaves NO live dir —
+    the `.old-*` residue is the only copy. The old sweep rmtree'd it
+    unconditionally (destroying the table); it must instead rename the
+    newest residue back into place, and only reclaim residue while a
+    live dir exists."""
+    import os
+
+    from meerkat_spark.ingest.neardup_maintenance import (
+        _compact_dir,
+        _sweep_stale_swaps,
+    )
+
+    d = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.parquet(d)
+    want = set(range(100))
+
+    # simulate the crash-between-renames state: live dir renamed away,
+    # plus an orphaned tmp from the same dead run
+    os.rename(d, d + ".old-deadbeef")
+    os.mkdir(d + ".compact-deadbeef")
+    assert not os.path.isdir(d)
+
+    _sweep_stale_swaps(d)
+    assert os.path.isdir(d)  # restored from the .old residue
+    assert not os.path.isdir(d + ".old-deadbeef")
+    assert not os.path.isdir(d + ".compact-deadbeef")
+    got = {r.id for r in spark.read.parquet(d).collect()}
+    assert got == want  # data intact
+
+    # and a full compaction straight out of the crashed state works too
+    os.rename(d, d + ".old-cafecafe")
+    before, after = _compact_dir(spark, d, None, 1_000_000)
+    assert {r.id for r in spark.read.parquet(d).collect()} == want
+    assert after >= 1
+
+    # residue-only healthy case: live dir present -> residue swept
+    os.mkdir(d + ".old-11111111")
+    os.mkdir(d + ".compact-22222222")
+    _sweep_stale_swaps(d)
+    assert os.path.isdir(d)
+    assert not os.path.isdir(d + ".old-11111111")
+    assert not os.path.isdir(d + ".compact-22222222")
+
+    # pathological: no live dir, no .old, an orphan tmp -> NOTHING is
+    # deleted (the tmp may be the only surviving write)
+    empty = str(tmp_path / "gone")
+    os.mkdir(empty + ".compact-33333333")
+    _sweep_stale_swaps(empty)
+    assert os.path.isdir(empty + ".compact-33333333")
+
+
+def test_compact_partition_recovers_crashed_swap(spark, tmp_path):
+    """r13 (ADVICE r12, high): ingest/compact.compact_partition shares
+    the crash-recovery sweep — a day partition stranded as `.old-*`
+    is restored and compacted, not deleted."""
+    import os
+
+    from meerkat_spark.ingest.batch import DAY_COL, DEDUP_COL, TS_COL
+    from meerkat_spark.ingest.compact import compact_partition
+
+    tbl = str(tmp_path / "events_tbl")
+    day = "2026-01-01"
+    part = os.path.join(tbl, f"{DAY_COL}={day}")
+    spark.range(50).selectExpr(
+        "id AS v",
+        f"timestamp('2026-01-01 00:00:00') + make_interval(0,0,0,0,0,0,id) AS {TS_COL}",
+        f"CAST(id AS STRING) AS {DEDUP_COL}",
+    ).write.parquet(part)
+
+    os.rename(part, part + ".old-deadbeef")  # crashed between renames
+    assert not os.path.isdir(part)
+    before, after = compact_partition(spark, tbl, day)
+    assert before == after == 50
+    assert spark.read.parquet(part).count() == 50

@@ -4,6 +4,7 @@ reuse the stored assignment (no retraining)."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from meerkat_spark.similarity import knn
@@ -587,3 +588,134 @@ def test_extend_replay_detected_and_healed(spark, tmp_path):
     assert s2["n_duplicate_rows"] == 0 and s2["recommendation"] == "ok"
     healed = {tuple(r) for r in ivf_search(spark, idx, q, k=5, n_probe=8).collect()}
     assert healed == clean
+
+
+def _blob_fixture(spark):
+    """(base_df, blob_df): 400 isotropic base vectors and a 4000-row
+    DIVERSE drifted blob (unit Gaussian shifted +12 along dim 0 — a
+    ~20-degree cone the base-trained frozen centroids route almost
+    entirely into one cell, while its internal angular spread lets a
+    re-train split it across many). A near-parallel fixture (exact
+    copies / one shifted direction) would NOT work: k-means cannot
+    separate colinear vectors, so rebuild could never cut the skew."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(0, 1, (400, 16))
+    blob = rng.normal(0, 1, (4000, 16))
+    blob[:, 0] += 12.0
+    schema = "vec_id long, embedding array<double>"
+    bdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(400)], schema
+    )
+    blobdf = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in blob[i]]) for i in range(4000)],
+        schema,
+    )
+    return bdf, blobdf
+
+
+def test_rebuild_ivf_index_heals_skew(spark, tmp_path):
+    """r13 (VERDICT r12 ask #4): the missing arm of the maintenance
+    loop. A drifted extend stream skews one frozen cell to >5x the
+    mean; rebuild_ivf_index re-trains from the STORED vectors via an
+    atomic tmp+swap, after which the skew ratio is back under the
+    threshold, the row set is intact, and a planted exact-copy probe
+    still returns its source as top-1 (the ivf_extend_recall contract
+    survives re-training)."""
+    from meerkat_spark.similarity.ivf_index import (
+        extend_ivf_index,
+        ivf_index_stats,
+        ivf_search,
+        rebuild_ivf_index,
+    )
+
+    base, blob = _blob_fixture(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_cells=8)
+    extend_ivf_index(blob, idx)
+    # exact copies (+1M) of every 40th blob vector, for the recall pin
+    copies = blob.filter("vec_id % 40 = 0").select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    extend_ivf_index(copies, idx)
+
+    s_before = ivf_index_stats(spark, idx, skew_rebuild_ratio=5.0)
+    assert s_before["recommendation"] == "rebuild"
+    assert s_before["skew_ratio"] > 5.0
+
+    res = rebuild_ivf_index(spark, idx)
+    assert res["n_rows"] == s_before["n_rows"]  # nothing lost
+    assert res["n_cells_after"] > res["n_cells_before"]  # fresh sqrt(n)
+    s_after = ivf_index_stats(spark, idx, skew_rebuild_ratio=5.0)
+    assert s_after["skew_ratio"] < 5.0, s_after
+    assert s_after["n_rows"] == s_before["n_rows"]
+
+    # planted-copy recall through the rebuilt routing
+    res_df = ivf_search(spark, idx, copies, k=1, n_probe=1)
+    got = {(r.query_id, r.neighbor_id) for r in res_df.collect()}
+    want = {
+        (r.vec_id + 1_000_000, r.vec_id)
+        for r in blob.filter("vec_id % 40 = 0").collect()
+    }
+    assert got == want
+
+
+def test_rebuild_preserves_variants_and_heals_duplicates(spark, tmp_path):
+    """r13: rebuild auto-detects the index variant (SQ8 codes here) and
+    carries it through the re-train; replayed-extend duplicate rows are
+    deduped by the rebuild itself."""
+    from meerkat_spark.similarity.ivf_index import (
+        extend_ivf_index,
+        ivf_index_stats,
+        rebuild_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivfq")
+    build_ivf_index(emb.filter("vec_id < 300"), idx, n_cells=8, quantize=True)
+    batch = emb.filter("vec_id >= 300 and vec_id < 400")
+    extend_ivf_index(batch, idx)
+    extend_ivf_index(batch, idx)  # replay -> duplicates
+    assert ivf_index_stats(spark, idx)["n_duplicate_rows"] == batch.count()
+
+    res = rebuild_ivf_index(spark, idx)
+    assert res["n_rows"] == 400  # replay rows healed
+    s = ivf_index_stats(spark, idx)
+    assert s["n_duplicate_rows"] == 0
+    cols = spark.read.parquet(f"{idx}/assigned").columns
+    assert "q" in cols and "q_scale" in cols  # variant preserved
+
+
+def test_maintain_rebuild_branch_heals_and_opts_in(spark, tmp_path):
+    """r13 (ADVICE r12, medium): a rebuild-diagnosed index with replay
+    duplicates must still be DEDUP-HEALED on the default report-only
+    path (duplicates rank twice in every top-k and used to persist
+    across maintenance cycles); with allow_rebuild=True the wrapper
+    runs the rebuild itself and the skew diagnosis clears."""
+    from meerkat_spark.similarity.ivf_index import (
+        extend_ivf_index,
+        ivf_index_stats,
+        maintain_ivf_index,
+    )
+
+    base, blob = _blob_fixture(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_cells=8)
+    extend_ivf_index(blob, idx)
+    # replay part of the blob -> duplicates UNDER the skew diagnosis
+    extend_ivf_index(blob.filter("vec_id % 4 = 0"), idx)
+
+    res = maintain_ivf_index(spark, idx, skew_rebuild_ratio=5.0)
+    assert res["action"] == "rebuild_required_deduped"
+    assert ivf_index_stats(spark, idx)["n_duplicate_rows"] == 0
+    # skew persists (report-only path does not re-train) ...
+    assert ivf_index_stats(spark, idx, skew_rebuild_ratio=5.0)[
+        "recommendation"
+    ] == "rebuild"
+    # ... until the operator opts in
+    res2 = maintain_ivf_index(spark, idx, skew_rebuild_ratio=5.0,
+                              allow_rebuild=True)
+    assert res2["action"] == "rebuilt"
+    s = ivf_index_stats(spark, idx, skew_rebuild_ratio=5.0)
+    assert s["recommendation"] != "rebuild"
+    assert s["skew_ratio"] < 5.0
