@@ -90,6 +90,37 @@ def main() -> None:
     assert after == clean, "healed search must equal the never-replayed index"
     assert ivf_index_stats(spark, idx)["n_duplicate_rows"] == 0
 
+    # -- 3b. distribution drift -> opt-in REBUILD (r13) --
+    # a one-direction append (every embedding shifted hard along dim 0)
+    # piles into one frozen cell; the telemetry flags it, and
+    # allow_rebuild=True lets the wrapper re-train from the stored
+    # vectors via the atomic tmp+swap (rebuild_ivf_index)
+    from pyspark.sql import functions as F
+
+    drifted = emb.select(
+        (F.col("vec_id") + 10_000).cast("long").alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when(i == F.lit(0), F.lit(8.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    extend_ivf_index(drifted, idx)
+    drift_stats = ivf_index_stats(spark, idx, skew_rebuild_ratio=3.0)
+    print("after drifted append:", {
+        k: drift_stats[k] for k in ("n_rows", "skew_ratio", "recommendation")
+    })
+    res = maintain_ivf_index(
+        spark, idx, skew_rebuild_ratio=3.0, allow_rebuild=True
+    )
+    assert res["action"] == "rebuilt", res
+    print("rebuild:", {
+        k: res[k] for k in ("action", "n_cells_before", "n_cells_after")
+    })
+    assert res["n_rows"] == drift_stats["n_rows"]  # nothing lost
+    print("post-rebuild skew:",
+          ivf_index_stats(spark, idx)["skew_ratio"])
+
     # -- 4. keeper stream: re-running the WHOLE stream is a no-op --
     nd_idx = os.path.join(work, "neardup")
     build_neardup_index(seed, nd_idx, threshold=0.95)

@@ -242,6 +242,70 @@ def main() -> None:
         )
         shutil.rmtree(idx_path2l, ignore_errors=True)
 
+        # r13 additions (VERDICT r12 ask #6): the r12 maintenance
+        # kernels with no measured exponents.
+        # (1) streaming ANN ingest: ONE foreachBatch epoch extending a
+        # FIXED-routing index with the n-row batch — exactly the body
+        # start_ivf_ingest_stream runs (assignment matmul + one
+        # cell-keyed shuffle + epoch marker; append never reads the
+        # stored table, so cost must track the BATCH, not the index).
+        # A fresh epoch id per run: a repeated epoch is marker-skipped
+        # (idempotence), which would time a no-op.
+        from meerkat_spark.streaming.ingest import ivf_ingest_step
+
+        idx_si = tempfile.mkdtemp(prefix="mk_ivfsi_scale_")
+        ivf_index.build_ivf_index(emb0, idx_si)  # fixed routing, untimed
+        si_batch = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(50_000_000_000)
+        )
+        si_epoch = {"e": 0}
+
+        def _stream_ingest():
+            si_epoch["e"] += 1
+            ivf_ingest_step(si_batch, si_epoch["e"], idx_si, maintain_every=0)
+
+        timed("ivf_stream_ingest", n_vecs, _stream_ingest)
+        # (2) IVF index compaction: full read + dedup-free rewrite of
+        # the assigned table (one cell-keyed shuffle, one file per
+        # cell) — linear in stored rows; idx_si now holds the ingested
+        # batches, so the compacted mass grows with N like the corpus.
+        timed(
+            "ivf_compact",
+            n_vecs,
+            lambda: ivf_index.compact_ivf_index(spark, idx_si),
+        )
+        shutil.rmtree(idx_si, ignore_errors=True)
+        # (3) chunked keeper backfill: hash-split the n-row batch into
+        # fixed-size chunks and run the sign-LSH keeper loop per chunk
+        # (probe join stays in the broadcast regime, the stored index
+        # is never shuffled). The replicated batch is the adversarial
+        # duplicate stress — every row is an exact dup of an indexed
+        # vector, so nothing is appended and every run probes the same
+        # constant-size index; cost must track chunks x chunk work.
+        from meerkat_spark.ingest.neardup_maintenance import (
+            backfill_neardup_index,
+        )
+        from meerkat_spark.similarity.neardup_index import (
+            build_neardup_index,
+        )
+
+        idx_nd = tempfile.mkdtemp(prefix="mk_ndbf_scale_")
+        build_neardup_index(emb0, idx_nd, threshold=0.9)
+        bf_run = {"i": 0}
+
+        def _backfill():
+            bf_run["i"] += 1
+            batch = emb.withColumn(
+                "vec_id",
+                F.col("vec_id") + F.lit(bf_run["i"] * 100_000_000_000),
+            )
+            backfill_neardup_index(
+                batch, idx_nd, chunk_rows=8_000, threshold=0.9
+            )
+
+        timed("neardup_backfill", n_vecs, _backfill)
+        shutil.rmtree(idx_nd, ignore_errors=True)
+
         timed(
             "pii_redact",
             n_docs,
@@ -512,6 +576,22 @@ def write_md(path: str, out: dict) -> None:
         "linearly (exponent near the job floor at these SFs) — a "
         "super-linear reading here would mean the LUT or code gather "
         "stopped being row-local.",
+        "",
+        "`ivf_stream_ingest` / `ivf_compact` / `neardup_backfill` "
+        "(round 13 — VERDICT r12 ask #6) are the maintenance kernels: "
+        "one streaming foreachBatch epoch extending a FIXED-routing "
+        "IVF index with the n-row batch (assignment matmul + one "
+        "cell-keyed shuffle; append never reads the stored table, so "
+        "cost tracks the batch — the stored index grows across legs "
+        "yet the exponent stays at the job floor), a full IVF "
+        "compaction (read + cell-keyed rewrite of the assigned table "
+        "— linear in stored rows), and the chunked sign-LSH keeper "
+        "backfill at a forced-small chunk size (fixed 8k-row chunks, "
+        "so the ×16 leg runs 4 sequential keeper passes against a "
+        "CONSTANT-size index — the replicated batch is all exact dups "
+        "of indexed vectors, nothing appends, isolating per-chunk "
+        "probe cost; exponent ≈ 1 = cost tracks chunks × chunk work, "
+        "the broadcast-regime contract).",
         "",
         "Generated by `scripts/scaling_check.py` (re-run with "
         "`SCALING_MD=SCALING.md python scripts/scaling_check.py`); "

@@ -138,6 +138,17 @@ def test_scaling_exponents_stay_sublinear():
     assert len(rows) >= 10, f"SCALING.md table missing/short: {rows}"
     hot = [(k, e) for k, e in rows if e > 1.2]
     assert not hot, f"super-linear scaling exponents (all-pairs risk): {hot}"
+    # r13 (VERDICT r12 ask #6): the maintenance kernels must carry
+    # measured exponents too — dropping a row from the artifact would
+    # silently un-gate that kernel
+    required = {
+        "token_budget",
+        "ivf_stream_ingest",
+        "ivf_compact",
+        "neardup_backfill",
+    }
+    have = {k for k, _ in rows}
+    assert required <= have, f"SCALING.md missing kernels: {required - have}"
 
 
 def test_bench_warning_attribution_pins_expected_set(spark):
