@@ -84,6 +84,12 @@ HEADLINE = [
     # brute-force kNN through the KQL front-end
     "kql_evaluate_token_budget",
     "kql_evaluate_knn",
+    # round-13 additions: the frequency-sketch family
+    # (operators/sketches.py) — Misra-Gries heavy hitters (mapInPandas
+    # summaries + bounded merge) and the Count-Min build+lookup, so the
+    # sketch path's wall cost is tracked beside the exact aggregations
+    "heavy_hitters_sketch",
+    "count_min_freq_est",
 ]
 
 

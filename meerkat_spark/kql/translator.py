@@ -3432,6 +3432,7 @@ class Translator:
             "knn",
             "semdedup",
             "decontaminate",
+            "heavy_hitters",
         ):
             # r12: the LLM-pipeline operators exposed through the KQL
             # front-end (VERDICT r11 ask #6) — `evaluate`-style plugins
@@ -3524,6 +3525,30 @@ class Translator:
                         target_cluster=tc,
                         id_col=col_name(args[0]),
                         vec_col=col_name(args[1]),
+                    )
+                )
+            if plugin == "heavy_hitters":
+                # evaluate heavy_hitters(Col, K [, Capacity=4096]) —
+                # Misra-Gries top-K (operators/sketches.py): the
+                # sketch twin of `top-hitters` for key cardinalities
+                # where an exact rank's shuffle (= |distinct keys|)
+                # is the bottleneck; output (Col, approximate_count,
+                # count_error_max), bounds documented on the operator
+                from meerkat_spark.operators.sketches import heavy_hitters
+
+                if not 2 <= len(args) <= 3:
+                    raise KqlSyntaxError(
+                        "heavy_hitters(Col, K [, Capacity])"
+                    )
+                cap = (
+                    int(_raw(self.expr(args[2]))) if len(args) > 2 else 4096
+                )
+                return MeerkatTable(
+                    heavy_hitters(
+                        t.to_df(),
+                        col_name(args[0]),
+                        k=int(_raw(self.expr(args[1]))),
+                        capacity=cap,
                     )
                 )
             if plugin == "decontaminate":

@@ -52,6 +52,7 @@ def load_all() -> None:
         multimodal,
         extras,
         temporal,
+        sketches,
     )
 
 
@@ -70,13 +71,19 @@ def load_all() -> None:
 # (c) the FULL 39-name r8-stale cohort (oldest green grade anywhere in
 # the registry — after this round no oracle-backed grade is older
 # than r9, per the verdict's done-criterion).
-# (d) fill to 50 with the oldest r9-stale names, alphabetical.
+# (d) the round-13 sketch family (operators/sketches.py): Misra-Gries
+# heavy hitters + Count-Min estimates, registered this round — graded
+# now so no oracle-backed name is ever never-graded.
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) new registrations
     "kql_evaluate_semdedup",
     "kql_evaluate_decontaminate",
     "kql_decimal_agg",
+    # (d) round-13 sketch family
+    "heavy_hitters_sketch",
+    "count_min_freq_est",
+    "kql_evaluate_heavy_hitters",
     # (b) code-change re-grades
     "select_token_budget_op",
     "kql_evaluate_token_budget",
@@ -123,10 +130,6 @@ _PRIORITY: list[str] = [
     "top_nested",
     "train_holdout_split",
     "window_session_native",
-    # (d) oldest r9-stale names, alphabetical (first 3 of 46)
-    "active_users_count_op",
-    "activity_engagement_op",
-    "agg_percentilew",
 ]
 
 def _ordered(mapping: dict) -> dict:

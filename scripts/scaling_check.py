@@ -306,6 +306,33 @@ def main() -> None:
         timed("neardup_backfill", n_vecs, _backfill)
         shutil.rmtree(idx_nd, ignore_errors=True)
 
+        # r13: frequency sketches (operators/sketches.py). Key is
+        # doc_id mod 50k — high enough cardinality that Misra-Gries
+        # evicts at capacity 1000 (the approximate regime, not the
+        # exact fallback). Both must stay ~linear: MG is one
+        # mapInPandas pass + an O(capacity x partitions) merge;
+        # Count-Min build is one pass + a depth x width-bounded
+        # exchange after partial aggregation.
+        from meerkat_spark.operators.sketches import (
+            count_min_build,
+            heavy_hitters,
+        )
+
+        sk_docs = docs.select(
+            F.pmod(F.col("doc_id"), F.lit(50_000)).alias("key")
+        )
+        timed(
+            "misra_gries",
+            n_docs,
+            lambda: heavy_hitters(sk_docs, "key", k=20, capacity=1000).count(),
+        )
+        timed(
+            "count_min",
+            n_docs,
+            lambda: count_min_build(
+                sk_docs, "key", depth=4, width=8192
+            ).count(),
+        )
         timed(
             "pii_redact",
             n_docs,

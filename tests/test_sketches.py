@@ -1,0 +1,193 @@
+"""Frequency sketches (operators/sketches.py): Misra-Gries and
+Count-Min guarantees, exact-degradation regimes, determinism, and the
+bounded-shuffle plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_spark.operators.sketches import (
+    count_min_build,
+    count_min_estimate,
+    heavy_hitters,
+    misra_gries_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """Zipf-ish corpus: key k{i} appears ~1000/i times, i in 1..199,
+    spread over 8 partitions; plus a weight column."""
+    rows = [
+        (f"k{i}", float(i % 7 + 1))
+        for i in range(1, 200)
+        for _ in range(1000 // i)
+    ]
+    return (
+        spark.createDataFrame(rows, "key string, w double")
+        .repartition(8)
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_counts(skewed):
+    return {
+        r["key"]: r["c"]
+        for r in skewed.groupBy("key").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+
+class TestMisraGries:
+    def test_bounds_and_presence_guarantee(self, skewed, exact_counts):
+        """est <= true <= est + err for every emitted key; every key
+        with true count > err is present (the classic MG guarantee,
+        surviving the partition merge)."""
+        s = misra_gries_summary(skewed, "key", capacity=20).collect()
+        assert s, "summary must not be empty"
+        err = s[0]["count_error_max"]
+        n = sum(exact_counts.values())
+        # merged error is bounded by N/(capacity+1)
+        assert 0 < err <= n / 21
+        emitted = {}
+        for r in s:
+            t = exact_counts[r["key"]]
+            assert r["est_count"] <= t <= r["est_count"] + err, r
+            emitted[r["key"]] = r["est_count"]
+        missing = [k for k, v in exact_counts.items() if v > err and k not in emitted]
+        assert not missing, f"guaranteed-present keys missing: {missing}"
+
+    def test_exact_when_capacity_covers_distinct(self, skewed, exact_counts):
+        hh = heavy_hitters(skewed, "key", k=10, capacity=4096).collect()
+        assert len(hh) == 10
+        for r in hh:
+            assert r["count_error_max"] == 0
+            assert r["approximate_count"] == exact_counts[r["key"]]
+        # ranked by true count desc, key asc
+        top = sorted(
+            exact_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:10]
+        assert [r["key"] for r in hh] == [k for k, _ in top]
+
+    def test_weighted(self, skewed):
+        exact_w = {
+            r["key"]: r["s"]
+            for r in skewed.groupBy("key").agg(F.sum("w").alias("s")).collect()
+        }
+        s = misra_gries_summary(
+            skewed, "key", capacity=25, weight_col="w"
+        ).collect()
+        err = s[0]["count_error_max"]
+        for r in s:
+            t = exact_w[r["key"]]
+            assert r["est_count"] <= t + 1e-9
+            assert t <= r["est_count"] + err + 1e-9
+
+    def test_deterministic(self, skewed):
+        a = sorted(map(tuple, heavy_hitters(skewed, "key", 15, 20).collect()))
+        b = sorted(map(tuple, heavy_hitters(skewed, "key", 15, 20).collect()))
+        assert a == b
+
+    def test_null_keys_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("a",), (None,), ("a",), (None,), ("b",)], "key string"
+        )
+        s = {r["key"]: r["est_count"]
+             for r in misra_gries_summary(df, "key", 10).collect()}
+        assert s == {"a": 2, "b": 1}
+
+    def test_integer_keys_exact(self, spark):
+        """Int keys must not round-trip through float64 (the None
+        sentinel coercion hazard) — large ids stay exact."""
+        big = 2**60 + 1
+        df = spark.createDataFrame(
+            [(big,), (big,), (big + 2,)], "key long"
+        )
+        hh = heavy_hitters(df, "key", k=2, capacity=10).collect()
+        assert [(r["key"], r["approximate_count"]) for r in hh] == [
+            (big, 2),
+            (big + 2, 1),
+        ]
+
+    def test_capacity_validation(self, skewed):
+        with pytest.raises(ValueError):
+            misra_gries_summary(skewed, "key", capacity=0)
+
+
+class TestCountMin:
+    def test_never_underestimates(self, skewed, exact_counts):
+        """Adversarially small width (32 cells for 199 keys): heavy
+        collisions everywhere, yet min-over-depth never drops below
+        the true count."""
+        cm = count_min_build(skewed, "key", depth=4, width=32, seed=3)
+        est = count_min_estimate(
+            cm, skewed, "key", depth=4, width=32, seed=3
+        ).collect()
+        assert len(est) == len(exact_counts)
+        for r in est:
+            assert r["approximate_count"] >= exact_counts[r["key"]], r
+
+    def test_exact_at_ample_width(self, skewed, exact_counts):
+        cm = count_min_build(skewed, "key", depth=4, width=65536, seed=0)
+        est = count_min_estimate(
+            cm, skewed, "key", depth=4, width=65536, seed=0
+        ).collect()
+        for r in est:
+            assert r["approximate_count"] == exact_counts[r["key"]], r
+
+    def test_sketch_is_bounded(self, skewed):
+        cm = count_min_build(skewed, "key", depth=4, width=64, seed=0)
+        assert cm.count() <= 4 * 64
+
+    def test_weighted(self, skewed):
+        exact_w = {
+            r["key"]: r["s"]
+            for r in skewed.groupBy("key").agg(F.sum("w").alias("s")).collect()
+        }
+        cm = count_min_build(
+            skewed, "key", depth=4, width=65536, seed=1, weight_col="w"
+        )
+        est = count_min_estimate(
+            cm, skewed, "key", depth=4, width=65536, seed=1
+        ).collect()
+        for r in est:
+            assert r["approximate_count"] == pytest.approx(exact_w[r["key"]])
+
+    def test_unseen_key_estimates_zero_or_noise(self, spark, skewed):
+        """A key absent from the corpus gets only collision mass — at
+        ample width that is exactly 0 (missing cells coalesce to 0)."""
+        cm = count_min_build(skewed, "key", depth=4, width=65536, seed=0)
+        probe = spark.createDataFrame([("never-seen",)], "key string")
+        est = count_min_estimate(
+            cm, probe, "key", depth=4, width=65536, seed=0
+        ).collect()
+        assert est[0]["approximate_count"] == 0
+
+    def test_build_plan_has_partial_aggregation(self, skewed):
+        """The bounded-shuffle claim: the (d, b) aggregation must have
+        a map-side partial before the exchange, so each partition ships
+        <= depth x width rows."""
+        cm = count_min_build(skewed, "key", depth=4, width=64, seed=0)
+        plan = cm._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("HashAggregate") >= 2, plan
+
+
+class TestKqlPlugin:
+    def test_evaluate_heavy_hitters(self, spark, skewed, exact_counts):
+        from meerkat_spark.engine import MeerkatEngine
+
+        eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+        eng.register_table("T", skewed)
+        out = eng.kql("T | evaluate heavy_hitters(key, 5, 4096)").to_df().collect()
+        top = sorted(exact_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [(r["key"], r["approximate_count"]) for r in out] == top
+
+    def test_bad_arity_raises(self, spark, skewed):
+        from meerkat_spark.engine import MeerkatEngine
+        from meerkat_spark.kql import KqlSyntaxError
+
+        eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+        eng.register_table("T", skewed)
+        with pytest.raises(KqlSyntaxError):
+            eng.kql("T | evaluate heavy_hitters(key)").to_df()
