@@ -141,16 +141,24 @@ def misra_gries_summary(
         F.sum("__mg_est").alias("est_count"),
         F.sum("__mg_decr").alias("__decr"),
     )
-    total_decr = merged.agg(
-        F.coalesce(F.sum("__decr"), F.lit(0)).cast(num_t).alias(
-            "count_error_max"
-        )
+    # attach the global error scalar with a window over MERGED — a
+    # single-partition exchange over a frame already bounded to
+    # <= capacity x partitions rows, NOT over the corpus. The obvious
+    # alternative (crossJoin a 1-row agg of merged) re-executes the
+    # whole mapInPandas corpus pass for the scalar branch — a doubled
+    # 100-TB scan (caught by the PLANS.md audit: scans=2, py=2).
+    from pyspark.sql import Window as W
+
+    total_win = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
     return (
-        merged.filter(F.col(key_col).isNotNull())
+        merged.withColumn(
+            "count_error_max",
+            F.coalesce(F.sum("__decr").over(total_win), F.lit(0)).cast(num_t),
+        )
+        .filter(F.col(key_col).isNotNull())
         .drop("__decr")
-        # 1-row broadcast crossJoin: the whitelisted scalar-attach shape
-        .crossJoin(F.broadcast(total_decr))
     )
 
 

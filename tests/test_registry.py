@@ -93,10 +93,6 @@ _BOUNDED_CROSS = {
     # r9: DSIR weights crossJoin a broadcast SINGLE-ROW totals
     # aggregate (n_t, n_r, |V|) — the whitelisted 1-row-cross shape
     "dsir_importance_score",
-    # r13: Misra-Gries attaches the global decremented-mass scalar
-    # (a broadcast 1-row aggregate) to every summary row
-    "heavy_hitters_sketch",
-    "kql_evaluate_heavy_hitters",
 }
 
 
