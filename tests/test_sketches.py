@@ -173,6 +173,53 @@ class TestCountMin:
         assert plan.count("HashAggregate") >= 2, plan
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=300
+        ),
+        capacity=st.integers(min_value=1, max_value=40),
+        n_parts=st.integers(min_value=1, max_value=5),
+    )
+    def test_mg_bounds_property(spark, keys, capacity, n_parts):
+        """Randomized Misra-Gries merge property: for ANY multiset,
+        capacity, and partitioning — est <= true <= est + err for every
+        emitted key, err <= N/(capacity+1), every key with true > err
+        present, and capacity >= distinct implies exactness."""
+        from collections import Counter
+
+        df = spark.createDataFrame(
+            [(f"k{k}",) for k in keys], "key string"
+        ).repartition(n_parts)
+        true = Counter(f"k{k}" for k in keys)
+        s = misra_gries_summary(df, "key", capacity=capacity).collect()
+        err = s[0]["count_error_max"] if s else 0
+        assert err <= len(keys) / (capacity + 1)
+        emitted = {}
+        for r in s:
+            t = true[r["key"]]
+            assert r["est_count"] <= t <= r["est_count"] + err
+            emitted[r["key"]] = r["est_count"]
+        assert not [k for k, v in true.items() if v > err and k not in emitted]
+        if capacity >= len(true):
+            assert err == 0 and emitted == dict(true)
+
+
 class TestKqlPlugin:
     def test_evaluate_heavy_hitters(self, spark, skewed, exact_counts):
         from meerkat_spark.engine import MeerkatEngine
