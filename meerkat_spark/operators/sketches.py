@@ -44,8 +44,12 @@ from pyspark.sql import types as T
 __all__ = [
     "misra_gries_summary",
     "heavy_hitters",
+    "merge_mg_summaries",
     "count_min_build",
     "count_min_estimate",
+    "merge_count_min",
+    "save_count_min",
+    "load_count_min",
 ]
 
 
@@ -184,6 +188,74 @@ def heavy_hitters(
     )
 
 
+def merge_mg_summaries(
+    summaries: list[DataFrame], key_col: str, capacity: int
+) -> DataFrame:
+    """Merge Misra-Gries summaries built independently (per day, per
+    source, per backfill chunk) into one summary with the SAME bound
+    structure — the mergeable-summaries result (Agarwal et al.,
+    PODS'12): sum per-key estimates, then re-evict by subtracting the
+    (capacity+1)-th largest merged estimate.
+
+    Error accounting: each input's count_error_max is a constant
+    column; the merged bound is sum(input errors) + the re-eviction
+    theta, and est <= true <= est + count_error_max still holds for
+    every emitted key. Every frame here is sketch-sized (bounded by
+    its own capacity x partitions), so the rank window and error
+    roll-up never touch corpus-scale data.
+    """
+    if not summaries:
+        raise ValueError("merge_mg_summaries needs at least one summary")
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    from pyspark.sql import Window as W
+
+    tagged = None
+    for i, s in enumerate(summaries):
+        t = s.select(
+            key_col, "est_count", "count_error_max",
+            F.lit(i).alias("__frame"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    # per-key merged estimates; per-frame error scalars roll up via
+    # one tiny agg over the (bounded) union
+    per_key = tagged.groupBy(key_col).agg(
+        F.sum("est_count").alias("est_count")
+    )
+    err_attached = (
+        tagged.groupBy("__frame")
+        .agg(F.max("count_error_max").alias("__e"))
+        .agg(F.coalesce(F.sum("__e"), F.lit(0)).alias("__err_in"))
+    )
+    rank_w = W.partitionBy(F.lit(1)).orderBy(
+        F.col("est_count").desc(), F.col(key_col).asc()
+    )
+    ranked = per_key.withColumn("__rk", F.row_number().over(rank_w))
+    theta = ranked.filter(F.col("__rk") == capacity + 1).select(
+        F.col("est_count").alias("__theta")
+    )
+    # attach the two scalars and re-evict. theta may be an EMPTY frame
+    # (fewer than capacity+1 merged keys): a cross join with empty
+    # would drop every row, so it left-joins on a constant key and
+    # coalesces to 0 instead. All frames here are sketch-sized.
+    out = (
+        ranked.crossJoin(F.broadcast(err_attached))
+        .withColumn("__k", F.lit(1))
+        .join(
+            F.broadcast(theta.withColumn("__k", F.lit(1))), "__k", "left"
+        )
+        .withColumn("__theta", F.coalesce("__theta", F.lit(0)))
+    )
+    return (
+        out.withColumn("est_count", F.col("est_count") - F.col("__theta"))
+        .filter(F.col("est_count") > 0)
+        .withColumn(
+            "count_error_max", F.col("__err_in") + F.col("__theta")
+        )
+        .select(key_col, "est_count", "count_error_max")
+    )
+
+
 def _cm_bucket_array(key_col: str, depth: int, width: int, seed: int):
     """array<int> of the row's bucket per hash depth — xxhash64 over
     the stringified key at seed-derived salts (engine-fixed, so the
@@ -255,3 +327,47 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("approximate_count"))
     )
+
+
+def merge_count_min(cms: list[DataFrame]) -> DataFrame:
+    """Merge Count-Min tables built with the SAME (depth, width, seed)
+    over disjoint corpora: the sketch is linear, so cell-wise summation
+    yields exactly the sketch of the union. Every input is
+    <= depth x width rows; the merge is a tiny aggregation. Parameter
+    agreement is the caller's contract — load_count_min enforces it
+    for persisted sketches."""
+    if not cms:
+        raise ValueError("merge_count_min needs at least one sketch")
+    out = None
+    for cm in cms:
+        t = cm.select("d", "b", "cnt")
+        out = t if out is None else out.unionByName(t)
+    return out.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def save_count_min(
+    cm: DataFrame, path: str, depth: int, width: int, seed: int
+) -> None:
+    """Persist a Count-Min table (parquet + params sidecar) so daily
+    sketches can roll up across runs — the t-digest persistence
+    precedent (functions/tdigest.py). The sidecar pins (depth, width,
+    seed): estimates and merges are only meaningful at identical
+    parameters, so load re-asserts them."""
+    import json
+    import os
+
+    cm.select("d", "b", "cnt").write.mode("overwrite").parquet(
+        os.path.join(path, "cells")
+    )
+    with open(os.path.join(path, "_cm_meta.json"), "w") as f:
+        json.dump({"depth": depth, "width": width, "seed": seed}, f)
+
+
+def load_count_min(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted Count-Min table; returns (cells, params)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_cm_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(path, "cells")), meta

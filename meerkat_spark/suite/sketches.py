@@ -62,17 +62,26 @@ def heavy_hitters_sketch(spark, sf_dir):
     """,
 )
 def count_min_freq_est(spark, sf_dir):
-    """Count-Min frequency estimates for every event type: build the
-    (d, b, cnt) sketch in one partially-aggregated pass, broadcast it
-    (<= depth x width rows), min-over-depth lookup. Exact at this
+    """Count-Min frequency estimates for every event type through the
+    ROLLUP path: three disjoint slices (the per-day production shape)
+    each build their own (d, b, cnt) sketch in one partially-aggregated
+    pass; merge_count_min sums cells — the sketch is linear, so the
+    merged table is bit-identical to a single build over the union —
+    then a broadcast min-over-depth lookup. Exact at this
     width/cardinality; always an over-estimate otherwise."""
     from meerkat_spark.operators.sketches import (
         count_min_build,
         count_min_estimate,
+        merge_count_min,
     )
 
     e = _df(spark, sf_dir, "events")
-    cm = count_min_build(e, "event_type", depth=4, width=65536, seed=0)
+    slices = [e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    cms = [
+        count_min_build(s, "event_type", depth=4, width=65536, seed=0)
+        for s in slices
+    ]
+    cm = merge_count_min(cms)
     return count_min_estimate(
         cm, e, "event_type", depth=4, width=65536, seed=0
     ).orderBy("event_type")

@@ -11,7 +11,11 @@ from meerkat_spark.operators.sketches import (
     count_min_build,
     count_min_estimate,
     heavy_hitters,
+    load_count_min,
+    merge_count_min,
+    merge_mg_summaries,
     misra_gries_summary,
+    save_count_min,
 )
 
 
@@ -171,6 +175,80 @@ class TestCountMin:
         cm = count_min_build(skewed, "key", depth=4, width=64, seed=0)
         plan = cm._jdf.queryExecution().executedPlan().toString()
         assert plan.count("HashAggregate") >= 2, plan
+
+
+class TestMerge:
+    """Mergeable-summary guarantees: daily/sliced sketches roll up
+    without losing their bounds (MG: Agarwal et al. PODS'12 merge;
+    CM: cell-wise summation by linearity)."""
+
+    def _slices(self, skewed, n=3):
+        return [
+            skewed.filter(F.abs(F.xxhash64("key", F.lit(9))) % n == i)
+            for i in range(n)
+        ]
+
+    def test_mg_merge_exact_regime(self, skewed, exact_counts):
+        summaries = [
+            misra_gries_summary(s, "key", capacity=4096)
+            for s in self._slices(skewed)
+        ]
+        merged = merge_mg_summaries(summaries, "key", capacity=4096)
+        got = {r["key"]: (r["est_count"], r["count_error_max"])
+               for r in merged.collect()}
+        assert got == {k: (v, 0) for k, v in exact_counts.items()}
+
+    def test_mg_merge_bounds_with_re_eviction(self, skewed, exact_counts):
+        """Small per-slice capacity AND a smaller merge capacity: the
+        theta re-eviction fires, bounds still hold, heavy keys still
+        guaranteed present."""
+        summaries = [
+            misra_gries_summary(s, "key", capacity=30)
+            for s in self._slices(skewed)
+        ]
+        merged = merge_mg_summaries(summaries, "key", capacity=15).collect()
+        assert 0 < len(merged) <= 15
+        err = merged[0]["count_error_max"]
+        emitted = {}
+        for r in merged:
+            t = exact_counts[r["key"]]
+            assert r["est_count"] <= t <= r["est_count"] + err, r
+            emitted[r["key"]] = r["est_count"]
+        missing = [
+            k for k, v in exact_counts.items() if v > err and k not in emitted
+        ]
+        assert not missing, missing
+
+    def test_mg_merge_empty_and_single(self, skewed, exact_counts):
+        with pytest.raises(ValueError):
+            merge_mg_summaries([], "key", 10)
+        one = misra_gries_summary(skewed, "key", capacity=4096)
+        merged = merge_mg_summaries([one], "key", capacity=4096)
+        got = {r["key"]: r["est_count"] for r in merged.collect()}
+        assert got == exact_counts
+
+    def test_cm_merge_equals_direct_build(self, skewed):
+        """Linearity, cell-for-cell: merging per-slice sketches yields
+        the EXACT cell table of one build over the whole corpus."""
+        cms = [
+            count_min_build(s, "key", depth=4, width=256, seed=5)
+            for s in self._slices(skewed)
+        ]
+        merged = {(r["d"], r["b"]): r["cnt"]
+                  for r in merge_count_min(cms).collect()}
+        direct = {(r["d"], r["b"]): r["cnt"]
+                  for r in count_min_build(
+                      skewed, "key", depth=4, width=256, seed=5).collect()}
+        assert merged == direct
+
+    def test_cm_save_load_roundtrip(self, spark, skewed, tmp_path):
+        cm = count_min_build(skewed, "key", depth=4, width=128, seed=2)
+        save_count_min(cm, str(tmp_path / "cm"), depth=4, width=128, seed=2)
+        loaded, meta = load_count_min(spark, str(tmp_path / "cm"))
+        assert meta == {"depth": 4, "width": 128, "seed": 2}
+        assert sorted(map(tuple, loaded.collect())) == sorted(
+            map(tuple, cm.collect())
+        )
 
 
 try:
