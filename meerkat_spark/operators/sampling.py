@@ -127,6 +127,55 @@ def hash_sample_per_group(
     )
 
 
+def _es_key(id_col: str, weight_col: str, salt: str) -> "F.Column":
+    """Efraimidis-Spirakis exponential race key: -ln(u)/w with u in
+    (0,1] derived from the canonical salted md5, so the draw is
+    deterministic, engine-independent, and replayed bit-for-bit by the
+    DuckDB oracle (same md5 -> same u -> same key). Smallest-n keys
+    win, which realizes weighted sampling WITHOUT replacement at the
+    correct inclusion law (each row's key is Exp(rate=w); the n
+    smallest exponentials are the weighted draw)."""
+    h = _salted_md5(id_col, salt)
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(4294967296.0)
+    return -F.log(u) / F.col(weight_col).cast("double")
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "s1",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Exact-N weighted sampling without replacement (Efraimidis-
+    Spirakis): keep the n rows with the smallest -ln(u)/w keys —
+    selection probability proportional to weight, reproducible across
+    runs/engines/partitionings. Rows with weight <= 0 or NULL are
+    never drawn. Global form is a TakeOrdered (no full sort
+    materializes); with `stratum_col` it is a keyed window — one
+    shuffle on the stratum, never a global one. ln() is IEEE libm on
+    both engines; a 1-ulp divergence could in principle flip an
+    adjacent pair, but keys are continuous random values, so ties at
+    ulp distance do not occur on real data (same argument as the
+    fixed-seed hash queries)."""
+    key = _es_key(id_col, weight_col, salt)
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es", key)
+    if stratum_col is None:
+        out = base.orderBy(F.col("__es").asc(), F.col(id_col).asc()).limit(n)
+    else:
+        w = W.partitionBy(stratum_col).orderBy(
+            F.col("__es").asc(), F.col(id_col).asc()
+        )
+        out = base.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= n
+        ).drop("__rn")
+    return out.drop("__es")
+
+
 def mix_bucket(id_col, salt: str = "", granularity: int = 10_000) -> "F.Column":
     """0..granularity-1 bucket from the salted md5 of the id — finer
     than split_bucket so mixture rates resolve to 0.01%."""

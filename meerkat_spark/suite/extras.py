@@ -1054,3 +1054,36 @@ def geo_s2cell_ops(spark, sf_dir):
         geo_point_to_s2cell(F.lit(2.294481), F.lit(48.858370), 12).alias("cell"),
     )
     return faces.unionByName(miami).unionByName(eiffel).orderBy("pid")
+
+
+@register(
+    "weighted_sample_op",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                  || 'wsr13'), 1, 8)) AS BIGINT) + 1.0)
+                 / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 100
+    """,
+)
+def weighted_sample_op(spark, sf_dir):
+    """Exact-100 weighted sampling without replacement (r13,
+    operators/sampling.weighted_sample_n): Efraimidis-Spirakis
+    exponential-race keys -ln(u)/w from the canonical salted md5, so
+    selection probability tracks the weight (n_chars here — the
+    'sample documents proportional to length/quality' mixing knob)
+    while staying deterministic and engine-replayable; the DuckDB twin
+    recomputes the identical keys. TakeOrdered plan — no global sort
+    materializes."""
+    from meerkat_spark.operators.sampling import weighted_sample_n
+
+    docs = _eng(spark, sf_dir).table("documents").to_df().select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return weighted_sample_n(
+        docs, weight_col="n_chars", n=100, id_col="doc_id", salt="wsr13"
+    )

@@ -294,3 +294,45 @@ def test_select_token_budget_nonstring_stratum_broadcast(spark):
         histogram_threshold=0, histogram_hex_digits=1,
     )
     assert {tuple(r) for r in hist.collect()} == a
+
+
+def test_weighted_sample_n_semantics(spark):
+    """Efraimidis-Spirakis weighted sampling (r13): exact n without
+    replacement, weight-proportional inclusion, determinism under the
+    salt, nonpositive/NULL weights never drawn, keyed per-stratum
+    variant."""
+    from meerkat_spark.operators.sampling import weighted_sample_n
+
+    rows = [(i, "heavy" if i < 20 else "light",
+             1000.0 if i < 20 else 1.0) for i in range(2000)]
+    rows += [(9000, "bad", 0.0), (9001, "bad", -3.0), (9002, "bad", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+
+    s = weighted_sample_n(df, "w", 100, "id", salt="a")
+    got = s.collect()
+    assert len(got) == 100
+    ids = [r["id"] for r in got]
+    assert len(set(ids)) == 100
+    assert not any(r["grp"] == "bad" for r in got)
+    # each heavy row carries 1000x the weight of a light row; with 100
+    # draws from total mass 20*1000 + 1980*1 the inclusion probability
+    # of every heavy row is ~1 — require at least 15/20 present
+    n_heavy = sum(1 for r in got if r["grp"] == "heavy")
+    assert n_heavy >= 15, n_heavy
+
+    # determinism: same salt -> same set; different salt -> different
+    again = {r["id"] for r in weighted_sample_n(df, "w", 100, "id", salt="a").collect()}
+    assert again == set(ids)
+    other = {r["id"] for r in weighted_sample_n(df, "w", 100, "id", salt="b").collect()}
+    assert other != set(ids)
+
+    # per-stratum: exactly min(n, eligible) rows per group, keyed window
+    per = weighted_sample_n(df, "w", 30, "id", salt="a", stratum_col="grp")
+    counts = {r["grp"]: r["c"] for r in
+              per.groupBy("grp").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts == {"heavy": 20, "light": 30}
+
+    # plan: global form is TakeOrdered, not a full sort-exchange
+    plan = weighted_sample_n(df, "w", 100, "id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
