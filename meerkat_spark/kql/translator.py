@@ -3433,6 +3433,7 @@ class Translator:
             "semdedup",
             "decontaminate",
             "heavy_hitters",
+            "weighted_sample",
         ):
             # r12: the LLM-pipeline operators exposed through the KQL
             # front-end (VERDICT r11 ask #6) — `evaluate`-style plugins
@@ -3525,6 +3526,32 @@ class Translator:
                         target_cluster=tc,
                         id_col=col_name(args[0]),
                         vec_col=col_name(args[1]),
+                    )
+                )
+            if plugin == "weighted_sample":
+                # evaluate weighted_sample(IdCol, WeightCol, N
+                #   [, 'salt']) — Efraimidis-Spirakis exact-N weighted
+                # draw without replacement (operators/sampling.
+                # weighted_sample_n): deterministic under the salt,
+                # selection probability proportional to WeightCol
+                from meerkat_spark.operators.sampling import (
+                    weighted_sample_n,
+                )
+
+                if not 3 <= len(args) <= 4:
+                    raise KqlSyntaxError(
+                        "weighted_sample(IdCol, WeightCol, N [, Salt])"
+                    )
+                salt = (
+                    str(_raw(self.expr(args[3]))) if len(args) > 3 else "s1"
+                )
+                return MeerkatTable(
+                    weighted_sample_n(
+                        t.to_df(),
+                        weight_col=col_name(args[1]),
+                        n=int(_raw(self.expr(args[2]))),
+                        id_col=col_name(args[0]),
+                        salt=salt,
                     )
                 )
             if plugin == "heavy_hitters":

@@ -146,6 +146,9 @@ def test_scaling_exponents_stay_sublinear():
         "ivf_stream_ingest",
         "ivf_compact",
         "neardup_backfill",
+        # r13: the frequency-sketch kernels
+        "misra_gries",
+        "count_min",
     }
     have = {k for k, _ in rows}
     assert required <= have, f"SCALING.md missing kernels: {required - have}"

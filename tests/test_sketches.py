@@ -316,3 +316,23 @@ class TestKqlPlugin:
         eng.register_table("T", skewed)
         with pytest.raises(KqlSyntaxError):
             eng.kql("T | evaluate heavy_hitters(key)").to_df()
+
+
+def test_kql_weighted_sample_matches_direct(spark):
+    """`evaluate weighted_sample(...)` equals the DataFrame call."""
+    from meerkat_spark.engine import MeerkatEngine
+    from meerkat_spark.operators.sampling import weighted_sample_n
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    out = eng.kql(
+        "documents | project doc_id, n_chars "
+        "| evaluate weighted_sample(doc_id, n_chars, 25, 'k1')"
+    ).to_df()
+    direct = weighted_sample_n(
+        eng.table("documents").to_df().select("doc_id", "n_chars"),
+        weight_col="n_chars", n=25, id_col="doc_id", salt="k1",
+    )
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in direct.collect()
+    }
+    assert out.count() == 25
