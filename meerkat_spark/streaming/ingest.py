@@ -359,3 +359,138 @@ def start_neardup_ingest_stream(
     else:
         writer = writer.trigger(processingTime="5 seconds")
     return writer.start()
+
+
+def heavy_hitters_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    summary_path: str,
+    key_col: str,
+    capacity: int = 4096,
+    weight_col: str | None = None,
+    stream_id: str | None = None,
+) -> None:
+    """ONE idempotent foreachBatch epoch of streaming heavy hitters:
+    Misra-Gries-summarize the batch (operators/sketches.py), merge it
+    into the persisted summary with the mergeable-summaries merge, and
+    swap the result in atomically. The stored state is sketch-sized
+    (<= capacity rows) forever, whatever the stream volume — the MG
+    bounds (est <= true <= est + err, err <= N_total/(capacity+1))
+    hold over EVERYTHING ingested since the summary was born.
+
+    Replay protocol — summaries are merge-SUMS, so the keeper loops'
+    row-wise anti-join healing cannot apply (re-merging a half-applied
+    epoch would double-count). Instead every epoch writes an IMMUTABLE
+    result dir `summary-<sid>-<epoch>` (tmp + atomic rename), then
+    advances the `_latest` pointer (tmp + rename), then commits the
+    `_epochs/` marker. The merge always reads the POINTER's summary,
+    which only advances after the new dir is complete, so a replay at
+    ANY crash point recomputes (or re-discovers) byte-identical state:
+      - marker present          -> skip wholesale;
+      - result dir present      -> epoch's merge already finished:
+                                   advance pointer + marker only;
+      - otherwise               -> recompute from the unchanged
+                                   pointer target (deterministic).
+    Superseded epoch dirs are swept once the pointer has moved past
+    them. Single-writer-per-summary-path, like the index compactions.
+    """
+    import os
+    import shutil
+
+    if _epoch_marker_guard(summary_path, epoch_id, stream_id):
+        return
+    from meerkat_spark.operators.sketches import (
+        merge_mg_summaries,
+        misra_gries_summary,
+    )
+
+    spark = batch_df.sparkSession
+    ns = f"{stream_id}-" if stream_id else ""
+    target = os.path.join(summary_path, f"summary-{ns}{int(epoch_id)}")
+    pointer = os.path.join(summary_path, "_latest")
+    os.makedirs(summary_path, exist_ok=True)
+
+    def _advance_pointer() -> None:
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(target))
+        os.replace(tmp, pointer)
+
+    def _sweep_superseded() -> None:
+        keep = {os.path.basename(target)}
+        if os.path.isfile(pointer):
+            with open(pointer) as f:
+                keep.add(f.read().strip())
+        for d in os.listdir(summary_path):
+            if d.startswith("summary-") and d not in keep and not d.endswith(".tmp"):
+                shutil.rmtree(os.path.join(summary_path, d), ignore_errors=True)
+
+    if not os.path.isdir(target):
+        batch_summary = misra_gries_summary(
+            batch_df, key_col, capacity=capacity, weight_col=weight_col
+        )
+        current = None
+        if os.path.isfile(pointer):
+            with open(pointer) as f:
+                cur_dir = os.path.join(summary_path, f.read().strip())
+            if os.path.isdir(cur_dir):
+                current = spark.read.parquet(cur_dir)
+        merged = (
+            merge_mg_summaries(
+                [current, batch_summary], key_col, capacity=capacity
+            )
+            if current is not None
+            else batch_summary
+        )
+        tmp_dir = target + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        os.replace(tmp_dir, target)
+    _advance_pointer()
+    _sweep_superseded()
+    _commit_epoch_marker(summary_path, epoch_id, stream_id)
+
+
+def read_heavy_hitters_summary(spark, summary_path: str) -> DataFrame:
+    """The persisted streaming summary (key, est_count,
+    count_error_max) at its latest committed epoch."""
+    import os
+
+    pointer = os.path.join(summary_path, "_latest")
+    with open(pointer) as f:
+        return spark.read.parquet(os.path.join(summary_path, f.read().strip()))
+
+
+def start_heavy_hitters_stream(
+    stream_df: DataFrame,
+    summary_path: str,
+    checkpoint: str,
+    key_col: str,
+    capacity: int = 4096,
+    weight_col: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming front-end for the Misra-Gries heavy-hitter summary:
+    each micro-batch folds into the persisted sketch under foreachBatch
+    (sequential epochs), idempotent under at-least-once replay via the
+    immutable-epoch-dir + pointer protocol in heavy_hitters_step.
+    State stays <= capacity rows regardless of stream volume; read the
+    running top-k any time with read_heavy_hitters_summary."""
+
+    sid = _stream_id_of(checkpoint)
+
+    def _step(batch_df: DataFrame, epoch_id: int) -> None:
+        heavy_hitters_step(
+            batch_df, epoch_id, summary_path, key_col,
+            capacity=capacity, weight_col=weight_col, stream_id=sid,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()

@@ -415,3 +415,80 @@ def test_backfill_neardup_smoke(spark, tmp_path):
     # 10 seed collisions dropped regardless of which chunk they landed in
     assert sum(kept for _, kept in per_chunk) == 50
     assert _index_counts(spark, idx)[1] == 10 + 50
+
+
+def test_heavy_hitters_step_replay_idempotent(spark, tmp_path):
+    """The streaming Misra-Gries summary's replay protocol: summaries
+    are merge-SUMS, so re-merging a delivered batch would double-count
+    — the immutable-epoch-dir + pointer protocol must make a replay at
+    EVERY crash point a no-op:
+      (a) marker present -> skipped wholesale;
+      (b) epoch dir complete but marker lost -> pointer/marker
+          recommitted, summary bytes unchanged;
+      (c) epoch dir complete, pointer NOT yet advanced (the
+          crash-between-rename-and-pointer state) -> the replay
+          discovers the dir, advances, and never re-merges.
+    """
+    from meerkat_spark.streaming.ingest import (
+        heavy_hitters_step,
+        read_heavy_hitters_summary,
+    )
+
+    hh = str(tmp_path / "hh")
+    batches = [
+        spark.createDataFrame(
+            [(f"k{j % 7}",) for j in range(i, 40 + i)], "key string"
+        )
+        for i in range(3)
+    ]
+    for e, b in enumerate(batches):
+        heavy_hitters_step(b, e, hh, "key", capacity=100)
+    base = sorted(
+        map(tuple, read_heavy_hitters_summary(spark, hh).collect())
+    )
+    exact = {}
+    for b in batches:
+        for r in b.collect():
+            exact[r["key"]] = exact.get(r["key"], 0) + 1
+    assert dict((k, v) for k, v, _ in base) == exact  # exact regime
+
+    # (a) plain at-least-once redelivery of every epoch
+    for e, b in enumerate(batches):
+        heavy_hitters_step(b, e, hh, "key", capacity=100)
+    assert sorted(
+        map(tuple, read_heavy_hitters_summary(spark, hh).collect())
+    ) == base
+
+    # (b) epoch dir complete, marker lost
+    marker = os.path.join(hh, "_epochs", "epoch-2")
+    os.remove(marker)
+    heavy_hitters_step(batches[2], 2, hh, "key", capacity=100)
+    assert os.path.exists(marker)
+    assert sorted(
+        map(tuple, read_heavy_hitters_summary(spark, hh).collect())
+    ) == base
+
+    # (c) crash between the epoch-dir rename and the pointer advance:
+    # epoch 3's dir exists (complete), pointer still at epoch 2,
+    # no marker — the replay must adopt the dir, not re-merge
+    b3 = spark.createDataFrame([("k0",), ("k1",)], "key string")
+    cur = read_heavy_hitters_summary(spark, hh)
+    from meerkat_spark.operators.sketches import (
+        merge_mg_summaries,
+        misra_gries_summary,
+    )
+
+    expected3 = merge_mg_summaries(
+        [cur, misra_gries_summary(b3, "key", capacity=100)],
+        "key",
+        capacity=100,
+    )
+    expected3.write.mode("overwrite").parquet(os.path.join(hh, "summary-3"))
+    want = sorted(map(tuple, expected3.collect()))
+    heavy_hitters_step(b3, 3, hh, "key", capacity=100)
+    with open(os.path.join(hh, "_latest")) as f:
+        assert f.read().strip() == "summary-3"
+    assert sorted(
+        map(tuple, read_heavy_hitters_summary(spark, hh).collect())
+    ) == want
+    assert os.path.exists(os.path.join(hh, "_epochs", "epoch-3"))

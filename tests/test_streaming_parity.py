@@ -688,3 +688,59 @@ def test_start_ivf_ingest_stream_api(spark, tmp_path):
     out_s = {tuple(r) for r in ivf_search(spark, idx_s, queries, k=3, n_probe=8).collect()}
     out_b = {tuple(r) for r in ivf_search(spark, idx_b, queries, k=3, n_probe=8).collect()}
     assert out_s == out_b
+
+
+def test_streaming_heavy_hitters_parity(spark, tmp_path):
+    """The streamed Misra-Gries summary equals the batch answer: in the
+    exact regime (capacity > distinct) the persisted summary matches
+    exact groupBy counts with error 0 after 3 micro-batches; with a
+    small capacity the MG bounds hold over the whole streamed volume."""
+    import pandas as pd
+
+    from meerkat_spark.streaming.ingest import (
+        read_heavy_hitters_summary,
+        start_heavy_hitters_stream,
+    )
+
+    rows = [(i, f"k{j}") for i, j in enumerate(
+        j for j in range(1, 60) for _ in range(600 // j)
+    )]
+    pdf = pd.DataFrame(rows, columns=["rid", "key"])
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    for c in range(3):
+        pdf[pdf["rid"] % 3 == c].to_parquet(chunk_dir / f"c{c}.parquet")
+
+    exact = pdf["key"].value_counts().to_dict()
+
+    stream = spark.readStream.schema("rid long, key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(chunk_dir))
+    q = start_heavy_hitters_stream(
+        stream, str(tmp_path / "hh"), str(tmp_path / "ckpt"),
+        key_col="key", capacity=4096,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["key"]: (r["est_count"], r["count_error_max"])
+        for r in read_heavy_hitters_summary(spark, str(tmp_path / "hh")).collect()
+    }
+    assert got == {k: (v, 0) for k, v in exact.items()}
+
+    # approximate regime over the same chunks: bounds over the WHOLE
+    # streamed volume
+    stream2 = spark.readStream.schema("rid long, key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(chunk_dir))
+    q2 = start_heavy_hitters_stream(
+        stream2, str(tmp_path / "hh2"), str(tmp_path / "ckpt2"),
+        key_col="key", capacity=10,
+    )
+    q2.awaitTermination(120)
+    s = read_heavy_hitters_summary(spark, str(tmp_path / "hh2")).collect()
+    assert 0 < len(s) <= 10
+    err = s[0]["count_error_max"]
+    assert err <= len(pdf) / 11 * 3  # merge adds theta per epoch fold
+    for r in s:
+        t = exact[r["key"]]
+        assert r["est_count"] <= t <= r["est_count"] + err, r
