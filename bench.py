@@ -90,6 +90,8 @@ HEADLINE = [
     # sketch path's wall cost is tracked beside the exact aggregations
     "heavy_hitters_sketch",
     "count_min_freq_est",
+    # the deterministic weighted draw (Efraimidis-Spirakis)
+    "weighted_sample_op",
 ]
 
 
