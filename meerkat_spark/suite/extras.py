@@ -1087,3 +1087,49 @@ def weighted_sample_op(spark, sf_dir):
     return weighted_sample_n(
         docs, weight_col="n_chars", n=100, id_col="doc_id", salt="wsr13"
     )
+
+
+@register(
+    "url_dedup_canonical",
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM documents
+    GROUP BY doc_id % 7, doc_id % 13
+    ORDER BY doc_id
+    """,
+)
+def url_dedup_canonical(spark, sf_dir):
+    """URL-level exact dedup through the canonicalizer (r13,
+    text/urlfilter.canonical_url + dedup_by_url): every doc_id gets a
+    noisy URL variant of its analytic page identity (doc_id%7 site,
+    doc_id%13 path) — scheme/www/host-case noise by doc_id%3, tracking
+    params + reordered query + trailing slash by doc_id%2, a fragment
+    on doc_id%5 — and the keeper must collapse ALL noise to exactly
+    the analytic classes (construction-oracle pattern: the DuckDB twin
+    computes the classes from the formula, so any canonicalization
+    miss changes the kept set). One keyed window on the canonical key,
+    single corpus pass."""
+    from meerkat_spark.text.urlfilter import dedup_by_url
+
+    d = _eng(spark, sf_dir).table("documents").to_df().select("doc_id")
+    scheme = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("HTTP://"))
+        .otherwise(F.lit(""))
+    )
+    q = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("/?utm_source=x&b=2&a=1")
+    ).otherwise(F.lit("?a=1&b=2"))
+    frag = F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        scheme,
+        F.lit("Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p"), (F.col("doc_id") % 13).cast("string"),
+        q, frag,
+    )
+    noisy = d.withColumn("url", url)
+    return dedup_by_url(noisy, "url", "doc_id").select("doc_id").orderBy(
+        "doc_id"
+    )

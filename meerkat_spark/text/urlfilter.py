@@ -71,3 +71,76 @@ def filter_blocked_urls(
             bl, on=out[f"__sfx{i}"] == bl["__bl_domain"], how="left_anti"
         )
     return out.drop("__host", *[f"__sfx{i}" for i in range(len(keys))])
+
+
+_TRACKING_PARAM_RE = (
+    r"^(?i)(utm_[a-z]+|fbclid|gclid|msclkid|dclid|igshid|mc_eid|ref|ref_src)="
+)
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a URL for exact URL-level dedup — the standard
+    first pass of a crawl pipeline (one crawl sees the same page as
+    http/https, with/without www, with tracking params, reordered
+    query strings, fragments, trailing slashes). Entirely JVM
+    built-ins (regex + array ops, whole-stage codegen; no UDF):
+
+      1. strip the fragment ('#...');
+      2. drop the scheme (http == https for identity) and a leading
+         'www.';
+      3. lowercase the HOST only (paths are case-sensitive);
+      4. drop tracking query params (utm_*, fbclid, gclid, ...), sort
+         the survivors (param order is not identity), drop an
+         empty '?';
+      5. strip one trailing '/' from the path.
+
+    Deterministic and engine-replayable: the DuckDB oracle reproduces
+    every step with its own string/list functions."""
+    c = url if isinstance(url, Column) else F.col(url)
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    rest = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"^(?i)www\.", "")
+    host = F.substring_index(rest, "/", 1)
+    # host may itself carry a '?query' when there is no path
+    host_only = F.substring_index(host, "?", 1)
+    tail = F.substring(rest, F.length(host_only) + 1, F.lit(1 << 30))
+    path = F.substring_index(tail, "?", 1)
+    query = F.when(
+        F.instr(tail, "?") > 0,
+        F.substring(
+            tail, F.instr(tail, "?") + 1, F.lit(1 << 30)
+        ),
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    norm_q = F.array_join(kept, "&")
+    norm_path = F.regexp_replace(path, r"/$", "")
+    return F.concat(
+        F.lower(host_only),
+        norm_path,
+        F.when(norm_q != "", F.concat(F.lit("?"), norm_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """Exact URL-level dedup: keep the smallest-id row per canonical
+    URL. ONE keyed window on the canonical key (single shuffle, single
+    corpus pass — the same shape as the exact text dedup keeper), not
+    an aggregate-then-rejoin, which would scan the corpus twice."""
+    from pyspark.sql import Window as W
+
+    canon = df.withColumn("__curl", canonical_url(url_col))
+    w = W.partitionBy("__curl").orderBy(F.col(id_col).asc())
+    return (
+        canon.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__curl")
+    )

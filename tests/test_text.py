@@ -587,3 +587,60 @@ def test_fuzzy_dedup_max_score_keeper(spark, docs_with_dups):
         TD.fuzzy_dedup(scored, keeper="max_score")
     with _pytest.raises(ValueError, match="keeper"):
         TD.fuzzy_dedup(scored, keeper="median")
+
+
+def test_canonical_url_cases(spark):
+    """r13 URL canonicalizer: scheme/www/host-case/tracking-param/
+    param-order/fragment/trailing-slash noise all collapse; ports and
+    path case are preserved."""
+    from meerkat_spark.text.urlfilter import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path/To?b=2&utm_source=x&a=1#frag",
+         "example.com/Path/To?a=1&b=2"),
+        ("http://example.com/Path/To/?a=1&b=2",
+         "example.com/Path/To?a=1&b=2"),
+        ("example.com/Path/To?a=1&b=2", "example.com/Path/To?a=1&b=2"),
+        ("https://example.com", "example.com"),
+        ("https://example.com/", "example.com"),
+        ("https://example.com?utm_campaign=z", "example.com"),
+        ("https://example.com/x?fbclid=abc&gclid=1&ref=hp", "example.com/x"),
+        ("https://sub.example.com:8080/X/Y", "sub.example.com:8080/X/Y"),
+        ("https://example.com/x?ref_src=twsrc", "example.com/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = [
+        r["c"]
+        for r in df.select("id", canonical_url("url").alias("c"))
+        .orderBy("id")
+        .collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_dedup_by_url_single_pass_window(spark):
+    """dedup_by_url keeps the min-id row per canonical class with ONE
+    keyed window (no aggregate-then-rejoin second corpus scan)."""
+    from meerkat_spark.text.urlfilter import dedup_by_url
+
+    rows = [
+        (1, "https://a.com/x?utm_source=1"),
+        (2, "HTTP://WWW.A.com/x"),
+        (3, "a.com/x/"),
+        (4, "https://b.com/y?p=1&q=2"),
+        (5, "b.com/y?q=2&p=1#z"),
+        (6, "https://c.com/z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    kept = dedup_by_url(df, "url", "id")
+    # plan BEFORE execution (post-run the AQE string repeats the
+    # initial plan and double-counts): exactly one exchange — the
+    # window's canonical-key shuffle — with the rank-1 filter pushed
+    # into a partial WindowGroupLimit ahead of it
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4, 6]
+    assert set(kept.columns) == {"id", "url"}
