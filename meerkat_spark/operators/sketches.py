@@ -29,7 +29,7 @@ the KQL front-end's default implementation here is exact (it ranks by
 a real aggregation), and `evaluate heavy_hitters(...)` exposes this
 sketch when the key cardinality makes exact ranking the bottleneck.
 
-Determinism: both sketches hash with xxhash64 over the stringified key
+Determinism: Count-Min hashes with xxhash64 over the stringified key
 at fixed seeds, and Misra-Gries eviction depends only on per-partition
 value multisets — so for a fixed input partitioning the outputs are
 bit-stable across runs (pinned in tests/test_sketches.py).
@@ -109,6 +109,7 @@ def misra_gries_summary(
     key_col: str,
     capacity: int = 4096,
     weight_col: str | None = None,
+    keep_total_row: bool = False,
 ) -> DataFrame:
     """Merged Misra-Gries summary: (key_col, est_count, count_error_max).
 
@@ -119,6 +120,17 @@ def misra_gries_summary(
     When no partition ever held more than `capacity` distinct keys the
     sketch degrades to EXACT counts with count_error_max = 0 — the
     oracle-graded regime of suite query `heavy_hitters_sketch`.
+
+    An EMPTY summary is legal (every counter evicted — e.g. a tiny
+    capacity over all-unique keys); its meaning is exactly "no key's
+    true count exceeds N/(capacity+1)". Such a summary has no rows to
+    carry its error mass, which a later MERGE needs (hypothesis-found:
+    merging an empty summary silently drops its corpus's error and
+    overstates the merged upper bound) — pass keep_total_row=True to
+    retain one NULL-key row (est_count 0, count_error_max = total
+    decrement) as the error carrier. The merge and the streaming
+    keeper use that representation internally; consumer-facing paths
+    (heavy_hitters, read_heavy_hitters_summary) filter it out.
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
@@ -156,14 +168,13 @@ def misra_gries_summary(
     total_win = W.partitionBy(F.lit(1)).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
-    return (
-        merged.withColumn(
-            "count_error_max",
-            F.coalesce(F.sum("__decr").over(total_win), F.lit(0)).cast(num_t),
-        )
-        .filter(F.col(key_col).isNotNull())
-        .drop("__decr")
-    )
+    out = merged.withColumn(
+        "count_error_max",
+        F.coalesce(F.sum("__decr").over(total_win), F.lit(0)).cast(num_t),
+    ).drop("__decr")
+    if not keep_total_row:
+        out = out.filter(F.col(key_col).isNotNull())
+    return out
 
 
 def heavy_hitters(
@@ -189,7 +200,10 @@ def heavy_hitters(
 
 
 def merge_mg_summaries(
-    summaries: list[DataFrame], key_col: str, capacity: int
+    summaries: list[DataFrame],
+    key_col: str,
+    capacity: int,
+    keep_total_row: bool = False,
 ) -> DataFrame:
     """Merge Misra-Gries summaries built independently (per day, per
     source, per backfill chunk) into one summary with the SAME bound
@@ -200,9 +214,15 @@ def merge_mg_summaries(
     Error accounting: each input's count_error_max is a constant
     column; the merged bound is sum(input errors) + the re-eviction
     theta, and est <= true <= est + count_error_max still holds for
-    every emitted key. Every frame here is sketch-sized (bounded by
-    its own capacity x partitions), so the rank window and error
-    roll-up never touch corpus-scale data.
+    every emitted key. An input whose counters were ALL evicted can
+    only report its error mass through a keep_total_row sentinel
+    (NULL key, est 0) — build merge inputs with keep_total_row=True,
+    or their hidden decrement silently weakens the merged upper bound
+    (hypothesis-found edge, pinned in tests/test_sketches.py). NULL
+    sentinel rows in inputs are consumed here; the output carries its
+    own only when keep_total_row=True. Every frame is sketch-sized,
+    so the rank window and error roll-up never touch corpus-scale
+    data.
     """
     if not summaries:
         raise ValueError("merge_mg_summaries needs at least one summary")
@@ -217,12 +237,14 @@ def merge_mg_summaries(
             F.lit(i).alias("__frame"),
         )
         tagged = t if tagged is None else tagged.unionByName(t)
-    # per-key merged estimates; per-frame error scalars roll up via
-    # one tiny agg over the (bounded) union
-    per_key = tagged.groupBy(key_col).agg(
-        F.sum("est_count").alias("est_count")
-    )
-    err_attached = (
+    # per-key merged estimates (sentinels excluded from ranking);
+    # per-frame error scalars roll up via one tiny agg over the
+    # (bounded) union — sentinel rows DO count here, which is the
+    # whole point of keep_total_row inputs
+    per_key = tagged.filter(F.col(key_col).isNotNull()).groupBy(
+        key_col
+    ).agg(F.sum("est_count").alias("est_count"))
+    err_in = (
         tagged.groupBy("__frame")
         .agg(F.max("count_error_max").alias("__e"))
         .agg(F.coalesce(F.sum("__e"), F.lit(0)).alias("__err_in"))
@@ -234,26 +256,36 @@ def merge_mg_summaries(
     theta = ranked.filter(F.col("__rk") == capacity + 1).select(
         F.col("est_count").alias("__theta")
     )
-    # attach the two scalars and re-evict. theta may be an EMPTY frame
-    # (fewer than capacity+1 merged keys): a cross join with empty
-    # would drop every row, so it left-joins on a constant key and
-    # coalesces to 0 instead. All frames here are sketch-sized.
-    out = (
-        ranked.crossJoin(F.broadcast(err_attached))
-        .withColumn("__k", F.lit(1))
-        .join(
-            F.broadcast(theta.withColumn("__k", F.lit(1))), "__k", "left"
-        )
+    # one 1-row scalar frame (total input error + re-eviction theta).
+    # theta may be an EMPTY frame (fewer than capacity+1 merged keys):
+    # a cross join with empty would drop every row, so it left-joins
+    # on a constant key and coalesces to 0. All frames sketch-sized.
+    scalars = (
+        err_in.withColumn("__k", F.lit(1))
+        .join(F.broadcast(theta.withColumn("__k", F.lit(1))), "__k", "left")
         .withColumn("__theta", F.coalesce("__theta", F.lit(0)))
     )
-    return (
-        out.withColumn("est_count", F.col("est_count") - F.col("__theta"))
+    out = (
+        ranked.crossJoin(F.broadcast(scalars))
+        .withColumn("est_count", F.col("est_count") - F.col("__theta"))
         .filter(F.col("est_count") > 0)
         .withColumn(
             "count_error_max", F.col("__err_in") + F.col("__theta")
         )
         .select(key_col, "est_count", "count_error_max")
     )
+    if keep_total_row:
+        key_t = summaries[0].schema[key_col].dataType
+        est_t = summaries[0].schema["est_count"].dataType
+        sentinel = scalars.select(
+            F.lit(None).cast(key_t).alias(key_col),
+            F.lit(0).cast(est_t).alias("est_count"),
+            (F.col("__err_in") + F.col("__theta"))
+            .cast(est_t)
+            .alias("count_error_max"),
+        )
+        out = out.unionByName(sentinel)
+    return out
 
 
 def _cm_bucket_array(key_col: str, depth: int, width: int, seed: int):

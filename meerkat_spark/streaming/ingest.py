@@ -426,8 +426,14 @@ def heavy_hitters_step(
                 shutil.rmtree(os.path.join(summary_path, d), ignore_errors=True)
 
     if not os.path.isdir(target):
+        # keep_total_row throughout: the STORED representation carries
+        # the NULL-key error sentinel, so a batch whose counters all
+        # evicted still contributes its error mass to later merges
+        # (read_heavy_hitters_summary filters the sentinel for
+        # consumers)
         batch_summary = misra_gries_summary(
-            batch_df, key_col, capacity=capacity, weight_col=weight_col
+            batch_df, key_col, capacity=capacity, weight_col=weight_col,
+            keep_total_row=True,
         )
         current = None
         if os.path.isfile(pointer):
@@ -437,7 +443,8 @@ def heavy_hitters_step(
                 current = spark.read.parquet(cur_dir)
         merged = (
             merge_mg_summaries(
-                [current, batch_summary], key_col, capacity=capacity
+                [current, batch_summary], key_col, capacity=capacity,
+                keep_total_row=True,
             )
             if current is not None
             else batch_summary
@@ -452,12 +459,17 @@ def heavy_hitters_step(
 
 def read_heavy_hitters_summary(spark, summary_path: str) -> DataFrame:
     """The persisted streaming summary (key, est_count,
-    count_error_max) at its latest committed epoch."""
+    count_error_max) at its latest committed epoch. The stored NULL-key
+    error-sentinel row (see heavy_hitters_step) is filtered out — it is
+    merge plumbing, not a key."""
     import os
 
     pointer = os.path.join(summary_path, "_latest")
     with open(pointer) as f:
-        return spark.read.parquet(os.path.join(summary_path, f.read().strip()))
+        df = spark.read.parquet(
+            os.path.join(summary_path, f.read().strip())
+        )
+    return df.filter(F.col(df.columns[0]).isNotNull())
 
 
 def start_heavy_hitters_stream(

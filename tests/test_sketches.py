@@ -227,6 +227,24 @@ class TestMerge:
         got = {r["key"]: r["est_count"] for r in merged.collect()}
         assert got == exact_counts
 
+    def test_mg_merge_empty_evicted_input_keeps_error(self, spark):
+        """Hypothesis-found edge, closed: a summary whose counters ALL
+        evicted (capacity 1 over unique keys) has zero rows, so a
+        naive merge drops its error mass and overstates the merged
+        upper bound. With keep_total_row=True the NULL-key sentinel
+        carries it: true(k0)=6 must stay inside [est, est+err]."""
+        a = spark.createDataFrame([("k0",), ("k1",)], "key string").coalesce(1)
+        b = spark.createDataFrame([("k0",)] * 5, "key string").coalesce(1)
+        sa = misra_gries_summary(a, "key", capacity=1, keep_total_row=True)
+        assert sa.filter("key is not null").count() == 0  # fully evicted
+        sb = misra_gries_summary(b, "key", capacity=10, keep_total_row=True)
+        merged = merge_mg_summaries([sa, sb], "key", capacity=10)
+        row = {r["key"]: r for r in merged.collect()}["k0"]
+        true_k0 = 6
+        assert row["est_count"] <= true_k0 <= (
+            row["est_count"] + row["count_error_max"]
+        ), row
+
     def test_cm_merge_equals_direct_build(self, skewed):
         """Linearity, cell-for-cell: merging per-slice sketches yields
         the EXACT cell table of one build over the whole corpus."""
@@ -286,7 +304,13 @@ if _HYP:
         ).repartition(n_parts)
         true = Counter(f"k{k}" for k in keys)
         s = misra_gries_summary(df, "key", capacity=capacity).collect()
-        err = s[0]["count_error_max"] if s else 0
+        # an EMPTY summary is legal (every counter evicted — e.g.
+        # capacity 1 with all-unique keys): it reports no error mass,
+        # and its meaning is "no key exceeded N/(capacity+1)" — use
+        # the analytic bound for the presence check then
+        err = (
+            s[0]["count_error_max"] if s else len(keys) / (capacity + 1)
+        )
         assert err <= len(keys) / (capacity + 1)
         emitted = {}
         for r in s:
