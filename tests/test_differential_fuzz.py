@@ -878,3 +878,46 @@ def test_random_numeric_series_matches_duckdb(spark, duck, seed):
     )
     probs = compare(df, duck, sql, f"nseries_fuzz{seed}")
     assert not probs, (kql, sql, probs)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_weighted_sample_matches_duckdb(spark, duck, seed):
+    """Differential fuzz for the Efraimidis-Spirakis draw's
+    cross-engine determinism claim (-ln(u)/w uses libm ln on both
+    sides; a 1-ulp divergence would flip adjacent keys): random salts,
+    weights, and n — the kept id set must match DuckDB exactly every
+    time."""
+    rng = random.Random(4200 + seed)
+    salt = f"fz{rng.randrange(1 << 30)}"
+    n = rng.randrange(5, 80)
+    weight = rng.choice(["n_chars", "n_chars + 1", "(doc_id % 17) + 1"])
+    register_views(duck, SF_ORACLE)
+    sql = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                  || '{salt}'), 1, 8)) AS BIGINT) + 1.0)
+                 / 4294967296.0) / ({weight}) AS k
+      FROM documents WHERE ({weight}) > 0
+    )
+    SELECT doc_id FROM keyed ORDER BY k ASC, doc_id ASC LIMIT {n}
+    """
+    want = {r[0] for r in duck.execute(sql).fetchall()}
+
+    from pyspark.sql import functions as F
+
+    from meerkat_spark.operators.sampling import weighted_sample_n
+
+    docs = (
+        MeerkatEngine(spark, SF_ORACLE)
+        .table("documents")
+        .to_df()
+        .select("doc_id", F.expr(weight).alias("__w"))
+    )
+    got = {
+        r["doc_id"]
+        for r in weighted_sample_n(
+            docs, "__w", n, "doc_id", salt=salt
+        ).collect()
+    }
+    assert got == want, (salt, n, weight)
