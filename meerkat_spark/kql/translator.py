@@ -3434,6 +3434,7 @@ class Translator:
             "decontaminate",
             "heavy_hitters",
             "weighted_sample",
+            "frequency_estimate",
         ):
             # r12: the LLM-pipeline operators exposed through the KQL
             # front-end (VERDICT r11 ask #6) — `evaluate`-style plugins
@@ -3526,6 +3527,42 @@ class Translator:
                         target_cluster=tc,
                         id_col=col_name(args[0]),
                         vec_col=col_name(args[1]),
+                    )
+                )
+            if plugin == "frequency_estimate":
+                # evaluate frequency_estimate(Col [, Depth=4
+                #   [, Width=8192 [, Seed=0]]]) — Count-Min point
+                # estimates for every distinct value of Col
+                # (operators/sketches.py): build the partially-
+                # aggregated cell table in one pass, broadcast
+                # min-over-depth lookup; estimates never undercount
+                from meerkat_spark.operators.sketches import (
+                    count_min_build,
+                    count_min_estimate,
+                )
+
+                if not 1 <= len(args) <= 4:
+                    raise KqlSyntaxError(
+                        "frequency_estimate(Col [, Depth [, Width "
+                        "[, Seed]]])"
+                    )
+                depth = (
+                    int(_raw(self.expr(args[1]))) if len(args) > 1 else 4
+                )
+                width = (
+                    int(_raw(self.expr(args[2]))) if len(args) > 2 else 8192
+                )
+                seed = (
+                    int(_raw(self.expr(args[3]))) if len(args) > 3 else 0
+                )
+                kc = col_name(args[0])
+                df = t.to_df()
+                cm = count_min_build(
+                    df, kc, depth=depth, width=width, seed=seed
+                )
+                return MeerkatTable(
+                    count_min_estimate(
+                        cm, df, kc, depth=depth, width=width, seed=seed
                     )
                 )
             if plugin == "weighted_sample":

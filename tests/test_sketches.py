@@ -360,3 +360,28 @@ def test_kql_weighted_sample_matches_direct(spark):
         r.doc_id for r in direct.collect()
     }
     assert out.count() == 25
+
+
+def test_kql_frequency_estimate_matches_direct(spark):
+    """`evaluate frequency_estimate(...)` equals build+estimate on the
+    same table, and estimates are exact at ample width."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    out = {
+        r["lang"]: r["approximate_count"]
+        for r in eng.kql(
+            "documents | evaluate frequency_estimate(lang, 4, 65536)"
+        ).to_df().collect()
+    }
+    exact = {
+        r["lang"]: r["c"]
+        for r in eng.table("documents").to_df()
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert out == exact
+
+    from meerkat_spark.kql import KqlSyntaxError
+
+    with pytest.raises(KqlSyntaxError):
+        eng.kql("documents | evaluate frequency_estimate()").to_df()
