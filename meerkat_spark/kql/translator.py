@@ -3450,6 +3450,21 @@ class Translator:
                     raise KqlSyntaxError(f"{plugin} expects {what}")
                 return node.name
 
+            def lit_arg(node, usage, cast=int):
+                """Plugin scalar argument → Python literal. A
+                non-literal (column reference, string where a number
+                is required, timespan, …) raises KqlSyntaxError
+                carrying the plugin's usage string — the same error
+                class as the arity checks — instead of a bare
+                ValueError/TypeError leaking out of int()/float()
+                (ADVICE r13)."""
+                try:
+                    return cast(_raw(self.expr(node)))
+                except KqlSyntaxError:
+                    raise KqlSyntaxError(usage) from None
+                except (TypeError, ValueError) as e:
+                    raise KqlSyntaxError(usage) from e
+
             if plugin == "fuzzy_dedup":
                 # evaluate fuzzy_dedup(IdCol, TextCol [, Threshold=0.8])
                 # → T minus non-representative near-duplicates
@@ -3541,20 +3556,14 @@ class Translator:
                     count_min_estimate,
                 )
 
+                usage = (
+                    "frequency_estimate(Col [, Depth [, Width [, Seed]]])"
+                )
                 if not 1 <= len(args) <= 4:
-                    raise KqlSyntaxError(
-                        "frequency_estimate(Col [, Depth [, Width "
-                        "[, Seed]]])"
-                    )
-                depth = (
-                    int(_raw(self.expr(args[1]))) if len(args) > 1 else 4
-                )
-                width = (
-                    int(_raw(self.expr(args[2]))) if len(args) > 2 else 8192
-                )
-                seed = (
-                    int(_raw(self.expr(args[3]))) if len(args) > 3 else 0
-                )
+                    raise KqlSyntaxError(usage)
+                depth = lit_arg(args[1], usage) if len(args) > 1 else 4
+                width = lit_arg(args[2], usage) if len(args) > 2 else 8192
+                seed = lit_arg(args[3], usage) if len(args) > 3 else 0
                 kc = col_name(args[0])
                 df = t.to_df()
                 cm = count_min_build(
@@ -3575,44 +3584,49 @@ class Translator:
                     weighted_sample_n,
                 )
 
+                usage = "weighted_sample(IdCol, WeightCol, N [, Salt])"
                 if not 3 <= len(args) <= 4:
-                    raise KqlSyntaxError(
-                        "weighted_sample(IdCol, WeightCol, N [, Salt])"
-                    )
-                salt = (
-                    str(_raw(self.expr(args[3]))) if len(args) > 3 else "s1"
-                )
+                    raise KqlSyntaxError(usage)
+                salt = lit_arg(args[3], usage, str) if len(args) > 3 else "s1"
                 return MeerkatTable(
                     weighted_sample_n(
                         t.to_df(),
                         weight_col=col_name(args[1]),
-                        n=int(_raw(self.expr(args[2]))),
+                        n=lit_arg(args[2], usage),
                         id_col=col_name(args[0]),
                         salt=salt,
                     )
                 )
             if plugin == "heavy_hitters":
-                # evaluate heavy_hitters(Col, K [, Capacity=4096]) —
-                # Misra-Gries top-K (operators/sketches.py): the
-                # sketch twin of `top-hitters` for key cardinalities
-                # where an exact rank's shuffle (= |distinct keys|)
-                # is the bottleneck; output (Col, approximate_count,
-                # count_error_max), bounds documented on the operator
+                # evaluate heavy_hitters(Col, K [, Capacity=4096
+                #   [, WeightCol]]) — Misra-Gries top-K
+                # (operators/sketches.py): the sketch twin of
+                # `top-hitters` for key cardinalities where an exact
+                # rank's shuffle (= |distinct keys|) is the
+                # bottleneck; the 4-arg form is the weighted variant
+                # of Kusto's `top-hitters N of C by sum(W)` — counts
+                # become sums of WeightCol, same bound structure
+                # (r14, VERDICT r13 ask #8); output (Col,
+                # approximate_count, count_error_max), bounds
+                # documented on the operator
                 from meerkat_spark.operators.sketches import heavy_hitters
 
-                if not 2 <= len(args) <= 3:
-                    raise KqlSyntaxError(
-                        "heavy_hitters(Col, K [, Capacity])"
-                    )
-                cap = (
-                    int(_raw(self.expr(args[2]))) if len(args) > 2 else 4096
+                usage = "heavy_hitters(Col, K [, Capacity [, WeightCol]])"
+                if not 2 <= len(args) <= 4:
+                    raise KqlSyntaxError(usage)
+                cap = lit_arg(args[2], usage) if len(args) > 2 else 4096
+                wcol = (
+                    col_name(args[3], "a weight column name")
+                    if len(args) > 3
+                    else None
                 )
                 return MeerkatTable(
                     heavy_hitters(
                         t.to_df(),
                         col_name(args[0]),
-                        k=int(_raw(self.expr(args[1]))),
+                        k=lit_arg(args[1], usage),
                         capacity=cap,
+                        weight_col=wcol,
                     )
                 )
             if plugin == "decontaminate":

@@ -369,14 +369,19 @@ def heavy_hitters_step(
     capacity: int = 4096,
     weight_col: str | None = None,
     stream_id: str | None = None,
+    retain_epochs: int = 2,
 ) -> None:
     """ONE idempotent foreachBatch epoch of streaming heavy hitters:
     Misra-Gries-summarize the batch (operators/sketches.py), merge it
     into the persisted summary with the mergeable-summaries merge, and
-    swap the result in atomically. The stored state is sketch-sized
-    (<= capacity rows) forever, whatever the stream volume — the MG
-    bounds (est <= true <= est + err, err <= N_total/(capacity+1))
-    hold over EVERYTHING ingested since the summary was born.
+    swap the result in atomically. The stored state is sketch-sized —
+    <= capacity keys (+ the error sentinel) from the FIRST epoch on:
+    the raw per-partition summary can hold up to capacity x partitions
+    keys, so every epoch (including the first) is re-evicted through
+    merge_mg_summaries before persisting (ADVICE r13). The MG bounds
+    (est <= true <= est + err, err <= N_total/(capacity+1) per fold,
+    summed across folds) hold over EVERYTHING ingested since the
+    summary was born.
 
     Replay protocol — summaries are merge-SUMS, so the keeper loops'
     row-wise anti-join healing cannot apply (re-merging a half-applied
@@ -392,9 +397,16 @@ def heavy_hitters_step(
       - otherwise               -> recompute from the unchanged
                                    pointer target (deterministic).
     Superseded epoch dirs are swept once the pointer has moved past
-    them. Single-writer-per-summary-path, like the index compactions.
+    them — but the newest `retain_epochs` dirs are RETAINED as a
+    reader grace window (ADVICE r13): read_heavy_hitters_summary hands
+    out a lazy frame over the pointer's dir, and with a continuously
+    triggered stream the next fold would otherwise delete it under a
+    consumer mid-collect. Retaining N=2 gives every reader one full
+    epoch of grace; state stays O(capacity x retain_epochs) rows.
+    Single-writer-per-summary-path, like the index compactions.
     """
     import os
+    import re
     import shutil
 
     if _epoch_marker_guard(summary_path, epoch_id, stream_id):
@@ -421,8 +433,24 @@ def heavy_hitters_step(
         if os.path.isfile(pointer):
             with open(pointer) as f:
                 keep.add(f.read().strip())
-        for d in os.listdir(summary_path):
-            if d.startswith("summary-") and d not in keep and not d.endswith(".tmp"):
+        # reader grace window: also retain the newest retain_epochs
+        # dirs by epoch number, so a lazy frame handed out against the
+        # previous pointer target survives the next fold's sweep
+        def _epoch_of(d: str) -> int:
+            m = re.search(r"-(\d+)$", d)
+            return int(m.group(1)) if m else -1
+
+        dirs = sorted(
+            (
+                d
+                for d in os.listdir(summary_path)
+                if d.startswith("summary-") and not d.endswith(".tmp")
+            ),
+            key=_epoch_of,
+        )
+        keep.update(dirs[-max(1, retain_epochs):])
+        for d in dirs:
+            if d not in keep:
                 shutil.rmtree(os.path.join(summary_path, d), ignore_errors=True)
 
     if not os.path.isdir(target):
@@ -441,13 +469,14 @@ def heavy_hitters_step(
                 cur_dir = os.path.join(summary_path, f.read().strip())
             if os.path.isdir(cur_dir):
                 current = spark.read.parquet(cur_dir)
-        merged = (
-            merge_mg_summaries(
-                [current, batch_summary], key_col, capacity=capacity,
-                keep_total_row=True,
-            )
-            if current is not None
-            else batch_summary
+        # ALWAYS merge — even the first epoch: the raw summary holds
+        # up to capacity x partitions keys; the single-input merge
+        # re-evicts it to <= capacity (+ sentinel), so the persisted
+        # state is sketch-sized from birth (ADVICE r13)
+        merged = merge_mg_summaries(
+            [current, batch_summary] if current is not None
+            else [batch_summary],
+            key_col, capacity=capacity, keep_total_row=True,
         )
         tmp_dir = target + ".tmp"
         merged.write.mode("overwrite").parquet(tmp_dir)
@@ -461,7 +490,14 @@ def read_heavy_hitters_summary(spark, summary_path: str) -> DataFrame:
     """The persisted streaming summary (key, est_count,
     count_error_max) at its latest committed epoch. The stored NULL-key
     error-sentinel row (see heavy_hitters_step) is filtered out — it is
-    merge plumbing, not a key."""
+    merge plumbing, not a key.
+
+    The frame is LAZY over the epoch dir; the keeper's sweep retains
+    the newest `retain_epochs` (default 2) dirs, so against a
+    continuously triggered stream a reader has one full epoch of grace
+    to collect it. A consumer that holds the frame across MANY folds
+    should collect() or cache it promptly (it is sketch-sized —
+    <= capacity rows)."""
     import os
 
     pointer = os.path.join(summary_path, "_latest")
@@ -480,13 +516,16 @@ def start_heavy_hitters_stream(
     capacity: int = 4096,
     weight_col: str | None = None,
     trigger_once: bool = True,
+    retain_epochs: int = 2,
 ) -> StreamingQuery:
     """Streaming front-end for the Misra-Gries heavy-hitter summary:
     each micro-batch folds into the persisted sketch under foreachBatch
     (sequential epochs), idempotent under at-least-once replay via the
     immutable-epoch-dir + pointer protocol in heavy_hitters_step.
-    State stays <= capacity rows regardless of stream volume; read the
-    running top-k any time with read_heavy_hitters_summary."""
+    State stays <= capacity keys (+ error sentinel) per retained epoch
+    regardless of stream volume — `retain_epochs` dirs are kept as the
+    reader grace window; read the running top-k any time with
+    read_heavy_hitters_summary."""
 
     sid = _stream_id_of(checkpoint)
 
@@ -494,6 +533,7 @@ def start_heavy_hitters_stream(
         heavy_hitters_step(
             batch_df, epoch_id, summary_path, key_col,
             capacity=capacity, weight_col=weight_col, stream_id=sid,
+            retain_epochs=retain_epochs,
         )
 
     writer = (

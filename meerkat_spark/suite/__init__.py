@@ -57,79 +57,80 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-13 rotation (VERDICT r12 ask #2) — ALL 50 slots are oracle-backed
-# (the driver has no rows-only fallback; round 6 burned 5 slots on
+# Round-14 rotation (VERDICT r13 ask #1, matching the verdict's own
+# arithmetic: 2 + 2 + 46 = 50) — ALL 50 slots are oracle-backed (the
+# driver has no rows-only fallback; round 6 burned 5 slots on
 # `err: no_oracle` rows).
-# (a) round-13 new registrations: the two remaining KQL `evaluate`
-# plugin queries (semdedup / decontaminate — VERDICT r12 ask #3) and
-# the decimal/timespan end-to-end KQL aggregate (ask #8).
-# (b) round-13 code-change re-grades: select_token_budget_op +
-# kql_evaluate_token_budget (single-pass histogram routing, VERDICT
-# ask #5); ivf_extend_recall (rebuild_ivf_index added to the index
-# lifecycle, ask #4); the two keeper lifecycles (crash-safe
-# compaction-residue sweeps in neardup_maintenance, ADVICE high).
-# (c) the FULL 39-name r8-stale cohort (oldest green grade anywhere in
-# the registry — after this round no oracle-backed grade is older
-# than r9, per the verdict's done-criterion).
-# (d) the round-13 sketch family (operators/sketches.py): Misra-Gries
-# heavy hitters + Count-Min estimates, registered this round — graded
-# now so no oracle-backed name is ever never-graded.
+# (a) the two r13 registrations that were queued to lead this window
+# (never driver-graded): weighted_sample_op, url_dedup_canonical.
+# (b) the two promoted sketch KQL plugins (VERDICT r13 ask #2):
+# evaluate frequency_estimate / weighted_sample — previously pytest-
+# equivalence-pinned only, now oracle-backed window slots.
+# (c) the FULL 46-name r9-stale cohort (oldest green grade anywhere
+# in the registry — after this round no oracle-backed grade is older
+# than r10, the verdict's done-criterion).
+# Registered but QUEUED TO LEAD THE r15 WINDOW (the r13 precedent —
+# both locally oracle-verified via scripts/check_oracle_sf001.py and
+# pytest-pinned this round; the 50 slots are full):
+#   mg_approx_envelope   (VERDICT r13 ask #3 — approximate-regime MG
+#                         guarantee as the graded contract)
+#   heavy_hitters_weighted (ask #8 — `top-hitters N of C by sum(W)`
+#                         sketch form through the KQL plugin)
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) new registrations
-    "kql_evaluate_semdedup",
-    "kql_evaluate_decontaminate",
-    "kql_decimal_agg",
-    # (d) round-13 sketch family
-    "heavy_hitters_sketch",
-    "count_min_freq_est",
-    "kql_evaluate_heavy_hitters",
-    # (b) code-change re-grades
-    "select_token_budget_op",
-    "kql_evaluate_token_budget",
-    "ivf_extend_recall",
-    "minhash_keeper_lifecycle",
-    "embedding_neardup_lifecycle",
-    # (c) the full r8-stale cohort (39 names)
-    "geo_bbox_distance",
-    "getschema_op",
-    "knn_cosine_topk",
-    "knn_pairwise_label",
-    "kql_autocluster",
-    "kql_datatable",
-    "kql_dynamic_union",
-    "kql_facet",
-    "kql_find",
-    "kql_flagship",
-    "kql_fork",
-    "kql_join_summarize",
-    "kql_let_topk",
-    "kql_make_series",
-    "kql_narrow",
-    "kql_selfjoin_materialize",
-    "kql_string_pipeline",
-    "kql_top_hitters",
-    "lm_perplexity_score",
-    "make_series_arrays",
-    "make_series_daily",
-    "mix_datasets_op",
-    "mv_apply_topwords",
-    "ngram_jaccard_pairs",
-    "pii_redact",
-    "pivot_event_types",
-    "range_datetime_table",
-    "salted_join_skew",
-    "scalar_casts",
-    "scalar_math",
-    "scalar_strings",
-    "series_stats_daily",
-    "simhash_dedup_planted",
-    "text_has_indexed",
-    "text_remove_boilerplate",
-    "text_stats",
-    "top_nested",
-    "train_holdout_split",
-    "window_session_native",
+    # (a) r13 registrations, never graded — they lead
+    "weighted_sample_op",
+    "url_dedup_canonical",
+    # (b) promoted sketch KQL plugins
+    "kql_evaluate_frequency_estimate",
+    "kql_evaluate_weighted_sample",
+    # (c) the full r9-stale cohort (46 names)
+    "extend_compute",
+    "project_away_rename",
+    "project_keep_wildcard",
+    "summarize_bin_1h",
+    "summarize_multiassign",
+    "count_op",
+    "distinct_op",
+    "join_inner_agg",
+    "range_join_price_bands",
+    "agg_percentilew",
+    "scalar_dynamic_json",
+    "scalar_arrays",
+    "scalar_array_ops",
+    "scalar_predicates",
+    "scalar_misc",
+    "scalar_extract_regex",
+    "scalar_datetime_extended",
+    "scalar_strings_extended",
+    "text_decontaminate_pairs",
+    "text_repetition",
+    "pack_chunks_op",
+    "gopher_quality_filter",
+    "dedup_incremental_index",
+    "dsir_importance_score",
+    "embedding_quantize_int8",
+    "semdedup_planted",
+    "kql_reduce_by",
+    "kql_basket",
+    "kql_diffpatterns",
+    "kql_externaldata",
+    "kql_union_withsource",
+    "kql_graph_match",
+    "kql_graph_shortest_paths",
+    "top_nested_with_others",
+    "sample_hash_op",
+    "sample_distinct_hash_op",
+    "stratified_sample_hash_op",
+    "ipv4_lookup_op",
+    "geohash_roundtrip",
+    "rows_near_errors",
+    "rolling_percentile_op",
+    "retention_matrix_op",
+    "active_users_count_op",
+    "funnel_sequence_op",
+    "activity_engagement_op",
+    "funnel_completion_op",
 ]
 
 def _ordered(mapping: dict) -> dict:

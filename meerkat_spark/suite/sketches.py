@@ -105,3 +105,154 @@ def kql_evaluate_heavy_hitters(spark, sf_dir):
         .kql("orders | evaluate heavy_hitters(o_custkey, 15, 4096)")
         .to_df()
     )
+
+
+@register(
+    "kql_evaluate_frequency_estimate",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS approximate_count
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def kql_evaluate_frequency_estimate(spark, sf_dir):
+    """The Count-Min sketch through the KQL front-end (r14, VERDICT
+    r13 ask #2 — the plugin was pytest-equivalence-pinned in r13, this
+    slot driver-grades it): `evaluate frequency_estimate(Col, Depth,
+    Width, Seed)`. Same provably-exact regime as count_min_freq_est
+    (5 event types vs width 65536 at fixed xxhash64 seeds — distinct
+    cells per depth, so min-over-depth is the exact count); the Spark
+    side still runs the full sketch path (posexplode cell build →
+    partial agg → broadcast min-over-depth lookup)."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            "events | evaluate frequency_estimate(event_type, 4, 65536, 0)"
+            " | order by event_type asc"
+        )
+        .to_df()
+    )
+
+
+@register(
+    "kql_evaluate_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                  || 'kqlws'), 1, 8)) AS BIGINT) + 1.0)
+                 / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars
+    FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 60
+    """,
+)
+def kql_evaluate_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling through the KQL front-end
+    (r14, VERDICT r13 ask #2): `evaluate weighted_sample(IdCol,
+    WeightCol, N, Salt)`. An independent draw from weighted_sample_op
+    (different salt and N), so the two slots grade two distinct
+    selections; the DuckDB twin recomputes the identical -ln(u)/w race
+    keys from the canonical salted md5. TakeOrdered plan — no global
+    sort materializes."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            "documents | where n_chars > 0"
+            " | project doc_id, lang, n_chars"
+            " | evaluate weighted_sample(doc_id, n_chars, 60, 'kqlws')"
+        )
+        .to_df()
+    )
+
+
+@register(
+    "mg_approx_envelope",
+    oracle="""
+    SELECT 'H' || CAST(o_orderkey % 3 AS VARCHAR) AS k,
+           CAST(count(*) AS BIGINT) AS true_count,
+           TRUE AS present, TRUE AS lower_ok, TRUE AS upper_ok
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderkey % 3 ORDER BY k
+    """,
+)
+def mg_approx_envelope(spark, sf_dir):
+    """Misra-Gries in the APPROXIMATE regime as the graded contract
+    (r14, VERDICT r13 ask #3 — every earlier sketch grade ran where
+    the sketch is provably exact; this one grades the GUARANTEE with
+    capacity << distinct, the agg_dcount_approx envelope pattern).
+
+    Planted distribution over orders: even orderkeys collapse to 3
+    heavy keys H0/H1/H2 (N/6 rows each), odd orderkeys stay an
+    all-unique tail — hundreds-to-thousands of distinct keys against
+    capacity 8, so every partition evicts and count_error_max is
+    genuinely positive. The MG theorems under test: any key with true
+    count > N/(capacity+1) is PRESENT in the merged summary (N/6 is
+    1.5x that threshold at EVERY scale factor — a theorem, not a
+    probabilistic margin), and for every emitted key
+    est <= true <= est + count_error_max. The Spark side computes the
+    exact counts in the same query and emits the three booleans; the
+    oracle pins exact counts and TRUE — a bound violation (an eviction
+    accounting bug, a merge that loses error mass) flips a boolean and
+    fails the grade. The regime-dependent raw estimate stays out of
+    the hash."""
+    from meerkat_spark.operators.sketches import misra_gries_summary
+
+    o = _df(spark, sf_dir, "orders")
+    key = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit("H"), (F.col("o_orderkey") % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("T"), F.col("o_orderkey").cast("string")))
+    keyed = o.select(key.alias("k"))
+    sketch = misra_gries_summary(keyed, "k", capacity=8)
+    exact = (
+        keyed.filter(F.col("k").startswith("H"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    j = exact.join(sketch, "k", "left")
+    present = F.col("est_count").isNotNull()
+    return j.select(
+        "k",
+        F.col("true_count").cast("long").alias("true_count"),
+        present.alias("present"),
+        (present & (F.col("est_count") <= F.col("true_count"))).alias(
+            "lower_ok"
+        ),
+        (
+            present
+            & (
+                F.col("true_count")
+                <= F.col("est_count") + F.col("count_error_max")
+            )
+        ).alias("upper_ok"),
+    ).orderBy("k")
+
+
+@register(
+    "heavy_hitters_weighted",
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(o_orderkey % 10 + 1) AS BIGINT) AS approximate_count,
+           CAST(0 AS BIGINT) AS count_error_max
+    FROM orders GROUP BY o_custkey
+    ORDER BY approximate_count DESC, o_custkey ASC LIMIT 12
+    """,
+)
+def heavy_hitters_weighted(spark, sf_dir):
+    """Kusto's `top-hitters N of C by sum(W)` form through the sketch
+    (r14, VERDICT r13 ask #8): `evaluate heavy_hitters(Col, K,
+    Capacity, WeightCol)` ranks by Misra-Gries-estimated WEIGHT sums.
+    Integer weight (o_orderkey%10+1) so the sums are exact arithmetic
+    on both engines; capacity 4096 > distinct custkeys => the exact
+    regime (error 0), the same grading pattern as
+    heavy_hitters_sketch. The approximate-regime weighted bounds are
+    pytest-pinned in tests/test_sketches.py."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            "orders | extend w = o_orderkey % 10 + 1"
+            " | evaluate heavy_hitters(o_custkey, 12, 4096, w)"
+        )
+        .to_df()
+    )

@@ -73,12 +73,30 @@ def filter_blocked_urls(
     return out.drop("__host", *[f"__sfx{i}" for i in range(len(keys))])
 
 
-_TRACKING_PARAM_RE = (
-    r"^(?i)(utm_[a-z]+|fbclid|gclid|msclkid|dclid|igshid|mc_eid|ref|ref_src)="
+# Unambiguous click/campaign trackers only (r14, ADVICE r13): the
+# generic `ref` param is often SEMANTIC (?ref=<branch> on code hosts,
+# ?ref=<listing-id> on marketplaces) — stripping it would collapse
+# genuinely distinct pages and dedup_by_url would silently drop
+# non-duplicates. Callers who know their corpus can widen the set via
+# `strip_params`. Entries are regex alternates matched against the
+# full param name (anchored `name=`).
+DEFAULT_TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_[a-z]+",
+    "fbclid",
+    "gclid",
+    "msclkid",
+    "dclid",
+    "igshid",
+    "mc_eid",
+    "ref_src",
 )
 
 
-def canonical_url(url) -> Column:
+def _tracking_param_re(strip_params) -> str:
+    return r"^(?i)(" + "|".join(strip_params) + r")="
+
+
+def canonical_url(url, strip_params=DEFAULT_TRACKING_PARAMS) -> Column:
     """Canonical form of a URL for exact URL-level dedup — the standard
     first pass of a crawl pipeline (one crawl sees the same page as
     http/https, with/without www, with tracking params, reordered
@@ -89,13 +107,15 @@ def canonical_url(url) -> Column:
       2. drop the scheme (http == https for identity) and a leading
          'www.';
       3. lowercase the HOST only (paths are case-sensitive);
-      4. drop tracking query params (utm_*, fbclid, gclid, ...), sort
-         the survivors (param order is not identity), drop an
-         empty '?';
+      4. drop tracking query params (`strip_params`, default the
+         unambiguous set DEFAULT_TRACKING_PARAMS — utm_*, fbclid,
+         gclid, ...), sort the survivors (param order is not
+         identity), drop an empty '?';
       5. strip one trailing '/' from the path.
 
     Deterministic and engine-replayable: the DuckDB oracle reproduces
     every step with its own string/list functions."""
+    strip_re = _tracking_param_re(strip_params)
     c = url if isinstance(url, Column) else F.col(url)
     no_frag = F.regexp_replace(c, r"#.*$", "")
     rest = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
@@ -114,7 +134,7 @@ def canonical_url(url) -> Column:
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+            lambda p: (p != "") & ~p.rlike(strip_re),
         )
     )
     norm_q = F.array_join(kept, "&")
@@ -129,15 +149,20 @@ def canonical_url(url) -> Column:
 
 
 def dedup_by_url(
-    df: DataFrame, url_col: str, id_col: str
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    strip_params=DEFAULT_TRACKING_PARAMS,
 ) -> DataFrame:
     """Exact URL-level dedup: keep the smallest-id row per canonical
     URL. ONE keyed window on the canonical key (single shuffle, single
     corpus pass — the same shape as the exact text dedup keeper), not
-    an aggregate-then-rejoin, which would scan the corpus twice."""
+    an aggregate-then-rejoin, which would scan the corpus twice.
+    `strip_params` forwards to canonical_url for corpora where extra
+    params are known-nonsemantic."""
     from pyspark.sql import Window as W
 
-    canon = df.withColumn("__curl", canonical_url(url_col))
+    canon = df.withColumn("__curl", canonical_url(url_col, strip_params))
     w = W.partitionBy("__curl").orderBy(F.col(id_col).asc())
     return (
         canon.withColumn("__rn", F.row_number().over(w))

@@ -496,3 +496,47 @@ def test_heavy_hitters_step_replay_idempotent(spark, tmp_path):
         map(tuple, read_heavy_hitters_summary(spark, hh).collect())
     ) == want
     assert os.path.exists(os.path.join(hh, "_epochs", "epoch-3"))
+
+
+def test_heavy_hitters_first_epoch_bounded_and_reader_grace(spark, tmp_path):
+    """ADVICE r13 (both streaming items):
+    1. the FIRST epoch's persisted state is already <= capacity keys
+       (+ the NULL error sentinel) — the raw per-partition summary can
+       hold capacity x partitions keys, and the step must re-evict it
+       through the merge before persisting;
+    2. the sweep retains the newest retain_epochs dirs, so a lazy
+       reader frame handed out before a fold still collects after it
+       (one-epoch grace), while older dirs are still reclaimed."""
+    from meerkat_spark.streaming.ingest import (
+        heavy_hitters_step,
+        read_heavy_hitters_summary,
+    )
+
+    hh = str(tmp_path / "hh")
+    cap = 10
+    b0 = spark.createDataFrame(
+        [(f"k{j}",) for j in range(500)], "key string"
+    ).repartition(8)
+    heavy_hitters_step(b0, 0, hh, "key", capacity=cap)
+    with open(os.path.join(hh, "_latest")) as f:
+        first_dir = f.read().strip()
+    raw = spark.read.parquet(os.path.join(hh, first_dir))
+    assert raw.count() <= cap + 1, (
+        "first epoch persisted capacity x partitions keys — missing "
+        "the single-input re-eviction merge"
+    )
+
+    # hand a lazy reader frame out, then fold the next epoch
+    held = read_heavy_hitters_summary(spark, hh)
+    b1 = spark.createDataFrame([("k1",)] * 30, "key string")
+    heavy_hitters_step(b1, 1, hh, "key", capacity=cap)
+    # grace window: the superseded dir is retained, the frame collects
+    assert os.path.isdir(os.path.join(hh, first_dir))
+    held.collect()
+
+    # a further fold pushes epoch 0 out of the retain-2 window
+    b2 = spark.createDataFrame([("k2",)] * 30, "key string")
+    heavy_hitters_step(b2, 2, hh, "key", capacity=cap)
+    assert not os.path.isdir(os.path.join(hh, first_dir))
+    assert os.path.isdir(os.path.join(hh, "summary-1"))
+    assert os.path.isdir(os.path.join(hh, "summary-2"))

@@ -604,7 +604,10 @@ def test_canonical_url_cases(spark):
         ("https://example.com", "example.com"),
         ("https://example.com/", "example.com"),
         ("https://example.com?utm_campaign=z", "example.com"),
-        ("https://example.com/x?fbclid=abc&gclid=1&ref=hp", "example.com/x"),
+        # bare `ref` is often semantic (?ref=<branch>) — NOT stripped
+        # by default (r14, ADVICE r13); ref_src (a pure tracker) is
+        ("https://example.com/x?fbclid=abc&gclid=1&ref=hp",
+         "example.com/x?ref=hp"),
         ("https://sub.example.com:8080/X/Y", "sub.example.com:8080/X/Y"),
         ("https://example.com/x?ref_src=twsrc", "example.com/x"),
     ]
@@ -618,6 +621,17 @@ def test_canonical_url_cases(spark):
         .collect()
     ]
     assert got == [want for _, want in cases]
+    # the stripped-param set is caller-configurable: a corpus that
+    # knows `ref` is nonsemantic can widen it
+    from meerkat_spark.text.urlfilter import DEFAULT_TRACKING_PARAMS
+
+    wide = DEFAULT_TRACKING_PARAMS + ("ref",)
+    got_wide = (
+        df.filter(F.col("id") == 6)
+        .select(canonical_url("url", strip_params=wide).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got_wide == "example.com/x"
 
 
 def test_dedup_by_url_single_pass_window(spark):
