@@ -242,26 +242,48 @@ def ivf_ingest_step(
     maintain_every: int = 10,
     stream_id: str | None = None,
     maintain_kwargs: dict | None = None,
+    allow_rebuild: bool = False,
 ) -> None:
     """ONE idempotent foreachBatch epoch of IVF index ingestion:
     extend with the frozen build routing, then every `maintain_every`
     epochs run maintain_ivf_index (compacts small-file/duplicate debt;
-    a 'rebuild' diagnosis is only reported — see maintain_ivf_index).
+    a 'rebuild' diagnosis is only reported unless `allow_rebuild`).
     Replay safety differs from the keeper loops: extend has NO per-row
     anti-join (it would scan the full id column per batch), so a
     HALF-applied epoch's re-run leaves duplicate rows — which the
     periodic maintenance pass detects (n_duplicate_rows) and heals
     exactly. Complete epochs are skipped wholesale by their marker.
     `maintain_kwargs` passes threshold overrides through to
-    maintain_ivf_index (files_per_cell_compact, skew_rebuild_ratio)."""
-    maintain_kwargs = maintain_kwargs or {}
+    maintain_ivf_index (files_per_cell_compact, skew_rebuild_ratio).
+
+    `allow_rebuild=True` (r14, VERDICT r13 ask #7) opts the in-stream
+    cadence into the full drift loop: a 'rebuild' diagnosis re-trains
+    the routing via rebuild_ivf_index's atomic `.rebuild-<uuid>` tmp +
+    `.old-<uuid>` swap. Crash protocol — the epoch marker commits only
+    AFTER maintenance, so a crash at ANY point of an in-stream rebuild
+    replays the whole epoch, and the step's entry sweep
+    (_sweep_stale_swaps on the index root) restores the live index
+    first when the crash landed between the two swap renames (the
+    `.old-*` residue is then the only copy); rebuild's own entry sweep
+    reclaims orphaned `.rebuild-*` trains. The replayed extend leaves
+    byte-identical duplicate rows under the frozen routing, which the
+    re-run rebuild (or compact) dedups inherently — so a replayed
+    epoch converges to the same index as an uncrashed run
+    (tests/test_replay_idempotence.py pins all three crash states)."""
+    maintain_kwargs = dict(maintain_kwargs or {})
+    maintain_kwargs.setdefault("allow_rebuild", allow_rebuild)
     if _epoch_marker_guard(index_path, epoch_id, stream_id):
         return
+    from meerkat_spark.ingest.neardup_maintenance import _sweep_stale_swaps
     from meerkat_spark.similarity.ivf_index import (
         extend_ivf_index,
         maintain_ivf_index,
     )
 
+    # root-level crash recovery BEFORE touching the index: a prior
+    # in-stream rebuild that died between its renames left no live dir
+    # (only `.old-*`); restore it, and reclaim redundant residue
+    _sweep_stale_swaps(index_path.rstrip("/"))
     if batch_df.head(1):
         extend_ivf_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
     if maintain_every and int(epoch_id) % int(maintain_every) == 0:
@@ -278,6 +300,7 @@ def start_ivf_ingest_stream(
     maintain_every: int = 10,
     trigger_once: bool = True,
     maintain_kwargs: dict | None = None,
+    allow_rebuild: bool = False,
 ) -> StreamingQuery:
     """Streaming ingestion into a persisted IVF ANN index — the
     searchable-index twin of the dedup keeper streams: each micro-batch
@@ -285,9 +308,14 @@ def start_ivf_ingest_stream(
     land in identical cells, so recall contracts survive streaming),
     and the built-in maintenance cadence keeps file-count and
     replay-duplicate debt bounded while the stream runs. The index
-    must already exist (build_ivf_index trains the routing; streaming
-    never re-trains — watch ivf_index_stats' skew_ratio and rebuild
-    offline when the appended distribution drifts)."""
+    must already exist (build_ivf_index trains the routing). By
+    default streaming never re-trains — watch ivf_index_stats'
+    skew_ratio and rebuild offline when the appended distribution
+    drifts; `allow_rebuild=True` (r14) opts the cadence into running
+    rebuild_ivf_index itself on a 'rebuild' diagnosis, under the
+    crash-replay protocol documented on ivf_ingest_step. Re-training
+    moves cell boundaries (near-boundary approximate results may
+    change mid-stream), which is why it stays opt-in."""
     sid = _stream_id_of(checkpoint)
 
     def _step(batch_df: DataFrame, epoch_id: int) -> None:
@@ -296,6 +324,7 @@ def start_ivf_ingest_stream(
             id_col=id_col, vec_col=vec_col,
             maintain_every=maintain_every, stream_id=sid,
             maintain_kwargs=maintain_kwargs,
+            allow_rebuild=allow_rebuild,
         )
 
     writer = (

@@ -651,7 +651,21 @@ def write_md(path: str, out: dict) -> None:
         "`dsir_score` (round 10) times the DSIR fit+score pipeline "
         "(text/dsir.py): two keyed wordcounts, a full-outer vocabulary "
         "join with broadcast 1-row totals, and one co-keyed score join "
-        "— shuffle-on-word, linear in corpus tokens. `bpe_encode` "
+        "— shuffle-on-word, linear in corpus tokens. ADJUDICATED round "
+        "14 (VERDICT r13 ask #6 — its exponent is the table's "
+        "highest): the growth IS the token-linear floor, not avoidable "
+        "join work. Evidence: the fixture vocabulary is 31 distinct "
+        "words (270,704 base tokens at sf0.1), so the full-outer "
+        "vocabulary join and the weight table are trivially small "
+        "(nothing to df-cap — the jaccard-style cap would be a no-op), "
+        "the word-key aggregations collapse map-side to O(vocab x "
+        "partitions) rows before the exchange, and the kernel is four "
+        "linear token passes (three explodes + the doc-key sum). "
+        "Per-token THROUGHPUT RISES with scale — 1.08M tokens in the "
+        "x4 leg vs 4.33M in the x16 leg works out to ~0.8 -> ~1.2M "
+        "tokens/s on the r13 artifact timings — which is the signature "
+        "of fixed job overhead amortizing over a linear kernel, the "
+        "opposite of super-linear work. `bpe_encode` "
         "(round 10) times the broadcast merge-ranks pandas-UDF encode "
         "(text/bpe.py apply_bpe_broadcast) at a FIXED 300-merge "
         "vocabulary trained once from the base corpus — the 100 TB "

@@ -540,3 +540,134 @@ def test_heavy_hitters_first_epoch_bounded_and_reader_grace(spark, tmp_path):
     assert not os.path.isdir(os.path.join(hh, first_dir))
     assert os.path.isdir(os.path.join(hh, "summary-1"))
     assert os.path.isdir(os.path.join(hh, "summary-2"))
+
+
+def _ivf_crash_fixture(spark, idx):
+    """Base index + one drifted batch whose ingest triggers an
+    in-stream rebuild at skew_rebuild_ratio=5 (the blob construction
+    of tests/test_ivf_index.py, scaled down)."""
+    import numpy as np
+
+    from meerkat_spark.similarity.ivf_index import build_ivf_index
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(0, 1, (200, 16))
+    blob = rng.normal(0, 1, (1600, 16))
+    blob[:, 0] += 12.0
+    schema = "vec_id long, embedding array<double>"
+    bdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)], schema
+    )
+    blobdf = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in blob[i]]) for i in range(1600)],
+        schema,
+    )
+    copies = blobdf.filter("vec_id % 40 = 0").selectExpr(
+        "CAST(vec_id + 1000000 AS long) AS vec_id", "embedding"
+    )
+    build_ivf_index(bdf, idx, n_cells=8)
+    return blobdf.unionByName(copies), copies
+
+
+def _ivf_state(spark, idx):
+    rows = (
+        spark.read.parquet(os.path.join(idx, "assigned"))
+        .select("neighbor_id", "cell_id")
+        .collect()
+    )
+    return sorted((r.neighbor_id, r.cell_id) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "crash", ["before_swap", "between_renames", "before_old_cleanup"]
+)
+def test_ivf_stream_rebuild_crash_replay(spark, tmp_path, crash):
+    """r14 (VERDICT r13 ask #7): the in-stream allow_rebuild cadence
+    under a kill at each of the rebuild swap's three crash points. The
+    epoch marker only commits after maintenance, so the replayed epoch
+    re-enters the step, whose entry sweep restores a live index that
+    died between the two swap renames; the re-run rebuild (or the
+    dedup compaction, when the swap had already completed) converges
+    to an index CONTENT-IDENTICAL to an uncrashed control run — same
+    (neighbor_id, cell_id) assignment set under the deterministic
+    trainer — with the planted-copy recall contract intact and no
+    duplicate rows left behind."""
+    import os as _os
+    import shutil as _shutil
+
+    from meerkat_spark.similarity.ivf_index import (
+        ivf_index_stats,
+        ivf_search,
+    )
+    from meerkat_spark.streaming.ingest import ivf_ingest_step
+
+    mk = {"skew_rebuild_ratio": 5.0}
+
+    # control: the same epoch, never crashed
+    idx_c = str(tmp_path / "ivf_control")
+    batch, copies = _ivf_crash_fixture(spark, idx_c)
+    ivf_ingest_step(
+        batch, 1, idx_c, maintain_every=1, allow_rebuild=True,
+        maintain_kwargs=mk,
+    )
+    want_state = _ivf_state(spark, idx_c)
+
+    idx = str(tmp_path / "ivf_crash")
+    batch2, copies2 = _ivf_crash_fixture(spark, idx)
+
+    real_rename, real_rmtree = _os.rename, _shutil.rmtree
+    with pytest.MonkeyPatch.context() as mp:
+        if crash == "before_swap":
+            def rn(src, dst):
+                if ".old-" in str(dst):
+                    raise RuntimeError("kill before the first swap rename")
+                return real_rename(src, dst)
+
+            mp.setattr(_os, "rename", rn)
+        elif crash == "between_renames":
+            def rn(src, dst):
+                if ".rebuild-" in str(src):
+                    raise RuntimeError("kill between the swap renames")
+                return real_rename(src, dst)
+
+            mp.setattr(_os, "rename", rn)
+        else:
+            def rt(p, *a, **k):
+                if ".old-" in str(p):
+                    raise RuntimeError("kill before the old-dir cleanup")
+                return real_rmtree(p, *a, **k)
+
+            mp.setattr(_shutil, "rmtree", rt)
+        with pytest.raises(RuntimeError, match="kill"):
+            ivf_ingest_step(
+                batch2, 1, idx, maintain_every=1, allow_rebuild=True,
+                maintain_kwargs=mk,
+            )
+    # the kill left no epoch marker, so the epoch is replayed verbatim
+    assert not os.path.exists(os.path.join(idx, "_epochs", "epoch-1"))
+    ivf_ingest_step(
+        batch2, 1, idx, maintain_every=1, allow_rebuild=True,
+        maintain_kwargs=mk,
+    )
+
+    # converged: marker committed, no crash residue, index content
+    # identical to the uncrashed control
+    assert os.path.exists(os.path.join(idx, "_epochs", "epoch-1"))
+    parent = os.path.dirname(idx)
+    residue = [
+        n for n in os.listdir(parent)
+        if ".old-" in n or ".rebuild-" in n
+    ]
+    assert not residue, residue
+    assert _ivf_state(spark, idx) == want_state
+    s = ivf_index_stats(spark, idx, skew_rebuild_ratio=5.0)
+    assert s["n_duplicate_rows"] == 0
+    assert s["recommendation"] != "rebuild"
+
+    # searchable with the planted-copy contract intact
+    res = ivf_search(spark, idx, copies2, k=1, n_probe=1)
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    want = {
+        (r.vec_id, r.vec_id - 1_000_000) for r in copies2.collect()
+    }
+    assert got == want
