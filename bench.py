@@ -92,6 +92,16 @@ HEADLINE = [
     "count_min_freq_est",
     # the deterministic weighted draw (Efraimidis-Spirakis)
     "weighted_sample_op",
+    # round-14 additions (VERDICT r13 ask #5): URL canonicalization +
+    # URL-level dedup (one keyed window over the canonical key), the
+    # two promoted sketch KQL plugins (Count-Min + weighted draw
+    # through the front-end), the approximate-regime Misra-Gries
+    # envelope query, and the weighted heavy-hitters plugin form
+    "url_dedup_canonical",
+    "kql_evaluate_frequency_estimate",
+    "kql_evaluate_weighted_sample",
+    "mg_approx_envelope",
+    "heavy_hitters_weighted",
 ]
 
 
