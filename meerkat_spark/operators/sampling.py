@@ -176,6 +176,51 @@ def weighted_sample_n(
     return out.drop("__es")
 
 
+def weighted_sample_summary(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "s1",
+) -> DataFrame:
+    """The MERGEABLE representation of weighted_sample_n: the n winning
+    rows WITH their race key retained as `__es_key`. Because each row's
+    key is a deterministic function of (id, weight, salt) alone, the
+    n smallest keys of a union equal the n smallest over the union of
+    per-corpus summaries — the classic distributed-top-n identity — so
+    per-day/per-source/per-epoch summaries fold into exactly the draw
+    one global pass would produce (merge_weighted_samples). Same
+    TakeOrdered plan as weighted_sample_n; state is <= n rows."""
+    key = _es_key(id_col, weight_col, salt)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def merge_weighted_samples(
+    summaries: list[DataFrame], n: int, id_col: str
+) -> DataFrame:
+    """Fold weighted-sample summaries (weighted_sample_summary outputs,
+    any split of the corpus) into the summary of their union: keep the
+    n smallest `__es_key` rows. Re-delivered rows are exact duplicates
+    (same id => same deterministic key), so a per-id dedup first makes
+    the merge idempotent under overlap/replay. Every frame is <= n
+    rows; the fold is a TakeOrdered over <= n x len(summaries) rows."""
+    if not summaries:
+        raise ValueError("merge_weighted_samples needs at least one summary")
+    out = None
+    for s in summaries:
+        out = s if out is None else out.unionByName(s)
+    return (
+        out.dropDuplicates([id_col])
+        .orderBy(F.col("__es_key").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
 def mix_bucket(id_col, salt: str = "", granularity: int = 10_000) -> "F.Column":
     """0..granularity-1 bucket from the salted md5 of the id — finer
     than split_bucket so mixture rates resolve to 0.01%."""

@@ -233,6 +233,107 @@ def start_minhash_ingest_stream(
     return writer.start()
 
 
+def weighted_sample_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    sample_path: str,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "s1",
+    stream_id: str | None = None,
+    retain_epochs: int = 2,
+) -> None:
+    """ONE idempotent foreachBatch epoch of a streaming weighted
+    reservoir (r14): fold the batch's Efraimidis-Spirakis summary
+    (operators/sampling.weighted_sample_summary) into the persisted
+    n-row sample with merge_weighted_samples — the race keys are
+    deterministic per (id, weight, salt), so min-n of the stored
+    summary and the batch summary IS the draw over everything ingested
+    since the sample was born; after any number of epochs the stored
+    sample is bit-identical to one global weighted_sample_n pass over
+    the concatenated stream (batch/stream parity pinned in
+    tests/test_streaming_parity.py). State is <= n rows per retained
+    epoch. Crash/replay protocol and sweep grace window are the shared
+    immutable-epoch-dir machinery of heavy_hitters_step
+    (_fold_summary_epoch) — merge-folds cannot heal row-wise, so
+    epochs are immutable dirs behind a `_latest` pointer and the
+    `_epochs/` marker commits last."""
+    if _epoch_marker_guard(sample_path, epoch_id, stream_id):
+        return
+    from meerkat_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_summary,
+    )
+
+    def fold(current, batch):
+        batch_summary = weighted_sample_summary(
+            batch, weight_col=weight_col, n=n, id_col=id_col, salt=salt
+        )
+        return merge_weighted_samples(
+            [current, batch_summary] if current is not None
+            else [batch_summary],
+            n=n, id_col=id_col,
+        )
+
+    _fold_summary_epoch(
+        batch_df, epoch_id, sample_path, fold,
+        stream_id=stream_id, retain_epochs=retain_epochs,
+    )
+    _commit_epoch_marker(sample_path, epoch_id, stream_id)
+
+
+def read_weighted_sample(spark, sample_path: str) -> DataFrame:
+    """The persisted streaming weighted sample at its latest committed
+    epoch, with the internal `__es_key` race-key column dropped. Lazy
+    over the epoch dir — the same retain_epochs reader grace window as
+    read_heavy_hitters_summary applies."""
+    import os
+
+    pointer = os.path.join(sample_path, "_latest")
+    with open(pointer) as f:
+        df = spark.read.parquet(os.path.join(sample_path, f.read().strip()))
+    return df.drop("__es_key")
+
+
+def start_weighted_sample_stream(
+    stream_df: DataFrame,
+    sample_path: str,
+    checkpoint: str,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "s1",
+    trigger_once: bool = True,
+    retain_epochs: int = 2,
+) -> StreamingQuery:
+    """Streaming front-end for the weighted reservoir: each micro-batch
+    folds into the persisted n-row sample under foreachBatch
+    (sequential epochs), idempotent under at-least-once replay via the
+    shared immutable-epoch-dir + pointer protocol. Read the current
+    draw any time with read_weighted_sample — it always equals the
+    global weighted_sample_n over everything ingested so far."""
+    sid = _stream_id_of(checkpoint)
+
+    def _step(batch_df: DataFrame, epoch_id: int) -> None:
+        weighted_sample_step(
+            batch_df, epoch_id, sample_path, weight_col=weight_col,
+            n=n, id_col=id_col, salt=salt, stream_id=sid,
+            retain_epochs=retain_epochs,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
 def ivf_ingest_step(
     batch_df: DataFrame,
     epoch_id: int,
@@ -434,10 +535,6 @@ def heavy_hitters_step(
     epoch of grace; state stays O(capacity x retain_epochs) rows.
     Single-writer-per-summary-path, like the index compactions.
     """
-    import os
-    import re
-    import shutil
-
     if _epoch_marker_guard(summary_path, epoch_id, stream_id):
         return
     from meerkat_spark.operators.sketches import (
@@ -445,74 +542,102 @@ def heavy_hitters_step(
         misra_gries_summary,
     )
 
+    def fold(current, batch):
+        # keep_total_row throughout: the STORED representation carries
+        # the NULL-key error sentinel, so a batch whose counters all
+        # evicted still contributes its error mass to later merges
+        # (read_heavy_hitters_summary filters the sentinel for
+        # consumers). ALWAYS merge — even the first epoch: the raw
+        # summary holds up to capacity x partitions keys; the
+        # single-input merge re-evicts it to <= capacity (+ sentinel),
+        # so the persisted state is sketch-sized from birth
+        # (ADVICE r13)
+        batch_summary = misra_gries_summary(
+            batch, key_col, capacity=capacity, weight_col=weight_col,
+            keep_total_row=True,
+        )
+        return merge_mg_summaries(
+            [current, batch_summary] if current is not None
+            else [batch_summary],
+            key_col, capacity=capacity, keep_total_row=True,
+        )
+
+    _fold_summary_epoch(
+        batch_df, epoch_id, summary_path, fold,
+        stream_id=stream_id, retain_epochs=retain_epochs,
+    )
+    _commit_epoch_marker(summary_path, epoch_id, stream_id)
+
+
+def _fold_summary_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    summary_path: str,
+    fold,
+    stream_id: str | None = None,
+    retain_epochs: int = 2,
+) -> None:
+    """The shared immutable-epoch-dir replay machinery for MERGE-FOLD
+    keepers whose state cannot heal row-wise (heavy_hitters_step,
+    weighted_sample_step): write `fold(current_summary_or_None,
+    batch_df)` into an immutable `summary-<sid>-<epoch>` dir
+    (tmp + atomic rename), advance the `_latest` pointer, sweep
+    superseded dirs retaining the newest `retain_epochs` as the reader
+    grace window. The caller guards/commits the `_epochs/` marker
+    around this, so the crash-state contract is exactly
+    heavy_hitters_step's documented one."""
+    import os
+    import re
+    import shutil
+
     spark = batch_df.sparkSession
     ns = f"{stream_id}-" if stream_id else ""
     target = os.path.join(summary_path, f"summary-{ns}{int(epoch_id)}")
     pointer = os.path.join(summary_path, "_latest")
     os.makedirs(summary_path, exist_ok=True)
 
-    def _advance_pointer() -> None:
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(os.path.basename(target))
-        os.replace(tmp, pointer)
-
-    def _sweep_superseded() -> None:
-        keep = {os.path.basename(target)}
-        if os.path.isfile(pointer):
-            with open(pointer) as f:
-                keep.add(f.read().strip())
-        # reader grace window: also retain the newest retain_epochs
-        # dirs by epoch number, so a lazy frame handed out against the
-        # previous pointer target survives the next fold's sweep
-        def _epoch_of(d: str) -> int:
-            m = re.search(r"-(\d+)$", d)
-            return int(m.group(1)) if m else -1
-
-        dirs = sorted(
-            (
-                d
-                for d in os.listdir(summary_path)
-                if d.startswith("summary-") and not d.endswith(".tmp")
-            ),
-            key=_epoch_of,
-        )
-        keep.update(dirs[-max(1, retain_epochs):])
-        for d in dirs:
-            if d not in keep:
-                shutil.rmtree(os.path.join(summary_path, d), ignore_errors=True)
-
     if not os.path.isdir(target):
-        # keep_total_row throughout: the STORED representation carries
-        # the NULL-key error sentinel, so a batch whose counters all
-        # evicted still contributes its error mass to later merges
-        # (read_heavy_hitters_summary filters the sentinel for
-        # consumers)
-        batch_summary = misra_gries_summary(
-            batch_df, key_col, capacity=capacity, weight_col=weight_col,
-            keep_total_row=True,
-        )
         current = None
         if os.path.isfile(pointer):
             with open(pointer) as f:
                 cur_dir = os.path.join(summary_path, f.read().strip())
             if os.path.isdir(cur_dir):
                 current = spark.read.parquet(cur_dir)
-        # ALWAYS merge — even the first epoch: the raw summary holds
-        # up to capacity x partitions keys; the single-input merge
-        # re-evicts it to <= capacity (+ sentinel), so the persisted
-        # state is sketch-sized from birth (ADVICE r13)
-        merged = merge_mg_summaries(
-            [current, batch_summary] if current is not None
-            else [batch_summary],
-            key_col, capacity=capacity, keep_total_row=True,
-        )
+        merged = fold(current, batch_df)
         tmp_dir = target + ".tmp"
         merged.write.mode("overwrite").parquet(tmp_dir)
         os.replace(tmp_dir, target)
-    _advance_pointer()
-    _sweep_superseded()
-    _commit_epoch_marker(summary_path, epoch_id, stream_id)
+
+    # advance the pointer (tmp + atomic rename)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(target))
+    os.replace(tmp, pointer)
+
+    # sweep superseded dirs; retain the newest retain_epochs by epoch
+    # number so a lazy frame handed out against the previous pointer
+    # target survives this fold's sweep
+    keep = {os.path.basename(target)}
+    if os.path.isfile(pointer):
+        with open(pointer) as f:
+            keep.add(f.read().strip())
+
+    def _epoch_of(d: str) -> int:
+        m = re.search(r"-(\d+)$", d)
+        return int(m.group(1)) if m else -1
+
+    dirs = sorted(
+        (
+            d
+            for d in os.listdir(summary_path)
+            if d.startswith("summary-") and not d.endswith(".tmp")
+        ),
+        key=_epoch_of,
+    )
+    keep.update(dirs[-max(1, retain_epochs):])
+    for d in dirs:
+        if d not in keep:
+            shutil.rmtree(os.path.join(summary_path, d), ignore_errors=True)
 
 
 def read_heavy_hitters_summary(spark, summary_path: str) -> DataFrame:

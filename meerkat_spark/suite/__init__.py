@@ -70,12 +70,14 @@ def load_all() -> None:
 # in the registry — after this round no oracle-backed grade is older
 # than r10, the verdict's done-criterion).
 # Registered but QUEUED TO LEAD THE r15 WINDOW (the r13 precedent —
-# both locally oracle-verified via scripts/check_oracle_sf001.py and
+# all locally oracle-verified via scripts/check_oracle_sf001.py and
 # pytest-pinned this round; the 50 slots are full):
 #   mg_approx_envelope   (VERDICT r13 ask #3 — approximate-regime MG
 #                         guarantee as the graded contract)
 #   heavy_hitters_weighted (ask #8 — `top-hitters N of C by sum(W)`
 #                         sketch form through the KQL plugin)
+#   weighted_sample_keeper (r14 — the mergeable weighted-reservoir
+#                         fold behind start_weighted_sample_stream)
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) r13 registrations, never graded — they lead

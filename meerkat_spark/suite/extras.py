@@ -1133,3 +1133,48 @@ def url_dedup_canonical(spark, sf_dir):
     return dedup_by_url(noisy, "url", "doc_id").select("doc_id").orderBy(
         "doc_id"
     )
+
+
+@register(
+    "weighted_sample_keeper",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                  || 'wskeep'), 1, 8)) AS BIGINT) + 1.0)
+                 / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 80
+    """,
+)
+def weighted_sample_keeper(spark, sf_dir):
+    """The MERGEABLE weighted-reservoir path (r14,
+    operators/sampling.weighted_sample_summary +
+    merge_weighted_samples — the engine behind the streaming keeper
+    start_weighted_sample_stream): the corpus arrives as three
+    disjoint slices (the per-day production shape), each contributes
+    its <= n-row Efraimidis-Spirakis summary, and the fold keeps the n
+    smallest race keys — deterministic per (id, weight, salt), so the
+    folded draw is BIT-IDENTICAL to one global weighted_sample_n pass
+    and the DuckDB twin replays it over the whole table. Every merge
+    frame is <= n x slices rows; the corpus is scanned exactly once."""
+    from meerkat_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_summary,
+    )
+
+    docs = _eng(spark, sf_dir).table("documents").to_df().select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    slices = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    summaries = [
+        weighted_sample_summary(
+            s, weight_col="n_chars", n=80, id_col="doc_id", salt="wskeep"
+        )
+        for s in slices
+    ]
+    return merge_weighted_samples(summaries, n=80, id_col="doc_id").drop(
+        "__es_key"
+    )

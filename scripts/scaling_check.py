@@ -662,10 +662,11 @@ def write_md(path: str, out: dict) -> None:
         "partitions) rows before the exchange, and the kernel is four "
         "linear token passes (three explodes + the doc-key sum). "
         "Per-token THROUGHPUT RISES with scale — 1.08M tokens in the "
-        "x4 leg vs 4.33M in the x16 leg works out to ~0.8 -> ~1.2M "
-        "tokens/s on the r13 artifact timings — which is the signature "
-        "of fixed job overhead amortizing over a linear kernel, the "
-        "opposite of super-linear work. `bpe_encode` "
+        "x4 leg vs 4.33M in the x16 leg against this table's timings "
+        "(e.g. 1.6 s -> 3.5 s on the r14 artifact, ~0.66 -> ~1.25M "
+        "tokens/s) — which is the signature of fixed job overhead "
+        "amortizing over a linear kernel, the opposite of super-linear "
+        "work. `bpe_encode` "
         "(round 10) times the broadcast merge-ranks pandas-UDF encode "
         "(text/bpe.py apply_bpe_broadcast) at a FIXED 300-merge "
         "vocabulary trained once from the base corpus — the 100 TB "

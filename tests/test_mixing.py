@@ -336,3 +336,39 @@ def test_weighted_sample_n_semantics(spark):
     plan = weighted_sample_n(df, "w", 100, "id")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_summary_merge_identity(spark):
+    """r14: weighted_sample_summary is mergeable — folding per-slice
+    summaries (min-n of unions of <= n-row frames) is bit-identical to
+    one global weighted_sample_n pass, at any disjoint split, and the
+    merge is idempotent under overlapping/replayed inputs (same id =>
+    same deterministic race key)."""
+    from meerkat_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_n,
+        weighted_sample_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 50 + 1) for i in range(2000)], "id long, w long"
+    )
+    slices = [df.filter(F.col("id") % 4 == k) for k in range(4)]
+    summaries = [
+        weighted_sample_summary(s, "w", n=30, id_col="id", salt="mrg")
+        for s in slices
+    ]
+    merged = merge_weighted_samples(summaries, n=30, id_col="id")
+    got = sorted(
+        (r["id"], r["w"]) for r in merged.drop("__es_key").collect()
+    )
+    want = sorted(
+        map(tuple, weighted_sample_n(df, "w", 30, "id", salt="mrg").collect())
+    )
+    assert got == want
+
+    # idempotent under replayed/overlapping inputs
+    again = merge_weighted_samples([merged, summaries[0]], n=30, id_col="id")
+    assert sorted(
+        (r["id"], r["w"]) for r in again.drop("__es_key").collect()
+    ) == got

@@ -149,6 +149,10 @@ def test_scaling_exponents_stay_sublinear():
         # r13: the frequency-sketch kernels
         "misra_gries",
         "count_min",
+        # r14 (VERDICT r13 ask #4): the r13 pipeline kernels
+        "weighted_sample",
+        "url_dedup",
+        "hh_stream_epoch",
     }
     have = {k for k, _ in rows}
     assert required <= have, f"SCALING.md missing kernels: {required - have}"

@@ -744,3 +744,92 @@ def test_streaming_heavy_hitters_parity(spark, tmp_path):
     for r in s:
         t = exact[r["key"]]
         assert r["est_count"] <= t <= r["est_count"] + err, r
+
+
+def test_streaming_weighted_sample_parity(spark, tmp_path):
+    """r14: the streamed weighted reservoir equals the one-pass batch
+    draw BIT-FOR-BIT — the Efraimidis-Spirakis race keys are
+    deterministic per (id, weight, salt), so folding per-chunk
+    summaries (min-n of unions) reproduces weighted_sample_n over the
+    concatenated stream exactly, at any chunking."""
+    import pandas as pd
+
+    from meerkat_spark.operators.sampling import weighted_sample_n
+    from meerkat_spark.streaming.ingest import (
+        read_weighted_sample,
+        start_weighted_sample_stream,
+    )
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(3000)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "w"])
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    for c in range(3):
+        pdf[pdf["doc_id"] % 3 == c].to_parquet(chunk_dir / f"c{c}.parquet")
+
+    stream = spark.readStream.schema("doc_id long, w long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(chunk_dir))
+    q = start_weighted_sample_stream(
+        stream, str(tmp_path / "ws"), str(tmp_path / "ckpt"),
+        weight_col="w", n=50, id_col="doc_id", salt="par14",
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, read_weighted_sample(spark, str(tmp_path / "ws")).collect())
+    )
+    full = spark.createDataFrame(pdf)
+    want = sorted(
+        map(
+            tuple,
+            weighted_sample_n(
+                full, weight_col="w", n=50, id_col="doc_id", salt="par14"
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == 50
+
+
+def test_weighted_sample_step_replay_and_state_size(spark, tmp_path):
+    """r14: the keeper's state is <= n rows from the first epoch, a
+    re-delivered epoch is marker-skipped (no state change), and the
+    internal race-key column never leaks to readers."""
+    import os
+
+    from meerkat_spark.streaming.ingest import (
+        read_weighted_sample,
+        weighted_sample_step,
+    )
+
+    ws = str(tmp_path / "ws")
+    b0 = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(500)], "doc_id long, w long"
+    ).repartition(8)
+    weighted_sample_step(b0, 0, ws, weight_col="w", n=20, id_col="doc_id")
+    with open(os.path.join(ws, "_latest")) as f:
+        first_dir = f.read().strip()
+    raw = spark.read.parquet(os.path.join(ws, first_dir))
+    assert raw.count() == 20
+    assert "__es_key" in raw.columns  # stored WITH the merge key
+    out1 = sorted(map(tuple, read_weighted_sample(spark, ws).collect()))
+    assert "__es_key" not in read_weighted_sample(spark, ws).columns
+
+    # replay epoch 0: marker-skipped, state identical
+    weighted_sample_step(b0, 0, ws, weight_col="w", n=20, id_col="doc_id")
+    assert sorted(
+        map(tuple, read_weighted_sample(spark, ws).collect())
+    ) == out1
+
+    # a second epoch folds; state stays <= n
+    b1 = spark.createDataFrame(
+        [(1000 + i, 500) for i in range(50)], "doc_id long, w long"
+    )
+    weighted_sample_step(b1, 1, ws, weight_col="w", n=20, id_col="doc_id")
+    out2 = read_weighted_sample(spark, ws)
+    assert out2.count() == 20
+    # heavy weights displace light ones: every epoch-1 row has weight
+    # 500 vs max 7 before, so the race keys are ~70x smaller in
+    # expectation; at least some displacement must have happened
+    assert out2.filter("doc_id >= 1000").count() > 0
