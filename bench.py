@@ -102,6 +102,12 @@ HEADLINE = [
     "kql_evaluate_weighted_sample",
     "mg_approx_envelope",
     "heavy_hitters_weighted",
+    # the mergeable weighted-reservoir fold (engine of the r14
+    # streaming keeper) and the two r14 plugin arg forms (stratified
+    # draw, weighted Count-Min)
+    "weighted_sample_keeper",
+    "kql_weighted_sample_stratified",
+    "kql_freq_estimate_weighted",
 ]
 
 

@@ -3557,17 +3557,27 @@ class Translator:
                 )
 
                 usage = (
-                    "frequency_estimate(Col [, Depth [, Width [, Seed]]])"
+                    "frequency_estimate(Col [, Depth [, Width [, Seed "
+                    "[, WeightCol]]]])"
                 )
-                if not 1 <= len(args) <= 4:
+                if not 1 <= len(args) <= 5:
                     raise KqlSyntaxError(usage)
                 depth = lit_arg(args[1], usage) if len(args) > 1 else 4
                 width = lit_arg(args[2], usage) if len(args) > 2 else 8192
                 seed = lit_arg(args[3], usage) if len(args) > 3 else 0
+                # 5-arg form (r14): WEIGHTED Count-Min — cells sum
+                # WeightCol instead of counting rows, estimates bound
+                # the per-key weight mass (Kusto's sum(W) shape)
+                wc = (
+                    col_name(args[4], "a weight column name")
+                    if len(args) > 4
+                    else None
+                )
                 kc = col_name(args[0])
                 df = t.to_df()
                 cm = count_min_build(
-                    df, kc, depth=depth, width=width, seed=seed
+                    df, kc, depth=depth, width=width, seed=seed,
+                    weight_col=wc,
                 )
                 return MeerkatTable(
                     count_min_estimate(
@@ -3584,10 +3594,21 @@ class Translator:
                     weighted_sample_n,
                 )
 
-                usage = "weighted_sample(IdCol, WeightCol, N [, Salt])"
-                if not 3 <= len(args) <= 4:
+                usage = (
+                    "weighted_sample(IdCol, WeightCol, N [, Salt "
+                    "[, StratumCol]])"
+                )
+                if not 3 <= len(args) <= 5:
                     raise KqlSyntaxError(usage)
                 salt = lit_arg(args[3], usage, str) if len(args) > 3 else "s1"
+                # 5-arg form (r14): STRATIFIED draw — exactly N per
+                # stratum via the keyed-window form (one shuffle on
+                # the stratum, never a global one)
+                strat = (
+                    col_name(args[4], "a stratum column name")
+                    if len(args) > 4
+                    else None
+                )
                 return MeerkatTable(
                     weighted_sample_n(
                         t.to_df(),
@@ -3595,6 +3616,7 @@ class Translator:
                         n=lit_arg(args[2], usage),
                         id_col=col_name(args[0]),
                         salt=salt,
+                        stratum_col=strat,
                     )
                 )
             if plugin == "heavy_hitters":

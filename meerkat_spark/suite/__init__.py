@@ -78,6 +78,10 @@ def load_all() -> None:
 #                         sketch form through the KQL plugin)
 #   weighted_sample_keeper (r14 — the mergeable weighted-reservoir
 #                         fold behind start_weighted_sample_stream)
+#   kql_weighted_sample_stratified (r14 — 5-arg plugin form: exact-N
+#                         per stratum via the keyed window)
+#   kql_freq_estimate_weighted (r14 — 5-arg plugin form: weighted
+#                         Count-Min, cells sum WeightCol)
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) r13 registrations, never graded — they lead

@@ -256,3 +256,70 @@ def heavy_hitters_weighted(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "kql_weighted_sample_stratified",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                  || 'strat14'), 1, 8)) AS BIGINT) + 1.0)
+                 / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY k ASC, doc_id ASC) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 10
+    ORDER BY doc_id
+    """,
+)
+def kql_weighted_sample_stratified(spark, sf_dir):
+    """The STRATIFIED weighted draw through the KQL front-end (r14):
+    `evaluate weighted_sample(IdCol, WeightCol, N, Salt, StratumCol)`
+    — exactly N per stratum via the keyed-window form of
+    weighted_sample_n (one shuffle on the stratum key, never a global
+    sort); the per-stratum draws stay weight-proportional and the
+    DuckDB twin replays the identical race keys under a per-lang
+    row_number."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            "documents | where n_chars > 0"
+            " | project doc_id, lang, n_chars"
+            " | evaluate weighted_sample(doc_id, n_chars, 10,"
+            " 'strat14', lang)"
+        )
+        .to_df()
+    )
+
+
+@register(
+    "kql_freq_estimate_weighted",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(event_id % 5 + 1) AS BIGINT) AS approximate_count
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def kql_freq_estimate_weighted(spark, sf_dir):
+    """WEIGHTED Count-Min through the KQL front-end (r14): `evaluate
+    frequency_estimate(Col, Depth, Width, Seed, WeightCol)` — cells
+    sum WeightCol instead of counting rows, so estimates bound the
+    per-key weight mass (bytes per host, tokens per domain, ...).
+    Integer weights and the collision-free regime (5 keys x width
+    65536 at fixed seeds) make the estimate the exact weighted sum on
+    both engines; the over-estimate property under adversarial width
+    is pytest-pinned with the unweighted build."""
+    return (
+        MeerkatEngine(spark, sf_dir)
+        .kql(
+            "events | extend w = event_id % 5 + 1"
+            " | evaluate frequency_estimate(event_type, 4, 65536, 0, w)"
+            " | order by event_type asc"
+        )
+        .to_df()
+    )

@@ -471,3 +471,60 @@ def test_heavy_hitters_weighted_query_matches_exact(spark):
         (r["o_custkey"], r["s"]) for r in exact
     ]
     assert all(r["count_error_max"] == 0 for r in got)
+
+
+def test_kql_weighted_sample_stratified_matches_direct(spark):
+    """r14: the 5-arg `evaluate weighted_sample(Id, W, N, Salt,
+    StratumCol)` equals the DataFrame keyed-window form — exactly
+    min(N, stratum size) rows per stratum, weight-proportional."""
+    from meerkat_spark.engine import MeerkatEngine
+    from meerkat_spark.operators.sampling import weighted_sample_n
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    out = eng.kql(
+        "documents | where n_chars > 0 | project doc_id, lang, n_chars"
+        " | evaluate weighted_sample(doc_id, n_chars, 5, 'st', lang)"
+    ).to_df()
+    direct = weighted_sample_n(
+        eng.table("documents").to_df()
+        .filter("n_chars > 0").select("doc_id", "lang", "n_chars"),
+        weight_col="n_chars", n=5, id_col="doc_id", salt="st",
+        stratum_col="lang",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    per = out.groupBy("lang").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
+
+
+def test_kql_frequency_estimate_weighted_matches_exact(spark, skewed):
+    """r14: the 5-arg `evaluate frequency_estimate(Col, Depth, Width,
+    Seed, WeightCol)` sums weights per key — exact at collision-free
+    width, and never under the true weighted mass at any width."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.register_table("T", skewed.withColumn("wi", (F.col("w")).cast("long")))
+    out = {
+        r["key"]: r["approximate_count"]
+        for r in eng.kql(
+            "T | evaluate frequency_estimate(key, 4, 65536, 0, wi)"
+        ).to_df().collect()
+    }
+    exact = {
+        r["key"]: r["s"]
+        for r in skewed.groupBy("key")
+        .agg(F.sum(F.col("w").cast("long")).alias("s"))
+        .collect()
+    }
+    assert out == exact
+
+    # adversarial width: still never under the true weighted mass
+    under = {
+        r["key"]: r["approximate_count"]
+        for r in eng.kql(
+            "T | evaluate frequency_estimate(key, 4, 32, 0, wi)"
+        ).to_df().collect()
+    }
+    assert all(under[k] >= v for k, v in exact.items())
