@@ -11,7 +11,10 @@
      micro-batches through start_heavy_hitters_stream — sketch-sized
      persisted state, same answer as batch;
   4. weighted sampling: 20 documents drawn proportional to n_chars,
-     reproducibly (same salt -> same set).
+     reproducibly (same salt -> same set);
+  5. streaming weighted reservoir (r14): the corpus replayed as
+     micro-batches through start_weighted_sample_stream — the folded
+     n-row state equals the one-pass global draw bit-for-bit.
 
 Run: python examples/sketches.py [sf_dir]
 (default /root/testdata/sf0.001).
@@ -115,6 +118,38 @@ def main() -> None:
         f"mean n_chars {samp_w:.0f} vs corpus {mean_w:.0f} "
         "(longer docs over-represented, as requested)"
     )
+
+    # 5. streaming weighted reservoir (r14) ----------------------------------
+    from meerkat_spark.streaming.ingest import (
+        read_weighted_sample,
+        start_weighted_sample_stream,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="mk_ws_stream_") as tmp:
+        chunk_dir = os.path.join(tmp, "chunks")
+        docs.select("doc_id", "n_chars").repartition(4).write.parquet(
+            chunk_dir
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = start_weighted_sample_stream(
+            stream, os.path.join(tmp, "ws"), os.path.join(tmp, "ckpt_ws"),
+            weight_col="n_chars", n=20, id_col="doc_id", salt="demo",
+        )
+        q.awaitTermination(120)
+        streamed_ids = sorted(
+            r["doc_id"]
+            for r in read_weighted_sample(
+                spark, os.path.join(tmp, "ws")
+            ).collect()
+        )
+        print(
+            "streamed weighted reservoir == one-pass global draw: "
+            f"{streamed_ids == ids1}"
+        )
     spark.stop()
 
 

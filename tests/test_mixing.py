@@ -372,3 +372,22 @@ def test_weighted_sample_summary_merge_identity(spark):
     assert sorted(
         (r["id"], r["w"]) for r in again.drop("__es_key").collect()
     ) == got
+
+
+def test_weighted_sample_merge_edges(spark):
+    """Edge cases of the mergeable draw: empty slices contribute
+    nothing, and n larger than the corpus returns every valid row."""
+    from meerkat_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 7), (4, None)], "id long, w int"
+    )
+    empty = df.filter("id < 0")
+    s_all = weighted_sample_summary(df, "w", n=10, id_col="id")
+    s_empty = weighted_sample_summary(empty, "w", n=10, id_col="id")
+    merged = merge_weighted_samples([s_all, s_empty], n=10, id_col="id")
+    # weight 0 and NULL rows are never drawn; everything else survives
+    assert sorted(r["id"] for r in merged.collect()) == [1, 3]
