@@ -283,6 +283,107 @@ def weighted_sample_step(
     _commit_epoch_marker(sample_path, epoch_id, stream_id)
 
 
+def hll_distinct_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    sketch_path: str,
+    value_col: str,
+    by: list[str] | None = None,
+    lg_k: int = 12,
+    stream_id: str | None = None,
+    retain_epochs: int = 2,
+) -> None:
+    """ONE idempotent foreachBatch epoch of streaming distinct counts
+    (r14): fold the batch's per-group Datasketches HLL sketches into
+    the persisted sketch table via hll_union — HLL registers merge by
+    max, so the folded sketch equals one batch hll_sketch_agg over
+    everything ingested since the table was born (batch/stream parity
+    pinned in tests/test_streaming_parity.py). State is one
+    O(2^lg_k)-byte sketch row per observed group, independent of
+    stream volume — the streaming twin of the dcount/hll aggregate
+    family (functions/agg.py). The crash/replay protocol is the
+    shared immutable-epoch-dir machinery (_fold_summary_epoch);
+    read the running estimates with read_hll_distinct."""
+    if _epoch_marker_guard(sketch_path, epoch_id, stream_id):
+        return
+    keys = list(by or [])
+
+    def fold(current, batch):
+        batch_sk = batch.groupBy(*keys).agg(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("__hll")
+        )
+        if current is None:
+            return batch_sk
+        # sketch-sized full-outer merge: one row per group on each
+        # side, unioned registers where both sides saw the group
+        both = current.unionByName(batch_sk)
+        if keys:
+            return both.groupBy(*keys).agg(
+                F.hll_union_agg(F.col("__hll")).alias("__hll")
+            )
+        return both.agg(F.hll_union_agg(F.col("__hll")).alias("__hll"))
+
+    _fold_summary_epoch(
+        batch_df, epoch_id, sketch_path, fold,
+        stream_id=stream_id, retain_epochs=retain_epochs,
+    )
+    _commit_epoch_marker(sketch_path, epoch_id, stream_id)
+
+
+def read_hll_distinct(spark, sketch_path: str) -> DataFrame:
+    """The persisted streaming distinct-count table at its latest
+    committed epoch: the group columns plus `distinct_estimate` (the
+    HLL estimate; the raw sketch column is internal). Lazy over the
+    epoch dir — the retain_epochs reader grace window applies."""
+    import os
+
+    pointer = os.path.join(sketch_path, "_latest")
+    with open(pointer) as f:
+        df = spark.read.parquet(os.path.join(sketch_path, f.read().strip()))
+    return df.select(
+        *[c for c in df.columns if c != "__hll"],
+        F.hll_sketch_estimate(F.col("__hll")).alias("distinct_estimate"),
+    )
+
+
+def start_hll_distinct_stream(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    value_col: str,
+    by: list[str] | None = None,
+    lg_k: int = 12,
+    trigger_once: bool = True,
+    retain_epochs: int = 2,
+) -> StreamingQuery:
+    """Streaming front-end for per-group distinct counting: each
+    micro-batch folds its HLL sketches into the persisted table under
+    foreachBatch (sequential epochs), idempotent under at-least-once
+    replay via the shared immutable-epoch-dir + pointer protocol. The
+    estimates always equal a batch hll/dcount aggregate over
+    everything ingested so far — streaming adds replay machinery, not
+    new semantics."""
+    sid = _stream_id_of(checkpoint)
+
+    def _step(batch_df: DataFrame, epoch_id: int) -> None:
+        hll_distinct_step(
+            batch_df, epoch_id, sketch_path, value_col=value_col,
+            by=by, lg_k=lg_k, stream_id=sid,
+            retain_epochs=retain_epochs,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
 def read_weighted_sample(spark, sample_path: str) -> DataFrame:
     """The persisted streaming weighted sample at its latest committed
     epoch, with the internal `__es_key` race-key column dropped. Lazy

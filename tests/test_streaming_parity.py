@@ -833,3 +833,82 @@ def test_weighted_sample_step_replay_and_state_size(spark, tmp_path):
     # 500 vs max 7 before, so the race keys are ~70x smaller in
     # expectation; at least some displacement must have happened
     assert out2.filter("doc_id >= 1000").count() > 0
+
+
+def test_streaming_hll_distinct_parity(spark, tmp_path):
+    """r14: the streamed per-group HLL distinct-count table equals the
+    one-pass batch aggregate — register-max merging is associative and
+    commutative, so folding per-epoch sketches reproduces the batch
+    hll_sketch_agg estimates exactly; at fixture cardinalities the
+    Datasketches estimate is itself exact, so the stream matches TRUE
+    distinct counts. A replayed epoch is marker-skipped."""
+    import os
+
+    import pandas as pd
+
+    from meerkat_spark.streaming.ingest import (
+        hll_distinct_step,
+        read_hll_distinct,
+        start_hll_distinct_stream,
+    )
+
+    rows = [
+        (i, f"t{i % 4}", (i * 7) % 500) for i in range(3000)
+    ]
+    pdf = pd.DataFrame(rows, columns=["rid", "etype", "uid"])
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    for c in range(3):
+        pdf[pdf["rid"] % 3 == c].to_parquet(chunk_dir / f"c{c}.parquet")
+
+    stream = spark.readStream.schema(
+        "rid long, etype string, uid long"
+    ).option("maxFilesPerTrigger", 1).parquet(str(chunk_dir))
+    q = start_hll_distinct_stream(
+        stream, str(tmp_path / "hll"), str(tmp_path / "ckpt"),
+        value_col="uid", by=["etype"],
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["etype"]: r["distinct_estimate"]
+        for r in read_hll_distinct(spark, str(tmp_path / "hll")).collect()
+    }
+    full = spark.createDataFrame(pdf)
+    batch = {
+        r["etype"]: r["est"]
+        for r in full.groupBy("etype").agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("uid"), F.lit(12))
+            ).alias("est")
+        ).collect()
+    }
+    true = {
+        r["etype"]: r["d"]
+        for r in full.groupBy("etype").agg(
+            F.countDistinct("uid").alias("d")
+        ).collect()
+    }
+    assert got == batch
+    assert got == true  # sparse-mode regime: the estimate is exact
+
+    # replayed epoch: marker-skipped, estimates unchanged
+    b0 = spark.createDataFrame(pdf[pdf["rid"] % 3 == 0])
+    hll_distinct_step(
+        b0, 0, str(tmp_path / "hll2"), value_col="uid", by=["etype"]
+    )
+    before = sorted(
+        map(tuple, read_hll_distinct(spark, str(tmp_path / "hll2")).collect())
+    )
+    hll_distinct_step(
+        b0, 0, str(tmp_path / "hll2"), value_col="uid", by=["etype"]
+    )
+    assert sorted(
+        map(tuple, read_hll_distinct(spark, str(tmp_path / "hll2")).collect())
+    ) == before
+    # state is one sketch row per observed group
+    with open(os.path.join(str(tmp_path / "hll2"), "_latest")) as f:
+        d = f.read().strip()
+    assert spark.read.parquet(
+        os.path.join(str(tmp_path / "hll2"), d)
+    ).count() == 4
