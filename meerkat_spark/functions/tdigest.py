@@ -145,6 +145,41 @@ def tdigest_sketch(
     return partials.groupBy(*by).applyInPandas(merge, out_schema)
 
 
+def merge_digest_tables(
+    df: DataFrame, by: list[str], compression: float = 100.0
+) -> DataFrame:
+    """Merge a (by…, digest) table with REPEATED keys (per-day stores,
+    per-epoch folds) into one digest per key — merge is the build on
+    concatenated centroid sets, so bounds survive any split. One keyed
+    shuffle over digest-sized rows; used by the streaming percentile
+    keeper (streaming/ingest.tdigest_step)."""
+    if not by:
+        raise ValueError("merge_digest_tables needs at least one key column")
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*by).schema.fields
+    )
+
+    def merge(pdf):
+        ms: list[float] = []
+        ws: list[float] = []
+        for d in pdf["digest"]:
+            if d is None:
+                continue
+            ms.extend(d["means"])
+            ws.extend(d["weights"])
+        mm, mw = compress(
+            np.asarray(ms, dtype=float), np.asarray(ws, dtype=float),
+            compression,
+        )
+        out = {c: [pdf[c].iloc[0]] for c in by}
+        out["digest"] = [{"means": mm.tolist(), "weights": mw.tolist()}]
+        return pd.DataFrame(out)
+
+    out_schema = f"{key_fields}, digest struct<{DIGEST_SCHEMA}>"
+    return df.groupBy(*by).applyInPandas(merge, out_schema)
+
+
 def digest_percentiles(df: DataFrame, qs: list[float], digest_col: str = "digest") -> DataFrame:
     """Extend a digest table with one `p<q>` column per requested
     quantile (Arrow-batched extraction, no shuffle)."""

@@ -330,6 +330,105 @@ def hll_distinct_step(
     _commit_epoch_marker(sketch_path, epoch_id, stream_id)
 
 
+def tdigest_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    digest_path: str,
+    value_col: str,
+    by: list[str],
+    compression: float = 100.0,
+    stream_id: str | None = None,
+    retain_epochs: int = 2,
+) -> None:
+    """ONE idempotent foreachBatch epoch of streaming per-group
+    percentiles (r14): build the batch's per-key t-digest table
+    (functions/tdigest.tdigest_sketch — map-side combine, digest-sized
+    shuffle) and fold it into the persisted table with
+    merge_digest_tables — the t-digest merge is its build on
+    concatenated centroid sets, so the k1 size bound and the pinned
+    rank-error contract hold over EVERYTHING ingested since the table
+    was born. Unlike the reservoir/HLL folds the merged digest is not
+    bit-identical to a one-pass build (compression of compressed
+    centroids takes a different centroid path), but estimates agree
+    within the documented rank error — the batch/stream parity test
+    pins both that tolerance and exact replay determinism. State is
+    one O(compression) digest row per key per retained epoch; read
+    with read_tdigest / functions.tdigest.digest_percentiles."""
+    if _epoch_marker_guard(digest_path, epoch_id, stream_id):
+        return
+    from meerkat_spark.functions.tdigest import (
+        merge_digest_tables,
+        tdigest_sketch,
+    )
+
+    def fold(current, batch):
+        batch_sk = tdigest_sketch(
+            batch, value_col, by=by, compression=compression
+        )
+        if current is None:
+            return batch_sk
+        return merge_digest_tables(
+            current.unionByName(batch_sk), by=by, compression=compression
+        )
+
+    _fold_summary_epoch(
+        batch_df, epoch_id, digest_path, fold,
+        stream_id=stream_id, retain_epochs=retain_epochs,
+    )
+    _commit_epoch_marker(digest_path, epoch_id, stream_id)
+
+
+def read_tdigest(spark, digest_path: str) -> DataFrame:
+    """The persisted streaming digest table (by…, digest) at its
+    latest committed epoch — feed it to digest_percentiles /
+    digest_percentrank. Lazy over the epoch dir; the retain_epochs
+    reader grace window applies."""
+    import os
+
+    pointer = os.path.join(digest_path, "_latest")
+    with open(pointer) as f:
+        return spark.read.parquet(
+            os.path.join(digest_path, f.read().strip())
+        )
+
+
+def start_tdigest_stream(
+    stream_df: DataFrame,
+    digest_path: str,
+    checkpoint: str,
+    value_col: str,
+    by: list[str],
+    compression: float = 100.0,
+    trigger_once: bool = True,
+    retain_epochs: int = 2,
+) -> StreamingQuery:
+    """Streaming front-end for per-group running percentiles: each
+    micro-batch's t-digests fold into the persisted table under
+    foreachBatch (sequential epochs), idempotent under at-least-once
+    replay via the shared immutable-epoch-dir + pointer protocol —
+    the streaming twin of the stored-digest rollup
+    (functions/tdigest.py)."""
+    sid = _stream_id_of(checkpoint)
+
+    def _step(batch_df: DataFrame, epoch_id: int) -> None:
+        tdigest_step(
+            batch_df, epoch_id, digest_path, value_col=value_col,
+            by=by, compression=compression, stream_id=sid,
+            retain_epochs=retain_epochs,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_step)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
 def read_hll_distinct(spark, sketch_path: str) -> DataFrame:
     """The persisted streaming distinct-count table at its latest
     committed epoch: the group columns plus `distinct_estimate` (the

@@ -912,3 +912,66 @@ def test_streaming_hll_distinct_parity(spark, tmp_path):
     assert spark.read.parquet(
         os.path.join(str(tmp_path / "hll2"), d)
     ).count() == 4
+
+
+def test_streaming_tdigest_parity(spark, tmp_path):
+    """r14: the streamed per-group t-digest table tracks the exact
+    percentiles within the sketch's pinned rank-error budget (the
+    digest merge is its build on concatenated centroids, so bounds
+    survive epoch folds), a replayed epoch is marker-skipped, and the
+    recompute is deterministic."""
+    import pandas as pd
+
+    from meerkat_spark.functions.tdigest import digest_percentiles
+    from meerkat_spark.streaming.ingest import (
+        read_tdigest,
+        start_tdigest_stream,
+        tdigest_step,
+    )
+
+    rows = [(i, f"g{i % 3}", float((i * 17) % 1000)) for i in range(6000)]
+    pdf = pd.DataFrame(rows, columns=["rid", "grp", "v"])
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    for c in range(3):
+        pdf[pdf["rid"] % 3 == c].to_parquet(chunk_dir / f"c{c}.parquet")
+
+    stream = spark.readStream.schema("rid long, grp string, v double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(chunk_dir))
+    q = start_tdigest_stream(
+        stream, str(tmp_path / "td"), str(tmp_path / "ckpt"),
+        value_col="v", by=["grp"],
+    )
+    q.awaitTermination(120)
+
+    est = {
+        r["grp"]: (r["p5"], r["p95"], r["p99"])
+        for r in digest_percentiles(
+            read_tdigest(spark, str(tmp_path / "td")), [0.5, 0.95, 0.99]
+        ).collect()
+    }
+    full = spark.createDataFrame(pdf)
+    exact = {
+        r["grp"]: (r["e50"], r["e95"], r["e99"])
+        for r in full.groupBy("grp").agg(
+            F.percentile("v", 0.5).alias("e50"),
+            F.percentile("v", 0.95).alias("e95"),
+            F.percentile("v", 0.99).alias("e99"),
+        ).collect()
+    }
+    assert set(est) == {"g0", "g1", "g2"}
+    for g, (p50, p95, p99) in est.items():
+        e50, e95, e99 = exact[g]
+        # values span [0, 1000): a 1% rank error is <= ~10 in value
+        assert abs(p50 - e50) <= 15, (g, p50, e50)
+        assert abs(p95 - e95) <= 15, (g, p95, e95)
+        assert abs(p99 - e99) <= 15, (g, p99, e99)
+
+    # replayed epoch: marker-skipped, digests byte-identical
+    td2 = str(tmp_path / "td2")
+    b0 = spark.createDataFrame(pdf[pdf["rid"] % 3 == 0])
+    tdigest_step(b0, 0, td2, value_col="v", by=["grp"])
+    before = sorted(map(repr, read_tdigest(spark, td2).collect()))
+    tdigest_step(b0, 0, td2, value_col="v", by=["grp"])
+    assert sorted(map(repr, read_tdigest(spark, td2).collect())) == before
