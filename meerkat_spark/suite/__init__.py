@@ -82,6 +82,10 @@ def load_all() -> None:
 #                         per stratum via the keyed window)
 #   kql_freq_estimate_weighted (r14 — 5-arg plugin form: weighted
 #                         Count-Min, cells sum WeightCol)
+#   hll_distinct_rollup (r14 — mergeable HLL distinct counts, the
+#                         engine behind start_hll_distinct_stream)
+#   tdigest_rollup_envelope (r14 — t-digest merge lifecycle under the
+#                         percentile envelope contract)
 # Exactly 50 — enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) r13 registrations, never graded — they lead

@@ -323,3 +323,103 @@ def kql_freq_estimate_weighted(spark, sf_dir):
         )
         .to_df()
     )
+
+
+@register(
+    "hll_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def hll_distinct_rollup(spark, sf_dir):
+    """Per-group distinct counts through the MERGEABLE HLL path (r14 —
+    the engine behind start_hll_distinct_stream): three disjoint
+    slices each aggregate their own per-type Datasketches HLL sketch,
+    the slices fold via hll_union_agg (register-max merging is
+    associative/commutative, so the folded sketch equals one build
+    over the union), then one estimate per group. At fixture
+    cardinalities the sketch is in sparse mode and the estimate is
+    EXACT, so the DuckDB twin is plain COUNT(DISTINCT) — the same
+    provably-exact-regime pattern as heavy_hitters_sketch; the
+    approximate envelope is graded separately by agg_dcount_approx."""
+    e = _df(spark, sf_dir, "events")
+    slices = [
+        e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    sks = [
+        s.groupBy("event_type").agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("__hll")
+        )
+        for s in slices
+    ]
+    merged = sks[0].unionByName(sks[1]).unionByName(sks[2])
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("__hll"))
+            ).cast("long").alias("distinct_users")
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "tdigest_rollup_envelope",
+    oracle="""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def tdigest_rollup_envelope(spark, sf_dir):
+    """The t-digest ROLLUP lifecycle as the graded contract (r14 —
+    the engine behind start_tdigest_stream): three disjoint slices
+    each build per-type digests (tdigest_sketch — map-side combine,
+    digest-sized shuffle), merge_digest_tables folds them (merge is
+    the build on concatenated centroid sets), and the merged digest's
+    p50/p95 must land within 2% relative of Spark's EXACT percentiles
+    computed in the same query — the agg_percentile_tdigest envelope
+    pattern, here additionally crossing a merge generation. Exact
+    group keys and counts are graded directly; the regime-dependent
+    raw estimates stay out of the hash."""
+    from meerkat_spark.functions.tdigest import (
+        digest_percentiles,
+        merge_digest_tables,
+        tdigest_sketch,
+    )
+
+    e = _df(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    slices = [
+        e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    sks = [
+        tdigest_sketch(s, "value", by=["event_type"]) for s in slices
+    ]
+    merged = merge_digest_tables(
+        sks[0].unionByName(sks[1]).unionByName(sks[2]), by=["event_type"]
+    )
+    est = digest_percentiles(merged, [0.5, 0.95]).select(
+        "event_type", F.col("p5").alias("p50_est"), F.col("p95").alias("p95_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.percentile("value", 0.5).alias("e50"),
+        F.percentile("value", 0.95).alias("e95"),
+    )
+    tol = lambda a, b: (  # noqa: E731 — suite convention
+        F.abs(F.col(a) - F.col(b)) <= 0.02 * F.abs(F.col(b))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            tol("p50_est", "e50").alias("p50_within_2pct"),
+            tol("p95_est", "e95").alias("p95_within_2pct"),
+        )
+        .orderBy("event_type")
+    )
