@@ -130,7 +130,15 @@ def tdigest_sketch(
                 rows[c].append(kv)
             rows["means"].append(m.tolist())
             rows["weights"].append(w.tolist())
-        yield pd.DataFrame(rows)
+        # object dtype throughout: an EMPTY partition otherwise yields
+        # float64-default empty columns, which Arrow cannot convert to
+        # array<double>/string ("NumPyConverter doesn't implement
+        # list<double>") — an empty input must produce an empty digest
+        # table, not a crash (the streaming keeper folds empty
+        # micro-batches)
+        yield pd.DataFrame(
+            {c: pd.Series(v, dtype="object") for c, v in rows.items()}
+        )
 
     def merge(pdf):
         m = np.concatenate([np.asarray(x, dtype=float) for x in pdf["means"]])

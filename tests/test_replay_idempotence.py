@@ -671,3 +671,109 @@ def test_ivf_stream_rebuild_crash_replay(spark, tmp_path, crash):
         (r.vec_id, r.vec_id - 1_000_000) for r in copies2.collect()
     }
     assert got == want
+
+
+def test_merge_fold_keepers_tolerate_empty_batches(spark, tmp_path):
+    """foreachBatch can deliver EMPTY micro-batches (a trigger with no
+    new files): every merge-fold keeper must fold one without
+    disturbing its state."""
+    from meerkat_spark.streaming.ingest import (
+        heavy_hitters_step,
+        hll_distinct_step,
+        read_heavy_hitters_summary,
+        read_hll_distinct,
+        read_tdigest,
+        read_weighted_sample,
+        tdigest_step,
+        weighted_sample_step,
+    )
+
+    data = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i % 50 + 1)) for i in range(300)],
+        "id long, g string, v double",
+    )
+    empty = data.filter("id < 0")
+
+    hh = str(tmp_path / "hh")
+    heavy_hitters_step(data, 0, hh, "g", capacity=10)
+    before = sorted(map(tuple, read_heavy_hitters_summary(spark, hh).collect()))
+    heavy_hitters_step(empty, 1, hh, "g", capacity=10)
+    assert sorted(
+        map(tuple, read_heavy_hitters_summary(spark, hh).collect())
+    ) == before
+
+    ws = str(tmp_path / "ws")
+    weighted_sample_step(data, 0, ws, weight_col="v", n=15, id_col="id")
+    before = sorted(map(tuple, read_weighted_sample(spark, ws).collect()))
+    weighted_sample_step(empty, 1, ws, weight_col="v", n=15, id_col="id")
+    assert sorted(
+        map(tuple, read_weighted_sample(spark, ws).collect())
+    ) == before
+
+    hl = str(tmp_path / "hll")
+    hll_distinct_step(data, 0, hl, value_col="id", by=["g"])
+    before = sorted(map(tuple, read_hll_distinct(spark, hl).collect()))
+    hll_distinct_step(empty, 1, hl, value_col="id", by=["g"])
+    assert sorted(map(tuple, read_hll_distinct(spark, hl).collect())) == before
+
+    td = str(tmp_path / "td")
+    tdigest_step(data, 0, td, value_col="v", by=["g"])
+    before = sorted(map(repr, read_tdigest(spark, td).collect()))
+    tdigest_step(empty, 1, td, value_col="v", by=["g"])
+    assert sorted(map(repr, read_tdigest(spark, td).collect())) == before
+
+
+def test_weighted_sample_step_crash_states(spark, tmp_path):
+    """The shared _fold_summary_epoch protocol through the r14
+    weighted-sample keeper: the three crash states of
+    test_heavy_hitters_step_replay_idempotent — (a) marker present,
+    (b) dir complete + marker lost, (c) dir complete + pointer behind
+    — all replay to byte-identical state."""
+    from meerkat_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_summary,
+    )
+    from meerkat_spark.streaming.ingest import (
+        read_weighted_sample,
+        weighted_sample_step,
+    )
+
+    ws = str(tmp_path / "ws")
+    batches = [
+        spark.createDataFrame(
+            [(100 * e + j, j % 9 + 1) for j in range(60)], "id long, w long"
+        )
+        for e in range(3)
+    ]
+    for e, b in enumerate(batches):
+        weighted_sample_step(b, e, ws, weight_col="w", n=25, id_col="id")
+    base = sorted(map(tuple, read_weighted_sample(spark, ws).collect()))
+
+    # (a) plain redelivery of every epoch
+    for e, b in enumerate(batches):
+        weighted_sample_step(b, e, ws, weight_col="w", n=25, id_col="id")
+    assert sorted(map(tuple, read_weighted_sample(spark, ws).collect())) == base
+
+    # (b) marker lost, dir complete
+    marker = os.path.join(ws, "_epochs", "epoch-2")
+    os.remove(marker)
+    weighted_sample_step(batches[2], 2, ws, weight_col="w", n=25, id_col="id")
+    assert os.path.exists(marker)
+    assert sorted(map(tuple, read_weighted_sample(spark, ws).collect())) == base
+
+    # (c) epoch 3's dir complete, pointer still at 2, no marker
+    b3 = spark.createDataFrame([(9000 + j, 1000) for j in range(5)],
+                               "id long, w long")
+    cur = spark.read.parquet(
+        os.path.join(ws, open(os.path.join(ws, "_latest")).read().strip())
+    )
+    expected3 = merge_weighted_samples(
+        [cur, weighted_sample_summary(b3, "w", n=25, id_col="id")],
+        n=25, id_col="id",
+    )
+    expected3.write.mode("overwrite").parquet(os.path.join(ws, "summary-3"))
+    want = sorted(map(tuple, expected3.drop("__es_key").collect()))
+    weighted_sample_step(b3, 3, ws, weight_col="w", n=25, id_col="id")
+    with open(os.path.join(ws, "_latest")) as f:
+        assert f.read().strip() == "summary-3"
+    assert sorted(map(tuple, read_weighted_sample(spark, ws).collect())) == want
