@@ -1033,6 +1033,15 @@ class Parser:
                 else:
                     self.i = save
             key = self.parse_expr()
+            # Kusto places `with others = 'label'` BEFORE `by`
+            # (top-nested N of Expr with others = X by Agg); the
+            # post-agg position is also accepted (pre-r14 form)
+            others = None
+            if self.at_ident("with"):
+                self.next()
+                self.expect_ident("others")
+                self.expect("OP", "=")
+                others = str(self.expect("STRING").value)
             self.expect_ident("by")
             agg_name = None
             save = self.i
@@ -1044,8 +1053,7 @@ class Parser:
                 else:
                     self.i = save
             agg = self.parse_expr()
-            others = None
-            if self.at_ident("with"):
+            if others is None and self.at_ident("with"):
                 self.next()
                 self.expect_ident("others")
                 self.expect("OP", "=")
@@ -1604,6 +1612,10 @@ class Parser:
         if self.at("OP", "-"):
             self.next()
             return Unary("-", self.parse_unary())
+        if self.at("OP", "+"):
+            # unary plus is a no-op (Kusto allows `+5`, `real(+inf)`)
+            self.next()
+            return self.parse_unary()
         return self.parse_postfix()
 
     def parse_postfix(self):

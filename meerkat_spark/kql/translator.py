@@ -1392,6 +1392,20 @@ class Translator:
         name = node.func.lower()
         if name in self._WINDOW_FUNCS:
             return self._window_call(node)
+        if name == "real" and len(node.args) == 1:
+            # Kusto special real literals — real(nan), real(inf),
+            # real(+inf), real(-inf) (r14; `inf`/`nan` would otherwise
+            # resolve as column names). Unary + folds away in the
+            # parser; look through unary - here.
+            a0 = node.args[0]
+            neg = False
+            while isinstance(a0, P.Unary) and a0.op == "-":
+                neg = not neg
+                a0 = a0.operand
+            if isinstance(a0, P.Ident) and a0.name.lower() in ("nan", "inf"):
+                if a0.name.lower() == "nan":
+                    return F.lit(float("nan"))
+                return F.lit(float("-inf") if neg else float("inf"))
         if name == "gettype":
             # static type name from the schema (KQL names); columns are
             # statically typed here, so this is exact for column args

@@ -3252,3 +3252,36 @@ def test_evaluate_semdedup_and_decontaminate_plugins(spark):
     assert got == want
     # the planted contamination is real: benchmark members self-overlap
     assert not ({r.doc_id for r in bench.select("doc_id").collect()} & got)
+
+
+def test_real_special_literals_and_unary_plus(spark):
+    """r14 probe-sweep closures: Kusto's special real literals —
+    real(nan), real(inf), real(+inf), real(-inf) — translate to IEEE
+    values instead of resolving `inf`/`nan` as column names, and unary
+    plus is a parsed no-op."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        "print a = isnan(real(nan)), b = isinf(real(+inf)),"
+        " c = isinf(real(-inf)), d = real(inf) > 0,"
+        " e = real(-inf) < 0, p = +5, q = 3 * +2"
+    ).to_df().collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e, row.p, row.q) == (
+        True, True, True, True, True, 5, 6,
+    )
+
+
+def test_top_nested_with_others_before_by(spark):
+    """r14: Kusto places `with others = 'label'` BEFORE `by`
+    (top-nested N of Expr with others = X by Agg); both positions
+    parse and produce identical results."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    pre = eng.kql(
+        "events | top-nested 2 of event_type with others='rest'"
+        " by count()"
+    ).to_df().collect()
+    post = eng.kql(
+        "events | top-nested 2 of event_type by count()"
+        " with others='rest'"
+    ).to_df().collect()
+    assert sorted(map(tuple, pre)) == sorted(map(tuple, post))
+    assert any(r[0] == "rest" for r in pre)
