@@ -253,6 +253,7 @@ _SCALARS: dict[str, Any] = {
     "sin": lambda a: F.sin(_c(a[0])),
     "cos": lambda a: F.cos(_c(a[0])),
     "tan": lambda a: F.tan(_c(a[0])),
+    "cot": lambda a: F.lit(1.0) / F.tan(_c(a[0])),
     "asin": lambda a: F.asin(_c(a[0])),
     "acos": lambda a: F.acos(_c(a[0])),
     "atan": lambda a: F.atan(_c(a[0])),
@@ -2683,6 +2684,26 @@ class Translator:
                     .filter(F.col("__rk") <= op.args["n"])
                     .drop("__rk")
                 )
+            elif op.name == "take":
+                # Kusto: N rows PER PARTITION (r14 probe-sweep
+                # closure). After an explicit per-partition `sort` the
+                # kept rows are that order's prefix; without one the
+                # pick is arbitrary per the Kusto contract — realized
+                # deterministically-per-run via a monotonic surrogate.
+                # Keyed window only: one shuffle on the partition
+                # column, never a global sort.
+                n = op.args["n"]
+                if not isinstance(n, int):
+                    n = int(_raw(self.expr(n)))
+                order = list(self.serialize_order or []) or [
+                    F.monotonically_increasing_id()
+                ]
+                w = W.partitionBy(col).orderBy(*order)
+                cur = MeerkatTable(
+                    cur.df.withColumn("__rk", F.row_number().over(w))
+                    .filter(F.col("__rk") <= n)
+                    .drop("__rk")
+                )
             elif op.name == "summarize":
                 aggs = {}
                 for i, (nm, e) in enumerate(op.args["aggs"]):
@@ -2715,6 +2736,23 @@ class Translator:
             raise KqlSyntaxError(f"unparseable datetime literal {node.text!r}")
         if isinstance(node, P.Timespan):
             return _dt.timedelta(seconds=node.seconds)
+        if isinstance(node, P.DynamicLit):
+            # dynamic([...]) cell in a dynamic-typed datatable column —
+            # dynamics travel as canonical JSON text engine-wide (the
+            # bag-literal convention), so serialize the literal items
+            # (r14 probe-sweep closure)
+            import json as _json
+
+            def _v(n):
+                if isinstance(n, P.DynamicLit):
+                    return [_v(i) for i in n.items]
+                return self._lit_value(n)
+
+            return _json.dumps(
+                [_v(i) for i in node.items],
+                separators=(",", ":"),
+                default=str,
+            )
         raise KqlSyntaxError("datatable cells must be literals")
 
     def ap_top_hitters(self, t, a):

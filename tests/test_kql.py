@@ -3285,3 +3285,52 @@ def test_top_nested_with_others_before_by(spark):
     ).to_df().collect()
     assert sorted(map(tuple, pre)) == sorted(map(tuple, post))
     assert any(r[0] == "rest" for r in pre)
+
+
+def test_datatable_dynamic_cells(spark):
+    """r14 probe-sweep closure: dynamic([...]) / dynamic({...}) cells
+    in a dynamic-typed datatable column serialize to the engine's
+    canonical JSON text and stay mv-expandable."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    rows = eng.kql(
+        "datatable(a:long, d:dynamic)"
+        " [1, dynamic([1,2]), 2, dynamic({'k':1})]"
+        " | order by a asc"
+    ).to_df().collect()
+    assert [(r.a, r.d) for r in rows] == [(1, "[1,2]"), (2, '{"k":1}')]
+    exploded = eng.kql(
+        "datatable(a:long, d:dynamic) [1, dynamic([10,20])]"
+        " | mv-expand d | project d"
+    ).to_df().collect()
+    assert sorted(r.d for r in exploded) == ["10", "20"]
+
+
+def test_partition_subquery_take(spark):
+    """r14 probe-sweep closure: `take` inside a partition subquery
+    keeps N rows PER PARTITION through a keyed window (no global
+    sort); after a per-partition sort it keeps that order's prefix."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    n_users = eng.kql(
+        "events | summarize dcount(user_id)"
+    ).to_df().collect()[0][0]
+    got = eng.kql(
+        "events | partition by user_id (sort by ts asc | take 2) | count"
+    ).to_df().collect()[0][0]
+    assert got == 2 * n_users  # every fixture user has >= 2 events
+    # sorted prefix: each kept pair is the user's 2 EARLIEST events
+    pairs = eng.kql(
+        "events | partition by user_id (sort by ts asc | take 1)"
+        " | project user_id, ts"
+    ).to_df().collect()
+    firsts = eng.kql(
+        "events | summarize ts = min(ts) by user_id"
+    ).to_df().collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, firsts))
+
+
+def test_cot_function(spark):
+    import math
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    c = eng.kql("print c = cot(1.0)").to_df().collect()[0][0]
+    assert abs(c - 1.0 / math.tan(1.0)) < 1e-12
