@@ -116,6 +116,7 @@ class Lambda:
     params: list[str]
     body: Any  # expr, or a Pipeline for tabular lambdas
     tabular: list[str] = field(default_factory=list)  # params typed (*)
+    defaults: dict[str, Any] = field(default_factory=dict)  # p -> expr
 
 
 @dataclass
@@ -223,6 +224,7 @@ class Parser:
         self.expect("PUNCT", "(")
         params = []
         tabular: list[str] = []
+        defaults: dict[str, Any] = {}
         while not self.at("PUNCT", ")"):
             p = str(self.expect("IDENT").value)
             params.append(p)
@@ -236,6 +238,11 @@ class Parser:
                     tabular.append(p)
                 else:
                     self.expect("IDENT")
+            if self.at("OP", "="):
+                # Kusto default value — `(x:long, y:long = 10)`; a
+                # call may omit trailing defaulted args (r14)
+                self.next()
+                defaults[p] = self.parse_expr()
             if self.at("PUNCT", ","):
                 self.next()
         self.expect("PUNCT", ")")
@@ -246,7 +253,7 @@ class Parser:
         # tabular param); scalar lambdas have expression bodies
         body = self.parse_pipeline() if tabular else self.parse_expr()
         self.expect("PUNCT", "}")
-        return Lambda(params, body, tabular)
+        return Lambda(params, body, tabular, defaults)
 
     def parse_pipeline(self) -> Pipeline:
         source = self.parse_source()

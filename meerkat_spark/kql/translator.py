@@ -1525,14 +1525,20 @@ class Translator:
         # semantics for scalar functions — pure front-end inlining)
         lam = self.lets.get(node.func)
         if isinstance(lam, P.Lambda):
-            if len(node.args) != len(lam.params):
+            # omitted trailing args fall back to declared defaults
+            # (Kusto `(x:long, y:long = 10)` — r14)
+            call_args = list(node.args)
+            for p in lam.params[len(call_args):]:
+                if p in lam.defaults:
+                    call_args.append(lam.defaults[p])
+            if len(call_args) != len(lam.params):
                 raise KqlSyntaxError(
                     f"{name}() expects {len(lam.params)} args, got {len(node.args)}"
                 )
             # EAGERLY evaluate args, then bind the VALUES — binding raw
             # AST nodes into the shared namespace self-captures when an
             # argument mentions a name equal to a parameter
-            arg_vals = [self.expr(a, agg=agg) for a in node.args]
+            arg_vals = [self.expr(a, agg=agg) for a in call_args]
             sentinel = object()
             saved = {p: self.lets.get(p, sentinel) for p in lam.params}
             try:
@@ -1729,20 +1735,34 @@ class Translator:
             )
             if not tabs:
                 raise KqlSyntaxError("union: no tables resolved")
-            first = tabs[0]
-            base = (
-                MeerkatTable(self.pipeline(first))
-                if isinstance(first, P.Pipeline)
-                else self.table(first)
-            )
+            # isfuzzy must forgive an unresolvable FIRST leg too (r14
+            # probe-sweep closure — only the tail legs were forgiven):
+            # walk until one leg resolves as the base; none resolving
+            # is an error even under isfuzzy (Kusto semantics)
+            base = first = None
+            idx = 0
+            for i, cand in enumerate(tabs):
+                try:
+                    base = (
+                        MeerkatTable(self.pipeline(cand))
+                        if isinstance(cand, P.Pipeline)
+                        else self.table(cand)
+                    )
+                    first, idx = cand, i
+                    break
+                except UnknownTableError:
+                    if not node.args.get("isfuzzy", False):
+                        raise
+            if base is None:
+                raise KqlSyntaxError("union: no tables resolved")
             rest = {
                 "kind": node.args["kind"],
-                "tables": tabs[1:],
+                "tables": tabs[idx + 1:],
                 "withsource": node.args.get("withsource"),
                 "isfuzzy": node.args.get("isfuzzy", False),
-                "base_name": first if isinstance(first, str) else "union_arg_0",
+                "base_name": first if isinstance(first, str) else f"union_arg_{idx}",
             }
-            if tabs[1:]:
+            if rest["tables"]:
                 return self.ap_union(base, rest)
             if rest["withsource"]:
                 return MeerkatTable(
@@ -2451,12 +2471,16 @@ class Translator:
             )
         tab = lam.tabular[0]
         scal = [p for p in lam.params if p not in lam.tabular]
-        if len(a["args"]) != len(scal):
+        call_args = list(a["args"])
+        for p in scal[len(call_args):]:
+            if p in lam.defaults:
+                call_args.append(lam.defaults[p])
+        if len(call_args) != len(scal):
             raise KqlSyntaxError(
                 f"invoke {a['func']}(): expects {len(scal)} scalar args, "
                 f"got {len(a['args'])}"
             )
-        arg_vals = [self.expr(x) for x in a["args"]]
+        arg_vals = [self.expr(x) for x in call_args]
         sentinel = object()
         saved = {p: self.lets.get(p, sentinel) for p in scal}
         saved_tab = self.let_tables.get(tab, sentinel)

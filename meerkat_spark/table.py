@@ -37,6 +37,12 @@ JOIN_KIND_MAP = {
     # Spark has no right_semi/right_anti — realized by swapping sides.
     "rightsemi": "left_semi",
     "rightanti": "left_anti",
+    # Kusto's documented aliases (r14): anti/semi default to the left
+    # forms; *antisemi are the long-form spellings
+    "anti": "left_anti",
+    "semi": "left_semi",
+    "leftantisemi": "left_anti",
+    "rightantisemi": "left_anti",
 }
 
 
@@ -215,7 +221,7 @@ class MeerkatTable:
         if side_aliases:
             left = left.alias(side_aliases[0])
             right = right.alias(side_aliases[1])
-        if k in ("rightsemi", "rightanti"):
+        if k in ("rightsemi", "rightanti", "rightantisemi"):
             left, right = right, left
         if broadcast_right:
             right = F.broadcast(right)

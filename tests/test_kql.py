@@ -3334,3 +3334,66 @@ def test_cot_function(spark):
     eng = MeerkatEngine(spark, SF_ORACLE)
     c = eng.kql("print c = cot(1.0)").to_df().collect()[0][0]
     assert abs(c - 1.0 / math.tan(1.0)) < 1e-12
+
+
+def test_join_kind_aliases(spark):
+    """r14: Kusto's documented join-kind aliases — anti/semi default
+    to the left forms, leftantisemi/rightantisemi are the long
+    spellings (rightantisemi swaps sides like rightanti)."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    n = eng.kql("events | count").to_df().collect()[0][0]
+    got = eng.kql(
+        "events | join kind=anti (events | where value > 1e9)"
+        " on user_id | count"
+    ).to_df().collect()[0][0]
+    assert got == n  # nothing matches -> everything survives the anti
+    semi = eng.kql(
+        "events | join kind=semi (events) on user_id | count"
+    ).to_df().collect()[0][0]
+    assert semi == n
+    la = eng.kql(
+        "events | join kind=leftantisemi (events) on user_id | count"
+    ).to_df().collect()[0][0]
+    assert la == 0
+    ra = eng.kql(
+        "events | join kind=rightantisemi (events | where value > 1e9)"
+        " on user_id | count"
+    ).to_df().collect()[0][0]
+    assert ra == 0  # right side empty -> nothing survives
+
+
+def test_lambda_default_params(spark):
+    """r14: scalar and tabular lambdas accept Kusto default values —
+    omitted trailing args fall back to the declared defaults."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    assert eng.kql(
+        "let f = (x:long, y:long = 10) { x + y }; print v = f(5)"
+    ).to_df().collect()[0][0] == 15
+    assert eng.kql(
+        "let f = (x:long, y:long = 10) { x + y }; print v = f(5, 1)"
+    ).to_df().collect()[0][0] == 6
+    full = eng.kql(
+        "let flt = (T:(*), lo:real = 1e9) { T | where value >= lo };"
+        "events | invoke flt() | count"
+    ).to_df().collect()[0][0]
+    assert full == 0  # default kicked in
+    from meerkat_spark.kql import KqlSyntaxError
+
+    with pytest.raises(KqlSyntaxError):
+        eng.kql("let f = (x:long, y:long) { x + y }; print v = f(5)").to_df()
+
+
+def test_union_isfuzzy_forgives_unknown_first_leg(spark):
+    """r14: `union isfuzzy=true` forgives an unresolvable FIRST leg
+    (only tail legs were forgiven before); all-unresolvable still
+    raises, and isfuzzy=false raises on the first leg."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    got = eng.kql(
+        "union isfuzzy=true no_such, also_missing, (events | take 4)"
+        " | count"
+    ).to_df().collect()[0][0]
+    assert got == 4
+    with pytest.raises(Exception):
+        eng.kql("union isfuzzy=true no_such, also_missing | count").to_df()
+    with pytest.raises(Exception):
+        eng.kql("union no_such, (events | take 1) | count").to_df()
