@@ -371,7 +371,7 @@ def hll_distinct_rollup(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(count(value) AS BIGINT) AS n,
-           TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -380,12 +380,15 @@ def tdigest_rollup_envelope(spark, sf_dir):
     the engine behind start_tdigest_stream): three disjoint slices
     each build per-type digests (tdigest_sketch — map-side combine,
     digest-sized shuffle), merge_digest_tables folds them (merge is
-    the build on concatenated centroid sets), and the merged digest's
-    p50/p95 must land within 2% relative of Spark's EXACT percentiles
-    computed in the same query — the agg_percentile_tdigest envelope
-    pattern, here additionally crossing a merge generation. Exact
-    group keys and counts are graded directly; the regime-dependent
-    raw estimates stay out of the hash."""
+    the build on concatenated centroid sets), and each merged
+    digest's p50/p95 must land inside the exact +-3%-RANK envelope —
+    between the exact p47/p53 and p92/p98 values computed in the same
+    query. Rank error (not value error) is what the t-digest theorem
+    bounds, so this contract holds at EVERY scale factor, including
+    ~200-row groups at sf0.001 where a relative-value tolerance
+    flakes on tail interpolation (found by the r14 full-suite run).
+    Exact group keys and counts are graded directly; the
+    regime-dependent raw estimates stay out of the hash."""
     from meerkat_spark.functions.tdigest import (
         digest_percentiles,
         merge_digest_tables,
@@ -407,19 +410,20 @@ def tdigest_rollup_envelope(spark, sf_dir):
     )
     exact = e.groupBy("event_type").agg(
         F.count("value").alias("n"),
-        F.percentile("value", 0.5).alias("e50"),
-        F.percentile("value", 0.95).alias("e95"),
-    )
-    tol = lambda a, b: (  # noqa: E731 — suite convention
-        F.abs(F.col(a) - F.col(b)) <= 0.02 * F.abs(F.col(b))
+        F.percentile("value", 0.47).alias("lo50"),
+        F.percentile("value", 0.53).alias("hi50"),
+        F.percentile("value", 0.92).alias("lo95"),
+        F.percentile("value", 0.98).alias("hi95"),
     )
     return (
         est.join(exact, "event_type")
         .select(
             "event_type",
             F.col("n").cast("long").alias("n"),
-            tol("p50_est", "e50").alias("p50_within_2pct"),
-            tol("p95_est", "e95").alias("p95_within_2pct"),
+            ((F.col("p50_est") >= F.col("lo50"))
+             & (F.col("p50_est") <= F.col("hi50"))).alias("p50_rank_ok"),
+            ((F.col("p95_est") >= F.col("lo95"))
+             & (F.col("p95_est") <= F.col("hi95"))).alias("p95_rank_ok"),
         )
         .orderBy("event_type")
     )
