@@ -62,17 +62,27 @@ def series_outliers(col: Column, threshold: float = 2.5) -> Column:
 
 
 def series_fit_line(col: Column) -> Column:
-    """KQL series_fit_line: least-squares line fit per series → struct
-    (slope, intercept, rsquare)."""
+    """KQL series_fit_line: least-squares line fit per series → the
+    documented 6-field Kusto tuple, IN KUSTO ORDER so multi-assign
+    extend binds positionally like the real engine (r14 — the struct
+    was a 3-field subset before): (rsquare, slope, variance,
+    rvariance, interception, line_fit). variance = population variance
+    of the input, rvariance = residual variance, line_fit = the
+    fitted values."""
 
-    @F.pandas_udf("slope double, intercept double, rsquare double")
+    @F.pandas_udf(
+        "rsquare double, slope double, variance double, "
+        "rvariance double, interception double, line_fit array<double>"
+    )
     def fit(series: pd.Series) -> pd.DataFrame:
-        slopes, intercepts, r2s = [], [], []
+        rows = {
+            "rsquare": [], "slope": [], "variance": [],
+            "rvariance": [], "interception": [], "line_fit": [],
+        }
         for arr in series:
             if arr is None or len(arr) < 2:
-                slopes.append(None)
-                intercepts.append(None)
-                r2s.append(None)
+                for k in rows:
+                    rows[k].append(None)
                 continue
             y = np.asarray(arr, dtype=np.float64)
             x = np.arange(len(y), dtype=np.float64)
@@ -81,10 +91,15 @@ def series_fit_line(col: Column) -> Column:
             ss_res = float(((y - pred) ** 2).sum())
             ss_tot = float(((y - y.mean()) ** 2).sum())
             r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0
-            slopes.append(round(float(slope), 6))
-            intercepts.append(round(float(intercept), 6))
-            r2s.append(round(r2, 6))
-        return pd.DataFrame({"slope": slopes, "intercept": intercepts, "rsquare": r2s})
+            rows["rsquare"].append(round(r2, 6))
+            rows["slope"].append(round(float(slope), 6))
+            rows["variance"].append(round(float(y.var()), 6))
+            rows["rvariance"].append(round(ss_res / len(y), 6))
+            rows["interception"].append(round(float(intercept), 6))
+            rows["line_fit"].append([round(float(v), 6) for v in pred])
+        return pd.DataFrame(
+            {k: pd.Series(v, dtype="object") for k, v in rows.items()}
+        )
 
     return fit(col)
 

@@ -755,7 +755,7 @@ def series_fit_line_oracle(spark, sf_dir):
     return fit.select(
         "user_id",
         F.round(F.col("fit.slope"), 3).alias("slope"),
-        F.round(F.col("fit.intercept"), 3).alias("intercept"),
+        F.round(F.col("fit.interception"), 3).alias("intercept"),
         F.round(F.col("fit.rsquare"), 3).alias("rsquare"),
     )
 

@@ -2098,10 +2098,13 @@ def test_round6_operator_extensions(spark):
     eng = MeerkatEngine(spark, SF_ORACLE)
     r = eng.kql(
         "print s = dynamic([1.0,2.0,3.0])"
-        " | extend (slope, interc) = series_fit_line(s), c = 7"
-        " | project slope, interc, c"
+        # Kusto positional order: (rsquare, slope, variance,
+        # rvariance, interception, line_fit) — r14
+        " | extend (rsq, slope, va, rva, interc, lf) = series_fit_line(s), c = 7"
+        " | project rsq, slope, interc, c"
     ).to_df().collect()[0]
-    assert abs(r.slope - 1.0) < 1e-6 and abs(r.interc - 1.0) < 1e-6 and r.c == 7
+    assert abs(r.rsq - 1.0) < 1e-6 and abs(r.slope - 1.0) < 1e-6
+    assert abs(r.interc - 1.0) < 1e-6 and r.c == 7
     assert eng.kql("print a = dynamic([1,2,3,4]) | mv-expand a limit 2").to_df().count() == 2
     assert (
         eng.kql(

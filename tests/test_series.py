@@ -54,8 +54,11 @@ def test_series_fit_line(spark, series_df):
         .first()
     )
     assert row.slope == pytest.approx(1.0, abs=1e-6)
-    assert row.intercept == pytest.approx(1.0, abs=1e-6)
+    assert row.interception == pytest.approx(1.0, abs=1e-6)
     assert row.rsquare == pytest.approx(1.0, abs=1e-6)
+    # r14: full Kusto tuple — variance/rvariance/line_fit present
+    assert row.rvariance == pytest.approx(0.0, abs=1e-6)
+    assert len(row.line_fit) > 2
 
 
 def test_series_over_make_series(spark):
