@@ -289,6 +289,42 @@ def tostring(x) -> Column:
     return F.coalesce(_c(x).cast("string"), F.lit(""))
 
 
+def timespan_to_string(itv: Column) -> Column:
+    """Kusto [d.]hh:mm:ss[.fffffff] rendering of a day-time INTERVAL
+    column (r14 — datetime subtraction yields intervals, and Spark's
+    native cast renders them as \"INTERVAL '…' DAY TO SECOND\"). Total
+    microseconds come from anchoring the interval at the epoch —
+    intervals don't cast to numerics directly; the fraction renders as
+    Kusto's fixed 7-digit 100-ns tick field, mirroring the
+    translate-time `_span_str` literal formatter."""
+    us = F.unix_micros(F.timestamp_micros(F.lit(0)) + itv)
+    sign = F.when(us < 0, F.lit("-")).otherwise(F.lit(""))
+    a = F.abs(us)
+    ticks = (a % 1_000_000) * 10
+    total_s = F.floor(a / 1_000_000).cast("long")
+    d = F.floor(total_s / 86400).cast("long")
+    rem = total_s % 86400
+    h = F.floor(rem / 3600).cast("long")
+    m = F.floor((rem % 3600) / 60).cast("long")
+    s = total_s % 60
+    body = F.concat(
+        F.when(d > 0, F.concat(d.cast("string"), F.lit(""))).otherwise(
+            F.lit("")
+        ),
+        F.when(d > 0, F.lit(".")).otherwise(F.lit("")),
+        F.lpad(h.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(s.cast("string"), 2, "0"),
+        F.when(
+            ticks > 0,
+            F.concat(F.lit("."), F.lpad(ticks.cast("string"), 7, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return F.concat(sign, body)
+
+
 def base64_encode_tostring(x) -> Column:
     return F.base64(_c(x).cast("binary"))
 

@@ -1387,12 +1387,74 @@ class Translator:
         "row_number", "prev", "next", "row_cumsum", "row_rank_min", "row_rank_dense",
     }
 
+    def _is_datetime_node(self, n) -> bool:
+        """Static datetime-ness of an AST node (for the timespan
+        string-rendering special case — r14). Conservative: only forms
+        whose type is certain."""
+        from pyspark.sql import types as T
+
+        if isinstance(n, P.DateTimeLit):
+            return True
+        if isinstance(n, P.Call) and n.func.lower() in (
+            "todatetime", "now", "make_datetime", "datetime_add",
+            "startofday", "startofweek", "startofmonth", "startofyear",
+            "endofday", "endofweek", "endofmonth", "endofyear",
+        ):
+            return True
+        if isinstance(n, P.Ident) and self._cur_schema is not None:
+            f = {x.name: x.dataType for x in self._cur_schema.fields}.get(
+                n.name
+            )
+            return isinstance(f, (T.TimestampType, T.TimestampNTZType))
+        return False
+
+    def _is_timespan_node(self, n) -> bool:
+        """Static timespan-ness: datetime - datetime, timespan±timespan,
+        or a column the current schema types as a day-time interval."""
+        from pyspark.sql import types as T
+
+        if isinstance(n, P.Binary):
+            if (
+                n.op == "-"
+                and self._is_datetime_node(n.left)
+                and self._is_datetime_node(n.right)
+            ):
+                return True
+            if n.op in ("+", "-") and (
+                self._is_timespan_node(n.left)
+                and self._is_timespan_node(n.right)
+            ):
+                return True
+        if isinstance(n, P.Ident) and self._cur_schema is not None:
+            f = {x.name: x.dataType for x in self._cur_schema.fields}.get(
+                n.name
+            )
+            return isinstance(f, T.DayTimeIntervalType)
+        return False
+
     def call(self, node: P.Call, agg: bool) -> Column:
         # builtins dispatch case-insensitively (lowered); let-bound
         # lambda names stay case-sensitive (KQL identifier semantics)
         name = node.func.lower()
         if name in self._WINDOW_FUNCS:
             return self._window_call(node)
+        if name == "tostring" and len(node.args) == 1 and self._is_timespan_node(
+            node.args[0]
+        ):
+            # timespan-typed values render Kusto-style [d.]hh:mm:ss
+            # (r14) — Spark's native interval cast says
+            # "INTERVAL '…' DAY TO SECOND"
+            return S.timespan_to_string(_c(self.expr(node.args[0])))
+        if name == "strcat" and any(
+            self._is_timespan_node(x) for x in node.args
+        ):
+            parts = [
+                S.timespan_to_string(_c(self.expr(x)))
+                if self._is_timespan_node(x)
+                else _span_str(self.expr(x, agg=agg))
+                for x in node.args
+            ]
+            return S.strcat(*parts)
         if name == "real" and len(node.args) == 1:
             # Kusto special real literals — real(nan), real(inf),
             # real(+inf), real(-inf) (r14; `inf`/`nan` would otherwise
@@ -2285,6 +2347,31 @@ class Translator:
                 alias = name or f"__star{i}"
                 aggs[alias] = fn(row, ordc)
                 star_aliases.append(alias)
+                continue
+            if (
+                name is None
+                and isinstance(e, P.Call)
+                and e.func.lower() in ("arg_max", "arg_min")
+                and len(e.args) >= 2
+            ):
+                # UNNAMED arg_min(ord, c1, …): Kusto outputs each
+                # expression as its OWN column (ordering expr first) —
+                # the single-column `arg_min_value` default was a
+                # deviation (r14 probe-sweep closure). Routed through
+                # the multi-assign struct machinery with derived names;
+                # the NAMED form (`m = arg_max(v, x)`) keeps its single
+                # output column.
+                fname = e.func.lower()
+                exprs = [_c(self.expr(x, agg=False)) for x in e.args]
+                names = tuple(
+                    x.name if isinstance(x, P.Ident) else _default_key_name(x, j)
+                    for j, x in enumerate(e.args)
+                )
+                row = F.struct(*[c.alias(n) for n, c in zip(names, exprs)])
+                fn = F.max_by if fname == "arg_max" else F.min_by
+                alias = f"__multi{i}"
+                aggs[alias] = fn(row, exprs[0])
+                multi_expand.append((alias, names))
                 continue
             if (
                 isinstance(e, P.Call)

@@ -3400,3 +3400,53 @@ def test_union_isfuzzy_forgives_unknown_first_leg(spark):
         eng.kql("union isfuzzy=true no_such, also_missing | count").to_df()
     with pytest.raises(Exception):
         eng.kql("union no_such, (events | take 1) | count").to_df()
+
+
+def test_unnamed_arg_min_outputs_each_column(spark):
+    """r14 probe-sweep closure: UNNAMED `summarize arg_min(ord, c1, …)`
+    outputs each expression as its own column like Kusto (the old
+    behavior collapsed to one `arg_min_value` column); the named form
+    keeps its single output."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    df = eng.kql("events | summarize arg_min(value, event_id)").to_df()
+    assert set(df.columns) == {"value", "event_id"}
+    r = df.collect()[0]
+    lo = eng.kql(
+        "events | top 1 by value asc | project value, event_id"
+    ).to_df().collect()[0]
+    assert r.value == lo.value
+    by = eng.kql(
+        "events | summarize arg_max(value, event_id, ts) by event_type"
+    ).to_df()
+    assert set(by.columns) == {"event_type", "value", "event_id", "ts"}
+    named = eng.kql(
+        "events | summarize m = arg_max(value, event_id)"
+    ).to_df()
+    assert named.columns == ["m"]
+
+
+def test_timespan_renders_kusto_format(spark):
+    """r14 probe-sweep closure: timespan-typed values (datetime
+    subtraction, interval-typed columns, timespan sums) render as
+    Kusto [d.]hh:mm:ss[.fffffff] in tostring/strcat instead of
+    Spark's INTERVAL literal text."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    row = eng.kql(
+        "print a = tostring(datetime(2024-01-02) - datetime(2024-01-01)),"
+        " b = tostring(datetime(2024-01-02 03:04:05.5)"
+        " - datetime(2024-01-01)),"
+        " c = strcat('', datetime(2024-01-01) - datetime(2024-01-02)),"
+        " d = tostring((datetime(2024-01-02) - datetime(2024-01-01))"
+        " + (datetime(2024-01-02) - datetime(2024-01-01)))"
+    ).to_df().collect()[0]
+    assert row.a == "1.00:00:00"
+    assert row.b == "1.03:04:05.5000000"
+    assert row.c == "-1.00:00:00"
+    assert row.d == "2.00:00:00"
+    # interval-typed COLUMN through the schema-aware path
+    s = eng.kql(
+        "events | extend gap = ts - startofday(ts)"
+        " | extend s = tostring(gap) | where s startswith '00:'"
+        " | count"
+    ).to_df().collect()[0][0]
+    assert s > 0
