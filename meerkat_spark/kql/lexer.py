@@ -19,6 +19,7 @@ KEYWORDS = {
 
 _TIMESPAN_RE = re.compile(r"(?P<num>\d+(?:\.\d+)?)(?P<unit>ms|microsecond|tick|d|h|m|s)\b")
 _NUMBER_RE = re.compile(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
+_HEX_RE = re.compile(r"0[xX][0-9a-fA-F]+")
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 # multi-char operators first
 _OPS = [
@@ -119,6 +120,13 @@ def tokenize(text: str) -> list[Token]:
             i = j + 1
             continue
         if ch.isdigit():
+            # hex literal (Kusto: 0xFF is a long) — before the decimal
+            # matcher, which would stop at the 'x' (r14)
+            m = _HEX_RE.match(text, i)
+            if m:
+                tokens.append(Token("NUMBER", int(m.group(), 16), i))
+                i = m.end()
+                continue
             m = _TIMESPAN_RE.match(text, i)
             if m:
                 secs = float(m.group("num")) * TIMESPAN_SECONDS[m.group("unit")]

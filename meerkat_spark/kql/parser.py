@@ -164,7 +164,19 @@ class Parser:
     # -- entry
     def parse(self) -> Query:
         lets: dict[str, Any] = {}
-        while self.at_ident("let"):
+        while self.at_ident("let") or self.at_ident("set"):
+            if self.at_ident("set"):
+                # `set option[=value];` query-option statements (Kusto
+                # request properties — notruncation, query_timeout, …):
+                # service knobs with no Spark realization, so they
+                # parse-and-ignore like the join/partition hints (r14)
+                self.next()
+                self.expect("IDENT")
+                if self.at("OP", "="):
+                    self.next()
+                    self.next()  # the option value literal
+                self.expect("PUNCT", ";")
+                continue
             self.next()
             name = str(self.expect("IDENT").value)
             self.expect("OP", "=")
@@ -386,6 +398,12 @@ class Parser:
             self.expect("PUNCT", ")")
             self.expect("PUNCT", ".")
             name = str(self.expect("IDENT").value)
+        if name == "table" and self.at("PUNCT", "("):
+            # Kusto table('name') reference — resolves like a bare
+            # table identifier (r14)
+            self.next()
+            name = str(self.expect("STRING").value)
+            self.expect("PUNCT", ")")
         return OpNode("table", {"name": name})
 
     # -- operators

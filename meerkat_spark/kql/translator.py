@@ -1258,6 +1258,41 @@ class Translator:
             for p in preds[1:]:
                 out = (out | p) if op == "has_any_sub" else (out & p)
             return out
+        if (
+            isinstance(node.left, P.Ident)
+            and node.left.name == "*"
+            and op in ("has", "has_cs", "contains", "contains_cs",
+                       "!has", "!contains")
+            and self._cur_schema is not None
+        ):
+            # Kusto `* has 'term'`: the predicate over EVERY string
+            # column (the search operator's predicate form — r14).
+            # Negated forms are true when NO column matches.
+            from pyspark.sql import types as T
+
+            term = str(_raw(self.expr(node.right, agg=agg)))
+            base_op = op.lstrip("!")
+            cols = [
+                f.name
+                for f in self._cur_schema.fields
+                if isinstance(f.dataType, T.StringType)
+            ]
+            if not cols:
+                return F.lit(op.startswith("!"))
+            def _one(c):
+                col = F.col(c)
+                if base_op in ("has", "has_cs"):
+                    return S.has_term(
+                        col, term, case_insensitive=(base_op == "has")
+                    )
+                if base_op == "contains":
+                    return F.lower(col).contains(term.lower())
+                return col.contains(term)
+            pred = _one(cols[0])
+            for c in cols[1:]:
+                pred = pred | _one(c)
+            pred = F.coalesce(pred, F.lit(False))
+            return ~pred if op.startswith("!") else pred
         le = self.expr(node.left, agg=agg)
         re = self.expr(node.right, agg=agg)
         # timespan literal arithmetic stays python-side (_Span ops) so

@@ -49,6 +49,9 @@ PROBES = [
     ("frequency_estimate plugin", "events | evaluate frequency_estimate(event_type, 4, 4096, 0)"),
     ("weighted heavy_hitters plugin", "events | extend w = event_id % 3 + 1 | evaluate heavy_hitters(event_type, 3, 64, w)"),
     ("stratified weighted_sample plugin", "documents | where n_chars > 0 | evaluate weighted_sample(doc_id, n_chars, 3, 's', lang)"),
+    ("set statements", "set notruncation; set query_timeout = 60; events | count"),
+    ("table() reference", "table('events') | count"),
+    ("star has", "events | where * has 'click' | count"),
 ]
 
 # semantic probes: (name, query, expected first-row values)
@@ -59,6 +62,7 @@ SEMANTIC = [
     ("has word boundary", "print b1 = 'cat dog' has 'cat', b2 = 'catalog' has 'cat'", [True, False]),
     ("in~ case-insensitive", "print b = 'ABC' in~ ('abc')", [True]),
     ("bin negative", "print b = bin(-1, 3)", [-3]),
+    ("hex literal", "print v = 0xFF", [255]),
     ("timespan strcat", "print t = strcat('', 1h + 30m)", ["01:30:00"]),
     ("dt-dt tostring", "print d = tostring(datetime(2024-01-02) - datetime(2024-01-01))", ["1.00:00:00"]),
     ("dt-dt frac", "print d = tostring(datetime(2024-01-02 03:04:05.5) - datetime(2024-01-01))", ["1.03:04:05.5000000"]),

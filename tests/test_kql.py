@@ -3450,3 +3450,25 @@ def test_timespan_renders_kusto_format(spark):
         " | count"
     ).to_df().collect()[0][0]
     assert s > 0
+
+
+def test_set_statement_table_fn_hex_star_has(spark):
+    """r14 probe-sweep closures, batch 6: `set option[=value];`
+    query-option statements parse-and-ignore; table('name') resolves
+    like a bare table reference; 0xFF hex literals lex as longs; and
+    `* has 'term'` predicates over every string column — equal to the
+    search operator's row set, with the negated form its complement."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    n = eng.kql("events | count").to_df().collect()[0][0]
+    assert eng.kql(
+        "set notruncation; set query_timeout = 60; let k = 2;"
+        " print v = k"
+    ).to_df().collect()[0][0] == 2
+    assert eng.kql("table('events') | count").to_df().collect()[0][0] == n
+    row = eng.kql("print v = 0xFF, w = 0x10 + 1").to_df().collect()[0]
+    assert (row.v, row.w) == (255, 17)
+    star = eng.kql("events | where * has 'click' | count").to_df().collect()[0][0]
+    search = eng.kql("events | search 'click' | count").to_df().collect()[0][0]
+    neg = eng.kql("events | where * !has 'click' | count").to_df().collect()[0][0]
+    assert star == search
+    assert star + neg == n
