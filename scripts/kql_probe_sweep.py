@@ -15,7 +15,20 @@ Add new probes at the bottom of PROBES/SEMANTIC as Kusto corners come
 up; every r14 closure (real literals, top-nested with-others position,
 dynamic datatable cells, partition take, join aliases, lambda
 defaults, fuzzy-union base, series_fit_line tuple, unnamed arg_min,
-timespan rendering) started as a failing line here.
+timespan rendering, set statements, table() refs, hex literals,
+`* has`) started as a failing line here.
+
+KNOWN-GAP BACKLOG (catalogued r14, candidates for r15):
+- `scan declare (k:long = 0)` default values: the parser accepts
+  only `name:type`; the scan engine initializes declared variables
+  to null before first assignment (operators/scan.py), so defaults
+  need BOTH a parser extension and an engine initial-state change.
+- `evaluate narrow()` requires an explicit serialize/sort first
+  (documented contract with a clear error); Kusto implies the
+  serialization.
+- dayofweek() returns the INT day count (0=Sunday) rather than
+  Kusto's timespan — documented delta (functions/scalar.py), so
+  `dayofweek(x) == 0d` comparisons need `== 0`.
 """
 
 from __future__ import annotations
