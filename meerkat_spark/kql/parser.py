@@ -174,7 +174,12 @@ class Parser:
                 self.expect("IDENT")
                 if self.at("OP", "="):
                     self.next()
-                    self.next()  # the option value literal
+                    # the value may be a multi-token expression (Kusto's
+                    # documented `set query_timeout = time(5m);` form) —
+                    # skip everything up to the terminating ';'
+                    # (ADVICE r14)
+                    while not self.at("PUNCT", ";") and not self.at("EOF"):
+                        self.next()
                 self.expect("PUNCT", ";")
                 continue
             self.next()

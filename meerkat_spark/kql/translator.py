@@ -1258,20 +1258,31 @@ class Translator:
             for p in preds[1:]:
                 out = (out | p) if op == "has_any_sub" else (out & p)
             return out
+        _WILDCARD_OPS = {
+            "has", "has_cs", "contains", "contains_cs",
+            "hasprefix", "hasprefix_cs", "hassuffix", "hassuffix_cs",
+            "startswith", "startswith_cs", "endswith", "endswith_cs",
+        }
         if (
             isinstance(node.left, P.Ident)
             and node.left.name == "*"
-            and op in ("has", "has_cs", "contains", "contains_cs",
-                       "!has", "!contains")
             and self._cur_schema is not None
         ):
             # Kusto `* has 'term'`: the predicate over EVERY string
-            # column (the search operator's predicate form — r14).
-            # Negated forms are true when NO column matches.
+            # column (the search operator's predicate form — r14;
+            # widened to the full string-op family incl. negated/_cs
+            # forms in r15, ADVICE r14). Negated forms are true when
+            # NO column matches. Any other `*` predicate is a clear
+            # syntax error instead of a confusing unresolved-column one.
             from pyspark.sql import types as T
 
-            term = str(_raw(self.expr(node.right, agg=agg)))
             base_op = op.lstrip("!")
+            if base_op not in _WILDCARD_OPS:
+                raise KqlSyntaxError(
+                    f"`* {op}` is not a supported wildcard predicate "
+                    f"(string operators only: {sorted(_WILDCARD_OPS)})"
+                )
+            term = str(_raw(self.expr(node.right, agg=agg)))
             cols = [
                 f.name
                 for f in self._cur_schema.fields
@@ -1279,6 +1290,7 @@ class Translator:
             ]
             if not cols:
                 return F.lit(op.startswith("!"))
+
             def _one(c):
                 col = F.col(c)
                 if base_op in ("has", "has_cs"):
@@ -1287,7 +1299,26 @@ class Translator:
                     )
                 if base_op == "contains":
                     return F.lower(col).contains(term.lower())
-                return col.contains(term)
+                if base_op == "contains_cs":
+                    return col.contains(term)
+                if base_op == "startswith":
+                    return S.startswith(col, term)
+                if base_op == "startswith_cs":
+                    return col.startswith(term)
+                if base_op == "endswith":
+                    return S.endswith(col, term)
+                if base_op == "endswith_cs":
+                    return col.endswith(term)
+                # hasprefix/hassuffix: term-boundary prefix/suffix,
+                # same regexes as the single-column dispatch below
+                import re as _re2
+
+                q = _re2.escape(term)
+                flags = "" if base_op.endswith("_cs") else "(?i)"
+                if base_op.startswith("hasprefix"):
+                    return col.rlike(flags + r"(^|[^\w])" + q)
+                return col.rlike(flags + q + r"($|[^\w])")
+
             pred = _one(cols[0])
             for c in cols[1:]:
                 pred = pred | _one(c)
@@ -1444,10 +1475,15 @@ class Translator:
         return False
 
     def _is_timespan_node(self, n) -> bool:
-        """Static timespan-ness: datetime - datetime, timespan±timespan,
-        or a column the current schema types as a day-time interval."""
+        """Static timespan-ness: a timespan literal, datetime-datetime,
+        timespan±timespan, or a column the current schema types as a
+        day-time interval. Literal classification (r15, ADVICE r14)
+        lets mixed forms like tostring(interval_col + 1h) reach the
+        Kusto [d.]hh:mm:ss renderer."""
         from pyspark.sql import types as T
 
+        if isinstance(n, P.Timespan):
+            return True
         if isinstance(n, P.Binary):
             if (
                 n.op == "-"

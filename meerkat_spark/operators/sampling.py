@@ -205,17 +205,24 @@ def merge_weighted_samples(
 ) -> DataFrame:
     """Fold weighted-sample summaries (weighted_sample_summary outputs,
     any split of the corpus) into the summary of their union: keep the
-    n smallest `__es_key` rows. Re-delivered rows are exact duplicates
-    (same id => same deterministic key), so a per-id dedup first makes
-    the merge idempotent under overlap/replay. Every frame is <= n
-    rows; the fold is a TakeOrdered over <= n x len(summaries) rows."""
+    n smallest `__es_key` rows. Re-delivered rows with an unchanged
+    weight are exact duplicates (same id => same deterministic key);
+    if an id is RE-INGESTED WITH A DIFFERENT WEIGHT its keys differ, so
+    the per-id dedup keeps the MIN `__es_key` row (a keyed window, not
+    dropDuplicates' arbitrary pick — ADVICE r14) to stay deterministic
+    and bit-identical to a global weighted_sample_n over the deduped
+    union. Every frame is <= n rows; the fold is a window + TakeOrdered
+    over <= n x len(summaries) rows."""
     if not summaries:
         raise ValueError("merge_weighted_samples needs at least one summary")
     out = None
     for s in summaries:
         out = s if out is None else out.unionByName(s)
+    w = W.partitionBy(id_col).orderBy(F.col("__es_key").asc())
     return (
-        out.dropDuplicates([id_col])
+        out.withColumn("__es_rn", F.row_number().over(w))
+        .filter(F.col("__es_rn") == 1)
+        .drop("__es_rn")
         .orderBy(F.col("__es_key").asc(), F.col(id_col).asc())
         .limit(n)
     )

@@ -57,91 +57,71 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-14 rotation (VERDICT r13 ask #1, matching the verdict's own
-# arithmetic: 2 + 2 + 46 = 50) — ALL 50 slots are oracle-backed (the
-# driver has no rows-only fallback; round 6 burned 5 slots on
-# `err: no_oracle` rows).
-# (a) the two r13 registrations that were queued to lead this window
-# (never driver-graded): weighted_sample_op, url_dedup_canonical.
-# (b) the two promoted sketch KQL plugins (VERDICT r13 ask #2):
-# evaluate frequency_estimate / weighted_sample — previously pytest-
-# equivalence-pinned only, now oracle-backed window slots.
-# (c) the FULL 46-name r9-stale cohort (oldest green grade anywhere
-# in the registry — after this round no oracle-backed grade is older
-# than r10, the verdict's done-criterion).
-# Registered but QUEUED TO LEAD THE r15 WINDOW (the r13 precedent —
-# all locally oracle-verified via scripts/check_oracle_sf001.py and
-# pytest-pinned this round; the 50 slots are full):
-#   mg_approx_envelope   (VERDICT r13 ask #3 — approximate-regime MG
-#                         guarantee as the graded contract)
-#   heavy_hitters_weighted (ask #8 — `top-hitters N of C by sum(W)`
-#                         sketch form through the KQL plugin)
-#   weighted_sample_keeper (r14 — the mergeable weighted-reservoir
-#                         fold behind start_weighted_sample_stream)
-#   kql_weighted_sample_stratified (r14 — 5-arg plugin form: exact-N
-#                         per stratum via the keyed window)
-#   kql_freq_estimate_weighted (r14 — 5-arg plugin form: weighted
-#                         Count-Min, cells sum WeightCol)
-#   hll_distinct_rollup (r14 — mergeable HLL distinct counts, the
-#                         engine behind start_hll_distinct_stream)
-#   tdigest_rollup_envelope (r14 — t-digest merge lifecycle under the
-#                         percentile envelope contract)
-# Exactly 50 — enforced by tests/test_registry.py.
+# Round-15 rotation (VERDICT r14 top_next, arithmetic 7 + 42 + 1 = 50) --
+# ALL 50 slots are oracle-backed (the driver has no rows-only fallback).
+# (a) the seven r14 registrations queued to lead this window (never
+# driver-graded; all judge-verified green at sf0.01 in VERDICT r14).
+# (b) the FULL 42-name r10-stale cohort (oldest green grade anywhere in
+# the registry -- after this round no oracle-backed grade is older than
+# r11, the verdict's done-criterion).
+# (c) slot 50: the oldest r11 name (first in registry order): search_term.
+# Exactly 50 -- enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) r13 registrations, never graded — they lead
-    "weighted_sample_op",
-    "url_dedup_canonical",
-    # (b) promoted sketch KQL plugins
-    "kql_evaluate_frequency_estimate",
-    "kql_evaluate_weighted_sample",
-    # (c) the full r9-stale cohort (46 names)
-    "extend_compute",
-    "project_away_rename",
-    "project_keep_wildcard",
-    "summarize_bin_1h",
-    "summarize_multiassign",
-    "count_op",
-    "distinct_op",
-    "join_inner_agg",
-    "range_join_price_bands",
-    "agg_percentilew",
-    "scalar_dynamic_json",
-    "scalar_arrays",
-    "scalar_array_ops",
-    "scalar_predicates",
-    "scalar_misc",
-    "scalar_extract_regex",
-    "scalar_datetime_extended",
-    "scalar_strings_extended",
-    "text_decontaminate_pairs",
-    "text_repetition",
-    "pack_chunks_op",
-    "gopher_quality_filter",
-    "dedup_incremental_index",
-    "dsir_importance_score",
-    "embedding_quantize_int8",
-    "semdedup_planted",
-    "kql_reduce_by",
-    "kql_basket",
-    "kql_diffpatterns",
-    "kql_externaldata",
-    "kql_union_withsource",
-    "kql_graph_match",
-    "kql_graph_shortest_paths",
-    "top_nested_with_others",
-    "sample_hash_op",
-    "sample_distinct_hash_op",
-    "stratified_sample_hash_op",
-    "ipv4_lookup_op",
-    "geohash_roundtrip",
-    "rows_near_errors",
-    "rolling_percentile_op",
-    "retention_matrix_op",
-    "active_users_count_op",
-    "funnel_sequence_op",
-    "activity_engagement_op",
-    "funnel_completion_op",
+    # (a) r14 registrations, never graded -- they lead
+    "mg_approx_envelope",
+    "heavy_hitters_weighted",
+    "weighted_sample_keeper",
+    "kql_weighted_sample_stratified",
+    "kql_freq_estimate_weighted",
+    "hll_distinct_rollup",
+    "tdigest_rollup_envelope",
+    # (b) the full r10-stale cohort (42 names)
+    "activity_counts_metrics_op",
+    "activity_metrics_op",
+    "agg_argmax_argmin",
+    "agg_binary_all",
+    "agg_conditional",
+    "agg_dcount",
+    "agg_distinct_variants",
+    "agg_make_list_if",
+    "agg_make_set",
+    "agg_percentiles",
+    "agg_percentilesw",
+    "agg_stats",
+    "agg_take_any",
+    "diffpatterns_text_op",
+    "embedding_neardup_incremental",
+    "find_in_tables",
+    "geo_polygon_ops",
+    "join_fullouter",
+    "join_innerunique",
+    "join_leftanti",
+    "join_leftouter",
+    "join_leftsemi",
+    "kql_argmax_star",
+    "kql_graph_to_table",
+    "kql_invoke_tabular",
+    "kql_make_series_numeric",
+    "scalar_format_fns",
+    "scalar_ipv6_family",
+    "scalar_round5_extras",
+    "scalar_series_similarity",
+    "scalar_string_bytes",
+    "sequence_detect_op",
+    "series_fit_line_oracle",
+    "session_count_op",
+    "sliding_window_counts_op",
+    "sort_take_asc",
+    "text_language_id_oracle",
+    "text_quality_score_oracle",
+    "tfidf_top_terms",
+    "top_orders",
+    "vocab_top_tokens",
+    "where_project",
+    # (c) slot 50: oldest r11 name
+    "search_term",
 ]
+
 
 def _ordered(mapping: dict) -> dict:
     head = {n: mapping[n] for n in _PRIORITY if n in mapping}

@@ -37,10 +37,12 @@ JOIN_KIND_MAP = {
     # Spark has no right_semi/right_anti — realized by swapping sides.
     "rightsemi": "left_semi",
     "rightanti": "left_anti",
-    # Kusto's documented aliases (r14): anti/semi default to the left
-    # forms; *antisemi are the long-form spellings
+    # Kusto's documented aliases (r14, corrected r15): Kusto documents
+    # aliases only for the ANTI family — `anti` == leftanti, and
+    # *antisemi are the long-form spellings. `kind=semi` is NOT valid
+    # Kusto and is rejected (ADVICE r14: silently accepting it would
+    # pass queries the real engine refuses).
     "anti": "left_anti",
-    "semi": "left_semi",
     "leftantisemi": "left_anti",
     "rightantisemi": "left_anti",
 }

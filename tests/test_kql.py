@@ -3339,6 +3339,66 @@ def test_cot_function(spark):
     assert abs(c - 1.0 / math.tan(1.0)) < 1e-12
 
 
+def test_wildcard_predicate_family_and_set_values(spark):
+    """r15 (ADVICE r14): `* <op>` wildcard predicates cover the FULL
+    string-operator family (negated and _cs forms included), unsupported
+    `*` predicates raise a clear KqlSyntaxError, and `set` statement
+    values may be multi-token expressions (Kusto's documented
+    `set query_timeout = time(5m);` form)."""
+    from meerkat_spark.kql.parser import KqlSyntaxError
+
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    n = eng.kql("events | count").to_df().collect()[0][0]
+    # negated case-sensitive forms complement their positive twins
+    for op in ("has_cs", "contains_cs", "startswith", "endswith_cs"):
+        pos = eng.kql(
+            f"events | where * {op} 'click' | count"
+        ).to_df().collect()[0][0]
+        neg = eng.kql(
+            f"events | where * !{op} 'click' | count"
+        ).to_df().collect()[0][0]
+        assert pos + neg == n, op
+    # hasprefix: term-boundary prefix over every string column
+    hp = eng.kql(
+        "events | where * hasprefix 'cli' | count"
+    ).to_df().collect()[0][0]
+    has = eng.kql(
+        "events | where * has 'click' | count"
+    ).to_df().collect()[0][0]
+    assert hp >= has > 0
+    with pytest.raises(KqlSyntaxError, match="wildcard"):
+        eng.kql("events | where * == 5 | count")
+    # multi-token set values parse-and-ignore
+    assert eng.kql(
+        "set query_timeout = time(5m); set truncationmaxsize = 64 * 1024;"
+        " events | count"
+    ).to_df().collect()[0][0] == n
+
+
+def test_timespan_literal_mixed_rendering(spark):
+    """r15 (ADVICE r14): timespan LITERALS classify as timespan nodes,
+    so mixed expressions — datetime-diff plus a literal span, an
+    interval column plus a literal — reach the Kusto [d.]hh:mm:ss
+    renderer instead of Spark's INTERVAL ... DAY TO SECOND text."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    got = eng.kql(
+        "print s = tostring(datetime(2024-01-02) - datetime(2024-01-01)"
+        " + 90m)"
+    ).to_df().collect()[0][0]
+    assert got == "1.01:30:00"
+    got = eng.kql(
+        "events | extend d = ts - bin(ts, 1d)"
+        " | extend s = tostring(d + 1h) | where isnotempty(s)"
+        " | count"
+    ).to_df().collect()[0][0]
+    assert got > 0
+    got = eng.kql(
+        "print s = strcat('x=', datetime(2024-01-01 03:00:00)"
+        " - datetime(2024-01-01) + 1h)"
+    ).to_df().collect()[0][0]
+    assert got == "x=04:00:00"
+
+
 def test_join_kind_aliases(spark):
     """r14: Kusto's documented join-kind aliases — anti/semi default
     to the left forms, leftantisemi/rightantisemi are the long
@@ -3350,10 +3410,12 @@ def test_join_kind_aliases(spark):
         " on user_id | count"
     ).to_df().collect()[0][0]
     assert got == n  # nothing matches -> everything survives the anti
-    semi = eng.kql(
-        "events | join kind=semi (events) on user_id | count"
-    ).to_df().collect()[0][0]
-    assert semi == n
+    # kind=semi is NOT documented Kusto (only the anti family has
+    # aliases) — r15: rejected with a clear error, not silently mapped.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="join kind"):
+        eng.kql("events | join kind=semi (events) on user_id | count")
     la = eng.kql(
         "events | join kind=leftantisemi (events) on user_id | count"
     ).to_df().collect()[0][0]

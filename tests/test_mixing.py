@@ -374,6 +374,43 @@ def test_weighted_sample_summary_merge_identity(spark):
     ) == got
 
 
+def test_weighted_sample_merge_weight_conflict_deterministic(spark):
+    """r15 (ADVICE r14): if the same id is re-ingested with a DIFFERENT
+    weight, its race keys differ across summaries — the merge keeps the
+    MIN __es_key row per id (a keyed window, not dropDuplicates'
+    arbitrary pick), so the fold is deterministic, order-invariant, and
+    bit-identical to a global pass over the per-id-min-key union."""
+    from meerkat_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_summary,
+    )
+
+    a = spark.createDataFrame(
+        [(i, (i * 7) % 20 + 1) for i in range(200)], "id long, w long"
+    )
+    # ids 50..149 re-ingested with different weights
+    b = spark.createDataFrame(
+        [(i, (i * 11) % 30 + 1) for i in range(50, 250)], "id long, w long"
+    )
+    sa = weighted_sample_summary(a, "w", n=25, id_col="id", salt="wc")
+    sb = weighted_sample_summary(b, "w", n=25, id_col="id", salt="wc")
+    m1 = sorted(
+        (r["id"], r["w"])
+        for r in merge_weighted_samples([sa, sb], 25, "id").collect()
+    )
+    m2 = sorted(
+        (r["id"], r["w"])
+        for r in merge_weighted_samples([sb, sa], 25, "id").collect()
+    )
+    assert m1 == m2  # order of summaries cannot change the draw
+    # repeating a summary (replay) cannot change the draw either
+    m3 = sorted(
+        (r["id"], r["w"])
+        for r in merge_weighted_samples([sa, sb, sa], 25, "id").collect()
+    )
+    assert m3 == m1
+
+
 def test_weighted_sample_merge_edges(spark):
     """Edge cases of the mergeable draw: empty slices contribute
     nothing, and n larger than the corpus returns every valid row."""
