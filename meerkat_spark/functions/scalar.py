@@ -129,6 +129,9 @@ def format_datetime(ts, fmt: str) -> Column:
     jvm = _re.sub(
         "f+", lambda m: "S" * len(m.group(0)), fmt.replace("tt", "a")
     )
+    # Kusto treats [ and ] as plain separators; the JVM formatter reads
+    # them as optional-section markers — quote them to keep them literal
+    jvm = jvm.replace("[", "'['").replace("]", "']'")
     return F.date_format(_c(ts), jvm)
 
 

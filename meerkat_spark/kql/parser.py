@@ -631,6 +631,7 @@ class Parser:
             self.expect("OP", "=")
             match_id = str(self.expect("IDENT").value)
         declare: list[tuple[str, str]] = []
+        declare_defaults: dict[str, Any] = {}
         if self.at_ident("declare"):
             self.next()
             self.expect("PUNCT", "(")
@@ -639,6 +640,12 @@ class Parser:
                 self.expect("PUNCT", ":")
                 vtype = str(self.expect("IDENT").value)
                 declare.append((vname, vtype))
+                if self.at("OP", "="):
+                    # Kusto `scan declare (k:long = 0)` default values
+                    # (r15) — the variable starts each sequence at the
+                    # default instead of null
+                    self.next()
+                    declare_defaults[vname] = self.parse_expr()
                 if self.at("PUNCT", ","):
                     self.next()
             self.expect("PUNCT", ")")
@@ -682,6 +689,7 @@ class Parser:
                 "steps": steps,
                 "outputs": outputs,
                 "declare": declare,
+                "declare_defaults": declare_defaults,
                 "assigns": assigns,
                 "kind": kind,
                 "partials": partials,
@@ -1071,7 +1079,9 @@ class Parser:
                 self.next()
                 self.expect_ident("others")
                 self.expect("OP", "=")
-                others = str(self.expect("STRING").value)
+                # any constant expression, not just a string literal
+                # (Kusto allows e.g. strcat(...) — r15 probe batch 7)
+                others = self.parse_expr()
             self.expect_ident("by")
             agg_name = None
             save = self.i
@@ -1087,7 +1097,7 @@ class Parser:
                 self.next()
                 self.expect_ident("others")
                 self.expect("OP", "=")
-                others = str(self.expect("STRING").value)
+                others = self.parse_expr()
             levels.append(
                 {"n": n, "key": key, "key_name": key_name, "agg": agg,
                  "agg_name": agg_name, "others": others}

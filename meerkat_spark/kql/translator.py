@@ -1355,6 +1355,20 @@ class Translator:
                     "<=": _opmod.le, ">": _opmod.gt, ">=": _opmod.ge,
                 }[op]
                 return F.lit(cmp(le.seconds, re.seconds))
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            # dayofweek() surfaces the INT day count (documented delta,
+            # functions/scalar.py:135) — comparisons against Kusto
+            # timespan literals (`dayofweek(x) == 0d`, the documented
+            # Kusto form) coerce the literal to its day count so the
+            # Kusto-exact spelling works unchanged (r15, closing the
+            # r14 probe-backlog gap).
+            def _is_dow(n) -> bool:
+                return isinstance(n, P.Call) and n.func.lower() == "dayofweek"
+
+            if isinstance(re, _Span) and _is_dow(node.left):
+                re = re.seconds / 86400.0
+            elif isinstance(le, _Span) and _is_dow(node.right):
+                le = le.seconds / 86400.0
         l, r = _c(le), _c(re)
         if op == "and":
             return l & r
@@ -3124,15 +3138,24 @@ class Translator:
             kept = ranked.filter(F.col("__rk") <= n) if n else ranked
             kept = kept.drop("__rk")
             if lvl["others"] is not None and n:
+                # the others label is any constant expression (r15) —
+                # the parser hands over the AST node; legacy plain
+                # strings still work
+                _oth = lvl["others"]
+                oth_lit = (
+                    F.lit(_oth)
+                    if isinstance(_oth, str)
+                    else _c(self.expr(_oth))
+                )
                 rest = ranked.filter(F.col("__rk") > n).drop("__rk")
                 rollup = (
                     rest.groupBy(*parent)
                     .agg(F.sum(agg_name).alias(agg_name))
-                    .withColumn(key_name, F.lit(lvl["others"]))
+                    .withColumn(key_name, oth_lit)
                     .select(*parent, key_name, agg_name)
                     if parent
                     else rest.agg(F.sum(agg_name).alias(agg_name)).select(
-                        F.lit(lvl["others"]).alias(key_name), agg_name
+                        oth_lit.alias(key_name), agg_name
                     )
                 )
                 kept = kept.unionByName(rollup)
@@ -3637,13 +3660,17 @@ class Translator:
         if plugin == "narrow":
             # Kusto narrow(): transpose to (Row, Column, Value) triples,
             # values stringified. Row is the serialized row number —
-            # requires an explicit order (same contract as the row_*
-            # window functions) so the output is deterministic.
+            # Kusto IMPLIES the serialization (r15, closing the r14
+            # probe-backlog gap): without an explicit `serialize`/`sort
+            # by`, freeze the current (arbitrary) order exactly as a
+            # bare `| serialize` would.
             if not self.serialize_order:
-                raise KqlSyntaxError(
-                    "narrow() requires a serialized table — add `| serialize` "
-                    "or `| sort by …` first"
+                t = MeerkatTable(
+                    t.to_df().withColumn(
+                        "__serial", F.monotonically_increasing_id()
+                    )
                 )
+                self.serialize_order = [F.col("__serial").asc()]
             from pyspark.sql import Window as W
 
             df = t.to_df().withColumn(
@@ -4456,10 +4483,35 @@ class Translator:
                 )
             else:
                 py_preds.append(None)
-        step_assign = [
-            {v: _c(self.expr(e)) for v, e in step_a}
-            for step_a in (a.get("assigns") or [[] for _ in preds])
-        ]
+        # Assignments split like predicates: var-free values precompute
+        # JVM-side (codegen), var-REFERENCING ones (`k = k + 1`, the
+        # Kusto accumulator form — r15) compile to python evaluated
+        # inside the machine against the sequence's current variables.
+        step_assign = []
+        step_py_assign = []
+        for step_a in a.get("assigns") or [[] for _ in preds]:
+            jvm: dict[str, Column] = {}
+            pyd: dict = {}
+            for v, e in step_a:
+                if _scan_refs_vars(e, decl_names):
+                    pyd[v] = _scan_compile_pyexpr(e, decl_names, in_cols)
+                else:
+                    jvm[v] = _c(self.expr(e))
+            step_assign.append(jvm)
+            step_py_assign.append(pyd)
+        # `declare (k:long = 0)` defaults (r15): evaluated to PYTHON
+        # literals at translate time — each sequence's variables start
+        # at the default instead of null
+        init = {}
+        for v, e in (a.get("declare_defaults") or {}).items():
+            val = _raw(self.expr(e))
+            if (
+                isinstance(val, float)
+                and val.is_integer()
+                and decl.get(v) in ("tinyint", "smallint", "int", "bigint")
+            ):
+                val = int(val)  # NUMBER tokens lex as float; long defaults
+            init[v] = val
         out = scan_steps(
             df,
             steps=preds,
@@ -4467,10 +4519,12 @@ class Translator:
             match_id_col=a["match_id"],
             step_output=a.get("outputs"),
             declare=decl or None,
+            declare_init=init or None,
             step_assign=step_assign if any(step_assign) else None,
             concurrent=a.get("kind") == "concurrent",
             concurrent_partials=int(a.get("partials", 1)),
             step_py_preds=py_preds if any(py_preds) else None,
+            step_py_assigns=step_py_assign if any(step_py_assign) else None,
         ).drop("__scan_ord")
         return MeerkatTable(out)
 
@@ -4637,11 +4691,21 @@ def _pv_cmp(op: str, a: Any, b: Any) -> bool:
 
 
 def _scan_compile_pypred(node: Any, var_names: set, columns: set):
-    """AST → (row, vars) -> bool. Supported: literals (incl. timespan/
+    """AST → (row, vars) -> bool: the var-dependent predicate residual
+    (a bool-coerced _scan_compile_pyexpr)."""
+    f = _scan_compile_pyexpr(node, var_names, columns)
+    return lambda row, vars: bool(f(row, vars))
+
+
+def _scan_compile_pyexpr(node: Any, var_names: set, columns: set):
+    """AST → (row, vars) -> value. Supported: literals (incl. timespan/
     datetime), column & declared-variable refs, unary -/not, and/or,
     comparisons, + - * / % with datetime/timespan coercion, between,
     in/!in. Anything wider (function calls, dynamic access) raises —
-    keep such subexpressions out of the var-dependent conjunct."""
+    keep such subexpressions out of the var-dependent conjunct. Also
+    compiles var-REFERENCING step assignments (`total = total + value`,
+    Kusto's accumulator form — r15), which the JVM precompute cannot
+    express because declared variables are not columns."""
 
     def comp(n: Any):
         if isinstance(n, P.Lit):
@@ -4729,5 +4793,4 @@ def _scan_compile_pypred(node: Any, var_names: set, columns: set):
             f"in — got {type(n).__name__}"
         )
 
-    f = comp(node)
-    return lambda row, vars: bool(f(row, vars))
+    return comp(node)

@@ -44,9 +44,11 @@ def scan_steps(
     match_id_col: str = "match_id",
     step_output: list[str] | None = None,
     declare: dict[str, str] | None = None,
+    declare_init: dict[str, object] | None = None,
     step_assign: list[dict[str, Column]] | None = None,
     concurrent: bool = False,
     step_py_preds: list | None = None,
+    step_py_assigns: list | None = None,
     concurrent_partials: int = 1,
     max_unpartitioned_rows: int = 5_000_000,
 ) -> DataFrame:
@@ -63,7 +65,19 @@ def scan_steps(
     Spark type string; `step_assign[i]` maps variable → Column evaluated
     on each row that matches step i (advance or hold) — emitted rows
     carry each variable's value as of their own match, null before first
-    assignment.
+    assignment. `declare_init` maps variable → python literal: Kusto's
+    `scan declare (k:long = 0)` defaults (r15) — each sequence's
+    variables start at the default instead of null.
+
+    `step_py_assigns[i]`, when given, maps variable → callable
+    `(row: dict, vars: dict) -> value`: the var-REFERENCING assignments
+    of step i (`total = total + value`, Kusto's accumulator form —
+    r15). They cannot precompute JVM-side (declared variables are not
+    columns), so they evaluate inside the machine against the
+    sequence's variables as of BEFORE the row (all assignments in a
+    step read the same pre-row snapshot), after the step's precomputed
+    JVM assignments apply. Their presence forces the per-group python
+    machine (same cost class as step_py_preds).
 
     `concurrent=True` lifts the greedy single-active-sequence subset to
     Kusto's concurrent model: ONE partial match may be active PER STEP
@@ -142,13 +156,27 @@ def scan_steps(
     order_cols = list(order_by)
     data_cols = [f.name for f in out_fields]
     var_names = list(decl)
+    bad_init = set(declare_init or {}) - set(decl)
+    if bad_init:
+        raise ValueError(f"defaults for undeclared variables: {sorted(bad_init)}")
+    # sequence-start variable values: the declared default, else null.
+    # Plain python literals — this dict pickles into the workers.
+    init_vals = {v: (declare_init or {}).get(v) for v in var_names}
     # the machine must close over NAMES only — Column objects hold JVM
     # references and don't pickle into the worker
     step_var_names = [list(a) for a in assigns]
     py_preds = list(step_py_preds or [None] * n_steps)
     if len(py_preds) != n_steps:
         raise ValueError("step_py_preds needs one entry (or None) per step")
-    has_py = any(p is not None for p in py_preds)
+    py_assigns = list(step_py_assigns or [{} for _ in range(n_steps)])
+    if len(py_assigns) != n_steps:
+        raise ValueError("step_py_assigns needs one dict (possibly empty) per step")
+    bad_pa = {v for a in py_assigns for v in a} - set(decl)
+    if bad_pa:
+        raise ValueError(f"python assignments to undeclared variables: {sorted(bad_pa)}")
+    has_py = any(p is not None for p in py_preds) or any(
+        a for a in py_assigns
+    )
 
     unpartitioned = not keys
     if unpartitioned:
@@ -277,11 +305,11 @@ def scan_steps(
                 (s, v): pdf[assign_cols[(s, v)]].to_numpy(dtype=object)
                 for (s, v) in assign_cols
             }
-            cur = {v: None for v in var_names}
+            cur = dict(init_vals)
             prev = -1
             for i in range(len(midx)):
                 if mgmids[i] != prev:
-                    cur = {v: None for v in var_names}
+                    cur = dict(init_vals)
                     prev = mgmids[i]
                 sv = step_var_names[int(msteps[i])]
                 if sv:
@@ -329,10 +357,14 @@ def scan_steps(
 
         def apply_assigns(s: int, i: int, var_vals: dict) -> dict:
             step_vars = step_var_names[s]
-            if step_vars:
+            pa = py_assigns[s]
+            if step_vars or pa:
+                pre = var_vals  # all assignments read the pre-row snapshot
                 var_vals = dict(var_vals)
                 for v in step_vars:
                     var_vals[v] = pdf.at[i, assign_cols[(s, v)]]
+                for v, fn in pa.items():
+                    var_vals[v] = fn(rows[i], pre)
             return var_vals
 
         keep_rows: list[int] = []
@@ -386,7 +418,7 @@ def scan_steps(
                                 tables[k].append((runs, vv))
                         del tables[k][:-concurrent_partials]
                     else:
-                        fresh = {v: None for v in var_names}
+                        fresh = dict(init_vals)
                         if n_steps == 1:
                             if pyok(0, i, fresh):
                                 vv = apply_assigns(0, i, fresh)
@@ -422,7 +454,7 @@ def scan_steps(
                     if not flags[i, k]:
                         continue
                     if k == 0:
-                        fresh = {v: None for v in var_names}
+                        fresh = dict(init_vals)
                         if n_steps == 1:
                             # single-step scan: every matching record is
                             # a complete match of its own (greedy parity)
@@ -467,7 +499,7 @@ def scan_steps(
         match_id = 0
         # per completed-so-far step: [(row_idx, var snapshot), ...]
         runs: list[list[tuple[int, dict]]] = []
-        var_vals: dict = {v: None for v in var_names}
+        var_vals: dict = dict(init_vals)
         for i in range(len(pdf)):
             # advance beats hold (Kusto order); the python residual sees
             # the sequence's variables as of BEFORE this row
@@ -480,7 +512,7 @@ def scan_steps(
                     match_id += 1
                     state = 0
                     runs = []
-                    var_vals = {v: None for v in var_names}
+                    var_vals = dict(init_vals)
             elif (
                 state > 0
                 and flags[i, state - 1]

@@ -18,17 +18,19 @@ defaults, fuzzy-union base, series_fit_line tuple, unnamed arg_min,
 timespan rendering, set statements, table() refs, hex literals,
 `* has`) started as a failing line here.
 
-KNOWN-GAP BACKLOG (catalogued r14, candidates for r15):
-- `scan declare (k:long = 0)` default values: the parser accepts
-  only `name:type`; the scan engine initializes declared variables
-  to null before first assignment (operators/scan.py), so defaults
-  need BOTH a parser extension and an engine initial-state change.
-- `evaluate narrow()` requires an explicit serialize/sort first
-  (documented contract with a clear error); Kusto implies the
-  serialization.
-- dayofweek() returns the INT day count (0=Sunday) rather than
-  Kusto's timespan — documented delta (functions/scalar.py), so
-  `dayofweek(x) == 0d` comparisons need `== 0`.
+All three r14 backlog entries closed in r15 (probes below):
+scan declare defaults + var-referencing accumulator assignments,
+implicit serialize for evaluate narrow(), and dayofweek() comparisons
+against timespan literals (`== 0d`) via a translator coercion.
+
+KNOWN-GAP BACKLOG (catalogued r15, candidates for r16):
+- scan completion semantics: a sequence COMPLETES at the final step
+  and the machine resets (the documented greedy single-active subset,
+  operators/scan.py module docstring) — Kusto instead HOLDs at the
+  final step, so its single-step cumulative-sum idiom
+  (`scan declare (t:long=0) with (step s1: true => t = t + x;)`)
+  yields per-row resets here, not a running total. Running totals are
+  expressed via row_cumsum/serialize instead.
 """
 
 from __future__ import annotations
@@ -49,7 +51,7 @@ PROBES = [
     ("partition take unsorted", "events | partition by user_id (take 2) | count"),
     ("cot", "print c = cot(1.0)"),
     ("join anti alias", "events | join kind=anti (events | where value > 1e9) on user_id | count"),
-    ("join semi alias", "events | join kind=semi (events | take 10) on user_id | count"),
+    ("join leftsemi", "events | join kind=leftsemi (events | take 10) on user_id | count"),
     ("join leftantisemi", "events | join kind=leftantisemi (events) on user_id | count"),
     ("join rightantisemi", "events | take 3 | join kind=rightantisemi (events) on user_id | count"),
     ("lambda default scalar", "let f = (x:long, y:long = 10) { x + y }; print v = f(5)"),
@@ -65,6 +67,23 @@ PROBES = [
     ("set statements", "set notruncation; set query_timeout = 60; events | count"),
     ("table() reference", "table('events') | count"),
     ("star has", "events | where * has 'click' | count"),
+    # r15 closures of the r14 backlog
+    ("scan declare default", "events | take 50 | sort by ts asc | scan declare (k:long = 100) with (step s1: event_type == 'click' => k = k + 1;) | summarize mx = max(k)"),
+    ("scan accumulator across holds", "events | take 100 | sort by ts asc | scan declare (n:long = 0) with (step s1: event_type == 'click' => n = n + 1; step s2: event_type == 'view';) | count"),
+    ("narrow implicit serialize", "events | take 3 | project event_id, event_type | evaluate narrow() | count"),
+    # r15 widened wildcard predicates + multi-token set values
+    ("star !has_cs", "events | where * !has_cs 'ZZZ' | count"),
+    ("star hasprefix", "events | where * hasprefix 'cli' | count"),
+    ("set multi-token value", "set query_timeout = time(5m); events | count"),
+    # r15 probe batch 7
+    ("bagexpansion=array typed", "datatable(d:dynamic) [dynamic([1,2,3])] | mv-expand with_itemindex=i d to typeof(long) | summarize s = sum(d), mi = max(i)"),
+    ("parse-where regex kind", "events | parse-where kind=regex event_type with kind_head '[a-z]+' | count"),
+    ("top-nested aggregated others", "events | top-nested 2 of event_type with others=strcat('other', '-types') by count() | count"),
+    ("let view over externaldata", "let ext = externaldata(a:long, b:string) ['/root/repo/examples/ext_probe.csv'] with (format='csv'); ext | summarize n = count(), s = sum(a)"),
+    ("between timespan-arith endpoints", "events | where ts between ((datetime(2024-01-01) + 1d) .. (datetime(2024-01-01) + 2d)) | count"),
+    ("between datetime..timespan form", "events | where ts between (datetime(2024-01-02) .. 1d) | count"),
+    ("negative array_slice", "print s = array_slice(dynamic([1,2,3,4,5]), -3, -1)"),
+    ("array_slice mixed sign", "print s = array_slice(dynamic([1,2,3,4,5]), 1, -2)"),
 ]
 
 # semantic probes: (name, query, expected first-row values)
@@ -82,6 +101,13 @@ SEMANTIC = [
     # dayofweek returns the INT day count (0=Sunday) — the engine's
     # documented delta from Kusto's timespan return (scalar.py)
     ("startofweek sunday", "print d = dayofweek(startofweek(datetime(2024-02-07))) == 0", [True]),
+    # r15: Kusto-exact timespan-literal comparison now coerces
+    ("dayofweek == 0d", "print d = dayofweek(startofweek(datetime(2024-02-07))) == 0d", [True]),
+    ("dayofweek < 4d", "print d = dayofweek(datetime(2024-02-07)) < 4d", [True]),
+    ("scan default pre-assign", "events | take 50 | sort by ts asc | scan declare (k:long = 7) with (step s1: event_type == 'click'; step s2: event_type == 'view' => k = k + 1;) | where step_index == 0 | summarize v = take_any(k)", [7]),
+    # r15 batch 7 semantic probes
+    ("format_datetime edge tokens", "print s = format_datetime(datetime(2017-01-29 09:10:00.5), 'yy-MM-dd [HH:mm:ss.ff tt]')", ["17-01-29 [09:10:00.50 AM]"]),
+    ("format_datetime single tokens", "print s = format_datetime(datetime(2017-01-09 03:10:07), 'M/d/yy h:m:s')", ["1/9/17 3:10:7"]),
 ]
 
 

@@ -3339,6 +3339,55 @@ def test_cot_function(spark):
     assert abs(c - 1.0 / math.tan(1.0)) < 1e-12
 
 
+def test_narrow_implicit_serialize_and_dayofweek_timespan(spark):
+    """r15 (probe-backlog closures): `evaluate narrow()` implies the
+    serialization like Kusto (no explicit serialize/sort required), and
+    dayofweek() comparisons against timespan literals (`== 0d`, Kusto's
+    documented form) coerce so the Kusto-exact spelling works."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    # 3 rows x 2 columns -> 6 (Row, Column, Value) triples
+    n = eng.kql(
+        "events | take 3 | project event_id, event_type"
+        " | evaluate narrow() | count"
+    ).to_df().collect()[0][0]
+    assert n == 6
+    cols = eng.kql(
+        "events | take 2 | project event_id | evaluate narrow()"
+    ).to_df().columns
+    assert cols == ["Row", "Column", "Value"]
+    # dayofweek vs timespan literals
+    row = eng.kql(
+        "print a = dayofweek(startofweek(datetime(2024-02-07))) == 0d,"
+        " b = dayofweek(datetime(2024-02-07)) == 3d,"
+        " c = dayofweek(datetime(2024-02-07)) < 4d,"
+        " d = 2d > dayofweek(datetime(2024-02-05))"  # Monday = 1
+    ).to_df().collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (True, True, True, True)
+    # int comparisons keep working (the documented delta's other form)
+    assert eng.kql(
+        "print b = dayofweek(datetime(2024-02-07)) == 3"
+    ).to_df().collect()[0][0] is True
+
+
+def test_top_nested_others_expression_and_format_datetime_brackets(spark):
+    """r15 probe batch 7 closures: `with others = <expr>` accepts any
+    constant expression (not just a string literal), and
+    format_datetime keeps Kusto's [ ] separators literal (the JVM
+    formatter would read them as optional-section markers)."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    rows = eng.kql(
+        "events | top-nested 2 of event_type"
+        " with others=strcat('other', '-types') by n = count()"
+    ).to_df().collect()
+    types = {r.event_type for r in rows}
+    assert "other-types" in types and len(rows) == 3
+    got = eng.kql(
+        "print s = format_datetime(datetime(2017-01-29 09:10:00.5),"
+        " 'yy-MM-dd [HH:mm:ss.ff tt]')"
+    ).to_df().collect()[0][0]
+    assert got == "17-01-29 [09:10:00.50 AM]"
+
+
 def test_wildcard_predicate_family_and_set_values(spark):
     """r15 (ADVICE r14): `* <op>` wildcard predicates cover the FULL
     string-operator family (negated and _cs forms included), unsupported

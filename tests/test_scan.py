@@ -433,3 +433,99 @@ def test_concurrent_partials_state_is_bounded(spark):
         # the survivors are the NEWEST partials (oldest evicted)
         starts = sorted(r.i for r in got if r.step_index == 0)
         assert starts == list(range(m - min(bound, m), m))
+
+
+def test_scan_declare_defaults_accumulator(spark):
+    """r15 (probe-backlog closure): `scan declare (k:long = 0)` default
+    values, plus var-REFERENCING assignments (`k = k + 1`, the Kusto
+    accumulator form) — evaluated python-side inside the machine since
+    declared variables are not columns. Accumulation carries across
+    step holds; each new sequence restarts at the DEFAULT, not null."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(1, "c"), (2, "c"), (3, "v"), (4, "c"), (5, "v")],
+        "ts long, ev string",
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | sort by ts asc | scan declare (k: long = 10) with ("
+        ' step a: ev == "c" => k = k + 1;'
+        ' step b: ev == "v";)'
+    ).to_df()
+    got = sorted((r.ts, r.k, r.match_id, r.step_index) for r in out.collect())
+    # seq 1: c@1 (k=11), c@2 holds (k=12), v@3 completes (k stays 12);
+    # seq 2 RESTARTS at the default: c@4 (k=11), v@5 completes.
+    assert got == [
+        (1, 11, 0, 0),
+        (2, 12, 0, 0),
+        (3, 12, 0, 1),
+        (4, 11, 1, 0),
+        (5, 11, 1, 1),
+    ]
+
+
+def test_scan_default_visible_before_assignment(spark):
+    """r15: a declared default is the variable's value on rows emitted
+    BEFORE any assignment touches it (Kusto: defaults replace the null
+    initial state)."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "ts long, ev string"
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | sort by ts asc | scan declare (k: long = 7) with ("
+        ' step s1: ev == "a";'
+        ' step s2: ev == "b" => k = k + 1;)'
+    ).to_df()
+    got = sorted((r.ts, r.k, r.step_index) for r in out.collect())
+    assert got == [(1, 7, 0), (2, 8, 1)]
+
+
+def test_scan_default_in_var_predicate(spark):
+    """r15: a var-dependent step predicate sees the DEFAULT (not null)
+    before the first assignment — `k < 2` admits rows while k holds its
+    declared 0."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "z")], "ts long, ev string"
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | sort by ts asc | scan declare (k: long = 0) with ("
+        ' step a: ev == "a" and k < 2 => k = k + 1;'
+        ' step b: ev == "z";)'
+    ).to_df()
+    got = sorted((r.ts, r.k, r.step_index) for r in out.collect())
+    # a@1 (k 0->1), a@2 holds (k 1->2), a@3 REJECTED (k == 2),
+    # z@4 completes with k = 2
+    assert got == [(1, 1, 0), (2, 2, 0), (4, 2, 1)]
+
+
+def test_scan_accumulator_concurrent(spark):
+    """r15: python-evaluated accumulator assignments compose with
+    kind=concurrent — each concurrent partial carries its own running
+    value from its own default."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "z")], "ts long, ev string"
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | sort by ts asc"
+        " | scan kind = concurrent declare (k: long = 100) with ("
+        ' step a: ev == "a" => k = k + 1;'
+        ' step b: ev == "z";)'
+    ).to_df()
+    got = sorted((r.ts, r.k, r.step_index) for r in out.collect())
+    # newest-wins single-partial default: a@2 holds the step-a match
+    # (k 101->102); z@3 promotes it. Emitted rows snapshot their own k.
+    assert got == [(1, 101, 0), (2, 102, 0), (3, 102, 1)]
