@@ -108,6 +108,12 @@ HEADLINE = [
     "weighted_sample_keeper",
     "kql_weighted_sample_stratified",
     "kql_freq_estimate_weighted",
+    # round-15 additions (VERDICT r14 ask #4): the two r14 sketch
+    # registrations entering the r15 window get wall-time history from
+    # birth (the r13 form-change rule) — the mergeable HLL distinct
+    # rollup and the t-digest merge lifecycle under its rank envelope
+    "hll_distinct_rollup",
+    "tdigest_rollup_envelope",
 ]
 
 

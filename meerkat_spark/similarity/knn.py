@@ -273,10 +273,24 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     ).withColumn("qcode", lsh_code(F.col("qv"), n_planes, dim))
     if probe_bits >= 1:
-        # expand each query code with its 1-bit-flip neighborhood
+        # multi-probe: expand each query code with every code within
+        # `probe_bits` Hamming distance (near-miss sign bits are the
+        # dominant recall loss; r15 generalizes the 1-bit flip set to
+        # the full <=probe_bits neighborhood — the standard multi-probe
+        # LSH recipe). Only the tiny broadcast query side multiplies:
+        # sum_{j<=b} C(n_planes, j) codes per query; the corpus is
+        # still hashed exactly once.
+        import itertools
+
+        masks = [0]
+        for j in range(1, probe_bits + 1):
+            for comb in itertools.combinations(range(n_planes), j):
+                m = 0
+                for p in comb:
+                    m |= 1 << p
+                masks.append(m)
         flips = F.array(
-            F.col("qcode"),
-            *[F.col("qcode").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+            *[F.col("qcode").bitwiseXOR(F.lit(m)) for m in masks]
         )
         q = q.select("query_id", "qv", F.explode(flips).alias("qcode"))
     sims = (

@@ -65,6 +65,14 @@ def load_all() -> None:
 # the registry -- after this round no oracle-backed grade is older than
 # r11, the verdict's done-criterion).
 # (c) slot 50: the oldest r11 name (first in registry order): search_term.
+# Registered but QUEUED TO LEAD THE r16 WINDOW (the r13 precedent — the
+# 50 slots are full; locally oracle-verified at sf0.01 this round):
+#   knn_lsh_recall_envelope (VERDICT r14 ask #5 — exact twin + multi-
+#                         probe LSH in ONE query, graded as boolean
+#                         mean-recall@5 >= 0.9; neighbor lists stay
+#                         out of the hash)
+#   knn_ivf_recall_envelope (ask #5 — the same envelope over the IVF
+#                         cell-probed path)
 # Exactly 50 -- enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) r14 registrations, never graded -- they lead

@@ -93,6 +93,11 @@ _BOUNDED_CROSS = {
     # r9: DSIR weights crossJoin a broadcast SINGLE-ROW totals
     # aggregate (n_t, n_r, |V|) — the whitelisted 1-row-cross shape
     "dsir_importance_score",
+    # r15: the ANN recall envelopes embed brute_force_topk's exact twin
+    # (broadcast 8-query x corpus — the same bounded cross shape as
+    # knn_cosine_topk, which is already whitelisted)
+    "knn_lsh_recall_envelope",
+    "knn_ivf_recall_envelope",
 }
 
 
@@ -153,6 +158,9 @@ def test_scaling_exponents_stay_sublinear():
         "weighted_sample",
         "url_dedup",
         "hh_stream_epoch",
+        # r15 (VERDICT r14 ask #4): the two remaining stream keepers
+        "hll_stream_epoch",
+        "tdigest_stream_epoch",
     }
     have = {k for k, _ in rows}
     assert required <= have, f"SCALING.md missing kernels: {required - have}"
