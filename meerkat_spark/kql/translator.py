@@ -1528,17 +1528,26 @@ class Translator:
         ):
             # timespan-typed values render Kusto-style [d.]hh:mm:ss
             # (r14) — Spark's native interval cast says
-            # "INTERVAL '…' DAY TO SECOND"
-            return S.timespan_to_string(_c(self.expr(node.args[0])))
+            # "INTERVAL '…' DAY TO SECOND". Values that resolve to a
+            # translate-time _Span keep the exact python formatter
+            # (full 100-ns ticks + carry; the COLUMN renderer anchors
+            # at the epoch and truncates to microseconds — r15).
+            v = self.expr(node.args[0])
+            if isinstance(v, _Span):
+                return F.lit(_span_str(v))
+            return S.timespan_to_string(_c(v))
         if name == "strcat" and any(
             self._is_timespan_node(x) for x in node.args
         ):
-            parts = [
-                S.timespan_to_string(_c(self.expr(x)))
-                if self._is_timespan_node(x)
-                else _span_str(self.expr(x, agg=agg))
-                for x in node.args
-            ]
+            parts = []
+            for x in node.args:
+                v = self.expr(x, agg=agg)
+                if isinstance(v, _Span):
+                    parts.append(_span_str(v))
+                elif self._is_timespan_node(x):
+                    parts.append(S.timespan_to_string(_c(v)))
+                else:
+                    parts.append(_span_str(v))
             return S.strcat(*parts)
         if name == "real" and len(node.args) == 1:
             # Kusto special real literals — real(nan), real(inf),

@@ -84,6 +84,33 @@ PROBES = [
     ("between datetime..timespan form", "events | where ts between (datetime(2024-01-02) .. 1d) | count"),
     ("negative array_slice", "print s = array_slice(dynamic([1,2,3,4,5]), -3, -1)"),
     ("array_slice mixed sign", "print s = array_slice(dynamic([1,2,3,4,5]), 1, -2)"),
+    # r15 probe batch 8
+    ("toscalar inline", "let m = toscalar(events | summarize max(value)); events | where value >= m | count"),
+    ("mv-expand limit clause", "datatable(d:dynamic) [dynamic([1,2,3,4,5])] | mv-expand d limit 2 | count"),
+    ("summarize shuffle hint", "events | summarize hint.strategy=shuffle n = count() by event_type | count"),
+    ("order by alias", "events | order by value desc | take 3 | count"),
+    ("top nulls first", "events | top 3 by value asc nulls first | count"),
+    ("distinct star", "events | project event_type | distinct * | count"),
+    ("prev offset default", "events | take 10 | serialize | extend p = prev(value, 2, -1.0) | count"),
+    ("row_cumsum restart", "events | take 20 | sort by event_id asc | extend c = row_cumsum(value, event_type == 'click') | count"),
+    ("union kind=inner", "union kind=inner (events | project event_id, value), (events | project event_id, user_id) | count"),
+    ("strcat_delim", "print s = strcat_delim('-', 'a', 'b', 'c')"),
+    ("split index arg", "print s = split('a,b,c', ',', 1)"),
+    ("indexof full args", "print i = indexof('abcabc', 'bc', 1, -1, 2)"),
+    ("countof regex kind", "print n = countof('a1b2c3', @'\\d', 'regex')"),
+    ("extract_all groups", "print a = extract_all(@'(\\w)(\\d)', 'a1 b2')"),
+    ("startofday offset", "print d = startofday(datetime(2024-02-07 13:00:00), 1)"),
+    ("format_timespan", "print s = format_timespan(1h + 30m, 'hh:mm:ss')"),
+    ("case default", "events | extend b = case(value < 10, 'low', value < 100, 'mid', 'high') | summarize n = count() by b | count"),
+    ("iif alias", "print v = iif(1 > 0, 'y', 'n')"),
+    ("trim regex", "print s = trim(@'-+', '--abc--')"),
+    ("translate", "print s = translate('abc', 'xyz', 'aabbcc')"),
+    ("percentiles_array", "events | summarize p = percentiles_array(value, 25, 50, 75) | mv-expand p | count"),
+    ("make_list_with_nulls", "events | take 5 | summarize l = make_list_with_nulls(event_type) | mv-expand l | count"),
+    ("pack_all", "events | take 3 | project event_id, event_type | extend p = pack_all() | mv-expand kind=array p | count"),
+    ("array_rotate_left", "print a = array_rotate_left(dynamic([1,2,3,4]), 1)"),
+    ("array_shift_right fill", "print a = array_shift_right(dynamic([1,2,3]), 1, 0)"),
+    ("zip arrays", "print z = zip(dynamic([1,2]), dynamic(['a','b']))"),
 ]
 
 # semantic probes: (name, query, expected first-row values)

@@ -680,9 +680,12 @@ def test_kql_evaluate_narrow(spark):
     assert {r.Column for r in rows} == {"n_nationkey", "n_name"}
     r0 = {(r.Column, r.Value) for r in rows if r.Row == 0}
     assert ("n_nationkey", "0") in r0
-    from meerkat_spark.kql import KqlSyntaxError
-    with pytest.raises(KqlSyntaxError, match="serialized"):
-        eng.kql("nation | evaluate narrow()").to_df()
+    # r15: Kusto IMPLIES the serialization — a bare narrow() freezes
+    # the current order instead of raising (probe-backlog closure)
+    bare = eng.kql("nation | evaluate narrow()").to_df()
+    assert bare.columns == ["Row", "Column", "Value"]
+    n_cols = len(eng.table("nation").to_df().columns)
+    assert bare.count() == n_cols * n
 
 
 def test_kql_autocluster_segments(spark):
