@@ -1627,6 +1627,20 @@ class Parser:
                         left, [pipe], negated=negated, case_insensitive=ci
                     )
             self.i = save
+        # Kusto's documented SINGLE-paren subquery form: in (T | op | …)
+        # — a bare ident followed by '|' can only be a pipeline (r15,
+        # probe batch 9); a lone ident stays a scalar (column/let ref)
+        if self.at("IDENT"):
+            save2 = self.i
+            self.next()
+            is_pipe = self.at("PUNCT", "|")
+            self.i = save2
+            if is_pipe:
+                pipe = self.parse_pipeline()
+                self.expect("PUNCT", ")")
+                return InList(
+                    left, [pipe], negated=negated, case_insensitive=ci
+                )
         values = [self.parse_expr()]
         while self.at("PUNCT", ","):
             self.next()

@@ -3391,6 +3391,39 @@ def test_top_nested_others_expression_and_format_datetime_brackets(spark):
     assert got == "17-01-29 [09:10:00.50 AM]"
 
 
+def test_in_subquery_single_paren(spark):
+    """r15 probe batch 9: Kusto's documented single-paren subquery form
+    `x in (T | op | ...)` parses (the doubled-paren form already did) —
+    a bare ident followed by '|' can only be a pipeline; a lone ident
+    stays a scalar reference. Semantics match the explicit-list twin."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    n_in = eng.kql(
+        "events | where event_type in (events | distinct event_type"
+        " | sort by event_type asc | take 2) | count"
+    ).to_df().collect()[0][0]
+    twos = [
+        r[0]
+        for r in eng.kql(
+            "events | distinct event_type | sort by event_type asc | take 2"
+        ).to_df().collect()
+    ]
+    lit = ", ".join(f"'{v}'" for v in twos)
+    n_lit = eng.kql(
+        f"events | where event_type in ({lit}) | count"
+    ).to_df().collect()[0][0]
+    assert n_in == n_lit > 0
+    n_out = eng.kql(
+        "events | where event_type !in (events | distinct event_type"
+        " | sort by event_type asc | take 2) | count"
+    ).to_df().collect()[0][0]
+    n = eng.kql("events | count").to_df().collect()[0][0]
+    assert n_in + n_out == n
+    # a lone ident in parens still resolves as a scalar (let binding)
+    assert eng.kql(
+        "let k = 'click'; events | where event_type in (k) | count"
+    ).to_df().collect()[0][0] > 0
+
+
 def test_wildcard_predicate_family_and_set_values(spark):
     """r15 (ADVICE r14): `* <op>` wildcard predicates cover the FULL
     string-operator family (negated and _cs forms included), unsupported
