@@ -692,8 +692,40 @@ def datetime_diff_col(part: str, ts1, ts2) -> Column:
     return F.timestamp_diff(part.strip("'\""), _c(ts2), _c(ts1))
 
 
+_DT_PART_TO_SPARK = {
+    "year": "YEAR",
+    "quarter": "QUARTER",
+    "month": "MONTH",
+    "week_of_year": "WEEK",
+    "weekofyear": "WEEK",
+    "day": "DAY",
+    "dayofyear": "DOY",
+    "hour": "HOUR",
+    "minute": "MINUTE",
+}
+
+
 def datetime_part(part: str, ts) -> Column:
-    return F.date_part(F.lit(part.strip("'\"")), _c(ts))
+    """Kusto datetime_part: Kusto part names mapped to Spark's extract
+    fields (r15 — `dayofyear`/`week_of_year` are DOY/WEEK in Spark and
+    raised INVALID_EXTRACT_FIELD when passed through). The sub-second
+    parts are the Kusto COMPONENTS (millisecond 0-999, microsecond
+    0-999999, nanosecond in 100ns-tick multiples) at the engine's µs
+    resolution; `second` is the integer seconds component."""
+    p = part.strip("'\"").lower()
+    c = _c(ts)
+    if p in _DT_PART_TO_SPARK:
+        return F.date_part(F.lit(_DT_PART_TO_SPARK[p]), c).cast("int")
+    us = F.pmod(F.unix_micros(c), F.lit(1_000_000))
+    if p == "second":
+        return F.floor(F.date_part(F.lit("SECOND"), c)).cast("int")
+    if p == "millisecond":
+        return F.floor(us / 1000).cast("int")
+    if p == "microsecond":
+        return us.cast("int")
+    if p == "nanosecond":
+        return (us * 1000).cast("long")
+    return F.date_part(F.lit(part.strip("'\"")), c)
 
 
 def make_datetime(y, mo, d, h=None, mi=None, s=None) -> Column:

@@ -130,6 +130,32 @@ PROBES = [
     ("getschema after narrow", "events | take 2 | project event_id | evaluate narrow() | getschema"),
     ("top-hitters operator", "events | top-hitters 3 of event_type | count"),
     ("countif in summarize by bin", "events | summarize c = countif(value > 50) by bin(ts, 12h) | count"),
+    # r15 probe batch 10
+    ("bagexpansion=bag", "datatable(d:dynamic) [dynamic({'a':1,'b':2})] | mv-expand bagexpansion=bag d | count"),
+    ("arg_max star by key", "events | summarize arg_max(ts, *) by event_type | count"),
+    ("next default", "events | take 10 | serialize | extend nx = next(value, 1, -1.0) | count"),
+    ("totimespan day format", "print t = totimespan('1.02:03:04.5'), s = tostring(totimespan('1.02:03:04.5'))"),
+    ("monthofyear weekofyear", "print m = monthofyear(datetime(2024-02-07)), w = week_of_year(datetime(2024-02-07))"),
+    ("datetime_part units", "print q = datetime_part('quarter', datetime(2024-08-16)), dy = datetime_part('dayofyear', datetime(2024-02-07)), wy = datetime_part('week_of_year', datetime(2024-02-07)), ms = datetime_part('millisecond', datetime(2024-01-01 00:00:00.123456))"),
+    ("array_iff", "print a = array_iff(dynamic([true,false,true]), dynamic([1,2,3]), dynamic([9,9,9]))"),
+    ("array_index_of start", "print i = array_index_of(dynamic([1,2,3,2]), 2, 2)"),
+    ("set ops", "print u = set_union(dynamic([1,2]), dynamic([2,3])), d = set_difference(dynamic([1,2,3]), dynamic([2])), x = set_intersect(dynamic([1,2]), dynamic([2,3]))"),
+    ("string_size codepoints", "print n = string_size('abc'), c = unicode_codepoints_from_string('ab')"),
+    ("hash with mod", "events | extend h = hash(event_type, 128) | summarize mx = max(h) | project ok = mx < 128"),
+    ("hash_sha256", "print h = hash_sha256('abc')"),
+    ("zlib roundtrip", "print s = zlib_decompress_from_base64_string(zlib_compress_to_base64_string('hello'))"),
+    ("series_pearson", "print r = series_pearson_correlation(dynamic([1.0,2.0,3.0]), dynamic([2.0,4.0,6.0]))"),
+    ("range scalar fn", "print r = range(1, 7, 2)"),
+    ("repeat scalar", "print a = repeat(5, 3)"),
+    ("exp10 log10 sign", "print a = exp10(2.0), b = log10(100.0), c = sign(-3.5)"),
+    ("degrees radians", "print d = degrees(3.141592653589793), r = radians(180.0)"),
+    ("isfinite", "print a = isfinite(1.0), b = isfinite(real(inf))"),
+    ("array_sum avg", "print s = array_sum(dynamic([1,2,3])), a = array_avg(dynamic([1.0,2.0]))"),
+    ("dcount_hll merged", "events | summarize h = hll(user_id) by event_type | summarize total = dcount_hll(hll_merge(h)) | project ok = total > 0"),
+    ("coalesce mixed", "print v = coalesce(tolong(''), 5)"),
+    ("column_ifexists", "events | extend v2 = column_ifexists('value', 0.0) | summarize s = sum(v2) | project ok = s > 0"),
+    ("current_timestamp alias", "print ok = now() > ago(1d)"),
+    ("bin_at datetime", "print b = bin_at(datetime(2017-05-15 10:20:00), 1d, datetime(1970-01-01 12:00:00))"),
 ]
 
 # semantic probes: (name, query, expected first-row values)

@@ -3391,6 +3391,27 @@ def test_top_nested_others_expression_and_format_datetime_brackets(spark):
     assert got == "17-01-29 [09:10:00.50 AM]"
 
 
+def test_datetime_part_kusto_units(spark):
+    """r15 probe batch 10: datetime_part accepts Kusto's part names —
+    dayofyear/week_of_year map to Spark's DOY/WEEK extract fields, and
+    the sub-second parts return Kusto COMPONENTS at the engine's µs
+    resolution (millisecond 0-999, microsecond 0-999999, nanosecond in
+    1000ns multiples — the documented 100ns->µs delta)."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print q = datetime_part('quarter', datetime(2024-08-16)),"
+        " dy = datetime_part('dayofyear', datetime(2024-02-07)),"
+        " wy = datetime_part('week_of_year', datetime(2024-02-07)),"
+        " s = datetime_part('second', datetime(2024-01-01 00:00:07.9)),"
+        " ms = datetime_part('millisecond', datetime(2024-01-01 00:00:00.123456)),"
+        " us = datetime_part('microsecond', datetime(2024-01-01 00:00:00.123456)),"
+        " ns = datetime_part('nanosecond', datetime(2024-01-01 00:00:00.123456))"
+    ).to_df().collect()[0]
+    assert (r.q, r.dy, r.wy, r.s, r.ms, r.us, r.ns) == (
+        3, 38, 6, 7, 123, 123456, 123456000
+    )
+
+
 def test_in_subquery_single_paren(spark):
     """r15 probe batch 9: Kusto's documented single-paren subquery form
     `x in (T | op | ...)` parses (the doubled-paren form already did) —
