@@ -868,15 +868,29 @@ def ipv4_to_long(ip) -> Column:
     return F.when(valid, val)
 
 
-def format_ipv4(value) -> Column:
-    """32-bit value → dotted quad."""
-    v = _c(value).cast("long")
-    return F.concat_ws(
-        ".",
-        (F.shiftright(v, 24) % 256).cast("string"),
-        (F.shiftright(v, 16) % 256).cast("string"),
-        (F.shiftright(v, 8) % 256).cast("string"),
-        (v % 256).cast("string"),
+def format_ipv4(value, prefix=None) -> Column:
+    """Kusto format_ipv4 — dotted quad from a 32-bit value OR a
+    dotted-quad string (r15: Kusto accepts both; the bare long cast
+    raised CAST_INVALID_INPUT on strings under ANSI). The optional
+    `prefix` applies the netmask first (format_ipv4_mask is the
+    variant that also renders the /prefix suffix)."""
+    ipc = _c(value)
+    v = F.when(
+        ipc.cast("string").rlike("^[0-9]+$"), ipc.cast("long")
+    ).otherwise(ipv4_to_long(ipc))
+    if prefix is not None:
+        pfx = _c(prefix).cast("int")
+        p = F.pow(F.lit(2.0), (32 - pfx).cast("double"))
+        v = F.when(pfx.between(0, 32), (F.floor(v / p) * p).cast("long"))
+    return F.when(
+        v.isNotNull(),
+        F.concat_ws(
+            ".",
+            (F.shiftright(v, 24) % 256).cast("string"),
+            (F.shiftright(v, 16) % 256).cast("string"),
+            (F.shiftright(v, 8) % 256).cast("string"),
+            (v % 256).cast("string"),
+        ),
     )
 
 

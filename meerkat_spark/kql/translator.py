@@ -397,7 +397,9 @@ _SCALARS: dict[str, Any] = {
     "array_slice": lambda a: S.array_slice(a[0], a[1], a[2]),
     "array_split": lambda a: S.array_split(a[0], a[1]),
     "ipv4_to_long": lambda a: S.ipv4_to_long(_c(a[0])),
-    "format_ipv4": lambda a: S.format_ipv4(_c(a[0])),
+    "format_ipv4": lambda a: S.format_ipv4(
+        _c(a[0]), _c(a[1]) if len(a) > 1 else None
+    ),
     "ipv4_compare": lambda a: S.ipv4_compare(_c(a[0]), _c(a[1])),
     "ipv4_is_match": lambda a: S.ipv4_is_match(
         _c(a[0]), _c(a[1]), int(_raw(a[2])) if len(a) > 2 else 32
@@ -1107,7 +1109,7 @@ class Translator:
         "array_sort_desc", "array_reverse", "array_rotate_left",
         "array_rotate_right", "array_shift_left", "array_shift_right",
         "set_union", "set_intersect", "set_difference", "zip", "repeat",
-        "array_split", "base64_decode_toarray",
+        "array_split", "base64_decode_toarray", "bag_keys",
         "unicode_codepoints_from_string", "parse_csv",
         "ipv4_range_to_cidr_list", "series_add", "series_subtract",
         "series_multiply", "series_divide", "series_pow", "series_abs",

@@ -156,6 +156,31 @@ PROBES = [
     ("column_ifexists", "events | extend v2 = column_ifexists('value', 0.0) | summarize s = sum(v2) | project ok = s > 0"),
     ("current_timestamp alias", "print ok = now() > ago(1d)"),
     ("bin_at datetime", "print b = bin_at(datetime(2017-05-15 10:20:00), 1d, datetime(1970-01-01 12:00:00))"),
+    # r15 probe batch 11
+    ("pivot 2-arg agg", "events | evaluate pivot(event_type, avg(value)) | count"),
+    ("make-series multi by", "events | make-series n = count() default = 0 on ts step 7d by event_type, user_id % 2 | count"),
+    ("mv-expand bag to kv", "datatable(d:dynamic) [dynamic({'a':1,'b':2})] | mv-expand d | extend k = tostring(bag_keys(d)[0]) | count"),
+    ("order by multi nulls last", "events | order by event_type asc nulls last, value desc | take 5 | count"),
+    ("substring negative start", "print s = substring('hello', -2, 3)"),
+    ("reverse split join", "print r = reverse('abc'), j = strcat_array(dynamic(['a','b']), '+')"),
+    ("indexof_regex", "print i = indexof_regex('ab1cd', @'\\d')"),
+    ("replace fns", "print a = replace_string('aXbX', 'X', '-'), b = replace_regex('a1b2', @'\\d', '#')"),
+    ("url encode decode", "print e = url_encode('a b&c'), d = url_decode('a%20b%26c')"),
+    ("base64 invalid -> empty", "print d = base64_decode_tostring('!!!notb64')"),
+    ("tostring dynamic canonical", "print s = tostring(dynamic({'b':1,'a':[1,2]}))"),
+    ("todatetime tz offset", "print d = todatetime('2024-01-01T12:00:00+02:00')"),
+    ("unixtime todatetime", "print d = unixtime_seconds_todatetime(1700000000), m = unixtime_milliseconds_todatetime(1700000000000)"),
+    ("format_ipv4 private", "print f = format_ipv4('192.168.1.255', 24), p = ipv4_is_private('10.0.0.1')"),
+    ("geo distance circle", "print d = geo_distance_2points(-122.4, 47.6, -122.3, 47.6) > 0, c = geo_point_in_circle(-122.4, 47.6, -122.4, 47.6, 100)"),
+    ("rand forms", "print ok = rand() >= 0.0 and rand(10) < 10"),
+    ("toreal nan null", "print a = isnan(toreal('nan')), b = isnull(toreal('xyz'))"),
+    ("ago negative", "print ok = ago(-1h) > now()"),
+    ("array_concat split", "print c = array_concat(dynamic([1]), dynamic([2,3])), s = array_split(dynamic([1,2,3,4]), 2)"),
+    ("bag_merge remove", "print m = bag_merge(dynamic({'a':1}), dynamic({'b':2})), r = bag_remove_keys(dynamic({'a':1,'b':2}), dynamic(['a']))"),
+    ("array_sort multi", "print s = array_sort_asc(dynamic([3,1,2]), dynamic(['c','a','b']))"),
+    ("endofyear startofyear offset", "print e = endofyear(datetime(2024-06-01)), s = startofyear(datetime(2024-06-01), -1)"),
+    ("int long null literals", "print a = int(null), b = long(null), c = isnull(int(null))"),
+    ("max_of min_of", "print m = max_of(1, 5, 3), n = min_of(2.5, 1.5), o = max_of(datetime(2024-01-02), datetime(2024-01-01))"),
 ]
 
 # semantic probes: (name, query, expected first-row values)

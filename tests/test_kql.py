@@ -3391,6 +3391,28 @@ def test_top_nested_others_expression_and_format_datetime_brackets(spark):
     assert got == "17-01-29 [09:10:00.50 AM]"
 
 
+def test_format_ipv4_string_and_bag_keys_index(spark):
+    """r15 probe batch 11 closures: format_ipv4 accepts dotted-quad
+    strings and an optional prefix (the bare long cast raised
+    CAST_INVALID_INPUT under ANSI), and bag_keys() results index
+    natively as arrays (bag_keys(d)[0])."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    r = eng.kql(
+        "print a = format_ipv4('192.168.1.255', 24),"
+        " b = format_ipv4(3232236031),"
+        " c = format_ipv4('10.1.2.3'),"
+        " d = isnull(format_ipv4('not-an-ip'))"
+    ).to_df().collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (
+        "192.168.1.0", "192.168.1.255", "10.1.2.3", True
+    )
+    k = eng.kql(
+        "datatable(d:dynamic) [dynamic({'a':1,'b':2})]"
+        " | extend k = tostring(bag_keys(d)[0]) | project k"
+    ).to_df().collect()[0][0]
+    assert k == "a"
+
+
 def test_datetime_part_kusto_units(spark):
     """r15 probe batch 10: datetime_part accepts Kusto's part names —
     dayofyear/week_of_year map to Spark's DOY/WEEK extract fields, and
