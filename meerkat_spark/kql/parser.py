@@ -498,16 +498,30 @@ class Parser:
         while True:
             tok = self.peek()
             if tok.kind == "IDENT":
-                names.append(str(self.next().value))
+                pat = str(self.next().value)
             elif tok.kind == "OP" and tok.value == "*":
                 self.next()
-                names.append("*")
+                pat = "*"
             else:
                 raise KqlSyntaxError(f"expected column name, got {tok!r}")
-            # wildcard suffix: name*
-            if self.at("OP", "*"):
-                self.next()
-                names[-1] = names[-1] + "*"
+            # Kusto column patterns allow `*` ANYWHERE (name*, *_id,
+            # a*b — r15): keep absorbing ident/`*` tokens while they
+            # are CHARACTER-ADJACENT to the pattern so far (a space
+            # separates two list items, not one pattern)
+            end = tok.pos + len(pat)
+            while True:
+                nxt = self.peek()
+                if nxt.kind == "IDENT" and nxt.pos == end:
+                    self.next()
+                    pat += str(nxt.value)
+                    end += len(str(nxt.value))
+                elif nxt.kind == "OP" and nxt.value == "*" and nxt.pos == end:
+                    self.next()
+                    pat += "*"
+                    end += 1
+                else:
+                    break
+            names.append(pat)
             if self.at("PUNCT", ","):
                 self.next()
                 continue

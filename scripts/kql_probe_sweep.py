@@ -181,6 +181,27 @@ PROBES = [
     ("endofyear startofyear offset", "print e = endofyear(datetime(2024-06-01)), s = startofyear(datetime(2024-06-01), -1)"),
     ("int long null literals", "print a = int(null), b = long(null), c = isnull(int(null))"),
     ("max_of min_of", "print m = max_of(1, 5, 3), n = min_of(2.5, 1.5), o = max_of(datetime(2024-01-02), datetime(2024-01-01))"),
+    # r15 probe batch 12
+    ("summarize take_anyif", "events | summarize v = take_anyif(event_type, value > 50) | count"),
+    ("count distinct shorthand", "events | summarize dcount(user_id, 2) | count"),
+    ("extend multiple from split", "events | take 5 | extend parts = split(event_type, 'i') | extend first = tostring(parts[0]) | count"),
+    ("where not() fn", "events | where not(event_type == 'click') | count"),
+    ("summarize percentile dynamic", "events | summarize p = percentiles(value, 10, 50, 90) | project ok = array_length(pack_array(p)) >= 0"),
+    ("join on two keys", "events | join kind=inner (events | project user_id, event_type, v2 = value) on user_id, event_type | count"),
+    ("union withsource column", "union withsource = src (events | take 2), (events | take 3) | summarize n = count() by src | count"),
+    ("project-away wildcard", "events | project-away *_id | getschema | count"),
+    ("extend within parse", "events | take 20 | parse event_type with head:string 'i' rest:string | where isnotempty(head) | count"),
+    ("summarize bin on numeric", "events | summarize n = count() by b = bin(value, 25.0) | count"),
+    ("sort by expression", "events | sort by strlen(event_type) desc, event_id asc | take 3 | count"),
+    ("extend iff nested case", "events | extend sev = iff(value > 90, 'hot', iff(value > 50, 'warm', 'cold')) | summarize n = count() by sev | count"),
+    ("double pipe comment", "events // trailing comment\n | count"),
+    ("multiline string concat", "print s = strcat('a', 'b', 'c', 'd', 'e', 'f', 'g', 'h')"),
+    ("tostring of bool", "print s = tostring(true), t = tostring(1 == 1)"),
+    ("summarize by tostring", "events | summarize n = count() by k = tostring(user_id % 3) | count"),
+    ("where string equality chain", "events | where event_type == 'click' or event_type == 'view' | count"),
+    ("take_any with by", "events | summarize take_any(event_type) by user_id % 2 | count"),
+    ("arg_max renamed output", "events | summarize (t, v) = arg_max(ts, value) | project ok = isnotnull(t) and isnotnull(v)"),
+    ("prev in partition context", "events | partition by user_id (sort by ts asc | extend d = value - prev(value)) | count"),
 ]
 
 # semantic probes: (name, query, expected first-row values)

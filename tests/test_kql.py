@@ -3391,6 +3391,27 @@ def test_top_nested_others_expression_and_format_datetime_brackets(spark):
     assert got == "17-01-29 [09:10:00.50 AM]"
 
 
+def test_project_away_leading_wildcard(spark):
+    """r15 probe batch 12: column patterns accept `*` ANYWHERE —
+    leading (*_id), middle (e*e), trailing (event*) — assembled from
+    character-adjacent tokens so a space still separates list items."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    cols = eng.kql(
+        "events | project-away *_id | take 1"
+    ).to_df().columns
+    assert "event_id" not in cols and "user_id" not in cols
+    assert "event_type" in cols
+    kept = eng.kql(
+        "events | project-keep e*e, value | take 1"
+    ).to_df().columns
+    assert "event_type" in kept and "value" in kept
+    # two separate items still parse (space-separated, not adjacent)
+    two = eng.kql(
+        "events | project-keep event_id, ts | take 1"
+    ).to_df().columns
+    assert two == ["event_id", "ts"]
+
+
 def test_format_ipv4_string_and_bag_keys_index(spark):
     """r15 probe batch 11 closures: format_ipv4 accepts dotted-quad
     strings and an optional prefix (the bare long cast raised
