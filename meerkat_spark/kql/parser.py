@@ -428,13 +428,34 @@ class Parser:
 
     op_filter = op_where
 
+    def _maybe_bracket_name(self) -> str | None:
+        """Kusto's quoted-identifier form ['col name'] in a NAME
+        position (r15); returns the name or None (position restored)."""
+        if self.at("PUNCT", "["):
+            save = self.i
+            self.next()
+            if self.at("STRING"):
+                n = str(self.next().value)
+                if self.at("PUNCT", "]"):
+                    self.next()
+                    return n
+            self.i = save
+        return None
+
     def parse_named_exprs(self) -> list[tuple[str | None, Any]]:
-        """name = expr, ... (name optional)."""
+        """name = expr, ... (name optional; ['quoted name'] allowed)."""
         cols = []
         while True:
             save = self.i
             name = None
-            if self.at("IDENT"):
+            bn = self._maybe_bracket_name()
+            if bn is not None:
+                if self.at("OP", "="):
+                    self.next()
+                    name = bn
+                else:
+                    self.i = save
+            elif self.at("IDENT"):
                 n = str(self.next().value)
                 if self.at("OP", "="):
                     self.next()
@@ -713,9 +734,9 @@ class Parser:
     def op_project_rename(self) -> OpNode:
         renames = {}
         while True:
-            new = str(self.expect("IDENT").value)
+            new = self._maybe_bracket_name() or str(self.expect("IDENT").value)
             self.expect("OP", "=")
-            old = str(self.expect("IDENT").value)
+            old = self._maybe_bracket_name() or str(self.expect("IDENT").value)
             renames[new] = old
             if self.at("PUNCT", ","):
                 self.next()
@@ -1826,7 +1847,12 @@ class Parser:
                 depth += 1
             elif t.kind == "PUNCT" and t.value == ")":
                 depth -= 1
-        return self.text[open_tok.pos + 1 : t.pos].strip()
+        raw = self.text[open_tok.pos + 1 : t.pos].strip()
+        # Kusto also accepts the QUOTED form — datetime('2024-01-05') /
+        # datetime("...") — strip one layer of matching quotes (r15)
+        if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"":
+            raw = raw[1:-1].strip()
+        return raw
 
 
 def op_lookup(self) -> OpNode:

@@ -1579,6 +1579,52 @@ class Translator:
                 fields = {f.name: f.dataType for f in self._cur_schema.fields}
                 if cname in fields:
                     return F.lit(spark_to_kql(fields[cname]))
+            # literal/expression forms resolve statically too (r15 —
+            # Kusto gettype works on ANY expression): timespan/datetime
+            # literals, dynamic([...])/{...}, strings, bools, numbers
+            if len(node.args) == 1:
+                a0 = node.args[0]
+                if isinstance(a0, P.Timespan):
+                    return F.lit("timespan")
+                if isinstance(a0, P.DateTimeLit):
+                    return F.lit("datetime")
+                if isinstance(a0, P.DynamicLit):
+                    return F.lit("array")
+                if isinstance(a0, P.Lit):
+                    v = a0.value
+                    if isinstance(v, bool):
+                        return F.lit("bool")
+                    if isinstance(v, str):
+                        return F.lit("string")
+                    if v is None:
+                        return F.lit("null")
+                    return F.lit(
+                        "long"
+                        if isinstance(v, int) or float(v).is_integer()
+                        else "real"
+                    )
+                v = self.expr(a0, agg=agg)
+                if isinstance(v, _Span):
+                    return F.lit("timespan")
+                if isinstance(v, Column):
+                    # analyzed-type fallback: resolve the expression
+                    # against an EMPTY frame with the current schema
+                    # (plan-only — no job) and map the Spark type to
+                    # its KQL name
+                    from meerkat_spark.types import spark_to_kql as _s2k
+
+                    try:
+                        base = (
+                            self.engine.spark.createDataFrame(
+                                [], self._cur_schema
+                            )
+                            if self._cur_schema is not None
+                            else self.engine.spark.range(1)
+                        )
+                        df = base.select(_c(v).alias("x"))
+                        return F.lit(_s2k(df.schema[0].dataType))
+                    except Exception:  # noqa: BLE001 — fall through
+                        pass
             raise KqlSyntaxError("gettype() expects a single column name")
         if name == "percentile_tdigest" and len(node.args) == 3:
             # percentile_tdigest(td, p, typeof(T)) — Kusto's typed form;
@@ -3137,9 +3183,14 @@ class Translator:
             key_name = lvl["key_name"] or _default_key_name(lvl["key"], i)
             agg_col = _c(self.expr(lvl["agg"], agg=True))
             agg_name = lvl["agg_name"] or f"aggregated_{key_name}"
-            grouped = base.groupBy(
-                *key_names, key_col.alias(key_name)
-            ).agg(agg_col.alias(agg_name))
+            # materialize EXPRESSION keys onto the base frame so deeper
+            # levels can group by the parent key names (r15 — a chained
+            # `top-nested 1 of user_id % 2 ...` level previously raised
+            # UNRESOLVED_COLUMN on the generated parent key name)
+            base = base.withColumn(key_name, key_col)
+            grouped = base.groupBy(*key_names, key_name).agg(
+                agg_col.alias(agg_name)
+            )
             parent = key_names[:]
             w = (
                 W.partitionBy(*parent) if parent else W.partitionBy(F.lit(1))

@@ -202,6 +202,27 @@ PROBES = [
     ("take_any with by", "events | summarize take_any(event_type) by user_id % 2 | count"),
     ("arg_max renamed output", "events | summarize (t, v) = arg_max(ts, value) | project ok = isnotnull(t) and isnotnull(v)"),
     ("prev in partition context", "events | partition by user_id (sort by ts asc | extend d = value - prev(value)) | count"),
+    # r15 probe batch 13
+    ("let lambda in where", "let isodd = (x:long) { x % 2 == 1 }; events | where isodd(event_id) | count"),
+    ("nested let pipelines", "let a = events | take 10; let b = a | where value > 0; b | count"),
+    ("mv-expand then summarize", "events | take 20 | extend w = split(event_type, 'i') | mv-expand w | summarize n = count() by tostring(w) | count"),
+    ("extend overwrite column", "events | extend value = value * 2.0 | summarize m = max(value) | project ok = isnotnull(m)"),
+    ("where on extended alias", "events | extend dbl = value * 2 | where dbl > 100 | count"),
+    ("datetime comparison string", "events | where ts > datetime('2024-01-05') | count"),
+    ("quoted identifier", "events | extend ['my col'] = value | project-rename renamed = ['my col'] | summarize m = max(renamed) | project ok = isnotnull(m)"),
+    ("dynamic null handling", "print a = isnull(dynamic(null)), b = array_length(dynamic(null))"),
+    ("string in operator ci", "events | where event_type in~ ('CLICK', 'VIEW') | count"),
+    ("long division real", "print v = 7 / 2"),
+    ("modulo negative", "print v = -7 % 3"),
+    ("power operator fn", "print v = pow(2, 10), w = exp2(10.0)"),
+    ("gettype forms", "print a = gettype(1h), b = gettype(dynamic([1])), c = gettype('s')"),
+    ("summarize count on empty", "events | where value < -1e18 | summarize n = count(), s = sum(value) | project n, ok = isnull(s)"),
+    ("take 0", "events | take 0 | count"),
+    ("distinct multiple cols", "events | extend p = user_id % 2 | distinct event_type, p | count"),
+    ("parse-kv extract", "print s = 'k1=v1;k2=v2' | parse-kv s as (k1:string, k2:string) with (pair_delimiter=';', kv_delimiter='=') | project k1, k2"),
+    ("top-nested 3 levels", "events | top-nested 2 of event_type by count(), top-nested 1 of user_id % 2 by count(), top-nested 1 of value > 50 by count() | count"),
+    ("toguid roundtrip", "print g = toguid('10000000-0000-0000-0000-000000000000'), ok = isnotnull(toguid('10000000-0000-0000-0000-000000000000'))"),
+    ("summarize hll accuracy arg", "events | summarize h = hll(user_id, 16) | project ok = isnotnull(h)"),
 ]
 
 # semantic probes: (name, query, expected first-row values)

@@ -3391,6 +3391,41 @@ def test_top_nested_others_expression_and_format_datetime_brackets(spark):
     assert got == "17-01-29 [09:10:00.50 AM]"
 
 
+def test_batch13_closures(spark):
+    """r15 probe batch 13 closures: quoted datetime('...') literals;
+    ['bracket quoted'] names as extend/project-rename targets; gettype
+    on arbitrary expressions (literal + analyzed-type fallback); and
+    chained top-nested levels with EXPRESSION keys (parent keys are
+    materialized onto the base frame, so deeper levels resolve them)."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    n1 = eng.kql(
+        "events | where ts > datetime('2024-01-05') | count"
+    ).to_df().collect()[0][0]
+    n2 = eng.kql(
+        "events | where ts > datetime(2024-01-05) | count"
+    ).to_df().collect()[0][0]
+    assert n1 == n2 > 0
+    r = eng.kql(
+        "events | extend ['my col'] = value"
+        " | project-rename renamed = ['my col']"
+        " | summarize m = max(renamed) | project ok = isnotnull(m)"
+    ).to_df().collect()[0][0]
+    assert r is True
+    g = eng.kql(
+        "print a = gettype(1h), b = gettype(dynamic([1])),"
+        " c = gettype('s'), d = gettype(true), e = gettype(1.5),"
+        " f = gettype(datetime(2024-01-01))"
+    ).to_df().collect()[0]
+    assert (g.a, g.b, g.c, g.d, g.e, g.f) == (
+        "timespan", "array", "string", "bool", "real", "datetime"
+    )
+    rows = eng.kql(
+        "events | top-nested 2 of event_type by count(),"
+        " top-nested 1 of user_id % 2 by count() | count"
+    ).to_df().collect()[0][0]
+    assert rows == 2
+
+
 def test_project_away_leading_wildcard(spark):
     """r15 probe batch 12: column patterns accept `*` ANYWHERE —
     leading (*_id), middle (e*e), trailing (event*) — assembled from
