@@ -223,6 +223,27 @@ PROBES = [
     ("top-nested 3 levels", "events | top-nested 2 of event_type by count(), top-nested 1 of user_id % 2 by count(), top-nested 1 of value > 50 by count() | count"),
     ("toguid roundtrip", "print g = toguid('10000000-0000-0000-0000-000000000000'), ok = isnotnull(toguid('10000000-0000-0000-0000-000000000000'))"),
     ("summarize hll accuracy arg", "events | summarize h = hll(user_id, 16) | project ok = isnotnull(h)"),
+    # r15 probe batch 14
+    ("row_number with start", "events | take 5 | serialize rn = row_number(10) | summarize m = min(rn) | project ok = m == 10"),
+    ("row_number restart cond", "events | take 20 | sort by event_id asc | extend r = row_number(1, event_type == 'click') | count"),
+    ("extend between inclusive", "events | extend inb = value between (10.0 .. 20.0) | where inb | count"),
+    ("leftsemi after union", "union (events | take 5), (events | take 5) | join kind=leftsemi (events | take 3) on event_id | count"),
+    ("summarize by two bins", "events | summarize n = count() by bin(ts, 1d), bin(value, 50.0) | count"),
+    ("parse with long type", "events | take 10 | extend s = strcat('id=', event_id) | parse s with 'id=' pid:long | where pid == event_id | count"),
+    ("dynamic index negative", "print v = dynamic([1,2,3])[-1]"),
+    ("string index bracket", "print c = split('abc', '')[0]"),
+    ("summarize countif null pred", "events | summarize c = countif(isnull(value)) | project ok = c >= 0"),
+    ("mv-expand with typed null", "datatable(d:dynamic) [dynamic([1, null, 3])] | mv-expand d to typeof(long) | count"),
+    ("top by string col", "events | top 3 by event_type desc | count"),
+    ("sample-distinct", "events | sample-distinct 3 of event_type | count"),
+    ("evaluate pivot with agg col", "events | evaluate pivot(event_type, sum(value), user_id) | count"),
+    ("shufflekey hint join", "events | join hint.shufflekey = user_id (events | summarize m = max(value) by user_id) on user_id | count"),
+    ("broadcast hint join", "events | join hint.strategy = broadcast (events | summarize m = max(value) by user_id) on user_id | count"),
+    ("consume operator", "events | take 5 | consume"),
+    ("order by rand stability guard", "events | take 3 | order by event_id asc | project event_id | count"),
+    ("print bool expr name", "print isbig = 2 > 1"),
+    ("where toupper chain", "events | where toupper(event_type) == 'CLICK' | count"),
+    ("extract with typeof long", "print v = extract(@'(\\d+)', 1, 'id=42', typeof(long))"),
 ]
 
 # semantic probes: (name, query, expected first-row values)
