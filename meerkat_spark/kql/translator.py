@@ -1538,6 +1538,14 @@ class Translator:
             if isinstance(v, _Span):
                 return F.lit(_span_str(v))
             return S.timespan_to_string(_c(v))
+        if name == "tostring" and len(node.args) == 1 and self._is_array_expr(
+            node.args[0]
+        ):
+            # Kusto tostring of a dynamic renders canonical JSON
+            # ("[\\"a\\",\\"\\",\\"b\\"]") — Spark's string cast of a real
+            # ARRAY column says "[a, , b]" (r15 semantic batch). The
+            # JSON-string dynamics already hold canonical text.
+            return F.to_json(_c(self.expr(node.args[0], agg=agg)))
         if name == "strcat" and any(
             self._is_timespan_node(x) for x in node.args
         ):
@@ -2980,6 +2988,8 @@ class Translator:
         if isinstance(node, P.Unary) and node.op == "-" and isinstance(node.operand, P.Lit):
             return -node.operand.value
         if isinstance(node, P.DateTimeLit):
+            if node.text.strip().lower() in ("null", ""):
+                return None  # datetime(null) cell (r15)
             txt = node.text.replace("T", " ")
             for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
                 try:
@@ -3006,6 +3016,19 @@ class Translator:
                 separators=(",", ":"),
                 default=str,
             )
+        if (
+            isinstance(node, P.Call)
+            and node.func.lower()
+            in ("int", "long", "real", "double", "bool", "boolean",
+                "datetime", "timespan", "decimal", "guid", "string")
+            and len(node.args) == 1
+            and isinstance(node.args[0], P.Lit)
+            and node.args[0].value is None
+        ):
+            # typed null cells — Kusto's `long(null)` / `datetime(null)`
+            # etc. (r15 semantic batch); the column type comes from the
+            # datatable schema, so the value is simply null
+            return None
         raise KqlSyntaxError("datatable cells must be literals")
 
     def ap_top_hitters(self, t, a):

@@ -268,6 +268,27 @@ SEMANTIC = [
     # r15 batch 7 semantic probes
     ("format_datetime edge tokens", "print s = format_datetime(datetime(2017-01-29 09:10:00.5), 'yy-MM-dd [HH:mm:ss.ff tt]')", ["17-01-29 [09:10:00.50 AM]"]),
     ("format_datetime single tokens", "print s = format_datetime(datetime(2017-01-09 03:10:07), 'M/d/yy h:m:s')", ["1/9/17 3:10:7"]),
+    # r15 semantic batch: VALUE exactness on easy-to-get-wrong corners
+    ("sort desc nulls last", "datatable(x:long) [1, long(null), 2] | sort by x desc | take 1 | project x", [2]),
+    ("sort desc null tail", "datatable(x:long) [1, long(null), 2] | sort by x desc | serialize rn = row_number() | where rn == 3 | project ok = isnull(x)", [True]),
+    ("sort asc nulls first", "datatable(x:long) [1, long(null), 2] | sort by x asc nulls first | take 1 | project ok = isnull(x)", [True]),
+    ("datatable typed null cell", "datatable(x:long, d:datetime) [1, datetime(2024-01-01), long(null), datetime(null)] | summarize n = count(), k = countif(isnull(x)), m = countif(isnull(d))", [2, 1, 1]),
+    ("substring clamps", "print s = substring('hello', 3, 10)", ["lo"]),
+    ("substring past end", "print s = substring('hi', 5, 2)", [""]),
+    ("case equality sensitivity", "print a = 'A' == 'a', b = 'A' =~ 'a', c = 'A' != 'a'", [False, True, True]),
+    ("strcat null -> empty", "print s = strcat('a', tostring(long(null)), 'b')", ["ab"]),
+    ("todouble sci notation", "print v = todouble('1e3')", [1000.0]),
+    ("array_index_of missing", "print i = array_index_of(dynamic([1,2]), 9)", [-1]),
+    ("indexof missing", "print i = indexof('abc', 'z')", [-1]),
+    ("split keeps empties", "print s = tostring(split('a,,b', ','))", ['["a","","b"]']),
+    ("between inclusive ends", "print a = 10 between (10 .. 20), b = 20 between (10 .. 20), c = 21 between (10 .. 20)", [True, True, False]),
+    ("avg of empty -> null", "events | where value < -1e18 | summarize a = avg(value) | project ok = isnull(a)", [True]),
+    ("bin datetime exact", "print b = tostring(bin(datetime(2024-01-01 13:47:00), 1h))", ["2024-01-01 13:00:00"]),
+    ("iff null condition", "print v = iff(tobool(''), 'y', 'n')", ["n"]),
+    ("array_slice clamps", "print s = tostring(array_slice(dynamic([1,2,3]), 1, 99))", ["[2,3]"]),
+    ("countof overlapping", "print n = countof('aaa', 'aa')", [1]),
+    ("round half behavior", "print a = round(2.5), b = round(-2.5), c = round(2.15, 1)", [3, -3, 2.2]),
+    ("floor vs bin negative real", "print a = bin(-0.1, 0.5)", [-0.5]),
 ]
 
 

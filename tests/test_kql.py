@@ -3391,6 +3391,28 @@ def test_top_nested_others_expression_and_format_datetime_brackets(spark):
     assert got == "17-01-29 [09:10:00.50 AM]"
 
 
+def test_semantic_batch_closures(spark):
+    """r15 semantic batch closures: tostring of a REAL array column
+    renders Kusto's canonical JSON (Spark's cast says "[a, , b]"), and
+    datatable cells accept typed nulls (long(null), datetime(null))."""
+    eng = MeerkatEngine(spark, SF_ORACLE)
+    s = eng.kql(
+        "print s = tostring(split('a,,b', ','))"
+    ).to_df().collect()[0][0]
+    assert s == '["a","","b"]'
+    s2 = eng.kql(
+        "print s = tostring(array_slice(dynamic([1,2,3]), 1, 99))"
+    ).to_df().collect()[0][0]
+    assert s2 == "[2,3]"
+    r = eng.kql(
+        "datatable(x:long, d:datetime)"
+        " [1, datetime(2024-01-01), long(null), datetime(null)]"
+        " | summarize n = count(), k = countif(isnull(x)),"
+        " m = countif(isnull(d))"
+    ).to_df().collect()[0]
+    assert (r.n, r.k, r.m) == (2, 1, 1)
+
+
 def test_batch13_closures(spark):
     """r15 probe batch 13 closures: quoted datetime('...') literals;
     ['bracket quoted'] names as extend/project-rename targets; gettype
