@@ -114,6 +114,13 @@ HEADLINE = [
     # rollup and the t-digest merge lifecycle under its rank envelope
     "hll_distinct_rollup",
     "tdigest_rollup_envelope",
+    # round-16 additions: the two r15 ANN recall envelopes entering the
+    # r16 window, plus the two r16 pruning envelopes (planted-cluster
+    # fixture; recall AND scanned-fraction graded) stamped at birth
+    "knn_lsh_recall_envelope",
+    "knn_ivf_recall_envelope",
+    "knn_lsh_pruned_envelope",
+    "knn_ivf_pruned_envelope",
 ]
 
 

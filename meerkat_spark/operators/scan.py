@@ -3,9 +3,15 @@ rows where step predicates fire in order — funnels, process mining,
 session forensics. Kusto semantics implemented: a sequence starts at a
 row satisfying step 1, each later row either advances to the next step,
 re-matches (extends) the current step — Kusto's step hold — or is
-skipped; the sequence completes at the last step and the machine
-resets (greedy, non-overlapping — the single-active-sequence subset of
-Kusto's scan, which can track concurrent partial matches). Per-step
+skipped. The FINAL step HOLDs exactly like Kusto (r16): after a
+sequence reaches the last step, later rows matching the last step's
+predicate keep extending the match (so the single-step cumulative-sum
+idiom `scan declare (t:long=0) with (step s1: true => t = t + x;)`
+yields a running total, one match over the whole stream); in the
+default greedy mode the held match ends only when a row starts a NEW
+sequence (matches step 1 but not the held final step) or the partition
+ends (greedy, non-overlapping — the single-active-sequence subset of
+Kusto's scan, which tracks one partial match per step). Per-step
 `output` modes mirror Kusto ('all' | 'last' | 'none'), and `declare`d
 variables with per-step assignments carry state across the sequence
 (e.g. t0 = first step's timestamp ⇒ funnel latency on the last row).
@@ -56,8 +62,13 @@ def scan_steps(
     (`match_id_col`, `step_index`) appended. A row advances the machine
     when it satisfies the NEXT step's predicate; otherwise, if it
     satisfies the CURRENT step's predicate, it extends that step's run
-    (hold); otherwise it is skipped. Incomplete sequences at
-    end-of-partition emit nothing. match_id numbers completed matches
+    (hold); otherwise it is skipped. A sequence that reaches the FINAL
+    step HOLDs there (Kusto r16 semantics): later rows matching the
+    final step's predicate extend the match; in greedy mode the match
+    finalizes when a row starts a new sequence (satisfies step 1 but
+    not the held final step) or the partition ends. Incomplete
+    sequences at end-of-partition emit nothing; a held final-step
+    sequence IS complete and emits. match_id numbers completed matches
     per partition group from 0.
 
     `step_output[i]` ∈ {'all','last','none'} controls which of step i's
@@ -199,7 +210,10 @@ def scan_steps(
         numpy searchsorted over per-step flag-index arrays instead of
         per ROW in Python; step-s run rows are exactly the flag-s rows
         in [adv_s, adv_{s+1}) (no such row can carry flag s+1, else it
-        would BE adv_{s+1}). One lexsort orders the partition by
+        would BE adv_{s+1}), and the FINAL step's run holds through
+        [adv_last, stop) where stop is the first later row that starts
+        a NEW sequence (matches step 1 but not the final step — Kusto
+        hold-at-final, r16). One lexsort orders the partition by
         (group codes, order_by); group boundaries come from factorized
         key codes — per-group pandas fixed costs (sort_values, frame
         getitem, Arrow exchange per group) were the measured bottleneck
@@ -234,6 +248,11 @@ def scan_steps(
             fl[:, j] = a
         flags = fl[order]
         step_idx = [np.flatnonzero(flags[:, k]) for k in range(n_steps)]
+        # rows that can START a new sequence while one holds at the
+        # final step: match step 1 but NOT the final step (hold wins
+        # on rows matching both). For 1-step scans this is empty — the
+        # whole group's flag rows form one held match.
+        start_idx = np.flatnonzero(flags[:, 0] & ~flags[:, n_steps - 1])
         rows_parts: list[np.ndarray] = []
         steps_parts: list[np.ndarray] = []
         mids_parts: list[np.ndarray] = []
@@ -266,10 +285,16 @@ def scan_steps(
                     nxt = a + 1
                 if not ok:
                     break
+                # final-step hold: the match extends until the first
+                # row that starts a new sequence, or group end
+                spos = np.searchsorted(start_idx, adv[-1] + 1)
+                stop = int(g1)
+                if spos < len(start_idx) and start_idx[spos] < g1:
+                    stop = int(start_idx[spos])
                 for s in range(n_steps):
                     arr = step_idx[s]
                     lo = adv[s]
-                    hi = adv[s + 1] if s + 1 < n_steps else adv[s] + 1
+                    hi = adv[s + 1] if s + 1 < n_steps else stop
                     run = arr[np.searchsorted(arr, lo) : np.searchsorted(arr, hi)]
                     rows_parts.append(run)
                     steps_parts.append(np.full(len(run), s, dtype=np.int64))
@@ -282,9 +307,11 @@ def scan_steps(
                         if outs[s] == "last":
                             em[-1] = True
                     emit_parts.append(em)
-                p = adv[-1] + 1
+                p = stop
                 mid += 1
                 gmid += 1
+                if stop >= g1:
+                    break
         if rows_parts:
             midx = np.concatenate(rows_parts)
             msteps = np.concatenate(steps_parts)
@@ -387,9 +414,15 @@ def scan_steps(
             # bounded state tables: up to `concurrent_partials` partial
             # matches PER STEP. Backwards step evaluation per record;
             # a record promotes every accepting previous-step partial,
-            # holds every accepting same-step partial, and (step 1)
-            # starts a new partial; oldest evict beyond the bound.
-            tables: list[list[tuple[list, dict]]] = [[] for _ in range(n_steps)]
+            # holds every accepting same-step partial — including
+            # COMPLETED matches holding at the final step (Kusto
+            # hold-at-final, r16; final-table entries carry their
+            # assigned match id) — and (step 1) starts a new partial;
+            # oldest evict beyond the bound. An evicted held-final
+            # match is complete and emits at eviction; survivors emit
+            # at end of partition.
+            last = n_steps - 1
+            tables: list[list] = [[] for _ in range(n_steps)]
             match_id = 0
             for i in range(len(pdf)):
                 for k in range(n_steps - 1, -1, -1):
@@ -405,24 +438,39 @@ def scan_steps(
                             else:
                                 kept.append((runs, vv))
                         tables[k - 1] = kept
-                        for j, (runs, vv) in enumerate(tables[k]):
-                            if pyok(k, i, vv):
-                                vv2 = apply_assigns(k, i, vv)
-                                runs[k].append((i, vv2))
-                                tables[k][j] = (runs, vv2)
-                        for runs, vv in promoted:
-                            if k == n_steps - 1:
-                                emit(runs, match_id)
+                        if k == last:
+                            for j, (runs, vv, mid) in enumerate(tables[k]):
+                                if pyok(k, i, vv):
+                                    vv2 = apply_assigns(k, i, vv)
+                                    runs[k].append((i, vv2))
+                                    tables[k][j] = (runs, vv2, mid)
+                            for runs, vv in promoted:
+                                tables[k].append((runs, vv, match_id))
                                 match_id += 1
-                            else:
-                                tables[k].append((runs, vv))
+                            for runs, _vv, mid in tables[k][:-concurrent_partials]:
+                                emit(runs, mid)
+                        else:
+                            for j, (runs, vv) in enumerate(tables[k]):
+                                if pyok(k, i, vv):
+                                    vv2 = apply_assigns(k, i, vv)
+                                    runs[k].append((i, vv2))
+                                    tables[k][j] = (runs, vv2)
+                            tables[k].extend(promoted)
                         del tables[k][:-concurrent_partials]
                     else:
                         fresh = dict(init_vals)
                         if n_steps == 1:
-                            if pyok(0, i, fresh):
+                            # the single step IS the final step: ONE
+                            # held match per partition, extended by
+                            # every accepting record (hold-at-final)
+                            if tables[0] and pyok(0, i, tables[0][0][1]):
+                                runs, vv, mid = tables[0][0]
+                                vv = apply_assigns(0, i, vv)
+                                runs[0].append((i, vv))
+                                tables[0][0] = (runs, vv, mid)
+                            elif not tables[0] and pyok(0, i, fresh):
                                 vv = apply_assigns(0, i, fresh)
-                                emit([[(i, vv)]], match_id)
+                                tables[0] = [([[(i, vv)]], vv, match_id)]
                                 match_id += 1
                             continue
                         # bounded mode: a step-1 record STARTS its own
@@ -436,6 +484,9 @@ def scan_steps(
                             vv = apply_assigns(0, i, fresh)
                             tables[0].append(([[(i, vv)]], vv))
                         del tables[0][:-concurrent_partials]
+            # end of partition: held final-step matches are complete
+            for runs, _vv, mid in tables[last]:
+                emit(runs, mid)
             out = pdf.iloc[keep_rows][data_cols].copy()
             for v in var_names:
                 out[v] = pd.Series(
@@ -446,8 +497,15 @@ def scan_steps(
             return out
 
         if concurrent:
-            # one partial match per step: (runs, var_vals) or None
+            # one partial match per step: (runs, var_vals) or None.
+            # `held` is the ONE completed match holding at the final
+            # step (Kusto hold-at-final, r16): (runs, var_vals,
+            # match_id). It extends on accepting final-step records,
+            # finalizes (emits) when a newer promotion replaces it
+            # (newest-wins) or the partition ends.
+            last = n_steps - 1
             states: list[tuple[list, dict] | None] = [None] * n_steps
+            held: tuple[list, dict, int] | None = None
             match_id = 0
             for i in range(len(pdf)):
                 for k in range(n_steps - 1, -1, -1):
@@ -456,11 +514,17 @@ def scan_steps(
                     if k == 0:
                         fresh = dict(init_vals)
                         if n_steps == 1:
-                            # single-step scan: every matching record is
-                            # a complete match of its own (greedy parity)
-                            if pyok(0, i, fresh):
+                            # the single step IS the final step: one
+                            # held match extends across all accepting
+                            # records (hold-at-final)
+                            if held is not None and pyok(0, i, held[1]):
+                                runs, vv, mid = held
+                                vv = apply_assigns(0, i, vv)
+                                runs[0].append((i, vv))
+                                held = (runs, vv, mid)
+                            elif held is None and pyok(0, i, fresh):
                                 vv = apply_assigns(0, i, fresh)
-                                emit([[(i, vv)]], match_id)
+                                held = ([[(i, vv)]], vv, match_id)
                                 match_id += 1
                         elif states[0] is not None and pyok(0, i, states[0][1]):
                             runs, vv = states[0]  # hold at step 1
@@ -476,16 +540,28 @@ def scan_steps(
                         states[k - 1] = None
                         vv = apply_assigns(k, i, vv)
                         runs = runs + [[(i, vv)]]
-                        if k == n_steps - 1:
-                            emit(runs, match_id)
+                        if k == last:
+                            # completed: holds at the final step; the
+                            # previous held match is replaced
+                            # (newest-wins) and finalizes now
+                            if held is not None:
+                                emit(held[0], held[2])
+                            held = (runs, vv, match_id)
                             match_id += 1
                         else:
                             states[k] = (runs, vv)  # newest-wins at step k
-                    elif states[k] is not None and pyok(k, i, states[k][1]):
+                    elif k == last and held is not None and pyok(k, i, held[1]):
+                        runs, vv, mid = held  # hold at the final step
+                        vv = apply_assigns(k, i, vv)
+                        runs[k].append((i, vv))
+                        held = (runs, vv, mid)
+                    elif k < last and states[k] is not None and pyok(k, i, states[k][1]):
                         runs, vv = states[k]  # hold at step k+1
                         vv = apply_assigns(k, i, vv)
                         runs[k].append((i, vv))
                         states[k] = (runs, vv)
+            if held is not None:
+                emit(held[0], held[2])  # held final-step match completes
             out = pdf.iloc[keep_rows][data_cols].copy()
             for v in var_names:
                 out[v] = pd.Series(
@@ -495,24 +571,22 @@ def scan_steps(
             out["step_index"] = pd.Series(keep_step, index=out.index, dtype="int64")
             return out
 
-        state = 0
+        state = 0  # step being sought; n_steps == held at the final step
         match_id = 0
         # per completed-so-far step: [(row_idx, var snapshot), ...]
         runs: list[list[tuple[int, dict]]] = []
         var_vals: dict = dict(init_vals)
         for i in range(len(pdf)):
             # advance beats hold (Kusto order); the python residual sees
-            # the sequence's variables as of BEFORE this row
-            if flags[i, state] and pyok(state, i, var_vals):
+            # the sequence's variables as of BEFORE this row. state ==
+            # n_steps is the Kusto hold-at-final state (r16): the hold
+            # branch keeps extending the final run; the match finalizes
+            # only when a row STARTS a new sequence (third branch) or
+            # the partition ends.
+            if state < n_steps and flags[i, state] and pyok(state, i, var_vals):
                 var_vals = apply_assigns(state, i, var_vals)
                 runs.append([(i, var_vals)])
                 state += 1
-                if state == n_steps:
-                    emit(runs, match_id)
-                    match_id += 1
-                    state = 0
-                    runs = []
-                    var_vals = dict(init_vals)
             elif (
                 state > 0
                 and flags[i, state - 1]
@@ -520,6 +594,16 @@ def scan_steps(
             ):
                 var_vals = apply_assigns(state - 1, i, var_vals)
                 runs[state - 1].append((i, var_vals))  # hold: extend the run
+            elif state == n_steps and flags[i, 0]:
+                fresh = dict(init_vals)
+                if pyok(0, i, fresh):
+                    emit(runs, match_id)  # held match finalizes
+                    match_id += 1
+                    var_vals = apply_assigns(0, i, fresh)
+                    runs = [[(i, var_vals)]]
+                    state = 1
+        if state == n_steps:
+            emit(runs, match_id)  # a held final-step match IS complete
         out = pdf.iloc[keep_rows][data_cols].copy()
         for v in var_names:
             out[v] = pd.Series(

@@ -239,10 +239,9 @@ def brute_force_topk_vectorized(
     )
 
 
-def lsh_topk(
+def lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     n_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -250,11 +249,12 @@ def lsh_topk(
     probe_bits: int = 1,
     target_bucket: int = 10_000,
 ) -> DataFrame:
-    """Approximate top-k: exact rerank restricted to the query's LSH
-    bucket plus multi-probe neighbors (all codes within `probe_bits`
-    bit flips — near-miss sign bits are the dominant recall loss).
-    Probing multiplies only the tiny query side (n_planes+1 codes per
-    query at probe_bits=1); the corpus is still hashed once.
+    """The scored candidate-pair set behind lsh_topk: every DISTINCT
+    (query_id, neighbor_id, sim) pair the bucket join actually reranks.
+    Exposed separately so callers can grade PRUNING as well as recall
+    (knn_*_pruned_envelope): count(candidates) / (n_queries × corpus)
+    is the scanned fraction — ~1.0 means the index degenerated to a
+    full scan regardless of what its configuration claims.
 
     n_planes=None derives the plane count from the corpus count (one
     count() action, index-build cost): the expected bucket n/2^b must
@@ -293,18 +293,50 @@ def lsh_topk(
             *[F.col("qcode").bitwiseXOR(F.lit(m)) for m in masks]
         )
         q = q.select("query_id", "qv", F.explode(flips).alias("qcode"))
-    sims = (
+    return (
         c.join(F.broadcast(q), F.col("code") == F.col("qcode"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+
+def _topk_from_candidates(sims: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int | None = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_bits: int = 1,
+    target_bucket: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k: exact rerank restricted to the query's LSH
+    bucket plus multi-probe neighbors (all codes within `probe_bits`
+    bit flips — near-miss sign bits are the dominant recall loss).
+    Probing multiplies only the tiny query side (n_planes+1 codes per
+    query at probe_bits=1); the corpus is still hashed once."""
+    sims = lsh_candidates(
+        corpus,
+        queries,
+        n_planes=n_planes,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_bits=probe_bits,
+        target_bucket=target_bucket,
+    )
+    return _topk_from_candidates(sims, k)
 
 
 # Hard ceiling on rows any centroid-training step may collect to the
@@ -479,10 +511,9 @@ def _train_centroids_hierarchical(
     return np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cent_rows])
 
 
-def ivf_topk(
+def ivf_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
@@ -490,7 +521,11 @@ def ivf_topk(
     train_factor: int = 64,
     n_iter: int = 5,
 ) -> DataFrame:
-    """IVF: coarse centroids trained by spherical k-means on a bounded
+    """The scored candidate-pair set behind ivf_topk (see
+    lsh_candidates — same pruning-grading contract): every
+    (query_id, neighbor_id, sim) pair inside the probed cells.
+
+    IVF: coarse centroids trained by spherical k-means on a bounded
     deterministic sample (driver-side numpy — the FAISS coarse-quantizer
     recipe), corpus assigned to its nearest cell with ONE shuffle-free
     Arrow matmul pass (centroid matrix ships in the UDF closure, ~KB),
@@ -535,14 +570,34 @@ def ivf_topk(
     q_cells = q.mapInPandas(
         probe_cells, "query_id long, qv array<double>, cell_id long"
     )
-    sims = (
+    return (
         assigned.join(F.broadcast(q_cells), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_factor: int = 64,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Approximate top-k over the probed-cell candidates — see
+    ivf_candidates for the index recipe and the 100 TB shape."""
+    sims = ivf_candidates(
+        corpus,
+        queries,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_factor=train_factor,
+        n_iter=n_iter,
     )
+    return _topk_from_candidates(sims, k)

@@ -57,77 +57,85 @@ def load_all() -> None:
 
 
 # The driver grades a bounded prefix (first 50 names) of the registry.
-# Round-15 rotation (VERDICT r14 top_next, arithmetic 7 + 42 + 1 = 50) --
-# ALL 50 slots are oracle-backed (the driver has no rows-only fallback).
-# (a) the seven r14 registrations queued to lead this window (never
-# driver-graded; all judge-verified green at sf0.01 in VERDICT r14).
-# (b) the FULL 42-name r10-stale cohort (oldest green grade anywhere in
-# the registry -- after this round no oracle-backed grade is older than
-# r11, the verdict's done-criterion).
-# (c) slot 50: the oldest r11 name (first in registry order): search_term.
-# Registered but QUEUED TO LEAD THE r16 WINDOW (the r13 precedent — the
-# 50 slots are full; locally oracle-verified at sf0.01 this round):
-#   knn_lsh_recall_envelope (VERDICT r14 ask #5 — exact twin + multi-
-#                         probe LSH in ONE query, graded as boolean
-#                         mean-recall@5 >= 0.9; neighbor lists stay
-#                         out of the hash)
-#   knn_ivf_recall_envelope (ask #5 — the same envelope over the IVF
-#                         cell-probed path)
+# Round-16 rotation (VERDICT r15 top_next #1, arithmetic 2 + 39 + 9 = 50)
+# -- ALL 50 slots are oracle-backed (the driver has no rows-only
+# fallback).
+# (a) the two r15 registrations queued to lead this window (never
+# driver-graded; both judge-verified green at sf0.01 in VERDICT r15).
+# (b) the FULL 39-name r11-stale cohort (newest green grade anywhere in
+# the registry is CORRECTNESS_r11 -- after this round no oracle-backed
+# grade is older than r12, the verdict's done-criterion).
+# (c) the 9 oldest r12 names (alphabetically first of the 45, per the
+# verdict's explicit list): agg_pricing_summary .. fork_legs.
+# Registered but QUEUED TO LEAD THE r17 WINDOW (the r13/r15 precedent —
+# the 50 slots are full; locally oracle-verified at sf0.001+sf0.01 this
+# round, margins recorded in the docstrings):
+#   knn_lsh_pruned_envelope (VERDICT r15 'what's wrong' #1 / ask #3 —
+#                         planted-cluster fixture; grades recall@5
+#                         >= 0.9 AND scanned-pair fraction <= 0.25 in
+#                         one row, so the index must actually PRUNE)
+#   knn_ivf_pruned_envelope (ask #3 — the same selectivity+recall
+#                         contract over the IVF cell-probed path)
+#   dedup_simhash_envelope (ask #5 — planted near-dup precision/recall
+#                         bounds, hash-dependent pair lists out of the
+#                         hash)
+#   series_forecast_envelope (ask #5 — forecast-error bound vs the
+#                         linear-trend oracle on a planted series)
 # Exactly 50 -- enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
-    # (a) r14 registrations, never graded -- they lead
-    "mg_approx_envelope",
-    "heavy_hitters_weighted",
-    "weighted_sample_keeper",
-    "kql_weighted_sample_stratified",
-    "kql_freq_estimate_weighted",
-    "hll_distinct_rollup",
-    "tdigest_rollup_envelope",
-    # (b) the full r10-stale cohort (42 names)
-    "activity_counts_metrics_op",
-    "activity_metrics_op",
-    "agg_argmax_argmin",
-    "agg_binary_all",
-    "agg_conditional",
-    "agg_dcount",
-    "agg_distinct_variants",
-    "agg_make_list_if",
-    "agg_make_set",
-    "agg_percentiles",
-    "agg_percentilesw",
-    "agg_stats",
-    "agg_take_any",
-    "diffpatterns_text_op",
-    "embedding_neardup_incremental",
-    "find_in_tables",
-    "geo_polygon_ops",
-    "join_fullouter",
-    "join_innerunique",
-    "join_leftanti",
-    "join_leftouter",
-    "join_leftsemi",
-    "kql_argmax_star",
-    "kql_graph_to_table",
-    "kql_invoke_tabular",
-    "kql_make_series_numeric",
-    "scalar_format_fns",
-    "scalar_ipv6_family",
-    "scalar_round5_extras",
-    "scalar_series_similarity",
-    "scalar_string_bytes",
-    "sequence_detect_op",
-    "series_fit_line_oracle",
-    "session_count_op",
-    "sliding_window_counts_op",
-    "sort_take_asc",
-    "text_language_id_oracle",
-    "text_quality_score_oracle",
-    "tfidf_top_terms",
-    "top_orders",
-    "vocab_top_tokens",
-    "where_project",
-    # (c) slot 50: oldest r11 name
-    "search_term",
+    # (a) r15 registrations, never graded -- they lead
+    "knn_lsh_recall_envelope",
+    "knn_ivf_recall_envelope",
+    # (b) the full r11-stale cohort (39 names)
+    "agg_conditional_r7",
+    "agg_dcount_approx",
+    "agg_dcount_intersect",
+    "agg_hll_sketch",
+    "agg_make_bag",
+    "agg_percentiles_array",
+    "agg_tdigest",
+    "argmin_distance",
+    "bag_unpack",
+    "bpe_merges_planted",
+    "bpe_tokenize_planted",
+    "chunk_documents_op",
+    "dedup_events_by_key",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "fuzzy_dedup_best_quality",
+    "fuzzy_dedup_planted",
+    "geo_s2cell_ops",
+    "knn_cosine_topk_fast",
+    "knn_recall_gate",
+    "kql_parse_kv_op",
+    "kql_parse_kv_regex",
+    "kql_pred_extensions",
+    "kql_search_qualified",
+    "mv_expand_zip",
+    "new_activity_metrics_op",
+    "pq_codes_planted",
+    "rollup_incremental",
+    "scalar_bag_stats_r6",
+    "scalar_datetime_r5",
+    "scalar_series_elementwise",
+    "scalar_special_math",
+    "scalar_tz_useragent",
+    "scalar_unit_convert",
+    "scan_funnel",
+    "scan_funnel_latency",
+    "scan_funnel_time_bound",
+    "temperature_mix_op",
+    "url_blocklist_filter",
+    # (c) the 9 oldest r12 names (verdict's list)
+    "agg_pricing_summary",
+    "agg_round3_variants",
+    "asof_join_events",
+    "cdc_dedup_planted",
+    "classifier_gate_exact",
+    "classifier_train_gate",
+    "dedup_components",
+    "embedding_neardup_pairs",
+    "fork_legs",
 ]
 
 

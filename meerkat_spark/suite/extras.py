@@ -376,11 +376,15 @@ def stratified_sample_op(spark, sf_dir):
            CAST(CASE WHEN e.rn < m.c_rn THEN 0
                      WHEN e.rn < m.p_rn THEN 1
                      ELSE 2 END AS BIGINT) AS step_index
-    FROM m JOIN ev e ON e.user_id = m.user_id
+    FROM m
+    JOIN LATERAL (SELECT coalesce(min(rn), 9223372036854775807) AS nv
+                  FROM ev WHERE ev.user_id = m.user_id AND fv
+                    AND rn > m.p_rn) x ON true
+    JOIN ev e ON e.user_id = m.user_id
     WHERE m.match_id >= 0 AND (
           (e.rn >= m.v_rn AND e.rn < m.c_rn AND e.fv)
        OR (e.rn >= m.c_rn AND e.rn < m.p_rn AND e.fc)
-       OR e.rn = m.p_rn)
+       OR (e.rn >= m.p_rn AND e.rn < x.nv AND e.fp))
     """,
 )
 def scan_funnel(spark, sf_dir):
@@ -389,10 +393,12 @@ def scan_funnel(spark, sf_dir):
     Oracle-backed: the greedy machine's matches are deterministic — a
     match is (first view after the previous purchase, first click
     after it, first purchase after that), holds are the same-type rows
-    inside each half-open step interval, so a recursive CTE over
-    MATCHES (depth = funnels per user, not rows) is an exact twin.
-    Predicates are evaluated JVM-side; only packed booleans reach the
-    per-user state machine."""
+    inside each half-open step interval, and the FINAL step HOLDs like
+    Kusto (r16): purchases keep extending the match until the next
+    view starts a new sequence (`x.nv`, the hold's end). A recursive
+    CTE over MATCHES (depth = funnels per user, not rows) is an exact
+    twin. Predicates are evaluated JVM-side; only packed booleans
+    reach the per-user state machine."""
     from meerkat_spark.operators.scan import scan_steps
 
     ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
@@ -439,7 +445,12 @@ def scan_funnel(spark, sf_dir):
     FROM (
       SELECT m.user_id,
              (epoch_us(e.ts) - epoch_us(e.pv_ts)) // 1000000 AS lat
-      FROM m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.p_rn
+      FROM m
+      JOIN LATERAL (SELECT coalesce(min(rn), 9223372036854775807) AS nv
+                    FROM ev WHERE ev.user_id = m.user_id AND fv
+                      AND rn > m.p_rn) x ON true
+      JOIN ev e ON e.user_id = m.user_id
+          AND e.fp AND e.rn >= m.p_rn AND e.rn < x.nv
       WHERE m.match_id >= 0
     ) GROUP BY user_id
     """,
@@ -448,9 +459,12 @@ def scan_funnel_latency(spark, sf_dir):
     """scan with declared state (operators/scan.py): carry the view
     timestamp through the funnel and report view→purchase latency per
     user. Oracle-backed: t0 is assigned on every step-0 match (start
-    and holds), so at the purchase it equals the running last-view
-    timestamp — a plain window max in the twin; matches recurse per
-    funnel. Latency is integer micros-floor seconds on both engines."""
+    and holds), so at each emitted purchase it equals the running
+    last-view timestamp — a plain window max in the twin; matches
+    recurse per funnel, and the FINAL step HOLDs (r16): every purchase
+    until the next view belongs to the match (no views occur inside
+    the hold, so pv_ts stays the match's own view). Latency is integer
+    micros-floor seconds on both engines."""
     from meerkat_spark.operators.scan import scan_steps
 
     ev = MeerkatEngine(spark, sf_dir).table("events").to_df()
@@ -651,7 +665,13 @@ def stratified_sample_hash_op(spark, sf_dir):
     FROM (
       SELECT m.user_id,
              (epoch_us(e.ts) - epoch_us(e.pv_ts)) // 1000000 AS lat
-      FROM m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.p_rn
+      FROM m
+      JOIN LATERAL (SELECT coalesce(min(rn), 9223372036854775807) AS nv
+                    FROM ev WHERE ev.user_id = m.user_id AND fv
+                      AND rn > m.p_rn) x ON true
+      JOIN ev e ON e.user_id = m.user_id
+          AND e.fp AND e.rn >= m.p_rn AND e.rn < x.nv
+          AND epoch_us(e.ts) - epoch_us(e.pv_ts) <= 21600000000
       WHERE m.match_id >= 0
     ) GROUP BY user_id
     """,
@@ -666,7 +686,10 @@ def scan_funnel_time_bound(spark, sf_dir):
     (kql/translator.py _scan_compile_pypred). Oracle-backed (round 6):
     t0 equals the running last-view timestamp at every candidate row,
     so the residual is expressible as a window-max comparison and the
-    greedy matches recurse per funnel."""
+    greedy matches recurse per funnel. r16 hold-at-final: purchases
+    after completion extend the match while they pass the residual
+    (within the bound of the match's own view) until the next view
+    starts a new sequence."""
     from meerkat_spark.operators.scan import scan_steps
 
     ev = MeerkatEngine(spark, sf_dir).table("events").to_df()

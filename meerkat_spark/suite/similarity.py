@@ -260,6 +260,143 @@ def knn_ivf_recall_envelope(spark, sf_dir):
     )
 
 
+N_PLANTED_CLUSTERS = 16
+PLANTED_EPS = 0.05
+
+
+def _planted_corpus(spark, sf_dir):
+    """Planted-cluster fixture derived DETERMINISTICALLY from the
+    embeddings table (r16, VERDICT r15 'what's wrong' #1): vectors
+    0..15 (unit-normalized) are cluster centroids; every other vector
+    becomes a member of cluster (vec_id % 16) at
+    `centroid + 0.05 * unit(own_vector)` — within-cluster cosine
+    ~0.9975 vs cross-cluster ~<=0.55, so each query's exact top-5 is
+    same-cluster and a SELECTIVE index configuration (few probed
+    cells/buckets) genuinely suffices for high recall. This is the
+    fixture where certifying pruning is meaningful: on the
+    near-isotropic raw table, high recall requires near-exhaustive
+    probing (the r15 envelopes), which cannot distinguish a working
+    index from a degenerate full scan. All arithmetic is JVM-side
+    (zip_with/aggregate) — no randomness, no Python."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id", knn._to_double(F.col("embedding")).alias("v")
+    )
+    unit = base.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: x / F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", "v", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                )
+            )
+        ).alias("u"),
+    )
+    cents = unit.filter(F.col("vec_id") < N_PLANTED_CLUSTERS).select(
+        F.col("vec_id").alias("cluster_id"), F.col("u").alias("cent")
+    )
+    members = unit.filter(F.col("vec_id") >= N_PLANTED_CLUSTERS).select(
+        "vec_id",
+        (F.col("vec_id") % N_PLANTED_CLUSTERS).alias("cluster_id"),
+        F.col("u").alias("mv"),
+    )
+    return members.join(F.broadcast(cents), "cluster_id").select(
+        "vec_id",
+        F.zip_with(
+            "cent", "mv", lambda c, m: c + F.lit(PLANTED_EPS) * m
+        ).alias("embedding"),
+    )
+
+
+def _pruned_envelope(corpus, queries, cands, recall_floor=0.9, scan_bound=0.25):
+    """Grade BOTH booleans of an ANN contract in one row: recall@5 >=
+    `recall_floor` against the exact twin AND scanned-pair fraction
+    (distinct candidate pairs / (n_queries x corpus)) <= `scan_bound`.
+    The second boolean is computed from the pairs the index ACTUALLY
+    scored, so a configuration that degenerates to a full scan fails
+    pruned_ok no matter what its parameters claim."""
+    exact = knn.brute_force_topk(corpus, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn._topk_from_candidates(cands, TOP_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    recall = j.agg(
+        F.lit(TOP_K).alias("k"),
+        F.count_distinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))
+            >= recall_floor
+        ).alias("recall_ok"),
+    )
+    scanned = cands.agg(F.count(F.lit(1)).alias("n_scanned"))
+    total = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        recall.crossJoin(F.broadcast(scanned))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_queries",
+            "recall_ok",
+            (
+                F.col("n_scanned")
+                / (F.col("n_queries") * F.col("n_corpus"))
+                <= scan_bound
+            ).alias("pruned_ok"),
+        )
+    )
+
+
+@register(
+    "knn_lsh_pruned_envelope",
+    oracle="SELECT 5 AS k, CAST(8 AS BIGINT) AS n_queries,"
+    " TRUE AS recall_ok, TRUE AS pruned_ok",
+)
+def knn_lsh_pruned_envelope(spark, sf_dir):
+    """Selectivity+recall envelope over the LSH path (r16, VERDICT r15
+    'what's wrong' #1): on the planted-cluster fixture a SELECTIVE
+    configuration — 6 planes (64 buckets), 1-bit multi-probe = 7/64
+    codes per query — must reach mean recall@5 >= 0.9 AND touch <= 25%
+    of (query, corpus) pairs. Unlike the r15 recall envelopes (which
+    stay green under near-exhaustive probing), this grades that the
+    index actually PRUNES: the scanned fraction is counted from the
+    candidate pairs the bucket join scored (measured 0.14-0.18 at
+    sf0.001-0.1, recall 1.0), so a degenerate full scan fails.
+    Hash-dependent neighbor lists and bucket contents stay out of the
+    value hash."""
+    corpus = _planted_corpus(spark, sf_dir)
+    queries = corpus.filter(
+        F.col("vec_id") < N_PLANTED_CLUSTERS + N_QUERIES
+    )
+    cands = knn.lsh_candidates(
+        corpus, queries, n_planes=6, dim=64, probe_bits=1
+    )
+    return _pruned_envelope(corpus, queries, cands)
+
+
+@register(
+    "knn_ivf_pruned_envelope",
+    oracle="SELECT 5 AS k, CAST(8 AS BIGINT) AS n_queries,"
+    " TRUE AS recall_ok, TRUE AS pruned_ok",
+)
+def knn_ivf_pruned_envelope(spark, sf_dir):
+    """Selectivity+recall envelope over the IVF path (r16, sibling of
+    knn_lsh_pruned_envelope): 16 k-means cells, 2 probed (12.5% of
+    cells) on the planted-cluster fixture must reach recall@5 >= 0.9
+    AND scan <= 25% of (query, corpus) pairs — counted from the pairs
+    the probed-cell join actually scored, so cell-imbalance (merged
+    clusters) or a degenerate index shows up in the graded fraction
+    (measured 0.12-0.16 at sf0.001-0.1, recall 0.975)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    queries = corpus.filter(
+        F.col("vec_id") < N_PLANTED_CLUSTERS + N_QUERIES
+    )
+    cands = knn.ivf_candidates(corpus, queries, n_cells=16, n_probe=2)
+    return _pruned_envelope(corpus, queries, cands)
+
+
 @register(
     "argmin_distance",
     oracle="""

@@ -23,14 +23,15 @@ scan declare defaults + var-referencing accumulator assignments,
 implicit serialize for evaluate narrow(), and dayofweek() comparisons
 against timespan literals (`== 0d`) via a translator coercion.
 
-KNOWN-GAP BACKLOG (catalogued r15, candidates for r16):
-- scan completion semantics: a sequence COMPLETES at the final step
-  and the machine resets (the documented greedy single-active subset,
-  operators/scan.py module docstring) — Kusto instead HOLDs at the
-  final step, so its single-step cumulative-sum idiom
-  (`scan declare (t:long=0) with (step s1: true => t = t + x;)`)
-  yields per-row resets here, not a running total. Running totals are
-  expressed via row_cumsum/serialize instead.
+The r15 backlog entry (scan completion semantics) closed in r16:
+the machine now HOLDs at the final step like Kusto — rows matching
+the last step's predicate keep extending a completed match, so the
+single-step cumulative-sum idiom
+(`scan declare (t:long=0) with (step s1: true => t = t + x;)`)
+returns a running total (SEMANTIC probes below; known-answer pins in
+tests/test_scan.py).
+
+KNOWN-GAP BACKLOG: (empty — refill as probes find corners)
 """
 
 from __future__ import annotations
@@ -289,6 +290,10 @@ SEMANTIC = [
     ("countof overlapping", "print n = countof('aaa', 'aa')", [1]),
     ("round half behavior", "print a = round(2.5), b = round(-2.5), c = round(2.15, 1)", [3, -3, 2.2]),
     ("floor vs bin negative real", "print a = bin(-0.1, 0.5)", [-0.5]),
+    # r16: scan hold-at-final (the backlog closure) — the single-step
+    # cumulative-sum idiom is a running total over ONE match
+    ("scan cumulative sum idiom", "datatable(ts:long, x:long) [1, 10, 2, 20, 3, 30] | sort by ts asc | scan declare (t:long = 0) with (step s1: true => t = t + x;) | summarize total = max(t), n_matches = dcount(match_id)", [60, 1]),
+    ("scan hold at final extends", "datatable(ts:long, ev:string) [1, 'a', 2, 'b', 3, 'b', 4, 'a', 5, 'b'] | sort by ts asc | scan with (step s1: ev == 'a'; step s2: ev == 'b';) | summarize n_rows = count(), n_matches = dcount(match_id)", [5, 2]),
 ]
 
 

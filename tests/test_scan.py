@@ -1,6 +1,9 @@
 """KQL scan subset: greedy non-overlapping step sequences — known
 answers incl. skipped non-advancing rows, multiple matches per key,
-incomplete tails, null predicates, single-step scans."""
+incomplete tails, null predicates, single-step scans, and the r16
+Kusto hold-at-final semantics (rows matching the last step keep
+extending a completed match; the cumulative-sum idiom is a running
+total)."""
 
 from __future__ import annotations
 
@@ -60,7 +63,11 @@ def test_null_predicate_is_false(spark):
     assert [r.ts for r in sorted(out.collect(), key=lambda r: r.step_index)] == [2, 3, 4]
 
 
-def test_single_step_scan_tags_each_hit(spark):
+def test_single_step_scan_holds_one_match(spark):
+    """r16 hold-at-final: a single-step scan's first hit starts the
+    match AT the final step; every later hit extends it (Kusto — this
+    is what makes the cumulative-sum idiom a running total). One match
+    per partition, not one per hit."""
     df = spark.createDataFrame(
         [("a", 1, "x"), ("a", 2, "hit"), ("a", 3, "hit")],
         "user string, ts long, ev string",
@@ -69,7 +76,7 @@ def test_single_step_scan_tags_each_hit(spark):
         df, steps=[F.col("ev") == "hit"], order_by=["ts"], partition_by=["user"]
     )
     got = sorted((r.ts, r.match_id) for r in out.collect())
-    assert got == [(2, 0), (3, 1)]
+    assert got == [(2, 0), (3, 0)]
 
 
 def test_no_steps_raises(spark):
@@ -113,7 +120,9 @@ def test_step_output_last_and_none(spark):
 
 
 def test_advance_beats_hold(spark):
-    """A row satisfying both the current and next step advances."""
+    """A row satisfying both the current and next step advances; rows
+    matching the FINAL step after completion extend the held match
+    (r16 hold-at-final)."""
     df = spark.createDataFrame(
         [("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y")],
         "user string, ts long, ev string",
@@ -125,7 +134,9 @@ def test_advance_beats_hold(spark):
         partition_by=["user"],
     )
     got = sorted((r.ts, r.match_id, r.step_index) for r in out.collect())
-    assert got == [(1, 0, 0), (2, 0, 1)]  # ts=2 advances (doesn't hold)
+    # ts=2 advances (doesn't hold at step 1); ts=3 extends the held
+    # final step of the same match
+    assert got == [(1, 0, 0), (2, 0, 1), (3, 0, 1)]
 
 
 def test_declare_assign_funnel_latency(spark):
@@ -183,8 +194,9 @@ def test_concurrent_overlapping_sequences(spark):
     )
     got_greedy = sorted((r.ts, r.match_id, r.step_index) for r in greedy.collect())
     got_conc = sorted((r.ts, r.match_id, r.step_index) for r in conc.collect())
-    # greedy: one match; the ts=3 login is lost while waiting for buy
-    assert got_greedy == [(1, 0, 0), (2, 0, 1), (4, 0, 2)]
+    # greedy: one match; the ts=3 login is lost while waiting for buy,
+    # and buy@6 extends the held final step (r16 hold-at-final)
+    assert got_greedy == [(1, 0, 0), (2, 0, 1), (4, 0, 2), (6, 0, 2)]
     # concurrent: both overlapping sequences complete
     assert got_conc == [
         (1, 0, 0), (2, 0, 1), (3, 1, 0), (4, 0, 2), (5, 1, 1), (6, 1, 2),
@@ -250,20 +262,22 @@ def test_concurrent_vars_follow_their_own_match(spark):
     assert got == {0: (40, 10), 1: (60, 30)}
 
 
-def test_concurrent_single_step_emits_every_match(spark):
-    """A one-step concurrent scan must emit one match per matching row
-    (greedy parity) — the promote-only emission path used to skip them."""
+def test_concurrent_single_step_holds_like_greedy(spark):
+    """A one-step scan holds at the final step in EVERY mode (r16):
+    the first matching row starts the match, later matching rows
+    extend it — greedy, concurrent, and bounded-partials agree."""
     df = spark.createDataFrame(
         [("a", 1, "x"), ("a", 2, "y"), ("a", 3, "x")],
         "user string, ts long, ev string",
     )
-    for conc in (False, True):
+    for conc, partials in ((False, 1), (True, 1), (True, 4)):
         out = scan_steps(
             df, steps=[F.col("ev") == "x"], order_by=["ts"],
             partition_by=["user"], concurrent=conc,
+            concurrent_partials=partials,
         )
         got = sorted((r.ts, r.match_id) for r in out.collect())
-        assert got == [(1, 0), (3, 1)], (conc, got)
+        assert got == [(1, 0), (3, 0)], (conc, partials, got)
 
 
 def test_scan_vars_in_predicate_greedy_kql(spark):
@@ -529,3 +543,137 @@ def test_scan_accumulator_concurrent(spark):
     # newest-wins single-partial default: a@2 holds the step-a match
     # (k 101->102); z@3 promotes it. Emitted rows snapshot their own k.
     assert got == [(1, 101, 0), (2, 102, 0), (3, 102, 1)]
+
+
+def test_final_step_holds_and_extends(spark):
+    """r16 hold-at-final (greedy): after login→buy completes, further
+    buys before the next login extend the SAME match; the next login
+    finalizes it and starts match 1. Non-matching rows in between are
+    skipped without ending the hold."""
+    df = spark.createDataFrame(
+        [("a", 1, "login"), ("a", 2, "buy"), ("a", 3, "buy"),
+         ("a", 4, "other"), ("a", 5, "buy"), ("a", 6, "login"),
+         ("a", 7, "buy")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "login", F.col("ev") == "buy"],
+        order_by=["ts"],
+        partition_by=["user"],
+    )
+    got = sorted((r.ts, r.match_id, r.step_index) for r in out.collect())
+    assert got == [
+        (1, 0, 0), (2, 0, 1), (3, 0, 1), (5, 0, 1),
+        (6, 1, 0), (7, 1, 1),
+    ]
+
+
+def test_hold_at_final_output_last(spark):
+    """output='last' on the final step emits the LAST held row of the
+    run — emission is deferred until the match truly ends."""
+    df = spark.createDataFrame(
+        [("a", 1, "login"), ("a", 2, "buy"), ("a", 3, "buy"),
+         ("a", 4, "login"), ("a", 5, "buy")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "login", F.col("ev") == "buy"],
+        order_by=["ts"],
+        partition_by=["user"],
+        step_output=["none", "last"],
+    )
+    got = sorted((r.ts, r.match_id) for r in out.collect())
+    assert got == [(3, 0), (5, 1)]
+
+
+def test_hold_wins_over_new_start(spark):
+    """A row matching BOTH the held final step and step 1 extends the
+    hold (Kusto evaluates steps backwards — last step first); only a
+    row matching step 1 alone starts a new sequence."""
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "both"), ("a", 3, "both")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev").isin("x", "both"), F.col("ev") == "both"],
+        order_by=["ts"],
+        partition_by=["user"],
+    )
+    got = sorted((r.ts, r.match_id, r.step_index) for r in out.collect())
+    # x@1 step0, both@2 advances to final, both@3 HOLDs (does not
+    # start a new sequence even though it matches step 1 too)
+    assert got == [(1, 0, 0), (2, 0, 1), (3, 0, 1)]
+
+
+def test_cumulative_sum_scan_idiom_kql(spark):
+    """The Kusto cumulative-sum idiom (r16 probe-backlog closure):
+    `scan declare (t:long=0) with (step s1: true => t = t + x;)` —
+    a single always-true step holds at the final step forever, so t
+    accumulates across the whole serialized stream (one match)."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "ts long, x long"
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | sort by ts asc | scan declare (t: long = 0) with ("
+        " step s1: true => t = t + x;)"
+    ).to_df()
+    got = sorted((r.ts, r.t, r.match_id) for r in out.collect())
+    assert got == [(1, 10, 0), (2, 30, 0), (3, 60, 0), (4, 100, 0)]
+
+
+def test_hold_at_final_with_vars_and_residual(spark):
+    """Hold-at-final composes with declared vars and a var residual on
+    the final step: held rows re-check the residual against the
+    sequence's own t0; failing rows are skipped WITHOUT ending the
+    hold, and a later passing row still extends."""
+    from meerkat_spark.engine import MeerkatEngine
+
+    df = spark.createDataFrame(
+        [(1, "login"), (5, "buy"), (100, "buy"), (8, "buy")],
+        "ts long, ev string",
+    )
+    eng = MeerkatEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog._cache["t"] = df
+    out = eng.kql(
+        "t | sort by ts asc | scan declare (t0: long) with ("
+        ' step a: ev == "login" => t0 = ts;'
+        ' step b: ev == "buy" and ts - t0 < 50;)'
+    ).to_df()
+    got = sorted((r.ts, r.match_id, r.step_index) for r in out.collect())
+    # buy@5 completes (holds); buy@8 extends (7 < 50); buy@100 fails
+    # the residual -> skipped, hold stays alive (no rows after)
+    assert got == [(1, 0, 0), (5, 0, 1), (8, 0, 1)]
+
+
+def test_concurrent_hold_at_final_replaced_by_promotion(spark):
+    """Concurrent mode: a held final-step match extends on accepting
+    records until a NEWER promotion to the final step replaces it
+    (newest-wins); the replaced match finalizes with its held rows."""
+    rows = [
+        ("a", 1, "login"),   # m0 starts
+        ("a", 2, "buy"),     # m0 completes, holds at final
+        ("a", 3, "login"),   # m1 starts concurrently
+        ("a", 4, "buy"),     # promotes m1 -> final (replaces m0's hold)
+        ("a", 5, "buy"),     # extends m1's hold
+    ]
+    df = spark.createDataFrame(rows, "user string, ts long, ev string")
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "login", F.col("ev") == "buy"],
+        order_by=["ts"],
+        partition_by=["user"],
+        concurrent=True,
+    )
+    got = sorted((r.ts, r.match_id, r.step_index) for r in out.collect())
+    # buy@4: promote beats hold, so it belongs to m1, ending m0
+    assert got == [
+        (1, 0, 0), (2, 0, 1),
+        (3, 1, 0), (4, 1, 1), (5, 1, 1),
+    ]
