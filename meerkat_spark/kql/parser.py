@@ -1062,12 +1062,18 @@ class Parser:
 
     def op_parse(self) -> OpNode:
         kind = "simple"
-        if self.at_ident("kind"):
-            self.next()
+        flags = ""
+        # kind= / flags= in either order (Kusto: parse kind=regex
+        # flags=Ui — flags only meaningful with kind=regex)
+        while self.at_ident("kind") or self.at_ident("flags"):
+            which = str(self.next().value).lower()
             self.expect("OP", "=")
-            kind = str(self.expect("IDENT").value).lower()
-            if kind not in ("simple", "regex", "relaxed"):
-                raise KqlSyntaxError(f"parse: unknown kind {kind!r}")
+            if which == "kind":
+                kind = str(self.expect("IDENT").value).lower()
+                if kind not in ("simple", "regex", "relaxed"):
+                    raise KqlSyntaxError(f"parse: unknown kind {kind!r}")
+            else:
+                flags = str(self.expect("IDENT").value)
         src = self.parse_expr()
         self.expect_ident("with")
         # pattern: STRING IDENT[:type] STRING IDENT[:type] ...
@@ -1084,7 +1090,9 @@ class Parser:
                 parts.append(("capture", (name, typ)))
             else:
                 break
-        return OpNode("parse", {"src": src, "parts": parts, "kind": kind})
+        return OpNode(
+            "parse", {"src": src, "parts": parts, "kind": kind, "flags": flags}
+        )
 
     def op_top_nested(self) -> OpNode:
         """top-nested N of key by [name =] agg [with others = 'label']

@@ -1930,7 +1930,13 @@ class Translator:
                 )
                 return MeerkatTable(df)
             lo_i, hi_i, st_i = int(_raw(lo)), int(_raw(hi)), int(_raw(step))
-            df = self.engine.spark.range(lo_i, hi_i + 1, st_i).select(
+            if st_i == 0:
+                raise KqlSyntaxError("range: step must be non-zero")
+            # inclusive BOTH ends in Kusto; spark.range excludes the
+            # end, so nudge it one unit PAST the bound in step
+            # direction (r16 — negative steps dropped the final value)
+            end = hi_i + (1 if st_i > 0 else -1)
+            df = self.engine.spark.range(lo_i, end, st_i).select(
                 F.col("id").alias(var)
             )
             return MeerkatTable(df)
@@ -3112,6 +3118,9 @@ class Translator:
         arr = _c(self.expr(a["expr"]))
         parent_cols = list(t.df.columns)
         df = t.df.withColumn("__row", F.monotonically_increasing_id())
+        # JSON-string dynamics (datatable cells, parsed bags) explode
+        # like arrays, same as mv-expand (r16 — probe batch 15)
+        arr = self._explodable(df, arr, "bag")
         if elem in df.columns:
             # bare-column form: the element SHADOWS the source array
             # column — drop the array after exploding it
@@ -3158,12 +3167,17 @@ class Translator:
                 )
         return MeerkatTable(cur.df.drop("__row"))
 
-    def ap_parse(self, t, a):
-        src = _c(self.expr(a["src"]))
-        regex_parts = []
-        captures: list[tuple[str, str]] = []
+    def _parse_pattern(self, a) -> tuple[str, list[tuple[str, str]]]:
+        """Compile a parse/parse-where pattern spec to (regex, captures).
+        kind=regex keeps literal segments as raw regexes; flags (Kusto
+        `flags=i/m/s`, kind=regex only) become an inline `(?ims)` prefix
+        — `U` (ungreedy) is rejected explicitly (the capture groups are
+        already lazy; globally inverting greediness of user regex
+        segments has no Java-regex equivalent)."""
         import re as _re
 
+        regex_parts = []
+        captures: list[tuple[str, str]] = []
         mode = a.get("kind", "simple")
         for kind, val in a["parts"]:
             if kind == "lit":
@@ -3182,6 +3196,21 @@ class Translator:
                 regex_parts.append(pat)
                 captures.append((name, typ))
         pattern = "".join(regex_parts)
+        flags = (a.get("flags") or "")
+        if flags:
+            unsupported = set(flags) - set("ims")
+            if unsupported:
+                raise KqlSyntaxError(
+                    f"parse flags {''.join(sorted(unsupported))!r} not "
+                    "supported (i/m/s map to inline regex flags; U has "
+                    "no Java-regex equivalent)"
+                )
+            pattern = f"(?{flags})" + pattern
+        return pattern, captures
+
+    def ap_parse(self, t, a):
+        src = _c(self.expr(a["src"]))
+        pattern, captures = self._parse_pattern(a)
         out = t
         for gi, (name, typ) in enumerate(captures, start=1):
             col = F.regexp_extract(src, pattern, gi)
@@ -4186,14 +4215,12 @@ class Translator:
         return t
 
     def ap_parse_where(self, t, a):
-        import re as _re
-
         out = self.ap_parse(t, a)
         src = _c(self.expr(a["src"]))
-        pattern = "".join(
-            _re.escape(val) if kind == "lit" else ("(\\d+)" if val[1] in ("int", "long") else "(.*?)")
-            for kind, val in a["parts"]
-        )
+        # the SAME compiled pattern as the extraction (r16 — the old
+        # rebuild always re-escaped literals, so kind=regex patterns
+        # filtered on the escaped form, and flags were dropped)
+        pattern, _ = self._parse_pattern(a)
         return out.where(src.rlike(pattern))
 
     def ap_getschema(self, t, a):

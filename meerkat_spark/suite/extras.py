@@ -941,6 +941,66 @@ def series_forecast_op(spark, sf_dir):
 
 
 @register(
+    "series_forecast_envelope",
+    oracle="SELECT CAST(20 AS BIGINT) AS n_series, TRUE AS forecast_ok",
+)
+def series_forecast_envelope(spark, sf_dir):
+    """series_decompose_forecast accuracy as a graded contract (r16,
+    VERDICT r15 ask #5 — upgrade of the rows-only series_forecast_op):
+    20 planted series y_t = (10+u) + 0.5t + weekly seasonal + hash
+    noise U(-0.5, 0.5) (xxhash64 — fully deterministic), 28 in-sample
+    points, 7 forecast. The grade: per-series max |forecast - clean
+    truth| <= 1.0 for ALL series (bool_and). The clean truth is
+    analytic (linear trend + the planted seasonal array), so the
+    envelope certifies the STL-lite decomposition separates trend /
+    seasonal / noise and extrapolates both — measured worst max_err
+    0.503, mean 0.311 (noise-free fixture recovers EXACTLY; the bound
+    is 2x the noisy worst case). Forecast arrays stay out of the
+    value hash."""
+    from meerkat_spark.functions.series import series_decompose_forecast
+
+    seas_lit = F.array(
+        *[F.lit(v) for v in (3.0, -2.0, 1.0, 4.0, -1.0, -3.0, -2.0)]
+    )
+    users = spark.range(20).select(F.col("id").cast("long").alias("user_id"))
+
+    def clean(t):
+        return (
+            (10.0 + F.col("user_id"))
+            + 0.5 * t
+            + F.element_at(seas_lit, (t % 7 + 1).cast("int"))
+        )
+
+    def noisy(t):
+        n = (
+            F.pmod(F.xxhash64(F.col("user_id") * 1000 + t), F.lit(1000)).cast(
+                "double"
+            )
+            / 1000.0
+            - 0.5
+        )
+        return clean(t) + n
+
+    y = F.transform(F.sequence(F.lit(0), F.lit(27)), noisy)
+    fc = users.select(
+        "user_id",
+        series_decompose_forecast(y, 7, 7).alias("fc"),
+    )
+    max_err = F.array_max(
+        F.transform(
+            F.sequence(F.lit(28), F.lit(34)),
+            lambda t: F.abs(
+                F.element_at(F.col("fc"), (t + 1).cast("int")) - clean(t)
+            ),
+        )
+    )
+    return fc.agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.bool_and(max_err <= 1.0).alias("forecast_ok"),
+    )
+
+
+@register(
     "geo_polygon_ops",
     oracle="""
     WITH pts AS (

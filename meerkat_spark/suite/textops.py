@@ -195,6 +195,82 @@ def simhash_dedup_planted(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_envelope",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           TRUE AS recall_ok, TRUE AS precision_ok
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def dedup_simhash_envelope(spark, sf_dir):
+    """SimHash NEAR-dup quality as a graded contract (r16, VERDICT r15
+    ask #5 — the recall-envelope pattern over a hash-dependent op):
+    each base doc is 600 unique md5 tokens; ids%3==0 get a copy at
+    +10M with exactly ONE token replaced — a true near-dup whose
+    64-bit SimHash lands 0-3 bits away with high probability (1 of
+    600 tokens shifts each bit's ±1 majority sum by at most 2, so
+    only near-tied bits can flip). The graded booleans: recall of the
+    planted pair set >= 0.9 AND precision >= 0.99 (unique random bags
+    sit at hamming ~32, so nothing else may pair). Hash-dependent
+    pair lists and hamming values stay OUT of the value hash —
+    measured recall 0.981-0.982, precision 1.000 at sf0.001-0.1.
+    Unlike simhash_dedup_planted (hamming-0 reordered copies), this
+    certifies detection at NONZERO hamming — the band-then-verify
+    path (pigeonhole over 16-bit chunks) must recover pairs the
+    exact-fingerprint route would miss."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    tok = lambda j: F.md5(  # noqa: E731
+        F.concat(F.col("doc_id").cast("string"), F.lit("-"), j.cast("string"))
+    )
+    base_text = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(1), F.lit(600)), lambda j: tok(j))
+    )
+    alt_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(600)),
+            lambda j: F.when(
+                j == 1,
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-alt"))),
+            ).otherwise(tok(j)),
+        ),
+    )
+    base = ids.select(
+        F.col("doc_id").cast("long").alias("doc_id"), base_text.alias("text")
+    )
+    # text FIRST, re-label SECOND (lateral-alias capture trap — see
+    # simhash_dedup_planted)
+    copies = (
+        ids.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), alt_text.alias("text"))
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    corpus = base.unionByName(copies)
+    detected = TD.simhash_pairs(corpus, max_hamming=3).select("id1", "id2")
+    is_planted = (F.col("id2") - F.col("id1") == 10_000_000) & (
+        F.col("id1") % 3 == 0
+    )
+    det_stats = detected.agg(
+        F.count(F.lit(1)).alias("n_detected"),
+        F.sum(is_planted.cast("long")).alias("n_planted_det"),
+    )
+    planted = corpus.filter(F.col("doc_id") >= 10_000_000).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    return planted.crossJoin(F.broadcast(det_stats)).select(
+        "n_planted",
+        (
+            F.coalesce("n_planted_det", F.lit(0)) / F.col("n_planted") >= 0.9
+        ).alias("recall_ok"),
+        (
+            F.coalesce("n_planted_det", F.lit(0))
+            / F.greatest(F.col("n_detected"), F.lit(1))
+            >= 0.99
+        ).alias("precision_ok"),
+    )
+
+
+@register(
     "text_stats",
     oracle="""
     SELECT doc_id,

@@ -245,6 +245,15 @@ PROBES = [
     ("print bool expr name", "print isbig = 2 > 1"),
     ("where toupper chain", "events | where toupper(event_type) == 'CLICK' | count"),
     ("extract with typeof long", "print v = extract(@'(\\d+)', 1, 'id=42', typeof(long))"),
+    # r16 batch 15 (VERDICT r15 ask #6)
+    ("toscalar in let predicate", "let hi = toscalar(events | summarize avg(value)); events | where value > hi | count"),
+    ("toscalar in lambda body", "let topuser = toscalar(events | summarize n = count() by user_id | top 1 by n | project user_id); events | where user_id == topuser | count"),
+    ("mv-apply typed coercion", "datatable(d:dynamic) [dynamic(['1','2','3'])] | mv-apply x = d to typeof(string) on (summarize n = count()) | count"),
+    ("top-nested two deep with others", "events | top-nested 2 of event_type with others='other_types' by count(), top-nested 2 of user_id with others='other_users' by count() | count"),
+    ("negative-step range table", "range x from 10 to 1 step -3 | count"),
+    ("parse-where regex kind insensitive", "events | take 20 | extend s = strcat('TYPE=', toupper(event_type)) | parse-where kind=regex flags=i s with 'type=' t:string | count"),
+    ("between timespan exprs", "print b = 90m between (1h .. 2h)"),
+    ("not-between datetime", "events | where ts !between (datetime(2024-01-01) .. datetime(2024-01-02)) | count"),
 ]
 
 # semantic probes: (name, query, expected first-row values)
@@ -294,6 +303,13 @@ SEMANTIC = [
     # cumulative-sum idiom is a running total over ONE match
     ("scan cumulative sum idiom", "datatable(ts:long, x:long) [1, 10, 2, 20, 3, 30] | sort by ts asc | scan declare (t:long = 0) with (step s1: true => t = t + x;) | summarize total = max(t), n_matches = dcount(match_id)", [60, 1]),
     ("scan hold at final extends", "datatable(ts:long, ev:string) [1, 'a', 2, 'b', 3, 'b', 4, 'a', 5, 'b'] | sort by ts asc | scan with (step s1: ev == 'a'; step s2: ev == 'b';) | summarize n_rows = count(), n_matches = dcount(match_id)", [5, 2]),
+    # r16 batch 15 semantic probes (VERDICT r15 ask #6)
+    ("scan output mix with defaults", "datatable(ts:long, ev:string) [1, 'a', 2, 'a', 3, 'b', 4, 'b'] | sort by ts asc | scan declare (k:long = 5) with (step s1 output=last: ev == 'a' => k = k + 1; step s2 output=all: ev == 'b';) | summarize n = count(), kmax = max(k)", [3, 7]),
+    ("bin_at datetime anchor", "print d = tostring(bin_at(datetime(2017-05-15 10:20:00), 1d, datetime(1970-01-01 12:00:00)))", ["2017-05-14 12:00:00"]),
+    ("bin_at numeric anchor", "print v = bin_at(6.5, 2.5, 7.0)", [4.5]),
+    ("negative-step range values", "range x from 10 to 1 step -3 | summarize lo = min(x), hi = max(x), n = count()", [1, 10, 4]),
+    ("between timespan value", "print b1 = 90m between (1h .. 2h), b2 = 10m between (1h .. 2h)", [True, False]),
+    ("mv-apply to typeof long sum", "datatable(d:dynamic) [dynamic(['1','2','x'])] | mv-apply v = d to typeof(long) on (summarize s = sum(v), n_null = countif(isnull(v))) | project s, n_null", [3, 1]),
 ]
 
 
