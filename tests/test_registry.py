@@ -98,6 +98,13 @@ _BOUNDED_CROSS = {
     # knn_cosine_topk, which is already whitelisted)
     "knn_lsh_recall_envelope",
     "knn_ivf_recall_envelope",
+    # r16: the pruning envelopes add the same exact twin PLUS
+    # broadcast crossJoins of single-row aggregates (scanned-pair
+    # count x corpus count x recall row — all 1-row sides); the
+    # simhash envelope crossJoins its two 1-row stat aggregates
+    "knn_lsh_pruned_envelope",
+    "knn_ivf_pruned_envelope",
+    "dedup_simhash_envelope",
 }
 
 
