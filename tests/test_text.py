@@ -397,6 +397,17 @@ def test_jaccard_df_cap_bounds_boilerplate(spark):
             for r in TD.jaccard_pairs(df, threshold=0.5, max_shingle_df=None).collect()}
     assert pairs <= full
 
+    # r16: prefilter_hot=True (hot shingles dropped by a count_distinct
+    # pre-pass BEFORE any posting list materializes — the
+    # memory-bounded extreme-scale path) is bit-for-bit the same
+    # result as the default filter-after-collect shape
+    pre = {(r.id1, r.id2, r.jaccard)
+           for r in TD.jaccard_pairs(
+               df, threshold=0.5, max_shingle_df=10, prefilter_hot=True
+           ).collect()}
+    post = {(r.id1, r.id2, r.jaccard) for r in capped.collect()}
+    assert pre == post
+
 
 def test_fuzzy_dedup_end_to_end(spark, docs_with_dups):
     """fuzzy_dedup keeps exactly one representative (min id) per
