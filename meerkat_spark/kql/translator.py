@@ -1682,6 +1682,29 @@ class Translator:
                 str(_raw(self.expr(node.args[0]))), _c(self.expr(node.args[1]))
             )
             return base.try_cast(kql_to_spark(ty_node.args[0].name.lower()))
+        if (
+            name in ("bin", "floor")
+            and len(node.args) == 2
+            and self._is_timespan_node(node.args[0])
+        ):
+            # bin(timespan COLUMN, timespan) → a timespan floored to a
+            # multiple of the step (r16 — probe batch 16; the generic
+            # path assumed datetime and raised on DayTimeInterval).
+            # Literal-span x already folds in _fn_bin's _Span branch.
+            x = self.expr(node.args[0], agg=agg)
+            size = self.expr(node.args[1], agg=agg)
+            if isinstance(x, _Span):
+                return _fn_bin([x, size])
+            step = size.seconds if isinstance(size, _Span) else float(_raw(size))
+            # epoch-anchor idiom (scalar.timespan_to_string): intervals
+            # don't cast to numerics directly, and bigint casts depend
+            # on the interval's end field
+            epoch = F.timestamp_micros(F.lit(0))
+            secs = F.unix_micros(epoch + _c(x)) / F.lit(1_000_000.0)
+            binned_us = (
+                F.floor(secs / F.lit(step)) * F.lit(step) * F.lit(1_000_000)
+            ).cast("long")
+            return F.timestamp_micros(binned_us) - epoch
         if name == "bin_auto":
             # Kusto sizes bin_auto from the query_bin_auto_size query
             # property; here that property is a let-bound scalar of the

@@ -245,6 +245,23 @@ PROBES = [
     ("print bool expr name", "print isbig = 2 > 1"),
     ("where toupper chain", "events | where toupper(event_type) == 'CLICK' | count"),
     ("extract with typeof long", "print v = extract(@'(\\d+)', 1, 'id=42', typeof(long))"),
+    # r16 batch 16
+    ("scan with_match_id name", "events | take 20 | sort by ts asc | scan with_match_id=funnel_id with (step a: event_type == 'view'; step b: event_type == 'purchase';) | project funnel_id | count"),
+    ("scan final output none", "events | take 50 | sort by ts asc | scan with (step a output=all: event_type == 'view'; step b output=none: event_type == 'purchase';) | count"),
+    ("join expression keys dollar", "events | join kind=inner (events | project uid2 = user_id, v2 = value) on $left.user_id == $right.uid2 | count"),
+    ("summarize arg_min star", "events | summarize arg_min(ts, *) by event_type | count"),
+    ("make-series auto range", "events | make-series n = count() on ts step 1d by event_type | count"),
+    ("union inner withsource", "union kind=inner withsource=src (events | project user_id), (events | project user_id, value) | count"),
+    ("case with strings", "print v = case(2 > 1, 'yes', 'no')"),
+    ("datatable timespan column", "datatable(d:timespan) [1h, 30m] | summarize total = sum(d) | project s = tostring(total)"),
+    ("invoke lambda extra args", "let addk = (T:(*), k:real) { T | extend vk = value + k }; events | invoke addk(10.0) | count"),
+    ("percentile tdigest roundtrip", "events | summarize td = tdigest(value) | project p50 = percentile_tdigest(td, 50, typeof(real)) | count"),
+    ("matches regex operator", "events | where event_type matches regex '^(view|click)$' | count"),
+    ("has_any_index", "print i = has_any_index('this is an example', dynamic(['this', 'example']))"),
+    ("multi-assign from series_stats", "print s = dynamic([1.0, 5.0, 3.0]) | extend (mn, mnI, mx, mxI, av, va, sd) = series_stats(s) | project mn, mx, av"),
+    ("extend overwrite same col twice", "events | extend value = value + 1, value2 = value * 2 | take 3 | count"),
+    ("startofmonth arithmetic", "print d = tostring(startofmonth(datetime(2024-03-15)) + 1d)"),
+    ("bin on timespan col", "datatable(d:timespan) [25h, 49h] | extend b = bin(d, 1d) | summarize n = count() by b | count"),
     # r16 batch 15 (VERDICT r15 ask #6)
     ("toscalar in let predicate", "let hi = toscalar(events | summarize avg(value)); events | where value > hi | count"),
     ("toscalar in lambda body", "let topuser = toscalar(events | summarize n = count() by user_id | top 1 by n | project user_id); events | where user_id == topuser | count"),
@@ -310,6 +327,9 @@ SEMANTIC = [
     ("negative-step range values", "range x from 10 to 1 step -3 | summarize lo = min(x), hi = max(x), n = count()", [1, 10, 4]),
     ("between timespan value", "print b1 = 90m between (1h .. 2h), b2 = 10m between (1h .. 2h)", [True, False]),
     ("mv-apply to typeof long sum", "datatable(d:dynamic) [dynamic(['1','2','x'])] | mv-apply v = d to typeof(long) on (summarize s = sum(v), n_null = countif(isnull(v))) | project s, n_null", [3, 1]),
+    # r16 batch 16 semantic: bin() on a timespan COLUMN floors to a
+    # multiple of the step and stays a timespan
+    ("bin timespan column value", "datatable(d:timespan) [25h, 49h, 30m] | extend b = bin(d, 1d) | summarize n = dcount(tostring(b)), z = countif(tostring(b) == '00:00:00'), one = countif(tostring(b) == '1.00:00:00'), two = countif(tostring(b) == '2.00:00:00')", [3, 1, 1, 1]),
 ]
 
 
