@@ -245,6 +245,30 @@ PROBES = [
     ("print bool expr name", "print isbig = 2 > 1"),
     ("where toupper chain", "events | where toupper(event_type) == 'CLICK' | count"),
     ("extract with typeof long", "print v = extract(@'(\\d+)', 1, 'id=42', typeof(long))"),
+    # r16 batch 17 (22 corners, ALL green as-was — the surface is
+    # saturating; pinned against regression)
+    ("render parse-ignore", "events | summarize n = count() by event_type | render barchart"),
+    ("top-hitters", "events | top-hitters 3 of event_type"),
+    ("top-hitters by sum", "events | top-hitters 3 of event_type by value"),
+    ("pack_dictionary", "print d = tostring(bag_pack('a', 1, 'b', 2))"),
+    ("hourofday", "print h = hourofday(datetime(2024-01-01 13:00:00))"),
+    ("monthofyear", "print m = monthofyear(datetime(2024-03-01))"),
+    ("week_of_year", "print w = week_of_year(datetime(2024-01-10))"),
+    ("getyear getmonth", "print y = getyear(datetime(2024-03-01)), m = getmonth(datetime(2024-03-01))"),
+    ("todynamic alias", "print d = todynamic('[1,2]')[1]"),
+    ("isutf8", "print b = isutf8('abc')"),
+    ("array_index_of start", "print i = array_index_of(dynamic([1,2,1]), 1, 1)"),
+    ("string_size", "print s = string_size('héllo')"),
+    ("base64 2-way", "print s = base64_decode_tostring(base64_encode_tostring('hi'))"),
+    ("datetime_diff week", "print d = datetime_diff('week', datetime(2024-01-15), datetime(2024-01-01))"),
+    ("take zero", "events | take 0 | count"),
+    ("distinct two cols", "events | distinct event_type, user_id | count"),
+    ("summarize by bool expr", "events | summarize n = count() by isnotnull(value) | count"),
+    ("let view keyword", "let v = view () { events | take 5 }; v | count"),
+    ("series_abs chain", "print s = tostring(series_abs(dynamic([-1.0, 2.0])))"),
+    ("mv-expand kind=array", "datatable(d:dynamic) [dynamic([1,2])] | mv-expand kind=array d | count"),
+    ("order by alias nulls last", "events | project v = value | order by v desc nulls last | take 1 | count"),
+    ("in with table subquery col", "events | where user_id in ((events | take 5 | project user_id)) | count"),
     # r16 batch 16
     ("scan with_match_id name", "events | take 20 | sort by ts asc | scan with_match_id=funnel_id with (step a: event_type == 'view'; step b: event_type == 'purchase';) | project funnel_id | count"),
     ("scan final output none", "events | take 50 | sort by ts asc | scan with (step a output=all: event_type == 'view'; step b output=none: event_type == 'purchase';) | count"),
