@@ -677,3 +677,36 @@ def test_concurrent_hold_at_final_replaced_by_promotion(spark):
         (1, 0, 0), (2, 0, 1),
         (3, 1, 0), (4, 1, 1), (5, 1, 1),
     ]
+
+
+def test_bounded_partials_hold_eviction_emits(spark):
+    """Bounded-partials hold-at-final (partials=2): a final-step record
+    extends EVERY held completed match AND completes the promoted one
+    (Kusto's state tables — one record can join several sequences); a
+    THIRD completion overflows the bound and evicts the oldest held
+    match, which must emit at eviction with its held rows. With
+    partials=1 the single-partial machine applies instead, where
+    promote replaces the hold (newest-wins, pinned by
+    test_concurrent_hold_at_final_replaced_by_promotion)."""
+    df = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "a"), ("u", 4, "b"),
+         ("u", 5, "a"), ("u", 6, "b")],
+        "user string, ts long, ev string",
+    )
+    out = scan_steps(
+        df,
+        steps=[F.col("ev") == "a", F.col("ev") == "b"],
+        order_by=["ts"],
+        partition_by=["user"],
+        concurrent=True,
+        concurrent_partials=2,
+    )
+    got = sorted((r.ts, r.match_id, r.step_index) for r in out.collect())
+    assert got == [
+        # match 0 = a1; b2 + held b4, b6 (emitted at eviction by m2)
+        (1, 0, 0), (2, 0, 1),
+        # match 1 = a3; b4 + held b6
+        (3, 1, 0), (4, 0, 1), (4, 1, 1),
+        (5, 2, 0),  # match 2 = a5; b6
+        (6, 0, 1), (6, 1, 1), (6, 2, 1),
+    ]
