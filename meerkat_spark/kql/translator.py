@@ -1512,12 +1512,52 @@ class Translator:
                 and self._is_timespan_node(n.right)
             ):
                 return True
+        if isinstance(n, P.Call):
+            fn = n.func.lower()
+            # totimespan()/time() construct timespans from any arg
+            # (r16 — column args produce the seconds-double repr, see
+            # _timespan_seconds_repr); sum/avg/min/max/take_any of a
+            # timespan stay timespans
+            if fn in ("totimespan", "time") and n.args:
+                return True
+            if fn in ("sum", "avg", "min", "max", "take_any") and n.args:
+                return self._is_timespan_node(n.args[0])
         if isinstance(n, P.Ident) and self._cur_schema is not None:
             f = {x.name: x.dataType for x in self._cur_schema.fields}.get(
                 n.name
             )
             return isinstance(f, T.DayTimeIntervalType)
         return False
+
+    def _timespan_seconds_repr(self, n) -> bool:
+        """True when a timespan-classified node's RUNTIME value is the
+        seconds-double representation rather than a day-time interval:
+        totimespan('01:30:00')/time(col) over column args return
+        seconds (scalar.totimespan_str), and aggregates of such nodes
+        inherit it. Interval columns, datetime subtraction, and
+        aggregates over interval columns stay intervals."""
+        if isinstance(n, P.Call):
+            fn = n.func.lower()
+            if fn in ("totimespan", "time"):
+                return True
+            if fn in ("sum", "avg", "min", "max", "take_any") and n.args:
+                return self._timespan_seconds_repr(n.args[0])
+        if isinstance(n, P.Binary):
+            return self._timespan_seconds_repr(
+                n.left
+            ) or self._timespan_seconds_repr(n.right)
+        return False
+
+    def _timespan_render(self, n, v) -> Column:
+        """Kusto [d.]hh:mm:ss render of a timespan-classified expr —
+        _Span literals use the exact python formatter, seconds-double
+        reprs convert through INTERVAL multiply, intervals render
+        directly."""
+        if isinstance(v, _Span):
+            return F.lit(_span_str(v))
+        if self._timespan_seconds_repr(n):
+            return S.timespan_to_string(F.expr("INTERVAL 1 SECOND") * _c(v))
+        return S.timespan_to_string(_c(v))
 
     def call(self, node: P.Call, agg: bool) -> Column:
         # builtins dispatch case-insensitively (lowered); let-bound
@@ -1533,11 +1573,11 @@ class Translator:
             # "INTERVAL '…' DAY TO SECOND". Values that resolve to a
             # translate-time _Span keep the exact python formatter
             # (full 100-ns ticks + carry; the COLUMN renderer anchors
-            # at the epoch and truncates to microseconds — r15).
-            v = self.expr(node.args[0])
-            if isinstance(v, _Span):
-                return F.lit(_span_str(v))
-            return S.timespan_to_string(_c(v))
+            # at the epoch and truncates to microseconds — r15). r16:
+            # totimespan()/time() column results (seconds-double repr)
+            # and timespan aggregates render the same way.
+            v = self.expr(node.args[0], agg=agg)
+            return self._timespan_render(node.args[0], v)
         if name == "tostring" and len(node.args) == 1 and self._is_array_expr(
             node.args[0]
         ):
@@ -1555,7 +1595,7 @@ class Translator:
                 if isinstance(v, _Span):
                     parts.append(_span_str(v))
                 elif self._is_timespan_node(x):
-                    parts.append(S.timespan_to_string(_c(v)))
+                    parts.append(self._timespan_render(x, v))
                 else:
                     parts.append(_span_str(v))
             return S.strcat(*parts)
@@ -1683,27 +1723,47 @@ class Translator:
             )
             return base.try_cast(kql_to_spark(ty_node.args[0].name.lower()))
         if (
-            name in ("bin", "floor")
-            and len(node.args) == 2
+            name in ("bin", "floor", "bin_at")
+            and len(node.args) in (2, 3)
             and self._is_timespan_node(node.args[0])
         ):
-            # bin(timespan COLUMN, timespan) → a timespan floored to a
-            # multiple of the step (r16 — probe batch 16; the generic
-            # path assumed datetime and raised on DayTimeInterval).
-            # Literal-span x already folds in _fn_bin's _Span branch.
+            # bin/floor/bin_at on TIMESPAN values → a timespan floored
+            # to a multiple of the step, optionally anchored (r16 —
+            # probe batch 16; the generic paths assumed datetime and
+            # raised on DayTimeInterval / leaked _Span into Column
+            # contexts). Literal-span x folds to a _Span.
+            import math as _math
+
             x = self.expr(node.args[0], agg=agg)
             size = self.expr(node.args[1], agg=agg)
-            if isinstance(x, _Span):
-                return _fn_bin([x, size])
             step = size.seconds if isinstance(size, _Span) else float(_raw(size))
+            anchor = 0.0
+            if name == "bin_at":
+                if len(node.args) != 3:
+                    raise KqlSyntaxError("bin_at takes 3 arguments")
+                av = self.expr(node.args[2], agg=agg)
+                if isinstance(av, _Span):
+                    anchor = av.seconds
+                elif isinstance(av, (int, float)):
+                    anchor = float(av)
+                else:
+                    raise KqlSyntaxError(
+                        "bin_at on timespans needs a literal timespan anchor"
+                    )
+            if isinstance(x, _Span):
+                return _Span(
+                    anchor + _math.floor((x.seconds - anchor) / step) * step
+                )
             # epoch-anchor idiom (scalar.timespan_to_string): intervals
             # don't cast to numerics directly, and bigint casts depend
             # on the interval's end field
             epoch = F.timestamp_micros(F.lit(0))
             secs = F.unix_micros(epoch + _c(x)) / F.lit(1_000_000.0)
-            binned_us = (
-                F.floor(secs / F.lit(step)) * F.lit(step) * F.lit(1_000_000)
-            ).cast("long")
+            binned = (
+                F.floor((secs - F.lit(anchor)) / F.lit(step)) * F.lit(step)
+                + F.lit(anchor)
+            )
+            binned_us = (binned * F.lit(1_000_000)).cast("long")
             return F.timestamp_micros(binned_us) - epoch
         if name == "bin_auto":
             # Kusto sizes bin_auto from the query_bin_auto_size query

@@ -354,6 +354,16 @@ SEMANTIC = [
     # r16 batch 16 semantic: bin() on a timespan COLUMN floors to a
     # multiple of the step and stays a timespan
     ("bin timespan column value", "datatable(d:timespan) [25h, 49h, 30m] | extend b = bin(d, 1d) | summarize n = dcount(tostring(b)), z = countif(tostring(b) == '00:00:00'), one = countif(tostring(b) == '1.00:00:00'), two = countif(tostring(b) == '2.00:00:00')", [3, 1, 1, 1]),
+    # r16 timespan-repr closures: bin_at over timespans (literal,
+    # anchored, column), Kusto rendering of timespan AGGREGATES and of
+    # totimespan()'s seconds-double column repr
+    ("bin_at timespan literal", "print v = tostring(bin_at(25h, 1d, 0d))", ["1.00:00:00"]),
+    ("bin_at timespan anchored", "print v = tostring(bin_at(25h, 1d, 12h))", ["12:00:00"]),
+    ("bin_at timespan column", "datatable(d:timespan) [25h] | extend b = bin_at(d, 1d, 12h) | project s = tostring(b)", ["12:00:00"]),
+    ("tostring sum timespan", "datatable(d:timespan) [1h, 30m] | summarize s = tostring(sum(d))", ["01:30:00"]),
+    ("tostring avg timespan", "datatable(d:timespan) [1h, 3h] | summarize s = tostring(avg(d))", ["02:00:00"]),
+    ("tostring totimespan string", "print s = tostring(totimespan('01:30:00'))", ["01:30:00"]),
+    ("strcat totimespan", "print s = strcat('x=', totimespan('01:30:00'))", ["x=01:30:00"]),
 ]
 
 
