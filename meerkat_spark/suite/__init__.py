@@ -81,6 +81,14 @@ def load_all() -> None:
 #                         hash)
 #   series_forecast_envelope (ask #5 — forecast-error bound vs the
 #                         linear-trend oracle on a planted series)
+#   compression_ratio_envelope (r16 continuation of the ask-#5
+#                         pattern — planted repetitive-vs-random zlib
+#                         bounds; raw ratios out of the hash)
+#   sentence_chunking_envelope (same — chunk-token totals cross-
+#                         checked against DuckDB's independent token
+#                         count, packing-budget boolean)
+#   sample_envelope       (same — exact-N and subset-of-source
+#                         contract over the seed-dependent sampler)
 # Exactly 50 -- enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) r15 registrations, never graded -- they lead

@@ -622,3 +622,36 @@ def sample_op(spark, sf_dir):
     """KQL sample N — exact-N random rows (values nondeterministic
     across engines → rows-only; the row COUNT itself is exact)."""
     return _eng(spark, sf_dir).table("events").sample(500, seed=42).to_df()
+
+
+@register(
+    "sample_envelope",
+    oracle="""
+    SELECT CAST(least(500, count(*)) AS BIGINT) AS n_sampled,
+           TRUE AS subset_ok
+    FROM events
+    """,
+)
+def sample_envelope(spark, sf_dir):
+    """KQL `sample N` as a graded contract (r16 — the envelope
+    pattern over the seed-dependent op): the sampled row COUNT must be
+    exactly min(N, |T|) — Kusto's sample never under-fills — and
+    every sampled row must exist in the source (left join against the
+    deduplicated source; a fabricated or mutated row leaves its
+    marker null). Which rows were drawn stays OUT of the value hash
+    (engine-seed-dependent, sample_op above stays rows-only for
+    that)."""
+    eng = _eng(spark, sf_dir)
+    samp = eng.table("events").sample(500, seed=42).to_df()
+    src = (
+        eng.table("events")
+        .to_df()
+        .select(samp.columns)
+        .dropDuplicates()
+        .withColumn("__member", F.lit(1))
+    )
+    joined = samp.join(src, on=samp.columns, how="left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.bool_and(F.col("__member").isNotNull()).alias("subset_ok"),
+    )

@@ -702,6 +702,51 @@ def text_compression_ratio(spark, sf_dir):
 
 
 @register(
+    "compression_ratio_envelope",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS repetitive_ok, TRUE AS random_ok, TRUE AS ordered_ok
+    FROM documents
+    """,
+)
+def compression_ratio_envelope(spark, sf_dir):
+    """Compression-ratio quality signal as a graded contract (r16 —
+    the recall-envelope pattern over a codec-dependent op, VERDICT r15
+    ask #5 lineage). Planted per-doc twins: a 120x-repeated 3-token
+    phrase (highly templated — zlib must land under 0.10) and 40
+    doc-keyed md5 hex tokens (~4 bits/char entropy — zlib cannot get
+    under 0.30). Graded booleans: every repetitive ratio < 0.1, every
+    random ratio > 0.3, and the repetitive ratio is strictly smaller
+    per doc. Raw ratios stay OUT of the value hash (zlib level-6 exact
+    byte counts are codec-version-dependent; the ORDER and the coarse
+    bounds are not). Measured at sf0.001-0.01: repetitive 0.017-0.018,
+    random 0.51-0.52 — both sides >5x inside their bound."""
+    from meerkat_spark.text.analysis import compression_ratio_udf
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    rep_text = F.concat_ws(" ", F.array_repeat(F.lit("lorem ipsum dolor"), 120))
+    rnd_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), j.cast("string"))
+            ),
+        ),
+    )
+    cr = compression_ratio_udf()
+    scored = ids.select(
+        cr(rep_text).alias("r_rep"), cr(rnd_text).alias("r_rnd")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.bool_and(F.col("r_rep") < 0.1).alias("repetitive_ok"),
+        F.bool_and(F.col("r_rnd") > 0.3).alias("random_ok"),
+        F.bool_and(F.col("r_rep") < F.col("r_rnd")).alias("ordered_ok"),
+    )
+
+
+@register(
     "gopher_quality_filter",
     oracle="""
     WITH m AS (
@@ -1361,6 +1406,48 @@ def sentence_chunking(spark, sf_dir):
         "doc_id",
         "chunk_id",
         F.size(F.split("chunk_text", "\\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "sentence_chunking_envelope",
+    oracle=r"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS total_tokens,
+           TRUE AS budget_ok
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+)
+def sentence_chunking_envelope(spark, sf_dir):
+    """Sentence-aware chunking as a graded contract (r16 — the
+    envelope pattern over the regex-split op whose chunk boundaries
+    are not SQL-portable). The cross-engine check is REAL coverage:
+    the sum of whitespace tokens over ALL emitted chunks must equal
+    DuckDB's independent token total over the raw documents (the
+    sentence split consumes only inter-token whitespace, chunk.py:94,
+    so a lost or duplicated sentence breaks the equality), and every
+    non-empty doc must emit >= 1 chunk (n_docs is counted from chunk
+    output Spark-side, from raw documents oracle-side). budget_ok
+    grades the packing invariant: a chunk may exceed max_tokens=64
+    ONLY when it is a single unbreakable sentence (re-segmenting the
+    chunk finds no internal boundary). Chunk texts/boundaries stay
+    OUT of the value hash."""
+    from meerkat_spark.text.chunk import chunk_by_sentences, split_sentences
+
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    out = chunk_by_sentences(docs, max_tokens=64)
+    per_chunk = out.select(
+        "doc_id",
+        F.size(F.split("chunk_text", "\\s+")).alias("n_tokens"),
+        (F.size(split_sentences(F.col("chunk_text"))) <= 1).alias("single_sent"),
+    )
+    return per_chunk.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.bool_and(
+            (F.col("n_tokens") <= 64) | F.col("single_sent")
+        ).alias("budget_ok"),
     )
 
 
