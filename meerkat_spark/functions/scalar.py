@@ -265,16 +265,39 @@ def extract_all(pattern: str, x) -> Column:
     )
 
 
-def indexof(x, needle, start: int | None = None) -> Column:
-    """KQL indexof: 0-based, -1 if absent (Spark locate: 1-based, 0 if
-    absent); optional `start` searches from that 0-based offset."""
+def indexof(
+    x, needle, start=None, length=None, occurrence: int | None = None
+) -> Column:
+    """KQL indexof(source, lookup[, start[, length[, occurrence]]]):
+    0-based, -1 if absent. `start` may be negative (offset from the
+    end, Kusto-documented); `length` bounds the examined window from
+    start (-1 = to end); `occurrence` picks the n-th match (1-based,
+    literal — the walk unrolls into a bounded locate chain). Spark
+    locate is 1-based with 0-for-absent; a failed step propagates as
+    null through the chain (r16 probe batch 18)."""
     needle_col = needle if isinstance(needle, Column) else F.lit(needle)
-    if start is None:
-        return (F.instr(_c(x), needle_col) - 1).cast("long")
-    found = F.call_function(
-        "locate", needle_col, _c(x), F.lit(int(start) + 1)
+    src = _c(x)
+    if start is None and length is None and occurrence is None:
+        return (F.instr(src, needle_col) - 1).cast("long")
+    s_raw = _c(start if start is not None else 0).cast("int")
+    s = F.when(s_raw < 0, F.greatest(F.length(src) + s_raw, F.lit(0))).otherwise(
+        s_raw
     )
-    return (found - 1).cast("long")
+    if length is None:
+        win_len = F.length(src)
+    else:
+        ln = _c(length).cast("int")
+        win_len = F.when(ln < 0, F.length(src)).otherwise(ln)
+    win = src.substr(s + 1, win_len)
+    # 1-based cursor within the window; null once a step fails
+    pos = F.lit(0)
+    for _ in range(1 if occurrence is None else max(int(occurrence), 1)):
+        pos = F.nullif(
+            F.call_function("locate", needle_col, win, pos + 1), F.lit(0)
+        )
+    return (
+        F.when(pos.isNull(), F.lit(-1)).otherwise(pos - 1 + s).cast("long")
+    )
 
 
 def countof(x, needle: str) -> Column:
@@ -831,16 +854,27 @@ def _shift_pick(a: Column, idx: Column) -> Column:
     return F.when(idx >= 1, F.try_element_at(a, idx.cast("int")))
 
 
-def array_shift_left(arr, n) -> Column:
-    """Shift elements left by n; vacated slots become null (KQL default).
-    Negative n shifts right."""
-    a = _c(arr)
-    return F.transform(a, lambda x, i: _shift_pick(a, i + _c(n) + 1))
+def _shift_fill(a: Column, idx: Column, fill) -> Column:
+    """Element a[idx] (1-based) when idx is in range — keeping genuine
+    null ELEMENTS null — else the fill value for the vacated slot
+    (Kusto's optional fill_value, r16 probe batch 18)."""
+    in_range = (idx >= 1) & (idx <= F.size(a))
+    picked = F.when(idx >= 1, F.try_element_at(a, idx.cast("int")))
+    if fill is None:
+        return picked
+    return F.when(in_range, picked).otherwise(_lit(fill))
 
 
-def array_shift_right(arr, n) -> Column:
+def array_shift_left(arr, n, fill=None) -> Column:
+    """Shift elements left by n; vacated slots take `fill` (null when
+    omitted — the KQL default). Negative n shifts right."""
     a = _c(arr)
-    return F.transform(a, lambda x, i: _shift_pick(a, i - _c(n) + 1))
+    return F.transform(a, lambda x, i: _shift_fill(a, i + _c(n) + 1, fill))
+
+
+def array_shift_right(arr, n, fill=None) -> Column:
+    a = _c(arr)
+    return F.transform(a, lambda x, i: _shift_fill(a, i - _c(n) + 1, fill))
 
 
 def jaccard_index(a, b) -> Column:
@@ -1425,16 +1459,47 @@ def regex_quote(x) -> Column:
     return F.regexp_replace(_c(x), r"([\\.^$|?*+()\[\]{}])", r"\\$1")
 
 
+def _bag_loads(v):
+    """Tolerant JSON-object parse of a dynamic bag cell (JSON text
+    engine-wide; a pre-parsed dict passes through)."""
+    import json
+
+    if isinstance(v, dict):
+        return v
+    if isinstance(v, str) and v:
+        try:
+            d = json.loads(v)
+        except ValueError:
+            return None
+        return d if isinstance(d, dict) else None
+    return None
+
+
 def bag_merge(b1, b2) -> Column:
     """KQL bag_merge — merge two property bags (JSON objects); on key
-    conflict the FIRST bag wins (Kusto order). Values handled as JSON
-    strings (map<string,string> round-trip)."""
-    m1 = F.from_json(_c(b1), "map<string,string>")
-    m2 = F.from_json(_c(b2), "map<string,string>")
-    m2_new = F.map_filter(
-        m2, lambda k, v: ~F.array_contains(F.map_keys(m1), k)
-    )
-    return F.to_json(F.map_concat(m1, m2_new))
+    conflict the FIRST bag wins (Kusto order). Arrow batch kernel over
+    the canonical JSON text so values KEEP their JSON types (the old
+    map<string,string> round-trip re-rendered every number/bool/nested
+    value as a quoted string — r16 probe batch 18); row-local,
+    shuffle-free."""
+
+    @F.pandas_udf("string")
+    def kern(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        import json
+
+        out = []
+        for v1, v2 in zip(s1, s2):
+            d1, d2 = _bag_loads(v1), _bag_loads(v2)
+            if d1 is None and d2 is None:
+                out.append(None)
+                continue
+            merged = dict(d1 or {})
+            for k, v in (d2 or {}).items():
+                merged.setdefault(k, v)
+            out.append(json.dumps(merged, separators=(",", ":")))
+        return pd.Series(out, dtype=object)
+
+    return kern(_c(b1), _c(b2))
 
 
 def treepath(bag) -> Column:
@@ -1479,12 +1544,39 @@ def treepath(bag) -> Column:
 
 
 def bag_remove_keys(bag, keys) -> Column:
-    """KQL bag_remove_keys — drop the listed keys from a property bag."""
-    m = F.from_json(_c(bag), "map<string,string>")
+    """KQL bag_remove_keys — drop the listed keys from a property bag.
+    Arrow batch kernel preserving the values' JSON types (see
+    bag_merge); `keys` may arrive as a real array column or as JSON
+    text."""
     ks = _c(keys)
-    return F.to_json(
-        F.map_filter(m, lambda k, v: ~F.array_contains(ks, k))
-    )
+    if not isinstance(keys, Column):
+        ks = ks.cast("array<string>")
+
+    @F.pandas_udf("string")
+    def kern(bags: pd.Series, keyss: pd.Series) -> pd.Series:
+        import json
+
+        out = []
+        for b, k in zip(bags, keyss):
+            d = _bag_loads(b)
+            if d is None:
+                out.append(None)
+                continue
+            if isinstance(k, str):
+                try:
+                    k = json.loads(k)
+                except ValueError:
+                    k = []
+            drop = {str(x) for x in (list(k) if k is not None else [])}
+            out.append(
+                json.dumps(
+                    {kk: vv for kk, vv in d.items() if kk not in drop},
+                    separators=(",", ":"),
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    return kern(_c(bag), ks)
 
 
 def geo_point_in_circle(lon, lat, center_lon, center_lat, radius_m) -> Column:
@@ -2553,8 +2645,8 @@ def bag_set_key(bag, key, value) -> Column:
     """KQL bag_set_key — upsert a TOP-LEVEL key: merge semantics where
     the (key, value) pair wins over the existing bag entry
     (bag_merge keeps the FIRST bag's key on conflict, so packing the
-    new pair first implements the upsert). Values round-trip as JSON
-    strings, the bag_merge convention."""
+    new pair first implements the upsert). Values keep their JSON
+    types (the r16 bag_merge convention)."""
     return bag_merge(pack(key, value), _c(bag))
 
 

@@ -212,7 +212,11 @@ _SCALARS: dict[str, Any] = {
     "extract": lambda a: S.extract(a[0], int(a[1]), _c(a[2])),
     "extract_all": lambda a: S.extract_all(a[0], _c(a[1])),
     "indexof": lambda a: S.indexof(
-        _c(a[0]), a[1], int(_raw(a[2])) if len(a) > 2 else None
+        _c(a[0]),
+        a[1],
+        a[2] if len(a) > 2 else None,
+        a[3] if len(a) > 3 else None,
+        int(_raw(a[4])) if len(a) > 4 else None,
     ),
     "toguid": lambda a: S.toguid(_c(a[0])),
     "countof": lambda a: S.countof(_c(a[0]), a[1]),
@@ -605,8 +609,12 @@ _SCALARS: dict[str, Any] = {
     "array_reverse": lambda a: F.reverse(_c(a[0])),
     "array_rotate_left": lambda a: S.array_rotate_left(a[0], _c(a[1])),
     "array_rotate_right": lambda a: S.array_rotate_right(a[0], _c(a[1])),
-    "array_shift_left": lambda a: S.array_shift_left(a[0], _c(a[1])),
-    "array_shift_right": lambda a: S.array_shift_right(a[0], _c(a[1])),
+    "array_shift_left": lambda a: S.array_shift_left(
+        a[0], _c(a[1]), a[2] if len(a) > 2 else None
+    ),
+    "array_shift_right": lambda a: S.array_shift_right(
+        a[0], _c(a[1]), a[2] if len(a) > 2 else None
+    ),
     "set_has_element": lambda a: F.array_contains(_c(a[0]), _c(a[1])),
     "jaccard_index": lambda a: S.jaccard_index(a[0], a[1]),
     "set_union": lambda a: S.set_union(*a),
@@ -1120,7 +1128,7 @@ class Translator:
         "series_fir", "series_outliers", "series_seasonal", "series_iir",
         "series_fill_forward", "series_fill_backward",
         "series_fill_const", "series_fill_linear",
-        "series_decompose_forecast",
+        "series_decompose_forecast", "array_iff", "array_iif",
     }
 
     def _is_array_expr(self, node) -> bool:

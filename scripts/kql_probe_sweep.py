@@ -364,6 +364,51 @@ SEMANTIC = [
     ("tostring avg timespan", "datatable(d:timespan) [1h, 3h] | summarize s = tostring(avg(d))", ["02:00:00"]),
     ("tostring totimespan string", "print s = tostring(totimespan('01:30:00'))", ["01:30:00"]),
     ("strcat totimespan", "print s = strcat('x=', totimespan('01:30:00'))", ["x=01:30:00"]),
+    # r16 batch 18: string/dynamic/datetime corners — four closures
+    # (indexof occurrence+length+negative-start, array_shift fill
+    # value, bag_merge/bag_remove_keys JSON-type preservation,
+    # array_iff canonical tostring), rest pinned green as-was
+    ("translate basic", "print s = translate('abc', 'xyz', 'aabbcc')", ["xxyyzz"]),
+    ("strcmp signs", "print a = strcmp('a','b'), b = strcmp('b','a'), c = strcmp('a','a')", [-1, 1, 0]),
+    ("string_size utf8 bytes", "print n = string_size('héllo')", [6]),
+    ("isascii", "print a = isascii('hello'), b = isascii('héllo')", [True, False]),
+    ("tohex width", "print h = tohex(255), h2 = tohex(16, 4)", ["ff", "0010"]),
+    ("bitset_count_ones", "print n = bitset_count_ones(42)", [3]),
+    ("binary_shift_left", "print v = binary_shift_left(1, 2)", [4]),
+    ("array_rotate_left", "print s = tostring(array_rotate_left(dynamic([1,2,3,4,5]), 2))", ["[3,4,5,1,2]"]),
+    ("array_shift_left fill", "print s = tostring(array_shift_left(dynamic([1,2,3,4,5]), 2, -1))", ["[3,4,5,-1,-1]"]),
+    ("array_shift_right fill", "print s = tostring(array_shift_right(dynamic([1,2,3]), 1, 0))", ["[0,1,2]"]),
+    ("array_shift keeps null elems", "print s = tostring(array_shift_left(dynamic([1,int(null),3]), 1, -1))", ["[null,3,-1]"]),
+    ("array_split", "print s = tostring(array_split(dynamic([1,2,3,4,5]), 2))", ["[[1,2],[3,4,5]]"]),
+    ("array_iff canonical", "print s = tostring(array_iff(dynamic([true,false,true]), dynamic([1,2,3]), dynamic([4,5,6])))", ["[1,5,3]"]),
+    ("set_difference sorted", "print s = tostring(array_sort_asc(set_difference(dynamic([1,2,3]), dynamic([2]))))", ["[1,3]"]),
+    ("set_has_element", "print b = set_has_element(dynamic([1,2]), 2)", [True]),
+    ("bag_remove_keys typed", "print s = tostring(bag_remove_keys(dynamic({'a':1,'b':2}), dynamic(['a'])))", ['{"b":2}']),
+    ("bag_merge typed", "print s = tostring(bag_merge(dynamic({'a':1}), dynamic({'b':true})))", ['{"a":1,"b":true}']),
+    ("jaccard_index dynamic", "print j = jaccard_index(dynamic([1,2,3]), dynamic([2,3,4]))", [0.5]),
+    ("extract_json typed", "print v = extract_json('$.a.b', '{\"a\":{\"b\":5}}', typeof(long))", [5]),
+    ("datetime_add month clamp", "print d = tostring(datetime_add('month', 1, datetime(2024-01-31)))", ["2024-02-29 00:00:00"]),
+    ("datetime_diff year boundary", "print n = datetime_diff('year', datetime(2024-01-01), datetime(2023-12-31))", [1]),
+    ("make_datetime frac", "print d = tostring(make_datetime(2024, 2, 29, 1, 2, 3.5))", ["2024-02-29 01:02:03.5"]),
+    ("unixtime seconds", "print d = tostring(unixtime_seconds_todatetime(1704067200))", ["2024-01-01 00:00:00"]),
+    ("week_of_year iso", "print a = week_of_year(datetime(2024-01-01)), b = week_of_year(datetime(2021-01-01))", [1, 53]),
+    ("dayofyear", "print n = dayofyear(datetime(2024-03-01))", [61]),
+    ("hourofday", "print n = hourofday(datetime(2024-01-01 23:10:00))", [23]),
+    ("hll dcount_hll roundtrip", "datatable(x:long) [1, 2, 3, 2] | summarize h = hll(x) | project d = dcount_hll(h)", [3]),
+    ("top-hitters by count", "datatable(k:string) ['a','b','a','a','b','c'] | top-hitters 1 of k | project k", ["a"]),
+    ("top-hitters by sum", "datatable(k:string, w:long) ['a',1,'b',10,'a',2] | top-hitters 1 of k by w | project k", ["b"]),
+    ("indexof start", "print i = indexof('abcdabcd', 'bc', 2)", [5]),
+    ("indexof occurrence", "print i = indexof('ababab', 'ab', 0, -1, 3)", [4]),
+    ("indexof length window", "print a = indexof('abcdefg', 'cde', 1, 2), b = indexof('abcdefg', 'cde', 1, 6)", [-1, 2]),
+    ("indexof negative start", "print i = indexof('abcabc', 'abc', -3)", [3]),
+    ("trim regex both ends", "print s = trim('-', '--abc--')", ["abc"]),
+    ("parse_json int64 precision", "print v = tolong(parse_json('9007199254740993'))", [9007199254740993]),
+    ("array_index_of start", "print i = array_index_of(dynamic([9,1,9]), 9, 1)", [2]),
+    ("endofmonth leap", "print ok = endofmonth(datetime(2024-02-10)) < datetime(2024-03-01) and endofmonth(datetime(2024-02-10)) > datetime(2024-02-29 23:00:00)", [True]),
+    ("union inner intersect cols", "union kind=inner (datatable(a:long, b:long) [1, 2]), (datatable(b:long, c:long) [3, 4]) | getschema | count", [1]),
+    ("join cross-named keys", "datatable(x:long) [1, 2] | join kind=inner (datatable(y:long) [2, 3]) on $left.x == $right.y | count", [1]),
+    ("distinct star", "datatable(a:long, b:string) [1, 'x', 1, 'x', 2, 'y'] | distinct * | count", [2]),
+    ("treepath bracket paths", "print s = tostring(array_sort_asc(treepath(dynamic({'a':{'b':1}}))))", ["[\"['a']\",\"['a']['b']\"]"]),
 ]
 
 

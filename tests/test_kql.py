@@ -2633,7 +2633,9 @@ def test_round7_scalar_gap_closure(spark):
     assert r.bk is True and r.bk2 is False
     import json
 
-    assert json.loads(r.bs) == {"a": "9", "b": "2"}  # string round-trip bags
+    # r16: bags preserve JSON value types through set/merge/remove
+    # (Kusto-exact; was the map<string,string> stringifying round-trip)
+    assert json.loads(r.bs) == {"a": 9, "b": 2}
     assert json.loads(r.pd) == {"x": 1}
     assert r.s1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
     assert isinstance(r.hc, int)
