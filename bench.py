@@ -121,6 +121,13 @@ HEADLINE = [
     "knn_ivf_recall_envelope",
     "knn_lsh_pruned_envelope",
     "knn_ivf_pruned_envelope",
+    # late-r16 additions: the three rows-only ops upgraded to graded
+    # contracts (VERDICT r15 ask #5 pattern) get wall-time history
+    # from birth — zlib ratio bounds, sentence-chunking coverage
+    # cross-check, exact-N sample subset contract
+    "compression_ratio_envelope",
+    "sentence_chunking_envelope",
+    "sample_envelope",
 ]
 
 

@@ -89,6 +89,9 @@ def load_all() -> None:
 #                         count, packing-budget boolean)
 #   sample_envelope       (same — exact-N and subset-of-source
 #                         contract over the seed-dependent sampler)
+#   sample_distinct_envelope (same — min(N, dcount) cardinality,
+#                         mutual distinctness, and membership over
+#                         the seed-dependent distinct draw)
 # Exactly 50 -- enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) r15 registrations, never graded -- they lead

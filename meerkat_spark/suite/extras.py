@@ -292,6 +292,42 @@ def sample_distinct_op(spark, sf_dir):
 
 
 @register(
+    "sample_distinct_envelope",
+    oracle="""
+    SELECT CAST(least(25, count(DISTINCT user_id)) AS BIGINT) AS n_values,
+           TRUE AS distinct_ok, TRUE AS subset_ok
+    FROM events
+    """,
+)
+def sample_distinct_envelope(spark, sf_dir):
+    """KQL `sample-distinct` as a graded contract (r16 — the envelope
+    pattern over the seed-dependent op, completing the sample family
+    beside sample_envelope): the draw must return exactly
+    min(N, dcount(Col)) values, all mutually distinct, and every one
+    present in the source column (marker left join against the
+    distinct source). WHICH values were drawn stays out of the value
+    hash (engine-seed-dependent; sample_distinct_op above stays
+    rows-only for that)."""
+    e = _eng(spark, sf_dir)
+    samp = e.table("events").sample_distinct(25, "user_id", seed=42).to_df()
+    src = (
+        e.table("events")
+        .to_df()
+        .select("user_id")
+        .distinct()
+        .withColumn("__member", F.lit(1))
+    )
+    joined = samp.join(src, on=["user_id"], how="left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        (
+            F.count(F.lit(1)) == F.countDistinct("user_id")
+        ).alias("distinct_ok"),
+        F.bool_and(F.col("__member").isNotNull()).alias("subset_ok"),
+    )
+
+
+@register(
     "train_holdout_split",
     oracle="""
     SELECT doc_id,
