@@ -929,9 +929,29 @@ def format_ipv4(value, prefix=None) -> Column:
 
 
 def ipv4_compare(a, b) -> Column:
-    """-1/0/1 ordering of two IPv4 literals (null if either malformed)."""
-    la, lb = ipv4_to_long(a), ipv4_to_long(b)
-    return F.when(la < lb, -1).when(la > lb, 1).when(la == lb, 0)
+    """-1/0/1 ordering of two IPv4 literals (null if either malformed).
+    Either argument may carry an IP-prefix suffix ('x.y.z.w/24'); the
+    comparison then uses the MOST specific common netmask — the least
+    of the two suffixes — per the Kusto contract (r16 probe batch 19:
+    the plain path previously nulled on any '/'-suffixed input)."""
+    ca, cb = _c(a), _c(b)
+
+    def split_ip(c):
+        base = F.when(c.contains("/"), F.substring_index(c, "/", 1)).otherwise(c)
+        bits = F.when(
+            c.contains("/"), F.substring_index(c, "/", -1).cast("int")
+        ).otherwise(F.lit(32))
+        return ipv4_to_long(base), bits
+
+    la, bits_a = split_ip(ca)
+    lb, bits_b = split_ip(cb)
+    bits = F.least(bits_a, bits_b)
+    p = F.pow(F.lit(2.0), (F.lit(32) - bits).cast("double"))
+    ma, mb = F.floor(la / p), F.floor(lb / p)
+    return F.when(
+        bits.between(0, 32),
+        F.when(ma < mb, -1).when(ma > mb, 1).when(ma == mb, 0),
+    )
 
 
 def ipv4_is_in_range(ip, cidr) -> Column:
@@ -1372,11 +1392,15 @@ def format_timespan(seconds, fmt: str = "hh:mm:ss") -> Column:
     # Fields are computed on |total|; a single leading '-' is prepended
     # for negative spans (Kusto renders -3661s as '-01:01:01', whereas
     # per-field floor/% on a negative double yields '-2:-2:-1').
+    # All fields derive from ROUNDED 100-ns ticks — Kusto's native
+    # resolution — so a binary double like 3.45 s (3.4499999…) renders
+    # '.45', not the float-truncated '.44' (r16 probe batch 19).
     total = F.abs(signed)
-    days = F.floor(total / 86400).cast("long")
-    hh = F.floor((total % 86400) / 3600).cast("long")
-    mm = F.floor((total % 3600) / 60).cast("long")
-    ss = F.floor(total % 60).cast("long")
+    ticks = F.round(total * 1e7).cast("long")
+    days = F.floor(ticks / 864_000_000_000).cast("long")
+    hh = F.floor((ticks % 864_000_000_000) / 36_000_000_000).cast("long")
+    mm = F.floor((ticks % 36_000_000_000) / 600_000_000).cast("long")
+    ss = F.floor((ticks % 600_000_000) / 10_000_000).cast("long")
     p2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
     parts: list[Column] = []
     base = fmt
@@ -1400,7 +1424,7 @@ def format_timespan(seconds, fmt: str = "hh:mm:ss") -> Column:
     if parts:
         out = F.concat(parts[0], out)
     if frac:
-        sub = F.floor((total % 1) * (10**frac)).cast("long")
+        sub = F.floor((ticks % 10_000_000) / (10 ** (7 - frac))).cast("long")
         out = F.concat(out, F.lit("."), F.lpad(sub.cast("string"), frac, "0"))
     return F.when(signed < 0, F.concat(F.lit("-"), out)).otherwise(out)
 

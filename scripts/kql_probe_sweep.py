@@ -31,7 +31,14 @@ single-step cumulative-sum idiom
 returns a running total (SEMANTIC probes below; known-answer pins in
 tests/test_scan.py).
 
-KNOWN-GAP BACKLOG: (empty — refill as probes find corners)
+KNOWN-GAP BACKLOG:
+- zip() renders pairs as JSON OBJECTS with positional keys
+  ('[{"0":1,"1":"a"}]') where Kusto renders inner ARRAYS
+  ('[[1,"a"]]') — zip_arrays stands on Spark's arrays_zip struct
+  shape (scalar.py docstring documents the delta) because the
+  Kusto-exact form needs heterogeneous inner arrays, i.e. JSON-text
+  dynamics, and array_length/mv-expand consumers pin the real-array
+  type. Re-visit only with a typed-dynamic representation.
 """
 
 from __future__ import annotations
@@ -409,6 +416,41 @@ SEMANTIC = [
     ("join cross-named keys", "datatable(x:long) [1, 2] | join kind=inner (datatable(y:long) [2, 3]) on $left.x == $right.y | count", [1]),
     ("distinct star", "datatable(a:long, b:string) [1, 'x', 1, 'x', 2, 'y'] | distinct * | count", [2]),
     ("treepath bracket paths", "print s = tostring(array_sort_asc(treepath(dynamic({'a':{'b':1}}))))", ["[\"['a']\",\"['a']['b']\"]"]),
+    # r16 batch 19: series / geo / ipv4-ipv6 / format / typing corners
+    # — two closures (ipv4_compare prefixed args, format_timespan
+    # tick-exact fractions), rest pinned green as-was
+    ("series_pearson exact", "print r = round(series_pearson_correlation(dynamic([1,2,3]), dynamic([2,4,6])), 6)", [1.0]),
+    ("series_magnitude", "print m = series_magnitude(dynamic([3, 4]))", [5.0]),
+    ("series extend multi-assign", "datatable(k:long) [1] | extend y = pack_array(4, 1, 3) | extend (mn, mni, mx, mxi, av) = series_stats(y) | project mn, mx, av", [1.0, 4.0, 2.6666666666666665]),
+    ("fit_line multi-assign", "datatable(k:long) [1] | extend y = pack_array(1.0, 2.0, 3.0) | extend (rsq, sl) = series_fit_line(y) | project rsq, sl", [1.0, 1.0]),
+    ("geo_distance 1deg equator", "print d = round(geo_distance_2points(0.0, 0.0, 0.0, 1.0), 0)", [111195.0]),
+    ("geo polygon containment", "print b = geo_point_in_polygon(0.5, 0.5, dynamic({'type':'Polygon','coordinates':[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}))", [True]),
+    ("parse_ipv4 value", "print v = parse_ipv4('192.168.1.1')", [3232235777]),
+    ("parse_ipv4_mask value", "print v = parse_ipv4_mask('192.168.1.1', 24)", [3232235776]),
+    ("ipv4_compare prefixed", "print a = ipv4_compare('10.0.0.1', '10.0.0.2'), b = ipv4_compare('10.0.0.1', '10.0.0.1/24'), c = ipv4_compare('192.168.1.1/24', '192.168.1.255'), d = ipv4_compare('10.1.0.0', '10.0.0.0/8'), e = ipv4_compare('10.0.0.1', 'abc')", [-1, 0, 0, 0, None]),
+    ("ipv4_is_private", "print a = ipv4_is_private('10.1.2.3'), b = ipv4_is_private('8.8.8.8')", [True, False]),
+    ("ipv4_is_in_range cidr", "print b = ipv4_is_in_range('192.168.1.5', '192.168.1.0/24')", [True]),
+    ("ipv4_netmask_suffix", "print n = ipv4_netmask_suffix('192.168.1.1/24'), m = ipv4_netmask_suffix('192.168.1.1')", [24, 32]),
+    ("ipv6_compare forms", "print a = ipv6_compare('::1', '::2'), b = ipv6_compare('fe80::1', 'fe80:0:0:0:0:0:0:1')", [-1, 0]),
+    ("ipv6_is_match prefix", "print b = ipv6_is_match('fe80::1', 'fe80::2', 64)", [True]),
+    ("format_bytes units", "print a = format_bytes(1024), b = format_bytes(1048576, 1), c = format_bytes(1073741824, 2, 'MB')", ["1 KB", "1.0 MB", "1024.00 MB"]),
+    ("format_timespan tick frac", "print s = format_timespan(totimespan('0.01:02:03.45'), 'hh:mm:ss.ff')", ["01:02:03.45"]),
+    ("format_timespan 7-digit", "print s = format_timespan(totimespan('0.01:02:03.4567891'), 'hh:mm:ss.fffffff')", ["01:02:03.4567891"]),
+    ("format_timespan negative", "print s = format_timespan(totimespan('-01:01:01'), 'hh:mm:ss')", ["-01:01:01"]),
+    ("gettype taxonomy", "print a = gettype(1), b = gettype(1.5), c = gettype('x'), d = gettype(dynamic([1])), e = gettype(datetime(2024-01-01)), f = gettype(1h), g = gettype(true)", ["long", "real", "string", "array", "datetime", "timespan", "bool"]),
+    ("toreal nan vs bad", "print ok = isnan(toreal('nan')), bad = isnull(toreal('abc'))", [True, True]),
+    ("row_rank_min ties", "datatable(x:long) [10, 10, 20] | sort by x asc | extend r = row_rank_min(x) | summarize mx = max(r)", [3]),
+    ("row_rank_dense ties", "datatable(x:long) [10, 10, 20] | sort by x asc | extend r = row_rank_dense(x) | summarize mx = max(r)", [2]),
+    ("hash_md5 exact", "print h = hash_md5('abc')", ["900150983cd24fb0d6963f7d28e17f72"]),
+    ("hash_sha256 exact", "print h = hash_sha256('abc')", ["ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"]),
+    ("log family", "print v = round(log(exp(2.0)), 6), l2 = log2(8), l10 = log10(1000)", [2.0, 3.0, 3.0]),
+    ("degrees radians", "print d = round(degrees(pi()), 4), r = round(radians(180.0), 6)", [180.0, 3.141593]),
+    ("isfinite inf", "print a = isfinite(1.0), b = isfinite(real(+inf))", [True, False]),
+    ("minmax_of sign abs", "print s = sign(-5), a = abs(-5), m = max_of(1, 2, 3), n = min_of(3, 1, 2)", [-1, 5, 3, 1]),
+    ("strrep with sep", "print s = strrep('ab', 3), s2 = strrep('x', 2, '-')", ["ababab", "x-x"]),
+    ("substring negative clamps", "print s = substring('hello', -2)", ["hello"]),
+    ("percentilew weighted", "datatable(v:long, w:long) [1, 1, 2, 1, 3, 98] | summarize p = percentilew(v, w, 50) | project p", [3]),
+    ("new_guid shape", "print ok = strlen(tostring(new_guid())) == 36", [True]),
 ]
 
 
