@@ -1109,18 +1109,34 @@ def geo_distance_2points(lon1, lat1, lon2, lat2) -> Column:
 
 
 def parse_url(u) -> Column:
-    """KQL parse_url → struct (Scheme, Host, Port, Path, Query,
-    Fragment) — Spark's JVM parse_url per component (null where
-    absent)."""
+    """KQL parse_url → struct (Scheme, Host, Port, Path, Username,
+    Password, Query, Fragment) — Spark's JVM parse_url per component
+    (null where absent). Documented deltas from Kusto's bag: Port is a
+    LONG (Kusto renders a string), and the raw Query string stands in
+    for Kusto's nested "Query Parameters" bag (parse_urlquery provides
+    that shape). r16: credentials-qualified URLs
+    ('scheme://user:pw@host:port/…') now extract Port, Username and
+    Password (the old port regexp refused the '@' authority form)."""
     c = _c(u)
     # Spark's parse_url(PORT) returns null on this build — extract the
-    # port with a regexp instead
-    port = F.regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+    # port with a regexp instead (optional userinfo@ before the host)
+    port = F.regexp_extract(
+        c, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)", 1
+    )
+    userinfo = F.regexp_extract(
+        c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*)@", 1
+    )
+    username = F.substring_index(userinfo, ":", 1)
+    password = F.when(
+        userinfo.contains(":"), F.substring_index(userinfo, ":", -1)
+    )
     return F.struct(
         F.parse_url(c, F.lit("PROTOCOL")).alias("Scheme"),
         F.parse_url(c, F.lit("HOST")).alias("Host"),
         F.when(port != "", port.cast("long")).alias("Port"),
         F.parse_url(c, F.lit("PATH")).alias("Path"),
+        F.when(userinfo != "", username).alias("Username"),
+        password.alias("Password"),
         F.parse_url(c, F.lit("QUERY")).alias("Query"),
         F.parse_url(c, F.lit("REF")).alias("Fragment"),
     )
@@ -1136,6 +1152,128 @@ def parse_urlquery(q) -> Column:
     return F.to_json(
         F.create_map(F.lit("Query Parameters"), decoded)
     )
+
+
+def parse_xml(x) -> Column:
+    """KQL parse_xml — XML text → dynamic (canonical JSON text),
+    following Kusto's documented mapping: `<e>text</e>` →
+    {"e":"text"}, attributes prefix '@' ({"e":{"@a":"1","#text":"t"}}),
+    child elements nest per tag, repeated sibling tags collect into an
+    array, empty elements → null. Arrow batch kernel
+    (xml.etree, stdlib); malformed XML → null (r16 probe batch 20)."""
+
+    @F.pandas_udf("string")
+    def kern(vals: pd.Series) -> pd.Series:
+        import json
+        import xml.etree.ElementTree as ET
+
+        def node(el):
+            out = {}
+            for k, v in el.attrib.items():
+                out["@" + k] = v
+            for child in el:
+                v = node(child)[child.tag]
+                if child.tag in out:
+                    prev = out[child.tag]
+                    if isinstance(prev, list):
+                        prev.append(v)
+                    else:
+                        out[child.tag] = [prev, v]
+                else:
+                    out[child.tag] = v
+            text = (el.text or "").strip() or None
+            if out:
+                if text is not None:
+                    out["#text"] = text
+                return {el.tag: out}
+            return {el.tag: text}
+
+        def conv(s):
+            if not s:
+                return None
+            try:
+                return json.dumps(
+                    node(ET.fromstring(s)), separators=(",", ":")
+                )
+            except ET.ParseError:
+                return None
+
+        return pd.Series([conv(v) for v in vals], dtype=object)
+
+    return kern(_c(x))
+
+
+def parse_command_line(cmd, parser_type="windows") -> Column:
+    """KQL parse_command_line — split a command line into its argument
+    array. 'windows' honors the MSVCRT rules (double quotes group,
+    backslashes escape only before a quote, doubled "" emits a
+    literal quote); any other parser type falls back to POSIX shlex.
+    Arrow batch kernel; null/empty input → null (r16 probe batch 20)."""
+    ptype = str(parser_type).lower()
+
+    @F.pandas_udf("array<string>")
+    def kern(vals: pd.Series) -> pd.Series:
+        def win_split(s):
+            args, cur, in_q, has = [], [], False, False
+            i, n = 0, len(s)
+            while i < n:
+                ch = s[i]
+                if ch == "\\":
+                    # count backslashes; they escape only a following quote
+                    j = i
+                    while j < n and s[j] == "\\":
+                        j += 1
+                    nbs = j - i
+                    if j < n and s[j] == '"':
+                        cur.append("\\" * (nbs // 2))
+                        if nbs % 2:
+                            cur.append('"')
+                            i = j + 1
+                        else:
+                            i = j
+                        has = True
+                        continue
+                    cur.append("\\" * nbs)
+                    i = j
+                    has = True
+                    continue
+                if ch == '"':
+                    if in_q and i + 1 < n and s[i + 1] == '"':
+                        cur.append('"')
+                        i += 2
+                        continue
+                    in_q = not in_q
+                    has = True
+                    i += 1
+                    continue
+                if ch in " \t" and not in_q:
+                    if has or cur:
+                        args.append("".join(cur))
+                        cur, has = [], False
+                    i += 1
+                    continue
+                cur.append(ch)
+                has = True
+                i += 1
+            if has or cur:
+                args.append("".join(cur))
+            return args
+
+        def conv(s):
+            if not s:
+                return None
+            if ptype == "windows":
+                return win_split(s)
+            import shlex
+
+            try:
+                return shlex.split(s)
+            except ValueError:
+                return None
+
+        return pd.Series([conv(v) for v in vals], dtype=object)
+
+    return kern(_c(cmd))
 
 
 def punycode_from_string(s) -> Column:

@@ -455,6 +455,10 @@ _SCALARS: dict[str, Any] = {
     ),
     "parse_url": lambda a: S.parse_url(_c(a[0])),
     "parse_urlquery": lambda a: S.parse_urlquery(_c(a[0])),
+    "parse_xml": lambda a: S.parse_xml(_c(a[0])),
+    "parse_command_line": lambda a: S.parse_command_line(
+        _c(a[0]), _raw(a[1]) if len(a) > 1 else "windows"
+    ),
     "parse_path": lambda a: S.parse_path(_c(a[0])),
     "punycode_from_string": lambda a: S.punycode_from_string(_c(a[0])),
     "punycode_to_string": lambda a: S.punycode_to_string(_c(a[0])),
@@ -1129,6 +1133,7 @@ class Translator:
         "series_fill_forward", "series_fill_backward",
         "series_fill_const", "series_fill_linear",
         "series_decompose_forecast", "array_iff", "array_iif",
+        "parse_command_line",
     }
 
     def _is_array_expr(self, node) -> bool:

@@ -451,6 +451,25 @@ SEMANTIC = [
     ("substring negative clamps", "print s = substring('hello', -2)", ["hello"]),
     ("percentilew weighted", "datatable(v:long, w:long) [1, 1, 2, 1, 3, 98] | summarize p = percentilew(v, w, 50) | project p", [3]),
     ("new_guid shape", "print ok = strlen(tostring(new_guid())) == 36", [True]),
+    # r16 batch 20: the URL/XML/command-line parse family — three
+    # closures (parse_xml + parse_command_line implemented; parse_url
+    # credentials/port on '@' authority forms), rest green as-was
+    ("parse_xml element", "print x = parse_xml('<r><a>1</a></r>')", ['{"r":{"a":"1"}}']),
+    ("parse_xml attrs text", "print x = parse_xml('<e a=\"1\">t</e>')", ['{"e":{"@a":"1","#text":"t"}}']),
+    ("parse_xml sibling array", "print x = parse_xml('<r><i>1</i><i>2</i></r>')", ['{"r":{"i":["1","2"]}}']),
+    ("parse_xml empty elem", "print x = parse_xml('<e/>')", ['{"e":null}']),
+    ("parse_xml malformed null", "print ok = isnull(parse_xml('not xml'))", [True]),
+    ("parse_command_line quotes", "print c = tostring(parse_command_line('echo \"hello world\" x', 'windows'))", ['["echo","hello world","x"]']),
+    ("parse_command_line escape", "print c = tostring(parse_command_line('a \\\\\"b c', 'windows'))", ['["a","\\"b","c"]']),
+    ("parse_url credentials", "print u = parse_url('https://user:pw@host.com:8080/a/b?x=1#f') | project p = u.Port, un = u.Username, pw = u.Password, h = u.Host", [8080, "user", "pw", "host.com"]),
+    ("parse_url plain port", "print u2 = parse_url('https://example.com:8443/a/b?q=1#top') | project p = u2.Port, q = u2.Query, un = u2.Username", [8443, "q=1", None]),
+    ("parse_urlquery decoded", "print q = tostring(parse_urlquery('x=1&y=hello%20world'))", ['{"Query Parameters":{"x":"1","y":"hello world"}}']),
+    ("parse_path fields", "print p = parse_path('/a/b/c.txt') | project d = p.DirectoryPath, f = p.Filename, e = p.Extension", ["/a/b", "c.txt", "txt"]),
+    ("parse_version ordering", "print ok = parse_version('1.2.3.4') < parse_version('1.10.0')", [True]),
+    ("parse_user_agent browser", "print b = parse_user_agent('Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/91.0 Safari/537.36', 'browser') | project br = b.browser, os = b.os", ["Chrome", "Windows"]),
+    ("url encode decode", "print e = url_encode('a b&c'), d = url_decode('a%20b%26c')", ["a+b%26c", "a b&c"]),
+    ("convert_length units", "print v = convert_length(1.0, 'Kilometer', 'Meter')", [1000.0]),
+    ("extract typed real", "print v = extract('([0-9.]+)', 1, 'v=3.5x', typeof(real))", [3.5]),
 ]
 
 
