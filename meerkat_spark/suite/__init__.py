@@ -92,6 +92,9 @@ def load_all() -> None:
 #   sample_distinct_envelope (same — min(N, dcount) cardinality,
 #                         mutual distinctness, and membership over
 #                         the seed-dependent distinct draw)
+#   span_dedup_envelope   (same — planted shared-header corpus;
+#                         keeper/recall/precision/shrink booleans
+#                         over the xxhash64-dependent span remover)
 # Exactly 50 -- enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) r15 registrations, never graded -- they lead

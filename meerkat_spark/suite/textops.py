@@ -1270,6 +1270,99 @@ def span_dedup_stats(spark, sf_dir):
     )
 
 
+@register(
+    "span_dedup_envelope",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_planted,
+           CAST(sum(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean,
+           TRUE AS keeper_ok, TRUE AS recall_ok,
+           TRUE AS precision_ok, TRUE AS shrink_ok
+    FROM documents
+    """,
+)
+def span_dedup_envelope(spark, sf_dir):
+    """Duplicated-span removal quality as a graded contract (r16 — the
+    recall-envelope pattern over the hash-dependent span_dedup_stats):
+    every doc gets a 40-token unique body (md5(doc_id-j)); ids%4==0
+    additionally get a SHARED 60-token header (md5(hdr-j)) prepended.
+    Header windows are identical tokens at identical positions across
+    planted docs, so the content-defined anchors (token hash ≡ 0 mod
+    stride) land at the SAME header offsets in every planted doc — the
+    anchoring outcome is one fixed draw over the literal header tokens,
+    verified to yield full-header coverage (48 of 60 tokens removed, 9
+    anchored windows at window=12/stride=4), not a per-doc gamble.
+    Graded booleans: the globally-first planted doc is the ONE keeper
+    and stays byte-intact at 100 tokens (keeper_ok); every other
+    planted doc drops ≥1 span (recall_ok); no clean doc drops anything
+    or changes length (precision_ok); every non-keeper planted doc
+    lands in [body, body+header-window] tokens — spans removed stay
+    inside the header, never eating unique body text (shrink_ok).
+    xxhash64 span ids and drop positions stay OUT of the value hash."""
+    from meerkat_spark.text.spandedup import remove_duplicated_spans
+
+    HDR, BODY, W = 60, 40, 12
+    ids = _docs(spark, sf_dir).select("doc_id")
+    body = F.transform(
+        F.sequence(F.lit(1), F.lit(BODY)),
+        lambda j: F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("-"), j.cast("string"))
+        ),
+    )
+    hdr = F.transform(
+        F.sequence(F.lit(1), F.lit(HDR)),
+        lambda j: F.md5(F.concat(F.lit("hdr-"), j.cast("string"))),
+    )
+    planted = F.col("doc_id") % 4 == 0
+    corpus = ids.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            " ", F.when(planted, F.concat(hdr, body)).otherwise(body)
+        ).alias("text"),
+        planted.alias("__pl"),
+    )
+    out = remove_duplicated_spans(corpus.drop("__pl"), window=W, stride=4)
+    res = out.join(corpus.select("doc_id", "__pl"), "doc_id").select(
+        "__pl",
+        "n_dropped_spans",
+        F.size(F.filter(F.split("text", "\\s+"), lambda t: t != "")).alias(
+            "__ntok"
+        ),
+    )
+    dropped = F.col("n_dropped_spans") > 0
+    agg = res.groupBy("__pl").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dropped.cast("long")).alias("n_dropped_docs"),
+        F.sum((~dropped & (F.col("__ntok") == HDR + BODY)).cast("long")).alias(
+            "n_intact_full"
+        ),
+        F.max(F.when(dropped, F.col("__ntok"))).alias("max_tok_dropped"),
+        F.min(F.when(dropped, F.col("__ntok"))).alias("min_tok_dropped"),
+        F.sum((F.col("__ntok") != BODY).cast("long")).alias("n_not_body_len"),
+    )
+    pl = agg.filter(F.col("__pl"))
+    cl = agg.filter(~F.col("__pl"))
+    return pl.crossJoin(F.broadcast(cl.select(
+        F.col("n").alias("c_n"),
+        F.col("n_dropped_docs").alias("c_dropped"),
+        F.col("n_not_body_len").alias("c_not_body"),
+    ))).select(
+        F.col("n").alias("n_planted"),
+        F.col("c_n").alias("n_clean"),
+        ((F.col("n") - F.col("n_dropped_docs") == 1) & (F.col("n_intact_full") == 1))
+        .alias("keeper_ok"),
+        (F.col("n_dropped_docs") == F.col("n") - 1).alias("recall_ok"),
+        ((F.col("c_dropped") == 0) & (F.col("c_not_body") == 0)).alias(
+            "precision_ok"
+        ),
+        (
+            (F.col("min_tok_dropped") >= BODY)
+            & (F.col("max_tok_dropped") <= HDR + BODY - W)
+        ).alias("shrink_ok"),
+    )
+
+
 @register("classifier_quality_gate", oracle=None)
 def classifier_quality_gate(spark, sf_dir):
     """Hashing-trick linear classifier scoring (text/classifier.py —
