@@ -95,6 +95,10 @@ def load_all() -> None:
 #   span_dedup_envelope   (same — planted shared-header corpus;
 #                         keeper/recall/precision/shrink booleans
 #                         over the xxhash64-dependent span remover)
+#   media_pipeline_envelope (same — frame-expansion formula, resize
+#                         bounds, and histogram unit-L1 booleans over
+#                         the stub-decode media trio; survives a real
+#                         codec swap)
 # Exactly 50 -- enforced by tests/test_registry.py.
 _PRIORITY: list[str] = [
     # (a) r15 registrations, never graded -- they lead

@@ -249,3 +249,101 @@ def media_cdc_dedup(spark, sf_dir):
     return per_blob.crossJoin(
         F.broadcast(stats.select("dedup_ratio", "distinct_chunks"))
     )
+
+
+@register(
+    "media_pipeline_envelope",
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             ['image/png','image/jpeg','audio/wav','video/mp4'][(i % 4) + 1]
+               AS mime,
+             1000 * (i % 30) AS duration_ms
+      FROM UNNEST(range(0, 64)) AS t(i)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(CASE WHEN mime = 'video/mp4'
+                         THEN duration_ms // 5000 + 1 ELSE 1 END) AS BIGINT)
+               AS n_frames,
+           TRUE AS frames_ok, TRUE AS hashes_ok,
+           TRUE AS resize_ok, TRUE AS feat_ok
+    FROM m
+    """,
+)
+def media_pipeline_envelope(spark, sf_dir):
+    """Media plumbing as a graded contract (r16 — the envelope pattern
+    over the stub-decode rows-only trio media_frame_sample /
+    media_resize / media_features): the synthesized metadata formula
+    is replicated in DuckDB (media_metadata_agg precedent), so the
+    EXPECTED frame expansion is computable on both sides while the
+    hash-valued outputs stay out of the value hash. Graded booleans:
+    frame_sample expands every video to duration//5000+1 sequential
+    frames from 0 and every non-video to exactly one (frames_ok:
+    per-media count == max_idx+1 == formula, min_idx == 0); frame
+    hashes are distinct within every media (hashes_ok — the stub must
+    not collapse frames); resize emits one 32x32 row per media with
+    the pixel checksum inside [0, 255*32*32] (resize_ok — block-mean
+    of uint8 can't exceed 255/pixel); the 16-bin histogram features
+    are unit-L1 within 1e-4 with no negative mass (feat_ok). A real
+    codec swap (decode_stub -> PIL/libav) keeps every one of these
+    invariants, so the envelope survives de-stubbing."""
+    media = synthesize_media_table(spark, n=64).persist()
+    frames = frame_sample(media, every_ms=5000)
+    per_media = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_fr"),
+        F.min("frame_idx").alias("min_idx"),
+        F.max("frame_idx").alias("max_idx"),
+        F.countDistinct("frame_hash").alias("n_hash"),
+    )
+    expected = media.select(
+        "media_id",
+        F.when(
+            F.col("mime") == "video/mp4",
+            (F.col("duration_ms") / F.lit(5000)).cast("long") + 1,
+        )
+        .otherwise(F.lit(1))
+        .alias("exp_fr"),
+    )
+    fr = per_media.join(expected, "media_id").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_fr").alias("n_frames"),
+        (
+            (F.sum((F.col("n_fr") == F.col("exp_fr")).cast("long"))
+             == F.count(F.lit(1)))
+            & (F.sum((F.col("max_idx") == F.col("n_fr") - 1).cast("long"))
+               == F.count(F.lit(1)))
+            & (F.max("min_idx") == 0)
+        ).alias("frames_ok"),
+        (F.sum((F.col("n_hash") == F.col("n_fr")).cast("long"))
+         == F.count(F.lit(1))).alias("hashes_ok"),
+    )
+    rz = resize(media, 32, 32).agg(
+        (
+            (F.count(F.lit(1)) == 64)
+            & (F.countDistinct("media_id") == 64)
+            & (F.min("pixel_checksum") >= 0)
+            & (F.max("pixel_checksum") <= 255 * 32 * 32)
+            & (F.min("out_width") == 32)
+            & (F.max("out_width") == 32)
+            & (F.min("out_height") == 32)
+            & (F.max("out_height") == 32)
+        ).alias("resize_ok")
+    )
+    l1 = F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double"))
+    neg = F.exists("feat", lambda v: v < 0)
+    ft = extract_features(media).agg(
+        (
+            (F.count(F.lit(1)) == 64)
+            & (F.min(F.size("feat")) == 16)
+            & (F.max(F.size("feat")) == 16)
+            & (F.max(F.abs(l1 - 1.0)) < 1e-4)
+            & (~F.max(neg.cast("boolean")))
+        ).alias("feat_ok")
+    )
+    return (
+        fr.crossJoin(F.broadcast(rz))
+        .crossJoin(F.broadcast(ft))
+        .select(
+            "n_media", "n_frames", "frames_ok", "hashes_ok", "resize_ok", "feat_ok"
+        )
+    )
