@@ -13,11 +13,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def series_fir(col: Column, weights: list[float], center: bool = True) -> Column:
-    """KQL series_fir: finite-impulse-response filter (e.g. weights
-    [1,1,1,1,1]/5 = centered moving average)."""
+def series_fir(
+    col: Column,
+    weights: list[float],
+    normalize: bool | None = None,
+    center: bool = False,
+) -> Column:
+    """KQL series_fir — Kusto-exact signature (r16):
+    `series_fir(series, filter [, normalize [, center]])`. `normalize`
+    defaults to true when every coefficient is non-negative (Kusto's
+    rule) and may not be true for filters with negative coefficients;
+    `center` defaults to FALSE (causal: y[i] = Σ f[k]·x[i-k], zero-
+    padded leading edge — Kusto's documented moving-sum example
+    series_fir([1..], [1,1,1], false, false) = [1,3,6,...]), true
+    applies the window symmetrically (np 'same')."""
     w = np.asarray(weights, dtype=np.float64)
-    w = w / w.sum()
+    if normalize is None:
+        normalize = bool((w >= 0).all())
+    if normalize:
+        if (w < 0).any():
+            raise ValueError(
+                "series_fir: normalize=true is invalid for filters with "
+                "negative coefficients (Kusto rule) — pass normalize=false"
+            )
+        s = w.sum()
+        if s != 0:
+            w = w / s
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def fir(series: pd.Series) -> pd.Series:
@@ -37,9 +58,66 @@ def series_fir(col: Column, weights: list[float], center: bool = True) -> Column
     return fir(col)
 
 
-def series_outliers(col: Column, threshold: float = 2.5) -> Column:
-    """KQL series_outliers-style flags: |z-score| per point; points with
-    |z| > threshold marked ±1 (sign of deviation), else 0."""
+def series_outliers(
+    col: Column,
+    kind: str = "ctukey",
+    ignore_val: float | None = None,
+    min_percentile: float = 10.0,
+    max_percentile: float = 90.0,
+) -> Column:
+    """KQL series_outliers — Kusto-exact Tukey's fence scores (r16):
+    `series_outliers(series [, kind [, ignore_val [, min_percentile
+    [, max_percentile]]]])`. kind='ctukey' (Kusto default) fences on
+    the custom [min_percentile, max_percentile] quantiles (default
+    10/90); kind='tukey' uses the traditional 25/75. Scores are
+    (x − q_hi)/IQR above the high fence, (x − q_lo)/IQR below the low
+    one, 0 inside — so |score| > 1.5 is Kusto's mild outlier and
+    > 3.0 a strong one. NaNs and `ignore_val` points are excluded
+    from the quantiles and score 0; a degenerate IQR of 0 scores the
+    whole series 0."""
+    if kind not in ("tukey", "ctukey"):
+        raise ValueError("series_outliers kind must be 'tukey' or 'ctukey'")
+    lo_p, hi_p = (25.0, 75.0) if kind == "tukey" else (
+        float(min_percentile),
+        float(max_percentile),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def outliers(series: pd.Series) -> pd.Series:
+        out = []
+        for arr in series:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            x = np.asarray(arr, dtype=np.float64)
+            mask = ~np.isnan(x)
+            if ignore_val is not None:
+                mask &= x != ignore_val
+            valid = x[mask]
+            if len(valid) == 0:
+                out.append([0.0] * len(x))
+                continue
+            q_lo, q_hi = np.percentile(valid, [lo_p, hi_p])
+            iqr = q_hi - q_lo
+            if iqr == 0:
+                out.append([0.0] * len(x))
+                continue
+            score = np.where(
+                x > q_hi, (x - q_hi) / iqr, np.where(x < q_lo, (x - q_lo) / iqr, 0.0)
+            )
+            score = np.where(mask, score, 0.0)
+            out.append(np.round(score, 6).tolist())
+        return pd.Series(out)
+
+    return outliers(col)
+
+
+def _zscore_flags(col: Column, threshold: float = 2.5) -> Column:
+    """±1 z-score flags (the pre-r16 series_outliers body) — kept as
+    the residual-flagging kernel of series_decompose_anomalies, whose
+    documented contract is flag output robust to exactly-zero residual
+    IQRs (a decomposition that reconstructs exactly would zero a Tukey
+    fence's IQR and mask real spikes)."""
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def outliers(series: pd.Series) -> pd.Series:
@@ -191,7 +269,7 @@ def series_decompose_anomalies(col: Column, period: int = -1, threshold: float =
     decomposition residual — seasonal spikes don't false-positive.
     period=-1 autodetects (Kusto default)."""
     dec = series_decompose(col, period)
-    return series_outliers(dec.getField("residual"), threshold)
+    return _zscore_flags(dec.getField("residual"), threshold)
 
 
 def series_periods_detect(col: Column, max_period: int = 0) -> Column:

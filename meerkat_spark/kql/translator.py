@@ -301,10 +301,15 @@ _SCALARS: dict[str, Any] = {
     "series_fir": lambda a: SER.series_fir(
         _c(a[0]),
         [float(x) for x in _raw(a[1])],
-        center=bool(a[2]) if len(a) > 2 else True,
+        normalize=bool(_raw(a[2])) if len(a) > 2 else None,
+        center=bool(_raw(a[3])) if len(a) > 3 else False,
     ),
     "series_outliers": lambda a: SER.series_outliers(
-        _c(a[0]), float(_raw(a[1])) if len(a) > 1 else 2.5
+        _c(a[0]),
+        str(_raw(a[1])) if len(a) > 1 else "ctukey",
+        float(_raw(a[2])) if len(a) > 2 and _raw(a[2]) is not None else None,
+        float(_raw(a[3])) if len(a) > 3 else 10.0,
+        float(_raw(a[4])) if len(a) > 4 else 90.0,
     ),
     "series_fit_line": lambda a: SER.series_fit_line(_c(a[0])),
     "series_fit_2lines": lambda a: SER.series_fit_2lines(_c(a[0])),

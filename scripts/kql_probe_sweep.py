@@ -470,6 +470,30 @@ SEMANTIC = [
     ("url encode decode", "print e = url_encode('a b&c'), d = url_decode('a%20b%26c')", ["a+b%26c", "a b&c"]),
     ("convert_length units", "print v = convert_length(1.0, 'Kilometer', 'Meter')", [1000.0]),
     ("extract typed real", "print v = extract('([0-9.]+)', 1, 'v=3.5x', typeof(real))", [3.5]),
+    # batch 21 — series kernels Kusto-exact (fir normalize/center args,
+    # outliers ctukey fence scores), datetime tz conversion, punycode,
+    # geohash round-trip, stats scalars, bin_auto
+    ("series_fir moving sum", "print s = tostring(series_fir(dynamic([1,2,3]), dynamic([1,1]), false, false))", ["[1.0,3.0,5.0]"]),
+    ("series_fir causal default", "print s = tostring(series_fir(dynamic([2,2,2]), dynamic([1,1])))", ["[1.0,2.0,2.0]"]),
+    ("series_fir centered", "print s = tostring(series_fir(dynamic([0,0,10,0,0]), dynamic([1,1,1]), false, true))", ["[0.0,10.0,10.0,10.0,0.0]"]),
+    ("series_iir cumsum", "print s = tostring(series_iir(dynamic([1,2,3]), dynamic([1]), dynamic([1,-1])))", ["[1.0,3.0,6.0]"]),
+    ("series_fill_forward", "print s = tostring(series_fill_forward(dynamic([1,null,2,null])))", ["[1.0,1.0,2.0,2.0]"]),
+    ("series_fill_backward", "print s = tostring(series_fill_backward(dynamic([null,1,null,2])))", ["[1.0,1.0,2.0,2.0]"]),
+    ("series_fill_const", "print s = tostring(series_fill_const(dynamic([null,1]), 0))", ["[0.0,1.0]"]),
+    ("series_fill_linear", "print s = tostring(series_fill_linear(dynamic([1,null,3])))", ["[1.0,2.0,3.0]"]),
+    ("series_outliers ctukey", "print s = tostring(series_outliers(dynamic([10,10,10,100,10,10,10,10,10,10])))", ["[0.0,0.0,0.0,9.0,0.0,0.0,0.0,0.0,0.0,0.0]"]),
+    ("series_outliers tukey degenerate", "print s = tostring(series_outliers(dynamic([10,10,10,100,10,10,10,10,10,10]), 'tukey'))", ["[0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]"]),
+    ("series_decompose identity", "print d = series_decompose(dynamic([1,2,3,4,1,2,3,4]), 4) | project ok = tostring(series_add(series_add(d.trend, d.seasonal), d.residual)) == '[1.0,2.0,3.0,4.0,1.0,2.0,3.0,4.0]'", [True]),
+    ("matches regex op", "print b = 'abc' matches regex 'a.c'", [True]),
+    ("datetime_local_to_utc", "print d = tostring(datetime_local_to_utc(datetime(2024-06-15 12:00:00), 'US/Pacific'))", ["2024-06-15 19:00:00"]),
+    ("datetime_utc_to_local", "print d = tostring(datetime_utc_to_local(datetime(2024-06-15 19:00:00), 'US/Pacific'))", ["2024-06-15 12:00:00"]),
+    ("punycode roundtrip", "print s = punycode_from_string('münchen'), r = punycode_to_string('mnchen-3ya')", ["mnchen-3ya", "münchen"]),
+    ("geohash known vector", "print g = geo_point_to_geohash(10.40744, 57.64911, 11)", ["u4pruydqqvj"]),
+    ("geohash central point", "print p = geo_geohash_to_central_point('u4pruydqqvj') | project ok = abs(p.coordinates[1] - 57.64911) < 0.001", [True]),
+    ("beta_cdf uniform", "print v = beta_cdf(0.5, 1.0, 1.0)", [0.5]),
+    ("erf values", "print a = erf(0.0), b = round(erf(1.0), 6)", [0.0, 0.842701]),
+    ("welch_test identical", "print p = welch_test(10.0, 1.0, 30, 10.0, 1.0, 30)", [1.0]),
+    ("bin_auto via set", "set query_bin_auto_size = 10; datatable(x:long) [5, 15, 25] | summarize c = count() by b = bin_auto(x) | count", [3]),
 ]
 
 

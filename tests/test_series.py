@@ -24,7 +24,7 @@ def test_series_fir_moving_average(spark, series_df):
     out = {
         r.id: r.f
         for r in series_df.select(
-            "id", SR.series_fir(F.col("s"), [1, 1, 1]).alias("f")
+            "id", SR.series_fir(F.col("s"), [1, 1, 1], center=True).alias("f")
         ).collect()
     }
     # centered 3-MA of [1..5]: edges use partial windows under 'same'
@@ -34,16 +34,50 @@ def test_series_fir_moving_average(spark, series_df):
     assert out[3] == []
 
 
+def test_series_fir_kusto_defaults(spark, series_df):
+    """Kusto-exact r16 semantics: default is CAUSAL (center=false) and
+    normalized; normalize=false gives the documented moving-sum
+    example series_fir(x, [1,1,1], false, false) over [1..5] =
+    [1,3,6,9,12] (zero-padded leading edge)."""
+    row = (
+        series_df.filter(F.col("id") == 1)
+        .select(
+            SR.series_fir(F.col("s"), [1, 1, 1], normalize=False).alias("msum"),
+            SR.series_fir(F.col("s"), [1, 1]).alias("ma"),
+        )
+        .first()
+    )
+    assert row.msum == pytest.approx([1.0, 3.0, 6.0, 9.0, 12.0])
+    # causal normalized 2-MA: y[i] = (x[i] + x[i-1]) / 2, x[-1] = 0
+    assert row.ma == pytest.approx([0.5, 1.5, 2.5, 3.5, 4.5])
+    # Kusto rule: normalize=true rejects negative coefficients
+    with pytest.raises(ValueError, match="negative"):
+        SR.series_fir(F.col("s"), [1, -1], normalize=True)
+
+
 def test_series_outliers_flags_spike(spark, series_df):
+    """r16 Kusto-exact Tukey scores: ctukey 10/90 over nine 10s and
+    one 100 puts q90 between sorted[8]=10 and sorted[9]=100 (linear
+    interpolation → 19), IQR 9, so the spike scores (100−19)/9 = 9 —
+    a strong outlier (>3) — and every other point is inside the fence
+    at exactly 0."""
     out = {
         r.id: r.o
         for r in series_df.select(
             "id", SR.series_outliers(F.col("s")).alias("o")
         ).collect()
     }
-    assert out[2][3] == 1  # the 100.0 spike
-    assert sum(map(abs, out[2])) == 1  # only the spike flagged
+    assert out[2][3] == pytest.approx(9.0)  # the 100.0 spike
+    assert all(v == 0.0 for i, v in enumerate(out[2]) if i != 3)
     assert out[3] == []
+    # traditional tukey: q25 = q75 = 10 → degenerate IQR → all zero
+    tuk = (
+        series_df.filter(F.col("id") == 2)
+        .select(SR.series_outliers(F.col("s"), kind="tukey").alias("o"))
+        .first()
+        .o
+    )
+    assert all(v == 0.0 for v in tuk)
 
 
 def test_series_fit_line(spark, series_df):
