@@ -302,6 +302,11 @@ PROBES = [
     ("parse-where regex kind insensitive", "events | take 20 | extend s = strcat('TYPE=', toupper(event_type)) | parse-where kind=regex flags=i s with 'type=' t:string | count"),
     ("between timespan exprs", "print b = 90m between (1h .. 2h)"),
     ("not-between datetime", "events | where ts !between (datetime(2024-01-01) .. datetime(2024-01-02)) | count"),
+    # batch 22 run-success additions
+    ("summarize hint.shufflekey", "events | summarize hint.shufflekey = user_id c = count() by user_id | count"),
+    ("rank_tdigest", "events | summarize t = tdigest(value) | project r = rank_tdigest(t, 50.0)"),
+    ("percentrank_tdigest", "events | summarize t = tdigest(value) | project r = percentrank_tdigest(t, 50.0)"),
+    ("take_any star schema", "events | summarize take_any(*) | getschema | count"),
 ]
 
 # semantic probes: (name, query, expected first-row values)
@@ -494,6 +499,29 @@ SEMANTIC = [
     ("erf values", "print a = erf(0.0), b = round(erf(1.0), 6)", [0.0, 0.842701]),
     ("welch_test identical", "print p = welch_test(10.0, 1.0, 30, 10.0, 1.0, 30)", [1.0]),
     ("bin_auto via set", "set query_bin_auto_size = 10; datatable(x:long) [5, 15, 25] | summarize c = count() by b = bin_auto(x) | count", [3]),
+    # batch 22 — self-contained corners confirmed Kusto-consistent in
+    # the r16 battery: sketch merges, bag expansion forms, negative
+    # array index, boundary datetimes, membership operators
+    ("binary_all_and agg", "datatable(x:long) [7, 3] | summarize v = binary_all_and(x)", [3]),
+    ("hll_merge roundtrip", "datatable(k:long, x:long) [0,1, 0,2, 1,2, 1,3] | summarize h = hll(x) by k | summarize m = hll_merge(h) | project d = dcount_hll(m)", [3]),
+    ("tdigest_merge percentile", "datatable(k:long, x:long) [0,1, 0,2, 1,3, 1,4] | summarize t = tdigest(x) by k | summarize m = tdigest_merge(t) | project p = percentile_tdigest(m, 100, typeof(long))", [4]),
+    ("mv-expand kind=bag", "datatable(d:dynamic) [dynamic({'a':1,'b':2})] | mv-expand kind=bag d | count", [2]),
+    ("mv-expand bagexpansion=array", "datatable(d:dynamic) [dynamic({'a':1})] | mv-expand bagexpansion=array d | project t = tostring(d)", ['["a",1]']),
+    ("dynamic negative index", "print v = dynamic([1,2,3])[-1]", [3]),
+    ("array_slice bounds", "print s = tostring(array_slice(dynamic([1,2,3,4]), 1, 2))", ["[2,3]"]),
+    ("has_any_index first match", "print i = has_any_index('a b c', dynamic(['b','x'])), j = has_any_index('a b c', dynamic(['z']))", [0, -1]),
+    ("between timespan range", "datatable(t:timespan) [1h, 3h] | where t between (30m .. 2h) | count", [1]),
+    ("not-between exclusion", "datatable(x:long) [1, 5, 10] | where x !between (4 .. 6) | count", [2]),
+    ("in~ case-insensitive", "datatable(s:string) ['A', 'b'] | where s in~ ('a', 'c') | count", [1]),
+    ("notin exclusion", "datatable(s:string) ['a', 'b'] | where s !in ('a') | count", [1]),
+    ("startofweek sunday", "print d = tostring(startofweek(datetime(2024-06-12)))", ["2024-06-09 00:00:00"]),
+    ("endofweek last instant", "print d = tostring(endofweek(datetime(2024-06-12)))", ["2024-06-15 23:59:59.999999"]),
+    ("getyear getmonth", "print y = getyear(datetime(2024-06-12)), m = getmonth(datetime(2024-06-12))", [2024, 6]),
+    ("iff typed-null branch", "print ok = isnull(iff(true, int(null), 5))", [True]),
+    ("around tolerance", "print b = around(10.5, 10, 1.0), c = around(12.0, 10, 1.0)", [True, False]),
+    ("format_bytes negative", "print s = format_bytes(-1024)", ["-1024 Bytes"]),
+    ("series_cosine_similarity", "print c = round(series_cosine_similarity(dynamic([1,0]), dynamic([0,1])), 6), d = round(series_cosine_similarity(dynamic([1,2]), dynamic([2,4])), 6)", [0.0, 1.0]),
+    ("pack via case branch", "print p = tostring(bag_pack('a', case(1 > 0, 'y', 'n')))", ['{"a":"y"}']),
 ]
 
 
