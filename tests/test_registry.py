@@ -105,6 +105,13 @@ _BOUNDED_CROSS = {
     "knn_lsh_pruned_envelope",
     "knn_ivf_pruned_envelope",
     "dedup_simhash_envelope",
+    # late-r16: span_dedup_envelope crossJoins its planted-side stats
+    # row with the broadcast 1-row clean-side aggregate;
+    # media_pipeline_envelope chains three broadcast 1-row aggregate
+    # crossJoins (recon x pairs_ok x shared) — both the whitelisted
+    # 1-row-cross shape
+    "span_dedup_envelope",
+    "media_pipeline_envelope",
 }
 
 
