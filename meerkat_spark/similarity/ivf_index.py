@@ -171,6 +171,28 @@ def _assign_and_write(
     )
 
 
+def _write_meta_table(path: str, table) -> None:
+    """Persist one of the index's TINY driver-resident metadata tables
+    (centroids / supercentroids / pq_codebooks / pq_meta — KB to a few
+    MB even at 32k cells x 768 dims) as a single parquet file written
+    directly with pyarrow, bypassing Spark. These tables live on the
+    driver as numpy arrays on both sides of the lifecycle
+    (trained driver-side, collected driver-side by _load_index_meta);
+    routing each through createDataFrame + a distributed write job cost
+    ~0.6-0.7s of pure job overhead PER TABLE at any scale — 3 such jobs
+    per IVFPQ build (measured r16). The files are standard parquet:
+    spark.read.parquet on the directory is unchanged, as is the
+    _meta_signature freshness walk."""
+    import shutil
+
+    import pyarrow.parquet as papq
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    papq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -265,13 +287,21 @@ def build_ivf_index(
         from meerkat_spark.similarity import pq as pqmod
 
         # train on L2-NORMALIZED vectors — the stored codes quantize
-        # directions, so search-side ADC approximates cosine
-        nrm = F.greatest(knn.norm(F.col("cv")), F.lit(1e-12))
-        emb_n = c.select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.transform("cv", lambda x: x / nrm).alias("embedding"),
+        # directions, so search-side ADC approximates cosine. The
+        # normalization happens in numpy on the bounded sample
+        # (train_pq normalize=True): the old JVM
+        # `transform(cv, x / norm(cv))` re-evaluated the norm fold per
+        # ELEMENT (O(dim^2) interpreted ops per row) and ran corpus-wide
+        # under the TakeOrdered sample scan — measured 4.2s of the
+        # 14s ivfpq build at sf0.1.
+        pq_books = pqmod.train_pq(
+            c,
+            m=int(pq_m),
+            id_col="neighbor_id",
+            vec_col="cv",
+            rotate=pq_rotate,
+            normalize=True,
         )
-        pq_books = pqmod.train_pq(emb_n, m=int(pq_m), rotate=pq_rotate)
     supercents = super_of_cell = None
     if two_level:
         n_super = int(max(round(len(cents) ** 0.5), 2))
@@ -313,34 +343,61 @@ def build_ivf_index(
         # executors instead of accumulating one block per build
         # (ADVICE r11: long-lived sessions leak broadcast blocks)
         bc_route.destroy()
-    spark = emb.sparkSession
+    import pyarrow as pa
+
     if pq_books is not None:
-        book_rows = [
-            (j, ci, [float(x) for x in pq_books[j, ci]])
-            for j in range(pq_books.shape[0])
-            for ci in range(pq_books.shape[1])
-        ]
-        spark.createDataFrame(
-            book_rows, "sub_id int, cent_id int, centroid array<double>"
-        ).write.mode("overwrite").parquet(os.path.join(path, "pq_codebooks"))
+        mm, kk = pq_books.shape[0], pq_books.shape[1]
+        _write_meta_table(
+            os.path.join(path, "pq_codebooks"),
+            pa.table(
+                {
+                    "sub_id": pa.array(
+                        [j for j in range(mm) for _ in range(kk)], pa.int32()
+                    ),
+                    "cent_id": pa.array(
+                        [ci for _ in range(mm) for ci in range(kk)], pa.int32()
+                    ),
+                    "centroid": pa.array(
+                        [pq_books[j, ci].tolist() for j in range(mm) for ci in range(kk)],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+        )
         # persist the OPQ flag only — the rotation itself is
         # regenerated deterministically from the dimension at search
         # time (opq_rotation), like knn._hyperplanes
-        spark.createDataFrame(
-            [(bool(pq_rotate),)], "rotated boolean"
-        ).write.mode("overwrite").parquet(os.path.join(path, "pq_meta"))
+        _write_meta_table(
+            os.path.join(path, "pq_meta"),
+            pa.table({"rotated": pa.array([bool(pq_rotate)], pa.bool_())}),
+        )
     sup_col = super_of_cell if super_of_cell is not None else np.zeros(len(cents), np.int64)
-    cent_rows = [
-        (i, [float(x) for x in cents[i]], int(sup_col[i])) for i in range(len(cents))
-    ]
-    spark.createDataFrame(
-        cent_rows, "cell_id long, centroid array<double>, super_id long"
-    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    _write_meta_table(
+        os.path.join(path, "centroids"),
+        pa.table(
+            {
+                "cell_id": pa.array(range(len(cents)), pa.int64()),
+                "centroid": pa.array(
+                    [cents[i].tolist() for i in range(len(cents))],
+                    pa.list_(pa.float64()),
+                ),
+                "super_id": pa.array(sup_col.tolist(), pa.int64()),
+            }
+        ),
+    )
     if supercents is not None:
-        sup_rows = [(g, [float(x) for x in supercents[g]]) for g in range(len(supercents))]
-        spark.createDataFrame(
-            sup_rows, "super_id long, centroid array<double>"
-        ).write.mode("overwrite").parquet(os.path.join(path, "supercentroids"))
+        _write_meta_table(
+            os.path.join(path, "supercentroids"),
+            pa.table(
+                {
+                    "super_id": pa.array(range(len(supercents)), pa.int64()),
+                    "centroid": pa.array(
+                        [supercents[g].tolist() for g in range(len(supercents))],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+        )
     # pre-seed the metadata cache from the arrays already in hand: the
     # dominant lifecycle is build-then-search (and extend), which would
     # otherwise immediately re-collect the tables just written. The
@@ -985,50 +1042,85 @@ def ivf_search(
         wq = W.partitionBy("query_id").orderBy(
             F.col("sim_q").desc(), F.col("neighbor_id").asc()
         )
-        cand = (
+        cand_topk = (
             coarse.withColumn("rq", F.row_number().over(wq))
             .filter(F.col("rq") <= refine_n)
             .select("query_id", "neighbor_id")
-            # materialize the (tiny: <= n_queries*refine_n rows)
-            # candidate table ONCE — both consumers below (the id
-            # collect for the pushdown filter and the broadcast rerank
-            # join) would otherwise each re-execute the whole coarse
-            # scoring scan
-            .localCheckpoint(eager=True)
         )
-        if is_pq:
-            # the eager checkpoint above fully consumed the ADC pass —
-            # the float rerank never touches the LUT, so free the (up
-            # to ~128 MB) broadcast now instead of leaking one block
-            # per search call (ADVICE r11)
-            bc_lut.destroy()
-        # size-gated pushdown: probe the distinct candidate-id count
-        # with a bounded limit(N+1) collect (cheap — cand is already
-        # checkpointed). Small sets keep the literal isin, which pushes
-        # into the float read where the in-partition neighbor_id sort
-        # lets Parquet row-group stats skip non-candidate groups; large
-        # sets (up to n_queries * refine_n ≈ 2.6M at the caps) would
-        # blow up the driver plan as one giant Catalyst `In`, so they
-        # rerank via a broadcast semi-join on the checkpointed cand
-        # table instead — the id set is ≤ a few MB of longs, and the
-        # scan still prunes to the probed cell partitions.
-        cand_ids_df = cand.select("neighbor_id").distinct()
-        probe_ids = cand_ids_df.limit(RERANK_LITERAL_MAX + 1).collect()
-        if len(probe_ids) <= RERANK_LITERAL_MAX:
-            cand_ids = [r.neighbor_id for r in probe_ids]
+        if len(q_pdf) * refine_n <= RERANK_LITERAL_MAX:
+            # small-refine fast path (r16): the candidate table is
+            # PROVABLY bounded by n_queries * refine_n pairs, so one
+            # bounded collect replaces the eager localCheckpoint + the
+            # limit(N+1) id probe — one Spark job instead of two — and
+            # the rerank pair table (query vector attached) is built
+            # driver-side from arrays already in hand (q_pdf), then
+            # broadcast. The literal isin keeps the row-group-prunable
+            # neighbor_id pushdown into the float read.
+            pair_rows = cand_topk.collect()
+            if is_pq:
+                bc_lut.destroy()  # coarse pass consumed by the collect
+            qv_of = {
+                int(q_pdf["query_id"][i]): [float(x) for x in q_pdf["qv"][i]]
+                for i in range(len(q_pdf))
+            }
+            cand_ids = sorted({int(r.neighbor_id) for r in pair_rows})
+            rerank = spark.createDataFrame(
+                [
+                    (int(r.query_id), int(r.neighbor_id), qv_of[int(r.query_id)])
+                    for r in pair_rows
+                ],
+                "query_id long, neighbor_id long, qv array<double>",
+            )
             floats = assigned.filter(F.col("neighbor_id").isin(cand_ids)).select(
                 "neighbor_id", "cv"
             )
-        else:
-            floats = assigned.select("neighbor_id", "cv").join(
-                F.broadcast(cand_ids_df), "neighbor_id", "left_semi"
+            sims = floats.join(F.broadcast(rerank), "neighbor_id").select(
+                "query_id",
+                "neighbor_id",
+                knn.cosine(F.col("qv"), F.col("cv")).alias("sim"),
             )
-        q_vecs = q_cells.select("query_id", "qv").dropDuplicates(["query_id"])
-        sims = floats.join(
-            F.broadcast(cand.join(q_vecs, "query_id")), "neighbor_id"
-        ).select(
-            "query_id", "neighbor_id", knn.cosine(F.col("qv"), F.col("cv")).alias("sim")
-        )
+        else:
+            # large-refine path: materialize the candidate table ONCE —
+            # both consumers below (the id probe and the broadcast
+            # rerank join) would otherwise each re-execute the whole
+            # coarse scoring scan
+            cand = cand_topk.localCheckpoint(eager=True)
+            if is_pq:
+                # the eager checkpoint above fully consumed the ADC
+                # pass — the float rerank never touches the LUT, so
+                # free the (up to ~128 MB) broadcast now instead of
+                # leaking one block per search call (ADVICE r11)
+                bc_lut.destroy()
+            # size-gated pushdown: probe the distinct candidate-id
+            # count with a bounded limit(N+1) collect (cheap — cand is
+            # already checkpointed). Small sets keep the literal isin,
+            # which pushes into the float read where the in-partition
+            # neighbor_id sort lets Parquet row-group stats skip
+            # non-candidate groups; large sets (up to n_queries *
+            # refine_n ≈ 2.6M at the caps) would blow up the driver
+            # plan as one giant Catalyst `In`, so they rerank via a
+            # broadcast semi-join on the checkpointed cand table
+            # instead — the id set is ≤ a few MB of longs, and the
+            # scan still prunes to the probed cell partitions.
+            cand_ids_df = cand.select("neighbor_id").distinct()
+            probe_ids = cand_ids_df.limit(RERANK_LITERAL_MAX + 1).collect()
+            if len(probe_ids) <= RERANK_LITERAL_MAX:
+                cand_ids = [r.neighbor_id for r in probe_ids]
+                floats = assigned.filter(
+                    F.col("neighbor_id").isin(cand_ids)
+                ).select("neighbor_id", "cv")
+            else:
+                floats = assigned.select("neighbor_id", "cv").join(
+                    F.broadcast(cand_ids_df), "neighbor_id", "left_semi"
+                )
+            q_vecs = q_cells.select("query_id", "qv").dropDuplicates(["query_id"])
+            sims = floats.join(
+                F.broadcast(cand.join(q_vecs, "query_id")), "neighbor_id"
+            ).select(
+                "query_id",
+                "neighbor_id",
+                knn.cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            )
     else:
         sims = (
             assigned.join(F.broadcast(q_cells), "cell_id")

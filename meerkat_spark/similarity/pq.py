@@ -100,13 +100,23 @@ def train_pq(
     train_factor: int = 64,
     n_iter: int = 10,
     rotate: bool = False,
+    normalize: bool = False,
 ) -> np.ndarray:
     """Train per-subspace codebooks; returns (m, k_eff, dsub) float64.
     dim must divide by m. k_eff <= k when the sample is smaller than k
     (tiny corpora). L2 k-means per subspace (PQ quantizes raw
     subvectors, not directions — unlike the spherical coarse trainer).
     rotate=True trains on opq_rotation(dim)-rotated vectors (OPQ-lite);
-    encode_pq/adc_topk must then be called with the same flag."""
+    encode_pq/adc_topk must then be called with the same flag.
+    normalize=True L2-normalizes the collected sample rows in numpy
+    BEFORE training (the IVFPQ build path, which quantizes directions):
+    normalizing driver-side on the bounded sample replaces a JVM
+    higher-order `transform(cv, x / norm(cv))` whose per-element lambda
+    re-evaluates the whole norm fold — O(dim^2) interpreted work per
+    row, corpus-wide under the TakeOrdered sample — with one O(dim)
+    vectorized pass over only the sampled rows, and matches the
+    encode/search kernels, which already normalize with
+    np.linalg.norm."""
     train_n = min(k * train_factor, MAX_PQ_TRAIN_ROWS)
     sample = (
         emb.select(
@@ -119,6 +129,8 @@ def train_pq(
         .collect()
     )
     X = np.stack([np.asarray(r.pv, dtype=np.float64) for r in sample])
+    if normalize:
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     if rotate:
         X = X @ opq_rotation(X.shape[1])
     dim = X.shape[1]

@@ -215,9 +215,16 @@ def knn_lsh_recall_envelope(spark, sf_dir):
     measured mean recall 0.975-1.0 at sf0.001/0.01)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    exact = knn.brute_force_topk(emb, queries, k=TOP_K).select(
-        "query_id", "neighbor_id"
-    )
+    # exact twin via the vectorized Arrow-matmul kernel (r16): the
+    # interpreted zip_with/aggregate fold is the ORACLE-parity kernel
+    # for sim VALUES, but this envelope grades only the membership of
+    # the top-5 SET (the fixture's rank-5/rank-6 gaps are >= 2e-4,
+    # four orders above BLAS-vs-fold float noise — the
+    # knn_cosine_topk_fast equivalence argument), so the ~100x-cheaper
+    # kernel computes the identical set.
+    exact = knn.brute_force_topk_vectorized(
+        emb, knn.queries_to_pdf(queries), k=TOP_K
+    ).select("query_id", "neighbor_id")
     approx = knn.lsh_topk(
         emb, queries, k=TOP_K, n_planes=4, dim=64, probe_bits=3
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
@@ -244,9 +251,11 @@ def knn_ivf_recall_envelope(spark, sf_dir):
     stay out of the hash."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    exact = knn.brute_force_topk(emb, queries, k=TOP_K).select(
-        "query_id", "neighbor_id"
-    )
+    # vectorized exact twin — see knn_lsh_recall_envelope (set-stable
+    # vs the fold kernel on this fixture's >= 2e-4 rank gaps)
+    exact = knn.brute_force_topk_vectorized(
+        emb, knn.queries_to_pdf(queries), k=TOP_K
+    ).select("query_id", "neighbor_id")
     approx = knn.ivf_topk(
         emb, queries, k=TOP_K, n_cells=16, n_probe=12
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
@@ -281,17 +290,22 @@ def _planted_corpus(spark, sf_dir):
     base = _emb(spark, sf_dir).select(
         "vec_id", knn._to_double(F.col("embedding")).alias("v")
     )
-    unit = base.select(
+    # the norm is computed ONCE per row as its own column and the
+    # transform divides by that column (r16): inlining the norm fold
+    # into the per-element lambda re-evaluates the whole
+    # zip_with/aggregate fold for EVERY element — O(dim^2) interpreted
+    # ops per row, and this frame used to be re-derived by every
+    # consumer of the planted corpus. Same arithmetic, same values.
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "v", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+    )
+    unit = base.withColumn("__n", nrm).select(
         "vec_id",
-        F.transform(
-            "v", lambda x: x / F.sqrt(
-                F.aggregate(
-                    F.zip_with("v", "v", lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, y: acc + y,
-                )
-            )
-        ).alias("u"),
+        F.transform("v", lambda x: x / F.col("__n")).alias("u"),
     )
     cents = unit.filter(F.col("vec_id") < N_PLANTED_CLUSTERS).select(
         F.col("vec_id").alias("cluster_id"), F.col("u").alias("cent")
@@ -301,12 +315,21 @@ def _planted_corpus(spark, sf_dir):
         (F.col("vec_id") % N_PLANTED_CLUSTERS).alias("cluster_id"),
         F.col("u").alias("mv"),
     )
-    return members.join(F.broadcast(cents), "cluster_id").select(
+    planted = members.join(F.broadcast(cents), "cluster_id").select(
         "vec_id",
         F.zip_with(
             "cent", "mv", lambda c, m: c + F.lit(PLANTED_EPS) * m
         ).alias("embedding"),
     )
+    # materialize ONCE (r16): the two pruned envelopes each consume the
+    # planted corpus from many places (exact twin corpus + queries,
+    # candidate generation corpus + queries, the scanned-fraction
+    # count, the corpus count) — 14 parquet re-scans each re-deriving
+    # the synthesis in the before-plan. The corpus is fixture-sized
+    # (n_corpus rows of dim doubles); at production scale this is the
+    # standard persist-the-derived-fixture step, recomputed from the
+    # parquet inputs on every run.
+    return planted.localCheckpoint(eager=True)
 
 
 def _pruned_envelope(corpus, queries, cands, recall_floor=0.9, scan_bound=0.25):
