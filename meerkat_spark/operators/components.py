@@ -26,6 +26,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Size gate for the driver union-find fast path: edge lists at or under
+# this many SYMMETRIC rows (2x the input edges) are collected from the
+# eager edge checkpoint (bounded: two 8-byte ids per row, ~64 MB at the
+# cap) and labeled with one in-memory union-find instead of the
+# O(diameter) rounds of keyed joins — each round is 2 shuffles + an
+# eager checkpoint + a convergence-poll job, pure fixed overhead when
+# the graph is small. Above the cap the iterative path runs unchanged
+# (the 100TB shape); the probe costs one bounded collect from data the
+# iterative path had already checkpointed anyway, never a recompute.
+CC_DRIVER_MAX_SYM_EDGES = 4_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -65,6 +76,49 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = _truncate(sym.distinct())
+
+    # driver union-find fast path (bounded probe against the checkpoint
+    # just built — see CC_DRIVER_MAX_SYM_EDGES). Union-by-min-root makes
+    # every root the component's minimum id, the exact fixpoint of the
+    # iterative min-label propagation below.
+    probe = sym.limit(CC_DRIVER_MAX_SYM_EDGES + 1).collect()
+    if len(probe) <= CC_DRIVER_MAX_SYM_EDGES:
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in probe:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        import pandas as pd
+
+        id_type = sym.schema["u"].dataType.simpleString()
+        if not parent:
+            return edges.sparkSession.createDataFrame(
+                [], f"id {id_type}, component {id_type}"
+            )
+        out = pd.DataFrame(
+            {
+                "id": list(parent.keys()),
+                "component": [_find(n) for n in parent],
+            }
+        )
+        return edges.sparkSession.createDataFrame(
+            out, f"id {id_type}, component {id_type}"
+        )
 
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")

@@ -339,9 +339,19 @@ def _pruned_envelope(corpus, queries, cands, recall_floor=0.9, scan_bound=0.25):
     The second boolean is computed from the pairs the index ACTUALLY
     scored, so a configuration that degenerates to a full scan fails
     pruned_ok no matter what its parameters claim."""
-    exact = knn.brute_force_topk(corpus, queries, k=TOP_K).select(
-        "query_id", "neighbor_id"
-    )
+    # exact twin via the vectorized Arrow-matmul kernel (r16) — the
+    # same set-stability argument as knn_lsh_recall_envelope: only
+    # top-5 SET membership is graded, and the planted fixture's
+    # rank-5/rank-6 sim gaps dwarf BLAS-vs-fold float noise by many
+    # orders of magnitude. The candidate set is materialized ONCE
+    # (bounded: <= scan_bound * n_queries * corpus rows of 3 scalars)
+    # because both consumers below — the approximate top-k and the
+    # scanned-pair count — would otherwise each re-run the whole
+    # candidate-generation join.
+    exact = knn.brute_force_topk_vectorized(
+        corpus, knn.queries_to_pdf(queries), k=TOP_K
+    ).select("query_id", "neighbor_id")
+    cands = cands.localCheckpoint(eager=True)
     approx = knn._topk_from_candidates(cands, TOP_K).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )

@@ -471,10 +471,26 @@ def verify_pairs_jaccard(
     kernel pass computes each doc's distinct shingle-hash array, the
     pairs join it twice (both joins keyed on the doc id — co-keyed
     shuffles), and the ratio is JVM array_intersect/array_union over
-    int64 arrays. Work is O(candidates), never corpus²."""
+    int64 arrays. Work is O(candidates), never corpus².
+
+    r16: the pair table is materialized once (bounded: O(corpus) pairs
+    of two longs by LSH construction — the same scale as the edge
+    checkpoint inside connected_components) because it is consumed
+    twice below, and the shingle kernel runs ONLY on docs that appear
+    in some pair — a left-semi prefilter that Catalyst pushes below
+    the text projection, so corpora with expensive derived text (the
+    planted fixtures) skip synthesis for non-candidate rows entirely.
+    Inner joins on id1/id2 made both prunings result-invariant
+    already; this just stops computing shingles that no pair reads."""
     shingles_udf = _make_shingles_udf(shingle_k)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_udf(F.col(text_col)).alias("sh")
+    pairs = pairs.localCheckpoint(eager=True)
+    cand_ids = pairs.select(
+        F.explode(F.array("id1", "id2")).alias("id")
+    ).distinct()
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__vt"))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", shingles_udf(F.col("__vt")).alias("sh"))
     )
     a = sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
     b = sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))

@@ -109,3 +109,22 @@ def test_graph_shortest_paths_kql_edge_struct(spark):
     ).to_df().collect()
     got = sorted((r.f, r.t, r.n) for r in out)
     assert got == [(1, 3, 2), (1, 4, 3), (2, 4, 2)]
+
+
+def test_driver_and_iterative_paths_agree(spark, monkeypatch):
+    """r16: the size-gated driver union-find fast path must produce
+    exactly the labels of the iterative min-label propagation. Forcing
+    the gate to 0 exercises the iterative path on the same graph."""
+    import meerkat_spark.operators.components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21), (7, 7)],
+        "src long, dst long",
+    )
+    fast = {r.id: r.component for r in connected_components(edges).collect()}
+    monkeypatch.setattr(C, "CC_DRIVER_MAX_SYM_EDGES", 0)
+    slow = {r.id: r.component for r in connected_components(edges).collect()}
+    assert fast == slow
+    assert {fast[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert fast[7] == 7
