@@ -272,6 +272,7 @@ def build_ivf_index(
     )
     if n_cells is None:
         n_cells = int(min(max(round(c.count() ** 0.5), 4), 1 << 16))
+    pq_books = None
     if n_cells * train_factor > knn.FLAT_TRAIN_MAX_ROWS:
         # scale-safe path (VERDICT r9 'what's wrong' #1): the flat
         # trainer would collect n_cells*train_factor vectors; above the
@@ -280,20 +281,49 @@ def build_ivf_index(
         # flat collect is small and one driver k-means avoids the
         # hierarchical path's extra Spark jobs.
         cents = knn._train_centroids_hierarchical(c, n_cells, train_factor, n_iter)
-    else:
-        cents = knn._train_centroids_sample(c, n_cells, train_factor, n_iter)
-    pq_books = None
-    if pq_m:
+    elif pq_m:
         from meerkat_spark.similarity import pq as pqmod
 
+        # ONE hash-ordered TakeOrdered sample shared by BOTH trainers
+        # (r16): the coarse trainer needs the n_cells*train_factor
+        # prefix, the PQ trainer the pq_train_rows() prefix, of the
+        # SAME xxhash64(id) ordering — so collecting max(both) rows
+        # once and slicing prefixes yields bitwise the same samples as
+        # the two separate TakeOrdered passes it replaces, for one
+        # full-corpus scan instead of two.
+        cent_n = n_cells * train_factor
+        take_n = max(cent_n, pqmod.pq_train_rows())
+        sample = (
+            c.withColumn("hk", F.xxhash64(F.col("neighbor_id")))
+            .orderBy("hk")
+            .limit(take_n)
+            .select("cv")
+            .collect()
+        )
+        knn._LAST_TRAIN_COLLECTS.append(("flat_sample", len(sample)))
+        X_all = np.stack([np.asarray(r.cv, dtype=np.float64) for r in sample])
+        cents = knn._train_centroids_from_matrix(X_all[:cent_n], n_cells, n_iter)
         # train on L2-NORMALIZED vectors — the stored codes quantize
-        # directions, so search-side ADC approximates cosine. The
-        # normalization happens in numpy on the bounded sample
-        # (train_pq normalize=True): the old JVM
-        # `transform(cv, x / norm(cv))` re-evaluated the norm fold per
-        # ELEMENT (O(dim^2) interpreted ops per row) and ran corpus-wide
-        # under the TakeOrdered sample scan — measured 4.2s of the
-        # 14s ivfpq build at sf0.1.
+        # directions, so search-side ADC approximates cosine; the
+        # normalization happens in numpy inside train_pq
+        # (normalize=True) on the shared sample's PQ prefix.
+        pq_books = pqmod.train_pq(
+            c,
+            m=int(pq_m),
+            id_col="neighbor_id",
+            vec_col="cv",
+            rotate=pq_rotate,
+            normalize=True,
+            sample_X=X_all[: pqmod.pq_train_rows()],
+        )
+    else:
+        cents = knn._train_centroids_sample(c, n_cells, train_factor, n_iter)
+    if pq_m and pq_books is None:
+        from meerkat_spark.similarity import pq as pqmod
+
+        # hierarchical-coarse builds still train PQ from their own
+        # bounded sample pass (the shared-sample fast path above only
+        # applies when the flat trainer runs)
         pq_books = pqmod.train_pq(
             c,
             m=int(pq_m),
@@ -1029,6 +1059,10 @@ def ivf_search(
             )
         else:
             qcos = knn.cosine_pandas_udf()
+            # the int8 codes go to the Arrow kernel RAW (r16): the old
+            # JVM cast to array<double> shipped 8x the bytes across the
+            # Python boundary; numpy's astype(float64) inside the
+            # kernel produces the identical values from the same ints.
             coarse = (
                 assigned.select("cell_id", "neighbor_id", "q")
                 .join(F.broadcast(q_cells), "cell_id")
@@ -1036,7 +1070,7 @@ def ivf_search(
                 .select(
                     "query_id",
                     "neighbor_id",
-                    qcos(F.col("qv"), F.col("q").cast("array<double>")).alias("sim_q"),
+                    qcos(F.col("qv"), F.col("q")).alias("sim_q"),
                 )
             )
         wq = W.partitionBy("query_id").orderBy(

@@ -367,10 +367,16 @@ def _spherical_kmeans(Xn: "np.ndarray", k: int, n_iter: int) -> "np.ndarray":
     cents = Xn[: min(k, len(Xn))].copy()
     for _ in range(n_iter):
         assign = (Xn @ cents.T).argmax(axis=1)
+        # stable argsort + contiguous-run gather instead of one boolean
+        # mask per centroid (r16, same change as pq.train_pq): member
+        # rows stay in ascending row order, so the mean is bitwise
+        # identical to the masked form and centroids cannot drift.
+        order = np.argsort(assign, kind="stable")
+        bounds = np.searchsorted(assign[order], np.arange(len(cents) + 1))
         for j in range(len(cents)):
-            members = Xn[assign == j]
-            if len(members):
-                m = members.mean(axis=0)
+            lo, hi = bounds[j], bounds[j + 1]
+            if hi > lo:
+                m = Xn[order[lo:hi]].mean(axis=0)
                 cents[j] = m / max(np.linalg.norm(m), 1e-12)
     return cents
 
@@ -408,6 +414,18 @@ def _train_centroids_sample(
     )
     _LAST_TRAIN_COLLECTS.append(("flat_sample", len(sample)))
     X = np.stack([np.asarray(r.cv, dtype=np.float64) for r in sample])
+    return _train_centroids_from_matrix(X, n_cells, n_iter)
+
+
+def _train_centroids_from_matrix(
+    X: "np.ndarray", n_cells: int, n_iter: int
+) -> "np.ndarray":
+    """Post-collect half of the flat trainer (r16): normalize + run the
+    spherical k-means on an already-collected raw sample matrix, so the
+    IVFPQ build can share ONE hash-ordered sample between the coarse
+    and PQ trainers. Rows must be the n_cells*train_factor prefix of
+    the xxhash64(id)-ordered corpus — exactly what the collect in
+    _train_centroids_sample produces."""
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     return _spherical_kmeans(Xn, n_cells, n_iter)
 

@@ -78,6 +78,19 @@ def _merge_tokens(tokens: Column, left: str, right: str) -> Column:
 # tokenizer pipelines bound the tail.
 MAX_VOCAB_COLLECT_ROWS = 4_000_000
 
+# Size gate for the in-engine loop's driver heap fast path (r16 — the
+# connected-components precedent): word-frequency tables at or under
+# this many distinct words are collected from the vocab checkpoint the
+# merge loop builds anyway (bounded: one short string + one long per
+# row) and the merges are learned with the heap twin — which is
+# equivalence-pinned against the in-engine loop (tests/test_bpe.py) —
+# instead of paying one pair-count job + one argmax collect + one
+# rewrite checkpoint PER MERGE, pure fixed overhead when the vocab is
+# small. Above the gate the in-engine loop runs unchanged (the 100TB
+# shape); the probe costs one bounded collect of already-checkpointed
+# data, never a recompute.
+BPE_DRIVER_MAX_VOCAB_ROWS = 2_000_000
+
 
 def train_bpe(
     df: DataFrame,
@@ -98,8 +111,13 @@ def train_bpe(
     log pairs) instead of one Spark job per merge. Identical output to
     the in-engine loop (same tie-break: count desc, left asc, right
     asc; pinned by tests/test_bpe.py equivalence). Use it for real
-    vocabs (32k merges); the default in-engine loop stays right for
-    bounded merge counts where no driver collect is wanted at all."""
+    vocabs (32k merges) — it raises above MAX_VOCAB_COLLECT_ROWS
+    instead of falling back.
+
+    The default path auto-selects (r16): vocabularies at or under
+    BPE_DRIVER_MAX_VOCAB_ROWS are learned with the same heap twin via
+    one bounded collect of the already-checkpointed vocab table; above
+    the gate the in-engine per-merge loop runs unchanged."""
     if local:
         return _train_bpe_local(df, n_merges, text_col, min_pair_count, min_word_freq)
     wf = word_freqs(df, text_col)
@@ -114,6 +132,19 @@ def train_bpe(
     # merge loop re-reads it every step; localCheckpoint cuts the
     # per-step lineage exactly like the LR trainer's epochs
     vocab = vocab.localCheckpoint(eager=True)
+    # driver heap fast path (bounded probe against the checkpoint just
+    # built — see BPE_DRIVER_MAX_VOCAB_ROWS). The initial token arrays
+    # are single characters, so array_join reconstructs the word and
+    # the heap twin's list(word) split is the exact inverse.
+    probe = (
+        vocab.select(F.array_join("tokens", "").alias("word"), "freq")
+        .limit(BPE_DRIVER_MAX_VOCAB_ROWS + 1)
+        .collect()
+    )
+    if len(probe) <= BPE_DRIVER_MAX_VOCAB_ROWS:
+        return _train_bpe_from_freqs(
+            [(r.word, int(r.freq)) for r in probe], n_merges, min_pair_count
+        )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, int(n_merges) + 1):
         pairs = vocab.select(

@@ -143,6 +143,28 @@ def test_local_trainer_matches_engine_trainer(spark):
     assert train_bpe(over, n_merges=3, local=True) == train_bpe(over, n_merges=3)
 
 
+def test_driver_fast_path_matches_engine_loop(spark, monkeypatch):
+    """r16 size-gated driver heap fast path: forcing the gate to 0
+    (in-engine per-merge loop) must learn the EXACT merge sequence the
+    default fast path learns, tie-breaks and overlaps included."""
+    import meerkat_spark.text.bpe as B
+
+    rng = random.Random(61)
+    alphabet = "abcdef"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 7)))
+        for _ in range(60)
+    ]
+    rows = [(" ".join(rng.sample(words, rng.randrange(1, 8))),) for _ in range(40)]
+    df = spark.createDataFrame(rows, "text string")
+    over = spark.createDataFrame([("aaa",)] * 3 + [("aaaa",)] * 2, "text string")
+    fast = B.train_bpe(df, n_merges=10)
+    fast_o = B.train_bpe(over, n_merges=3)  # greedy-left overlap case
+    monkeypatch.setattr(B, "BPE_DRIVER_MAX_VOCAB_ROWS", 0)
+    assert B.train_bpe(df, n_merges=10) == fast
+    assert B.train_bpe(over, n_merges=3) == fast_o
+
+
 def test_local_trainer_vocab_cap_raises(spark, monkeypatch):
     import meerkat_spark.text.bpe as B
 
