@@ -317,20 +317,29 @@ def count_min_build(
     width: int = 8192,
     seed: int = 0,
     weight_col: str | None = None,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Build the Count-Min table as rows (d, b, cnt) — only occupied
     cells materialize. posexplode fans each row to `depth` (cell)
     updates; the partial aggregation collapses every partition to
     <= depth x width rows before the single bounded exchange. NULL
-    keys are excluded."""
+    keys are excluded.
+
+    `by` (r16) prepends group columns: ONE pass builds one sketch per
+    group — each (by…, d, b, cnt) slice is exactly the sketch
+    count_min_build would return for that group's rows alone (the cell
+    sum is order-free), so per-day/per-slice rollups no longer need one
+    filtered scan per slice before merge_count_min."""
+    by = list(by or [])
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     ex = df.filter(F.col(key_col).isNotNull()).select(
+        *by,
         F.posexplode(_cm_bucket_array(key_col, depth, width, seed)).alias(
             "d", "b"
         ),
         w.alias("__w"),
     )
-    return ex.groupBy("d", "b").agg(F.sum("__w").alias("cnt"))
+    return ex.groupBy(*by, "d", "b").agg(F.sum("__w").alias("cnt"))
 
 
 def count_min_estimate(

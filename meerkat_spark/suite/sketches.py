@@ -76,12 +76,20 @@ def count_min_freq_est(spark, sf_dir):
     )
 
     e = _df(spark, sf_dir, "events")
-    slices = [e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
-    cms = [
-        count_min_build(s, "event_type", depth=4, width=65536, seed=0)
-        for s in slices
-    ]
-    cm = merge_count_min(cms)
+    # one grouped pass builds the three per-slice sketches (r16 — the
+    # slice id is a group key via count_min_build(by=...), not three
+    # scan predicates; cell sums are order-free so each slice's rows
+    # yield the identical sketch): 3 scans + 3 exchanges -> 1 scan +
+    # 1 exchange. merge_count_min still folds three cnt rows per cell.
+    cms = count_min_build(
+        e.withColumn("__slice", F.pmod(F.col("event_id"), F.lit(3))),
+        "event_type",
+        depth=4,
+        width=65536,
+        seed=0,
+        by=["__slice"],
+    )
+    cm = merge_count_min([cms.select("d", "b", "cnt")])
     return count_min_estimate(
         cm, e, "event_type", depth=4, width=65536, seed=0
     ).orderBy("event_type")
@@ -345,18 +353,19 @@ def hll_distinct_rollup(spark, sf_dir):
     provably-exact-regime pattern as heavy_hitters_sketch; the
     approximate envelope is graded separately by agg_dcount_approx."""
     e = _df(spark, sf_dir, "events")
-    slices = [
-        e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
-    ]
-    sks = [
-        s.groupBy("event_type").agg(
-            F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("__hll")
-        )
-        for s in slices
-    ]
-    merged = sks[0].unionByName(sks[1]).unionByName(sks[2])
+    # one grouped pass builds the SAME three per-slice sketches the old
+    # three filtered scans built (r16, guide §2.3/§2.4: the slice id is
+    # a group key, not a scan predicate — HLL registers are
+    # order-insensitive, so each (event_type, slice) sketch is
+    # identical to the per-slice build): 3 scans + 3 exchanges -> 1
+    # scan + 1 exchange. The rollup fold below is unchanged — three
+    # sketch rows per type merged via hll_union_agg.
+    sks = (
+        e.groupBy("event_type", F.pmod(F.col("event_id"), F.lit(3)).alias("__slice"))
+        .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("__hll"))
+    )
     return (
-        merged.groupBy("event_type")
+        sks.groupBy("event_type")
         .agg(
             F.hll_sketch_estimate(
                 F.hll_union_agg(F.col("__hll"))
@@ -396,15 +405,19 @@ def tdigest_rollup_envelope(spark, sf_dir):
     )
 
     e = _df(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    slices = [
-        e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
-    ]
-    sks = [
-        tdigest_sketch(s, "value", by=["event_type"]) for s in slices
-    ]
-    merged = merge_digest_tables(
-        sks[0].unionByName(sks[1]).unionByName(sks[2]), by=["event_type"]
+    # one grouped pass builds the three per-slice digests (r16 — the
+    # slice id joins the group key instead of driving three filtered
+    # scans; each (event_type, slice) digest sees exactly its slice's
+    # rows, and digest build order within a group was already
+    # partition-dependent): 3 scans + 3 exchanges -> 1 scan + 1
+    # exchange. merge_digest_tables still folds three digest rows per
+    # type — the rollup lifecycle under test is unchanged.
+    sks = tdigest_sketch(
+        e.withColumn("__slice", F.pmod(F.col("event_id"), F.lit(3))),
+        "value",
+        by=["event_type", "__slice"],
     )
+    merged = merge_digest_tables(sks.drop("__slice"), by=["event_type"])
     est = digest_percentiles(merged, [0.5, 0.95]).select(
         "event_type", F.col("p5").alias("p50_est"), F.col("p95").alias("p95_est")
     )

@@ -1903,7 +1903,10 @@ def dsir_importance_score(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
     )
-    weights = dsir_log_weights(docs.filter(F.col("lang") == "en"), docs)
+    # target is a row-level slice of raw -> one-pass fit (r16,
+    # dsir_log_weights target_pred): one tokenize+count computes both
+    # models instead of two passes + a full-outer vocabulary join
+    weights = dsir_log_weights(None, docs, target_pred=F.col("lang") == "en")
     out = dsir_scores(docs, weights)
     return out.select(
         "doc_id",

@@ -53,18 +53,44 @@ def dsir_log_weights(
     raw: DataFrame,
     text_col: str = "text",
     k: float = 1.0,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """(w, logw) over the union vocabulary: logw = log p_t(w) - log q_r(w)
     with add-k smoothing, p(w) = (c + k) / (N + k*V), V = |union|+1.
     Totals ship as a broadcast single-row aggregate (CI-whitelisted
-    crossJoin shape), so the whole fit is lazy and collect-free."""
-    tc = _word_counts(target, text_col).withColumnRenamed("c", "c_t")
-    rc = _word_counts(raw, text_col).withColumnRenamed("c", "c_r")
-    joined = tc.join(rc, "w", "full_outer").select(
-        "w",
-        F.coalesce("c_t", F.lit(0)).alias("c_t"),
-        F.coalesce("c_r", F.lit(0)).alias("c_r"),
-    )
+    crossJoin shape), so the whole fit is lazy and collect-free.
+
+    `target_pred` (r16): when the target corpus is a row-level slice of
+    `raw` (the in-domain-subset shape the suite grades), pass the slice
+    predicate instead of a separate `target` frame — ONE tokenize +
+    explode + keyed count computes both models (c_t = conditional count
+    under the predicate), replacing two full tokenization passes and
+    the full-outer vocabulary join. Counts, totals and the logw formula
+    are identical by construction (target ⊆ raw ⇒ union vocabulary =
+    raw vocabulary). `target` is ignored when target_pred is given."""
+    if target_pred is not None:
+        joined = (
+            raw.select(
+                F.explode(_tokens(text_col)).alias("w"),
+                target_pred.cast("long").alias("__t"),
+            )
+            .groupBy("w")
+            .agg(
+                F.sum("__t").alias("c_t"),
+                F.count(F.lit(1)).alias("c_r"),
+            )
+            .select(
+                "w", F.coalesce("c_t", F.lit(0)).alias("c_t"), "c_r"
+            )
+        )
+    else:
+        tc = _word_counts(target, text_col).withColumnRenamed("c", "c_t")
+        rc = _word_counts(raw, text_col).withColumnRenamed("c", "c_r")
+        joined = tc.join(rc, "w", "full_outer").select(
+            "w",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
     totals = joined.agg(
         F.sum("c_t").cast("double").alias("n_t"),
         F.sum("c_r").cast("double").alias("n_r"),

@@ -109,3 +109,29 @@ def test_empty_and_oov_edges(spark):
     assert math.isfinite(rows[2].logw_sum)
     # unseen-in-target words score below seen-in-target words
     assert rows[2].logw_avg < rows[1].logw_avg
+
+
+def test_target_pred_one_pass_matches_two_frame_fit(spark):
+    """r16 one-pass fit: when target = raw.filter(pred), passing
+    target_pred must produce the identical weight table (same
+    vocabulary, equal logw to 1e-15) as the two-frame fit."""
+    rows = [
+        (i, "alpha beta gamma alpha" if i % 2 == 0 else "omega psi chi beta", "en" if i % 3 == 0 else "fr")
+        for i in range(20)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    two = {
+        r.w: r.logw
+        for r in dsir_log_weights(
+            raw.filter(F.col("lang") == "en"), raw
+        ).collect()
+    }
+    one = {
+        r.w: r.logw
+        for r in dsir_log_weights(
+            None, raw, target_pred=F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(one) == set(two)
+    for w in two:
+        assert one[w] == pytest.approx(two[w], rel=1e-15), w
