@@ -72,21 +72,24 @@ def rollup_extend(
     overwrite); the touched-day list is a bounded collect (distinct
     days in ONE batch)."""
     spark = batch.sparkSession
-    fresh = _aggregate(batch, keys, ts_col, value_col).cache()
+    # eager localCheckpoint, not cache: the batch aggregate is consumed
+    # twice (touched-day probe + merge), and a cached plan pins its
+    # uncoalesced shuffle partitioning for every consumer (AQE cannot
+    # re-plan through InMemoryRelation), so the probe and the merge each
+    # re-shuffled the full partition width. The checkpoint materializes
+    # the AQE-coalesced partial aggregate once; both consumers read it.
+    fresh = _aggregate(batch, keys, ts_col, value_col).localCheckpoint()
+    days = [r[0] for r in fresh.select(TIME_COL).distinct().collect()]
+    if not days:
+        return
+    stored = spark.read.parquet(path).filter(F.col(TIME_COL).isin(days))
+    merged = _merge(stored.unionByName(fresh), keys)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        days = [r[0] for r in fresh.select(TIME_COL).distinct().collect()]
-        if not days:
-            return
-        stored = spark.read.parquet(path).filter(F.col(TIME_COL).isin(days))
-        merged = _merge(stored.unionByName(fresh), keys)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.partitionBy(TIME_COL).mode("overwrite").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        merged.write.partitionBy(TIME_COL).mode("overwrite").parquet(path)
     finally:
-        fresh.unpersist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def rollup_query(

@@ -2136,7 +2136,9 @@ class Translator:
             ncols = len(node.args["schema"])
             vals = [self._lit_value(v) for v in node.args["values"]]
             rows = [tuple(vals[i : i + ncols]) for i in range(0, len(vals), ncols)]
-            return MeerkatTable(self.engine.spark.createDataFrame(rows, schema))
+            return MeerkatTable(
+                self.engine.spark.createDataFrame(rows, schema).coalesce(1)
+            )
         if node.name == "find":
             # per-table search/filter legs unioned outer with a source_
             # column — each leg stays an independent pushdown-friendly

@@ -51,7 +51,13 @@ def synthesize_media_table(
                 bytearray(payload),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # <=64 KB-scale rows: createDataFrame slices a local list across
+    # defaultParallelism (32+) partitions, so every downstream Arrow
+    # kernel pays one task per mostly-empty slice (the census measured
+    # two 64-task stages in media_cdc_dedup). coalesce keeps modest
+    # kernel parallelism at zero shuffle; chunking/decode are row-local
+    # so results are partitioning-independent.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:

@@ -109,16 +109,20 @@ def connected_components(
         if not parent:
             return edges.sparkSession.createDataFrame(
                 [], f"id {id_type}, component {id_type}"
-            )
+            ).coalesce(1)
         out = pd.DataFrame(
             {
                 "id": list(parent.keys()),
                 "component": [_find(n) for n in parent],
             }
         )
+        # coalesce(1): a local-list frame is sliced across
+        # defaultParallelism partitions — one near-empty task each for
+        # every downstream consumer (guide §5: driver-resident data
+        # should not pay distributed-width overhead)
         return edges.sparkSession.createDataFrame(
             out, f"id {id_type}, component {id_type}"
-        )
+        ).coalesce(1)
 
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")

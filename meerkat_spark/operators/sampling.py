@@ -36,7 +36,11 @@ def _stratum_df(
 
     fields = [T.StructField(stratum_col, df.schema[stratum_col].dataType)]
     fields += extra or []
-    return df.sparkSession.createDataFrame(rows, T.StructType(fields))
+    # coalesce(1): broadcast-side lookup rows; without it the local
+    # list is sliced across defaultParallelism near-empty tasks
+    return df.sparkSession.createDataFrame(
+        rows, T.StructType(fields)
+    ).coalesce(1)
 
 
 def _salted_md5(id_col, salt: str) -> "F.Column":

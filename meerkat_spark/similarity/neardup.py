@@ -193,22 +193,27 @@ def neardup_pairs_lsh(
     # the signature stage single-threaded; widen them once. At scale the
     # source already has ≥ parallelism partitions, so no shuffle is added.
     parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < parallelism:
-        base = base.repartition(parallelism)
+    needs_widen = base.rdd.getNumPartitions() < parallelism
     star = None
     if route_exact:
         from pyspark.sql import Window as W
 
+        marked = base.withColumn("__fp", F.xxhash64("v"))
+        if needs_widen:
+            # one exchange does both jobs: widen AND hash-cluster by the
+            # exact-class key, so the window below reuses the layout
+            # instead of adding a second corpus-wide shuffle
+            marked = marked.repartition(parallelism, "__fp")
         w = W.partitionBy("__fp")
-        marked = base.withColumn("__fp", F.xxhash64("v")).withColumn(
-            "__rep", F.min("id").over(w)
-        )
+        marked = marked.withColumn("__rep", F.min("id").over(w))
         star = marked.filter(F.col("id") != F.col("__rep")).select(
             F.col("__rep").alias("id1"),
             F.col("id").alias("id2"),
             F.lit(1.0).alias("sim"),
         )
         base = marked.filter(F.col("id") == F.col("__rep")).select("id", "v")
+    elif needs_widen:
+        base = base.repartition(parallelism)
     banded = base.mapInPandas(
         _band_codes_fn(bands, rows_per_band, dim),
         "id long, v array<double>, band int, code long",

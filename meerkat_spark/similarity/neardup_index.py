@@ -70,7 +70,7 @@ def build_neardup_index(
     bands, rows = derive_params(n, threshold)
     spark.createDataFrame(
         [(bands, rows, dim)], "bands int, rows_per_band int, dim int"
-    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "params"))
     _postings(emb, bands, rows, dim, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("band_id").parquet(os.path.join(path, "postings"))

@@ -256,7 +256,7 @@ def adc_topk(
     if not len(q_pdf):
         return codes_df.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, score double, rank int"
-        )
+        ).coalesce(1)
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     if rotate:
         Q = Q @ opq_rotation(Q.shape[1])

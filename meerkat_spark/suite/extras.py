@@ -879,7 +879,7 @@ def ipv4_lookup_op(spark, sf_dir):
             ("128.0.0.0/2", "upper-quarter"),
         ],
         "network string, tag string",
-    )
+    ).coalesce(1)
     return ipv4_lookup(fact, lookup, "ip", "network")
 
 
@@ -1163,7 +1163,7 @@ def geo_s2cell_ops(spark, sf_dir):
         [(0, 0.0, 0.0), (1, 90.0, 0.0), (2, 0.0, 90.0),
          (3, 180.0, 0.0), (4, -90.0, 0.0), (5, 0.0, -90.0)],
         "pid int, lng double, lat double",
-    ).select("pid", geo_point_to_s2cell(F.col("lng"), F.col("lat"), 0).alias("cell"))
+    ).coalesce(1).select("pid", geo_point_to_s2cell(F.col("lng"), F.col("lat"), 0).alias("cell"))
     miami = spark.range(1).select(
         F.lit(6).cast("int").alias("pid"),
         geo_point_to_s2cell(F.lit(-80.195829), F.lit(25.802215), 8).alias("cell"),

@@ -155,10 +155,14 @@ def cdc_dedup_planted(spark, sf_dir):
         rows.append((i, bytearray(blob)))
         if i % 4 == 0:
             rows.append((i + 1000, bytearray(blob)))
-    corpus = spark.createDataFrame(rows, "media_id long, payload binary")
+    # 15 rows: avoid one near-empty task per default-parallelism slice
+    # (chunking is row-local, partitioning-independent)
+    corpus = spark.createDataFrame(rows, "media_id long, payload binary").coalesce(4)
+    # eager localCheckpoint, not persist — see media_cdc_dedup: a
+    # cached chunk table pins uncoalesced shuffles for every consumer
     chunks = cdc_chunks(
         corpus, min_size=64, avg_size=256, max_size=1024
-    ).persist()
+    ).localCheckpoint()
 
     # expected blob length from the construction formula
     exp_len = F.lit(8192 + 128) + F.lit(37) * F.when(
@@ -232,11 +236,16 @@ def media_cdc_dedup(spark, sf_dir):
         )
     )
     corpus = media.select("media_id", "payload").unionByName(shifted)
-    # persist: per-blob stats AND the global dedup summary both read
-    # the chunk table — without it the FastCDC Arrow kernel (and the
-    # payload synthesis) would run once per consumer. Same pattern a
-    # production multi-pass chunk analysis uses at scale.
-    chunks = cdc_chunks(corpus, min_size=16, avg_size=64, max_size=128).persist()
+    # eager localCheckpoint (not persist): per-blob stats AND the global
+    # dedup summary both read the chunk table — without materialization
+    # the FastCDC Arrow kernel (and the payload synthesis) would run
+    # once per consumer. A cached plan additionally pins full-width
+    # shuffle partitioning for every consumer (AQE cannot re-plan
+    # through InMemoryRelation — each of the 6 downstream aggregates
+    # ran 32 shuffle tasks over ~100 chunk rows); the checkpoint lets
+    # every consumer AQE-coalesce. Same pattern a production multi-pass
+    # chunk analysis uses at scale.
+    chunks = cdc_chunks(corpus, min_size=16, avg_size=64, max_size=128).localCheckpoint()
     stats = cdc_dedup_stats(chunks)
     per_blob = (
         chunks.groupBy("media_id")
@@ -287,7 +296,10 @@ def media_pipeline_envelope(spark, sf_dir):
     are unit-L1 within 1e-4 with no negative mass (feat_ok). A real
     codec swap (decode_stub -> PIL/libav) keeps every one of these
     invariants, so the envelope survives de-stubbing."""
-    media = synthesize_media_table(spark, n=64).persist()
+    # eager localCheckpoint, not persist — see media_cdc_dedup: the
+    # three envelope branches each re-read the fixture, and a cached
+    # plan pins uncoalesced shuffles for every consumer
+    media = synthesize_media_table(spark, n=64).localCheckpoint()
     frames = frame_sample(media, every_ms=5000)
     per_media = frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_fr"),

@@ -702,7 +702,11 @@ def rollup_incremental(spark, sf_dir):
         F.col("max").alias("mx"),
         F.round("variance", 2).alias("v"),
     )
-    out = out.cache()
+    # coalesce(1): the finalized rollup is (days x types) ~ 150 rows
+    # read from one file per day partition — materializing it as 30
+    # single-row cached partitions costs 30 task launches on every
+    # downstream scan for zero parallelism benefit
+    out = out.coalesce(1).cache()
     out.count()  # materialize before the temp store could be cleaned
     shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
     return out

@@ -1200,7 +1200,7 @@ def url_blocklist_filter(spark, sf_dir):
     bl = spark.createDataFrame(
         [("tracker.com",), ("bad.ads.net",), ("s1.example.com",)],
         "domain string",
-    )
+    ).coalesce(1)
     kept = filter_blocked_urls(with_url, bl, url_col="url")
     return kept.select("doc_id", url_host(F.col("url")).alias("host"))
 
@@ -1382,13 +1382,14 @@ def classifier_quality_gate(spark, sf_dir):
         for r in spark.createDataFrame(
             [(t,) for t, _ in vocab], "tok string"
         )
+        .coalesce(1)
         .select("tok", F.pmod(F.xxhash64(F.col("tok")), F.lit(dim)).alias("fid"))
         .collect()
     }
     w = spark.createDataFrame(
         [(fids[tok], wt) for (tok, wt) in vocab],
         "feature_id long, weight double",
-    )
+    ).coalesce(1)
     out = score_documents(docs, w, dim=dim, bigrams=False)
     return out.select(
         "doc_id", F.round("score", 6).alias("score"), F.round("prob", 6).alias("prob")
@@ -1473,7 +1474,7 @@ def classifier_gate_exact(spark, sf_dir):
     docs = ids.select(F.col("doc_id").cast("long").alias("doc_id"), text.alias("text"))
     wdf = spark.createDataFrame(
         list(zip(_CLF_WORDS, _CLF_UNI_W)) + _CLF_BI_W, "tok string, weight double"
-    )
+    ).coalesce(1)
     weights = wdf.select(
         F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("feature_id"), "weight"
     )
@@ -1974,7 +1975,7 @@ def bpe_tokenize_planted(spark, sf_dir):
     merges = train_bpe(corpus, n_merges=4)
     words = spark.createDataFrame(
         [("abab",), ("abcb",), ("bab",), ("cab",)], "text string"
-    )
+    ).coalesce(1)
     out = apply_bpe(words, merges)
     return out.select(
         F.col("text").alias("word"),

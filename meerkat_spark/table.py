@@ -344,7 +344,7 @@ class MeerkatTable:
         ]
         out = spark.createDataFrame(
             rows, "ColumnName string, ColumnOrdinal int, DataType string, ColumnType string"
-        )
+        ).coalesce(1)
         return self._wrap(out)
 
     def search(

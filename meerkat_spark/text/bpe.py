@@ -295,7 +295,7 @@ def bpe_merge_table(
 ) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
-    )
+    ).coalesce(1)
 
 
 # Above this merge count apply_bpe switches from the nested-JVM-fold

@@ -133,7 +133,9 @@ def train_logreg(
     )
     base.count()  # materialize once; reused every epoch
     spark = df.sparkSession
-    weights = spark.createDataFrame([], "feature_id long, weight double")
+    weights = spark.createDataFrame(
+        [], "feature_id long, weight double"
+    ).coalesce(1)
     for _ in range(int(n_epochs)):
         scored = base.join(F.broadcast(weights), "feature_id", "left").select(
             "doc_id",
