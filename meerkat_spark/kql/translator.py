@@ -19,6 +19,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from meerkat_spark.localrel import local_df
 from meerkat_spark.functions import agg as A
 from meerkat_spark.functions import scalar as S
 from meerkat_spark.functions import tdigest as _TD
@@ -2136,9 +2137,7 @@ class Translator:
             ncols = len(node.args["schema"])
             vals = [self._lit_value(v) for v in node.args["values"]]
             rows = [tuple(vals[i : i + ncols]) for i in range(0, len(vals), ncols)]
-            return MeerkatTable(
-                self.engine.spark.createDataFrame(rows, schema).coalesce(1)
-            )
+            return MeerkatTable(local_df(self.engine.spark, rows, schema))
         if node.name == "find":
             # per-table search/filter legs unioned outer with a source_
             # column — each leg stays an independent pushdown-friendly

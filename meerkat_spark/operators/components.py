@@ -24,6 +24,7 @@ aggregate action per round, no driver-side row iteration.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from meerkat_spark.localrel import local_df
 from pyspark.sql import functions as F
 
 # Size gate for the driver union-find fast path: edge lists at or under
@@ -107,22 +108,22 @@ def connected_components(
 
         id_type = sym.schema["u"].dataType.simpleString()
         if not parent:
-            return edges.sparkSession.createDataFrame(
-                [], f"id {id_type}, component {id_type}"
-            ).coalesce(1)
+            return local_df(
+                edges.sparkSession, [], f"id {id_type}, component {id_type}"
+            )
         out = pd.DataFrame(
             {
                 "id": list(parent.keys()),
                 "component": [_find(n) for n in parent],
             }
         )
-        # coalesce(1): a local-list frame is sliced across
-        # defaultParallelism partitions — one near-empty task each for
-        # every downstream consumer (guide §5: driver-resident data
-        # should not pay distributed-width overhead)
+        # pandas + Arrow path: JVM-resident batches, no coalesce — a
+        # Coalesce(1) over Python-RDD parents computes them
+        # SEQUENTIALLY at ~0.15 s per Python round trip (~5-7 s per
+        # consumer action; see meerkat_spark/localrel.py)
         return edges.sparkSession.createDataFrame(
             out, f"id {id_type}, component {id_type}"
-        ).coalesce(1)
+        )
 
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
+from meerkat_spark.localrel import local_df
 from pyspark.sql import functions as F
 
 
@@ -36,11 +37,9 @@ def _stratum_df(
 
     fields = [T.StructField(stratum_col, df.schema[stratum_col].dataType)]
     fields += extra or []
-    # coalesce(1): broadcast-side lookup rows; without it the local
-    # list is sliced across defaultParallelism near-empty tasks
-    return df.sparkSession.createDataFrame(
-        rows, T.StructType(fields)
-    ).coalesce(1)
+    # single-partition local relation: broadcast-side lookup rows
+    # (see meerkat_spark/localrel.py for why not coalesce(1))
+    return local_df(df.sparkSession, rows, T.StructType(fields))
 
 
 def _salted_md5(id_col, salt: str) -> "F.Column":

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from meerkat_spark.localrel import local_df
 from meerkat_spark.similarity import knn
 
 # Below this many DISTINCT candidate ids the quantized/PQ rerank keeps
@@ -939,7 +940,7 @@ def ivf_search(
     q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
     if not len(cents) or not len(q_pdf):
         # empty index or empty query set → empty result, not a crash
-        return spark.createDataFrame([], out_schema).coalesce(1)
+        return local_df(spark, [], out_schema)
     if meta["books"] is not None:
         from meerkat_spark.similarity.pq import MAX_ADC_LUT_ENTRIES
 
@@ -950,13 +951,14 @@ def ivf_search(
             out = None
             for start in range(0, len(q_pdf), max_q):
                 chunk = q_pdf.iloc[start : start + max_q]
-                chunk_df = spark.createDataFrame(
+                chunk_df = local_df(
+                    spark,
                     [
                         (int(r.query_id), [float(x) for x in r.qv])
                         for r in chunk.itertuples()
                     ],
                     f"{id_col} long, {vec_col} array<double>",
-                ).coalesce(1)
+                )
                 res = ivf_search(
                     spark, path, chunk_df, k=k, n_probe=n_probe,
                     id_col=id_col, vec_col=vec_col, refine=refine,
@@ -995,17 +997,17 @@ def ivf_search(
     # most once BY CONSTRUCTION — no dedup shuffle of the full coarse
     # candidate set is needed (r11: replaced the dropDuplicates that
     # re-shuffled n_queries * n_probe * corpus/n_cells rows).
-    # coalesce(1): the probe table is n_queries x n_probe driver rows
-    # feeding broadcast joins — default slicing costs one near-empty
-    # task per core on every consumer
-    q_cells = spark.createDataFrame(
+    # single-partition local relation: the probe table is n_queries x
+    # n_probe driver rows feeding broadcast joins (localrel.py)
+    q_cells = local_df(
+        spark,
         [
             (int(q_pdf["query_id"][i]), [float(x) for x in q_pdf["qv"][i]], int(c))
             for i in range(len(q_pdf))
             for c in dict.fromkeys(int(x) for x in top_cells[i])
         ],
         "query_id long, qv array<double>, cell_id long",
-    ).coalesce(1)
+    )
     assigned_all = spark.read.parquet(os.path.join(path, "assigned"))
     assigned = assigned_all.filter(
         F.col("cell_id").isin(probed)  # -> partition pruning on the index layout
@@ -1101,13 +1103,14 @@ def ivf_search(
                 for i in range(len(q_pdf))
             }
             cand_ids = sorted({int(r.neighbor_id) for r in pair_rows})
-            rerank = spark.createDataFrame(
+            rerank = local_df(
+                spark,
                 [
                     (int(r.query_id), int(r.neighbor_id), qv_of[int(r.query_id)])
                     for r in pair_rows
                 ],
                 "query_id long, neighbor_id long, qv array<double>",
-            ).coalesce(1)
+            )
             floats = assigned.filter(F.col("neighbor_id").isin(cand_ids)).select(
                 "neighbor_id", "cv"
             )

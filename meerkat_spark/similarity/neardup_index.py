@@ -38,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from meerkat_spark.localrel import local_df
 from meerkat_spark.similarity import knn
 from meerkat_spark.similarity.neardup import band_codes, derive_params
 
@@ -68,9 +69,9 @@ def build_neardup_index(
     n = emb.count()
     dim = len(emb.select(vec_col).first()[0])
     bands, rows = derive_params(n, threshold)
-    spark.createDataFrame(
-        [(bands, rows, dim)], "bands int, rows_per_band int, dim int"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "params"))
+    local_df(
+        spark, [(bands, rows, dim)], "bands int, rows_per_band int, dim int"
+    ).write.mode("overwrite").parquet(os.path.join(path, "params"))
     _postings(emb, bands, rows, dim, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("band_id").parquet(os.path.join(path, "postings"))

@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from meerkat_spark.localrel import local_df
 from meerkat_spark.similarity import knn
 
 # Hard cap on training rows collected to the driver (the knn trainer
@@ -254,9 +255,11 @@ def adc_topk(
     q_pdf = knn.queries_to_pdf(queries, id_col, vec_col)
     m, k_eff, dsub = books.shape
     if not len(q_pdf):
-        return codes_df.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, score double, rank int"
-        ).coalesce(1)
+        return local_df(
+            codes_df.sparkSession,
+            [],
+            "query_id long, neighbor_id long, score double, rank int",
+        )
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     if rotate:
         Q = Q @ opq_rotation(Q.shape[1])

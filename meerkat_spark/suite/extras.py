@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from meerkat_spark.localrel import local_df
 from meerkat_spark.engine import MeerkatEngine
 from meerkat_spark.functions import agg as A
 from meerkat_spark.suite import register
@@ -869,7 +870,8 @@ def ipv4_lookup_op(spark, sf_dir):
     ev = _eng(spark, sf_dir).table("events").to_df().select("event_id")
     ip = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
     fact = ev.select("event_id", format_ipv4(ip).alias("ip"))
-    lookup = spark.createDataFrame(
+    lookup = local_df(
+        spark,
         [
             ("10.0.0.0/8", "private-10"),
             ("172.16.0.0/12", "private-172"),
@@ -879,7 +881,7 @@ def ipv4_lookup_op(spark, sf_dir):
             ("128.0.0.0/2", "upper-quarter"),
         ],
         "network string, tag string",
-    ).coalesce(1)
+    )
     return ipv4_lookup(fact, lookup, "ip", "network")
 
 
@@ -1159,11 +1161,12 @@ def geo_s2cell_ops(spark, sf_dir):
     ST-projection + Hilbert-position pipeline at three levels."""
     from meerkat_spark.functions.geo_s2 import geo_point_to_s2cell
 
-    faces = spark.createDataFrame(
+    faces = local_df(
+        spark,
         [(0, 0.0, 0.0), (1, 90.0, 0.0), (2, 0.0, 90.0),
          (3, 180.0, 0.0), (4, -90.0, 0.0), (5, 0.0, -90.0)],
         "pid int, lng double, lat double",
-    ).coalesce(1).select("pid", geo_point_to_s2cell(F.col("lng"), F.col("lat"), 0).alias("cell"))
+    ).select("pid", geo_point_to_s2cell(F.col("lng"), F.col("lat"), 0).alias("cell"))
     miami = spark.range(1).select(
         F.lit(6).cast("int").alias("pid"),
         geo_point_to_s2cell(F.lit(-80.195829), F.lit(25.802215), 8).alias("cell"),

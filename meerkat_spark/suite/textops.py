@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from meerkat_spark.localrel import local_df
 from meerkat_spark.engine import MeerkatEngine
 from meerkat_spark.suite import register
 from meerkat_spark.text import analysis as TA
@@ -1197,10 +1198,11 @@ def url_blocklist_filter(spark, sf_dir):
             F.lit("/p/"), F.col("doc_id").cast("string"),
         ).alias("url"),
     )
-    bl = spark.createDataFrame(
+    bl = local_df(
+        spark,
         [("tracker.com",), ("bad.ads.net",), ("s1.example.com",)],
         "domain string",
-    ).coalesce(1)
+    )
     kept = filter_blocked_urls(with_url, bl, url_col="url")
     return kept.select("doc_id", url_host(F.col("url")).alias("host"))
 
@@ -1379,17 +1381,15 @@ def classifier_quality_gate(spark, sf_dir):
     # driver jobs + 4 collect sockets to hash 4 literals on the JVM)
     fids = {
         r.tok: r.fid
-        for r in spark.createDataFrame(
-            [(t,) for t, _ in vocab], "tok string"
-        )
-        .coalesce(1)
+        for r in local_df(spark, [(t,) for t, _ in vocab], "tok string")
         .select("tok", F.pmod(F.xxhash64(F.col("tok")), F.lit(dim)).alias("fid"))
         .collect()
     }
-    w = spark.createDataFrame(
+    w = local_df(
+        spark,
         [(fids[tok], wt) for (tok, wt) in vocab],
         "feature_id long, weight double",
-    ).coalesce(1)
+    )
     out = score_documents(docs, w, dim=dim, bigrams=False)
     return out.select(
         "doc_id", F.round("score", 6).alias("score"), F.round("prob", 6).alias("prob")
@@ -1472,9 +1472,11 @@ def classifier_gate_exact(spark, sf_dir):
         ),
     )
     docs = ids.select(F.col("doc_id").cast("long").alias("doc_id"), text.alias("text"))
-    wdf = spark.createDataFrame(
-        list(zip(_CLF_WORDS, _CLF_UNI_W)) + _CLF_BI_W, "tok string, weight double"
-    ).coalesce(1)
+    wdf = local_df(
+        spark,
+        list(zip(_CLF_WORDS, _CLF_UNI_W)) + _CLF_BI_W,
+        "tok string, weight double",
+    )
     weights = wdf.select(
         F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("feature_id"), "weight"
     )
@@ -1973,9 +1975,9 @@ def bpe_tokenize_planted(spark, sf_dir):
         .alias("text")
     )
     merges = train_bpe(corpus, n_merges=4)
-    words = spark.createDataFrame(
-        [("abab",), ("abcb",), ("bab",), ("cab",)], "text string"
-    ).coalesce(1)
+    words = local_df(
+        spark, [("abab",), ("abcb",), ("bab",), ("cab",)], "text string"
+    )
     out = apply_bpe(words, merges)
     return out.select(
         F.col("text").alias("word"),

@@ -24,6 +24,7 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from meerkat_spark.localrel import local_df
 from meerkat_spark.types import spark_to_kql
 
 JOIN_KIND_MAP = {
@@ -342,9 +343,11 @@ class MeerkatTable:
                 for f in self.df.schema.fields
             )
         ]
-        out = spark.createDataFrame(
-            rows, "ColumnName string, ColumnOrdinal int, DataType string, ColumnType string"
-        ).coalesce(1)
+        out = local_df(
+            spark,
+            rows,
+            "ColumnName string, ColumnOrdinal int, DataType string, ColumnType string",
+        )
         return self._wrap(out)
 
     def search(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from meerkat_spark.localrel import local_df
 from pyspark.sql import functions as F
 
 
@@ -293,9 +294,9 @@ def _train_bpe_from_freqs(
 def bpe_merge_table(
     spark, merges: list[tuple[int, str, str, int]]
 ) -> DataFrame:
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count long"
-    ).coalesce(1)
+    return local_df(
+        spark, merges, "rank int, left string, right string, pair_count long"
+    )
 
 
 # Above this merge count apply_bpe switches from the nested-JVM-fold

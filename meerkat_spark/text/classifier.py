@@ -15,6 +15,7 @@ explode, one broadcast join, one keyed agg.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from meerkat_spark.localrel import local_df
 from pyspark.sql import functions as F
 
 
@@ -133,9 +134,7 @@ def train_logreg(
     )
     base.count()  # materialize once; reused every epoch
     spark = df.sparkSession
-    weights = spark.createDataFrame(
-        [], "feature_id long, weight double"
-    ).coalesce(1)
+    weights = local_df(spark, [], "feature_id long, weight double")
     for _ in range(int(n_epochs)):
         scored = base.join(F.broadcast(weights), "feature_id", "left").select(
             "doc_id",
