@@ -107,13 +107,18 @@ def _make_sessionizer(max_us: int, idle_us: int):
         sess, prev = state.get if state.exists else (None, None)
         out_ts: list[int] = []
         out_sid: list[int] = []
-        for pdf in pdfs:
-            for t in sorted(int(x) for x in pdf["ts_us"]):
-                if prev is None or t - prev > idle_us or t - sess > max_us:
-                    sess = t
-                prev = t
-                out_ts.append(t)
-                out_sid.append(sess)
+        # One sort over the WHOLE group's batch: the group arrives as
+        # an iterator of Arrow chunks (one per upstream partition that
+        # held rows for the key), and chunk order is arbitrary — a
+        # per-chunk sort let a later-arriving chunk with EARLIER
+        # timestamps run the recurrence backwards in time.
+        all_ts = sorted(int(x) for pdf in pdfs for x in pdf["ts_us"])
+        for t in all_ts:
+            if prev is None or t - prev > idle_us or t - sess > max_us:
+                sess = t
+            prev = t
+            out_ts.append(t)
+            out_sid.append(sess)
         if prev is not None:
             state.update((int(sess), int(prev)))
         yield pd.DataFrame(
