@@ -28,15 +28,19 @@ from meerkat_spark.localrel import local_df
 from pyspark.sql import functions as F
 
 # Size gate for the driver union-find fast path: edge lists at or under
-# this many SYMMETRIC rows (2x the input edges) are collected from the
-# eager edge checkpoint (bounded: two 8-byte ids per row, ~64 MB at the
-# cap) and labeled with one in-memory union-find instead of the
+# this many RAW rows (two 8-byte ids per row, ~64 MB at the cap) are
+# collected and labeled with one in-memory union-find instead of the
 # O(diameter) rounds of keyed joins — each round is 2 shuffles + an
 # eager checkpoint + a convergence-poll job, pure fixed overhead when
-# the graph is small. Above the cap the iterative path runs unchanged
-# (the 100TB shape); the probe costs one bounded collect from data the
-# iterative path had already checkpointed anyway, never a recompute.
-CC_DRIVER_MAX_SYM_EDGES = 4_000_000
+# the graph is small. The probe collects the RAW edge list (one eager
+# checkpoint of the projected pairs, no shuffle) BEFORE paying the
+# symmetrize+distinct exchange — union-find needs neither symmetry nor
+# distinctness, so the small-graph path (every dedup composite at
+# bench scale) skips that shuffle entirely. Above the cap the
+# iterative path runs unchanged (the 100TB shape), building its
+# symmetric distinct edge table from the same checkpoint — the probe
+# never forces a second pass over the upstream pair pipeline.
+CC_DRIVER_MAX_EDGES = 2_000_000
 
 
 def connected_components(
@@ -74,16 +78,16 @@ def connected_components(
 
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = _truncate(sym.distinct())
+    raw = _truncate(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
 
-    # driver union-find fast path (bounded probe against the checkpoint
-    # just built — see CC_DRIVER_MAX_SYM_EDGES). Union-by-min-root makes
-    # every root the component's minimum id, the exact fixpoint of the
-    # iterative min-label propagation below.
-    probe = sym.limit(CC_DRIVER_MAX_SYM_EDGES + 1).collect()
-    if len(probe) <= CC_DRIVER_MAX_SYM_EDGES:
+    # driver union-find fast path (bounded probe against the projected
+    # edge checkpoint — see CC_DRIVER_MAX_EDGES). Union-find tolerates
+    # duplicate and asymmetric edges, so the probe runs BEFORE the
+    # symmetrize+distinct exchange the iterative path needs.
+    # Union-by-min-root makes every root the component's minimum id,
+    # the exact fixpoint of the iterative min-label propagation below.
+    probe = raw.limit(CC_DRIVER_MAX_EDGES + 1).collect()
+    if len(probe) <= CC_DRIVER_MAX_EDGES:
         parent: dict = {}
 
         def _find(x):
@@ -106,7 +110,7 @@ def connected_components(
                     parent[ra] = rb
         import pandas as pd
 
-        id_type = sym.schema["u"].dataType.simpleString()
+        id_type = raw.schema["u"].dataType.simpleString()
         if not parent:
             return local_df(
                 edges.sparkSession, [], f"id {id_type}, component {id_type}"
@@ -125,6 +129,8 @@ def connected_components(
             out, f"id {id_type}, component {id_type}"
         )
 
+    sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _truncate(sym.distinct())
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )

@@ -123,7 +123,7 @@ def test_driver_and_iterative_paths_agree(spark, monkeypatch):
         "src long, dst long",
     )
     fast = {r.id: r.component for r in connected_components(edges).collect()}
-    monkeypatch.setattr(C, "CC_DRIVER_MAX_SYM_EDGES", 0)
+    monkeypatch.setattr(C, "CC_DRIVER_MAX_EDGES", 0)
     slow = {r.id: r.component for r in connected_components(edges).collect()}
     assert fast == slow
     assert {fast[i] for i in (1, 2, 3, 4, 5)} == {1}
