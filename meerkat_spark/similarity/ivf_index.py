@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from meerkat_spark.localrel import local_df
+from meerkat_spark.localrel import local_df, sql_in
 from meerkat_spark.similarity import knn
 
 # Below this many DISTINCT candidate ids the quantized/PQ rerank keeps
@@ -1010,7 +1010,10 @@ def ivf_search(
     )
     assigned_all = spark.read.parquet(os.path.join(path, "assigned"))
     assigned = assigned_all.filter(
-        F.col("cell_id").isin(probed)  # -> partition pruning on the index layout
+        # -> partition pruning on the index layout; sql_in renders the
+        # identical In predicate in one py4j call (isin pays one round
+        # trip per probed cell — localrel.sql_in docstring)
+        sql_in("cell_id", probed)
     )
     is_pq = meta["books"] is not None and "codes" in assigned_all.columns
     if is_pq or "q" in assigned_all.columns:
@@ -1111,7 +1114,7 @@ def ivf_search(
                 ],
                 "query_id long, neighbor_id long, qv array<double>",
             )
-            floats = assigned.filter(F.col("neighbor_id").isin(cand_ids)).select(
+            floats = assigned.filter(sql_in("neighbor_id", cand_ids)).select(
                 "neighbor_id", "cv"
             )
             sims = floats.join(F.broadcast(rerank), "neighbor_id").select(
@@ -1147,7 +1150,7 @@ def ivf_search(
             if len(probe_ids) <= RERANK_LITERAL_MAX:
                 cand_ids = [r.neighbor_id for r in probe_ids]
                 floats = assigned.filter(
-                    F.col("neighbor_id").isin(cand_ids)
+                    sql_in("neighbor_id", cand_ids)
                 ).select("neighbor_id", "cv")
             else:
                 floats = assigned.select("neighbor_id", "cv").join(
