@@ -120,30 +120,75 @@ def _hyperplanes(n_planes: int, dim: int, offset: int = 0) -> list[list[float]]:
 
 
 def lsh_code(vec, n_planes: int, dim: int, plane_offset: int = 0):
-    """Sign-bit code: bit p = sign(v · plane_{offset+p}) — zip_with
-    against a literal plane array, JVM-side, no UDF.
+    """Sign-bit code: bit p = sign(v · plane_{offset+p}).
 
-    n_planes must be ≤ 63: Java long shifts mask the shift amount to 6
-    bits, so bit positions ≥ 64 silently alias into low bits (corrupted
-    codes). Callers needing more total bits (LSH banding) must compute
-    one code per band with a distinct `plane_offset`."""
+    r16: Arrow-vectorized kernel instead of n_planes interpreted
+    zip_with/aggregate folds per row (the HOF chain dominated the LSH
+    envelope queries — ~n_planes·dim interpreted lambda evals per row).
+    The kernel accumulates each projection SEQUENTIALLY in dim order
+    (``acc = acc + v[d] * plane[d]``, the exact JVM fold), and the ±1.0
+    plane weights make every product exact — codes are BITWISE
+    identical to the old expression path (pinned in
+    tests/test_similarity.py::test_lsh_code_kernel_matches_fold).
+    Null/short/long vectors code to 0, matching the old null
+    propagation (any null element nulled every plane's fold).
+
+    n_planes must be ≤ 63 so the packed code stays a positive long
+    (and, historically, below Java's 6-bit shift mask). Callers needing
+    more total bits (LSH banding) must compute one code per band with a
+    distinct `plane_offset`."""
     if n_planes > 63:
         raise ValueError(
             f"lsh_code supports at most 63 planes per code (got {n_planes}); "
             "use one code per band with plane_offset for wider signatures"
         )
-    planes = _hyperplanes(n_planes, dim, offset=plane_offset)
-    code = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane_lit = F.array(*[F.lit(v) for v in planes[p]])
-        proj = F.aggregate(
-            F.zip_with(vec, plane_lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        code = code.bitwiseXOR(F.shiftleft(bit, p))
-    return code
+    P = np.asarray(_hyperplanes(n_planes, dim, offset=plane_offset), dtype=np.float64)
+
+    @F.pandas_udf("long")
+    def code_udf(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        codes = np.zeros(n, dtype=np.int64)
+        keep, V = _stack_fixed_dim(vs, dim)
+        if V is not None:
+            bits = _fold_sign_bits(V, P)
+            codes[keep] = bits.astype(np.int64) @ (
+                np.int64(1) << np.arange(P.shape[0], dtype=np.int64)
+            )
+        return pd.Series(codes)
+
+    return code_udf(vec)
+
+
+def _stack_fixed_dim(vs: pd.Series, dim: int):
+    """Stack the rows of an array column that are non-null and exactly
+    `dim` long; returns (index array, matrix) — (empty, None) when no
+    row qualifies. Degenerate rows are the caller's 'code 0' cases
+    (matching the old expression path's null propagation)."""
+    keep, rows = [], []
+    for i, v in enumerate(vs):
+        if v is not None and len(v) == dim:
+            keep.append(i)
+            rows.append(np.asarray(v, dtype=np.float64))
+    if not rows:
+        return np.zeros(0, dtype=np.int64), None
+    return np.asarray(keep), np.stack(rows)
+
+
+def _fold_sign_bits(V: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """(n, planes) sign bits of V · Pᵀ with the accumulation done
+    SEQUENTIALLY in dim order — ``acc = acc + v[d] * plane[d]`` — the
+    exact left fold the old JVM aggregate() expression performed. The
+    ±1.0 plane weights make every product exact, so these bits are
+    BITWISE identical to the expression path's (a BLAS matmul would
+    differ in the last ulp for near-orthogonal rows)."""
+    n, dim = V.shape
+    bits = np.zeros((n, P.shape[0]), dtype=bool)
+    for p in range(P.shape[0]):
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            acc = acc + V[:, d] * P[p, d]
+        bits[:, p] = acc > 0
+    return bits
 
 
 MAX_QUERY_ROWS = 65_536

@@ -27,8 +27,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from meerkat_spark.similarity import knn
 
@@ -60,22 +63,37 @@ def derive_params(
 
 
 def band_codes(vec_col, bands: int, rows_per_band: int, dim: int):
-    """Array of `bands` codes, each `rows_per_band` sign bits.
-
-    One lsh_code per band with a band-specific plane offset — NOT one
-    wide code sliced up: Java long shifts mask the shift amount to 6
-    bits, so a single packed code corrupts every sign bit past 63 and
-    derive_params routinely needs bands·rows_per_band > 63 at the very
-    corpus sizes it targets (high bands would silently alias into low
-    ones, losing the documented recall guarantee)."""
-    return F.array(
-        *[
-            knn.lsh_code(
-                vec_col, rows_per_band, dim, plane_offset=b * rows_per_band
-            )
-            for b in range(bands)
-        ]
+    """Array of `bands` codes, each `rows_per_band` sign bits, from the
+    SAME per-band plane offsets as one lsh_code call per band — but
+    computed in ONE Arrow kernel pass (r16): the per-band composition
+    made each band its own pandas UDF, shipping the vector column to
+    Python `bands` times. Codes are bitwise-identical to the composed
+    form (shared knn._fold_sign_bits kernel — the exact sequential
+    JVM fold; pinned in tests/test_similarity.py). Bands stay separate
+    codes, never one wide >63-bit pack (the documented long-shift
+    aliasing hazard)."""
+    P = np.asarray(
+        knn._hyperplanes(bands * rows_per_band, dim), dtype=np.float64
     )
+    weights = np.int64(1) << np.arange(rows_per_band, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def codes_udf(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        zero = np.zeros(bands, dtype=np.int64)
+        out = [zero] * n
+        keep, V = knn._stack_fixed_dim(vs, dim)
+        if V is not None:
+            bits = knn._fold_sign_bits(V, P)  # (m, bands·r)
+            codes = (
+                bits.reshape(len(V), bands, rows_per_band).astype(np.int64)
+                @ weights
+            )
+            for j, i in enumerate(keep):
+                out[i] = codes[j]
+        return pd.Series(out)
+
+    return codes_udf(vec_col)
 
 
 def _band_codes_fn(bands: int, rows_per_band: int, dim: int):

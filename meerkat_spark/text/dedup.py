@@ -108,21 +108,56 @@ def _shingle_hash_array(text: str, k: int) -> np.ndarray:
     return _batch_shingle_hashes([text], k)[0]
 
 
+# Per-chunk shingle budget for the vectorized minhash fold. The affine
+# pass materializes an n_perm x chunk_shingles uint64 matrix, so the
+# budget must keep that transient CACHE-RESIDENT: 2^12 shingles at
+# n_perm=64 is a 2 MB matrix (~150 real docs per chunk — plenty to
+# amortize numpy call overhead). A 2^19 budget looked harmless but its
+# 256 MB transient (x2 temporaries, x32 concurrent workers) thrashed
+# memory bandwidth — measured 13.6s vs 0.25s for one 5000-doc batch.
+_MINHASH_CHUNK_SHINGLES = 1 << 12
+
+
 def _make_minhash_udf(n_perm: int, shingle_k: int):
     a, b = _perm_params(n_perm)
     empty = np.full(n_perm, np.iinfo(np.int64).max, dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for sh in _batch_shingle_hashes(texts, shingle_k):
-            if sh.size == 0:
-                out.append(empty.tolist())
-                continue
-            # 64-bit wrap-around affine hash family; min per permutation
-            with np.errstate(over="ignore"):
-                vals = a[:, None] * sh[None, :] + b[:, None]
-            out.append(vals.min(axis=1).view(np.int64).tolist())
+        # whole-batch affine fold (r16): the per-doc loop issued two
+        # small numpy ops per document (~65 us/doc of call overhead —
+        # 0.5s of the 2.6s LSH candidate phase at sf0.1, measured); one
+        # matrix multiply-add over the batch's concatenated shingles +
+        # a segmented minimum.reduceat computes the identical uint64
+        # values (same elementwise affine map, min over the same
+        # contiguous runs — bitwise-equal signatures). Chunked so the
+        # transient matrix stays bounded for long documents.
+        shs = _batch_shingle_hashes(texts, shingle_k)
+        out: list = [None] * len(shs)
+        i = 0
+        with np.errstate(over="ignore"):
+            while i < len(shs):
+                j, tot = i, 0
+                while j < len(shs) and (
+                    tot + shs[j].size <= _MINHASH_CHUNK_SHINGLES or tot == 0
+                ):
+                    tot += shs[j].size
+                    j += 1
+                nz = [t for t in range(i, j) if shs[t].size]
+                if nz:
+                    sh_all = np.concatenate([shs[t] for t in nz])
+                    vals = a[:, None] * sh_all[None, :] + b[:, None]
+                    lens = np.fromiter((shs[t].size for t in nz), dtype=np.int64)
+                    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    mins = np.minimum.reduceat(vals, starts, axis=1).view(
+                        np.int64
+                    )
+                    for col, t in enumerate(nz):
+                        out[t] = mins[:, col]
+                for t in range(i, j):
+                    if out[t] is None:
+                        out[t] = empty
+                i = j
         return pd.Series(out)
 
     return minhash_udf
@@ -131,9 +166,11 @@ def _make_minhash_udf(n_perm: int, shingle_k: int):
 def _make_shingles_udf(shingle_k: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shingles_udf(texts: pd.Series) -> pd.Series:
+        # int64 ndarray views go to Arrow directly — `.tolist()` boxed
+        # every shingle hash into a Python int first (r16)
         return pd.Series(
             [
-                sh.view(np.int64).tolist()
+                sh.view(np.int64)
                 for sh in _batch_shingle_hashes(texts, shingle_k)
             ]
         )

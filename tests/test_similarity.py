@@ -344,3 +344,71 @@ def test_lsh_multiprobe_bits_superset(spark, emb):
     s2 = {(r.query_id, r.neighbor_id) for r in two.collect()}
     # with k large enough to keep every candidate, one ⊆ two
     assert s1 <= s2 and len(s2) >= len(s1)
+
+
+def test_lsh_code_kernel_matches_fold(spark, emb):
+    """The r16 Arrow lsh_code kernel must be BITWISE identical to the
+    old JVM zip_with/aggregate expression fold (sequential dim-order
+    accumulation with exact ±1.0 products), including null/short-vector
+    rows coding to 0."""
+
+    def fold_code(vec, n_planes, dim, plane_offset=0):
+        planes = knn._hyperplanes(n_planes, dim, offset=plane_offset)
+        code = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane_lit = F.array(*[F.lit(v) for v in planes[p]])
+            proj = F.aggregate(
+                F.zip_with(vec, plane_lit, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = (
+                F.when(proj > 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            code = code.bitwiseXOR(F.shiftleft(bit, p))
+        return code
+
+    v = knn._to_double(F.col("embedding"))
+    got = [
+        r.c for r in emb.select(knn.lsh_code(v, 7, 64, plane_offset=3).alias("c")).collect()
+    ]
+    want = [
+        r.c for r in emb.select(fold_code(v, 7, 64, plane_offset=3).alias("c")).collect()
+    ]
+    assert got == want
+
+    # degenerate rows: null vector and wrong-length vector code to 0
+    deg = spark.createDataFrame(
+        [(1, None), (2, [1.0, -2.0]), (3, [0.5] * 64)],
+        "id long, v array<double>",
+    )
+    rows = {r.id: r.c for r in deg.select("id", knn.lsh_code(F.col("v"), 5, 64).alias("c")).collect()}
+    assert rows[1] == 0 and rows[2] == 0
+    wide = {r.id: r.c for r in deg.select("id", fold_code(F.col("v"), 5, 64).alias("c")).collect()}
+    assert rows == wide
+
+
+def test_band_codes_matches_per_band_lsh_code(spark, emb):
+    """band_codes (one Arrow kernel for all bands) must equal the
+    composed per-band lsh_code form bitwise — same plane offsets, same
+    sequential fold."""
+    from meerkat_spark.similarity import neardup
+
+    bands, r = 5, 7
+    v = knn._to_double(F.col("embedding"))
+    combined = emb.select(
+        F.col("vec_id"), neardup.band_codes(v, bands, r, 64).alias("codes")
+    )
+    composed = emb.select(
+        F.col("vec_id"),
+        F.array(
+            *[
+                knn.lsh_code(v, r, 64, plane_offset=b * r)
+                for b in range(bands)
+            ]
+        ).alias("codes"),
+    )
+    got = {r_.vec_id: list(r_.codes) for r_ in combined.collect()}
+    want = {r_.vec_id: list(r_.codes) for r_ in composed.collect()}
+    assert got == want

@@ -669,3 +669,20 @@ def test_dedup_by_url_single_pass_window(spark):
     assert "WindowGroupLimit" in plan, plan
     assert sorted(r["id"] for r in kept.collect()) == [1, 4, 6]
     assert set(kept.columns) == {"id", "url"}
+
+
+def test_minhash_kernel_chunking_bitwise_stable(spark, monkeypatch):
+    """The vectorized whole-batch minhash fold must produce identical
+    signatures regardless of the chunk budget (the reduceat segments
+    change, the uint64 affine-min values must not)."""
+    import pandas as pd
+
+    texts = pd.Series(
+        ["", None, "one two three four five six"]
+        + [" ".join(f"w{(i * j) % 97}" for j in range(i % 40)) for i in range(200)]
+    )
+    wide = TD._make_minhash_udf(64, 3).func(texts)
+    monkeypatch.setattr(TD, "_MINHASH_CHUNK_SHINGLES", 17)
+    narrow = TD._make_minhash_udf(64, 3).func(texts)
+    for a, b in zip(wide, narrow):
+        assert list(a) == list(b)
