@@ -183,22 +183,47 @@ def _make_simhash_udf():
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            words = [w for w in (text or "").lower().split() if w]
-            if not words:
-                out.append(0)
-                continue
-            th = _hash_strings(words)
-            bits = (th[:, None] >> bitpos[None, :]) & np.uint64(1)
-            ones = bits.sum(axis=0)
-            fp = 0
-            for i in range(64):
-                if ones[i] * 2 > len(words):
-                    fp |= 1 << i
-            if fp >= 1 << 63:  # two's-complement into BIGINT range
-                fp -= 1 << 64
-            out.append(fp)
+        # whole-batch fold (r16, same recipe as the minhash kernel):
+        # the per-doc loop paid one pd.util.hash_array call per
+        # document (~80% per-call fixed cost, profiled) plus a
+        # 64-iteration Python bit loop per doc. One batch hash + a
+        # segmented reduceat over the bit matrix computes the
+        # identical integer majorities (sums of the same 0/1 terms),
+        # packed with exact two's-complement wraparound. Chunked like
+        # minhash so the total_words x 64 bit matrix stays small.
+        word_lists = [(t or "").lower().split() for t in texts]
+        lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64)
+        out = np.zeros(len(word_lists), dtype=np.int64)
+        i = 0
+        while i < len(word_lists):
+            j, tot = i, 0
+            while j < len(word_lists) and (
+                tot + lens[j] <= _MINHASH_CHUNK_SHINGLES or tot == 0
+            ):
+                tot += lens[j]
+                j += 1
+            nz = [t for t in range(i, j) if lens[t]]
+            if nz:
+                flat = np.concatenate(
+                    [np.asarray(word_lists[t], dtype=object) for t in nz]
+                )
+                th = pd.util.hash_array(flat)
+                bits = ((th[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens[nz])[:-1])
+                )
+                ones = np.add.reduceat(bits, starts, axis=0)  # (len(nz), 64)
+                maj = ones * 2 > lens[nz][:, None]
+                # exact two's-complement pack: uint64 sum of distinct
+                # powers of two, viewed as int64 (== the old
+                # `fp -= 1<<64` wrap when bit 63 is set)
+                fps = (maj.astype(np.uint64) << bitpos[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                ).view(np.int64)
+                out[np.asarray(nz)] = fps
+            i = j
         return pd.Series(out)
 
     return simhash_udf

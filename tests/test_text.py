@@ -686,3 +686,19 @@ def test_minhash_kernel_chunking_bitwise_stable(spark, monkeypatch):
     narrow = TD._make_minhash_udf(64, 3).func(texts)
     for a, b in zip(wide, narrow):
         assert list(a) == list(b)
+
+
+def test_simhash_kernel_chunking_bitwise_stable(spark, monkeypatch):
+    """The vectorized whole-batch simhash fold must produce identical
+    fingerprints regardless of the chunk budget (integer majorities and
+    the two's-complement pack are exact at any segmentation)."""
+    import pandas as pd
+
+    texts = pd.Series(
+        ["", None, "one TWO two three", "x" * 3]
+        + [" ".join(f"w{(i * j) % 89}" for j in range(1 + i % 60)) for i in range(300)]
+    )
+    wide = list(TD._make_simhash_udf().func(texts))
+    monkeypatch.setattr(TD, "_MINHASH_CHUNK_SHINGLES", 19)
+    narrow = list(TD._make_simhash_udf().func(texts))
+    assert wide == narrow
